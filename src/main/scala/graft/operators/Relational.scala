@@ -1,0 +1,638 @@
+package graft.operators
+
+import graft.{Det, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.1–§2.4, §2.6–§2.8): the reference's
+  * observed query surface (scan, disjunctive filter on a joined dim,
+  * FK joins, eager-load decomposition) plus the north-star relational
+  * extensions, all expressed as declarative DataFrame plans so Catalyst
+  * owns pushdown, pruning, and join selection (SURVEY.md §4.1).
+  *
+  * Scale posture (100 TB): no driver-side collect anywhere; every query is
+  * shuffle-bounded; dimension joins (region/nation/supplier/part at TPC-H
+  * ratios) are explicitly `broadcast()` so fact tables never shuffle for
+  * them; fact⋈fact joins (orders⋈lineitem) shuffle on the join key and rely
+  * on AQE for skew splitting.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- scans
+
+  /** S1 q_scan_project — full scan + projection. Reference:
+    * `session.execute(select(Decision))`
+    * `/root/reference/decisions-summaries/generate_decisions_summaries.py:37-43`.
+    * Catalyst prunes the Parquet `ReadSchema` to the 3 selected columns. */
+  private def qScanProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column for a total order (t2 hash parity).
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+  }
+
+  // ------------------------------------------------- filters / projections
+
+  /** P1 q_filter_or_eq — the reference's only WHERE: disjunctive equality
+    * on a joined dimension (`or_(Body.symbol == "SBI", Body.symbol ==
+    * "SBSTA")`,
+    * `/root/reference/decisions-summaries/generate_conclusions_summaries.py:44-49`).
+    * Here: customers of two named nations; the dim side is broadcast and
+    * the equality disjunction is pushed into the scan as an IN filter. */
+  private def qFilterOrEq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = t(s, dir, "nation")
+      .filter($"n_name" === "NATION_3" || $"n_name" === "NATION_7")
+    t(s, dir, "customer")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** P2 q_project — projection, rename, computed column (the reference
+    * keeps only `symbol`/`summary` of each result row,
+    * `generate_decisions_summaries.py:112-116`). */
+  private def qProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        $"p_name".as("part_name"),
+        ($"p_retailprice" * lit(1.1)).as("price_up"))
+      .orderBy($"p_partkey")
+  }
+
+  /** P3 q_filter_pred — compound predicate: AND/OR, BETWEEN, LIKE, IN.
+    * All residual-free: every conjunct reaches `PushedFilters` on the
+    * Parquet scan. */
+  private def qFilterPred(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter(
+        $"l_quantity".between(10, 20) &&
+        ($"l_discount" > 0.05 || $"l_tax" < 0.02) &&
+        $"l_returnflag".isin("A", "R") &&
+        $"l_linestatus".like("F%"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+  }
+
+  /** P4 q_filter_null_branch — tagged-union null dispatch, the reference's
+    * `if block.paragraph: … elif block.table:` branch
+    * (`generate_conclusions_summaries.py:57-64`). Nulls are introduced via
+    * `nullif` (testdata is null-free) and dispatched with a `when` chain +
+    * `coalesce`, exactly the CASE WHEN shape DuckDB runs. */
+  private def qFilterNullBranch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        nullif($"l_discount", lit(0.0)).as("disc_n"),
+        nullif($"l_tax", lit(0.0)).as("tax_n"))
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        when($"disc_n".isNotNull, concat(lit("D:"), $"disc_n".cast("string")))
+          .when($"tax_n".isNotNull, concat(lit("T:"), $"tax_n".cast("string")))
+          .otherwise(lit("none")).as("branch"),
+        coalesce($"disc_n", $"tax_n", lit(-1.0)).as("first_rate"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"branch", $"first_rate")
+  }
+
+  // --------------------------------------------------------------- joins
+
+  /** J1 q_join_inner_fk — fact→dim FK equi-join (Document⋈Body,
+    * `generate_conclusions_summaries.py:38-39`). The 25-row dim is
+    * broadcast: zero shuffle of the fact side at any scale. */
+  private def qJoinInnerFk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J2 q_join_chain — multi-hop FK chain, the reference's
+    * Document→Core→Block→Paragraph eager-load
+    * (`generate_conclusions_summaries.py:40-43`) as
+    * lineitem⋈orders⋈customer⋈nation⋈region. The one fact⋈fact join
+    * (lineitem⋈orders) shuffles on the order key; all dims broadcast, so
+    * the plan has exactly one exchange before aggregation. */
+  private def qJoinChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        Det.sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name")
+  }
+
+  /** J3 q_join_left — nullable one-to-one eager load = LEFT OUTER
+    * (`if block.paragraph:` may be absent,
+    * `generate_conclusions_summaries.py:57,61`). Customers LEFT JOIN their
+    * urgent orders; count(col) ignores the null side. */
+  private def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_urgent"),
+        Det.sumd(coalesce($"o_totalprice", lit(0.0))).as("urgent_total"))
+      .orderBy($"c_custkey")
+  }
+
+  /** J4 q_join_bridge_m2n — ordered M:N bridge
+    * (Decision→DecisionBlockMap→Block,
+    * `generate_decisions_summaries.py:39-42`) as orders→lineitem→part:
+    * double equi-join through the bridge, aggregated per parent. */
+  private def qJoinBridgeM2n(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_parts"),
+        Det.sumd($"p_retailprice").as("retail_total"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** J5 q_join_semi — existence join (left semi): customers having at
+    * least one F-status order. No row duplication, right side only hashed. */
+  private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+    t(s, dir, "customer")
+      .join(f, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J6 q_join_anti — NOT EXISTS: customers with no URGENT order. */
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J7 q_join_theta_range — non-equi band join: parts bucketed into
+    * retail-price bands. The 4-row band table broadcasts →
+    * BroadcastNestedLoopJoin; at 100 TB the fact side still streams
+    * without a shuffle. */
+  private def qJoinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 500.0), ("mid", 500.0, 1000.0),
+      ("high", 1000.0, 1500.0), ("lux", 1500.0, 1e9)))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "part")
+      .join(broadcast(bands),
+        $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_parts"), Det.sumd($"p_retailprice").as("retail_sum"))
+      .orderBy($"band")
+  }
+
+  /** J10 q_join_cross — guarded Cartesian product (basis for brute-force
+    * similarity, SURVEY.md §2.9 T3): region × supplier. Only ever used
+    * with a broadcastable side. */
+  private def qJoinCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "region").crossJoin(broadcast(t(s, dir, "supplier")))
+      .select($"r_regionkey", $"s_suppkey", $"r_name", $"s_name")
+      .orderBy($"r_regionkey", $"s_suppkey")
+  }
+
+  /** J9 q_join_selectinload — the ORM's eager-load decomposition
+    * (`selectinload`, `generate_conclusions_summaries.py:40-43`): children
+    * delivered per-parent WITHOUT duplicating parent rows. Spark-idiomatic
+    * equivalent: join + `collect_list` of child structs → one row per
+    * parent with an ordered array column. */
+  private def qJoinSelectinload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(sort_array(collect_list($"l_linenumber")).as("line_numbers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_orderkey")
+  }
+
+  // -------------------------------------------------------- aggregations
+
+  /** A1 q_agg_hash — grouped sum/avg/count, TPC-H Q1 shape:
+    * HashAggregate partial → single exchange on the 6 group keys → final.
+    * Map-side combine makes the shuffle O(groups), not O(rows) — the
+    * property that keeps this viable at 100 TB. */
+  private def qAggHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Det.sumd($"l_quantity").as("sum_qty"),
+        Det.sumd($"l_extendedprice").as("sum_base_price"),
+        Det.sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        Det.avgd($"l_quantity").as("avg_qty"),
+        Det.avgd($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A2 q_agg_distinct — COUNT(DISTINCT) per group: Catalyst plans the
+    * two-phase expand + partial/final aggregate. */
+  private def qAggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A4 q_agg_approx_distinct — HyperLogLog++ distinct at scale
+    * (`approx_count_distinct`). No oracle: sketch estimates are
+    * engine-specific (SURVEY.md §2.4 A4). */
+  private def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A7 q_agg_collect — per-group array materialization
+    * (`blocks = [block for block in conclusion.core.blocks]`,
+    * `generate_conclusions_summaries.py:54`), `sort_array` for
+    * determinism. Array size is bounded by lines-per-order (≤7), the same
+    * per-document boundedness the reference assumes. */
+  private def qAggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(
+        sort_array(collect_list($"l_linenumber")).as("lines"),
+        sort_array(collect_set($"l_returnflag")).as("flags"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** A5 q_rollup — hierarchical totals over region→nation. Rollup nulls
+    * are disambiguated to 'ALL' sentinels (testdata is null-free) so both
+    * engines sort identically. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), Det.sumd($"c_acctbal").as("acct_sum"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region_name"),
+        coalesce($"n_name", lit("ALL")).as("nation_name"),
+        $"n_cust", $"acct_sum")
+      .orderBy($"region_name", $"nation_name")
+  }
+
+  /** A5 q_cube — cube over (mktsegment, orderstatus). */
+  private def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), Det.sumd($"o_totalprice").as("total"))
+      .select(
+        coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n_orders", $"total")
+      .orderBy($"segment", $"status")
+  }
+
+  /** A5 q_grouping_sets — explicit grouping sets {(priority), (status)}. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql("""
+      SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n
+      FROM gs_orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      ORDER BY priority, status""")
+  }
+
+  // ------------------------------------------------------- sorts / limits
+
+  /** O1 q_sort_limit — global order + limit → TakeOrderedAndProject:
+    * per-partition top-k then driver merge of k·partitions rows, never a
+    * full global sort (the property that matters at 100 TB). Subset-run
+    * guards in the reference (`generate_conclusions_summaries.py:108-111`). */
+  private def qSortLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  // -------------------------------------------------------- set operations
+
+  /** q_union / q_intersect / q_except (SURVEY.md §2.7). */
+  private def qUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    e.filter($"event_type" === "signup").select($"event_id", $"user_id", $"event_type")
+      .unionByName(
+        e.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"event_type"))
+      .orderBy($"event_id")
+  }
+
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+      .intersect(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "nation").select($"n_nationkey".as("nationkey"))
+      .except(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  /** F1 q_string_funcs — trim/concat/case/substring, the reference's
+    * text-assembly idioms (`.strip()`, f-string templating,
+    * `generate_conclusions_summaries.py:53-64,103-110`). */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_uc"),
+        lower($"p_brand").as("brand_lc"),
+        trim(concat(lit("  "), $"p_type", lit("  "))).as("type_trim"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        substring($"p_name", 1, 4).as("name4"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
+  /** F2 q_date_funcs — date parts / trunc / diff over order dates. */
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F3 q_math_funcs — arithmetic on measures; the revenue expression
+    * `l_extendedprice * (1 - l_discount)` is evaluated per-row in IEEE
+    * double (bit-identical across engines). ROUND is only applied to
+    * tie-free expressions: Spark rounds via the double's shortest decimal
+    * representation (so an exact-decimal 1222.745 rounds .75) while DuckDB
+    * rounds the raw binary (→ .74) — a 2-decimal round of a
+    * price×discount product would diverge on every x.xx50 tie. */
+  private def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        abs($"l_discount" - lit(0.05)).as("disc_dev"),
+        ceil($"l_quantity" / lit(7.0)).as("qty_ceil7"),
+        floor($"l_extendedprice" / lit(100.0)).as("price_c"),
+        round(log($"l_extendedprice" + lit(1.0)), 6).as("log_price"),
+        round(pow($"l_quantity", lit(2.0)), 4).as("qty_sq"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"revenue", $"disc_dev",
+        $"qty_ceil7", $"price_c")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> (qScanProject _),
+    "q_filter_or_eq" -> (qFilterOrEq _),
+    "q_project" -> (qProject _),
+    "q_filter_pred" -> (qFilterPred _),
+    "q_filter_null_branch" -> (qFilterNullBranch _),
+    "q_join_inner_fk" -> (qJoinInnerFk _),
+    "q_join_chain" -> (qJoinChain _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_bridge_m2n" -> (qJoinBridgeM2n _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_theta_range" -> (qJoinThetaRange _),
+    "q_join_cross" -> (qJoinCross _),
+    "q_join_selectinload" -> (qJoinSelectinload _),
+    "q_agg_hash" -> (qAggHash _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_collect" -> (qAggCollect _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_union" -> (qUnion _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_math_funcs" -> (qMathFuncs _))
+
+  import Det.{AVGD, SUMD}
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "q_filter_or_eq" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3' OR n_name = 'NATION_7'
+         ORDER BY c_custkey""",
+    "q_project" ->
+      """SELECT p_partkey, p_name AS part_name, p_retailprice * 1.1 AS price_up
+         FROM part ORDER BY p_partkey""",
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 20
+           AND (l_discount > 0.05 OR l_tax < 0.02)
+           AND l_returnflag IN ('A', 'R')
+           AND l_linestatus LIKE 'F%'
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""",
+    "q_filter_null_branch" ->
+      """WITH n AS (
+           SELECT l_orderkey, l_linenumber,
+                  nullif(l_discount, 0.0) AS disc_n, nullif(l_tax, 0.0) AS tax_n
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                CASE WHEN disc_n IS NOT NULL THEN 'D:' || CAST(disc_n AS VARCHAR)
+                     WHEN tax_n IS NOT NULL THEN 'T:' || CAST(tax_n AS VARCHAR)
+                     ELSE 'none' END AS branch,
+                coalesce(disc_n, tax_n, -1.0) AS first_rate
+         FROM n ORDER BY l_orderkey, l_linenumber, branch, first_rate""",
+    "q_join_inner_fk" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""",
+    "q_join_chain" ->
+      s"""SELECT r_name, ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_join_left" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_urgent,
+                ${SUMD("coalesce(o_totalprice, 0.0)")} AS urgent_total
+         FROM customer
+         LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+           ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_bridge_m2n" ->
+      s"""SELECT o_orderkey, count(*) AS n_parts,
+                ${SUMD("p_retailprice")} AS retail_total
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_join_theta_range" ->
+      s"""SELECT band, count(*) AS n_parts, ${SUMD("p_retailprice")} AS retail_sum
+         FROM part
+         JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1000.0),
+                      ('high', 1000.0, 1500.0), ('lux', 1500.0, 1e9))
+              AS bands(band, lo, hi)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band ORDER BY band""",
+    "q_join_cross" ->
+      """SELECT r_regionkey, s_suppkey, r_name, s_name
+         FROM region CROSS JOIN supplier
+         ORDER BY r_regionkey, s_suppkey""",
+    "q_join_selectinload" ->
+      """SELECT o_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+                count(*) AS n_lines
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q_agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                ${SUMD("l_quantity")} AS sum_qty,
+                ${SUMD("l_extendedprice")} AS sum_base_price,
+                ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+                ${AVGD("l_quantity")} AS avg_qty,
+                ${AVGD("l_extendedprice")} AS avg_price,
+                count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_collect" ->
+      """SELECT l_orderkey,
+                list(l_linenumber ORDER BY l_linenumber) AS lines,
+                list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q_rollup" ->
+      s"""SELECT coalesce(r_name, 'ALL') AS region_name,
+                coalesce(n_name, 'ALL') AS nation_name,
+                count(*) AS n_cust, ${SUMD("c_acctbal")} AS acct_sum
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region_name, nation_name""",
+    "q_cube" ->
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+                coalesce(o_orderstatus, 'ALL') AS status,
+                count(*) AS n_orders, ${SUMD("o_totalprice")} AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE(c_mktsegment, o_orderstatus)
+         ORDER BY segment, status""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+         ORDER BY priority, status""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_union" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+         UNION ALL
+         SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+         EXCEPT
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+                upper(p_name) AS name_uc,
+                lower(p_brand) AS brand_lc,
+                trim('  ' || p_type || '  ') AS type_trim,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                substring(p_name, 1, 4) AS name4,
+                CAST(length(p_name) AS BIGINT) AS name_len
+         FROM part ORDER BY p_partkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                  AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS revenue,
+                abs(l_discount - 0.05) AS disc_dev,
+                CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+                CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_c,
+                round(ln(l_extendedprice + 1.0), 6) AS log_price,
+                round(pow(l_quantity, 2.0), 4) AS qty_sq
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, revenue, disc_dev, qty_ceil7, price_c""")
+}
