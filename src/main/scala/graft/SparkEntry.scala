@@ -8,7 +8,10 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.Assembly)
+    operators.Assembly,
+    operators.Windows,
+    operators.AsOf,
+    operators.SemiStructured)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_doc_assembly exercises scan, join-shaped derivation, null

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J8 as-of join (SURVEY.md §2.3 J8): for each left row, the latest right
+  * row at-or-before its timestamp, per key. Spark has no native batch
+  * as-of operator; the scalable formulation here is UNION-TAG + WINDOW:
+  * tag both sides, union them, and carry the most recent right-side
+  * timestamp forward with `last(_, ignoreNulls = true)` over
+  * (key ORDER BY ts) — ONE shuffle on the key, linear in input, no
+  * pair-wise join blowup. (The naive inequality-join + row_number
+  * alternative materializes every candidate pair per left row — quadratic
+  * per key at 100 TB; that shape is used only as the DuckDB oracle, as a
+  * correlated max subquery.)
+  *
+  * Tie semantics: a right row at exactly ts == left ts IS visible
+  * (`<=`, matching DuckDB ASOF); the union sorts right-side rows before
+  * left-side rows at equal ts via the `side` tag.
+  */
+object AsOf extends QueryModule {
+
+  /** Generic as-of: every `left` row picks up the latest right-side value
+    * with right.ts <= left.ts for the same key, as a new column
+    * `asofCol`. `keyCol`/`tsCol` must exist on both inputs; `valueCol` on
+    * `right`. Single shuffle on the key; linear in |left| + |right|. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String, asofCol: String): DataFrame = {
+    val valType = right.schema(valueCol).dataType
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__val", lit(null).cast(valType))
+    val r = right.select(col(keyCol), col(tsCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__val", right(valueCol))
+    val extra = left.columns.filterNot(Set(keyCol, tsCol))
+      .map(c => col(c)).toIndexedSeq
+    val unioned = l.select(
+        (Seq(col(keyCol), col(tsCol), col("__side"), col("__val")) ++ extra): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asofCol, last(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__val")
+  }
+
+  /** J8 q_join_asof — for each purchase event, the user's most recent
+    * prior-or-simultaneous signup timestamp (events↔events; the testdata
+    * orders/events time ranges don't overlap, FIXTURES.md). */
+  private def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.sources.Tables.load(s, dir, "events")
+    // side 0 = signup (visible at equal ts), side 1 = purchase.
+    val tagged = e.filter($"event_type".isin("signup", "purchase"))
+      .select(
+        $"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "signup", lit(0)).otherwise(lit(1)).as("side"),
+        when($"event_type" === "signup", $"ts").as("signup_ts_src"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("signup_ts", last($"signup_ts_src", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"signup_ts")
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map("q_join_asof" -> (qJoinAsof _))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+                (SELECT max(s.ts) FROM events s
+                 WHERE s.event_type = 'signup'
+                   AND s.user_id = e.user_id AND s.ts <= e.ts) AS signup_ts
+         FROM events e
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""")
+}

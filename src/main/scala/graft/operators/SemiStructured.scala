@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Array and JSON columns (SURVEY.md §2.8 F4/F5): higher-order and
+  * generator functions over `embeddings.embedding` (ArrayType(FloatType))
+  * and the JSON `events.props` string. All codegen'd built-ins — the
+  * explode is Spark's `Generate`, no custom UDTF (SURVEY.md §2.11).
+  */
+object SemiStructured extends QueryModule {
+
+  /** F4 q_array_funcs — size/element_at/slice over the embedding column. */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        element_at($"embedding", 1).as("e1"),
+        element_at($"embedding", -1).as("e_last"),
+        slice($"embedding", 1, 3).as("head3"))
+      .orderBy($"vec_id")
+  }
+
+  /** F4 q_array_explode — posexplode a bounded slice (generator). */
+  private def qArrayExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos".cast("long").as("pos"), $"col".as("val"))
+      .orderBy($"vec_id", $"pos")
+  }
+
+  /** F5 q_json_funcs — extract typed fields from the `props` JSON string
+    * (`get_json_object` path expression; schema-on-read). */
+  private def qJsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.load(s, dir, "events")
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        (get_json_object($"props", "$.k").cast("long") % 10).as("k_mod"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_array_explode" -> (qArrayExplode _),
+    "q_json_funcs" -> (qJsonFuncs _))
+
+  val oracles: Map[String, String] = Map(
+    "q_array_funcs" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                embedding[1] AS e1,
+                embedding[-1] AS e_last,
+                embedding[1:3] AS head3
+         FROM embeddings ORDER BY vec_id""",
+    "q_array_explode" ->
+      """SELECT vec_id,
+                unnest(range(0, len(embedding))) AS pos,
+                unnest(embedding) AS val
+         FROM embeddings WHERE vec_id < 10
+         ORDER BY vec_id, pos""",
+    "q_json_funcs" ->
+      """SELECT event_id,
+                CAST(props->>'$.k' AS BIGINT) AS k,
+                CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+         FROM events ORDER BY event_id""")
+}

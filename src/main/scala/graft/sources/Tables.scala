@@ -67,6 +67,18 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** `events.ts` is physically parquet timestamp[ns]; Spark has no nanos
+    * timestamp type, so the scan reads the raw INT64 (legacy nanosAsLong
+    * conf) and the loader truncates to micros — exactly what DuckDB does
+    * when it reads the same file, keeping the t2 oracle aligned. */
+  private val eventsRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -95,7 +107,17 @@ object Tables {
 
   /** Columnar scan with a declared schema (SURVEY.md §2.1 S1). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        .select(events.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    }
 
   /** Catalog surface (SURVEY.md §2.1 S2, mirrors
     * `/root/reference/probe.py:6-7` `inspector.get_table_names()`):
