@@ -11,7 +11,9 @@ object SparkEntry {
     operators.Assembly,
     operators.Windows,
     operators.AsOf,
-    operators.SemiStructured)
+    operators.SemiStructured,
+    operators.TextOps,
+    operators.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_doc_assembly exercises scan, join-shaped derivation, null

@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search and near-duplicate detection (SURVEY.md §2.9 T3/T4 +
+  * north-star dedup family): brute-force cosine top-k (the correctness
+  * baseline), random-hyperplane LSH bucketing (the scale path), MinHash+LSH
+  * banding over shingles, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup.
+  *
+  * Determinism across engines: dot products are sequential double folds
+  * (Spark `aggregate` HOF ≡ DuckDB `list_dot_product` — both left-to-right,
+  * verified bit-identical); similarities are rounded to 6 decimals BEFORE
+  * ranking so top-k selection can never flip on a last-ulp difference; all
+  * hashing is md5 hex (never engine-native `hash()`).
+  *
+  * Scale posture: brute force is O(|Q|·|C|) with a broadcast query set —
+  * correct at any |C| but only viable for small |Q|; the LSH variants cut
+  * candidate generation to per-bucket joins (shuffle on bucket key), which
+  * is the 100 TB path. Pair generation always blocks on a key (label /
+  * source / band bucket) — never an unblocked self-crossJoin.
+  */
+object Similarity extends QueryModule {
+
+  /** Sequential double dot product of two float vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", sqrt(dot($"embedding", $"embedding")))
+  }
+
+  /** T3 q_similarity_topk — brute-force cosine top-5 for a fixed query
+    * subset (vec_id % 100 = 0). Query set broadcasts; candidates stream. */
+  private def qSimilarityTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = emb(s, dir).select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val qs = emb(s, dir).filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val pairs = cand.join(broadcast(qs), $"cid" =!= $"qid")
+      .withColumn("sim", round(dot($"qe", $"ce") / ($"qn" * $"cn"), 6))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"qid", $"rn", $"cid", $"sim")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** T3-scale q_ann_lsh — random-hyperplane LSH: 8 deterministic ±1
+    * hyperplanes (signs from md5(j:i)), bucket = 8 sign bits; neighbors
+    * are only sought inside the query's bucket. The bucketing is the
+    * IVF-style inverted-list structure: at 100 TB candidates shrink from
+    * |C| to |C|/2^8 per query, and the pair join shuffles on the bucket
+    * key instead of broadcasting everything. */
+  private def bucketExpr: Column = expr(
+    """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+      |  acc + IF(
+      |    aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
+      |      (d, i) -> d + CAST(element_at(embedding, i) AS DOUBLE) *
+      |        IF((instr('0123456789abcdef',
+      |              substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1))
+      |            - 1) % 2 = 1, 1.0, -1.0)) > 0,
+      |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = emb(s, dir).withColumn("bucket", bucketExpr)
+    val cand = v.select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"),
+      $"bucket".as("cb"))
+    val qs = v.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
+        $"bucket".as("qb"))
+    val pairs = cand.join(qs, $"cb" === $"qb" && $"cid" =!= $"qid")
+      .withColumn("sim", round(dot($"qe", $"ce") / ($"qn" * $"cn"), 6))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"qid", $"qb".as("bucket"), $"rn", $"cid", $"sim")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
+    * block (a < b, cosine ≥ 0.4). Blocking key = label. */
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = emb(s, dir).select($"vec_id".as("a"), $"label",
+      $"embedding".as("ae"), $"nrm".as("an"))
+    val b = emb(s, dir).select($"vec_id".as("b"), $"label",
+      $"embedding".as("be"), $"nrm".as("bn"))
+    a.join(b, Seq("label")).filter($"a" < $"b")
+      .withColumn("sim", round(dot($"ae", $"be") / ($"an" * $"bn"), 6))
+      .filter($"sim" >= 0.4)
+      .select($"a", $"b", $"label", $"sim")
+      .orderBy($"a", $"b")
+  }
+
+  // ----------------------------------------------------- text near-dup
+
+  /** 3-token shingles of the lowercased document (distinct set). */
+  private val shinglesExpr: Column = expr(
+    """array_distinct(CASE WHEN size(split(lower(text), ' ')) >= 3 THEN
+      |  transform(sequence(1, size(split(lower(text), ' ')) - 2), i ->
+      |    concat(element_at(split(lower(text), ' '), i), ' ',
+      |           element_at(split(lower(text), ' '), i + 1), ' ',
+      |           element_at(split(lower(text), ' '), i + 2)))
+      | ELSE array(lower(text)) END)""".stripMargin)
+
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", shinglesExpr.as("sh"))
+  }
+
+  /** T4 q_dedup_near — n-gram (3-shingle) Jaccard near-dup pairs, blocked
+    * by source (a < b, J ≥ 0.6). The blocked self-join shuffles on the
+    * blocking key; Jaccard is |A∩B|/|A∪B| on distinct shingle sets. */
+  private def qDedupNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = shingled(s, dir).select($"doc_id".as("a"), $"source", $"sh".as("sha"))
+    val b = shingled(s, dir).select($"doc_id".as("b"), $"source", $"sh".as("shb"))
+    a.join(b, Seq("source")).filter($"a" < $"b")
+      .withColumn("jaccard", round(
+        size(array_intersect($"sha", $"shb")).cast("double") /
+          size(array_union($"sha", $"shb")), 6))
+      .filter($"jaccard" >= 0.6)
+      .select($"a", $"b", $"source", $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
+  /** q_dedup_minhash_lsh — MinHash signatures (16 hashes = min md5 per
+    * seeded permutation) banded 4×4; docs sharing any band bucket become
+    * candidate pairs, then exact shingle-Jaccard ≥ 0.6 confirms. This is
+    * the classic shingle→minhash→band→bucket-join pipeline: candidate
+    * generation is a shuffle on (band, bucket-hash) — no all-pairs join
+    * anywhere, which is what makes it the 100 TB dedup path. */
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigd = shingled(s, dir).withColumn("sig", expr(
+      """transform(sequence(0, 15), k ->
+        |  array_min(transform(sh, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
+        .stripMargin))
+    val banded = sigd.withColumn("band", explode(expr(
+      """transform(sequence(0, 3), b -> named_struct(
+        |  'b', b,
+        |  'bh', md5(concat(element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
+        |                   element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4)))))"""
+        .stripMargin)))
+      .select($"doc_id", $"sh", $"band.b".as("b"), $"band.bh".as("bh"))
+    val l = banded.select($"doc_id".as("a"), $"sh".as("sha"), $"b", $"bh")
+    val r = banded.select($"doc_id".as("b2"), $"sh".as("shb"), $"b", $"bh")
+    l.join(r, Seq("b", "bh")).filter($"a" < $"b2")
+      .select($"a", $"b2".as("b"), $"sha", $"shb").distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect($"sha", $"shb")).cast("double") /
+          size(array_union($"sha", $"shb")), 6))
+      .filter($"jaccard" >= 0.6)
+      .select($"a", $"b", $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
+  /** q_dedup_simhash — 16-bit SimHash over token occurrences (bit j set if
+    * the ±1 votes from each token's md5 hex digit j sum positive); output
+    * the collision groups (same simhash = near-dup cluster). */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, j) ->
+          |  acc + IF(
+          |    aggregate(toks, 0, (a2, t) ->
+          |      a2 + IF((instr('0123456789abcdef', substr(md5(t), j, 1)) - 1) % 2 = 1,
+          |              1, -1)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j - 1), CAST(0 AS BIGINT)))""".stripMargin))
+      .groupBy($"simhash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"simhash")
+  }
+
+  /** T6 q_multimodal_struct — one row carrying text + vector + metadata
+    * (documents ⋈ embeddings 1:1): project/filter across modalities. */
+  private def qMultimodalStruct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val e = emb(s, dir)
+    d.join(e, $"doc_id" === $"vec_id")
+      .filter($"lang" === "en")
+      .select(
+        $"doc_id", $"lang", $"source",
+        size($"embedding").cast("long").as("dim"),
+        round($"nrm", 6).as("vec_norm"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_similarity_topk" -> (qSimilarityTopk _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_multimodal_struct" -> (qMultimodalStruct _))
+
+  private val DUCK_SHINGLES =
+    """list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+      |  list_transform(range(1, len(string_split(lower(text), ' ')) - 1), i ->
+      |    string_split(lower(text), ' ')[i] || ' ' ||
+      |    string_split(lower(text), ' ')[i + 1] || ' ' ||
+      |    string_split(lower(text), ' ')[i + 2])
+      | ELSE [lower(text)] END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_similarity_topk" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.vec_id qid, c.vec_id cid,
+                  round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) sim
+           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
+               FROM pairs)
+         SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_ann_lsh" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm,
+                  CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN
+                    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                      CAST(embedding[i] AS DOUBLE) *
+                      CASE WHEN (instr('0123456789abcdef',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))
+                        - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)) > 0
+                    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) bucket
+           FROM embeddings),
+         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.vec_id qid, q.bucket, c.vec_id cid,
+                  round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) sim
+           FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
+               FROM pairs)
+         SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_dedup_embedding" ->
+      """WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings)
+         SELECT x.vec_id a, y.vec_id b, x.label,
+                round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) sim
+         FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+         WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= 0.4
+         ORDER BY a, b""",
+    "q_dedup_near" ->
+      s"""WITH sh AS (SELECT doc_id, source, $DUCK_SHINGLES s FROM documents)
+         SELECT x.doc_id a, y.doc_id b, x.source,
+                round(CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE) /
+                      len(list_distinct(list_concat(x.s, y.s))), 6) jaccard
+         FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+         WHERE round(CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE) /
+                     len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.6
+         ORDER BY a, b""",
+    "q_dedup_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, $DUCK_SHINGLES s FROM documents),
+         sig AS (
+           SELECT doc_id, s,
+                  list_transform(range(0, 16), k ->
+                    list_aggregate(list_transform(s, x ->
+                      md5(CAST(k AS VARCHAR) || ':' || x)), 'min')) sg
+           FROM sh),
+         banded AS (
+           SELECT doc_id, s, unnest(range(0, 4)) b,
+                  unnest(list_transform(range(0, 4), b ->
+                    md5(sg[4 * b + 1] || sg[4 * b + 2] || sg[4 * b + 3] || sg[4 * b + 4])))
+                    bh
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.doc_id a, y.doc_id b2, x.s sa, y.s sb
+           FROM banded x JOIN banded y
+             ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         SELECT a, b2 b,
+                round(CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+                      len(list_distinct(list_concat(sa, sb))), 6) jaccard
+         FROM cand
+         WHERE round(CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+                     len(list_distinct(list_concat(sa, sb))), 6) >= 0.6
+         ORDER BY a, b""",
+    "q_dedup_simhash" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(list_sum(list_transform(range(1, 17), j -> CASE WHEN
+                    list_sum(list_transform(string_split(lower(text), ' '), t ->
+                      CASE WHEN (instr('0123456789abcdef', substr(md5(t), j, 1)) - 1) % 2 = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) simhash
+           FROM documents)
+         SELECT simhash, count(*) n_docs, min(doc_id) min_doc
+         FROM s GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
+    "q_multimodal_struct" ->
+      """SELECT doc_id, lang, source,
+                CAST(len(embedding) AS BIGINT) dim,
+                round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))), 6) vec_norm,
+                CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE lang = 'en'
+         ORDER BY doc_id""")
+}

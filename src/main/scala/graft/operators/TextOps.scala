@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.9
+  * T1/T2 + north-star text analysis): exact dedup, tokenization/TF, token
+  * counting, quality scoring, language-ID, document fingerprinting. All
+  * pure Column expressions (no UDFs) over `documents`; every computation
+  * is defined so DuckDB can replay it exactly (md5/sha256 hex, integer
+  * arithmetic, per-row folds).
+  *
+  * Scale: each query is a single scan + at most one shuffle (the dedup
+  * window / TF groupBy); per-row work is O(doc length). At 100 TB the
+  * hash-dedup shuffle partitions by digest — uniformly distributed by
+  * construction, no skew handling needed.
+  */
+object TextOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** T1 q_dedup_exact — exact duplicate removal: keep the smallest doc_id
+    * per sha256(text) digest (deterministic "first wins", the engine-defined
+    * replacement for the reference's last-write-wins dict keying,
+    * SURVEY.md §2.13.1). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(sha2($"text", 256)).orderBy($"doc_id")
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** T2 q_text_tokenize_tf — tokenize + corpus-wide term frequency:
+    * generator + hash aggregate; the shuffle carries one row per distinct
+    * token (map-side combined), not per occurrence. */
+  private def qTextTokenizeTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy($"token")
+  }
+
+  /** q_token_count — whitespace tokens, distinct tokens, and a BPE-ish
+    * regex chunk count (letter runs / digit runs / other, the classic
+    * pre-tokenizer shape). */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(
+        $"doc_id",
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT)")
+          .as("n_distinct"),
+        expr("CAST(regexp_count(lower(text), '[a-z]+') AS BIGINT)")
+          .as("n_word_chunks"),
+        expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("n_nonspace"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_quality_score — heuristic quality signal: doc length, mean token
+    * length, stopword ratio, blended into one bounded score. Mirrors the
+    * length/punct/stopword family of quality filters used on web corpora. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .select(
+        $"doc_id",
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(toks)")
+          .as("avg_token_len"),
+        expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)" +
+          " / size(toks)").as("stopword_ratio"))
+      .withColumn("quality", expr(
+        """round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+          | + 0.3 * (1.0 - stopword_ratio)
+          | + 0.3 * least(avg_token_len / 8.0, 1.0), 6)""".stripMargin))
+      .orderBy($"doc_id")
+  }
+
+  /** q_lang_id — n-gram-profile language ID: each of the 5 language
+    * profiles claims the tokens whose md5 leading hex digit falls in its
+    * residue class; the predicted language is the argmax profile score
+    * (first-index tie-break). The profile assignment is synthetic (the
+    * testdata vocabulary carries no real language signal) but the scoring
+    * machinery — per-token profile lookup, occurrence-weighted scores,
+    * deterministic argmax — is the real operator shape. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("scores", expr(
+        """transform(sequence(0, 4), i ->
+          |  size(filter(toks, t ->
+          |    (instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) % 5 = i)))"""
+          .stripMargin))
+      .select(
+        $"doc_id", $"lang",
+        expr("element_at(array('de','en','es','fr','zh')," +
+          " CAST(array_position(scores, array_max(scores)) AS INT))")
+          .as("pred_lang"))
+      .withColumn("is_match", $"pred_lang" === $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** q_fingerprint — rolling polynomial hash over the document's
+    * characters: h = fold(h*31 + ascii(c)) mod 1e9+7. A content
+    * fingerprint that is stable across engines (pure integer arithmetic),
+    * unlike engine-specific hash() builtins. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(
+        $"doc_id",
+        expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
+               |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+          .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_text_tokenize_tf" -> (qTextTokenizeTf _),
+    "q_token_count" -> (qTokenCount _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+         ORDER BY doc_id""",
+    "q_text_tokenize_tf" ->
+      """SELECT t AS token, count(*) AS tf
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+         GROUP BY t ORDER BY t""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+                  AS n_distinct,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+                  AS n_word_chunks,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+         FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  string_split(lower(text), ' ') AS toks,
+                  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nsp
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  nsp / len(toks) AS avg_token_len,
+                  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and')))
+                       AS DOUBLE) / len(toks) AS stopword_ratio
+           FROM q)
+         SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+                round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                      + 0.3 * (1.0 - stopword_ratio)
+                      + 0.3 * least(avg_token_len / 8.0, 1.0), 6) AS quality
+         FROM m ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH q AS (
+           SELECT doc_id, lang,
+                  list_transform(range(0, 5), i ->
+                    len(list_filter(string_split(lower(text), ' '), t ->
+                      (instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) % 5 = i)))
+                    AS scores
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang,
+                  (['de','en','es','fr','zh'])[
+                    CAST(list_indexof(scores, list_aggregate(scores, 'max')) AS INTEGER)]
+                    AS pred_lang
+           FROM q)
+         SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
+         FROM p ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                CAST(list_reduce(
+                  list_prepend('0', string_split(text, '')),
+                  (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c))
+                                   % 1000000007 AS VARCHAR)) AS BIGINT)
+                  AS fingerprint
+         FROM documents ORDER BY doc_id""")
+}
