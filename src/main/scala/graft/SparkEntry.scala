@@ -13,7 +13,10 @@ object SparkEntry {
     operators.AsOf,
     operators.SemiStructured,
     operators.TextOps,
-    operators.Similarity)
+    operators.Similarity,
+    operators.Llm,
+    operators.Multimodal,
+    streaming.StreamOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_doc_assembly exercises scan, join-shaped derivation, null

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star): image/audio/video as opaque BINARY
+  * columns with typed metadata, decoded/feature-extracted executor-side.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic FAKE ([[FakeCodec]]) — but everything
+  * Spark-side is real and tested: the binary column derivation, the typed
+  * metadata struct, the `mapPartitions` batch-decode shape (one codec
+  * instance per partition, like Llm's one client per partition), and the
+  * resulting feature schema. Swapping [[FakeCodec]] for a JNI/JavaCV codec
+  * changes no plumbing.
+  *
+  * Scale: binary payloads stay opaque through the scan (no row-group
+  * decode), partitions bound decoder memory, and features are computed in
+  * one pass without shuffles until the final aggregate.
+  */
+object Multimodal extends QueryModule {
+
+  /** Decoded-frame features (the real schema a codec would emit). */
+  case class MediaFeatures(id: Long, n_bytes: Long, width: Long,
+                           height: Long, n_frames: Long, mean_byte: Double)
+
+  /** Deterministic stand-in for an image/video codec: derives fake
+    * geometry from the payload. A real implementation would decode the
+    * container header here. */
+  object FakeCodec extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
+      val n = payload.length.toLong
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      MediaFeatures(
+        id = id,
+        n_bytes = n,
+        width = 16 + n % 640,
+        height = 16 + (n * 7) % 480,
+        n_frames = 1 + n % 24,
+        mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
+  /** Attach the opaque media column: payload = UTF-8 bytes of the text
+    * (the testdata has no real media; byte-derivation keeps it honest). */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.withColumn("media", encode(col("text"), "UTF-8"))
+      .withColumn("media_meta", struct(
+        col("source").as("origin"),
+        lit("fake/v1").as("codec"),
+        octet_length(col("media")).cast("long").as("content_length")))
+
+  /** Batch decode: one codec per partition, features per media row. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec // real codec init happens once per partition
+        it.map { case (id, payload) => codec.decode(id, payload) }
+      }
+      .toDF()
+  }
+
+  /** q_multimodal_decode — binary derivation + batch decode + metadata
+    * join, end to end. The fake geometry is pure byte arithmetic, so the
+    * oracle replays it in SQL. */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withMediaColumn(Tables.load(s, dir, "documents"))
+    decodeFeatures(docs)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select($"doc_id", $"media_meta.origin".as("origin"),
+        $"media_meta.content_length".as("content_length")), Seq("doc_id"))
+      .select($"doc_id", $"origin", $"content_length", $"n_bytes",
+        $"width", $"height", $"n_frames", round($"mean_byte", 6).as("mean_byte"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_decode" -> (qMultimodalDecode _))
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_decode" ->
+      """WITH b AS (
+           SELECT doc_id, source AS origin,
+                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+                  CAST(list_sum(list_transform(string_split(text, ''),
+                                               c -> ascii(c))) AS DOUBLE) AS bytesum
+           FROM documents)
+         SELECT doc_id, origin, n AS content_length, n AS n_bytes,
+                16 + n % 640 AS width,
+                16 + (n * 7) % 480 AS height,
+                1 + n % 24 AS n_frames,
+                round(bytesum / n, 6) AS mean_byte
+         FROM b ORDER BY doc_id""")
+}

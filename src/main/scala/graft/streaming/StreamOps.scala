@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.{Det, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY.md §2.10; the reference has none — `E`).
+  *
+  * Each windowed aggregation exists twice, over the SAME transform
+  * semantics:
+  *  - a batch-equivalent declared query (tumbling/sliding/session) that the
+  *    DuckDB t2 oracle can check, and
+  *  - the streaming form (`transforms` below): `readStream`-ready
+  *    DataFrame→DataFrame functions with watermarks, exercised by ScalaTest
+  *    over `MemoryStream` (ST1–ST5; watermark/late-data semantics are not
+  *    batch-expressible, SURVEY.md §2.10 ST4/ST5).
+  *
+  * Scale: windowed aggs shuffle on (window, key) with partial aggregation;
+  * session windows keep per-user state bounded by the watermark horizon —
+  * the state store grows with active users, not event history.
+  */
+object StreamOps extends QueryModule {
+
+  // ------------------------------------------------ streaming transforms
+
+  /** ST1 — tumbling 1h counts with 10-minute watermark (append-ready). */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+  }
+
+  /** ST2 — sliding 1h/15min counts. */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+  }
+
+  /** ST3 — 30-minute-gap session windows per user. */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"user_id", $"n_events")
+  }
+
+  /** ST5 — stateful dedup by event_id inside the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------- batch-equivalent declared queries
+
+  /** ST1 q_stream_tumbling — batch equivalent of [[tumblingCounts]]
+    * (1h tumbling window ≡ date_trunc('hour')). */
+  private def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), Det.sumd($"value").as("value_sum"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"value_sum")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** ST2 q_stream_sliding — batch equivalent of [[slidingCounts]]: every
+    * event belongs to exactly 4 overlapping 1h windows at 15min slide. */
+  private def qStreamSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** ST3 q_stream_session — batch equivalent of [[sessionCounts]]; the
+    * DuckDB oracle replays it as gaps-and-islands (lag + cumulative sum)
+    * with the same half-open boundary (gap >= 30min starts a new session,
+    * session end = last event + gap). */
+  private def qStreamSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"user_id", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_session" -> (qStreamSession _))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                event_type, count(*) AS n, ${Det.SUMD("value")} AS value_sum
+         FROM events
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_sliding" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                               - CAST(k AS BIGINT) * 900000000) AS window_start,
+                event_type, count(*) AS n
+         FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) g(k)
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_session" ->
+      """WITH x AS (
+           SELECT user_id, ts, epoch_us(ts) us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) prev
+           FROM events),
+         y AS (
+           SELECT user_id, ts, us,
+                  CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                       THEN 1 ELSE 0 END brk
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    sess
+           FROM y)
+         SELECT min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                user_id, count(*) AS n_events
+         FROM z GROUP BY user_id, sess ORDER BY user_id, session_start""")
+}
