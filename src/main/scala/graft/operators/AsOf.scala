@@ -31,9 +31,8 @@ object AsOf extends QueryModule {
     val valType = right.schema(valueCol).dataType
     val l = left.withColumn("__side", lit(1))
       .withColumn("__val", lit(null).cast(valType))
-    val r = right.select(col(keyCol), col(tsCol))
+    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as("__val"))
       .withColumn("__side", lit(0))
-      .withColumn("__val", right(valueCol))
     val extra = left.columns.filterNot(Set(keyCol, tsCol))
       .map(c => col(c)).toIndexedSeq
     val unioned = l.select(

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable assertions per operator family on sf0.001
+  * (SURVEY.md §5.2.2) + algebraic laws (§5.2.3). */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val dir = TestSession.sfDir
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("every declared query executes and yields a stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every oracle key has a matching declared query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("q_join_chain covers all regions with positive revenue") {
+    import spark.implicits._
+    val rows = q("q_join_chain").as[(String, Double, Long)].collect()
+    assert(rows.length == 5)
+    assert(rows.forall { case (_, rev, n) => rev > 0 && n > 0 })
+  }
+
+  test("q_sort_limit returns 10 orders in descending totalprice") {
+    import spark.implicits._
+    val rows = q("q_sort_limit").select($"o_totalprice").as[Double].collect()
+    assert(rows.length == 10)
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("semi + anti partition customers") {
+    val semi = q("q_join_semi").count()
+    val total = graft.sources.Tables.load(spark, dir, "customer").count()
+    import spark.implicits._
+    val f = graft.sources.Tables.load(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+    val anti = graft.sources.Tables.load(spark, dir, "customer")
+      .join(f, $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(semi + anti == total)
+  }
+
+  test("rollup row count = detail + region subtotals + grand total") {
+    val nations = q("q_rollup")
+    import spark.implicits._
+    val detail = nations.filter($"nation_name" =!= "ALL").count()
+    val regionTotals = nations
+      .filter($"nation_name" === "ALL" && $"region_name" =!= "ALL").count()
+    val grand = nations
+      .filter($"region_name" === "ALL" && $"nation_name" === "ALL").count()
+    assert(regionTotals == 5 && grand == 1)
+    assert(nations.count() == detail + regionTotals + grand)
+  }
+
+  test("union is additive, except removes, intersect bounds") {
+    import spark.implicits._
+    val e = graft.sources.Tables.load(spark, dir, "events")
+    val a = e.filter($"event_type" === "signup").count()
+    val b = e.filter($"event_type" === "purchase").count()
+    assert(q("q_union").count() == a + b)
+    val nNation = graft.sources.Tables.load(spark, dir, "nation")
+      .select("n_nationkey").distinct().count()
+    assert(q("q_intersect").count() + q("q_except").count() == nNation)
+  }
+
+  test("as-of join: signup_ts <= purchase ts, and is the max such signup") {
+    import spark.implicits._
+    val rows = q("q_join_asof")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, ts, su) => su.forall(!_.after(ts)) })
+    // cross-check one user against a direct computation
+    val e = graft.sources.Tables.load(spark, dir, "events")
+    val (pid, uid, pts, sut) = rows.maxBy(_._1)
+    val expect = e.filter($"event_type" === "signup" && $"user_id" === uid &&
+        $"ts" <= lit(pts)).agg(max($"ts")).as[Option[java.sql.Timestamp]]
+      .head()
+    assert(sut == expect, s"purchase $pid user $uid")
+  }
+
+  test("asOfJoin helper matches inequality-join semantics on crafted data") {
+    import spark.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val left = Seq((1L, t(10), "p1"), (1L, t(30), "p2"), (2L, t(5), "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, t(10), 100.0), (1L, t(20), 200.0), (2L, t(6), 300.0))
+      .toDF("user_id", "ts", "v")
+    val got = graft.operators.AsOf
+      .asOfJoin(left, right, "user_id", "ts", "v", "asof_v")
+      .select($"tag", $"asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    // p1: right row at the SAME ts is visible (<=); p3: none at or before
+    assert(got == Map("p1" -> Some(100.0), "p2" -> Some(200.0), "p3" -> None))
+  }
+}

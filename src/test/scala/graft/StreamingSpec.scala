@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** ST1–ST5 streaming execution over MemoryStream (SURVEY.md §5.2.4):
+  * window contents, session boundaries, watermark late-row drop, stateful
+  * dedup — the semantics not expressible in the batch oracle. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def runStream(name: String, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: OutputMode)(batches: Seq[Seq[Ev]]): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = transform(mem.toDF())
+      .writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("ST1+ST4: tumbling windows finalize on watermark; late rows dropped") {
+    val out = runStream("t1", StreamOps.tumblingCounts, OutputMode.Append())(Seq(
+      // window 10:00 gets 2 events; 12:30 advances watermark to 12:20
+      Seq(Ev(1, t("10:05"), 1, "click", 1.0), Ev(2, t("10:10"), 1, "click", 1.0),
+        Ev(3, t("12:30"), 1, "click", 1.0)),
+      // 10:15 is far behind the 12:20 watermark -> dropped;
+      // 14:30 advances watermark past window 12:00
+      Seq(Ev(4, t("10:15"), 1, "click", 1.0), Ev(5, t("14:30"), 1, "click", 1.0)),
+      // flusher: guarantees the 12:00 window is emitted under the 14:20 mark
+      Seq(Ev(6, t("16:00"), 1, "click", 1.0))))
+    val counts = out.map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    assert(counts("2024-01-01 10:00:00.0") == 2, "late row must NOT be counted")
+    assert(counts("2024-01-01 12:00:00.0") == 1)
+  }
+
+  test("ST2: sliding windows assign each event to 4 overlapping windows") {
+    val out = runStream("t2", StreamOps.slidingCounts, OutputMode.Append())(Seq(
+      Seq(Ev(1, t("10:20"), 1, "click", 1.0)),
+      Seq(Ev(2, t("14:00"), 1, "click", 1.0)),
+      Seq(Ev(3, t("17:00"), 1, "click", 1.0)))) // flusher
+    // event 10:20 belongs to windows starting 09:30, 09:45, 10:00, 10:15 —
+    // all closed once the watermark reaches 13:50
+    val starts = out.filter(_.getLong(2) == 1).map(_.getTimestamp(0).toString).sorted
+    assert(starts.count(_.startsWith("2024-01-01 09:")) == 2)
+    assert(starts.count(_.startsWith("2024-01-01 10:")) == 2)
+  }
+
+  test("ST3: session windows split at >= 30min gaps, end = last + gap") {
+    val out = runStream("t3", StreamOps.sessionCounts, OutputMode.Append())(Seq(
+      Seq(Ev(1, t("10:00"), 7, "click", 1.0), Ev(2, t("10:10"), 7, "click", 1.0),
+        Ev(3, t("10:50"), 7, "click", 1.0)),
+      Seq(Ev(4, t("13:00"), 7, "click", 1.0)),   // advances the watermark
+      Seq(Ev(5, t("15:00"), 7, "click", 1.0)))) // flusher: emits both sessions
+    val sessions = out.map(r =>
+      (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(3)))
+      .sortBy(_._1)
+    // the watermark-advancing events produce their own later sessions;
+    // assert on the two sessions under test
+    assert(sessions.take(2).toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+      ("2024-01-01 10:50:00.0", "2024-01-01 11:20:00.0", 1L)))
+  }
+
+  test("ST5: dropDuplicatesWithinWatermark removes same-id events") {
+    val out = runStream("t5", StreamOps.dedupEvents, OutputMode.Append())(Seq(
+      Seq(Ev(1, t("10:00"), 1, "click", 1.0), Ev(1, t("10:01"), 1, "click", 1.0),
+        Ev(2, t("10:02"), 1, "click", 1.0))))
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+}

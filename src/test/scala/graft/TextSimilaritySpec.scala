@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Text/similarity operator laws (SURVEY.md §5.2.3): dedup idempotence,
+  * cosine symmetry/bounds, Jaccard bounds — checked column-wise over one
+  * generated DataFrame (fast) rather than one job per sample. */
+class TextSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val dir = TestSession.sfDir
+
+  test("exact dedup is idempotent and keeps the smallest doc_id per text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y"), (4L, "x y"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2($"text", 256)).orderBy($"doc_id")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val once = dedup(docs)
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    assert(dedup(once).count() == once.count())
+  }
+
+  test("cosine similarity is symmetric, bounded, and 1 on self") {
+    import spark.implicits._
+    val vecs = Gen.listOfN(16,
+        Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)).map(_.toArray))
+      .sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "e")
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val pairs = df.select($"id".as("ai"), $"e".as("a"))
+      .crossJoin(df.select($"id".as("bi"), $"e".as("b")))
+      .select($"ai", $"bi",
+        (dot("a", "b") / (sqrt(dot("a", "a")) * sqrt(dot("b", "b")))).as("sim"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case ((a, b), s) =>
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(math.abs(s - pairs((b, a))) < 1e-12, s"asym at ($a,$b)")
+      if (a == b) assert(math.abs(s - 1.0) < 1e-9)
+    }
+  }
+
+  test("shingle Jaccard is 1 for identical docs and in [0,1] for all pairs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_dedup_near")(spark, dir)
+    val sims = out.select($"jaccard").as[Double].collect()
+    assert(sims.forall(j => j >= 0.6 && j <= 1.0))
+  }
+
+  test("minhash-LSH candidates are a superset of high-jaccard pairs it reports") {
+    import spark.implicits._
+    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.forall { case (a, b, j) => a < b && j >= 0.6 })
+  }
+
+  test("similarity top-k ranks are dense from 1 and sims non-increasing per query") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_similarity_topk")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).values
+    rows.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4
+        case _ => true
+      })
+    }
+  }
+
+  test("fingerprint equals the Scala fold replica") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(20)
+    val got = SparkEntry.queries("q_fingerprint")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val want = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007)
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
+  test("LLM stub summarize: plumbing, parse, and cost accumulator") {
+    import spark.implicits._
+    val acc = spark.sparkContext.doubleAccumulator("test_llm_cost")
+    val docs = Seq((1L, "S/1", "alpha beta gamma delta"),
+      (2L, "S/2", Array.fill(20)("tok").mkString(" ")))
+      .toDF("id", "symbol", "text")
+    val out = graft.operators.Llm
+      .summarize(docs, new graft.operators.Llm.StubClient, 1, acc)
+      .orderBy($"id").as[(Long, String, String)].collect()
+    assert(out(0)._3 == "alpha beta gamma delta … (4 tokens)")
+    assert(out(1)._3.endsWith("… (20 tokens)"))
+    assert(acc.value > 0.0)
+  }
+
+  test("multimodal decode features match byte arithmetic") {
+    import spark.implicits._
+    val docs = Seq((7L, "abc", "s")).toDF("doc_id", "text", "source")
+    val media = graft.operators.Multimodal.withMediaColumn(docs)
+    val f = graft.operators.Multimodal.decodeFeatures(media)
+      .as[graft.operators.Multimodal.MediaFeatures].head()
+    assert(f.n_bytes == 3 && f.width == 16 + 3 && f.height == 16 + 21 &&
+      f.n_frames == 1 + 3)
+    assert(math.abs(f.mean_byte - ('a' + 'b' + 'c') / 3.0) < 1e-12)
+  }
+}
