@@ -56,20 +56,28 @@ object Similarity extends QueryModule {
   }
 
   /** T3-scale q_ann_lsh — random-hyperplane LSH: 8 deterministic ±1
-    * hyperplanes (signs from md5(j:i)), bucket = 8 sign bits; neighbors
-    * are only sought inside the query's bucket. The bucketing is the
-    * IVF-style inverted-list structure: at 100 TB candidates shrink from
-    * |C| to |C|/2^8 per query, and the pair join shuffles on the bucket
-    * key instead of broadcasting everything. */
-  private def bucketExpr: Column = expr(
-    """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-      |  acc + IF(
-      |    aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
-      |      (d, i) -> d + CAST(element_at(embedding, i) AS DOUBLE) *
-      |        IF((instr('0123456789abcdef',
-      |              substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1))
-      |            - 1) % 2 = 1, 1.0, -1.0)) > 0,
-      |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+    * hyperplanes (signs from md5("j:i"), precomputed once — NOT per row),
+    * bucket = 8 sign bits; neighbors are only sought inside the query's
+    * bucket. The bucketing is the IVF-style inverted-list structure: at
+    * 100 TB candidates shrink from |C| to |C|/2^8 per query, and the pair
+    * join shuffles on the bucket key instead of broadcasting everything. */
+  private val hyperplaneSigns: Seq[Seq[Double]] = {
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdAlg.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until 8).map(j => (1 to 64).map { i =>
+      val d = "0123456789abcdef".indexOf(md5hex(s"$j:$i").charAt(0))
+      if (d % 2 == 1) 1.0 else -1.0
+    })
+  }
+
+  private def bucketExpr: Column = {
+    val terms = hyperplaneSigns.zipWithIndex.map { case (sv, j) =>
+      when(dot(col("embedding"), typedlit(sv)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
 
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -121,48 +129,90 @@ object Similarity extends QueryModule {
       .select($"doc_id", $"source", shinglesExpr.as("sh"))
   }
 
+  /** Shingle sets as distinct BIGINT hashes (fold of the leading 15 hex
+    * digits of md5 mod 1e9+7): set ops on integers are several times
+    * cheaper than on shingle strings, and both engines hash identically so
+    * any collision is replayed bit-for-bit by the oracle. */
+  private def shingleHashed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingled(s, dir)
+      .select($"doc_id", $"source", expr(
+        "array_distinct(transform(sh, x ->" +
+          " CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000000007))")
+        .as("hs"))
+      .withColumn("n", size($"hs"))
+      // shuffle barrier: stops projection collapse from re-inlining the
+      // md5-fold HOF into every downstream consumer expression
+      .repartition($"doc_id")
+  }
+
+  /** `{SH}` is substituted with the shingle-list SQL ([[DUCK_SHINGLES]]). */
+  private val DUCK_SHINGLE_HASH =
+    """list_distinct(list_transform({SH}, x ->
+      |  CAST(list_reduce(
+      |    list_prepend('0', string_split(substr(md5(x), 1, 15), '')),
+      |    (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+      |      instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)
+      |  % 1000000007))""".stripMargin
+
   /** T4 q_dedup_near — n-gram (3-shingle) Jaccard near-dup pairs, blocked
     * by source (a < b, J ≥ 0.6). The blocked self-join shuffles on the
-    * blocking key; Jaccard is |A∩B|/|A∪B| on distinct shingle sets. */
+    * blocking key. Two lossless cuts keep the pair work down: a size-ratio
+    * prefilter (J ≤ min/max sizes, so 10·min ≥ 6·max is implied by
+    * J ≥ 0.6) evaluated before any set operation, and
+    * |A∪B| = |A|+|B|−|A∩B| so only the intersection is materialized. */
   private def qDedupNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = shingled(s, dir).select($"doc_id".as("a"), $"source", $"sh".as("sha"))
-    val b = shingled(s, dir).select($"doc_id".as("b"), $"source", $"sh".as("shb"))
-    a.join(b, Seq("source")).filter($"a" < $"b")
-      .withColumn("jaccard", round(
-        size(array_intersect($"sha", $"shb")).cast("double") /
-          size(array_union($"sha", $"shb")), 6))
+    val sh = shingleHashed(s, dir)
+    val a = sh.select($"doc_id".as("a"), $"source", $"hs".as("sha"), $"n".as("na"))
+    val b = sh.select($"doc_id".as("b"), $"source", $"hs".as("shb"), $"n".as("nb"))
+    a.join(b, Seq("source"))
+      .filter($"a" < $"b" &&
+        least($"na", $"nb") * 10 >= greatest($"na", $"nb") * 6)
+      .withColumn("i", size(array_intersect($"sha", $"shb")))
+      .withColumn("jaccard",
+        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6))
       .filter($"jaccard" >= 0.6)
       .select($"a", $"b", $"source", $"jaccard")
       .orderBy($"a", $"b")
   }
 
-  /** q_dedup_minhash_lsh — MinHash signatures (16 hashes = min md5 per
-    * seeded permutation) banded 4×4; docs sharing any band bucket become
-    * candidate pairs, then exact shingle-Jaccard ≥ 0.6 confirms. This is
-    * the classic shingle→minhash→band→bucket-join pipeline: candidate
-    * generation is a shuffle on (band, bucket-hash) — no all-pairs join
-    * anywhere, which is what makes it the 100 TB dedup path. */
+  /** q_dedup_minhash_lsh — MinHash signatures banded 4×4; docs sharing any
+    * band bucket become candidate pairs, then exact shingle-Jaccard ≥ 0.6
+    * confirms. This is the classic shingle→minhash→band→bucket-join
+    * pipeline: candidate generation is a shuffle on (band, bucket-hash) —
+    * no all-pairs join anywhere, which is what makes it the 100 TB dedup
+    * path. Each shingle is md5-hashed ONCE (fold of its leading 15 hex
+    * digits mod 1e9+7); the 16 MinHash permutations are then cheap affine
+    * maps h_k = ((2k+1)·h + 7919·(k+1)) mod p over that integer — 16×
+    * fewer digest calls than hashing per permutation. Candidate pairs are
+    * deduplicated as bare (a,b) ids and the shingle sets re-joined by id,
+    * so the distinct never shuffles array payloads. */
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigd = shingled(s, dir).withColumn("sig", expr(
+    val sh = shingleHashed(s, dir) // barriered: md5-folds computed once
+    val sigd = sh.withColumn("sig", expr(
       """transform(sequence(0, 15), k ->
-        |  array_min(transform(sh, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
-        .stripMargin))
-    val banded = sigd.withColumn("band", explode(expr(
-      """transform(sequence(0, 3), b -> named_struct(
-        |  'b', b,
-        |  'bh', md5(concat(element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
-        |                   element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4)))))"""
-        .stripMargin)))
-      .select($"doc_id", $"sh", $"band.b".as("b"), $"band.bh".as("bh"))
-    val l = banded.select($"doc_id".as("a"), $"sh".as("sha"), $"b", $"bh")
-    val r = banded.select($"doc_id".as("b2"), $"sh".as("shb"), $"b", $"bh")
-    l.join(r, Seq("b", "bh")).filter($"a" < $"b2")
-      .select($"a", $"b2".as("b"), $"sha", $"shb").distinct()
-      .withColumn("jaccard", round(
-        size(array_intersect($"sha", $"shb")).cast("double") /
-          size(array_union($"sha", $"shb")), 6))
+        |  array_min(transform(hs, h ->
+        |    ((2 * k + 1) * h + 7919 * (k + 1)) % 1000000007)))""".stripMargin))
+      // second barrier: keep the 16-permutation signature out of the
+      // per-band explode (projection collapse would recompute it 4×)
+      .select($"doc_id", $"sig").repartition($"doc_id")
+    val banded = sigd.withColumn("b", explode(expr("sequence(0, 3)")))
+      .select($"doc_id", $"b", expr(
+        """concat_ws('-', element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
+          |              element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4))"""
+          .stripMargin).as("bh"))
+    val cand = banded.select($"doc_id".as("a"), $"b", $"bh")
+      .join(banded.select($"doc_id".as("b2"), $"b", $"bh"), Seq("b", "bh"))
+      .filter($"a" < $"b2")
+      .select($"a", $"b2".as("b")).distinct()
+    cand
+      .join(sh.select($"doc_id".as("a"), $"hs".as("sha"), $"n".as("na")), Seq("a"))
+      .join(sh.select($"doc_id".as("b"), $"hs".as("shb"), $"n".as("nb")), Seq("b"))
+      .withColumn("i", size(array_intersect($"sha", $"shb")))
+      .withColumn("jaccard",
+        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6))
       .filter($"jaccard" >= 0.6)
       .select($"a", $"b", $"jaccard")
       .orderBy($"a", $"b")
@@ -174,12 +224,14 @@ object Similarity extends QueryModule {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .withColumn("toks", split(lower($"text"), " "))
+      // one digest per token occurrence; the 16 bit-votes read hex digits
+      // of that single hash
+      .withColumn("hs", expr("transform(split(lower(text), ' '), t -> md5(t))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, j) ->
           |  acc + IF(
-          |    aggregate(toks, 0, (a2, t) ->
-          |      a2 + IF((instr('0123456789abcdef', substr(md5(t), j, 1)) - 1) % 2 = 1,
+          |    aggregate(hs, 0, (a2, h) ->
+          |      a2 + IF((instr('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1,
           |              1, -1)) > 0,
           |    shiftleft(CAST(1 AS BIGINT), j - 1), CAST(0 AS BIGINT)))""".stripMargin))
       .groupBy($"simhash")
@@ -237,18 +289,25 @@ object Similarity extends QueryModule {
                FROM pairs)
          SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "q_ann_lsh" ->
-      """WITH n AS (
+      """WITH signs AS (
+           SELECT j, list_transform(range(1, 65), i ->
+             CASE WHEN (instr('0123456789abcdef',
+                 substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))
+               - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END) sv
+           FROM range(0, 8) t(j)),
+         n0 AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) nrm,
-                  CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN
-                    list_sum(list_transform(range(1, len(embedding) + 1), i ->
-                      CAST(embedding[i] AS DOUBLE) *
-                      CASE WHEN (instr('0123456789abcdef',
-                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))
-                        - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)) > 0
-                    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) bucket
+                                        CAST(embedding AS DOUBLE[]))) nrm
            FROM embeddings),
+         bk AS (
+           SELECT n0.vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(n0.e, s.sv) > 0
+                           THEN CAST(power(2, s.j) AS BIGINT) ELSE 0 END) AS BIGINT)
+                    bucket
+           FROM n0, signs s GROUP BY n0.vec_id),
+         n AS (SELECT n0.vec_id, n0.e, n0.nrm, bk.bucket
+               FROM n0 JOIN bk USING (vec_id)),
          q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
          pairs AS (
            SELECT q.vec_id qid, q.bucket, c.vec_id cid,
@@ -269,48 +328,62 @@ object Similarity extends QueryModule {
          WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= 0.4
          ORDER BY a, b""",
     "q_dedup_near" ->
-      s"""WITH sh AS (SELECT doc_id, source, $DUCK_SHINGLES s FROM documents)
-         SELECT x.doc_id a, y.doc_id b, x.source,
-                round(CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE) /
-                      len(list_distinct(list_concat(x.s, y.s))), 6) jaccard
-         FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
-         WHERE round(CAST(len(list_distinct(list_intersect(x.s, y.s))) AS DOUBLE) /
-                     len(list_distinct(list_concat(x.s, y.s))), 6) >= 0.6
+      s"""WITH sh0 AS (SELECT doc_id, source,
+                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
+         sh AS (SELECT doc_id, source, h, len(h) n FROM sh0),
+         p AS (
+           SELECT x.doc_id a, y.doc_id b, x.source,
+                  len(list_intersect(x.h, y.h)) i, x.n + y.n AS nn
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.doc_id < y.doc_id
+            AND least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 6)
+         SELECT a, b, source, round(CAST(i AS DOUBLE) / (nn - i), 6) jaccard
+         FROM p WHERE round(CAST(i AS DOUBLE) / (nn - i), 6) >= 0.6
          ORDER BY a, b""",
     "q_dedup_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, $DUCK_SHINGLES s FROM documents),
+      s"""WITH sh0 AS (SELECT doc_id,
+                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
+         hs AS (SELECT doc_id, h, len(h) n FROM sh0),
          sig AS (
-           SELECT doc_id, s,
+           SELECT doc_id,
                   list_transform(range(0, 16), k ->
-                    list_aggregate(list_transform(s, x ->
-                      md5(CAST(k AS VARCHAR) || ':' || x)), 'min')) sg
-           FROM sh),
+                    list_aggregate(list_transform(h, v ->
+                      ((2 * k + 1) * v + 7919 * (k + 1)) % 1000000007), 'min')) sg
+           FROM hs),
          banded AS (
-           SELECT doc_id, s, unnest(range(0, 4)) b,
+           SELECT doc_id, unnest(range(0, 4)) b,
                   unnest(list_transform(range(0, 4), b ->
-                    md5(sg[4 * b + 1] || sg[4 * b + 2] || sg[4 * b + 3] || sg[4 * b + 4])))
-                    bh
+                    CAST(sg[4 * b + 1] AS VARCHAR) || '-' ||
+                    CAST(sg[4 * b + 2] AS VARCHAR) || '-' ||
+                    CAST(sg[4 * b + 3] AS VARCHAR) || '-' ||
+                    CAST(sg[4 * b + 4] AS VARCHAR))) bh
            FROM sig),
          cand AS (
-           SELECT DISTINCT x.doc_id a, y.doc_id b2, x.s sa, y.s sb
+           SELECT DISTINCT x.doc_id a, y.doc_id b
            FROM banded x JOIN banded y
-             ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
-         SELECT a, b2 b,
-                round(CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
-                      len(list_distinct(list_concat(sa, sb))), 6) jaccard
-         FROM cand
-         WHERE round(CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
-                     len(list_distinct(list_concat(sa, sb))), 6) >= 0.6
+             ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         jj AS (
+           SELECT cand.a, cand.b,
+                  len(list_intersect(xa.h, xb.h)) i, xa.n + xb.n AS nn
+           FROM cand
+           JOIN hs xa ON xa.doc_id = cand.a
+           JOIN hs xb ON xb.doc_id = cand.b)
+         SELECT a, b, round(CAST(i AS DOUBLE) / (nn - i), 6) jaccard
+         FROM jj WHERE round(CAST(i AS DOUBLE) / (nn - i), 6) >= 0.6
          ORDER BY a, b""",
     "q_dedup_simhash" ->
-      """WITH s AS (
+      """WITH hh AS (
+           SELECT doc_id,
+                  list_transform(string_split(lower(text), ' '), t -> md5(t)) hs
+           FROM documents),
+         s AS (
            SELECT doc_id,
                   CAST(list_sum(list_transform(range(1, 17), j -> CASE WHEN
-                    list_sum(list_transform(string_split(lower(text), ' '), t ->
-                      CASE WHEN (instr('0123456789abcdef', substr(md5(t), j, 1)) - 1) % 2 = 1
+                    list_sum(list_transform(hs, h ->
+                      CASE WHEN (instr('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1
                            THEN 1 ELSE -1 END)) > 0
                     THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) simhash
-           FROM documents)
+           FROM hh)
          SELECT simhash, count(*) n_docs, min(doc_id) min_doc
          FROM s GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""",
     "q_multimodal_struct" ->
