@@ -42,11 +42,14 @@ object Similarity extends QueryModule {
     * subset (vec_id % 100 = 0). Query set broadcasts; candidates stream. */
   private def qSimilarityTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cand = emb(s, dir).select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
-    val qs = emb(s, dir).filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"))
+    graft.functions.VectorFunctions.register(s)
+    val cand = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val qs = Tables.load(s, dir, "embeddings").filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val pairs = cand.join(broadcast(qs), $"cid" =!= $"qid")
-      .withColumn("sim", round(dot($"qe", $"ce") / ($"qn" * $"cn"), 6))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine($"qe", $"ce"), 6))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -81,14 +84,15 @@ object Similarity extends QueryModule {
 
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = emb(s, dir).withColumn("bucket", bucketExpr)
-    val cand = v.select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"),
+    graft.functions.VectorFunctions.register(s)
+    val v = Tables.load(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    val cand = v.select($"vec_id".as("cid"), $"embedding".as("ce"),
       $"bucket".as("cb"))
     val qs = v.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
-        $"bucket".as("qb"))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket".as("qb"))
     val pairs = cand.join(qs, $"cb" === $"qb" && $"cid" =!= $"qid")
-      .withColumn("sim", round(dot($"qe", $"ce") / ($"qn" * $"cn"), 6))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine($"qe", $"ce"), 6))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -101,12 +105,14 @@ object Similarity extends QueryModule {
     * block (a < b, cosine ≥ 0.4). Blocking key = label. */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = emb(s, dir).select($"vec_id".as("a"), $"label",
-      $"embedding".as("ae"), $"nrm".as("an"))
-    val b = emb(s, dir).select($"vec_id".as("b"), $"label",
-      $"embedding".as("be"), $"nrm".as("bn"))
+    graft.functions.VectorFunctions.register(s)
+    val a = Tables.load(s, dir, "embeddings").select($"vec_id".as("a"), $"label",
+      $"embedding".as("ae"))
+    val b = Tables.load(s, dir, "embeddings").select($"vec_id".as("b"), $"label",
+      $"embedding".as("be"))
     a.join(b, Seq("label")).filter($"a" < $"b")
-      .withColumn("sim", round(dot($"ae", $"be") / ($"an" * $"bn"), 6))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine($"ae", $"be"), 6))
       .filter($"sim" >= 0.4)
       .select($"a", $"b", $"label", $"sim")
       .orderBy($"a", $"b")
