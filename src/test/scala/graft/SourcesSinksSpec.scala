@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.{Sinks, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** S2 catalog introspection + S4/S6 sink round-trips (SURVEY.md §2.1). */
+class SourcesSinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("catalog: registerAll + listTables mirrors probe.py") {
+    val registered = Tables.registerAll(spark, TestSession.sfDir)
+    val listed = Tables.listTables(spark)
+    assert(registered.toSet.subsetOf(listed.toSet))
+    assert(registered.size == 10)
+  }
+
+  test("CSV sink round-trips the flagship result") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csv").toString
+    val df = operators.Assembly.qDocAssembly(spark, TestSession.sfDir).limit(50)
+    Sinks.writeCsv(df, out)
+    // doc_text embeds newlines; Spark quotes them on write, so the read
+    // side needs multiLine to reassemble records
+    val back = spark.read.option("header", "true")
+      .option("multiLine", "true").csv(out)
+    assert(back.count() == 50)
+    assert(back.columns.toSeq == Seq("doc_id", "doc_text"))
+  }
+
+  test("Parquet sink round-trips exactly") {
+    val out = Files.createTempDirectory("graft_pq").toString
+    val df = SparkEntry.queries("q_agg_hash")(spark, TestSession.sfDir)
+    Sinks.writeParquet(df, out)
+    val back = spark.read.parquet(out)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+  }
+}
