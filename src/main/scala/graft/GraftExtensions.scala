@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
 
 /** SparkSessionExtensions hook: makes the engine's native functions
   * available SQL-wide via `spark.sql.extensions=graft.GraftExtensions`
@@ -11,9 +11,24 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
-      FunctionIdentifier(graft.functions.VectorFunctions.COSINE),
+      FunctionIdentifier(VectorFunctions.COSINE),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
-        graft.functions.VectorFunctions.COSINE),
+        VectorFunctions.COSINE),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.SHINGLE_HASHES),
+      new ExpressionInfo(classOf[ShingleHashes].getName,
+        VectorFunctions.SHINGLE_HASHES),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.MINHASH_SIG),
+      new ExpressionInfo(classOf[MinHashSig].getName,
+        VectorFunctions.MINHASH_SIG),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.SIMHASH),
+      new ExpressionInfo(classOf[SimHash16].getName,
+        VectorFunctions.SIMHASH),
+      (exprs: Seq[Expression]) => SimHash16(exprs(0))))
   }
 }

@@ -92,11 +92,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.GraftExtensions`. */
 object VectorFunctions {
   val COSINE = "graft_cosine"
+  val SHINGLE_HASHES = "graft_shingle_hashes"
+  val MINHASH_SIG = "graft_minhash_sig"
+  val SIMHASH = "graft_simhash"
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       COSINE, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SHINGLE_HASHES, exprs => ShingleHashes(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MINHASH_SIG, exprs => MinHashSig(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SIMHASH, exprs => SimHash16(exprs(0)), "built-in")
+  }
 
   /** Fused cosine similarity column (requires [[register]] on the session). */
   def cosine(a: Column, b: Column): Column = call_function(COSINE, a, b)
+
+  /** Hashed distinct 3-shingles of a text column. */
+  def shingleHashes(text: Column): Column = call_function(SHINGLE_HASHES, text)
+
+  /** 16-permutation MinHash signature of a hashed-shingle column. */
+  def minhashSig(hashes: Column): Column = call_function(MINHASH_SIG, hashes)
+
+  /** 16-bit SimHash of a text column. */
+  def simhash(text: Column): Column = call_function(SIMHASH, text)
 }

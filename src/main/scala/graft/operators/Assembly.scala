@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.QueryModule
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** The reference's flagship computation (SURVEY.md §2.4 A3, §7.2):
@@ -54,6 +55,41 @@ object Assembly extends QueryModule {
           array_sort(collect_list(struct($"ord", $"piece"))),
           x => x.getField("piece")),
         "").as("doc_text"))
+  }
+
+  /** One (ord, piece) block row for the typed aggregation path. */
+  case class BlockPiece(ord: Int, piece: String)
+
+  /** Typed `Aggregator` variant of [[assemble]] (SURVEY.md §2.11 UDAF
+    * surface): demonstrates partial/final merge semantics explicitly —
+    * the buffer accumulates (ord, piece) pairs, `merge` concatenates
+    * partial buffers from different partitions, and `finish` sorts once by
+    * (ord, piece) and concatenates. Semantically identical to the
+    * `collect_list`+`array_sort` Column formulation (same tie-break), and
+    * like it, buffer size is bounded by blocks-per-document. */
+  object AssembleAgg extends Aggregator[BlockPiece, List[BlockPiece], String] {
+    override def zero: List[BlockPiece] = Nil
+    override def reduce(b: List[BlockPiece], a: BlockPiece): List[BlockPiece] =
+      a :: b
+    override def merge(x: List[BlockPiece], y: List[BlockPiece]): List[BlockPiece] =
+      x ::: y
+    override def finish(b: List[BlockPiece]): String =
+      b.sortBy(p => (p.ord, p.piece)).iterator.map(_.piece).mkString
+    override def bufferEncoder: Encoder[List[BlockPiece]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[BlockPiece]]()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Typed assembly: Dataset API end of the same computation. */
+  def assembleTyped(blocks: DataFrame): DataFrame = {
+    val s = blocks.sparkSession
+    import s.implicits._
+    blocks.select($"doc_id", $"ord", $"piece")
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .mapValues(r => BlockPiece(r._2, r._3))
+      .agg(AssembleAgg.toColumn.name("doc_text"))
+      .toDF("doc_id", "doc_text")
   }
 
   /** Deterministic block table derived from `lineitem` (the driver testdata

@@ -141,14 +141,13 @@ object Similarity extends QueryModule {
     * any collision is replayed bit-for-bit by the oracle. */
   private def shingleHashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    shingled(s, dir)
-      .select($"doc_id", $"source", expr(
-        "array_distinct(transform(sh, x ->" +
-          " CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT) % 1000000007))")
-        .as("hs"))
+    graft.functions.VectorFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source",
+        graft.functions.VectorFunctions.shingleHashes($"text").as("hs"))
       .withColumn("n", size($"hs"))
       // shuffle barrier: stops projection collapse from re-inlining the
-      // md5-fold HOF into every downstream consumer expression
+      // shingle hashing into every downstream consumer expression
       .repartition($"doc_id")
   }
 
@@ -197,10 +196,8 @@ object Similarity extends QueryModule {
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleHashed(s, dir) // barriered: md5-folds computed once
-    val sigd = sh.withColumn("sig", expr(
-      """transform(sequence(0, 15), k ->
-        |  array_min(transform(hs, h ->
-        |    ((2 * k + 1) * h + 7919 * (k + 1)) % 1000000007)))""".stripMargin))
+    val sigd = sh.withColumn("sig",
+        graft.functions.VectorFunctions.minhashSig($"hs"))
       // second barrier: keep the 16-permutation signature out of the
       // per-band explode (projection collapse would recompute it 4×)
       .select($"doc_id", $"sig").repartition($"doc_id")
@@ -229,17 +226,9 @@ object Similarity extends QueryModule {
     * the collision groups (same simhash = near-dup cluster). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     Tables.load(s, dir, "documents")
-      // one digest per token occurrence; the 16 bit-votes read hex digits
-      // of that single hash
-      .withColumn("hs", expr("transform(split(lower(text), ' '), t -> md5(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + IF(
-          |    aggregate(hs, 0, (a2, h) ->
-          |      a2 + IF((instr('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1,
-          |              1, -1)) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), j - 1), CAST(0 AS BIGINT)))""".stripMargin))
+      .withColumn("simhash", graft.functions.VectorFunctions.simhash($"text"))
       .groupBy($"simhash")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
       .filter($"n_docs" > 1)

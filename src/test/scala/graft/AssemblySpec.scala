@@ -54,6 +54,19 @@ class AssemblySpec extends AnyFunSuite {
     assert(got == Seq((1L, "a\nb\nc\n"), (2L, "z\n")))
   }
 
+  test("typed Aggregator assembly == Column assembly on real blocks") {
+    import spark.implicits._
+    val b = Assembly.blocksFromLineitem(spark, TestSession.sfDir)
+      .withColumn("piece", Assembly.piece($"numbering", $"para_text",
+        $"table_caption", $"table_cells"))
+      .select($"doc_id", $"ord", $"piece")
+    val col = Assembly.assemble(b).orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    val typed = Assembly.assembleTyped(b).orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(typed == col)
+  }
+
   test("flagship q_doc_assembly returns one text per order on sf0.001") {
     val out = Assembly.qDocAssembly(spark, TestSession.sfDir)
     val n = out.count()
