@@ -43,15 +43,26 @@ object Llm extends QueryModule {
   /** Deterministic offline summarizer: first 8 whitespace tokens + count;
     * cost = $1e-6 per prompt character (mirrors per-token pricing). */
   final class StubClient extends SummarizerClient {
+    private def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def summarizeBatch(prompts: Seq[String]): (Seq[String], Double) = {
       val out = prompts.map { p =>
-        // The prompt embeds the document after the last ": " (template
-        // below); summarize the document body, not the instruction.
-        val doc = p.substring(p.indexOf(": ") + 2)
+        // The prompt embeds the document after the first ": " (template
+        // below); a prompt without one (the reference's decisions variant
+        // sends the bare text, SURVEY.md §2.13.3) is the document itself.
+        val idx = p.indexOf(": ")
+        val doc = if (idx >= 0) p.substring(idx + 2) else p
         val toks = doc.split(" ")
         val head = toks.take(8).mkString(" ")
         val summary = s"$head … (${toks.length} tokens)"
-        s"""{"summary": "$summary"}"""
+        s"""{"summary": "${jsonEscape(summary)}"}"""
       }
       (out, prompts.map(_.length * 1e-6).sum)
     }
@@ -63,16 +74,19 @@ object Llm extends QueryModule {
     s"Summarize UNFCCC document $symbol in one sentence: $text"
 
   /** Distributed batch summarization: (id, symbol, text) → (id, summary);
-    * `batchSize` bounds each remote call, `cost` accrues per batch. */
+    * `batchSize` bounds each remote call, `cost` accrues per batch.
+    * `mkPrompt` lets callers replicate either reference template —
+    * conclusions (symbol-prefixed) or decisions (bare text). */
   def summarize(docs: DataFrame, client: SummarizerClient, batchSize: Int,
-                cost: DoubleAccumulator): DataFrame = {
+                cost: DoubleAccumulator,
+                mkPrompt: (String, String) => String = prompt): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val raw = docs.select(col("id"), col("symbol"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          val prompts = batch.map { case (_, sym, txt) => prompt(sym, txt) }
+          val prompts = batch.map { case (_, sym, txt) => mkPrompt(sym, txt) }
           val (responses, batchCost) = client.summarizeBatch(prompts)
           cost.add(batchCost)
           batch.zip(responses).map { case ((id, sym, _), r) => (id, sym, r) }

@@ -131,4 +131,18 @@ object Tables {
 
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** Faithful-source variant (SURVEY.md §2.1 S1): the reference reads the
+    * same relations over a SQLAlchemy→PostgreSQL connection
+    * (`/root/reference/probe.py:4`, psycopg2). Partitioned JDBC scan:
+    * `numPartitions` concurrent readers split on `partitionColumn` ranges
+    * so a large table never funnels through one connection. Not exercised
+    * by tests (no database in this environment); the Parquet loader above
+    * is the tested path. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int = 8,
+           props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
 }

@@ -63,6 +63,31 @@ object StreamOps extends QueryModule {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom per-key state (SURVEY.md §1.4 / §2.10): running per-user
+    * counters via `flatMapGroupsWithState` — emits one update row per
+    * user per micro-batch carrying (n_events, value_sum so far). State is
+    * one small struct per active user; at 100 TB horizon the state store
+    * scales with users, not events. */
+  case class UserStat(n: Long, sum: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, value_sum: Double)
+
+  def runningUserStats(events: org.apache.spark.sql.Dataset[
+      (Long, Double)]): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserStat, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserStat(prev.n + batch.size, prev.sum + batch.map(_._2).sum)
+          state.update(next)
+          Iterator.single(UserUpdate(user, next.n, next.sum))
+      }
+  }
+
   // ------------------------------------- batch-equivalent declared queries
 
   /** ST1 q_stream_tumbling — batch equivalent of [[tumblingCounts]]

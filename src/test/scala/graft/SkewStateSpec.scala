@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Skew
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted-join equivalence + custom flatMapGroupsWithState state. */
+class SkewStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("salted join == plain join on a skewed fact table") {
+    import spark.implicits._
+    // 90% of fact rows hit key 1 (the hot key)
+    val fact = (1 to 1000).map(i =>
+      (if (i <= 900) 1 else i % 7 + 2, i.toLong, i * 2.0))
+      .toDF("k", "row_id", "v")
+    val dim = (1 to 10).map(i => (i, s"dim_$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select($"row_id", $"name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", "row_id", buckets = 8)
+      .select($"row_id", $"name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.size == 1000 - fact.filter($"k" > 10).count())
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.runningUserStats(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stats").start()
+    try {
+      mem.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 4.0)))
+      q.processAllAvailable()
+      val rows = spark.table("stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 emits (1, 2, 3.0) and (2, 1, 5.0); batch 2 emits (1, 3, 7.0)
+      assert(rows.toSet == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (1L, 3L, 7.0)))
+    } finally q.stop()
+  }
+}
