@@ -429,7 +429,25 @@ object Relational extends QueryModule {
         $"qty_ceil7", $"price_c")
   }
 
+  /** F1b q_regex_funcs — regex scalar surface: extract/replace/count plus
+    * padding/repeat/reverse. Patterns restricted to character classes +
+    * groups that Java regex (Spark) and RE2 (DuckDB) treat identically. */
+  private def qRegexFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_name", "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        expr("CAST(regexp_count(p_name, '[aeiou]') AS BIGINT)").as("n_vowels"),
+        lpad($"p_brand", 10, "#").as("brand_pad"),
+        repeat($"p_type", 2).as("type2"),
+        reverse($"p_name").as("name_rev"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_regex_funcs" -> (qRegexFuncs _),
     "q_scan_project" -> (qScanProject _),
     "q_filter_or_eq" -> (qFilterOrEq _),
     "q_project" -> (qProject _),
@@ -462,6 +480,15 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+                lpad(p_brand, 10, '#') AS brand_pad,
+                repeat(p_type, 2) AS type2,
+                reverse(p_name) AS name_rev
+         FROM part ORDER BY p_partkey""",
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber, l_quantity""",

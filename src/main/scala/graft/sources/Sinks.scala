@@ -27,4 +27,12 @@ object Sinks {
     * `generate_decisions_summaries.py:46`): driver-side peek of the first
     * rows, never a full collect. */
   def progress(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** Scale path: hive-style partitioned Parquet layout. Readers filtering
+    * on the partition columns prune whole directories before any IO —
+    * the layout a 100 TB events table must have (static + dynamic
+    * partition pruning both key off it). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }
