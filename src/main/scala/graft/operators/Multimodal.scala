@@ -66,6 +66,29 @@ object Multimodal extends QueryModule {
       .toDF()
   }
 
+  /** Frame sampling ("video" path): every k-th frame index of each media
+    * row, exploded to one row per sampled frame with a deterministic
+    * per-frame feature (what a real pipeline hands to an image encoder).
+    * Generator + arithmetic only — no shuffle until downstream use. */
+  def sampleFrames(decoded: DataFrame, everyK: Int): DataFrame = {
+    val s = decoded.sparkSession
+    import s.implicits._
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), $"n_frames" - 1, lit(everyK.toLong))))
+      .select($"doc_id", $"frame_idx",
+        // fake per-frame feature: stand-in for the decoded frame digest
+        pmod($"doc_id" * 31 + $"frame_idx" * 7, lit(997)).as("frame_sig"))
+  }
+
+  /** q_multimodal_frames — decode → sample every 4th frame. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withMediaColumn(Tables.load(s, dir, "documents"))
+    sampleFrames(decodeFeatures(docs).withColumnRenamed("id", "doc_id"), 4)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** q_multimodal_decode — binary derivation + batch decode + metadata
     * join, end to end. The fake geometry is pure byte arithmetic, so the
     * oracle replays it in SQL. */
@@ -82,9 +105,22 @@ object Multimodal extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_multimodal_decode" -> (qMultimodalDecode _))
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_frames" -> (qMultimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 24
+                    AS n_frames
+           FROM documents),
+         f AS (
+           SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx
+           FROM b)
+         SELECT doc_id, frame_idx,
+                (doc_id * 31 + frame_idx * 7) % 997 AS frame_sig
+         FROM f ORDER BY doc_id, frame_idx""",
     "q_multimodal_decode" ->
       """WITH b AS (
            SELECT doc_id, source AS origin,
