@@ -446,7 +446,38 @@ object Relational extends QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** A8 q_percentile — exact interpolated percentiles (median / p90) per
+    * group. Both engines use the classic (n−1)·p rank interpolation; the
+    * quantity domain is integral doubles so the interpolation arithmetic
+    * is identical. */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A9 q_pivot — pivoted aggregation: revenue per priority × status.
+    * Spark `pivot` with a FIXED value list (so the schema is static and
+    * no extra values-discovery job runs); the oracle is the equivalent
+    * SUM(CASE WHEN) conditional aggregation. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot($"o_orderstatus", Seq("F", "O", "P"))
+      .agg(Det.sumd($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_percentile" -> (qPercentile _),
+    "q_pivot" -> (qPivot _),
     "q_regex_funcs" -> (qRegexFuncs _),
     "q_scan_project" -> (qScanProject _),
     "q_filter_or_eq" -> (qFilterOrEq _),
@@ -480,6 +511,18 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty,
+                quantile_cont(l_quantity, [0.25, 0.75]) AS iqr_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" ->
+      s"""SELECT o_orderpriority,
+                ${SUMD("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_f,
+                ${SUMD("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS total_o,
+                ${SUMD("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS total_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_regex_funcs" ->
       """SELECT p_partkey,
                 regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
