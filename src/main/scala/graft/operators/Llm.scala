@@ -76,7 +76,13 @@ object Llm extends QueryModule {
   /** Distributed batch summarization: (id, symbol, text) → (id, summary);
     * `batchSize` bounds each remote call, `cost` accrues per batch.
     * `mkPrompt` lets callers replicate either reference template —
-    * conclusions (symbol-prefixed) or decisions (bare text). */
+    * conclusions (symbol-prefixed) or decisions (bare text).
+    *
+    * Cost caveat: accumulator updates inside a transformation can
+    * double-count on task retries (Spark guarantees exactly-once only in
+    * actions). The reference's callback-based cost tracking has the same
+    * best-effort character; treat `cost` as an operational metric, not an
+    * invoice. */
   def summarize(docs: DataFrame, client: SummarizerClient, batchSize: Int,
                 cost: DoubleAccumulator,
                 mkPrompt: (String, String) => String = prompt): DataFrame = {
