@@ -95,6 +95,7 @@ object VectorFunctions {
   val SHINGLE_HASHES = "graft_shingle_hashes"
   val MINHASH_SIG = "graft_minhash_sig"
   val SIMHASH = "graft_simhash"
+  val INTERSECT_SIZE = "graft_intersect_size"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -106,6 +107,8 @@ object VectorFunctions {
       MINHASH_SIG, exprs => MinHashSig(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      INTERSECT_SIZE, exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
   }
 
   /** Fused cosine similarity column (requires [[register]] on the session). */
@@ -119,4 +122,8 @@ object VectorFunctions {
 
   /** 16-bit SimHash of a text column. */
   def simhash(text: Column): Column = call_function(SIMHASH, text)
+
+  /** |A∩B| of two sorted ARRAY<BIGINT> columns (merge pass). */
+  def intersectSize(a: Column, b: Column): Column =
+    call_function(INTERSECT_SIZE, a, b)
 }

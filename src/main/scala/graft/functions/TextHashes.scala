@@ -46,10 +46,13 @@ object TextHashing {
     acc % P
   }
 
-  /** Distinct (first occurrence) hashed 3-shingles of a document. */
+  /** Distinct hashed 3-shingles of a document, SORTED ascending. The sort
+    * is load-bearing for [[IntersectSize]]'s merge loop; no consumer
+    * (Jaccard size, MinHash minima) observes element order, so the
+    * DuckDB oracle's unsorted `list_distinct` stays equivalent. */
   def shingleHashes(text: String): Array[Long] = {
     val toks = text.toLowerCase.split(" ", -1)
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val out = new java.util.TreeSet[java.lang.Long]()
     if (toks.length >= 3) {
       var i = 0
       while (i + 2 < toks.length) {
@@ -62,6 +65,18 @@ object TextHashing {
     var j = 0
     while (it.hasNext) { arr(j) = it.next(); j += 1 }
     arr
+  }
+
+  /** |A ∩ B| for two SORTED distinct long arrays (single merge pass —
+    * no per-pair hash set like `array_intersect`). */
+  def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** 16-bit SimHash over token occurrences: bit j−1 (j = 1..16) is set
@@ -140,6 +155,28 @@ case class SimHash16(child: Expression)
     TextHashing.simhash16(input.asInstanceOf[UTF8String].toString)
   override protected def withNewChildInternal(c: Expression): SimHash16 =
     copy(child = c)
+}
+
+/** `graft_intersect_size(a, b)` → INT; requires both arrays sorted
+  * (the [[ShingleHashes]] contract). */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+  override def prettyName: String = "graft_intersect_size"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHashing.intersectSize(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectSize = copy(left = l, right = r)
 }
 
 /** `graft_minhash_sig(hashes)` → ARRAY<BIGINT> of the 16 band minima. */

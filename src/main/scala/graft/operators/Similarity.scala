@@ -174,7 +174,8 @@ object Similarity extends QueryModule {
     a.join(b, Seq("source"))
       .filter($"a" < $"b" &&
         least($"na", $"nb") * 10 >= greatest($"na", $"nb") * 6)
-      .withColumn("i", size(array_intersect($"sha", $"shb")))
+      .withColumn("i",
+        graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
       .withColumn("jaccard",
         round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6))
       .filter($"jaccard" >= 0.6)
@@ -213,7 +214,8 @@ object Similarity extends QueryModule {
     cand
       .join(sh.select($"doc_id".as("a"), $"hs".as("sha"), $"n".as("na")), Seq("a"))
       .join(sh.select($"doc_id".as("b"), $"hs".as("shb"), $"n".as("nb")), Seq("b"))
-      .withColumn("i", size(array_intersect($"sha", $"shb")))
+      .withColumn("i",
+        graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
       .withColumn("jaccard",
         round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6))
       .filter($"jaccard" >= 0.6)

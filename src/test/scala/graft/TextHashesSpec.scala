@@ -24,11 +24,29 @@ class TextHashesSpec extends AnyFunSuite {
   test("native shingle hashes == SQL md5-fold pipeline on real documents") {
     import spark.implicits._
     VectorFunctions.register(spark)
+    // native output is SORTED (IntersectSize contract); the SQL pipeline
+    // keeps first-occurrence order — compare as sets
     val diffs = graft.sources.Tables.load(spark, TestSession.sfDir, "documents")
       .select(
         VectorFunctions.shingleHashes($"text").as("native"),
-        expr(sqlShingleHash).as("sql"))
+        array_sort(expr(sqlShingleHash)).as("sql"))
       .filter($"native" =!= $"sql")
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("native intersect size == array_intersect size on real shingle sets") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val sh = graft.sources.Tables.load(spark, TestSession.sfDir, "documents")
+      .select($"doc_id", VectorFunctions.shingleHashes($"text").as("hs"))
+    val a = sh.select($"doc_id".as("a"), $"hs".as("ha"))
+    val b = sh.select($"doc_id".as("b"), $"hs".as("hb"))
+    val diffs = a.crossJoin(b).filter($"a" < $"b" && $"b" < $"a" + 20)
+      .select(
+        VectorFunctions.intersectSize($"ha", $"hb").as("native"),
+        size(array_intersect($"ha", $"hb")).as("builtin"))
+      .filter($"native" =!= $"builtin")
       .count()
     assert(diffs == 0)
   }
