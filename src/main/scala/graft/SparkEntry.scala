@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Similarity,
     operators.Llm,
     operators.Multimodal,
+    operators.Curation,
     streaming.StreamOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

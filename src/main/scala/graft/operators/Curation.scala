@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (north-star "operations a large-scale
+  * training-data pipeline would need"): deterministic sampling, train/val
+  * splitting, source re-weighting (upsampling), and sequence packing.
+  * Everything keys off content-stable md5-derived integers — never
+  * `rand()` — so runs are reproducible, resumable, and oracle-checkable;
+  * at 100 TB that determinism is what makes a re-run of one failed
+  * partition produce the same sample.
+  */
+object Curation extends QueryModule {
+
+  /** Stable per-document bucket in [0,100) from the md5 of the doc text
+    * (content-addressed: resilient to id reassignment across snapshots). */
+  private def pctBucket = expr(
+    "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 100")
+
+  /** q_sample_hash — deterministic ~10% sample: bucket < 10. A seeded
+    * Bernoulli (`sample()`) is engine-private; hash-bucketing gives the
+    * same sample on every engine and every rerun. */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket", pctBucket)
+      .filter($"bucket" < 10)
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** q_split_assign — 90/5/5 train/val/test split from the same stable
+    * bucket; a document never migrates between splits across runs. */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket", pctBucket)
+      .select($"doc_id",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_mix_weighted — source re-weighting (upsampling): English documents
+    * ×2, everything else ×1 — the mixture-weights op of a pretraining
+    * data recipe, as a generator (no shuffle until downstream). */
+  private def qMixWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("weight", when($"lang" === "en", 2L).otherwise(1L))
+      .withColumn("copy", explode(sequence(lit(1L), $"weight")))
+      .select($"doc_id", $"lang", $"copy")
+      .orderBy($"doc_id", $"copy")
+  }
+
+  /** q_pack_bins — sequence packing: assign documents to fixed-budget
+    * token bins (4096) per source, in doc_id order, by cumulative token
+    * count. The window cumsum is the distributed formulation of the
+    * greedy packer's running total; per-source partitions keep the
+    * shuffle keyed and bounded. */
+  private def qPackBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .withColumn("n_tokens", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("bin", floor(($"cum_tokens" - 1) / 4096L))
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens", $"bin")
+      .orderBy($"source", $"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sample_hash" -> (qSampleHash _),
+    "q_split_assign" -> (qSplitAssign _),
+    "q_mix_weighted" -> (qMixWeighted _),
+    "q_pack_bins" -> (qPackBins _))
+
+  private val BUCKET =
+    """(CAST(list_reduce(
+      |   list_prepend('0', string_split(substr(md5(text), 1, 15), '')),
+      |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+      |     instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) % 100)"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, $BUCKET AS bucket
+         FROM documents WHERE $BUCKET < 10 ORDER BY doc_id""",
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+                CASE WHEN $BUCKET < 90 THEN 'train'
+                     WHEN $BUCKET < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q_mix_weighted" ->
+      """SELECT doc_id, lang, unnest(range(1, CASE WHEN lang = 'en' THEN 3 ELSE 2 END)) AS copy
+         FROM documents ORDER BY doc_id, copy""",
+    "q_pack_bins" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_tokens
+           FROM t)
+         SELECT source, doc_id, n_tokens,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                CAST(floor((cum_tokens - 1) / 4096) AS BIGINT) AS bin
+         FROM c ORDER BY source, doc_id""")
+}
