@@ -88,6 +88,19 @@ object StreamOps extends QueryModule {
       }
   }
 
+  /** Production sink shape: per-micro-batch parquet append via
+    * foreachBatch — the standard exactly-once-per-batch landing pattern
+    * (each batch is an atomic parquet commit keyed by batchId). */
+  def sinkToParquet(df: DataFrame, path: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   // ------------------------------------- batch-equivalent declared queries
 
   /** ST1 q_stream_tumbling — batch equivalent of [[tumblingCounts]]

@@ -73,6 +73,25 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:50:00.0", "2024-01-01 11:20:00.0", 1L)))
   }
 
+  test("foreachBatch parquet sink lands every micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ck").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sinkToParquet(mem.toDF(), out, ckpt)
+    try {
+      mem.addData(Seq(Ev(1, t("10:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(2, t("10:01"), 1, "click", 2.0),
+        Ev(3, t("10:02"), 2, "view", 3.0)))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() == 3)
+      assert(landed.select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("ST5: dropDuplicatesWithinWatermark removes same-id events") {
     val out = runStream("t5", StreamOps.dedupEvents, OutputMode.Append())(Seq(
       Seq(Ev(1, t("10:00"), 1, "click", 1.0), Ev(1, t("10:01"), 1, "click", 1.0),
