@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: replicates the sf0.1 corpus k× (ids shifted, content
+  * duplicated — the "more data means more duplicates" regime) and times
+  * the heavy operators at each multiplier. Usage:
+  *   runMain graft.tools.ScaleProbe [k1 k2 ...]   (default 1 2 4)
+  * Emits one JSON line per (k, query). The point is the SLOPE: candidate
+  * generation via LSH banding should grow ~linearly with corpus size
+  * while blocked all-pairs Jaccard grows quadratically per block —
+  * the measured basis for the 100 TB path choice (SURVEY.md §2.9 T4).
+  */
+object ScaleProbe {
+  private val probes = Seq(
+    "q_agg_hash", "q_doc_assembly", "q_text_tokenize_tf",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_near",
+    "q_dedup_simhash", "q_ann_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val ks = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 4)
+    val base = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    ks.foreach { k =>
+      val dir = s"/tmp/graft_scale_$k"
+      def replicate(table: String, idCols: Seq[String]): Unit = {
+        val src = graft.sources.Tables.load(spark, base, table)
+        val copies = (0 until k).map { i =>
+          idCols.foldLeft(src) { (df, c) =>
+            df.withColumn(c, col(c) + lit(i.toLong * 100000000L))
+          }
+        }
+        copies.reduce(_ unionByName _)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+      }
+      replicate("documents", Seq("doc_id"))
+      replicate("embeddings", Seq("vec_id"))
+      replicate("lineitem", Seq("l_orderkey"))
+      replicate("events", Seq("event_id"))
+
+      probes.foreach { name =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"k":$k,"query":"$name","sec":$sec%.2f,"rows":$n}""")
+      }
+    }
+    spark.stop()
+  }
+}
