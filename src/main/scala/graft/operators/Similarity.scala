@@ -161,19 +161,38 @@ object Similarity extends QueryModule {
       |  % 1000000007))""".stripMargin
 
   /** T4 q_dedup_near — n-gram (3-shingle) Jaccard near-dup pairs, blocked
-    * by source (a < b, J ≥ 0.6). The blocked self-join shuffles on the
-    * blocking key. Two lossless cuts keep the pair work down: a size-ratio
-    * prefilter (J ≤ min/max sizes, so 10·min ≥ 6·max is implied by
-    * J ≥ 0.6) evaluated before any set operation, and
-    * |A∪B| = |A|+|B|−|A∩B| so only the intersection is materialized. */
+    * by source (a < b, J ≥ 0.6), computed AllPairs-style with a prefix
+    * filter instead of a blocked all-pairs join:
+    *
+    *  1. Each doc's sorted shingle-hash set contributes only its
+    *     ⌊0.4·n⌋+1 SMALLEST hashes as "prefix" index entries — if
+    *     J(A,B) ≥ 0.6 the two prefixes must share an element (Bayardo et
+    *     al.'s AllPairs prefix-filter lemma with the global hash order).
+    *  2. Candidates = pairs sharing any (source, prefix-element) index
+    *     key — a shuffle on the index key, linear in index size, NOT an
+    *     all-pairs product per source block.
+    *  3. Lossless size-ratio prefilter (J ≤ min/max ⇒ 10·min ≥ 6·max),
+    *     then one sorted-merge intersection per surviving pair with
+    *     |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Every cut is lossless, so the DuckDB oracle can keep computing the
+    * naive blocked all-pairs form and must agree exactly. The prefix
+    * index is the shape that survives 100 TB; the measured slope vs the
+    * blocked join is in PLANS.md. */
   private def qDedupNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleHashed(s, dir)
-    val a = sh.select($"doc_id".as("a"), $"source", $"hs".as("sha"), $"n".as("na"))
-    val b = sh.select($"doc_id".as("b"), $"source", $"hs".as("shb"), $"n".as("nb"))
-    a.join(b, Seq("source"))
-      .filter($"a" < $"b" &&
-        least($"na", $"nb") * 10 >= greatest($"na", $"nb") * 6)
+    val prefixed = sh.withColumn("pe",
+      explode(slice($"hs", lit(1), (floor($"n" * 0.4) + 1).cast("int"))))
+    val cand = prefixed.select($"doc_id".as("a"), $"source", $"pe")
+      .join(prefixed.select($"doc_id".as("b"), $"source", $"pe"),
+        Seq("source", "pe"))
+      .filter($"a" < $"b")
+      .select($"source", $"a", $"b").distinct()
+    cand
+      .join(sh.select($"doc_id".as("a"), $"hs".as("sha"), $"n".as("na")), Seq("a"))
+      .join(sh.select($"doc_id".as("b"), $"hs".as("shb"), $"n".as("nb")), Seq("b"))
+      .filter(least($"na", $"nb") * 10 >= greatest($"na", $"nb") * 6)
       .withColumn("i",
         graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
       .withColumn("jaccard",
