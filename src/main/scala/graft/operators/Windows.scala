@@ -87,13 +87,39 @@ object Windows extends QueryModule {
       .orderBy($"c_nationkey", $"rn")
   }
 
+  /** W5 q_window_distribution — ntile / percent_rank / cume_dist: the
+    * distribution-rank family (quartile binning for stratification).
+    * percent_rank = (rank−1)/(n−1) and cume_dist = |rows ≤ x|/n are exact
+    * small-integer ratios — bit-identical across engines. */
+  private def qWindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal", $"c_custkey")
+    graft.sources.Tables.load(s, dir, "customer")
+      .select(
+        $"c_custkey", $"c_nationkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_distribution" -> (qWindowDistribution _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_window_frame" -> (qWindowFrame _),
     "q_topk_per_group" -> (qTopkPerGroup _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_distribution" ->
+      """SELECT c_custkey, c_nationkey,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cum_dist
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
                 row_number() OVER w AS rn,
