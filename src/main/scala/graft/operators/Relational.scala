@@ -351,6 +351,30 @@ object Relational extends QueryModule {
   // -------------------------------------------------------- set operations
 
   /** q_union / q_intersect / q_except (SURVEY.md §2.7). */
+  /** J11 q_join_nullsafe — null-safe equality (`<=>` ≡ IS NOT DISTINCT
+    * FROM): nulls introduced via nullif pair with each other instead of
+    * being dropped, the semantics an FK with optional values needs. */
+  private def qJoinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = t(s, dir, "customer")
+      .select($"c_custkey", nullif($"c_nationkey" % 5, lit(0)).as("grp"))
+    val b = t(s, dir, "supplier")
+      .select($"s_suppkey", nullif($"s_nationkey" % 5, lit(0)).as("grp"))
+    a.join(b, a("grp") <=> b("grp"))
+      .select($"c_custkey", $"s_suppkey", a("grp").as("grp"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  /** q_union_distinct — set-semantics UNION (vs q_union's UNION ALL). */
+  private def qUnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    e.filter($"event_type".isin("signup", "purchase")).select($"user_id")
+      .union(e.filter($"value" > 15.0).select($"user_id"))
+      .distinct()
+      .orderBy($"user_id")
+  }
+
   private def qUnion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "events")
@@ -501,6 +525,8 @@ object Relational extends QueryModule {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_sort_limit" -> (qSortLimit _),
+    "q_join_nullsafe" -> (qJoinNullsafe _),
+    "q_union_distinct" -> (qUnionDistinct _),
     "q_union" -> (qUnion _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
@@ -662,6 +688,18 @@ object Relational extends QueryModule {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_join_nullsafe" ->
+      """SELECT c_custkey, s_suppkey, a.grp FROM
+           (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp FROM customer) a
+         JOIN
+           (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS grp FROM supplier) b
+           ON a.grp IS NOT DISTINCT FROM b.grp
+         ORDER BY c_custkey, s_suppkey""",
+    "q_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type IN ('signup', 'purchase')
+         UNION
+         SELECT user_id FROM events WHERE value > 15.0
+         ORDER BY user_id""",
     "q_union" ->
       """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
          UNION ALL

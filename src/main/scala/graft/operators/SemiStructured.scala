@@ -47,10 +47,26 @@ object SemiStructured extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** F5b q_map_funcs — MapType surface: JSON parsed to map<string,bigint>,
+    * then key lookup and cardinality (the map column itself stays
+    * Spark-internal; only engine-comparable scalars are emitted). */
+  private def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.load(s, dir, "events")
+      .withColumn("m", from_json($"props", MapType(StringType, LongType)))
+      .select(
+        $"event_id",
+        element_at($"m", "k").as("k_val"),
+        size(map_keys($"m")).cast("long").as("n_keys"),
+        array_contains(map_keys($"m"), "k").as("has_k"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_array_funcs" -> (qArrayFuncs _),
     "q_array_explode" -> (qArrayExplode _),
-    "q_json_funcs" -> (qJsonFuncs _))
+    "q_json_funcs" -> (qJsonFuncs _),
+    "q_map_funcs" -> (qMapFuncs _))
 
   val oracles: Map[String, String] = Map(
     "q_array_funcs" ->
@@ -70,5 +86,11 @@ object SemiStructured extends QueryModule {
       """SELECT event_id,
                 CAST(props->>'$.k' AS BIGINT) AS k,
                 CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+         FROM events ORDER BY event_id""",
+    "q_map_funcs" ->
+      """SELECT event_id,
+                CAST(props->>'$.k' AS BIGINT) AS k_val,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                list_contains(json_keys(props), 'k') AS has_k
          FROM events ORDER BY event_id""")
 }
