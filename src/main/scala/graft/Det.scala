@@ -31,4 +31,20 @@ object Det {
 
   /** DuckDB fragment equivalent to [[avgd]]. */
   def AVGD(e: String): String = s"(${SUMD(e)} / COUNT(*))"
+
+  /** Engine-agnostic 6-decimal rounding: floor(x·1e6 + 0.5)/1e6 is pure
+    * IEEE double arithmetic, so both engines see identical bits. Spark's
+    * `round()` instead rounds the double's SHORTEST DECIMAL REPR (HALF_UP)
+    * while DuckDB rounds the raw binary — any dyadic value (terminating
+    * binary fraction) whose decimal expansion ends exactly one digit past
+    * the rounding point is a tie that the two engines resolve in opposite
+    * directions (observed: a quality score of k/2^n at sf0.001). Use this
+    * for every RATIONAL similarity/score; engine `round` stays safe only
+    * for irrational-ish values (logs, square roots). */
+  def round6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** DuckDB fragment equivalent to [[round6]]. */
+  def ROUND6(e: String): String =
+    s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
 }

@@ -100,7 +100,7 @@ object Multimodal extends QueryModule {
       .join(docs.select($"doc_id", $"media_meta.origin".as("origin"),
         $"media_meta.content_length".as("content_length")), Seq("doc_id"))
       .select($"doc_id", $"origin", $"content_length", $"n_bytes",
-        $"width", $"height", $"n_frames", round($"mean_byte", 6).as("mean_byte"))
+        $"width", $"height", $"n_frames", graft.Det.round6($"mean_byte").as("mean_byte"))
       .orderBy($"doc_id")
   }
 
@@ -132,6 +132,6 @@ object Multimodal extends QueryModule {
                 16 + n % 640 AS width,
                 16 + (n * 7) % 480 AS height,
                 1 + n % 24 AS n_frames,
-                round(bytesum / n, 6) AS mean_byte
+                floor(bytesum / n * 1000000.0 + 0.5) / 1000000.0 AS mean_byte
          FROM b ORDER BY doc_id""")
 }

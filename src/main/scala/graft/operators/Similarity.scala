@@ -49,7 +49,7 @@ object Similarity extends QueryModule {
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val pairs = cand.join(broadcast(qs), $"cid" =!= $"qid")
       .withColumn("sim",
-        round(graft.functions.VectorFunctions.cosine($"qe", $"ce"), 6))
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -92,7 +92,7 @@ object Similarity extends QueryModule {
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket".as("qb"))
     val pairs = cand.join(qs, $"cb" === $"qb" && $"cid" =!= $"qid")
       .withColumn("sim",
-        round(graft.functions.VectorFunctions.cosine($"qe", $"ce"), 6))
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -112,7 +112,7 @@ object Similarity extends QueryModule {
       $"embedding".as("be"))
     a.join(b, Seq("label")).filter($"a" < $"b")
       .withColumn("sim",
-        round(graft.functions.VectorFunctions.cosine($"ae", $"be"), 6))
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"ae", $"be")))
       .filter($"sim" >= 0.4)
       .select($"a", $"b", $"label", $"sim")
       .orderBy($"a", $"b")
@@ -196,7 +196,7 @@ object Similarity extends QueryModule {
       .withColumn("i",
         graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
       .withColumn("jaccard",
-        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6))
+        graft.Det.round6($"i".cast("double") / ($"na" + $"nb" - $"i")))
       .filter($"jaccard" >= 0.6)
       .select($"a", $"b", $"source", $"jaccard")
       .orderBy($"a", $"b")
@@ -236,7 +236,7 @@ object Similarity extends QueryModule {
       .withColumn("i",
         graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
       .withColumn("jaccard",
-        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 6))
+        graft.Det.round6($"i".cast("double") / ($"na" + $"nb" - $"i")))
       .filter($"jaccard" >= 0.6)
       .select($"a", $"b", $"jaccard")
       .orderBy($"a", $"b")
@@ -267,7 +267,7 @@ object Similarity extends QueryModule {
       .select(
         $"doc_id", $"lang", $"source",
         size($"embedding").cast("long").as("dim"),
-        round($"nrm", 6).as("vec_norm"),
+        graft.Det.round6($"nrm").as("vec_norm"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
       .orderBy($"doc_id")
   }
@@ -299,7 +299,7 @@ object Similarity extends QueryModule {
          q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
          pairs AS (
            SELECT q.vec_id qid, c.vec_id cid,
-                  round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) sim
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
            FROM q JOIN n c ON c.vec_id <> q.vec_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
                FROM pairs)
@@ -327,7 +327,7 @@ object Similarity extends QueryModule {
          q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
          pairs AS (
            SELECT q.vec_id qid, q.bucket, c.vec_id cid,
-                  round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) sim
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
            FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
                FROM pairs)
@@ -339,9 +339,9 @@ object Similarity extends QueryModule {
                                         CAST(embedding AS DOUBLE[]))) nrm
            FROM embeddings)
          SELECT x.vec_id a, y.vec_id b, x.label,
-                round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) sim
+                floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
          FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
-         WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= 0.4
+         WHERE floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
          ORDER BY a, b""",
     "q_dedup_near" ->
       s"""WITH sh0 AS (SELECT doc_id, source,
@@ -353,8 +353,8 @@ object Similarity extends QueryModule {
            FROM sh x JOIN sh y
              ON x.source = y.source AND x.doc_id < y.doc_id
             AND least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 6)
-         SELECT a, b, source, round(CAST(i AS DOUBLE) / (nn - i), 6) jaccard
-         FROM p WHERE round(CAST(i AS DOUBLE) / (nn - i), 6) >= 0.6
+         SELECT a, b, source, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
+         FROM p WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
          ORDER BY a, b""",
     "q_dedup_minhash_lsh" ->
       s"""WITH sh0 AS (SELECT doc_id,
@@ -384,8 +384,8 @@ object Similarity extends QueryModule {
            FROM cand
            JOIN hs xa ON xa.doc_id = cand.a
            JOIN hs xb ON xb.doc_id = cand.b)
-         SELECT a, b, round(CAST(i AS DOUBLE) / (nn - i), 6) jaccard
-         FROM jj WHERE round(CAST(i AS DOUBLE) / (nn - i), 6) >= 0.6
+         SELECT a, b, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
+         FROM jj WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
          ORDER BY a, b""",
     "q_dedup_simhash" ->
       """WITH hh AS (
@@ -405,8 +405,9 @@ object Similarity extends QueryModule {
     "q_multimodal_struct" ->
       """SELECT doc_id, lang, source,
                 CAST(len(embedding) AS BIGINT) dim,
-                round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                            CAST(embedding AS DOUBLE[]))), 6) vec_norm,
+                floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) * 1000000.0 + 0.5)
+                  / 1000000.0 AS vec_norm,
                 CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
          FROM documents JOIN embeddings ON doc_id = vec_id
          WHERE lang = 'en'

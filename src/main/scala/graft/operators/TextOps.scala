@@ -80,10 +80,10 @@ object TextOps extends QueryModule {
           .as("avg_token_len"),
         expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)" +
           " / size(toks)").as("stopword_ratio"))
-      .withColumn("quality", expr(
-        """round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      .withColumn("quality", graft.Det.round6(expr(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
           | + 0.3 * (1.0 - stopword_ratio)
-          | + 0.3 * least(avg_token_len / 8.0, 1.0), 6)""".stripMargin))
+          | + 0.3 * least(avg_token_len / 8.0, 1.0)""".stripMargin)))
       .orderBy($"doc_id")
   }
 
@@ -167,9 +167,10 @@ object TextOps extends QueryModule {
                        AS DOUBLE) / len(toks) AS stopword_ratio
            FROM q)
          SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
-                round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-                      + 0.3 * (1.0 - stopword_ratio)
-                      + 0.3 * least(avg_token_len / 8.0, 1.0), 6) AS quality
+                floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                       + 0.3 * (1.0 - stopword_ratio)
+                       + 0.3 * least(avg_token_len / 8.0, 1.0))
+                      * 1000000.0 + 0.5) / 1000000.0 AS quality
          FROM m ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH q AS (
