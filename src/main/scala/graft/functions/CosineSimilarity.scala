@@ -96,6 +96,7 @@ object VectorFunctions {
   val MINHASH_SIG = "graft_minhash_sig"
   val SIMHASH = "graft_simhash"
   val INTERSECT_SIZE = "graft_intersect_size"
+  val KMV_DISTINCT = "graft_kmv_distinct"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -109,6 +110,8 @@ object VectorFunctions {
       SIMHASH, exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       INTERSECT_SIZE, exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      KMV_DISTINCT, exprs => KmvDistinct(exprs.head), "built-in")
   }
 
   /** Fused cosine similarity column (requires [[register]] on the session). */
@@ -126,4 +129,7 @@ object VectorFunctions {
   /** |A∩B| of two sorted ARRAY<BIGINT> columns (merge pass). */
   def intersectSize(a: Column, b: Column): Column =
     call_function(INTERSECT_SIZE, a, b)
+
+  /** KMV distinct-count sketch aggregate (k = 64, deterministic). */
+  def kmvDistinct(c: Column): Column = call_function(KMV_DISTINCT, c)
 }

@@ -275,6 +275,23 @@ object Relational extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** A10 q_agg_kmv — KMV distinct-count sketch per group: a mergeable
+    * O(k)-state alternative to exact COUNT(DISTINCT) whose every
+    * ingredient (md5-fold hashing, k-th order statistic, estimator
+    * arithmetic) is engine-replayable — an oracle-CHECKABLE sketch,
+    * unlike HLL (A4). Exact count included for calibration. */
+  private def qAggKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        graft.functions.VectorFunctions.kmvDistinct($"l_partkey")
+          .as("kmv_distinct"),
+        countDistinct($"l_partkey").as("exact_distinct"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A7 q_agg_collect — per-group array materialization
     * (`blocks = [block for block in conclusion.core.blocks]`,
     * `generate_conclusions_summaries.py:54`), `sort_array` for
@@ -519,6 +536,7 @@ object Relational extends QueryModule {
     "q_join_selectinload" -> (qJoinSelectinload _),
     "q_agg_hash" -> (qAggHash _),
     "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_kmv" -> (qAggKmv _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_collect" -> (qAggCollect _),
     "q_rollup" -> (qRollup _),
@@ -658,6 +676,35 @@ object Relational extends QueryModule {
                 count(DISTINCT l_suppkey) AS n_supps,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_kmv" ->
+      """WITH hh AS (
+           SELECT DISTINCT l_returnflag g,
+                  CAST(list_reduce(
+                    list_prepend('0',
+                      string_split(substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15), '')),
+                    (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+                      instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)
+                  % 1000000007 h
+           FROM lineitem),
+         r AS (
+           SELECT g, h,
+                  row_number() OVER (PARTITION BY g ORDER BY h) rn,
+                  count(*) OVER (PARTITION BY g) d
+           FROM hh),
+         e AS (
+           SELECT g,
+                  max(d) AS d,
+                  max(CASE WHEN rn = 64 THEN h END) AS h64
+           FROM r GROUP BY g)
+         SELECT e.g AS l_returnflag,
+                CASE WHEN e.d < 64 THEN CAST(e.d AS DOUBLE)
+                     ELSE 63.0 / (CAST(e.h64 AS DOUBLE) / 1000000007.0) END
+                  AS kmv_distinct,
+                x.exact_distinct
+         FROM e JOIN (
+           SELECT l_returnflag g, count(DISTINCT l_partkey) exact_distinct
+           FROM lineitem GROUP BY l_returnflag) x ON x.g = e.g
+         ORDER BY l_returnflag""",
     "q_agg_collect" ->
       """SELECT l_orderkey,
                 list(l_linenumber ORDER BY l_linenumber) AS lines,
