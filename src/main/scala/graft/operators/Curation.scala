@@ -75,7 +75,39 @@ object Curation extends QueryModule {
       .orderBy($"source", $"doc_id")
   }
 
+  /** q_chunk_docs — overlapping context windows: 32-token chunks at
+    * stride 24 (8-token overlap), the chunking step upstream of packing.
+    * Pure generator + slice: one output row per (doc, window), no shuffle
+    * until downstream. */
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("start",
+        explode(expr("sequence(1, greatest(size(toks), 1), 24)")))
+      .select(
+        $"doc_id",
+        $"start".cast("long").as("chunk_start"),
+        expr("array_join(slice(toks, start, 32), ' ')").as("chunk_text"),
+        expr("CAST(size(slice(toks, start, 32)) AS BIGINT)").as("chunk_len"))
+      .orderBy($"doc_id", $"chunk_start")
+  }
+
+  /** q_scrub_text — cleaning pass: digit runs collapsed to a placeholder
+    * (the shape of PII/number scrubbing), whitespace normalized. */
+  private def qScrubText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(
+        $"event_id",
+        regexp_replace($"props", "[0-9]+", "<num>").as("scrubbed"),
+        expr("CAST(regexp_count(props, '[0-9]+') AS BIGINT)").as("n_scrubbed"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_scrub_text" -> (qScrubText _),
     "q_sample_hash" -> (qSampleHash _),
     "q_split_assign" -> (qSplitAssign _),
     "q_mix_weighted" -> (qMixWeighted _),
@@ -89,6 +121,24 @@ object Curation extends QueryModule {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         st AS (
+           SELECT doc_id, toks,
+                  unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS s
+           FROM t)
+         SELECT doc_id,
+                CAST(s AS BIGINT) AS chunk_start,
+                array_to_string(toks[s:s+31], ' ') AS chunk_text,
+                CAST(len(toks[s:s+31]) AS BIGINT) AS chunk_len
+         FROM st ORDER BY doc_id, chunk_start""",
+    "q_scrub_text" ->
+      """SELECT event_id,
+                regexp_replace(props, '[0-9]+', '<num>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                  AS n_scrubbed
+         FROM events ORDER BY event_id""",
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, $BUCKET AS bucket
          FROM documents WHERE $BUCKET < 10 ORDER BY doc_id""",
