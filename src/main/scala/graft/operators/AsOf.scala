@@ -26,24 +26,38 @@ object AsOf extends QueryModule {
     * with right.ts <= left.ts for the same key, as a new column
     * `asofCol`. `keyCol`/`tsCol` must exist on both inputs; `valueCol` on
     * `right`. Single shuffle on the key; linear in |left| + |right|. */
+  /** `toleranceMicros`: when set, a right-side match older than the left
+    * timestamp by more than the tolerance is discarded (DuckDB
+    * `ASOF ... TOLERANCE` semantics) — the carried right-side event time
+    * rides along in `__vts` to evaluate the bound after the window. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, valueCol: String, asofCol: String): DataFrame = {
+               tsCol: String, valueCol: String, asofCol: String,
+               toleranceMicros: Option[Long] = None): DataFrame = {
     val valType = right.schema(valueCol).dataType
     val l = left.withColumn("__side", lit(1))
       .withColumn("__val", lit(null).cast(valType))
+      .withColumn("__vts", lit(null).cast("long"))
     val r = right.select(col(keyCol), col(tsCol), col(valueCol).as("__val"))
       .withColumn("__side", lit(0))
+      .withColumn("__vts", unix_micros(col(tsCol)))
     val extra = left.columns.filterNot(Set(keyCol, tsCol))
       .map(c => col(c)).toIndexedSeq
     val unioned = l.select(
-        (Seq(col(keyCol), col(tsCol), col("__side"), col("__val")) ++ extra): _*)
+        (Seq(col(keyCol), col(tsCol), col("__side"), col("__val"), col("__vts"))
+          ++ extra): _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val carried = unioned
       .withColumn(asofCol, last(col("__val"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts", last(col("__vts"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", "__val")
+    val bounded = toleranceMicros match {
+      case Some(tol) => carried.withColumn(asofCol,
+        when(unix_micros(col(tsCol)) - col("__asof_ts") <= tol, col(asofCol)))
+      case None => carried
+    }
+    bounded.drop("__side", "__val", "__vts", "__asof_ts")
   }
 
   /** J8 q_join_asof — for each purchase event, the user's most recent

@@ -34,6 +34,30 @@ class CurationSpec extends AnyFunSuite {
     assert(q("q_mix_weighted").count() == n + nEn)
   }
 
+  test("chunking covers every token with stride-24 starts and <=32-token chunks") {
+    import spark.implicits._
+    val chunks = q("q_chunk_docs")
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    val nToks = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", expr("size(split(text, ' '))").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 == 1)
+      assert(sorted.forall(_._4 <= 32))
+      sorted.sliding(2).foreach {
+        case Array(p, c) => assert(c._2 == p._2 + 24)
+        case _ =>
+      }
+      // the final chunk reaches the end of the document
+      val last = sorted.last
+      assert(last._2 + last._4 - 1 == nToks(docId))
+      // total distinct covered positions == document length
+      val covered = sorted.flatMap(c => c._2 until (c._2 + c._4)).distinct
+      assert(covered.length == nToks(docId).toInt)
+    }
+  }
+
   test("pack bins: cumulative sums are per-source monotone and bins ordered") {
     import spark.implicits._
     val rows = q("q_pack_bins")

@@ -100,5 +100,17 @@ class RelationalSpec extends AnyFunSuite {
       .collect().toMap
     // p1: right row at the SAME ts is visible (<=); p3: none at or before
     assert(got == Map("p1" -> Some(100.0), "p2" -> Some(200.0), "p3" -> None))
+    // tolerance: p2's match at t(20) is 10 min old — a 5-min tolerance
+    // discards it, a 15-min tolerance keeps it
+    val tight = graft.operators.AsOf
+      .asOfJoin(left, right, "user_id", "ts", "v", "asof_v",
+        toleranceMicros = Some(5L * 60 * 1000000))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    assert(tight == Map("p1" -> Some(100.0), "p2" -> None, "p3" -> None))
+    val loose = graft.operators.AsOf
+      .asOfJoin(left, right, "user_id", "ts", "v", "asof_v",
+        toleranceMicros = Some(15L * 60 * 1000000))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    assert(loose == got)
   }
 }
