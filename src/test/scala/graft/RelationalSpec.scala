@@ -23,6 +23,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  test("no query name collides across modules (Map concat would shadow)") {
+    val modules = Seq(
+      graft.operators.Relational, graft.operators.Assembly,
+      graft.operators.Windows, graft.operators.AsOf,
+      graft.operators.SemiStructured, graft.operators.TextOps,
+      graft.operators.Similarity, graft.operators.Llm,
+      graft.operators.Multimodal, graft.operators.Curation,
+      graft.streaming.StreamOps)
+    val perModule = modules.map(_.queries.size).sum
+    assert(SparkEntry.queries.size == perModule,
+      s"collision: ${perModule - SparkEntry.queries.size} shadowed keys")
+  }
+
   test("q_join_chain covers all regions with positive revenue") {
     import spark.implicits._
     val rows = q("q_join_chain").as[(String, Double, Long)].collect()
