@@ -83,14 +83,18 @@ object Llm extends QueryModule {
     * actions). The reference's callback-based cost tracking has the same
     * best-effort character; treat `cost` as an operational metric, not an
     * invoice. */
-  def summarize(docs: DataFrame, client: SummarizerClient, batchSize: Int,
-                cost: DoubleAccumulator,
+  def summarize(docs: DataFrame, clientFactory: () => SummarizerClient,
+                batchSize: Int, cost: DoubleAccumulator,
                 mkPrompt: (String, String) => String = prompt): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val raw = docs.select(col("id"), col("symbol"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
+        // ONE client per partition, constructed executor-side — the
+        // connection-pool shape a real HTTP client needs (never a
+        // driver-serialized instance shared across tasks)
+        val client = clientFactory()
         it.grouped(batchSize).flatMap { batch =>
           val prompts = batch.map { case (_, sym, txt) => mkPrompt(sym, txt) }
           val (responses, batchCost) = client.summarizeBatch(prompts)
@@ -111,7 +115,7 @@ object Llm extends QueryModule {
     val docs = Tables.load(s, dir, "documents")
       .select($"doc_id".as("id"),
         concat(lit("DOC/"), $"doc_id".cast("string")).as("symbol"), $"text")
-    summarize(docs, new StubClient, batchSize = 32, cost = acc)
+    summarize(docs, () => new StubClient, batchSize = 32, cost = acc)
       .orderBy($"id")
   }
 

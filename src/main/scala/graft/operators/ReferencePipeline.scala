@@ -56,7 +56,7 @@ object ReferencePipeline {
     val deduped = assembled.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id").as("id"), col("symbol"), col("doc_text").as("text"))
-    Llm.summarize(deduped, client, batchSize = 32, cost = cost,
+    Llm.summarize(deduped, () => client, batchSize = 32, cost = cost,
         mkPrompt = (sym, txt) => s"$sym: $txt") // `:110` prepends the symbol
       .select(col("symbol"), col("summary"))
       .orderBy(col("symbol"))
@@ -80,7 +80,7 @@ object ReferencePipeline {
     val deduped = assembled.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id").as("id"), col("symbol"), col("doc_text").as("text"))
-    Llm.summarize(deduped, client, batchSize = 32, cost = cost,
+    Llm.summarize(deduped, () => client, batchSize = 32, cost = cost,
         mkPrompt = (_, txt) => txt) // the reference sends ONLY the text
       .select(col("symbol"), col("summary"))
       .orderBy(col("symbol"))

@@ -95,7 +95,7 @@ class TextSimilaritySpec extends AnyFunSuite {
       (2L, "S/2", Array.fill(20)("tok").mkString(" ")))
       .toDF("id", "symbol", "text")
     val out = graft.operators.Llm
-      .summarize(docs, new graft.operators.Llm.StubClient, 1, acc)
+      .summarize(docs, () => new graft.operators.Llm.StubClient, 1, acc)
       .orderBy($"id").as[(Long, String, String)].collect()
     assert(out(0)._3 == "alpha beta gamma delta … (4 tokens)")
     assert(out(1)._3.endsWith("… (20 tokens)"))
