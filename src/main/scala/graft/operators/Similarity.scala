@@ -120,21 +120,6 @@ object Similarity extends QueryModule {
 
   // ----------------------------------------------------- text near-dup
 
-  /** 3-token shingles of the lowercased document (distinct set). */
-  private val shinglesExpr: Column = expr(
-    """array_distinct(CASE WHEN size(split(lower(text), ' ')) >= 3 THEN
-      |  transform(sequence(1, size(split(lower(text), ' ')) - 2), i ->
-      |    concat(element_at(split(lower(text), ' '), i), ' ',
-      |           element_at(split(lower(text), ' '), i + 1), ' ',
-      |           element_at(split(lower(text), ' '), i + 2)))
-      | ELSE array(lower(text)) END)""".stripMargin)
-
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", $"source", shinglesExpr.as("sh"))
-  }
-
   /** Shingle sets as distinct BIGINT hashes (fold of the leading 15 hex
     * digits of md5 mod 1e9+7): set ops on integers are several times
     * cheaper than on shingle strings, and both engines hash identically so
