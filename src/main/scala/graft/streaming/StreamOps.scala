@@ -88,6 +88,26 @@ object StreamOps extends QueryModule {
       }
   }
 
+  /** Stream-stream interval join (attribution): each purchase joins the
+    * same user's clicks from the preceding 30 minutes. Both sides carry
+    * watermarks so the join state is GC-able — the state bound every
+    * stream-stream join needs at 100 TB/day event volumes. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "40 minutes")
+    purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"p_id", $"c_id", $"p_user".as("user_id"), $"p_ts", $"c_ts")
+  }
+
   /** Production sink shape: per-micro-batch parquet append via
     * foreachBatch — the standard exactly-once-per-batch landing pattern
     * (each batch is an atomic parquet commit keyed by batchId). */

@@ -73,6 +73,19 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:50:00.0", "2024-01-01 11:20:00.0", 1L)))
   }
 
+  test("stream-stream interval join attributes clicks within 30 minutes") {
+    val out = runStream("ssj", StreamOps.purchaseAttribution, OutputMode.Append())(Seq(
+      Seq(
+        Ev(1, t("10:00"), 7, "click", 1.0),    // within window of p@10:20
+        Ev(2, t("09:45"), 7, "click", 1.0),    // 35 min before -> outside
+        Ev(3, t("10:10"), 8, "click", 1.0),    // other user
+        Ev(4, t("10:20"), 7, "purchase", 9.0)),
+      Seq(Ev(5, t("14:00"), 7, "click", 1.0)))) // flusher, advances watermark
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((4L, 1L)),
+      s"expected purchase 4 attributed only to click 1, got ${pairs.toSeq}")
+  }
+
   test("foreachBatch parquet sink lands every micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
