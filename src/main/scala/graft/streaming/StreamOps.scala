@@ -159,12 +159,39 @@ object StreamOps extends QueryModule {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** q_stream_join — batch equivalent of [[purchaseAttribution]]: the
+    * interval join semantics, oracle-checked (the streaming form adds
+    * only the watermark state bound). */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"ts".as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .filter($"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"p_id", $"c_id", $"user_id", $"p_ts", $"c_ts")
+      .orderBy($"p_id", $"c_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_join" -> (qStreamJoin _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+                p.ts AS p_ts, c.ts AS c_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         ORDER BY p_id, c_id""",
     "q_stream_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                 event_type, count(*) AS n, ${Det.SUMD("value")} AS value_sum

@@ -68,6 +68,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_similarity_topk" -> 25L,
     "q_sort_limit" -> 10L,
     "q_split_assign" -> 500L,
+    "q_stream_join" -> 2L,
     "q_stream_session" -> 946L,
     "q_stream_sliding" -> 3457L,
     "q_stream_tumbling" -> 868L,
