@@ -169,15 +169,20 @@ object Similarity extends QueryModule {
     val sh = shingleHashed(s, dir)
     val prefixed = sh.withColumn("pe",
       explode(slice($"hs", lit(1), (floor($"n" * 0.4) + 1).cast("int"))))
-    val cand = prefixed.select($"doc_id".as("a"), $"source", $"pe")
-      .join(prefixed.select($"doc_id".as("b"), $"source", $"pe"),
+      .select($"doc_id", $"source", $"pe", $"n")
+    // size-ratio bound applied AT candidate generation: pairs that can't
+    // reach J >= 0.6 never survive to the distinct, which is what blows
+    // up first when single shingles are shared promiscuously (PLANS.md
+    // k=32 crossover)
+    val cand = prefixed.select($"doc_id".as("a"), $"source", $"pe", $"n".as("na"))
+      .join(prefixed.select($"doc_id".as("b"), $"source", $"pe", $"n".as("nb")),
         Seq("source", "pe"))
-      .filter($"a" < $"b")
+      .filter($"a" < $"b" &&
+        least($"na", $"nb") * 10 >= greatest($"na", $"nb") * 6)
       .select($"source", $"a", $"b").distinct()
     cand
       .join(sh.select($"doc_id".as("a"), $"hs".as("sha"), $"n".as("na")), Seq("a"))
       .join(sh.select($"doc_id".as("b"), $"hs".as("shb"), $"n".as("nb")), Seq("b"))
-      .filter(least($"na", $"nb") * 10 >= greatest($"na", $"nb") * 6)
       .withColumn("i",
         graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
       .withColumn("jaccard",
