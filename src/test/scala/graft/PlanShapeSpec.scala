@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards (SURVEY.md §4 / PLANS.md): a future edit
+  * that silently loses pushdown, broadcast, or partial aggregation fails
+  * here rather than surfacing as a 10× regression at the bench gate. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val dir = TestSession.sfDir
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q_filter_pred pushes every predicate into the parquet scan") {
+    val pushed = SparkEntry.queries("q_filter_pred")(spark, dir)
+      .queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString(";")
+    Seq("GreaterThanOrEqual(l_quantity,10.0)", "In(l_returnflag",
+      "StringStartsWith(l_linestatus,F)").foreach(f =>
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed"))
+  }
+
+  test("q_agg_hash aggregates partially before the exchange") {
+    val p = plan("q_agg_hash")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    assert(p.contains("decimal(18,4)"), "exact decimal sum path lost")
+  }
+
+  test("q_join_chain broadcasts every dimension") {
+    val p = plan("q_join_chain")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      "expected >=3 broadcast joins for customer/nation/region")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_similarity_topk broadcasts the query set, never the corpus side") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(400))
+  }
+
+  test("q_topk_per_group rank-limits before the shuffle (WindowGroupLimit)") {
+    assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("q_sort_limit plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("no declared query plans a CartesianProduct except the declared cross join") {
+    SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans an unbounded cartesian product")
+    }
+  }
+}
