@@ -12,15 +12,12 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
 
   test("q_filter_pred pushes every predicate into the parquet scan") {
-    val pushed = SparkEntry.queries("q_filter_pred")(spark, dir)
-      .queryExecution.executedPlan.collectLeaves()
-      .collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metadata.getOrElse("PushedFilters", "")
-      }.mkString(";")
+    val formatted = SparkEntry.queries("q_filter_pred")(spark, dir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
     Seq("GreaterThanOrEqual(l_quantity,10.0)", "In(l_returnflag",
       "StringStartsWith(l_linestatus,F)").foreach(f =>
-      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed"))
+      assert(formatted.contains(f), s"missing pushed filter $f"))
   }
 
   test("q_agg_hash aggregates partially before the exchange") {
