@@ -219,14 +219,17 @@ object Relational extends QueryModule {
   /** J9 q_join_selectinload — the ORM's eager-load decomposition
     * (`selectinload`, `generate_conclusions_summaries.py:40-43`): children
     * delivered per-parent WITHOUT duplicating parent rows. Spark-idiomatic
-    * equivalent: join + `collect_list` of child structs → one row per
-    * parent with an ordered array column. */
+    * equivalent: join + `collect_list` → one row per parent with an
+    * ordered child array (serialized to a comma-joined string so the
+    * cross-engine comparator sees only scalar columns). */
   private def qJoinSelectinload(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey")
-      .agg(sort_array(collect_list($"l_linenumber")).as("line_numbers"),
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(l_linenumber))," +
+          " x -> cast(x AS string)), ',')").as("line_numbers"),
         count(lit(1)).as("n_lines"))
       .orderBy($"o_orderkey")
   }
@@ -295,15 +298,17 @@ object Relational extends QueryModule {
   /** A7 q_agg_collect — per-group array materialization
     * (`blocks = [block for block in conclusion.core.blocks]`,
     * `generate_conclusions_summaries.py:54`), `sort_array` for
-    * determinism. Array size is bounded by lines-per-order (≤7), the same
+    * determinism, comma-joined so only scalar columns leave the query.
+    * Array size is bounded by lines-per-order (≤7), the same
     * per-document boundedness the reference assumes. */
   private def qAggCollect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(
-        sort_array(collect_list($"l_linenumber")).as("lines"),
-        sort_array(collect_set($"l_returnflag")).as("flags"))
+        expr("array_join(transform(sort_array(collect_list(l_linenumber))," +
+          " x -> cast(x AS string)), ',')").as("lines"),
+        array_join(sort_array(collect_set($"l_returnflag")), ",").as("flags"))
       .orderBy($"l_orderkey")
   }
 
@@ -487,8 +492,8 @@ object Relational extends QueryModule {
       .orderBy($"p_partkey")
   }
 
-  /** A8 q_percentile — exact interpolated percentiles (median / p90) per
-    * group. Both engines use the classic (n−1)·p rank interpolation; the
+  /** A8 q_percentile — exact interpolated percentiles (p25/median/p75/p90)
+    * per group. Both engines use the classic (n−1)·p rank interpolation; the
     * quantity domain is integral doubles so the interpolation arithmetic
     * is identical. */
   private def qPercentile(s: SparkSession, dir: String): DataFrame = {
@@ -498,7 +503,8 @@ object Relational extends QueryModule {
       .agg(
         expr("percentile(l_quantity, 0.5)").as("median_qty"),
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr_qty"))
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -559,7 +565,8 @@ object Relational extends QueryModule {
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS median_qty,
                 quantile_cont(l_quantity, 0.9) AS p90_qty,
-                quantile_cont(l_quantity, [0.25, 0.75]) AS iqr_qty
+                quantile_cont(l_quantity, 0.25) AS p25_qty,
+                quantile_cont(l_quantity, 0.75) AS p75_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pivot" ->
       s"""SELECT o_orderpriority,
@@ -655,7 +662,9 @@ object Relational extends QueryModule {
          FROM region CROSS JOIN supplier
          ORDER BY r_regionkey, s_suppkey""",
     "q_join_selectinload" ->
-      """SELECT o_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+      """SELECT o_orderkey,
+                string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+                  AS line_numbers,
                 count(*) AS n_lines
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderkey ORDER BY o_orderkey""",
@@ -707,8 +716,9 @@ object Relational extends QueryModule {
          ORDER BY l_returnflag""",
     "q_agg_collect" ->
       """SELECT l_orderkey,
-                list(l_linenumber ORDER BY l_linenumber) AS lines,
-                list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+                string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+                  AS lines,
+                string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_rollup" ->
       s"""SELECT coalesce(r_name, 'ALL') AS region_name,

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   */
 object SemiStructured extends QueryModule {
 
-  /** F4 q_array_funcs — size/element_at/slice over the embedding column. */
+  /** F4 q_array_funcs — size/element_at/slice over the embedding column.
+    * The slice result is re-projected to scalar floats (h2/h3) so the
+    * declared output carries no array columns (cross-engine comparator
+    * hashes scalars only). */
   private def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.sources.Tables.load(s, dir, "embeddings")
@@ -21,7 +24,8 @@ object SemiStructured extends QueryModule {
         size($"embedding").cast("long").as("dim"),
         element_at($"embedding", 1).as("e1"),
         element_at($"embedding", -1).as("e_last"),
-        slice($"embedding", 1, 3).as("head3"))
+        element_at(slice($"embedding", 1, 3), 2).as("h2"),
+        element_at(slice($"embedding", 1, 3), 3).as("h3"))
       .orderBy($"vec_id")
   }
 
@@ -74,7 +78,8 @@ object SemiStructured extends QueryModule {
                 CAST(len(embedding) AS BIGINT) AS dim,
                 embedding[1] AS e1,
                 embedding[-1] AS e_last,
-                embedding[1:3] AS head3
+                embedding[1:3][2] AS h2,
+                embedding[1:3][3] AS h3
          FROM embeddings ORDER BY vec_id""",
     "q_array_explode" ->
       """SELECT vec_id,

@@ -11,13 +11,19 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+class ComplexValue(Exception):
+    pass
+
 def norm(v):
     if isinstance(v, decimal.Decimal):
         return float(v)
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        # The driver's pandas-based comparator cannot hash array cells
+        # (round-1 'unhashable type: numpy.ndarray') — mirror that here so
+        # a list-valued output fails locally before it reaches the driver.
+        raise ComplexValue("array-valued cell (driver comparator rejects)")
     return v
 
 def main():
@@ -49,8 +55,13 @@ def main():
             continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = [tuple(norm(r[i]) for i in gi) for r in got]
-        e = [tuple(norm(r[i]) for i in ei) for r in exp]
+        try:
+            g = [tuple(norm(r[i]) for i in gi) for r in got]
+            e = [tuple(norm(r[i]) for i in ei) for r in exp]
+        except ComplexValue as cv:
+            print(f"FAIL {name}: {cv}")
+            n_bad += 1
+            continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
             n_bad += 1
