@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
+import graft.functions.{CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
 
 /** SparkSessionExtensions hook: makes the engine's native functions
   * available SQL-wide via `spark.sql.extensions=graft.GraftExtensions`
@@ -30,5 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash16].getName,
         VectorFunctions.SIMHASH),
       (exprs: Seq[Expression]) => SimHash16(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.INTERSECT_SIZE),
+      new ExpressionInfo(classOf[IntersectSize].getName,
+        VectorFunctions.INTERSECT_SIZE),
+      (exprs: Seq[Expression]) => IntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.KMV_DISTINCT),
+      new ExpressionInfo(classOf[KmvDistinct].getName,
+        VectorFunctions.KMV_DISTINCT),
+      (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
   }
 }

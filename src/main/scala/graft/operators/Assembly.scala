@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *   paragraph block: `numbering? "\t"` + `para_text` + `"\n"`
   *   table block:     `caption? "\n"` + `cells_text` + `"\n"`
   *   neither:         contributes nothing
-  * Pieces are trimmed per the reference's `.strip()` calls before the
-  * separators are appended.
+  * Numbering, paragraph text and caption are trimmed per the reference's
+  * `.strip()` calls before the separators are appended; `cells_text` is
+  * NOT — the reference appends it raw
+  * (`generate_conclusions_summaries.py:64`), so neither do we.
   *
   * Spark design: the reference's `selectinload` fan-out + driver-side loop
   * collapses into one distributed plan — derive block rows, compute each
@@ -41,7 +43,7 @@ object Assembly extends QueryModule {
     .when(tableCells.isNotNull,
       concat(
         coalesce(concat(trim(tableCaption), lit("\n")), lit("")),
-        trim(tableCells), lit("\n")))
+        tableCells, lit("\n")))
     .otherwise(lit(""))
 
   /** Assemble one text per document from (doc_id, ord, piece) rows. */
@@ -143,7 +145,7 @@ object Assembly extends QueryModule {
                             || trim(para_text) || chr(10)
                        WHEN table_cells IS NOT NULL
                        THEN coalesce(trim(table_caption) || chr(10), '')
-                            || trim(table_cells) || chr(10)
+                            || table_cells || chr(10)
                        ELSE '' END AS piece
            FROM b)
          SELECT doc_id, string_agg(piece, '' ORDER BY ord, piece) AS doc_text

@@ -34,14 +34,19 @@ object Llm extends QueryModule {
   val responseSchema: StructType =
     StructType(Seq(StructField("summary", StringType)))
 
-  /** Batch inference boundary — one instance per partition. */
+  /** Batch inference boundary — one instance per partition. `docs` carries
+    * the raw document text out-of-band (parallel to `prompts`): a real
+    * HTTP client reads only `prompts`; deterministic offline clients read
+    * `docs` directly instead of re-parsing it out of an arbitrary prompt
+    * template (doc text may itself contain any separator). */
   trait SummarizerClient extends Serializable {
     /** Raw JSON response per prompt, plus the batch's dollar cost. */
-    def summarizeBatch(prompts: Seq[String]): (Seq[String], Double)
+    def summarizeBatch(prompts: Seq[String], docs: Seq[String]): (Seq[String], Double)
   }
 
-  /** Deterministic offline summarizer: first 8 whitespace tokens + count;
-    * cost = $1e-6 per prompt character (mirrors per-token pricing). */
+  /** Deterministic offline summarizer: first 8 whitespace tokens of the
+    * out-of-band doc text + count; cost = $1e-6 per prompt character
+    * (mirrors per-token pricing). */
   final class StubClient extends SummarizerClient {
     private def jsonEscape(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -52,13 +57,8 @@ object Llm extends QueryModule {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    def summarizeBatch(prompts: Seq[String]): (Seq[String], Double) = {
-      val out = prompts.map { p =>
-        // The prompt embeds the document after the first ": " (template
-        // below); a prompt without one (the reference's decisions variant
-        // sends the bare text, SURVEY.md §2.13.3) is the document itself.
-        val idx = p.indexOf(": ")
-        val doc = if (idx >= 0) p.substring(idx + 2) else p
+    def summarizeBatch(prompts: Seq[String], docs: Seq[String]): (Seq[String], Double) = {
+      val out = docs.map { doc =>
         val toks = doc.split(" ")
         val head = toks.take(8).mkString(" ")
         val summary = s"$head … (${toks.length} tokens)"
@@ -97,7 +97,8 @@ object Llm extends QueryModule {
         val client = clientFactory()
         it.grouped(batchSize).flatMap { batch =>
           val prompts = batch.map { case (_, sym, txt) => mkPrompt(sym, txt) }
-          val (responses, batchCost) = client.summarizeBatch(prompts)
+          val docTexts = batch.map { case (_, _, txt) => txt }
+          val (responses, batchCost) = client.summarizeBatch(prompts, docTexts)
           cost.add(batchCost)
           batch.zip(responses).map { case ((id, sym, _), r) => (id, sym, r) }
         }

@@ -57,7 +57,10 @@ object ReferencePipeline {
       .filter(col("rn") === 1)
       .select(col("doc_id").as("id"), col("symbol"), col("doc_text").as("text"))
     Llm.summarize(deduped, () => client, batchSize = 32, cost = cost,
-        mkPrompt = (sym, txt) => s"$sym: $txt") // `:110` prepends the symbol
+        // `:110` prepends the symbol with a newline separator
+        // (f"{symbol}\n{text}") — replicated byte-for-byte; the stub gets
+        // the doc text out-of-band so no prompt re-parsing is needed.
+        mkPrompt = (sym, txt) => s"$sym\n$txt")
       .select(col("symbol"), col("summary"))
       .orderBy(col("symbol"))
   }

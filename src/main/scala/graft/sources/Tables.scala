@@ -119,6 +119,18 @@ object Tables {
       spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     }
 
+  /** Raw physical read — `events.ts` stays the parquet file's INT64 nanos
+    * (no micros normalization). For tooling that WRITES table copies
+    * (ScaleProbe k-replication): a copy written from [[load]]'s output
+    * would carry micros timestamps that [[load]] would then re-divide by
+    * 1000 on the next read; a copy written from this reader stays
+    * loader-compatible. */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
+    } else load(spark, dir, name)
+
   /** Catalog surface (SURVEY.md §2.1 S2, mirrors
     * `/root/reference/probe.py:6-7` `inspector.get_table_names()`):
     * register every testdata table as a temp view and list them. */

@@ -205,18 +205,21 @@ object StreamOps extends QueryModule {
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_stream_session" ->
       """WITH x AS (
-           SELECT user_id, ts, epoch_us(ts) us,
+           SELECT user_id, ts, event_id, epoch_us(ts) us,
                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) prev
            FROM events),
          y AS (
-           SELECT user_id, ts, us,
+           SELECT user_id, ts, event_id, us,
                   CASE WHEN prev IS NULL OR us - prev >= 1800000000
                        THEN 1 ELSE 0 END brk
            FROM x),
          z AS (
+           -- cumsum must use the SAME (ts, event_id) tie-break as the lag
+           -- window: ordering by (ts, us) leaves same-timestamp rows at a
+           -- session boundary in ambiguous order relative to the brk row
            SELECT user_id, ts,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     sess
            FROM y)

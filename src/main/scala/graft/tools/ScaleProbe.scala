@@ -34,7 +34,9 @@ object ScaleProbe {
     ks.foreach { k =>
       val dir = s"/tmp/graft_scale_$k"
       def replicate(table: String, idCols: Seq[String]): Unit = {
-        val src = graft.sources.Tables.load(spark, base, table)
+        // loadRaw keeps events.ts as raw INT64 nanos so the written
+        // replica round-trips through Tables.load unchanged (ADVICE r1).
+        val src = graft.sources.Tables.loadRaw(spark, base, table)
         val copies = (0 until k).map { i =>
           idCols.foldLeft(src) { (df, c) =>
             df.withColumn(c, col(c) + lit(i.toLong * 100000000L))

@@ -12,13 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class AssemblySpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
-  /** Scala replica of the §2.13.4 grammar. */
+  /** Scala replica of the §2.13.4 grammar. `cells` is NOT stripped — the
+    * reference appends cells_text raw (only numbering/caption/paragraph
+    * get `.strip()`, generate_conclusions_summaries.py:64). */
   private def expected(num: Option[String], para: Option[String],
                        cap: Option[String], cells: Option[String]): String =
     para match {
       case Some(p) => num.map(n => n.trim + "\t").getOrElse("") + p.trim + "\n"
       case None => cells match {
-        case Some(c) => cap.map(x => x.trim + "\n").getOrElse("") + c.trim + "\n"
+        case Some(c) => cap.map(x => x.trim + "\n").getOrElse("") + c + "\n"
         case None => ""
       }
     }
