@@ -101,6 +101,52 @@ object Similarity extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
+  /** T3-scale q_ann_ivf — IVF (inverted-file) ANN, the other classic scale
+    * path next to LSH ([[qAnnLsh]]): vectors are assigned to the nearest
+    * of C coarse centroids (the "inverted lists"); a query probes only its
+    * nprobe=2 nearest cells and brute-forces inside them, cutting per-query
+    * work from |C_all| to ~nprobe·N/C. Centroids here are the C=8 smallest
+    * vec_ids — a deterministic stand-in for an offline k-means codebook
+    * (training is out of scope for an oracle-checkable query; the
+    * partition/probe/search plumbing is the operator).
+    *
+    * Scale shape: centroids BROADCAST (a codebook is KBs even at 100 TB);
+    * assignment is a map-side crossJoin + argmax whose exchange carries
+    * only (vec_id, cell, sim) — the vector payload is projected OUT before
+    * the window shuffle and re-joined by id afterwards, so the embedding
+    * column never crosses the wire C times. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val v = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val cent = v.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    // (vec_id, cid, csim): N×C narrow rows; embedding pruned pre-shuffle
+    val asg = v.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"embedding", $"ce")))
+      .select($"vec_id", $"cid", $"csim")
+    val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val ranked = asg.withColumn("arn", row_number().over(wAsg))
+    val cells = ranked.filter($"arn" === 1)
+      .select($"vec_id".as("cand_id"), $"cid".as("cell"))
+    val probes = ranked.filter($"arn" <= 2 && $"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"cid".as("cell"))
+    val pairs = cells.join(broadcast(probes), Seq("cell"))
+      .filter($"cand_id" =!= $"qid")
+      .join(v.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
+      .join(v.select($"vec_id".as("cand_id"), $"embedding".as("ce")), Seq("cand_id"))
+      .withColumn("sim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cand_id")
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"qid", $"rn", $"cand_id".as("cid"), $"cell", $"sim")
+      .orderBy($"qid", $"rn")
+  }
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
     * block (a < b, cosine ≥ 0.4). Blocking key = label. */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -265,6 +311,7 @@ object Similarity extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> (qSimilarityTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -322,6 +369,39 @@ object Similarity extends QueryModule {
          r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
                FROM pairs)
          SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_ann_ivf" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         cent AS (SELECT vec_id cid, e ce, nrm cnrm FROM n WHERE vec_id < 8),
+         asg AS (
+           SELECT n.vec_id, c.cid,
+                  floor(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm)
+                        * 1000000.0 + 0.5) / 1000000.0 csim
+           FROM n, cent c),
+         ranked AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cid) arn
+           FROM asg),
+         cells AS (SELECT vec_id cand_id, cid cell FROM ranked WHERE arn = 1),
+         probes AS (SELECT vec_id qid, cid cell FROM ranked
+                    WHERE arn <= 2 AND vec_id % 100 = 0),
+         pairs AS (
+           SELECT p.qid, a.cand_id cid, p.cell,
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                        * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM probes p
+           JOIN cells a ON a.cell = p.cell AND a.cand_id <> p.qid
+           JOIN n q ON q.vec_id = p.qid
+           JOIN n c ON c.vec_id = a.cand_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, cid) rn
+               FROM pairs)
+         SELECT qid, rn, cid, cell, sim FROM r WHERE rn <= 5
+         ORDER BY qid, rn""",
     "q_dedup_embedding" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,

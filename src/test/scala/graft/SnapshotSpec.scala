@@ -16,6 +16,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_agg_distinct" -> 3L,
     "q_agg_hash" -> 6L,
     "q_agg_kmv" -> 3L,
+    "q_ann_ivf" -> 25L,
     "q_ann_lsh" -> 6L,
     "q_array_explode" -> 640L,
     "q_array_funcs" -> 500L,
