@@ -88,6 +88,42 @@ object StreamOps extends QueryModule {
       }
   }
 
+  /** Spark-4-native rewrite of [[runningUserStats]] on the
+    * `transformWithState` API (the arbitrary-state successor to
+    * `flatMapGroupsWithState`): explicit named `ValueState` handles with
+    * per-state TTL, timers, and schema evolution — the operator shape new
+    * stateful pipelines should target. Semantics are identical to
+    * [[runningUserStats]] (the spec asserts both APIs emit the same rows);
+    * state remains one small struct per active user. Requires the RocksDB
+    * state store provider. */
+  class RunningUserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var stat: ValueState[UserStat] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stat = getHandle.getValueState[UserStat]("userStat",
+        org.apache.spark.sql.Encoders.product[UserStat], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[UserUpdate] = {
+      val prev = if (stat.exists()) stat.get() else UserStat(0L, 0.0)
+      val batch = rows.toSeq
+      val next = UserStat(prev.n + batch.size, prev.sum + batch.map(_._2).sum)
+      stat.update(next)
+      Iterator.single(UserUpdate(user, next.n, next.sum))
+    }
+  }
+
+  def runningUserStatsTws(events: org.apache.spark.sql.Dataset[
+      (Long, Double)]): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningUserStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-stream interval join (attribution): each purchase joins the
     * same user's clicks from the preceding 30 minutes. Both sides carry
     * watermarks so the join state is GC-able — the state bound every

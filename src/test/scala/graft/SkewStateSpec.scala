@@ -43,4 +43,35 @@ class SkewStateSpec extends AnyFunSuite {
       assert(rows.toSet == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (1L, 3L, 7.0)))
     } finally q.stop()
   }
+
+  test("transformWithState emits the same rows as flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to this query and restore the default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.runningUserStatsTws(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stats_tws").start()
+    try {
+      mem.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 4.0)))
+      q.processAllAvailable()
+      val rows = spark.table("stats_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // identical emission contract to the flatMapGroupsWithState form
+      assert(rows.toSet == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (1L, 3L, 7.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
