@@ -492,6 +492,31 @@ object Relational extends QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** F7 q_cond_funcs — conditional & bitwise scalar surface: multi-branch
+    * CASE, nullif/coalesce null-plumbing, least/greatest, sign, and the
+    * bitwise and/or/xor/shift family over integer keys. All codegen'd
+    * built-ins evaluated inline in the scan projection — zero shuffles. */
+  private def qCondFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        when($"o_orderstatus" === "F", lit("done"))
+          .when($"o_orderstatus" === "O", lit("open"))
+          .otherwise(lit("partial")).as("status_word"),
+        coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), lit("DEFAULT"))
+          .as("prio_or_default"),
+        least($"o_totalprice", lit(50000.0)).as("price_capped"),
+        greatest($"o_totalprice" - lit(100000.0), lit(0.0)).as("price_excess"),
+        signum($"o_totalprice" - lit(150000.0)).as("price_sign"),
+        ($"o_orderkey".bitwiseAND(lit(255L))).as("key_and"),
+        ($"o_orderkey".bitwiseOR(lit(4096L))).as("key_or"),
+        ($"o_orderkey".bitwiseXOR($"o_custkey")).as("key_xor"),
+        shiftleft($"o_orderkey", 2).as("key_shl"),
+        shiftright($"o_orderkey", 3).as("key_shr"))
+      .orderBy($"o_orderkey")
+  }
+
   /** A8 q_percentile — exact interpolated percentiles (p25/median/p75/p90)
     * per group. Both engines use the classic (n−1)·p rank interpolation; the
     * quantity domain is integral doubles so the interpolation arithmetic
@@ -523,6 +548,7 @@ object Relational extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_cond_funcs" -> (qCondFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_pivot" -> (qPivot _),
     "q_regex_funcs" -> (qRegexFuncs _),
@@ -561,6 +587,22 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'F' THEN 'done'
+                     WHEN o_orderstatus = 'O' THEN 'open'
+                     ELSE 'partial' END AS status_word,
+                coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'DEFAULT')
+                  AS prio_or_default,
+                least(o_totalprice, 50000.0) AS price_capped,
+                greatest(o_totalprice - 100000.0, 0.0) AS price_excess,
+                CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS price_sign,
+                o_orderkey & 255 AS key_and,
+                o_orderkey | 4096 AS key_or,
+                xor(o_orderkey, o_custkey) AS key_xor,
+                o_orderkey << 2 AS key_shl,
+                o_orderkey >> 3 AS key_shr
+         FROM orders ORDER BY o_orderkey""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -49,6 +49,34 @@ object TextOps extends QueryModule {
       .orderBy($"token")
   }
 
+  /** T2b q_tfidf — corpus-weighted term relevance: tf(doc,term) ×
+    * ln(N/df(term)), top-3 terms per document. The canonical "which tokens
+    * characterize this document" op a training-data pipeline runs after
+    * raw TF. Plan: one explode → (doc,term) partial-agg'd tf; df is a
+    * second aggregation OVER tf (one row per term, never re-touching the
+    * corpus); N arrives as a broadcast 1-row aggregate. All shuffles carry
+    * (doc,term) or (term) rows — nothing is quadratic, and at 100 TB df/N
+    * behave like any map-side-combined count. Scores are rounded
+    * (Det.round6) BEFORE ranking so an engine ulp on `ln` can't flip the
+    * top-3 cut (same discipline as the Similarity module). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("tfidf", graft.Det.round6(
+        $"tf" * log($"n_docs".cast("double") / $"df")))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"token", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rn")
+  }
+
   /** q_token_count — whitespace tokens, distinct tokens, and a BPE-ish
     * regex chunk count (letter runs / digit runs / other, the classic
     * pre-tokenizer shape). */
@@ -130,6 +158,7 @@ object TextOps extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
+    "q_tfidf" -> (qTfidf _),
     "q_token_count" -> (qTokenCount _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
@@ -144,6 +173,24 @@ object TextOps extends QueryModule {
       """SELECT t AS token, count(*) AS tf
          FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
          GROUP BY t ORDER BY t""",
+    "q_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS token, count(*) tf
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents)
+           GROUP BY doc_id, t),
+         df AS (SELECT token, count(*) df FROM tf GROUP BY token),
+         n AS (SELECT count(*) n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                  floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                        * 1000000.0 + 0.5) / 1000000.0 tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, token) rn
+               FROM scored)
+         SELECT doc_id, rn, token, tf, df, tfidf FROM r WHERE rn <= 3
+         ORDER BY doc_id, rn""",
     "q_token_count" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

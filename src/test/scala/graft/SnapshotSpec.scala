@@ -21,6 +21,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_array_explode" -> 640L,
     "q_array_funcs" -> 500L,
     "q_chunk_docs" -> 1388L,
+    "q_cond_funcs" -> 1500L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_dedup_embedding" -> 5L,
@@ -75,6 +76,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_stream_tumbling" -> 868L,
     "q_string_funcs" -> 200L,
     "q_text_tokenize_tf" -> 31L,
+    "q_tfidf" -> 1500L,
     "q_token_count" -> 500L,
     "q_topk_per_group" -> 75L,
     "q_union" -> 401L,
