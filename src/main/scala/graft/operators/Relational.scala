@@ -492,6 +492,71 @@ object Relational extends QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** J12 q_join_full — full outer join with unmatched rows on BOTH sides
+    * (machinery customers vs high-value orders). Nullable keys are
+    * coalesced to -1 sentinels so both engines sort identically (Spark
+    * defaults NULLS FIRST, DuckDB NULLS LAST — sentinels sidestep it). */
+  private def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").filter($"c_mktsegment" === "MACHINERY")
+      .select($"c_custkey", $"c_name")
+    val o = t(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", lit(-1L)).as("cust_key"),
+        coalesce($"o_orderkey", lit(-1L)).as("order_key"),
+        coalesce($"c_name", lit("NO_CUSTOMER")).as("cust_name"),
+        coalesce($"o_totalprice", lit(0.0)).as("total_price"))
+      .orderBy($"cust_key", $"order_key")
+  }
+
+  /** A11 q_agg_stats — dispersion aggregates (variance/stddev) computed
+    * from EXACT integer power sums instead of the engines' streaming
+    * moment kernels: l_quantity is integral, so Σx and Σx² are exact
+    * BIGINTs (well under 2^53 ⇒ exact as doubles too), and
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)) is one double division — bit-
+    * identical in any engine and any aggregation order, unlike native
+    * var_samp whose partial-merge order changes the last ulp. The same
+    * map-side-combinable shape native partial aggregation uses. */
+  private def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = $"l_quantity".cast("long")
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"),
+        sum(q * q).as("sx2"))
+      .select(
+        $"l_returnflag", $"n",
+        ($"sx".cast("double") / $"n").as("mean_qty"),
+        (($"n" * $"sx2" - $"sx" * $"sx").cast("double") /
+          ($"n" * ($"n" - 1)).cast("double")).as("var_qty"),
+        sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double") /
+          ($"n" * ($"n" - 1)).cast("double")).as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Q1 q_subquery — correlated-subquery surface through the SQL entry
+    * point (`spark.sql` over registered views): a correlated scalar
+    * subquery in the SELECT list (de-correlated by Catalyst into a left
+    * outer aggregate join) and a correlated EXISTS in WHERE (a left semi
+    * join) — the ORM's `query.filter(rel.any())` idiom, set-based. */
+  private def qSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** F7 q_cond_funcs — conditional & bitwise scalar surface: multi-branch
     * CASE, nullif/coalesce null-plumbing, least/greatest, sign, and the
     * bitwise and/or/xor/shift family over integer keys. All codegen'd
@@ -548,6 +613,9 @@ object Relational extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_join_full" -> (qJoinFull _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_subquery" -> (qSubquery _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_pivot" -> (qPivot _),
@@ -587,6 +655,40 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, -1) AS cust_key,
+                coalesce(o_orderkey, -1) AS order_key,
+                coalesce(c_name, 'NO_CUSTOMER') AS cust_name,
+                coalesce(o_totalprice, 0.0) AS total_price
+         FROM (SELECT c_custkey, c_name FROM customer
+               WHERE c_mktsegment = 'MACHINERY') c
+         FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                    WHERE o_totalprice > 250000.0) o
+           ON c_custkey = o_custkey
+         ORDER BY cust_key, order_key""",
+    "q_agg_stats" ->
+      """WITH s AS (
+           SELECT l_returnflag, count(*) n,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sx,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS BIGINT) sx2
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                CAST(sx AS DOUBLE) / n AS mean_qty,
+                CAST(n * sx2 - sx * sx AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+                sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
+         FROM s ORDER BY l_returnflag""",
+    "q_subquery" ->
+      """SELECT c_custkey, c_name,
+                (SELECT count(*) FROM orders
+                 WHERE o_custkey = c_custkey) AS n_orders
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_totalprice > 100000.0)
+         ORDER BY c_custkey""",
     "q_cond_funcs" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderstatus = 'F' THEN 'done'

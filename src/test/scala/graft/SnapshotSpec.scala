@@ -15,6 +15,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_agg_collect" -> 1473L,
     "q_agg_distinct" -> 3L,
     "q_agg_hash" -> 6L,
+    "q_agg_stats" -> 3L,
     "q_agg_kmv" -> 3L,
     "q_ann_ivf" -> 25L,
     "q_ann_lsh" -> 6L,
@@ -39,6 +40,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_intersect" -> 10L,
     "q_join_anti" -> 18L,
     "q_join_asof" -> 202L,
+    "q_join_full" -> 761L,
     "q_join_bridge_m2n" -> 1473L,
     "q_join_chain" -> 5L,
     "q_join_cross" -> 50L,
@@ -71,6 +73,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_sort_limit" -> 10L,
     "q_split_assign" -> 500L,
     "q_stream_join" -> 2L,
+    "q_subquery" -> 150L,
     "q_stream_session" -> 946L,
     "q_stream_sliding" -> 3457L,
     "q_stream_tumbling" -> 868L,
