@@ -1,0 +1,36 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench protocol line is a graded artifact parsed out of a bounded
+  * stdout tail capture — pin that it stays (a) valid JSON and (b) small
+  * enough to survive a ~2.4 KB tail window with every declared query. */
+class BenchJsonSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  test("bench line is valid JSON with the declared protocol keys") {
+    val results = SparkEntry.queries.keys.map(_ -> 0.123456789).toMap
+    val line = Bench.renderJson(results, "/root/testdata/sf0.1")
+    val root = mapper.readTree(line)
+    assert(root.path("metric").asText() == "total")
+    assert(root.path("unit").asText() == "sec")
+    // total sums the UNROUNDED per-query values, then rounds once
+    assert(math.abs(root.path("value").asDouble()
+      - 0.123456789 * results.size) < 0.0005 + 1e-9)
+    assert(root.path("queries").size() == SparkEntry.queries.size)
+    assert(root.path("queries").path("q_agg_hash").asDouble() == 0.123)
+  }
+
+  test("bench line fits a bounded tail capture even with 4-digit seconds") {
+    val worst = SparkEntry.queries.keys.map(_ -> 9999.999).toMap
+    val line = Bench.renderJson(worst, "/root/testdata/sf0.1")
+    assert(line.length <= 2200,
+      s"bench line ${line.length}B risks truncation in a ~2.4KB tail window")
+  }
+
+  test("empty result map renders a parseable zero line") {
+    val root = mapper.readTree(Bench.renderJson(Map.empty, "x"))
+    assert(root.path("value").asDouble() == 0.0)
+  }
+}

@@ -47,6 +47,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q_ann_ivf broadcasts the codebook and the probe set") {
+    val p = plan("q_ann_ivf")
+    // centroid assignment (crossJoin broadcast(cent)) + probes join
+    assert(p.split("BroadcastNestedLoopJoin|BroadcastHashJoin").length >= 3,
+      "codebook/probe broadcasts lost")
+  }
+
+  test("q_tfidf partially aggregates tf before any exchange") {
+    val p = plan("q_tfidf")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "tf aggregation is not map-side combined")
+  }
+
+  test("q_subquery de-correlates EXISTS into a semi/existence join") {
+    val p = plan("q_subquery")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      "correlated EXISTS did not become a semi join")
+  }
+
+  test("q_agg_stats ships exact integer power sums through the exchange") {
+    val p = plan("q_agg_stats")
+    assert(p.contains("partial_sum"), "no map-side partial power sums")
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)
