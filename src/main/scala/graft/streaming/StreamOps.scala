@@ -212,13 +212,61 @@ object StreamOps extends QueryModule {
       .orderBy($"p_id", $"c_id")
   }
 
+  /** q_funnel — ordered-sequence analytics (the event-analytics classic):
+    * how many users progress click → view → purchase IN ORDER, each stage
+    * strictly after the previous one's first occurrence. Three per-user
+    * min-aggregations chained by time predicates — every stage is a
+    * groupBy(user) with map-side combine and the joins are per-user
+    * equi-joins, so the whole funnel shuffles O(users), never O(events²).
+    * (The streaming analog is per-user state in [[runningUserStats]]'s
+    * shape; this is the batch/oracle-checkable form.) */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+    val c = e.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"ts").as("s1"))
+    val v = c.join(e.filter($"event_type" === "view"), Seq("user_id"))
+      .filter($"ts" > $"s1")
+      .groupBy($"user_id").agg(min($"ts").as("s2"))
+    val p = v.join(e.filter($"event_type" === "purchase"), Seq("user_id"))
+      .filter($"ts" > $"s2")
+      .groupBy($"user_id").agg(min($"ts").as("s3"))
+    c.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("stage"), $"n_users")
+      .unionByName(v.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view").as("stage"), $"n_users"))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), $"n_users"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> (qFunnel _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH c AS (
+           SELECT user_id, min(ts) s1 FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+         v AS (
+           SELECT c.user_id, min(e.ts) s2
+           FROM c JOIN events e ON e.user_id = c.user_id
+           WHERE e.event_type = 'view' AND e.ts > c.s1
+           GROUP BY c.user_id),
+         p AS (
+           SELECT v.user_id, min(e.ts) s3
+           FROM v JOIN events e ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.s2
+           GROUP BY v.user_id)
+         SELECT '1_click' AS stage, count(*) AS n_users FROM c
+         UNION ALL
+         SELECT '2_view' AS stage, count(*) AS n_users FROM v
+         UNION ALL
+         SELECT '3_purchase' AS stage, count(*) AS n_users FROM p
+         ORDER BY stage""",
     "q_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
                 p.ts AS p_ts, c.ts AS c_ts

@@ -36,6 +36,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_filter_or_eq" -> 8L,
     "q_filter_pred" -> 238L,
     "q_fingerprint" -> 500L,
+    "q_funnel" -> 3L,
     "q_grouping_sets" -> 8L,
     "q_intersect" -> 10L,
     "q_join_anti" -> 18L,
