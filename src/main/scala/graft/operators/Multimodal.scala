@@ -81,6 +81,27 @@ object Multimodal extends QueryModule {
         pmod($"doc_id" * 31 + $"frame_idx" * 7, lit(997)).as("frame_sig"))
   }
 
+  /** Resize plan ("image" path): fit each decoded frame into a box×box
+    * square preserving aspect ratio — pure integer arithmetic on decoded
+    * geometry (out = dim·box ÷ max(w,h)), i.e. the (doc_id, out_w, out_h)
+    * work orders a real pipeline hands to a GPU batch resizer. No decode
+    * bytes move; the op is a projection over [[decodeFeatures]] output. */
+  def resizePlan(decoded: DataFrame, box: Int): DataFrame = {
+    val s = decoded.sparkSession
+    import s.implicits._
+    decoded.select($"id".as("doc_id"), $"width", $"height",
+      expr(s"width * $box div greatest(width, height)").as("out_w"),
+      expr(s"height * $box div greatest(width, height)").as("out_h"))
+  }
+
+  /** q_multimodal_resize — decode → fit-into-224 resize work orders. */
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withMediaColumn(Tables.load(s, dir, "documents"))
+    resizePlan(decodeFeatures(docs), 224)
+      .orderBy($"doc_id")
+  }
+
   /** q_multimodal_frames — decode → sample every 4th frame. */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -106,7 +127,8 @@ object Multimodal extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
-    "q_multimodal_frames" -> (qMultimodalFrames _))
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_frames" ->
@@ -121,6 +143,18 @@ object Multimodal extends QueryModule {
          SELECT doc_id, frame_idx,
                 (doc_id * 31 + frame_idx * 7) % 997 AS frame_sig
          FROM f ORDER BY doc_id, frame_idx""",
+    "q_multimodal_resize" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  16 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 640
+                    AS width,
+                  16 + (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 7) % 480
+                    AS height
+           FROM documents)
+         SELECT doc_id, width, height,
+                (width * 224) // greatest(width, height) AS out_w,
+                (height * 224) // greatest(width, height) AS out_h
+         FROM b ORDER BY doc_id""",
     "q_multimodal_decode" ->
       """WITH b AS (
            SELECT doc_id, source AS origin,

@@ -60,6 +60,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_multimodal_decode" -> 500L,
     "q_multimodal_frames" -> 1684L,
     "q_multimodal_struct" -> 193L,
+    "q_multimodal_resize" -> 500L,
     "q_pack_bins" -> 500L,
     "q_percentile" -> 3L,
     "q_pivot" -> 5L,
