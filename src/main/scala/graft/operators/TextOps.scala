@@ -66,7 +66,12 @@ object TextOps extends QueryModule {
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+    // df BROADCASTS: a document-frequency table is one row per vocabulary
+    // token (~MBs even for a million-token vocab), and the alternative —
+    // a shuffle join keyed on token — sort-merges the whole tf table
+    // through a handful of hot stopword keys (measured 4.3× slower at the
+    // k=4 replica, PLANS.md round-2 notes).
+    val scored = tf.join(broadcast(df), Seq("token")).crossJoin(broadcast(n))
       .withColumn("tfidf", graft.Det.round6(
         $"tf" * log($"n_docs".cast("double") / $"df")))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
