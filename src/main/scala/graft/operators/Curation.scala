@@ -33,6 +33,24 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_sample_stratified — per-source QUOTA sampling (round 2): keep the
+    * 40 "first" documents of each source in content-hash order — the
+    * stratified downsampling a curation pipeline uses to cap dominant
+    * sources without touching rare ones. Hash order (not doc_id order)
+    * makes the quota content-stable under id reassignment; the rank is a
+    * per-source window, so the shuffle is one partition per source and
+    * the quota cut happens before anything wide flows downstream
+    * (WindowGroupLimit pushes the rank filter below the sort at scale). */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+    Tables.load(s, dir, "documents")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 40)
+      .select($"doc_id", $"source", $"rk")
+      .orderBy($"doc_id")
+  }
+
   /** q_split_assign — 90/5/5 train/val/test split from the same stable
     * bucket; a document never migrates between splits across runs. */
   private def qSplitAssign(s: SparkSession, dir: String): DataFrame = {
@@ -109,6 +127,7 @@ object Curation extends QueryModule {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_scrub_text" -> (qScrubText _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_split_assign" -> (qSplitAssign _),
     "q_mix_weighted" -> (qMixWeighted _),
     "q_pack_bins" -> (qPackBins _))
@@ -121,6 +140,13 @@ object Curation extends QueryModule {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 40 ORDER BY doc_id""",
     "q_chunk_docs" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

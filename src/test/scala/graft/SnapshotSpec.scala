@@ -69,6 +69,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_regex_funcs" -> 200L,
     "q_rollup" -> 31L,
     "q_sample_hash" -> 41L,
+    "q_sample_stratified" -> 500L,
     "q_scan_project" -> 6000L,
     "q_scrub_text" -> 1000L,
     "q_similarity_topk" -> 25L,
