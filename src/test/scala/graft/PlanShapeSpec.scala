@@ -71,6 +71,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "no map-side partial power sums")
   }
 
+  test("q_sample_stratified rank-limits below the per-source sort") {
+    assert(plan("q_sample_stratified").contains("WindowGroupLimit"))
+  }
+
+  test("q_funnel aggregates each stage map-side before its exchange") {
+    val p = plan("q_funnel")
+    assert(p.contains("partial_min"), "stage min-aggs not map-side combined")
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)
