@@ -249,7 +249,13 @@ object Similarity extends QueryModule {
     * fewer digest calls than hashing per permutation. Candidate pairs are
     * deduplicated as bare (a,b) ids and the shingle sets re-joined by id,
     * so the distinct never shuffles array payloads. */
-  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
+
+  /** Confirmed near-dup pairs (a < b, J ≥ 0.6) from the MinHash+LSH
+    * pipeline — shared by [[qDedupMinhashLsh]] (which emits the pairs) and
+    * [[qDedupClusters]] (which resolves them into components). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleHashed(s, dir) // barriered: md5-folds computed once
     val sigd = sh.withColumn("sig",
@@ -276,6 +282,51 @@ object Similarity extends QueryModule {
       .filter($"jaccard" >= 0.6)
       .select($"a", $"b", $"jaccard")
       .orderBy($"a", $"b")
+  }
+
+  /** q_dedup_clusters — resolve the confirmed near-dup PAIRS into
+    * duplicate CLUSTERS (the last step of a dedup pipeline: keep one doc
+    * per component, drop the rest): connected components by iterative
+    * min-label propagation over the undirected pair graph — the
+    * GraphX/Pregel shape expressed in DataFrames. Each round is one
+    * shuffle on vertex id (join + min-aggregate, both map-side combined)
+    * and the loop runs O(graph diameter) rounds — near-dup clusters are
+    * shallow (diameter ≤ a few), so 2–4 rounds in practice at any corpus
+    * size. `localCheckpoint` truncates the growing lineage each round
+    * (without it, iteration k replans all k−1 predecessors). The driver
+    * loop iterates ROUNDS, never rows. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val dir0 = pairs.select($"a", $"b")
+    val edges = dir0.unionByName(dir0.select($"b".as("a"), $"a".as("b")))
+      .persist()
+    var labels = edges.select($"a".as("id")).distinct()
+      .withColumn("lbl", $"id").localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min($"lbl").as("nbl"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select($"id", $"lbl",
+          least($"lbl", coalesce($"nbl", $"lbl")).as("lbl2"))
+        .localCheckpoint(true)
+      changed = updated.filter($"lbl2" < $"lbl").count()
+      labels = updated.select($"id", $"lbl2".as("lbl"))
+    }
+    edges.unpersist()
+    labels
+  }
+
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(minhashPairs(s, dir))
+      .groupBy($"lbl".as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        expr("array_join(transform(sort_array(collect_list(id))," +
+          " x -> cast(x AS string)), ',')").as("members"))
+      .orderBy($"cluster_rep")
   }
 
   /** q_dedup_simhash — 16-bit SimHash over token occurrences (bit j set if
@@ -315,6 +366,7 @@ object Similarity extends QueryModule {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_multimodal_struct" -> (qMultimodalStruct _))
 
@@ -325,6 +377,40 @@ object Similarity extends QueryModule {
       |    string_split(lower(text), ' ')[i + 1] || ' ' ||
       |    string_split(lower(text), ' ')[i + 2])
       | ELSE [lower(text)] END)""".stripMargin
+
+  /** MinHash+LSH confirmed-pairs SQL (no final ORDER BY) — used directly
+    * by the q_dedup_minhash_lsh oracle and as a nested CTE by the
+    * q_dedup_clusters oracle. */
+  private val DUCK_MINHASH_PAIRS =
+    s"""WITH sh0 AS (SELECT doc_id,
+                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
+         hs AS (SELECT doc_id, h, len(h) n FROM sh0),
+         sig AS (
+           SELECT doc_id,
+                  list_transform(range(0, 16), k ->
+                    list_aggregate(list_transform(h, v ->
+                      ((2 * k + 1) * v + 7919 * (k + 1)) % 1000000007), 'min')) sg
+           FROM hs),
+         banded AS (
+           SELECT doc_id, unnest(range(0, 4)) b,
+                  unnest(list_transform(range(0, 4), b ->
+                    CAST(sg[4 * b + 1] AS VARCHAR) || '-' ||
+                    CAST(sg[4 * b + 2] AS VARCHAR) || '-' ||
+                    CAST(sg[4 * b + 3] AS VARCHAR) || '-' ||
+                    CAST(sg[4 * b + 4] AS VARCHAR))) bh
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT x.doc_id a, y.doc_id b
+           FROM banded x JOIN banded y
+             ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         jj AS (
+           SELECT cand.a, cand.b,
+                  len(list_intersect(xa.h, xb.h)) i, xa.n + xb.n AS nn
+           FROM cand
+           JOIN hs xa ON xa.doc_id = cand.a
+           JOIN hs xb ON xb.doc_id = cand.b)
+         SELECT a, b, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
+         FROM jj WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6"""
 
   val oracles: Map[String, String] = Map(
     "q_similarity_topk" ->
@@ -426,37 +512,20 @@ object Similarity extends QueryModule {
          SELECT a, b, source, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
          FROM p WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
          ORDER BY a, b""",
-    "q_dedup_minhash_lsh" ->
-      s"""WITH sh0 AS (SELECT doc_id,
-                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
-         hs AS (SELECT doc_id, h, len(h) n FROM sh0),
-         sig AS (
-           SELECT doc_id,
-                  list_transform(range(0, 16), k ->
-                    list_aggregate(list_transform(h, v ->
-                      ((2 * k + 1) * v + 7919 * (k + 1)) % 1000000007), 'min')) sg
-           FROM hs),
-         banded AS (
-           SELECT doc_id, unnest(range(0, 4)) b,
-                  unnest(list_transform(range(0, 4), b ->
-                    CAST(sg[4 * b + 1] AS VARCHAR) || '-' ||
-                    CAST(sg[4 * b + 2] AS VARCHAR) || '-' ||
-                    CAST(sg[4 * b + 3] AS VARCHAR) || '-' ||
-                    CAST(sg[4 * b + 4] AS VARCHAR))) bh
-           FROM sig),
-         cand AS (
-           SELECT DISTINCT x.doc_id a, y.doc_id b
-           FROM banded x JOIN banded y
-             ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         jj AS (
-           SELECT cand.a, cand.b,
-                  len(list_intersect(xa.h, xb.h)) i, xa.n + xb.n AS nn
-           FROM cand
-           JOIN hs xa ON xa.doc_id = cand.a
-           JOIN hs xb ON xb.doc_id = cand.b)
-         SELECT a, b, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
-         FROM jj WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
-         ORDER BY a, b""",
+    "q_dedup_minhash_lsh" -> (DUCK_MINHASH_PAIRS + " ORDER BY a, b"),
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS ($DUCK_MINHASH_PAIRS),
+         edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         verts AS (SELECT DISTINCT a AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         SELECT rep AS cluster_rep,
+                count(*) AS n_members,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM comp GROUP BY rep ORDER BY cluster_rep""",
     "q_dedup_simhash" ->
       """WITH hh AS (
            SELECT doc_id,
