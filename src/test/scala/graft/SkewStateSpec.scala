@@ -44,6 +44,38 @@ class SkewStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // 95% of fact rows hit one key; thresholds lowered so the skew logic
+    // triggers at test scale (at 100 TB the defaults do the same job)
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = (1 to 20000).map(i =>
+        (if (i <= 19000) 1 else i % 64 + 2, s"payload_$i"))
+        .toDF("k", "payload")
+      val dim = (1 to 128).map(i => (i, s"dim_$i")).toDF("k", "name")
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS plan (a .count() builds a different QueryExecution,
+      // leaving this one isFinalPlan=false) so AQE re-plans it for real
+      assert(joined.collect().length ==
+        20000 - fact.filter($"k" > 128).count())
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n${finalPlan.take(600)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("transformWithState emits the same rows as flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
