@@ -299,17 +299,52 @@ object Similarity extends QueryModule {
     val s = pairs.sparkSession
     import s.implicits._
     val dir0 = pairs.select($"a", $"b")
-    val edges = dir0.unionByName(dir0.select($"b".as("a"), $"a".as("b")))
+    val edges0 = dir0.unionByName(dir0.select($"b".as("a"), $"a".as("b")))
       .persist()
+    // AQE right-sizes ordinary queries, but localCheckpoint pins each
+    // round's partitioning — so size the loop ourselves: the pair graph
+    // is orders of magnitude smaller than the corpus (only near-dups
+    // appear), and 32-task stages over a few hundred edges are pure
+    // scheduler overhead. ~100k edges per partition, capped at the
+    // session's parallelism for genuinely large graphs.
+    val nEdges = edges0.count()
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1L)).toInt
+    val edges = edges0.repartition(parts).persist()
+    edges.count()
+    edges0.unpersist()
+    // the per-round joins/aggregates read this at THEIR planning time
+    // (inside the loop), so scope it and restore after
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, parts.toString)
+    try {
+      connectedComponentsLoop(s, edges)
+    } finally s.conf.set(shufKey, prevShuf)
+  }
+
+  private def connectedComponentsLoop(s: SparkSession,
+                                      edges: DataFrame): DataFrame = {
+    import s.implicits._
     var labels = edges.select($"a".as("id")).distinct()
       .withColumn("lbl", $"id").localCheckpoint(true)
+    // one min-propagation hop: lbl(x) := min(lbl(x), min over neighbors).
+    // Formulated as union + min-aggregate (2 shuffle stages) rather than
+    // aggregate + left-join merge (3): the loop's cost on a shallow graph
+    // is stage scheduling, not data.
+    def hop(ls: DataFrame): DataFrame =
+      edges.join(ls, edges("b") === ls("id"))
+        .select(edges("a").as("id"), $"lbl")
+        .unionByName(ls)
+        .groupBy($"id").agg(min($"lbl").as("lbl"))
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("nid")).agg(min($"lbl").as("nbl"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select($"id", $"lbl",
-          least($"lbl", coalesce($"nbl", $"lbl")).as("lbl2"))
+      // TWO hops per materialization: propagation is monotone (labels only
+      // decrease), so a double hop is still exact — and it halves the
+      // checkpoint+convergence-check job count, which is what each round
+      // actually costs on a shallow graph
+      val updated = hop(hop(labels)).withColumnRenamed("lbl", "lbl2")
+        .join(labels, Seq("id"))
         .localCheckpoint(true)
       changed = updated.filter($"lbl2" < $"lbl").count()
       labels = updated.select($"id", $"lbl2".as("lbl"))
