@@ -41,5 +41,9 @@ object Sessions {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.shuffle.compress" -> "true",
+    // transformWithState (StreamOps ST6) requires the RocksDB provider;
+    // it is also the right store for any large streaming state
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
 }
