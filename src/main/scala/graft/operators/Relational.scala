@@ -538,6 +538,27 @@ object Relational extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** A12 q_agg_argmax — argmax/argmin aggregates (`max_by`/`min_by`):
+    * per customer, the order carrying the highest / lowest total price.
+    * Bare max_by ties are engine-unspecified, so the comparison key is the
+    * (price, orderkey) STRUCT — lexicographic, unique, deterministic; the
+    * oracle replays the same pick as a window row_number. One partial-
+    * aggregated shuffle on the group key, same scale shape as any A1. */
+  private def qAggArgmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+          .as("best_order"),
+        max($"o_totalprice").as("best_price"),
+        expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+          .as("worst_order"),
+        min($"o_totalprice").as("worst_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
   /** Q1 q_subquery — correlated-subquery surface through the SQL entry
     * point (`spark.sql` over registered views): a correlated scalar
     * subquery in the SELECT list (de-correlated by Catalyst into a left
@@ -616,6 +637,7 @@ object Relational extends QueryModule {
     "q_join_full" -> (qJoinFull _),
     "q_agg_stats" -> (qAggStats _),
     "q_subquery" -> (qSubquery _),
+    "q_agg_argmax" -> (qAggArgmax _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_percentile" -> (qPercentile _),
     "q_pivot" -> (qPivot _),
@@ -680,6 +702,30 @@ object Relational extends QueryModule {
                 sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
          FROM s ORDER BY l_returnflag""",
+    "q_agg_argmax" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey DESC)
+                    AS rmax,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+                    AS rmin
+           FROM orders),
+         agg AS (
+           SELECT o_custkey,
+                  max(o_totalprice) AS best_price,
+                  min(o_totalprice) AS worst_price,
+                  count(*) AS n_orders
+           FROM orders GROUP BY o_custkey)
+         SELECT agg.o_custkey,
+                mx.o_orderkey AS best_order, agg.best_price,
+                mn.o_orderkey AS worst_order, agg.worst_price,
+                agg.n_orders
+         FROM agg
+         JOIN r mx ON mx.o_custkey = agg.o_custkey AND mx.rmax = 1
+         JOIN r mn ON mn.o_custkey = agg.o_custkey AND mn.rmin = 1
+         ORDER BY agg.o_custkey""",
     "q_subquery" ->
       """SELECT c_custkey, c_name,
                 (SELECT count(*) FROM orders

@@ -12,6 +12,7 @@ class SnapshotSpec extends AnyFunSuite {
 
   private val expected: Map[String, Long] = Map(
     "q_agg_approx_distinct" -> 3L,
+    "q_agg_argmax" -> 150L,
     "q_agg_collect" -> 1473L,
     "q_agg_distinct" -> 3L,
     "q_agg_hash" -> 6L,
