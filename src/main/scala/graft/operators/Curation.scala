@@ -40,10 +40,14 @@ object Curation extends QueryModule {
     * makes the quota content-stable under id reassignment; the rank is a
     * per-source window, so the shuffle is one partition per source and
     * the quota cut happens before anything wide flows downstream
-    * (WindowGroupLimit pushes the rank filter below the sort at scale). */
+    * (WindowGroupLimit pushes the rank filter below the sort at scale).
+    * The hash key is md5(coalesce(text, '')): a NULL text would otherwise
+    * sort NULLS FIRST in Spark but NULLS LAST in DuckDB, silently changing
+    * which rows make the quota. */
   private def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(coalesce($"text", lit(""))), $"doc_id")
     Tables.load(s, dir, "documents")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 40)
@@ -144,7 +148,8 @@ object Curation extends QueryModule {
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,
                   row_number() OVER (PARTITION BY source
-                                     ORDER BY md5(text), doc_id) AS rk
+                                     ORDER BY md5(coalesce(text, '')), doc_id)
+                    AS rk
            FROM documents)
          WHERE rk <= 40 ORDER BY doc_id""",
     "q_chunk_docs" ->

@@ -513,15 +513,26 @@ object Relational extends QueryModule {
 
   /** A11 q_agg_stats — dispersion aggregates (variance/stddev) computed
     * from EXACT integer power sums instead of the engines' streaming
-    * moment kernels: l_quantity is integral, so Σx and Σx² are exact
-    * BIGINTs (well under 2^53 ⇒ exact as doubles too), and
-    * var = (n·Σx² − (Σx)²) / (n·(n−1)) is one double division — bit-
-    * identical in any engine and any aggregation order, unlike native
-    * var_samp whose partial-merge order changes the last ulp. The same
-    * map-side-combinable shape native partial aggregation uses. */
+    * moment kernels: l_quantity is integral (≤ 50), so Σx and Σx² are
+    * exact BIGINTs up to ~3×10¹¹ rows per group (sx2 ≤ 2500·n < 2⁶³) —
+    * safely past the 100 TB regime. The cross terms n·Σx² and (Σx)² DO
+    * overflow int64 beyond ~SF 35, so they are computed in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) — exact 128-bit integers whose final
+    * cast-to-double is correctly rounded in both engines, making
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)) bit-identical under any
+    * aggregation order, unlike native var_samp whose partial-merge order
+    * changes the last ulp. Same map-side-combinable shape as native
+    * partial aggregation; the widening happens AFTER the exchange, on G
+    * rows. */
   private def qAggStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = $"l_quantity".cast("long")
+    // 19-digit operands ⇒ products cap at DECIMAL(38,0): exact, no
+    // rescale, no ANSI overflow until n ~ 10¹⁹ rows per group
+    val (nD, sxD, sx2D) = ($"n".cast("decimal(19,0)"),
+      $"sx".cast("decimal(19,0)"), $"sx2".cast("decimal(19,0)"))
+    val num = (nD * sx2D - sxD * sxD).cast("double")
+    val den = (nD * (nD - lit(1))).cast("double")
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
@@ -531,10 +542,8 @@ object Relational extends QueryModule {
       .select(
         $"l_returnflag", $"n",
         ($"sx".cast("double") / $"n").as("mean_qty"),
-        (($"n" * $"sx2" - $"sx" * $"sx").cast("double") /
-          ($"n" * ($"n" - 1)).cast("double")).as("var_qty"),
-        sqrt(($"n" * $"sx2" - $"sx" * $"sx").cast("double") /
-          ($"n" * ($"n" - 1)).cast("double")).as("stddev_qty"))
+        (num / den).as("var_qty"),
+        sqrt(num / den).as("stddev_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -697,10 +706,13 @@ object Relational extends QueryModule {
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
                 CAST(sx AS DOUBLE) / n AS mean_qty,
-                CAST(n * sx2 - sx * sx AS DOUBLE)
-                  / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
-                sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
-                     / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty
+                CAST(CAST(n AS HUGEINT) * sx2
+                     - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var_qty,
+                sqrt(CAST(CAST(n AS HUGEINT) * sx2
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                  AS stddev_qty
          FROM s ORDER BY l_returnflag""",
     "q_agg_argmax" ->
       """WITH r AS (

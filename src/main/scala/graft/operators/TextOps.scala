@@ -52,25 +52,45 @@ object TextOps extends QueryModule {
   /** T2b q_tfidf — corpus-weighted term relevance: tf(doc,term) ×
     * ln(N/df(term)), top-3 terms per document. The canonical "which tokens
     * characterize this document" op a training-data pipeline runs after
-    * raw TF. Plan: one explode → (doc,term) partial-agg'd tf; df is a
-    * second aggregation OVER tf (one row per term, never re-touching the
-    * corpus); N arrives as a broadcast 1-row aggregate. All shuffles carry
-    * (doc,term) or (term) rows — nothing is quadratic, and at 100 TB df/N
-    * behave like any map-side-combined count. Scores are rounded
-    * (Det.round6) BEFORE ranking so an engine ulp on `ln` can't flip the
-    * top-3 cut (same discipline as the Similarity module). */
+    * raw TF. Plan: one explode → (doc,term) partial-agg'd tf, PERSISTED —
+    * tf has two consumers (the df aggregation feeding the broadcast build
+    * and the probe side of the join), and without the cache Catalyst plans
+    * them as two independent subtrees, re-running the full explode +
+    * hash-aggregate over the corpus (the round-2 `weak`: 2× the most
+    * expensive stage). With the cache the corpus is scanned once; the
+    * small ranked result is then eagerly localCheckpoint'ed so the cache
+    * can be dropped before returning — no state outlives the query. N
+    * arrives as a broadcast 1-row count whose scan reads ZERO data columns
+    * (row-group metadata only). Scores are rounded (Det.round6) BEFORE
+    * ranking so an engine ulp on `ln` can't flip the top-3 cut (same
+    * discipline as the Similarity module). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = tfRelation(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try tfidfRanked(s, dir, tf).localCheckpoint(true)
+    finally tf.unpersist(false)
+  }
+
+  /** The (doc_id, token, tf) relation — one corpus scan, map-side-combined
+    * aggregate. Package-visible for the single-scan plan guard. */
+  private[graft] def tfRelation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = docs(s, dir)
+    docs(s, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Scored + ranked TF-IDF over a caller-managed (cached) tf relation.
+    * df BROADCASTS: a document-frequency table is one row per vocabulary
+    * token (~MBs even for a million-token vocab), and the alternative —
+    * a shuffle join keyed on token — sort-merges the whole tf table
+    * through a handful of hot stopword keys (measured 4.3× slower at the
+    * k=4 replica, PLANS.md round-2 notes). */
+  private[graft] def tfidfRanked(s: SparkSession, dir: String,
+                                 tf: DataFrame): DataFrame = {
+    import s.implicits._
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    // df BROADCASTS: a document-frequency table is one row per vocabulary
-    // token (~MBs even for a million-token vocab), and the alternative —
-    // a shuffle join keyed on token — sort-merges the whole tf table
-    // through a handful of hot stopword keys (measured 4.3× slower at the
-    // k=4 replica, PLANS.md round-2 notes).
     val scored = tf.join(broadcast(df), Seq("token")).crossJoin(broadcast(n))
       .withColumn("tfidf", graft.Det.round6(
         $"tf" * log($"n_docs".cast("double") / $"df")))

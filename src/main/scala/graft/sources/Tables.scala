@@ -105,10 +105,14 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Columnar scan with a declared schema (SURVEY.md §2.1 S1). */
+  /** Columnar scan with a declared schema (SURVEY.md §2.1 S1).
+    *
+    * Reading `events` requires `spark.sql.legacy.parquet.nanosAsLong=true`
+    * on the SESSION (set by `Sessions.local` / `clusterConf` and every
+    * entry-point builder) — the loader itself is side-effect-free, so
+    * concurrent queries sharing a session never observe a conf flip. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
@@ -127,7 +131,6 @@ object Tables {
     * loader-compatible. */
   def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
     } else load(spark, dir, name)
 

@@ -55,9 +55,33 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q_tfidf partially aggregates tf before any exchange") {
-    val p = plan("q_tfidf")
+    // q_tfidf itself returns an eagerly-checkpointed result (opaque plan);
+    // guard the inner ranked frame it materializes.
+    val tf = operators.TextOps.tfRelation(spark, dir)
+    val p = operators.TextOps.tfidfRanked(spark, dir, tf)
+      .queryExecution.executedPlan.toString()
     assert(p.contains("partial_count") || p.contains("partial_"),
       "tf aggregation is not map-side combined")
+  }
+
+  test("q_tfidf scans the corpus once: both tf consumers read the tf cache") {
+    val tf = operators.TextOps.tfRelation(spark, dir).persist()
+    try {
+      val qe = operators.TextOps.tfidfRanked(spark, dir, tf).queryExecution
+      // the only parquet relation outside the cache is the 1-row N count
+      // (whose physical scan reads zero data columns); a second one means
+      // the explode+aggregate was re-derived from the corpus
+      val parquetRels = qe.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(parquetRels.size == 1,
+        s"expected only the N-count scan outside the tf cache, got ${parquetRels.size}")
+      val cacheReads = qe.optimizedPlan.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      assert(cacheReads.size == 2,
+        s"expected df-build + probe to both read the tf cache, got ${cacheReads.size}")
+    } finally tf.unpersist(true)
   }
 
   test("q_subquery de-correlates EXISTS into a semi/existence join") {
