@@ -105,46 +105,149 @@ object Similarity extends QueryModule {
     * path next to LSH ([[qAnnLsh]]): vectors are assigned to the nearest
     * of C coarse centroids (the "inverted lists"); a query probes only its
     * nprobe=2 nearest cells and brute-forces inside them, cutting per-query
-    * work from |C_all| to ~nprobe·N/C. Centroids here are the C=8 smallest
-    * vec_ids — a deterministic stand-in for an offline k-means codebook
-    * (training is out of scope for an oracle-checkable query; the
-    * partition/probe/search plumbing is the operator).
+    * work from |C_all| to ~nprobe·N/C. The codebook is TRAINED: two fixed
+    * Lloyd iterations of deterministic k-means over the corpus (seeds = the
+    * C vectors smallest in md5(vec_id) order — an engine-agnostic
+    * pseudo-random draw; the DuckDB oracle replays the identical
+    * iterations as unrolled CTEs). The vector table is persisted across
+    * the training + search passes — the standard iterative-ML posture
+    * (one parquet scan feeds every Lloyd round) — and the small ranked
+    * result is eagerly checkpointed so the cache is dropped before return.
     *
     * Scale shape: centroids BROADCAST (a codebook is KBs even at 100 TB);
-    * assignment is a map-side crossJoin + argmax whose exchange carries
-    * only (vec_id, cell, sim) — the vector payload is projected OUT before
-    * the window shuffle and re-joined by id afterwards, so the embedding
-    * column never crosses the wire C times. */
+    * assignment is a map-side crossJoin + per-vector argmax aggregate
+    * whose exchange carries only (vec_id, cid, csim) — the vector payload
+    * is projected OUT before any exchange and re-joined by id afterwards.
+    * The probe→cell candidate join is a plain equi-join on `cell` (AQE
+    * may broadcast it at runtime if stats allow, but nothing forces an
+    * O(N)-derived frame to the driver). [[tools.ScaleProbe]] runs the
+    * C≈√N regime via [[ivfProbedPairs]]. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ivfRanked(s, n, c = 8, iters = 2, nprobe = 2).localCheckpoint(true)
+    finally n.unpersist(false)
+  }
+
+  /** The narrow vector relation (vec_id, e: ARRAY<DOUBLE>, nrm) every IVF
+    * stage reads — cache this, not the parquet. float→double is exact in
+    * both engines, and all dot products are left-to-right double folds
+    * (Spark `aggregate(zip_with)` ≡ DuckDB `list_dot_product`). */
+  private[graft] def ivfVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.VectorFunctions.register(s)
-    val v = Tables.load(s, dir, "embeddings")
-      .select($"vec_id", $"embedding")
-    val cent = v.filter($"vec_id" < 8)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"))
-    // (vec_id, cid, csim): N×C narrow rows; embedding pruned pre-shuffle
-    val asg = v.crossJoin(broadcast(cent))
-      .withColumn("csim",
-        graft.Det.round6(graft.functions.VectorFunctions.cosine($"embedding", $"ce")))
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(dot($"e", $"e")))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cell). A map-side-combinable
+    * max(struct) argmax — no window, so the N×C similarity rows reduce
+    * to N rows before any exchange. Ties break to the smallest cid, and
+    * csim is round6'd first, so the argmax can never flip on an ulp. */
+  private def assignCells(n: DataFrame, cent: DataFrame): DataFrame = {
+    val s = n.sparkSession; import s.implicits._
+    n.crossJoin(broadcast(cent.withColumn("cnrm", sqrt(dot($"ce", $"ce")))))
+      .withColumn("csim", graft.Det.round6(dot($"e", $"ce") / ($"nrm" * $"cnrm")))
+      .groupBy($"vec_id")
+      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("m"))
+      .select($"vec_id", (-$"m.nc").as("cell"))
+  }
+
+  /** Deterministic Lloyd k-means codebook: C seeds in md5(vec_id) order,
+    * `iters` fixed assign→mean rounds (no convergence test — a fixed
+    * iteration count is what the oracle can replay). Per-dimension means
+    * are EXACT: each component is half-up-quantized to 1e-4 with pure IEEE
+    * ops (floor(x·1e4+0.5), identical bits in both engines), summed as
+    * BIGINT (order-independent; overflows only past ~10¹³ rows per cell),
+    * and finished with one correctly-rounded double division — so the
+    * trained centroids are bit-identical under any aggregation order or
+    * partitioning. Cells that empty out drop from the codebook (same rule
+    * both engines). */
+  private[graft] def kmeansCodebook(n: DataFrame, c: Int, iters: Int): DataFrame = {
+    val s = n.sparkSession; import s.implicits._
+    val seedOrd = Seq(md5($"vec_id".cast("string")), $"vec_id")
+    val seeds = n.select($"vec_id", $"e").orderBy(seedOrd: _*).limit(c)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(seedOrd: _*)).cast("long"))
+      .select($"cid", $"e".as("ce"))
+    (1 to iters).foldLeft(seeds: DataFrame) { (cent, _) =>
+      n.join(assignCells(n, cent), Seq("vec_id"))
+        .select($"cell", posexplode($"e"))
+        .groupBy($"cell", $"pos")
+        .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .withColumn("v", $"sv".cast("double") / ($"cnt" * 10000.0))
+        .groupBy($"cell")
+        .agg(collect_list(struct($"pos", $"v")).as("pv"))
+        .select($"cell".as("cid"),
+          expr("transform(array_sort(pv), x -> x.v)").as("ce"))
+    }
+  }
+
+  /** Trained-codebook IVF search over a caller-managed (cached) vector
+    * relation: top-5 per query (vec_id % 100 = 0) probing nprobe cells. */
+  private[graft] def ivfRanked(s: SparkSession, n: DataFrame,
+                               c: Int, iters: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cent = kmeansCodebook(n, c, iters)
+      .withColumn("cnrm", sqrt(dot($"ce", $"ce")))
+    val asg = n.crossJoin(broadcast(cent))
+      .withColumn("csim", graft.Det.round6(dot($"e", $"ce") / ($"nrm" * $"cnrm")))
       .select($"vec_id", $"cid", $"csim")
-    val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
-    val ranked = asg.withColumn("arn", row_number().over(wAsg))
-    val cells = ranked.filter($"arn" === 1)
-      .select($"vec_id".as("cand_id"), $"cid".as("cell"))
-    val probes = ranked.filter($"arn" <= 2 && $"vec_id" % 100 === 0)
+    val cells = asg
+      .groupBy($"vec_id")
+      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("m"))
+      .select($"vec_id".as("cand_id"), (-$"m.nc").as("cell"))
+    // the probe ranking windows only the QUERY rows (|Q|·C, not N·C)
+    val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val probes = asg.filter($"vec_id" % 100 === 0)
+      .withColumn("arn", row_number().over(wq))
+      .filter($"arn" <= nprobe)
       .select($"vec_id".as("qid"), $"cid".as("cell"))
-    val pairs = cells.join(broadcast(probes), Seq("cell"))
+    val pairs = cells.join(probes, Seq("cell"))
       .filter($"cand_id" =!= $"qid")
-      .join(v.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
-      .join(v.select($"vec_id".as("cand_id"), $"embedding".as("ce")), Seq("cand_id"))
-      .withColumn("sim",
-        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
+      .join(n.select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn")), Seq("qid"))
+      .join(n.select($"vec_id".as("cand_id"), $"e".as("ke"), $"nrm".as("kn")), Seq("cand_id"))
+      .withColumn("sim", graft.Det.round6(dot($"qe", $"ke") / ($"qn" * $"kn")))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cand_id")
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 5)
       .select($"qid", $"rn", $"cand_id".as("cid"), $"cell", $"sim")
       .orderBy($"qid", $"rn")
+  }
+
+  /** Probed-pair count for the C≈√N regime ([[tools.ScaleProbe]]): the
+    * work an IVF query actually does is Σ|probed cells| — this returns
+    * that total next to the brute-force |Q|·(N−1) it replaces. */
+  def ivfProbedPairs(s: SparkSession, dir: String, c: Int,
+                     nprobe: Int = 2): (Long, Long) = {
+    import s.implicits._
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = n.count()
+      val nQ = n.filter($"vec_id" % 100 === 0).count()
+      val cent = kmeansCodebook(n, c, iters = 2)
+        .withColumn("cnrm", sqrt(dot($"ce", $"ce")))
+      val asg = n.crossJoin(broadcast(cent))
+        .withColumn("csim", graft.Det.round6(dot($"e", $"ce") / ($"nrm" * $"cnrm")))
+        .select($"vec_id", $"cid", $"csim")
+      val cellSizes = asg
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("m"))
+        .select((-$"m.nc").as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("sz"))
+      val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+      val probed = asg.filter($"vec_id" % 100 === 0)
+        .withColumn("arn", row_number().over(wq))
+        .filter($"arn" <= nprobe)
+        .select($"cid".as("cell"))
+        .join(cellSizes, Seq("cell"))
+        .agg(coalesce(sum($"sz"), lit(0L)))
+        .head().getLong(0)
+      (probed, nQ * (total - 1))
+    } finally n.unpersist(true)
   }
 
   /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
@@ -413,6 +516,87 @@ object Similarity extends QueryModule {
       |    string_split(lower(text), ' ')[i + 2])
       | ELSE [lower(text)] END)""".stripMargin
 
+  /** One unrolled Lloyd iteration as DuckDB CTEs: assign each vector to
+    * its nearest cent{i-1} centroid (round6'd cosine, smallest-cid ties),
+    * then cent{i} = per-dimension mean via the exact quantize→BIGINT-sum→
+    * one-double-division pipeline [[kmeansCodebook]] uses. The two
+    * `unnest`s in x$i zip positionally (pos, value). */
+  private def duckIvfIter(i: Int): String = {
+    val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+    s"""a$i AS (
+         SELECT n.vec_id, c.cid,
+                floor(list_dot_product(n.e, c.ce)
+                      / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                      * 1000000.0 + 0.5) / 1000000.0 csim
+         FROM n, $prev c),
+       g$i AS (
+         SELECT vec_id, cid cell FROM
+           (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) rn FROM a$i)
+         WHERE rn = 1),
+       x$i AS (
+         SELECT g$i.cell,
+                unnest(range(1, len(n.e) + 1)) pos,
+                unnest(n.e) val
+         FROM n JOIN g$i ON n.vec_id = g$i.vec_id),
+       u$i AS (
+         SELECT cell, pos,
+                CAST(SUM(CAST(floor(val * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) sv,
+                count(*) cnt
+         FROM x$i GROUP BY cell, pos),
+       cent$i AS (
+         SELECT cell cid, list(CAST(sv AS DOUBLE) / (cnt * 10000.0)
+                               ORDER BY pos) ce
+         FROM u$i GROUP BY cell)"""
+  }
+
+  /** q_ann_ivf oracle: replays the md5-seeded codebook, two unrolled
+    * k-means iterations, then the assign/probe/search tail over the
+    * TRAINED cent2 — every arithmetic step mirrors the Spark side
+    * bit-for-bit (see [[kmeansCodebook]]). */
+  private val DUCK_IVF =
+    s"""WITH n AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) nrm
+         FROM embeddings),
+       cent0 AS (
+         SELECT cid, e ce FROM
+           (SELECT vec_id, e,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS BIGINT) cid
+            FROM n)
+         WHERE cid <= 8),
+       ${duckIvfIter(1)},
+       ${duckIvfIter(2)},
+       fa AS (
+         SELECT n.vec_id, c.cid,
+                floor(list_dot_product(n.e, c.ce)
+                      / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                      * 1000000.0 + 0.5) / 1000000.0 csim
+         FROM n, cent2 c),
+       ranked AS (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) arn
+         FROM fa),
+       cells AS (SELECT vec_id cand_id, cid cell FROM ranked WHERE arn = 1),
+       probes AS (SELECT vec_id qid, cid cell FROM ranked
+                  WHERE arn <= 2 AND vec_id % 100 = 0),
+       pairs AS (
+         SELECT p.qid, a.cand_id cid, p.cell,
+                floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                      * 1000000.0 + 0.5) / 1000000.0 sim
+         FROM probes p
+         JOIN cells a ON a.cell = p.cell AND a.cand_id <> p.qid
+         JOIN n q ON q.vec_id = p.qid
+         JOIN n c ON c.vec_id = a.cand_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, cid) rn
+             FROM pairs)
+       SELECT qid, rn, cid, cell, sim FROM r WHERE rn <= 5
+       ORDER BY qid, rn"""
+
   /** MinHash+LSH confirmed-pairs SQL (no final ORDER BY) — used directly
     * by the q_dedup_minhash_lsh oracle and as a nested CTE by the
     * q_dedup_clusters oracle. */
@@ -490,39 +674,7 @@ object Similarity extends QueryModule {
          r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
                FROM pairs)
          SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
-    "q_ann_ivf" ->
-      """WITH n AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) nrm
-           FROM embeddings),
-         cent AS (SELECT vec_id cid, e ce, nrm cnrm FROM n WHERE vec_id < 8),
-         asg AS (
-           SELECT n.vec_id, c.cid,
-                  floor(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm)
-                        * 1000000.0 + 0.5) / 1000000.0 csim
-           FROM n, cent c),
-         ranked AS (
-           SELECT vec_id, cid,
-                  row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY csim DESC, cid) arn
-           FROM asg),
-         cells AS (SELECT vec_id cand_id, cid cell FROM ranked WHERE arn = 1),
-         probes AS (SELECT vec_id qid, cid cell FROM ranked
-                    WHERE arn <= 2 AND vec_id % 100 = 0),
-         pairs AS (
-           SELECT p.qid, a.cand_id cid, p.cell,
-                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
-                        * 1000000.0 + 0.5) / 1000000.0 sim
-           FROM probes p
-           JOIN cells a ON a.cell = p.cell AND a.cand_id <> p.qid
-           JOIN n q ON q.vec_id = p.qid
-           JOIN n c ON c.vec_id = a.cand_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY qid
-                                            ORDER BY sim DESC, cid) rn
-               FROM pairs)
-         SELECT qid, rn, cid, cell, sim FROM r WHERE rn <= 5
-         ORDER BY qid, rn""",
+    "q_ann_ivf" -> DUCK_IVF,
     "q_dedup_embedding" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,

@@ -57,6 +57,18 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"k":$k,"query":"$name","sec":$sec%.2f,"rows":$n}""")
       }
+
+      // IVF production regime: C ≈ √N (the q_ann_ivf query itself pins
+      // C=8 for the oracle). Probed pairs should grow ~N^1.5/√N = N per
+      // query set growth — sub-quadratic vs the |Q|·N brute force.
+      val nVec = graft.sources.Tables.load(spark, dir, "embeddings").count()
+      val c = math.max(8, math.sqrt(nVec.toDouble).toInt)
+      val t0 = System.nanoTime()
+      val (probed, brute) =
+        graft.operators.Similarity.ivfProbedPairs(spark, dir, c)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"k":$k,"query":"ivf_probe_work","sec":$sec%.2f,""" +
+        f""""c":$c,"probed_pairs":$probed,"brute_pairs":$brute}""")
     }
     spark.stop()
   }

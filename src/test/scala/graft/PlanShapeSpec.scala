@@ -47,11 +47,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
-  test("q_ann_ivf broadcasts the codebook and the probe set") {
-    val p = plan("q_ann_ivf")
-    // centroid assignment (crossJoin broadcast(cent)) + probes join
-    assert(p.split("BroadcastNestedLoopJoin|BroadcastHashJoin").length >= 3,
-      "codebook/probe broadcasts lost")
+  test("q_ann_ivf broadcasts the codebook at every Lloyd round, never the corpus") {
+    // q_ann_ivf itself returns an eagerly-checkpointed result (opaque
+    // plan); guard the inner ranked frame over an uncached vector relation.
+    val n = operators.Similarity.ivfVectors(spark, dir)
+    val p = operators.Similarity.ivfRanked(spark, n, c = 8, iters = 2, nprobe = 2)
+      .queryExecution.executedPlan.toString()
+    // 2 training assignments + the final assignment each broadcast cent
+    assert(p.split("BroadcastNestedLoopJoin").length >= 4,
+      "codebook broadcasts lost")
+    assert(!p.contains("CartesianProduct"), "unbroadcast corpus product")
   }
 
   test("q_tfidf partially aggregates tf before any exchange") {
