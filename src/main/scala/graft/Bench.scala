@@ -7,12 +7,14 @@ object Bench {
     * tail capture (the round-1 line was cut mid-JSON by a ~2.4 KB tail
     * buffer → parse failure); BenchJsonSpec pins validity + size. */
   def renderJson(results: Map[String, Double], sfDir: String): String = {
-    def r3(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def r(v: Double, scale: Int): String = BigDecimal(v)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    // per-query at 2 decimals keeps the full 84-query line under the
+    // ~2.4KB tail-capture window (BenchJsonSpec pins the bound)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

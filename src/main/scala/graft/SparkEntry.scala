@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Llm,
     operators.Multimodal,
     operators.Curation,
+    operators.Layouts,
     streaming.StreamOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.{Sinks, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators (SURVEY.md §4.1 + VERDICT r2 #4/#8): the two
+  * physical-layout levers a 100 TB deployment reaches for FIRST —
+  * hive-partitioned layouts (directory pruning before any IO) and
+  * bucketed layouts (co-located joins with no per-query shuffle) — each
+  * promoted from an API-level spec to a declared, oracle-checked query.
+  *
+  * Both queries materialize their layout on first use under /tmp (keyed
+  * by the source dir, `_SUCCESS`-guarded) and read it back; the DuckDB
+  * oracle runs the same semantics over the ORIGINAL orders/lineitem
+  * parquet, so the correctness gate proves the derived layout returns
+  * exactly the source rows — a layout round-trip check, not just a plan
+  * shape. Layout writes happen once per corpus, amortized across every
+  * subsequent query (the reference's Postgres schema plays the same role:
+  * load once, query many — generate_conclusions_summaries.py:25).
+  */
+object Layouts extends QueryModule {
+
+  private def layoutRoot(dir: String): String =
+    s"/tmp/graft_layout_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** On-disk location of the month-partitioned orders layout (test aid:
+    * PlanShapeSpec counts pruned vs total partition directories). */
+  private[graft] def monthsPath(dir: String): String =
+    s"${layoutRoot(dir)}/orders_by_month"
+
+  /** Month-partitioned orders: hive layout `o_month=yyyy-MM/part-*.parquet`.
+    * Written once per corpus; `_SUCCESS`-guarded so verify/bench reuse it. */
+  private[graft] def ordersByMonth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = monthsPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Sinks.writePartitioned(
+        Tables.load(s, dir, "orders")
+          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")),
+        path, Seq("o_month"))
+    }
+    s.read.parquet(path)
+  }
+
+  /** q_partition_prune — dimension-driven DYNAMIC partition pruning over
+    * the month-partitioned orders layout: the dim side computes the top-3
+    * months by urgent-order revenue (values knowable only at runtime, so
+    * nothing constant-folds), and the fact scan must prune to those three
+    * `o_month=` directories via a DynamicPruning subquery reusing the
+    * broadcast — the TPC-DS "best months" shape. At 100 TB this is the
+    * difference between reading 3 partitions and reading 80.
+    *
+    * The dim aggregates the ORIGINAL table (dim-sized output), the fact
+    * reads the partitioned layout; revenue sums take the exact
+    * DECIMAL(18,4) path ([[graft.Det.sumd]]) with a month tie-break, so
+    * the top-3 cut is engine-agnostic. */
+  private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = ordersByMonth(s, dir)
+    val dim = Tables.load(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .agg(graft.Det.sumd($"o_totalprice").as("rev"))
+      .orderBy($"rev".desc, $"m").limit(3)
+      .select($"m")
+    fact.join(dim, fact("o_month") === dim("m"))
+      .groupBy($"o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.sumd($"o_totalprice").as("total_rev"))
+      .orderBy($"o_month")
+  }
+
+  /** Bucketed orders ⋈ lineitem: both sides written once as 8-bucket
+    * tables on the join key (external tables under the layout root), so
+    * the recurring fact⋈fact join consumes bucketed scans directly — no
+    * exchange on either input. */
+  private[graft] def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (liT, oT) = (s"li_bkt_$tag", s"o_bkt_$tag")
+    val root = layoutRoot(dir)
+    if (!s.catalog.tableExists(liT)) {
+      Tables.load(s, dir, "lineitem")
+        .write.mode("overwrite").option("path", s"$root/$liT")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      Tables.load(s, dir, "orders")
+        .write.mode("overwrite").option("path", s"$root/$oT")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+    }
+    (s.table(liT), s.table(oT))
+  }
+
+  /** q_join_bucketed — the co-located join the bucketed layout buys: a
+    * `merge` hint pins sort-merge (a broadcast would bypass the layout at
+    * test scale and prove nothing), and because both sides are bucketed
+    * AND sorted on the key, the join needs neither exchange nor sort.
+    * The only shuffle in the whole plan is the final 5-row aggregation.
+    * PlanShapeSpec pins exactly that. */
+  private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (li, o) = bucketedPair(s, dir)
+    li.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Det.sumd($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_partition_prune" -> (qPartitionPrune _),
+    "q_join_bucketed" -> (qJoinBucketed _))
+
+  val oracles: Map[String, String] = Map(
+    "q_partition_prune" ->
+      s"""WITH dim AS (
+           SELECT m FROM (
+             SELECT strftime(o_orderdate, '%Y-%m') m,
+                    ${graft.Det.SUMD("o_totalprice")} rev
+             FROM orders WHERE o_orderpriority = '1-URGENT'
+             GROUP BY 1 ORDER BY rev DESC, m LIMIT 3))
+         SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+                count(*) AS n_orders,
+                ${graft.Det.SUMD("o_totalprice")} AS total_rev
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m') IN (SELECT m FROM dim)
+         GROUP BY 1 ORDER BY o_month""",
+    "q_join_bucketed" ->
+      s"""SELECT o_orderpriority,
+                count(*) AS n_items,
+                ${graft.Det.SUMD("l_extendedprice")} AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""")
+}

@@ -89,6 +89,54 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally tf.unpersist(true)
   }
 
+  test("q_partition_prune dynamically prunes the month partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val df = SparkEntry.queries("q_partition_prune")(spark, dir)
+    val formatted = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("dynamicpruningexpression"),
+      "fact scan lost its DynamicPruning filter")
+    df.collect() // finalize AQE so runtime pruning metrics are real
+    val fact = scans(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("orders_by_month"))
+    assert(fact.nonEmpty, "no scan over the partitioned layout")
+    val readFiles = fact.map(_.metrics("numFiles").value).sum
+    val totalParts = new java.io.File(operators.Layouts.monthsPath(dir))
+      .listFiles().count(_.getName.startsWith("o_month="))
+    assert(readFiles < totalParts,
+      s"no pruning: read $readFiles files over $totalParts partitions")
+    assert(readFiles <= 3, s"expected <=3 month partitions read, got $readFiles")
+  }
+
+  test("q_join_bucketed joins bucketed scans with no exchange on either input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other.children.flatMap(nodes)
+    }) :+ p
+    val df = SparkEntry.queries("q_join_bucketed")(spark, dir)
+    df.collect()
+    val ns = nodes(df.queryExecution.executedPlan)
+    val joins = ns.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, "merge hint lost: join is not sort-merge")
+    // the agg/sort above the join may exchange; the join's INPUTS must not
+    val joinShuffles = joins.flatMap(j => nodes(j))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(joinShuffles == 0,
+      s"bucketed join inputs shuffled: $joinShuffles exchanges")
+  }
+
   test("q_subquery de-correlates EXISTS into a semi/existence join") {
     val p = plan("q_subquery")
     assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),

@@ -30,7 +30,7 @@ class RelationalSpec extends AnyFunSuite {
       graft.operators.SemiStructured, graft.operators.TextOps,
       graft.operators.Similarity, graft.operators.Llm,
       graft.operators.Multimodal, graft.operators.Curation,
-      graft.streaming.StreamOps)
+      graft.operators.Layouts, graft.streaming.StreamOps)
     val perModule = modules.map(_.queries.size).sum
     assert(SparkEntry.queries.size == perModule,
       s"collision: ${perModule - SparkEntry.queries.size} shadowed keys")

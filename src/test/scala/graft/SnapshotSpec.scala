@@ -38,6 +38,8 @@ class SnapshotSpec extends AnyFunSuite {
     "q_filter_or_eq" -> 8L,
     "q_filter_pred" -> 238L,
     "q_fingerprint" -> 500L,
+    "q_join_bucketed" -> 5L,
+    "q_partition_prune" -> 3L,
     "q_funnel" -> 3L,
     "q_grouping_sets" -> 8L,
     "q_intersect" -> 10L,
