@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge semantics (q_token_bpe): the fixed merge table must apply in
+  * rank order with left-to-right non-overlapping matches per rule — the
+  * canonical Sennrich apply-merges-in-order encoder. These words pin the
+  * behaviors that distinguish real BPE from naive substring replacement. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def encode(words: String*): Map[String, Seq[String]] = {
+    import spark.implicits._
+    words.toDF("word")
+      .select($"word", operators.TextOps.bpeEncode($"word").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+  }
+
+  test("multi-level merges chain: t+h -> th, th+e -> the") {
+    val m = encode("the", "then", "thing")
+    assert(m("the") == Seq("the"))
+    // rank 2 (th+e) consumed th before rank 11 (e+n) could see the e
+    assert(m("then") == Seq("the", "n"))
+    // i+n merges at rank 3, then in+g at rank 4; th stays unmerged
+    assert(m("thing") == Seq("th", "ing"))
+  }
+
+  test("rank order wins over textual order") {
+    // "ander": a+n (rank 5) takes the n, then an+d (rank 6), then e+r
+    // (rank 7) — NOT e+n, whose rank 11 comes too late
+    assert(encode("ander")("ander") == Seq("and", "er"))
+    // "rest": r+e merges at rank 8 before s+t at rank 15
+    assert(encode("rest")("rest") == Seq("re", "st"))
+  }
+
+  test("left-to-right non-overlapping within one rule") {
+    // t t h h: single (t)(h) occurrence merges in the middle
+    assert(encode("tthh")("tthh") == Seq("t", "th", "h"))
+    // e e s: e+s takes the SECOND e (first pair match scanning l-to-r
+    // is at positions 2-3), leaving a bare e
+    assert(encode("ees")("ees") == Seq("e", "es"))
+  }
+
+  test("unmergeable words stay as base characters") {
+    assert(encode("xyz")("xyz") == Seq("x", "y", "z"))
+    assert(encode("a")("a") == Seq("a"))
+  }
+}

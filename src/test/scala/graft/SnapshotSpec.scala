@@ -88,6 +88,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_text_tokenize_tf" -> 31L,
     "q_tfidf" -> 1500L,
     "q_token_count" -> 500L,
+    "q_token_bpe" -> 33L,
     "q_topk_per_group" -> 75L,
     "q_union" -> 401L,
     "q_union_distinct" -> 15L,
