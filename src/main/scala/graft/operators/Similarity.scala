@@ -440,17 +440,25 @@ object Similarity extends QueryModule {
         .select(edges("a").as("id"), $"lbl")
         .unionByName(ls)
         .groupBy($"id").agg(min($"lbl").as("lbl"))
-    var changed = 1L
-    while (changed > 0) {
-      // TWO hops per materialization: propagation is monotone (labels only
-      // decrease), so a double hop is still exact — and it halves the
-      // checkpoint+convergence-check job count, which is what each round
-      // actually costs on a shallow graph
-      val updated = hop(hop(labels)).withColumnRenamed("lbl", "lbl2")
-        .join(labels, Seq("id"))
+    // Convergence WITHOUT a second job or a self-join: labels only ever
+    // DECREASE and the id set is fixed, so Σlbl is strictly monotone and
+    // stalls exactly at the fixpoint. The sum rides the checkpoint
+    // materialization as an observed metric — each round is ONE job: two
+    // hops + checkpoint (round 2 cost this loop 5.4s at sf0.1 with the
+    // old join + filter + count shape). Σlbl stays < 2^63 up to ~10^9
+    // vertices at max doc_id ~10^9; past that, widen to DECIMAL.
+    var prevSum = -1L
+    var curSum = 0L
+    while (curSum != prevSum) {
+      prevSum = curSum
+      val obs = org.apache.spark.sql.Observation()
+      // TWO hops per materialization: propagation is monotone, so a
+      // double hop is still exact — and it halves the round count on a
+      // shallow graph
+      labels = hop(hop(labels))
+        .observe(obs, sum($"lbl").as("s"))
         .localCheckpoint(true)
-      changed = updated.filter($"lbl2" < $"lbl").count()
-      labels = updated.select($"id", $"lbl2".as("lbl"))
+      curSum = obs.get("s").asInstanceOf[Long]
     }
     edges.unpersist()
     labels
