@@ -57,6 +57,66 @@ class HttpSummarizerSpec extends AnyFunSuite {
     }
   }
 
+  /** Stub whose first responses follow `statuses`, then 200s. */
+  private def withFlakyServer(statuses: Seq[Int])(f: (String, java.util.concurrent.atomic.AtomicInteger) => Unit): Unit = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val i = hits.getAndIncrement()
+        val status = if (i < statuses.length) statuses(i) else 200
+        val resp = if (status == 200)
+          """{"choices":[{"message":{"content":"ok"}}],
+            |"usage":{"prompt_tokens":10,"completion_tokens":1}}""".stripMargin
+        else """{"error":"nope"}"""
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat/completions", hits)
+    finally server.stop(0)
+  }
+
+  test("429/5xx retry with exponential backoff, then succeed") {
+    withFlakyServer(Seq(429, 503)) { (url, hits) =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new HttpSummarizerClient(url, "m", "k",
+        inPricePerToken = 1e-6, backoffMillis = 250L, sleeper = sleeps += _)
+      val (out, cost) = client.summarizeBatch(Seq("p"), Seq("d"))
+      assert(out == Seq("ok"))
+      assert(hits.get() == 3)
+      assert(sleeps.toSeq == Seq(250L, 500L), "backoff schedule drifted")
+      // only the successful attempt accrues cost
+      assert(math.abs(cost - 10e-6) < 1e-12)
+    }
+  }
+
+  test("non-transient 4xx fails fast without retry or sleep") {
+    withFlakyServer(Seq(400)) { (url, hits) =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new HttpSummarizerClient(url, "m", "k",
+        sleeper = sleeps += _)
+      val e = intercept[java.io.IOException](
+        client.summarizeBatch(Seq("p"), Seq("d")))
+      assert(e.getMessage.contains("400"))
+      assert(hits.get() == 1 && sleeps.isEmpty)
+    }
+  }
+
+  test("retry budget exhausts with a terminal failure") {
+    withFlakyServer(Seq(500, 500, 500, 500)) { (url, hits) =>
+      val client = new HttpSummarizerClient(url, "m", "k",
+        maxRetries = 2, sleeper = _ => ())
+      val e = intercept[java.io.IOException](
+        client.summarizeBatch(Seq("p"), Seq("d")))
+      assert(e.getMessage.contains("after 3 attempts"))
+      assert(hits.get() == 3)
+    }
+  }
+
   test("drives Llm.summarize end-to-end (per-partition client, from_json parse)") {
     withServer { (url, _) =>
       import spark.implicits._
