@@ -642,7 +642,69 @@ object Relational extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** q_join_skew_salted — explicit hot-key salting as a DECLARED query
+    * ([[Skew.saltedJoin]], §2 header "salting for skew"): the fact side's
+    * join key widens to (user_id, salt) with a deterministic
+    * xxhash64-pmod salt from the stable event_id; the dim side — a
+    * per-user profile, the mid-size dim salting exists for (too big to
+    * broadcast at 100 TB, cheap to replicate buckets×) — explodes to all
+    * 8 salt values. A hot user's rows spread across 8 tasks instead of
+    * one. Salting must be INVISIBLE in the result: the oracle is the
+    * plain unsalted join. The testdata key histogram is uniform, so the
+    * skew BENEFIT is spec'd separately (SkewStateSpec asserts the
+    * spread); this query pins salted semantics + plan shape
+    * (PlanShapeSpec: xxhash64 salt on the fact side, dim-side explode). */
+  private def qJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val dim = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), Det.sumd($"value").as("total_value"))
+    Skew.saltedJoin(fact, dim, "user_id", "event_id", buckets = 8)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"n_events", $"total_value", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** q_merge_upsert — CDC-style MERGE: apply a changes relation
+    * (op ∈ {U,D,I}) to a base table in one pass — update-in-place,
+    * delete, and insert resolved by a single full-outer join on the key,
+    * change side winning (the reference's last-write-wins dict upsert,
+    * SURVEY.md §2.13.1, made deterministic and set-based). The changes
+    * here derive from the base by residue classes so the oracle replays
+    * them exactly; in production they arrive as a CDC feed.
+    *
+    * Scale: ONE key-partitioned shuffle join — the merge pattern at
+    * 100 TB; pair with the bucketed layout ([[Layouts]]) and the base
+    * side never re-shuffles. No driver state, no per-row dict. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select($"doc_id", $"text")
+    val upd = base.filter($"doc_id" % 5 === 0 && $"doc_id" % 11 =!= 0)
+      .select($"doc_id", concat(lit("rev2: "), $"text").as("new_text"),
+        lit("U").as("op"))
+    val del = base.filter($"doc_id" % 11 === 0)
+      .select($"doc_id", lit(null).cast("string").as("new_text"),
+        lit("D").as("op"))
+    val ins = base.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"),
+        concat(lit("new: "), $"text").as("new_text"), lit("I").as("op"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select(
+        $"doc_id",
+        when($"op".isNull, lit("kept"))
+          .when($"op" === "U", lit("updated"))
+          .otherwise(lit("inserted")).as("action"),
+        length(coalesce($"new_text", $"text")).cast("long").as("n_chars_new"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_skew_salted" -> (qJoinSkewSalted _),
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_join_full" -> (qJoinFull _),
     "q_agg_stats" -> (qAggStats _),
     "q_subquery" -> (qSubquery _),
@@ -686,6 +748,37 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_join_skew_salted" ->
+      s"""WITH dim AS (
+           SELECT user_id, count(*) AS n_events,
+                  ${Det.SUMD("value")} AS total_value
+           FROM events GROUP BY user_id)
+         SELECT e.event_id, e.user_id, d.n_events, d.total_value, e.value
+         FROM events e JOIN dim d USING (user_id)
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         upd AS (SELECT doc_id, 'rev2: ' || text AS new_text, 'U' AS op
+                 FROM base WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0),
+         del AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS new_text, 'D' AS op
+                 FROM base WHERE doc_id % 11 = 0),
+         ins AS (SELECT doc_id + 10000000 AS doc_id,
+                        'new: ' || text AS new_text, 'I' AS op
+                 FROM base WHERE doc_id % 7 = 0),
+         changes AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+                     UNION ALL SELECT * FROM ins),
+         m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                      b.text, c.new_text, c.op
+               FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id)
+         SELECT doc_id,
+                CASE WHEN op IS NULL THEN 'kept'
+                     WHEN op = 'U' THEN 'updated'
+                     ELSE 'inserted' END AS action,
+                CAST(length(coalesce(new_text, text)) AS BIGINT)
+                  AS n_chars_new
+         FROM m WHERE op IS NULL OR op <> 'D'
+         ORDER BY doc_id""",
     "q_join_full" ->
       """SELECT coalesce(c_custkey, -1) AS cust_key,
                 coalesce(o_orderkey, -1) AS order_key,

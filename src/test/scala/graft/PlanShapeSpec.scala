@@ -137,6 +137,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join inputs shuffled: $joinShuffles exchanges")
   }
 
+  test("q_join_skew_salted salts the fact side and explodes the dim side") {
+    val p = plan("q_join_skew_salted")
+    assert(p.contains("xxhash64"), "deterministic salt expression lost")
+    assert(p.contains("Generate explode") || p.contains("explode(sequence"),
+      "dim-side salt replication lost")
+  }
+
   test("q_subquery de-correlates EXISTS into a semi/existence join") {
     val p = plan("q_subquery")
     assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),

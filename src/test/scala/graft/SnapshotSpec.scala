@@ -39,6 +39,8 @@ class SnapshotSpec extends AnyFunSuite {
     "q_filter_pred" -> 238L,
     "q_fingerprint" -> 500L,
     "q_join_bucketed" -> 5L,
+    "q_join_skew_salted" -> 202L,
+    "q_merge_upsert" -> 526L,
     "q_partition_prune" -> 3L,
     "q_funnel" -> 3L,
     "q_grouping_sets" -> 8L,
