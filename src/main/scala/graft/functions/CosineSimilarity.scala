@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: fused cosine similarity over two
-  * `ArrayType(FloatType)` columns — the one custom `Expression` SURVEY.md
-  * §4.2 flagged as worth building. One pass accumulates dot(a,b), dot(a,a)
-  * and dot(b,b) as three independent LEFT-TO-RIGHT double folds, so the
-  * result is bit-identical to the composed higher-order-function form
-  * (`aggregate(zip_with(...))`) and to DuckDB's `list_dot_product`-based
-  * oracle — but it runs inside whole-stage codegen as a tight primitive
-  * loop instead of three interpreted lambda folds, which matters when the
-  * expression sits inside an O(|pairs|) similarity join.
+  * `ArrayType(FloatType)` or two `ArrayType(DoubleType)` columns (each
+  * side independently; float widens to double exactly) — the one custom
+  * `Expression` SURVEY.md §4.2 flagged as worth building. One pass
+  * accumulates dot(a,b), dot(a,a) and dot(b,b) as three independent
+  * LEFT-TO-RIGHT double folds, so the result is bit-identical to the
+  * composed higher-order-function form (`aggregate(zip_with(...))`) and
+  * to DuckDB's `list_dot_product`-based oracle — but it runs inside
+  * whole-stage codegen as a tight primitive loop instead of three
+  * interpreted lambda folds, which matters when the expression sits
+  * inside an O(|pairs|) similarity join or the N×C k-means assignment
+  * loop ([[graft.operators.Similarity]] IVF training).
   *
   * Null semantics: null if either array is null or lengths differ;
   * array elements are assumed non-null (embedding vectors).
@@ -24,27 +27,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+  private def isDouble(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
   override def prettyName: String = "graft_cosine"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   @inline private def fold(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    val (ad, bd) = (isDouble(left.dataType), isDouble(right.dataType))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (ad) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bd) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -66,6 +76,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      def read(arr: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -73,8 +85,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $x = (double) $a.getFloat($i);
-         |    final double $y = (double) $b.getFloat($i);
+         |    final double $x = ${read(a, isDouble(left.dataType))};
+         |    final double $y = ${read(b, isDouble(right.dataType))};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -129,25 +129,29 @@ object Similarity extends QueryModule {
     finally n.unpersist(false)
   }
 
-  /** The narrow vector relation (vec_id, e: ARRAY<DOUBLE>, nrm) every IVF
+  /** The narrow vector relation (vec_id, e: ARRAY<DOUBLE>) every IVF
     * stage reads — cache this, not the parquet. float→double is exact in
-    * both engines, and all dot products are left-to-right double folds
-    * (Spark `aggregate(zip_with)` ≡ DuckDB `list_dot_product`). */
+    * both engines, and every cosine is three left-to-right double folds
+    * (the native codegen'd [[graft.functions.CosineSimilarity]], proven
+    * bit-equal to `aggregate(zip_with)` and DuckDB `list_dot_product`). */
   private[graft] def ivfVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
-      .withColumn("nrm", sqrt(dot($"e", $"e")))
   }
 
   /** Nearest-centroid assignment: (vec_id, cell). A map-side-combinable
     * max(struct) argmax — no window, so the N×C similarity rows reduce
     * to N rows before any exchange. Ties break to the smallest cid, and
-    * csim is round6'd first, so the argmax can never flip on an ulp. */
+    * csim is round6'd first, so the argmax can never flip on an ulp.
+    * The N×C cosine runs as the fused native expression inside
+    * whole-stage codegen — this loop is the training hot path. */
   private def assignCells(n: DataFrame, cent: DataFrame): DataFrame = {
     val s = n.sparkSession; import s.implicits._
-    n.crossJoin(broadcast(cent.withColumn("cnrm", sqrt(dot($"ce", $"ce")))))
-      .withColumn("csim", graft.Det.round6(dot($"e", $"ce") / ($"nrm" * $"cnrm")))
+    n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
       .groupBy($"vec_id")
       .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("m"))
       .select($"vec_id", (-$"m.nc").as("cell"))
@@ -190,9 +194,9 @@ object Similarity extends QueryModule {
                                c: Int, iters: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val cent = kmeansCodebook(n, c, iters)
-      .withColumn("cnrm", sqrt(dot($"ce", $"ce")))
     val asg = n.crossJoin(broadcast(cent))
-      .withColumn("csim", graft.Det.round6(dot($"e", $"ce") / ($"nrm" * $"cnrm")))
+      .withColumn("csim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
       .select($"vec_id", $"cid", $"csim")
     val cells = asg
       .groupBy($"vec_id")
@@ -206,9 +210,10 @@ object Similarity extends QueryModule {
       .select($"vec_id".as("qid"), $"cid".as("cell"))
     val pairs = cells.join(probes, Seq("cell"))
       .filter($"cand_id" =!= $"qid")
-      .join(n.select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn")), Seq("qid"))
-      .join(n.select($"vec_id".as("cand_id"), $"e".as("ke"), $"nrm".as("kn")), Seq("cand_id"))
-      .withColumn("sim", graft.Det.round6(dot($"qe", $"ke") / ($"qn" * $"kn")))
+      .join(n.select($"vec_id".as("qid"), $"e".as("qe")), Seq("qid"))
+      .join(n.select($"vec_id".as("cand_id"), $"e".as("ke")), Seq("cand_id"))
+      .withColumn("sim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ke")))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cand_id")
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -229,9 +234,9 @@ object Similarity extends QueryModule {
       val total = n.count()
       val nQ = n.filter($"vec_id" % 100 === 0).count()
       val cent = kmeansCodebook(n, c, iters = 2)
-        .withColumn("cnrm", sqrt(dot($"ce", $"ce")))
       val asg = n.crossJoin(broadcast(cent))
-        .withColumn("csim", graft.Det.round6(dot($"e", $"ce") / ($"nrm" * $"cnrm")))
+        .withColumn("csim",
+          graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
         .select($"vec_id", $"cid", $"csim")
       val cellSizes = asg
         .groupBy($"vec_id")

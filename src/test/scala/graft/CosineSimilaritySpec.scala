@@ -32,6 +32,34 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("ARRAY<DOUBLE> inputs: fused == HOF, bit for bit (the IVF training path)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val e = graft.sources.Tables.load(spark, TestSession.sfDir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("d"))
+    val pairs = e.select($"vec_id".as("a_id"), $"d".as("a"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"d".as("b")))
+      .filter($"a_id" < 30 && $"b_id" < 30)
+    val diffs = pairs
+      .select(VectorFunctions.cosine($"a", $"b").as("fused"),
+        hofCosine("a", "b").as("hof"))
+      .filter($"fused" =!= $"hof")
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("mixed FLOAT/DOUBLE sides agree with the all-double fold") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((Array(0.5f, -0.25f, 3.125f), Array(1.5, 2.75, -0.5)))
+      .toDF("f", "d")
+    val row = df.select(
+      VectorFunctions.cosine($"f", $"d").as("mixed"),
+      VectorFunctions.cosine(transform($"f", _.cast("double")), $"d").as("dd"))
+      .first()
+    assert(row.getDouble(0) == row.getDouble(1)) // float→double is exact
+  }
+
   test("interpreted (non-codegen) path agrees too") {
     import spark.implicits._
     VectorFunctions.register(spark)
