@@ -480,6 +480,63 @@ object Similarity extends QueryModule {
       .orderBy($"cluster_rep")
   }
 
+  /** q_decontaminate — benchmark decontamination: flag corpus documents
+    * sharing ≥2 distinct 3-shingles with ANY document of the held-out
+    * "benchmark" set (doc_id ≡ 0 mod 13 stands in for the eval suite).
+    * The op every LLM training pipeline runs before training — test-set
+    * leakage detection by n-gram overlap — expressed as an inverted-index
+    * join: benchmark shingles become a (hash → min bench doc) index, the
+    * corpus explodes to (doc, hash) postings, and the join shuffles on
+    * the SHINGLE HASH (uniform by construction), never doc×doc pairs.
+    * At 100 TB the benchmark index is the small side (broadcastable for
+    * real eval suites; left as a shuffle join here since the stand-in
+    * benchmark is 1/13 of the corpus). Shingle sets are distinct per doc,
+    * so the per-doc match count IS the distinct-shared-shingle count. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleHashed(s, dir)
+    val corp = sh.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", explode($"hs").as("h"))
+    val bench = sh.filter($"doc_id" % 13 === 0)
+      .select($"doc_id".as("bench_id"), explode($"hs").as("h"))
+      .groupBy($"h").agg(min($"bench_id").as("bench_min"))
+    corp.join(bench, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"), min($"bench_min").as("bench_doc"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  /** q_embed_quantize — L2-normalize + symmetric int8 quantization, the
+    * standard pre-index compression step (4× smaller vectors before ANN
+    * indexing): q_i = floor(127·x_i/‖x‖ + 0.5). Output is per-vector
+    * scalar evidence (norm, q-range, q-sum, rolling checksum) rather than
+    * the int8 array itself — the driver comparator is scalar-only — but
+    * the checksum covers every element in order, so any quantization
+    * drift fails the oracle. One scan, no shuffle, all inside codegen;
+    * zero vectors are excluded on both sides (q undefined at ‖x‖=0). */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = "transform(e, x -> CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT))"
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(dot($"e", $"e")))
+      .filter($"nrm" > 0.0)
+      .withColumn("qv", expr(q))
+      .select(
+        $"vec_id",
+        size($"e").cast("long").as("dim"),
+        graft.Det.round6($"nrm").as("nrm6"),
+        // fold inits sit at the quantized range edges (q ∈ [-127, 127]),
+        // so the fold result equals the true min/max
+        expr("aggregate(qv, CAST(127 AS BIGINT), (a, v) -> least(a, v))").as("q_min"),
+        expr("aggregate(qv, CAST(-127 AS BIGINT), (a, v) -> greatest(a, v))").as("q_max"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
+        expr("aggregate(qv, CAST(0 AS BIGINT)," +
+          " (a, v) -> (a * 31 + v + 128) % 1000000007)").as("q_checksum"))
+      .orderBy($"vec_id")
+  }
+
   /** q_dedup_simhash — 16-bit SimHash over token occurrences (bit j set if
     * the ±1 votes from each token's md5 hex digit j sum positive); output
     * the collision groups (same simhash = near-dup cluster). */
@@ -519,6 +576,8 @@ object Similarity extends QueryModule {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
     "q_multimodal_struct" -> (qMultimodalStruct _))
 
   private val DUCK_SHINGLES =
@@ -726,6 +785,40 @@ object Similarity extends QueryModule {
                 count(*) AS n_members,
                 string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          FROM comp GROUP BY rep ORDER BY cluster_rep""",
+    "q_decontaminate" ->
+      s"""WITH sh0 AS (SELECT doc_id,
+                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
+         corp AS (SELECT doc_id, unnest(h) AS hh FROM sh0
+                  WHERE doc_id % 13 <> 0),
+         bench AS (
+           SELECT hh, min(doc_id) AS bench_min
+           FROM (SELECT doc_id, unnest(h) AS hh FROM sh0
+                 WHERE doc_id % 13 = 0)
+           GROUP BY hh)
+         SELECT c.doc_id, count(*) AS n_shared, min(b.bench_min) AS bench_doc
+         FROM corp c JOIN bench b ON b.hh = c.hh
+         GROUP BY c.doc_id HAVING count(*) >= 2
+         ORDER BY c.doc_id""",
+    "q_embed_quantize" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         q AS (SELECT vec_id, e, nrm,
+                      list_transform(e, x ->
+                        CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT)) qv
+               FROM n WHERE nrm > 0.0)
+         SELECT vec_id,
+                CAST(len(e) AS BIGINT) AS dim,
+                floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS nrm6,
+                CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+                CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+                CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                            (a, v) -> (a * 31 + v + 128) % 1000000007)
+                  AS q_checksum
+         FROM q ORDER BY vec_id""",
     "q_dedup_simhash" ->
       """WITH hh AS (
            SELECT doc_id,

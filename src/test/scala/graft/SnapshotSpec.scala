@@ -26,8 +26,10 @@ class SnapshotSpec extends AnyFunSuite {
     "q_cond_funcs" -> 1500L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
+    "q_decontaminate" -> 367L,
     "q_dedup_clusters" -> 21L,
     "q_dedup_embedding" -> 5L,
+    "q_embed_quantize" -> 500L,
     "q_dedup_exact" -> 500L,
     "q_dedup_minhash_lsh" -> 28L,
     "q_dedup_near" -> 2L,
