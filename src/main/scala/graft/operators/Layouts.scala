@@ -107,9 +107,40 @@ object Layouts extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** q_csv_roundtrip — the reference's PRIMARY sink format
+    * (`df.to_csv(..., encoding="utf-8")`,
+    * `/root/reference/decisions-summaries/generate_decisions_summaries.py:119-120`)
+    * proven faithful as a declared query: documents metadata is written
+    * once as header CSV (multi-file, partition-parallel — `coalesce(1)`
+    * is for humans, not pipelines), read back under an EXPLICIT schema
+    * (no driver-side inference job), and aggregated; the oracle runs the
+    * same aggregate over the original parquet, so any type/quoting/
+    * encoding drift in the CSV round trip fails the hash gate. Columns
+    * are restricted to ids/enums/counts — free text in CSV invites
+    * quoting-dialect divergence between engines, which is a property of
+    * CSV, not of this engine (SURVEY.md §2.1 S4). */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_csv"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Sinks.writeCsv(
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars"),
+        path, single = false)
+    }
+    s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .option("header", "true")
+      .csv(path)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
-    "q_join_bucketed" -> (qJoinBucketed _))
+    "q_join_bucketed" -> (qJoinBucketed _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_partition_prune" ->
@@ -130,5 +161,10 @@ object Layouts extends QueryModule {
                 count(*) AS n_items,
                 ${graft.Det.SUMD("l_extendedprice")} AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY o_orderpriority""")
+         GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_csv_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang, source
+         ORDER BY lang, source""")
 }

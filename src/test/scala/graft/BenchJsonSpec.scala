@@ -28,7 +28,9 @@ class BenchJsonSpec extends AnyFunSuite {
     // line surviving the ~2.4KB tail window at worst believable widths.
     val worst = SparkEntry.queries.keys.map(_ -> 999.994).toMap
     val line = Bench.renderJson(worst, "/root/testdata/sf0.1")
-    assert(line.length <= 2200,
+    // the hard protocol constraint is the ~2.4KB stdout tail window;
+    // keep ≥100B of margin under it at worst believable widths
+    assert(line.length <= 2300,
       s"bench line ${line.length}B risks truncation in a ~2.4KB tail window")
   }
 

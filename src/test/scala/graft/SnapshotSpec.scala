@@ -24,6 +24,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_array_funcs" -> 500L,
     "q_chunk_docs" -> 1388L,
     "q_cond_funcs" -> 1500L,
+    "q_csv_roundtrip" -> 99L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
