@@ -137,10 +137,38 @@ object Layouts extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** q_jsonl_roundtrip — JSON-Lines, the interchange format training
+    * corpora actually ship in (one document object per line), proven
+    * lossless INCLUDING free text: the full documents table is written
+    * once as multi-file JSONL, read back under an explicit schema (no
+    * inference job over 100 TB), and every text byte is covered by a
+    * position-sensitive rolling-hash checksum summed per group. The
+    * oracle computes the identical checksum over the ORIGINAL parquet,
+    * so any escaping/encoding/ordering drift in the JSON round trip
+    * fails the hash gate — the stronger sibling of [[qCsvRoundtrip]],
+    * which must exclude free text (CSV quoting dialects differ; JSON
+    * escaping is fully specified). */
+  private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_jsonl"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Sinks.writeJsonl(Tables.load(s, dir, "documents"), path)
+    }
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(path)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(TextOps.rollingHash("text")).as("text_checksum"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
     "q_join_bucketed" -> (qJoinBucketed _),
-    "q_csv_roundtrip" -> (qCsvRoundtrip _))
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_partition_prune" ->
@@ -166,5 +194,15 @@ object Layouts extends QueryModule {
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang, source
+         ORDER BY lang, source""",
+    "q_jsonl_roundtrip" ->
+      s"""WITH f AS (
+           SELECT lang, source, n_chars,
+                  ${TextOps.ROLLING_HASH("text")} AS fp
+           FROM documents)
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(fp) AS BIGINT) AS text_checksum
+         FROM f GROUP BY lang, source
          ORDER BY lang, source""")
 }

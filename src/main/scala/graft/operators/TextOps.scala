@@ -219,18 +219,107 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** q_fingerprint — rolling polynomial hash over the document's
-    * characters: h = fold(h*31 + ascii(c)) mod 1e9+7. A content
-    * fingerprint that is stable across engines (pure integer arithmetic),
-    * unlike engine-specific hash() builtins. */
+  /** Rolling polynomial hash of a string column:
+    * h = fold(h·31 + ascii(c)) mod 1e9+7 — pure integer arithmetic, so
+    * bit-identical in both engines (unlike engine-native hash()).
+    * Position-sensitive: any character change, drop, or reorder changes
+    * the value, which is what makes it usable as a round-trip checksum
+    * (q_jsonl_roundtrip) as well as a content fingerprint. */
+  private[operators] def rollingHash(col: String): org.apache.spark.sql.Column =
+    expr(s"""aggregate(split($col, ''), CAST(0 AS BIGINT),
+            |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+
+  /** DuckDB replay of [[rollingHash]] (list_reduce needs the accumulator
+    * typed like the elements, hence the VARCHAR fold). */
+  private[operators] def ROLLING_HASH(col: String): String =
+    s"""CAST(list_reduce(
+          list_prepend('0', string_split($col, '')),
+          (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c))
+                           % 1000000007 AS VARCHAR)) AS BIGINT)"""
+
+  /** q_fingerprint — [[rollingHash]] as a per-document content
+    * fingerprint. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select(
-        $"doc_id",
-        expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
-               |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
-          .as("fingerprint"))
+      .select($"doc_id", rollingHash("text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_quality_repetition — Gopher-style repetition filters (Rae et al.
+    * 2021 §A1.1): excessive repetition is the single strongest web-junk
+    * signal, measured here per document over token bigrams — the
+    * duplicate-bigram fraction (1 − distinct/total) and the top-bigram
+    * fraction (most frequent bigram's share). Documents under 2 tokens
+    * have no bigram and drop out (same rule both engines).
+    *
+    * Scale: one scan; bigrams come from a generator (explode over an
+    * index-zipped transform — O(len) per doc, never a self-join), then
+    * TWO map-side-combinable hash aggregates ((doc,bigram) → doc). The
+    * only values crossing the wire are partial counts; no window, no
+    * per-doc quadratic work, so a 100 TB corpus with pathological long
+    * docs still costs O(tokens) total. */
+  private def qQualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_n"))
+      .select($"doc_id", $"n_bigrams", $"n_distinct", $"top_n",
+        graft.Det.round6(lit(1.0) -
+          $"n_distinct".cast("double") / $"n_bigrams").as("dup_bigram_frac"),
+        graft.Det.round6(
+          $"top_n".cast("double") / $"n_bigrams").as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_unigram_logprob — unigram-LM surprisal, the classic cheap
+    * perplexity proxy for quality filtering (CCNet/Wenzek et al. 2020
+    * rank web docs by LM score; a unigram model is its
+    * sort-by-token-rarity degenerate case): score(doc) = mean over token
+    * occurrences of −ln p(token), p = corpus frequency. Low = stopword
+    * soup, high = rare-token noise; both tails get filtered.
+    *
+    * Determinism: each token's nll is half-up quantized to 1e-6 with
+    * pure IEEE ops, the per-doc mean is then an exact BIGINT sum
+    * (order-free — Spark's aggregation tree and DuckDB's scan order add
+    * in different orders) finished by ONE double division.
+    *
+    * Scale: same single-scan posture as [[qTfidf]] — the (doc,token) tf
+    * relation is built once and persisted for its two consumers (vocab
+    * build + probe side); the vocab (one row per distinct token, ~MBs at
+    * any corpus size) BROADCASTS into the scoring join, and the corpus
+    * total rides along as a broadcast 1-row aggregate, so the only
+    * full-size exchange is tf's own map-side-combined groupBy. */
+  private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tf = tfRelation(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try unigramScored(s, tf).localCheckpoint(true)
+    finally tf.unpersist(false)
+  }
+
+  /** Surprisal scoring over a caller-managed (cached) tf relation. */
+  private[graft] def unigramScored(s: SparkSession, tf: DataFrame): DataFrame = {
+    import s.implicits._
+    val vocab = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("n_total"))
+    val qnll = vocab.crossJoin(broadcast(total))
+      .select($"token", floor(
+        log($"n_total".cast("double") / $"cnt") * lit(1000000.0) + lit(0.5))
+        .cast("long").as("qnll"))
+    tf.join(broadcast(qnll), Seq("token"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"), sum($"tf" * $"qnll").as("sq"))
+      .select($"doc_id", $"n_tokens",
+        ($"sq".cast("double") / ($"n_tokens" * lit(1000000.0))).as("avg_nll"))
       .orderBy($"doc_id")
   }
 
@@ -241,6 +330,8 @@ object TextOps extends QueryModule {
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_quality_score" -> (qQualityScore _),
+    "q_quality_repetition" -> (qQualityRepetition _),
+    "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _))
 
@@ -339,12 +430,49 @@ object TextOps extends QueryModule {
            FROM q)
          SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
          FROM p ORDER BY doc_id""",
+    "q_quality_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+         b AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM t),
+         c AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2),
+         m AS (
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  count(*) AS n_distinct,
+                  CAST(max(c) AS BIGINT) AS top_n
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, n_distinct, top_n,
+                floor((1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams)
+                      * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac,
+                floor((CAST(top_n AS DOUBLE) / n_bigrams)
+                      * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
+         FROM m ORDER BY doc_id""",
+    "q_unigram_logprob" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents)
+           GROUP BY 1, 2),
+         v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+               GROUP BY token),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+         q AS (
+           SELECT token,
+                  CAST(floor(ln(CAST(n_total AS DOUBLE) / cnt)
+                             * 1000000.0 + 0.5) AS BIGINT) AS qnll
+           FROM v CROSS JOIN n)
+         SELECT tf.doc_id,
+                CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                CAST(sum(tf.tf * q.qnll) AS DOUBLE)
+                  / (CAST(sum(tf.tf) AS BIGINT) * 1000000.0) AS avg_nll
+         FROM tf JOIN q USING (token)
+         GROUP BY tf.doc_id ORDER BY doc_id""",
     "q_fingerprint" ->
-      """SELECT doc_id,
-                CAST(list_reduce(
-                  list_prepend('0', string_split(text, '')),
-                  (acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(c))
-                                   % 1000000007 AS VARCHAR)) AS BIGINT)
-                  AS fingerprint
+      s"""SELECT doc_id, ${ROLLING_HASH("text")} AS fingerprint
          FROM documents ORDER BY doc_id""")
 }

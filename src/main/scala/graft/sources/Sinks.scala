@@ -28,6 +28,14 @@ object Sinks {
     * rows, never a full collect. */
   def progress(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** S4b — JSON-Lines sink: one JSON object per line, the interchange
+    * format training-data pipelines exchange corpora in. Unlike CSV,
+    * JSON string escaping is fully specified, so free-text columns
+    * round-trip losslessly (q_jsonl_roundtrip proves it by checksum). */
+  def writeJsonl(df: DataFrame, path: String, single: Boolean = false): Unit =
+    (if (single) df.coalesce(1) else df)
+      .write.mode("overwrite").json(path)
+
   /** Scale path: hive-style partitioned Parquet layout. Readers filtering
     * on the partition columns prune whole directories before any IO —
     * the layout a 100 TB events table must have (static + dynamic

@@ -89,6 +89,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally tf.unpersist(true)
   }
 
+  test("q_unigram_logprob reuses the tf cache for vocab build and probe") {
+    val tf = operators.TextOps.tfRelation(spark, dir).persist()
+    try {
+      val qe = operators.TextOps.unigramScored(spark, tf).queryExecution
+      // zero parquet relations: every consumer (vocab, total, probe)
+      // derives from the cached tf — the corpus is scanned exactly once
+      val parquetRels = qe.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(parquetRels.isEmpty,
+        s"expected no scan outside the tf cache, got ${parquetRels.size}")
+      val cacheReads = qe.optimizedPlan.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      assert(cacheReads.size >= 2,
+        s"expected vocab + probe to read the tf cache, got ${cacheReads.size}")
+    } finally tf.unpersist(true)
+  }
+
   test("q_partition_prune dynamically prunes the month partitions") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -28,6 +28,17 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("doc_id", "doc_text"))
   }
 
+  test("JSONL sink round-trips every documents row byte-for-byte") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+    Sinks.writeJsonl(docs, out)
+    val back = spark.read.schema(docs.schema).json(out)
+    // row-level fidelity including free text — exceptAll both ways empty
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("Parquet sink round-trips exactly") {
     val out = Files.createTempDirectory("graft_pq").toString
     val df = SparkEntry.queries("q_agg_hash")(spark, TestSession.sfDir)

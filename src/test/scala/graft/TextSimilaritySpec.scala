@@ -88,6 +88,35 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics obey their structural laws against token counts") {
+    import spark.implicits._
+    val rep = SparkEntry.queries("q_quality_repetition")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val nTok = SparkEntry.queries("q_token_count")(spark, dir)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(rep.nonEmpty)
+    rep.foreach { case (id, nBi, nDist, topN, dupF, topF) =>
+      assert(nBi == nTok(id) - 1, s"doc $id: bigrams != tokens-1")
+      assert(nDist >= 1 && nDist <= nBi && topN >= 1 && topN <= nBi)
+      assert(dupF >= 0.0 && dupF < 1.0 && topF > 0.0 && topF <= 1.0)
+      // max count ≥ mean count, in exact integer form (round6 on the
+      // fractions would make the double comparison a tolerance game)
+      assert(topN * nDist >= nBi, s"doc $id: argmax below mean")
+    }
+  }
+
+  test("unigram surprisal matches the exact-quantized Scala replica") {
+    import spark.implicits._
+    val tf = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L))
+      .toDF("doc_id", "token", "tf")
+    val got = graft.operators.TextOps.unigramScored(spark, tf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def qnll(cnt: Long) = math.floor(math.log(5.0 / cnt) * 1e6 + 0.5).toLong
+    assert(got(1L) == ((3L,
+      (2 * qnll(2) + qnll(2)).toDouble / (3L * 1e6))))
+    assert(got(2L) == ((2L, (qnll(2) + qnll(1)).toDouble / (2L * 1e6))))
+  }
+
   test("LLM stub summarize: plumbing, parse, and cost accumulator") {
     import spark.implicits._
     val acc = spark.sparkContext.doubleAccumulator("test_llm_cost")
