@@ -9,9 +9,13 @@ object Bench {
   def renderJson(results: Map[String, Double], sfDir: String): String = {
     def r(v: Double, scale: Int): String = BigDecimal(v)
       .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    // per-query at 2 decimals keeps the full 84-query line under the
-    // ~2.4KB tail-capture window (BenchJsonSpec pins the bound)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v, 2) }
+    // adaptive per-query width (centiseconds only matter under 10s; a
+    // 100s+ entry is integer-precision) keeps the full declared-query
+    // line under the ~2.4KB tail-capture window at worst believable
+    // widths (BenchJsonSpec pins the bound)
+    def rq(v: Double): String =
+      if (v >= 100) r(v, 0) else if (v >= 10) r(v, 1) else r(v, 2)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -14,6 +14,7 @@ object SparkEntry {
     operators.SemiStructured,
     operators.TextOps,
     operators.Similarity,
+    operators.Graphs,
     operators.Llm,
     operators.Multimodal,
     operators.Curation,

@@ -81,9 +81,68 @@ object AsOf extends QueryModule {
       .orderBy($"event_id")
   }
 
-  val queries: Map[String, Q] = Map("q_join_asof" -> (qJoinAsof _))
+  /** q_gapfill_locf — time-series resampling: per-customer monthly
+    * revenue re-gridded onto the corpus's full month range, missing
+    * months filled by last-observation-carried-forward (the same
+    * carry-forward window [[asOfJoin]] is built on — gap-fill IS an
+    * as-of join against a generated scaffold). Months before an
+    * entity's first observation stay NULL (both engines agree).
+    *
+    * Scale: the month scaffold is sequence-generated from a broadcast
+    * 1-row min/max aggregate (never collected to the driver); scaffold ×
+    * entities is dims-sized; the only data-sized work is the revenue
+    * aggregate (map-side combined) and one per-entity window — the
+    * standard per-key time-series shape, partition-parallel across
+    * entities at 100 TB. */
+  private def qGapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = graft.sources.Tables.load(s, dir, "orders")
+    val bounds = orders.agg(
+      date_trunc("month", min($"o_orderdate")).as("mn"),
+      date_trunc("month", max($"o_orderdate")).as("mx"))
+    val months = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("m"))
+    val custs = graft.sources.Tables.load(s, dir, "customer")
+      .filter($"c_custkey" <= 5).select($"c_custkey")
+    val rev = orders.filter($"o_custkey" <= 5)
+      .groupBy($"o_custkey", date_trunc("month", $"o_orderdate").as("rm"))
+      .agg(graft.Det.sumd($"o_totalprice").as("rev"))
+    val w = Window.partitionBy($"c_custkey").orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    custs.crossJoin(months)
+      .join(rev, $"c_custkey" === $"o_custkey" && $"m" === $"rm", "left")
+      .withColumn("rev_filled", last($"rev", ignoreNulls = true).over(w))
+      .select($"c_custkey".as("custkey"), $"m".cast("date").as("month"),
+        $"rev_filled", $"rev".isNull.as("is_gap"))
+      .orderBy($"custkey", $"month")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_asof" -> (qJoinAsof _),
+    "q_gapfill_locf" -> (qGapfillLocf _))
 
   val oracles: Map[String, String] = Map(
+    "q_gapfill_locf" ->
+      s"""WITH bounds AS (
+           SELECT date_trunc('month', min(o_orderdate)) mn,
+                  date_trunc('month', max(o_orderdate)) mx FROM orders),
+         months AS (
+           SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) m
+           FROM bounds),
+         custs AS (SELECT c_custkey FROM customer WHERE c_custkey <= 5),
+         rev AS (
+           SELECT o_custkey, date_trunc('month', o_orderdate) m,
+                  ${graft.Det.SUMD("o_totalprice")} rev
+           FROM orders WHERE o_custkey <= 5 GROUP BY 1, 2)
+         SELECT s.c_custkey AS custkey, CAST(s.m AS DATE) AS month,
+                last_value(r.rev IGNORE NULLS) OVER (
+                  PARTITION BY s.c_custkey ORDER BY s.m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS rev_filled,
+                r.rev IS NULL AS is_gap
+         FROM (SELECT c_custkey, m FROM custs CROSS JOIN months) s
+         LEFT JOIN rev r ON r.o_custkey = s.c_custkey AND r.m = s.m
+         ORDER BY custkey, month""",
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, e.ts,
                 (SELECT max(s.ts) FROM events s

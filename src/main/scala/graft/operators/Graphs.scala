@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the corpus (north-star extension next to the
+  * connected-components resolver in [[Similarity]]): PageRank, the
+  * centrality weighting web-corpus curation pipelines apply to the crawl
+  * link graph (e.g. harmonic/PageRank quality priors over Common Crawl).
+  * The testdata documents carry no hyperlink column, so the link graph
+  * is derived deterministically from doc ids — two out-links per page:
+  * a hub-forming contraction (j div 3 — many pages link to few, the
+  * power-law shape real link graphs have) and a quadratic scatter
+  * ((j²+1) mod N). NOT affine maps: an affine map with multiplier
+  * coprime to N is a permutation, which makes in-degree uniform and
+  * PageRank degenerate to the teleport constant (GraphsSpec pins
+  * non-uniformity). Same honest stand-in posture as the q_lang_id
+  * profiles; the OPERATOR machinery — out-degree normalization, damping,
+  * dangling-mass drop, fixed power iterations — is the real thing and is
+  * what the oracle replays.
+  *
+  * Determinism: ranks live in integer micro-units (1e-12 of total mass)
+  * and every step is integer arithmetic — contribution = pr div outdeg,
+  * update = base + (85·Σ) div 100 — so the per-node sums are order-free
+  * BIGINTs, bit-identical in both engines; no floating point until the
+  * final cosmetic cast.
+  *
+  * Scale: each iteration is ONE shuffle (contributions keyed by dst,
+  * map-side combined) plus a broadcast of the 1-row (N, min-id) stats;
+  * edges and nodes are persisted across the 3 fixed iterations, the
+  * result is eagerly checkpointed, caches dropped before return. The
+  * driver loop iterates ITERATIONS, never rows — the same posture as
+  * [[Similarity]] connected components and k-means. */
+object Graphs extends QueryModule {
+
+  private val Scale = 1000000000000L // 1e-12 rank units
+  private val Iters = 3
+
+  /** Rank update over a caller-managed (cached) node/edge pair:
+    * base + damped in-mass, all integer. */
+  private def prIteration(nodes: DataFrame, edges: DataFrame,
+                          stats: DataFrame, r: DataFrame): DataFrame = {
+    val s = nodes.sparkSession; import s.implicits._
+    val contrib = edges.join(r, edges("src") === r("doc_id"))
+      .select($"dst", expr("pr div outdeg").as("c"))
+      .groupBy($"dst").agg(sum($"c").as("inm"))
+    nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
+      .crossJoin(broadcast(stats))
+      .select(nodes("doc_id"),
+        (expr(s"(${15 * Scale / 100} div n)") +
+          expr("(85 * coalesce(inm, CAST(0 AS BIGINT))) div 100")).as("pr"))
+  }
+
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = nodes.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = nodes.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val outdeg = e0.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val edges = e0.join(outdeg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r0 = nodes.crossJoin(broadcast(stats))
+        .select($"doc_id", expr(s"($Scale div n)").as("pr"))
+      val rN = (1 to Iters).foldLeft(r0) { (r, _) =>
+        prIteration(nodes, edges, stats, r)
+      }
+      rN.select($"doc_id", $"pr",
+          ($"pr".cast("double") / lit(Scale.toDouble)).as("rank"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally { edges.unpersist(false); nodes.unpersist(false) }
+  }
+
+  /** One unrolled power iteration as a DuckDB CTE (HUGEINT sums cast
+    * back to BIGINT so `//` stays in 64-bit like Spark's `div`). */
+  private def duckIter(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""r$i AS (
+         SELECT d.doc_id,
+                (${15 * Scale / 100} // s.n)
+                  + (85 * coalesce(i$i.inm, 0)) // 100 AS pr
+         FROM d CROSS JOIN s
+         LEFT JOIN (
+           SELECT e.dst, CAST(sum($prev.pr // e.outdeg) AS BIGINT) inm
+           FROM e JOIN $prev ON e.src = $prev.doc_id
+           GROUP BY e.dst) i$i
+           ON i$i.dst = d.doc_id)"""
+  }
+
+  val queries: Map[String, Q] = Map("q_pagerank" -> (qPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         od AS (SELECT src, count(*) outdeg FROM e1 GROUP BY src),
+         e AS (SELECT e1.src, e1.dst, od.outdeg FROM e1 JOIN od USING (src)),
+         r0 AS (SELECT doc_id, ($Scale // n) pr FROM d CROSS JOIN s),
+         ${(1 to Iters).map(duckIter).mkString(",\n")}
+         SELECT doc_id, pr, CAST(pr AS DOUBLE) / ${Scale.toDouble} AS rank
+         FROM r$Iters ORDER BY doc_id""")
+}

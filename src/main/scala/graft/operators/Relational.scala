@@ -702,7 +702,96 @@ object Relational extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_histogram — fixed-bound equi-width binning of l_extendedprice
+    * (10k-wide buckets), the profiling aggregate every pipeline runs
+    * before choosing filters/partitioning. The bucket id is pure integer
+    * arithmetic — floor(x / width) — identical in both engines (no
+    * engine width_bucket, whose edge semantics differ), and at 100 TB
+    * it's one map-side-combined aggregate over ~a dozen groups: the
+    * cheapest possible full-scan profile. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .withColumn("bucket", floor($"l_extendedprice" / 10000.0))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Det.round6(min($"l_extendedprice")).as("min_price"),
+        graft.Det.round6(max($"l_extendedprice")).as("max_price"),
+        graft.Det.sumd($"l_extendedprice").as("sum_price"))
+      .select($"bucket", ($"bucket" * 10000.0).as("lo"),
+        (($"bucket" + 1) * 10000.0).as("hi"),
+        $"n_items", $"min_price", $"max_price", $"sum_price")
+      .orderBy($"bucket")
+  }
+
+  /** q_agg_mode — deterministic MODE: the most frequent l_quantity per
+    * return flag, ties broken to the SMALLEST value (engine-native
+    * mode() leaves ties unspecified — unusable under a hash gate). Two
+    * map-side-combinable aggregates: per-(flag,value) counts (bounded by
+    * the value domain, not the row count), then an argmax via
+    * max(struct) whose negated value field encodes the tie-break — no
+    * window, no sort of the full data. */
+  private def qAggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"l_returnflag")
+      .agg(max(struct($"c".as("c"), (-$"l_quantity").as("nq"))).as("m"))
+      .select($"l_returnflag", (-$"m.nq").as("mode_quantity"),
+        $"m.c".as("n_occurrences"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q_corr — bivariate aggregates (Pearson correlation, sample
+    * covariance, regression slope) from EXACT integer power sums, the
+    * [[qAggStats]] discipline extended to cross terms: engine-native
+    * corr()/regr_slope() stream doubles whose partial-merge order
+    * changes the last ulp, so instead x (integral quantity) stays
+    * BIGINT and y (price) is half-up quantized to 1e-4 per row — exact
+    * in both engines — then Σx, Σy, Σx², Σy², Σxy accumulate as
+    * DECIMAL(38,0)/HUGEINT (128-bit exact; the n·Σy² cross term — y² up
+    * to ~10¹⁸ in 1e-4 units — caps the exact range near 3×10⁹ rows PER
+    * GROUP; beyond that, quantize y coarser or mean-shift the sums) and
+    * the classic closed forms finish in doubles with one correctly-
+    * rounded division/sqrt each. Same map-side-combinable partial-agg
+    * shape as native; the 128-bit widening happens after the exchange
+    * on G rows. */
+  private def qCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("long")
+    val yq = floor($"l_extendedprice" * 10000.0 + 0.5)
+    val dec = "decimal(38,0)"
+    val (nD, sxD, syD, sx2D, sy2D, sxyD) = (
+      $"n".cast(dec), $"sx".cast(dec), $"sy".cast(dec),
+      $"sx2".cast(dec), $"sy2".cast(dec), $"sxy".cast(dec))
+    // 128-bit exact cross terms; cast to double only at the very end
+    val cov = (nD * sxyD - sxD * syD).cast("double")
+    val vx = (nD * sx2D - sxD * sxD).cast("double")
+    val vy = (nD * sy2D - syD * syD).cast("double")
+    val den = (nD * (nD - lit(1))).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(yq.cast("decimal(28,0)")).as("sy"),
+        sum(x * x).as("sx2"),
+        sum((yq * yq).cast("decimal(28,0)")).as("sy2"),
+        sum((x * yq).cast("decimal(28,0)")).as("sxy"))
+      .select(
+        $"l_returnflag", $"n",
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+        // y is in 1e-4 units: rescale covariance/slope back once
+        (cov / den / 10000.0).as("covar_qty_price"),
+        (cov / vx / 10000.0).as("regr_slope"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_corr" -> (qCorr _),
+    "q_histogram" -> (qHistogram _),
+    "q_agg_mode" -> (qAggMode _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_join_full" -> (qJoinFull _),
@@ -748,6 +837,56 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_corr" ->
+      """WITH p AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) x,
+                  CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT) yq
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS HUGEINT) n,
+                  CAST(sum(x) AS HUGEINT) sx,
+                  CAST(sum(CAST(yq AS HUGEINT)) AS HUGEINT) sy,
+                  CAST(sum(x * x) AS HUGEINT) sx2,
+                  CAST(sum(CAST(yq AS HUGEINT) * yq) AS HUGEINT) sy2,
+                  CAST(sum(CAST(x AS HUGEINT) * yq) AS HUGEINT) sxy
+           FROM p GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+                  AS corr_qty_price,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE) / 10000.0
+                  AS covar_qty_price,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sx2 - sx * sx AS DOUBLE) / 10000.0
+                  AS regr_slope
+         FROM s ORDER BY l_returnflag""",
+    "q_histogram" ->
+      s"""WITH b AS (
+           SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) bucket,
+                  l_extendedprice p
+           FROM lineitem)
+         SELECT bucket, bucket * 10000.0 AS lo, (bucket + 1) * 10000.0 AS hi,
+                count(*) AS n_items,
+                ${Det.ROUND6("min(p)")} AS min_price,
+                ${Det.ROUND6("max(p)")} AS max_price,
+                ${SUMD("p")} AS sum_price
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_quantity, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT l_returnflag, l_quantity, c,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, l_quantity) rn
+           FROM c)
+         SELECT l_returnflag, l_quantity AS mode_quantity,
+                CAST(c AS BIGINT) AS n_occurrences
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     "q_join_skew_salted" ->
       s"""WITH dim AS (
            SELECT user_id, count(*) AS n_events,

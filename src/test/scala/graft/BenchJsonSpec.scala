@@ -23,15 +23,26 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("bench line fits a bounded tail capture even with 3-digit seconds") {
-    // 999.99s for EVERY query is far past any plausible round budget
-    // (the driver would flag the round long before); what matters is the
-    // line surviving the ~2.4KB tail window at worst believable widths.
-    val worst = SparkEntry.queries.keys.map(_ -> 999.994).toMap
+    // 999s for EVERY query is far past any plausible round budget (the
+    // driver would flag the round long before); what matters is the line
+    // surviving the ~2.4KB tail window at worst believable widths. The
+    // renderer degrades precision as magnitude grows (2 decimals <10s,
+    // 1 decimal <100s, integer beyond), so even the pathological case
+    // stays narrow.
+    val worst = SparkEntry.queries.keys.map(_ -> 999.4).toMap
     val line = Bench.renderJson(worst, "/root/testdata/sf0.1")
+    assert(mapper.readTree(line).path("queries").path("q_agg_hash")
+      .asDouble() == 999.0)
     // the hard protocol constraint is the ~2.4KB stdout tail window;
     // keep ≥100B of margin under it at worst believable widths
     assert(line.length <= 2300,
       s"bench line ${line.length}B risks truncation in a ~2.4KB tail window")
+    // precision tiers: sub-10s entries keep centiseconds
+    val mixed = Map("q_a" -> 1.234, "q_b" -> 12.34, "q_c" -> 123.4)
+    val m = mapper.readTree(Bench.renderJson(mixed, "x")).path("queries")
+    assert(m.path("q_a").asDouble() == 1.23)
+    assert(m.path("q_b").asDouble() == 12.3)
+    assert(m.path("q_c").asDouble() == 123.0)
   }
 
   test("empty result map renders a parseable zero line") {

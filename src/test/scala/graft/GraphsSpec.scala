@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank laws (operators.Graphs): mass bounds, the damping floor,
+  * and agreement between the integer micro-unit ranks and their double
+  * projection. */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val dir = TestSession.sfDir
+  private val Scale = 1000000000000L
+
+  test("pagerank covers every node, respects the damping floor, conserves mass") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_pagerank")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val n = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.length == n)
+    val base = (15 * Scale / 100) / n
+    rows.foreach { case (_, pr, rank) =>
+      // every node gets at least the teleport mass (damping floor)
+      assert(pr >= base)
+      assert(math.abs(rank - pr.toDouble / Scale) < 1e-15)
+    }
+    // total mass ≤ 1: integer floors and dangling drops only LOSE mass
+    val total = rows.map(_._2).sum
+    assert(total <= Scale)
+    // ...but not degenerately so: at least the teleport mass survives
+    assert(total >= (15 * Scale / 100) / n * n)
+    // the affine link maps concentrate mass: ranks must not be uniform
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
+  test("corr matches Spark's native streaming kernel within double noise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_corr")(spark, dir)
+      .select($"l_returnflag", $"corr_qty_price")
+      .as[(String, Double)].collect().toMap
+    val native = graft.sources.Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == native.keySet)
+    // 1e-4 quantization of y + exact integer sums vs streaming doubles:
+    // agreement to ~1e-6 proves both the formula and the quantization
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - native(k)) < 1e-6, s"flag $k: $v vs ${native(k)}")
+    }
+  }
+}

@@ -28,7 +28,8 @@ class RelationalSpec extends AnyFunSuite {
       graft.operators.Relational, graft.operators.Assembly,
       graft.operators.Windows, graft.operators.AsOf,
       graft.operators.SemiStructured, graft.operators.TextOps,
-      graft.operators.Similarity, graft.operators.Llm,
+      graft.operators.Similarity, graft.operators.Graphs,
+      graft.operators.Llm,
       graft.operators.Multimodal, graft.operators.Curation,
       graft.operators.Layouts, graft.streaming.StreamOps)
     val perModule = modules.map(_.queries.size).sum
@@ -98,6 +99,53 @@ class RelationalSpec extends AnyFunSuite {
         $"ts" <= lit(pts)).agg(max($"ts")).as[Option[java.sql.Timestamp]]
       .head()
     assert(sut == expect, s"purchase $pid user $uid")
+  }
+
+  test("gap-fill LOCF: filled value is constant across gaps, null before first obs") {
+    import spark.implicits._
+    val rows = q("q_gapfill_locf")
+      .select($"custkey", $"month".cast("string"), $"rev_filled", $"is_gap")
+      .as[(Long, String, Option[Double], Boolean)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.values.foreach { series =>
+      val s = series.sortBy(_._2)
+      // same scaffold for every entity: full month range
+      assert(s.length == rows.values.head.length)
+      s.foldLeft(Option.empty[Double]) { case (prev, (_, _, filled, isGap)) =>
+        if (isGap) assert(filled == prev, "gap row must carry previous value")
+        else assert(filled.isDefined, "observation row must be non-null")
+        filled
+      }
+    }
+  }
+
+  test("histogram buckets partition the table and bound their contents") {
+    import spark.implicits._
+    val h = q("q_histogram")
+      .as[(Long, Double, Double, Long, Double, Double, Double)].collect()
+    val total = graft.sources.Tables.load(spark, dir, "lineitem").count()
+    assert(h.map(_._4).sum == total, "buckets must partition all rows")
+    h.foreach { case (b, lo, hi, n, mn, mx, sum) =>
+      assert(lo == b * 10000.0 && hi == lo + 10000.0)
+      assert(mn >= lo - 1e-6 && mx < hi + 1e-6 && mn <= mx)
+      assert(sum >= n * mn - 1e-3 && sum <= n * mx + 1e-3)
+    }
+  }
+
+  test("mode is the true argmax of per-value counts with smallest-value ties") {
+    import spark.implicits._
+    val got = q("q_agg_mode")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val counts = graft.sources.Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity").count()
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1)
+    counts.foreach { case (flag, vs) =>
+      val best = vs.map { case (_, q, c) => (c, q) }
+        .sortBy { case (c, q) => (-c, q) }.head
+      assert(got(flag) == ((best._2, best._1)), s"flag $flag")
+    }
   }
 
   test("asOfJoin helper matches inequality-join semantics on crafted data") {

@@ -25,6 +25,14 @@ class SnapshotSpec extends AnyFunSuite {
     "q_chunk_docs" -> 1388L,
     "q_cond_funcs" -> 1500L,
     "q_csv_roundtrip" -> 99L,
+    "q_jsonl_roundtrip" -> 99L,
+    "q_quality_repetition" -> 500L,
+    "q_unigram_logprob" -> 500L,
+    "q_gapfill_locf" -> 480L,
+    "q_histogram" -> 11L,
+    "q_agg_mode" -> 3L,
+    "q_corr" -> 3L,
+    "q_pagerank" -> 500L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
