@@ -15,6 +15,7 @@ object SparkEntry {
     operators.TextOps,
     operators.Similarity,
     operators.Graphs,
+    operators.Analytics,
     operators.Llm,
     operators.Multimodal,
     operators.Curation,

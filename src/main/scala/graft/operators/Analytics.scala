@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{Det, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Warehouse analytics (north-star §2 extensions beyond the reference's
+  * observed surface): cohort retention, range-frame rolling windows,
+  * SCD-2 interval construction, and z-score anomaly flagging — the OLAP
+  * shapes a data team runs NEXT to a curation pipeline (usage analytics
+  * over the `events` stream, order-book rollups over `orders`).
+  *
+  * Scale posture: every query here is one or two key-partitioned
+  * shuffles (per-user / per-customer / per-type); group stats that fan
+  * back onto fact rows travel by `broadcast` (G rows, G = #groups);
+  * windows share one partitioning so Catalyst plans a single Exchange.
+  * Determinism follows the repo-wide t2 discipline: integer month
+  * indexes, DECIMAL-exact sums ([[Det]]), quantized doubles before any
+  * power sum, `Det.round6` on every emitted rational.
+  */
+object Analytics extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q_retention_cohort — classic cohort retention over the order book
+    * (orders span ~80 months in the testdata; the events stream spans
+    * only one, so customers cohort, events don't): customers cohorted
+    * by the month of their FIRST order; for each (cohort, months-since)
+    * cell, how many cohort members ordered again. The month key is an
+    * integer index (year·12 + month−1) so cohort arithmetic never
+    * touches engine-specific date intervals; the emitted retention
+    * ratio is an exact-int division rounded via [[Det.round6]].
+    *
+    * Plan: first-touch is a map-side-combinable min per customer; the
+    * activity join re-uses the o_custkey partitioning (first ⋈ orders
+    * on the groupBy key — no extra exchange under AQE); cohort sizes
+    * are a G-row aggregate joined back by broadcast. At 100 TB this is
+    * two customer-keyed shuffles + one cell-keyed shuffle, all
+    * combinable. */
+  private def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val midx =
+      (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).cast("long")
+    val e = t(s, dir, "orders").select($"o_custkey", midx.as("midx"))
+    val first = e.groupBy($"o_custkey").agg(min($"midx").as("cidx"))
+    val sizes = first.groupBy($"cidx").agg(count(lit(1)).as("cohort_size"))
+    e.join(first, "o_custkey")
+      .groupBy($"cidx", ($"midx" - $"cidx").as("months_since"))
+      .agg(countDistinct($"o_custkey").as("n_active"))
+      .join(broadcast(sizes), "cidx")
+      .select(
+        make_date(expr("CAST(cidx div 12 AS INT)"),
+          (($"cidx" % 12) + 1).cast("int"), lit(1)).as("cohort_month"),
+        $"months_since", $"n_active", $"cohort_size",
+        Det.round6($"n_active".cast(DoubleType) / $"cohort_size")
+          .as("retention"))
+      .orderBy($"cohort_month", $"months_since")
+  }
+
+  /** q_window_range — RANGE-frame rolling aggregate: per-customer
+    * 30-day trailing revenue and order count, the time-windowed rollup
+    * a RANGE frame exists for (a ROWS frame miscounts when a customer
+    * places several orders on one day — peers must enter the frame
+    * together). The frame is keyed on an integer epoch-day so both
+    * engines bound it identically, and the windowed sum runs in exact
+    * DECIMAL ([[Det]] discipline applied to a window), so tied-day
+    * peer order can't shift a bit.
+    *
+    * Plan: one Exchange on o_custkey feeding a single sort+window; at
+    * 100 TB the frame is bounded (30 days) so state per key is O(orders
+    * in 30 days), never the whole history. */
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(18, 4)
+    val day = datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-29, 0)
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", day.as("day"), $"o_totalprice")
+      .withColumn("rev_30d",
+        sum($"o_totalprice".cast(dec)).over(w).cast(dec).cast(DoubleType))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .select($"o_orderkey", $"o_custkey", $"day", $"rev_30d", $"n_orders_30d")
+      .orderBy($"o_orderkey", $"o_custkey", $"day", $"rev_30d", $"n_orders_30d")
+  }
+
+  /** q_scd2 — slowly-changing-dimension type-2 construction from an
+    * event stream: per user, collapse consecutive equal event_types and
+    * emit validity intervals [valid_from, valid_to) with a version
+    * number — the standard "dimension history from CDC" op. Change
+    * detection (lag) and interval close (lead over the changes) share
+    * one partitioning+ordering, so Catalyst plans ONE Exchange and two
+    * stacked Window operators. Ordering is (ts, event_id) — event_id
+    * breaks timestamp ties, making lag/lead deterministic under the
+    * hash gate. valid_to is NULL on each user's current (open) row. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select($"user_id", $"version", $"event_type",
+        $"ts".as("valid_from"), $"valid_to")
+      .orderBy($"user_id", $"version")
+  }
+
+  /** q_outliers — per-group z-score anomaly flags over events.value
+    * (exponential-shaped in the testdata, so the 2σ tail is non-empty).
+    * The [[Relational.qCorr]] exactness discipline: value is half-up
+    * quantized to 1e-4 per row (exact in both engines), power sums
+    * accumulate in DECIMAL(38,0)/HUGEINT, and mean/σ come out of the
+    * SAME closed-form double ops in both engines — so z is bit-identical
+    * and the |z| > 2 cut can't straddle engines. σ is the population
+    * form (÷n): the filter is a profiling cut, not an estimator.
+    *
+    * Plan: G-row stats aggregate (map-side combined), broadcast back
+    * onto the fact scan, pure codegen'd filter — ONE pass over the
+    * data at 100 TB plus a G-row broadcast. */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val xq = floor($"value" * 10000.0 + 0.5).cast("long")
+    val st = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(xq.cast("decimal(28,0)")).as("sx"),
+        sum((xq * xq).cast("decimal(28,0)")).as("sx2"))
+    val nD = $"n".cast(dec)
+    val mean = ($"sx".cast(dec).cast(DoubleType)) / $"n".cast(DoubleType)
+    val variance =
+      (nD * $"sx2".cast(dec) - $"sx".cast(dec) * $"sx".cast(dec))
+        .cast(DoubleType) / (nD * nD).cast(DoubleType)
+    val z = (xq.cast(DoubleType) - mean) / sqrt(variance)
+    t(s, dir, "events")
+      .join(broadcast(st), "event_type")
+      .withColumn("z", z)
+      .filter(abs($"z") > 2.0)
+      .select($"event_id", $"event_type", $"value",
+        Det.round6($"z").as("zscore"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_retention_cohort" -> (qRetentionCohort _),
+    "q_window_range" -> (qWindowRange _),
+    "q_scd2" -> (qScd2 _),
+    "q_outliers" -> (qOutliers _))
+
+  val oracles: Map[String, String] = Map(
+    "q_retention_cohort" ->
+      """WITH e AS (
+           SELECT o_custkey,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                       AS BIGINT) midx
+           FROM orders),
+         f AS (SELECT o_custkey, min(midx) cidx FROM e GROUP BY o_custkey),
+         sz AS (SELECT cidx, count(*) cohort_size FROM f GROUP BY cidx),
+         act AS (
+           SELECT f.cidx, e.midx - f.cidx months_since,
+                  count(DISTINCT e.o_custkey) n_active
+           FROM e JOIN f USING (o_custkey) GROUP BY 1, 2)
+         SELECT make_date(CAST(act.cidx // 12 AS INT),
+                          CAST(act.cidx % 12 + 1 AS INT), 1) cohort_month,
+                months_since, n_active, cohort_size,
+                floor(CAST(n_active AS DOUBLE) / cohort_size
+                      * 1000000.0 + 0.5) / 1000000.0 retention
+         FROM act JOIN sz USING (cidx)
+         ORDER BY cohort_month, months_since""",
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, day,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+                     AS DECIMAL(18,4)) AS DOUBLE) AS rev_30d,
+                count(*) OVER w AS n_orders_30d
+         FROM (SELECT *, CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey, o_custkey, day, rev_30d, n_orders_30d""",
+    "q_scd2" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) prev
+           FROM events),
+         c AS (SELECT * FROM m
+               WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                event_type, ts AS valid_from,
+                lead(ts) OVER w AS valid_to
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version""",
+    "q_outliers" ->
+      """WITH q AS (
+           SELECT event_id, event_type, value,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) xq
+           FROM events),
+         st AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) n,
+                  CAST(sum(CAST(xq AS HUGEINT)) AS HUGEINT) sx,
+                  CAST(sum(CAST(xq AS HUGEINT) * xq) AS HUGEINT) sx2
+           FROM q GROUP BY event_type),
+         z AS (
+           SELECT q.event_id, q.event_type, q.value,
+                  (CAST(q.xq AS DOUBLE)
+                     - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
+                  / sqrt(CAST(st.n * st.sx2 - st.sx * st.sx AS DOUBLE)
+                         / CAST(st.n * st.n AS DOUBLE)) z
+           FROM q JOIN st USING (event_type))
+         SELECT event_id, event_type, value,
+                floor(z * 1000000.0 + 0.5) / 1000000.0 zscore
+         FROM z WHERE abs(z) > 2.0
+         ORDER BY event_id""")
+}

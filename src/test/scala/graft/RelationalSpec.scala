@@ -29,7 +29,7 @@ class RelationalSpec extends AnyFunSuite {
       graft.operators.Windows, graft.operators.AsOf,
       graft.operators.SemiStructured, graft.operators.TextOps,
       graft.operators.Similarity, graft.operators.Graphs,
-      graft.operators.Llm,
+      graft.operators.Analytics, graft.operators.Llm,
       graft.operators.Multimodal, graft.operators.Curation,
       graft.operators.Layouts, graft.streaming.StreamOps)
     val perModule = modules.map(_.queries.size).sum

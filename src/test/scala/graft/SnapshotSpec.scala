@@ -33,6 +33,10 @@ class SnapshotSpec extends AnyFunSuite {
     "q_agg_mode" -> 3L,
     "q_corr" -> 3L,
     "q_pagerank" -> 500L,
+    "q_retention_cohort" -> 786L,
+    "q_window_range" -> 1500L,
+    "q_scd2" -> 802L,
+    "q_outliers" -> 46L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
