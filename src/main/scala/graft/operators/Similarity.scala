@@ -551,6 +551,35 @@ object Similarity extends QueryModule {
       .orderBy($"simhash")
   }
 
+  /** q_fuzzy_match — blocked entity resolution by edit distance: the
+    * "same real-world entity, slightly different string" matcher every
+    * catalog/CRM consolidation runs. Two scale moves before any pair is
+    * formed: (1) collapse the table to DISTINCT entity names (a 100 TB
+    * part table has ~millions of distinct names, not billions of rows) —
+    * each name keeps its smallest id as canonical + its occurrence
+    * count; (2) block on the name's last token (the head noun), so the
+    * self-join shuffles on the block key and only compares within a
+    * block — never an unblocked name×name product. Levenshtein is an
+    * integer metric with one standard definition (unit costs), so both
+    * engines agree exactly; pairs are emitted once (name_a < name_b). */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.load(s, dir, "part")
+      .groupBy($"p_name")
+      .agg(min($"p_partkey").as("canon_id"), count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split($"p_name", " "), -1))
+    val a = names.select($"block", $"p_name".as("name_a"),
+      $"canon_id".as("id_a"), $"n_parts".as("n_a"))
+    val b = names.select($"block", $"p_name".as("name_b"),
+      $"canon_id".as("id_b"), $"n_parts".as("n_b"))
+    a.join(b, Seq("block"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= 3)
+      .select($"name_a", $"name_b", $"id_a", $"id_b", $"n_a", $"n_b", $"dist")
+      .orderBy($"name_a", $"name_b")
+  }
+
   /** T6 q_multimodal_struct — one row carrying text + vector + metadata
     * (documents ⋈ embeddings 1:1): project/filter across modalities. */
   private def qMultimodalStruct(s: SparkSession, dir: String): DataFrame = {
@@ -578,6 +607,7 @@ object Similarity extends QueryModule {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_multimodal_struct" -> (qMultimodalStruct _))
 
   private val DUCK_SHINGLES =
@@ -704,6 +734,19 @@ object Similarity extends QueryModule {
          FROM jj WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6"""
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      """WITH names AS (
+           SELECT p_name, min(p_partkey) canon_id, count(*) n_parts,
+                  string_split(p_name, ' ')[-1] block
+           FROM part GROUP BY p_name)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                a.canon_id AS id_a, b.canon_id AS id_b,
+                a.n_parts AS n_a, b.n_parts AS n_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM names a JOIN names b
+           ON a.block = b.block AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 3
+         ORDER BY name_a, name_b""",
     "q_similarity_topk" ->
       """WITH n AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) e,

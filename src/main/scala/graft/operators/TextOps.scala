@@ -323,7 +323,74 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_bm25 — Okapi BM25 relevance of every document against a fixed
+    * 3-term query (k1=1.2, b=0.75): the retrieval scorer a curation
+    * pipeline uses for query-targeted corpus selection (and the lexical
+    * half of hybrid search next to [[Similarity]]'s ANN). With a
+    * KNOWN query, per-term tf needs no explode: each tf is a codegen'd
+    * `size(filter(tokens, = term))` in ONE projection, so the whole
+    * query is a single corpus scan + a broadcast 1-row stats aggregate
+    * (N, Σdl, per-term df — all map-side combined) + a pure map — no
+    * wide exchange at any size. Determinism: per-term scores are
+    * quantized to 1e-6 BIGINTs before the cross-term sum (integer adds
+    * are order-free), `ln` stays inside the quantization like
+    * [[qTfidf]]; the emitted double is one exact integer division. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = bm25PerDoc(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try bm25Scored(s, perDoc).localCheckpoint(true)
+    finally perDoc.unpersist(false)
+  }
+
+  private val Bm25Terms = Seq("spark", "vector", "dup")
+
+  /** The narrow (doc_id, dl, tf_t…) relation — one corpus scan, per-term
+    * tf as codegen'd array filters (no explode). Package-visible for the
+    * single-scan plan guard. */
+  private[graft] def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(lower($"text"), " ")
+    docs(s, dir).select(
+      $"doc_id" +: size(toks).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(org.apache.spark.sql.functions.filter(toks, _ === t))
+            .cast("long").as(s"tf$i")
+        }: _*)
+  }
+
+  /** Scoring over a caller-managed (cached) per-doc relation: both
+    * consumers (the 1-row stats aggregate and the scoring map) read the
+    * cache, so the corpus parquet is touched exactly once. */
+  private[graft] def bm25Scored(s: SparkSession, perDoc: DataFrame): DataFrame = {
+    import s.implicits._
+    val aggs = count(lit(1)).as("n") +: sum($"dl").as("sumdl") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val st = perDoc.agg(aggs.head, aggs.tail: _*)
+    val avgdl = $"sumdl".cast("double") / $"n".cast("double")
+    def qsc(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + ($"n".cast("double") - df + lit(0.5))
+        / (df + lit(0.5)))
+      val norm = tf * lit(2.2) / (tf + lit(1.2) *
+        (lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)))
+      when(col(s"tf$i") > 0,
+        floor(idf * norm * lit(1000000.0) + lit(0.5)).cast("long"))
+        .otherwise(0L)
+    }
+    def hit(i: Int) = when(col(s"tf$i") > 0, 1L).otherwise(0L)
+    perDoc.crossJoin(broadcast(st))
+      .withColumn("qs", Bm25Terms.indices.map(qsc).reduce(_ + _))
+      .withColumn("n_terms", Bm25Terms.indices.map(hit).reduce(_ + _))
+      .filter($"n_terms" > 0)
+      .select($"doc_id", $"n_terms", $"dl",
+        ($"qs".cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bm25" -> (qBm25 _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
     "q_tfidf" -> (qTfidf _),
@@ -336,6 +403,57 @@ object TextOps extends QueryModule {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) dl,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'spark')) AS BIGINT) tf0,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'vector')) AS BIGINT) tf1,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'dup')) AS BIGINT) tf2
+           FROM documents),
+         st AS (
+           SELECT CAST(count(*) AS BIGINT) n, sum(dl) sumdl,
+                  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0,
+                  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1,
+                  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2
+           FROM d),
+         sc AS (
+           SELECT doc_id, dl,
+             (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) n_terms,
+             (CASE WHEN tf0 > 0 THEN CAST(floor(
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                        / (CAST(df0 AS DOUBLE) + 0.5))
+                 * (CAST(tf0 AS DOUBLE) * 2.2
+                    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN CAST(floor(
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                        / (CAST(df1 AS DOUBLE) + 0.5))
+                 * (CAST(tf1 AS DOUBLE) * 2.2
+                    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN CAST(floor(
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                        / (CAST(df2 AS DOUBLE) + 0.5))
+                 * (CAST(tf2 AS DOUBLE) * 2.2
+                    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) qs
+           FROM d CROSS JOIN st)
+         SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, dl,
+                CAST(qs AS DOUBLE) / 1000000.0 AS bm25
+         FROM sc WHERE n_terms > 0
+         ORDER BY bm25 DESC, doc_id""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))

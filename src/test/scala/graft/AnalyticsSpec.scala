@@ -81,6 +81,60 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: scores match a naive Scala replica exactly at 1e-6 quanta") {
+    import spark.implicits._
+    val got = q("q_bm25")
+      .select($"doc_id", $"n_terms", $"dl", $"bm25")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val terms = Seq("spark", "vector", "dup")
+    val base = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split(" ", -1)
+        (id, toks.length.toLong, terms.map(t => toks.count(_ == t).toLong))
+      }
+    val n = base.length.toDouble
+    val avgdl = base.map(_._2).sum.toDouble / n
+    val dfs = terms.indices.map(i => base.count(_._3(i) > 0).toDouble)
+    base.foreach { case (id, dl, tfs) =>
+      val qs = terms.indices.map { i =>
+        val tf = tfs(i).toDouble
+        if (tf == 0) 0L
+        else {
+          val idf = math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+          val norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+          math.floor(idf * norm * 1000000.0 + 0.5).toLong
+        }
+      }.sum
+      val hits = tfs.count(_ > 0).toLong
+      if (hits == 0) assert(!got.contains(id), s"doc $id should be filtered")
+      else assert(got(id) == ((id, hits, dl, qs.toDouble / 1000000.0)),
+        s"doc $id")
+    }
+  }
+
+  test("fuzzy match: canonical pairs, shared block, true edit distance in (0,3]") {
+    import spark.implicits._
+    val rows = q("q_fuzzy_match")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { case (na, nb, ia, ib, _, _, dist) =>
+      assert(na < nb, "pairs must be emitted once, name-ordered")
+      assert(na.split(' ').last == nb.split(' ').last, "block must match")
+      assert(dist == lev(na, nb) && dist >= 1 && dist <= 3)
+      assert(ia != ib)
+    }
+  }
+
   test("outliers: flagged set is exactly the brute-force 2-sigma tail") {
     import spark.implicits._
     val got = q("q_outliers").select($"event_id").as[Long].collect().toSet

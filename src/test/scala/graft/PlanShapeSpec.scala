@@ -89,6 +89,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally tf.unpersist(true)
   }
 
+  test("q_bm25 scans the corpus once and broadcasts the 1-row stats") {
+    val perDoc = operators.TextOps.bm25PerDoc(spark, dir).persist()
+    try {
+      val qe = operators.TextOps.bm25Scored(spark, perDoc).queryExecution
+      // zero parquet relations: stats + scoring both read the cache
+      val parquetRels = qe.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(parquetRels.isEmpty,
+        s"corpus re-scanned outside the per-doc cache: ${parquetRels.size}")
+      val p = qe.executedPlan.toString()
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), "stats row must broadcast")
+      assert(p.contains("partial_"), "stats aggregate not map-side combined")
+    } finally perDoc.unpersist(true)
+  }
+
+  test("q_fuzzy_match blocks every pair: the join key includes the block") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy match must join on the block key, not form all pairs")
+  }
+
   test("q_unigram_logprob reuses the tf cache for vocab build and probe") {
     val tf = operators.TextOps.tfRelation(spark, dir).persist()
     try {

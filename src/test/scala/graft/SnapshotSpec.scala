@@ -37,6 +37,8 @@ class SnapshotSpec extends AnyFunSuite {
     "q_window_range" -> 1500L,
     "q_scd2" -> 802L,
     "q_outliers" -> 46L,
+    "q_bm25" -> 457L,
+    "q_fuzzy_match" -> 78L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
