@@ -148,13 +148,64 @@ object Analytics extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q_sessionize — batch sessionization: group each user's events into
+    * sessions separated by >6h of inactivity (the gaps-and-islands
+    * pattern; the batch twin of the streaming session window in
+    * [[graft.streaming.StreamOps]]). Gap detection compares integer
+    * epoch-MICROsecond deltas (`unix_micros` ≡ DuckDB `epoch_us`) so
+    * the threshold cut is exact in both engines; (ts, event_id)
+    * ordering pins tie order.
+    *
+    * Plan: lag-flag and running-sum session ids share ONE
+    * partitioning+ordering (single Exchange, stacked windows), then the
+    * per-session rollup is a map-side-combinable groupBy on
+    * (user, session) — the same keys the window already clustered, so
+    * AQE coalesces rather than reshuffles. Per-user state at 100 TB is
+    * the window sort, partition-parallel across users. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 6L * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sessionize" -> (qSessionize _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_window_range" -> (qWindowRange _),
     "q_scd2" -> (qScd2 _),
     "q_outliers" -> (qOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) us FROM events),
+         f AS (
+           SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 21600000000
+                          THEN 1 ELSE 0 END new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT *, sum(new_s) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+           FROM f)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_id""",
     "q_retention_cohort" ->
       """WITH e AS (
            SELECT o_custkey,

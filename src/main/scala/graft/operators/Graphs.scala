@@ -96,9 +96,66 @@ object Graphs extends QueryModule {
            ON i$i.dst = d.doc_id)"""
   }
 
-  val queries: Map[String, Q] = Map("q_pagerank" -> (qPagerank _))
+  /** q_triangles — triangle enumeration over the same derived link
+    * graph (undirected): the clustering-coefficient / community-density
+    * primitive next to [[qPagerank]]'s centrality. Edges are oriented
+    * low-id→high-id so each triangle (a<b<c) is emitted exactly once by
+    * the wedge join (e1: a–b) ⋈ (e2: b–c) closed by (e3: a–c).
+    *
+    * Scale: two equi-joins shuffling on node keys over a DISTINCT
+    * oriented edge list (persisted once, three consumers — without the
+    * persist each join arm would re-derive the generator + distinct).
+    * Orientation bounds wedge fan-out by out-degree; on skewed
+    * power-law graphs production systems orient by (degree, id) instead
+    * of bare id — same plan shape, one extra degree aggregate — which
+    * this derived graph's ~uniform degrees don't need. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val u = e0
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      u.as("e1")
+        .join(u.as("e2"), col("e2.a") === col("e1.b"))
+        .join(u.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"),
+          col("e2.b").as("c"))
+        .orderBy($"a", $"b", $"c")
+        .localCheckpoint(true)
+    } finally u.unpersist(false)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         u AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+               FROM e0 WHERE src <> dst)
+         SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         FROM u e1
+         JOIN u e2 ON e2.a = e1.b
+         JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+         ORDER BY 1, 2, 3""",
     "q_pagerank" ->
       s"""WITH d AS (SELECT doc_id FROM documents),
          s AS (SELECT count(*) n, min(doc_id) mn FROM d),

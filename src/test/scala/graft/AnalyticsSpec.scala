@@ -81,6 +81,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize: sessions partition each user's events and respect the 6h gap") {
+    import spark.implicits._
+    val got = q("q_sessionize")
+      .select($"user_id", $"session_id",
+        unix_micros($"session_start"), unix_micros($"session_end"),
+        $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().groupBy(_._1)
+    val gap = 6L * 3600 * 1000000
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", unix_micros($"ts")).as[(Long, Long)].collect()
+      .groupBy(_._1)
+    assert(got.keySet == events.keySet)
+    got.foreach { case (u, ss) =>
+      val s = ss.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to s.length).toSeq, s"user $u ids dense")
+      assert(s.map(_._5).sum == events(u).length,
+        s"user $u sessions must partition events")
+      s.foreach { case (_, _, st, en, ne) =>
+        assert(st <= en && (ne > 1 || st == en)) }
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._4 > gap,
+          s"user $u consecutive sessions closer than the gap")
+        case _ =>
+      }
+      // session count must equal 1 + number of >6h inter-event gaps
+      val times = events(u).map(_._2).sorted
+      val splits = times.zip(times.drop(1)).count { case (p, n) => n - p > gap }
+      assert(s.length == splits + 1, s"user $u session count")
+    }
+  }
+
   test("bm25: scores match a naive Scala replica exactly at 1e-6 quanta") {
     import spark.implicits._
     val got = q("q_bm25")

@@ -31,6 +31,32 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("triangles: ordered triples whose three edges all exist; count matches brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tris = SparkEntry.queries("q_triangles")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(tris.nonEmpty)
+    // rebuild the undirected edge set the same way the query derives it
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val (n, mn) = (ids.length.toLong, ids.min)
+    val edges = ids.flatMap { i =>
+      val j = i - mn
+      Seq(mn + j / 3, mn + (j * j + 1) % n).filter(_ != i)
+        .map(d => (math.min(i, d), math.max(i, d)))
+    }.toSet
+    tris.foreach { case (a, b, c) =>
+      assert(a < b && b < c, "triples must be canonical")
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)),
+        s"($a,$b,$c) is not a triangle")
+    }
+    val want = for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b; if edges((a, c))
+    } yield (a, b, c)
+    assert(tris.toSet == want, "must enumerate every triangle exactly once")
+  }
+
   test("corr matches Spark's native streaming kernel within double noise") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

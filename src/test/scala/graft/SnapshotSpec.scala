@@ -39,6 +39,8 @@ class SnapshotSpec extends AnyFunSuite {
     "q_outliers" -> 46L,
     "q_bm25" -> 457L,
     "q_fuzzy_match" -> 78L,
+    "q_triangles" -> 22L,
+    "q_sessionize" -> 585L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
