@@ -66,13 +66,62 @@ object SemiStructured extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** F4b q_hof_funcs — the higher-order-function surface proper:
+    * transform → filter → aggregate (fold) + zip_with, all codegen'd
+    * lambda built-ins over the embedding array. Every emitted scalar is
+    * integer-exact: elements are quantized to 1e-6 BIGINTs inside
+    * `transform`, then folded with integer adds (order-free — unlike a
+    * double fold, whose left-to-right engine agreement this repo proves
+    * elsewhere but doesn't need here), so l1/sum/dot survive the hash
+    * gate with zero float drift. zip_with pairs the vector with its
+    * reverse — a pure-lambda self-combination with no second scan. */
+  private def qHofFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = "CAST(embedding AS ARRAY<DOUBLE>)"
+    def q(x: String) = s"CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT)"
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .select(
+        $"vec_id",
+        expr(s"CAST(size(filter($e, x -> x > 0.0)) AS BIGINT)").as("n_pos"),
+        expr(s"aggregate(transform($e, x -> ${q("x")}), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_q"),
+        expr(s"aggregate(transform($e, x -> ${q("abs(x)")}), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("l1_q"),
+        expr(s"aggregate(zip_with($e, reverse($e), (x, y) -> ${q("x * y")}), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("revdot_q"),
+        expr(s"array_max(transform($e, x -> ${q("x")}))").as("max_q"),
+        expr(s"exists($e, x -> abs(x) > 2.0)").as("has_large"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_array_funcs" -> (qArrayFuncs _),
     "q_array_explode" -> (qArrayExplode _),
+    "q_hof_funcs" -> (qHofFuncs _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_map_funcs" -> (qMapFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q_hof_funcs" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+         SELECT vec_id,
+                CAST(len(list_filter(e, x -> x > 0.0)) AS BIGINT) AS n_pos,
+                CAST(list_sum(list_transform(e,
+                  x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS sum_q,
+                CAST(list_sum(list_transform(e,
+                  x -> CAST(floor(abs(x) * 1000000.0 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS l1_q,
+                CAST(list_sum(list_transform(range(1, len(e) + 1),
+                  i -> CAST(floor((e[i] * e[len(e) - i + 1]) * 1000000.0
+                                  + 0.5) AS BIGINT)))
+                  AS BIGINT) AS revdot_q,
+                CAST(list_max(list_transform(e,
+                  x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS max_q,
+                len(list_filter(e, x -> abs(x) > 2.0)) > 0 AS has_large
+         FROM n ORDER BY vec_id""",
     "q_array_funcs" ->
       """SELECT vec_id,
                 CAST(len(embedding) AS BIGINT) AS dim,

@@ -389,8 +389,44 @@ object TextOps extends QueryModule {
       .orderBy($"bm25".desc, $"doc_id")
   }
 
+  /** q_classifier_score — model-based quality filtering: a fixed-weight
+    * logistic classifier over cheap text features (the fastText-style
+    * "quality model" pass of pretraining curation — here the WEIGHTS are
+    * honest stand-ins but the scoring machinery is the real thing: one
+    * codegen'd projection, no shuffle before the final order). The
+    * keep/drop decision is made on the LINEAR score z ≥ 0 — exactly the
+    * σ(z) ≥ 0.5 boundary but computed in pure +/×/÷ doubles that are
+    * bit-identical across engines, so the cut can't straddle; σ itself
+    * (an `exp`) is emitted only as a round6'd display column, the same
+    * quantization discipline as `ln` in [[qTfidf]]. */
+  private def qClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTokens = expr("CAST(size(split(text, ' ')) AS BIGINT)")
+    val nDistinct =
+      expr("CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT)")
+    val nStop = expr(
+      "CAST(size(filter(split(lower(text), ' '), x -> x = 'the' OR x = 'a')) AS BIGINT)")
+    val nNonspace = expr("CAST(length(replace(text, ' ', '')) AS BIGINT)")
+    val base = docs(s, dir).select($"doc_id", nTokens.as("n_tokens"),
+      nDistinct.as("n_distinct"), nStop.as("n_stop"),
+      nNonspace.as("n_nonspace"))
+    val f1 = $"n_tokens".cast("double") / lit(100.0)
+    val f2 = $"n_distinct".cast("double") / $"n_tokens".cast("double")
+    val f3 = $"n_stop".cast("double") / $"n_tokens".cast("double")
+    val f4 = $"n_nonspace".cast("double") / $"n_tokens".cast("double")
+    val z = lit(-0.5) + lit(0.1) * f1 + lit(1.5) * f2 +
+      lit(-2.0) * f3 + lit(0.3) * f4
+    base
+      .withColumn("z", z)
+      .select($"doc_id", $"n_tokens",
+        graft.Det.round6(lit(1.0) / (lit(1.0) + exp(-$"z"))).as("score"),
+        ($"z" >= 0.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
     "q_tfidf" -> (qTfidf _),
@@ -403,6 +439,31 @@ object TextOps extends QueryModule {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_classifier_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens,
+                  CAST(len(list_distinct(string_split(lower(text), ' ')))
+                       AS BIGINT) n_distinct,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'the' OR x = 'a')) AS BIGINT) n_stop,
+                  CAST(length(replace(text, ' ', '')) AS BIGINT) n_nonspace
+           FROM documents),
+         z AS (
+           SELECT doc_id, n_tokens,
+                  -0.5 + 0.1 * (CAST(n_tokens AS DOUBLE) / 100.0)
+                       + 1.5 * (CAST(n_distinct AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE))
+                       + -2.0 * (CAST(n_stop AS DOUBLE)
+                                 / CAST(n_tokens AS DOUBLE))
+                       + 0.3 * (CAST(n_nonspace AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE)) z
+           FROM f)
+         SELECT doc_id, n_tokens,
+                floor(1.0 / (1.0 + exp(-z)) * 1000000.0 + 0.5)
+                  / 1000000.0 AS score,
+                z >= 0.0 AS keep
+         FROM z ORDER BY doc_id""",
     "q_bm25" ->
       """WITH d AS (
            SELECT doc_id,

@@ -166,6 +166,48 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier score: keep is the exact z>=0 cut and score is sigmoid(z)") {
+    import spark.implicits._
+    val got = q("q_classifier_score")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val base = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(base.length == got.size)
+    base.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val lo = text.toLowerCase.split(" ", -1)
+      val nt = toks.length.toDouble
+      val z = -0.5 + 0.1 * (nt / 100.0) +
+        1.5 * (lo.distinct.length / nt) +
+        -2.0 * (lo.count(t => t == "the" || t == "a") / nt) +
+        0.3 * (text.replace(" ", "").length / nt)
+      val (_, n, score, keep) = got(id)
+      assert(n == toks.length)
+      assert(keep == (z >= 0.0), s"doc $id keep cut")
+      assert(math.abs(score - 1.0 / (1.0 + math.exp(-z))) < 1e-6, s"doc $id")
+    }
+  }
+
+  test("hof funcs: quantized folds match a Scala replica exactly") {
+    import spark.implicits._
+    val got = q("q_hof_funcs")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val base = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .as[(Long, Seq[Double])].collect()
+    def qz(x: Double) = math.floor(x * 1000000.0 + 0.5).toLong
+    base.foreach { case (id, e) =>
+      val (_, nPos, sumQ, l1Q, revdotQ, maxQ, hasLarge) = got(id)
+      assert(nPos == e.count(_ > 0.0))
+      assert(sumQ == e.map(qz).sum)
+      assert(l1Q == e.map(x => qz(math.abs(x))).sum)
+      assert(revdotQ == e.zip(e.reverse).map { case (x, y) => qz(x * y) }.sum)
+      assert(maxQ == e.map(qz).max)
+      assert(hasLarge == e.exists(x => math.abs(x) > 2.0))
+    }
+  }
+
   test("outliers: flagged set is exactly the brute-force 2-sigma tail") {
     import spark.implicits._
     val got = q("q_outliers").select($"event_id").as[Long].collect().toSet

@@ -41,6 +41,8 @@ class SnapshotSpec extends AnyFunSuite {
     "q_fuzzy_match" -> 78L,
     "q_triangles" -> 22L,
     "q_sessionize" -> 585L,
+    "q_classifier_score" -> 500L,
+    "q_hof_funcs" -> 500L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
