@@ -788,7 +788,30 @@ object Relational extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** q_unpivot — wide→long reshaping (the inverse of [[qPivot]]): melt
+    * the four lineitem measures into (measure, value) rows with `stack`,
+    * then the per-(flag, measure) profile every melted form feeds.
+    * `stack` is a GENERATOR — rows fan out map-side with no shuffle, and
+    * the only exchange is the map-side-combined aggregate over
+    * G×4 groups. The oracle is the portable UNION ALL expansion (same
+    * rows by construction), so the reshape itself is what's checked. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", expr(
+        """stack(4, 'quantity', l_quantity, 'price', l_extendedprice,
+          |         'discount', l_discount, 'tax', l_tax)
+          |  AS (measure, value)""".stripMargin))
+      .groupBy($"l_returnflag", $"measure")
+      .agg(count(lit(1)).as("n"),
+        Det.sumd($"value").as("sum_value"),
+        Det.round6(min($"value")).as("min_value"),
+        Det.round6(max($"value")).as("max_value"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_unpivot" -> (qUnpivot _),
     "q_corr" -> (qCorr _),
     "q_histogram" -> (qHistogram _),
     "q_agg_mode" -> (qAggMode _),
@@ -837,6 +860,22 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      s"""WITH m AS (
+           SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
+           FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+         SELECT l_returnflag, measure, count(*) AS n,
+                ${SUMD("value")} AS sum_value,
+                ${Det.ROUND6("min(value)")} AS min_value,
+                ${Det.ROUND6("max(value)")} AS max_value
+         FROM m GROUP BY l_returnflag, measure
+         ORDER BY l_returnflag, measure""",
     "q_corr" ->
       """WITH p AS (
            SELECT l_returnflag,

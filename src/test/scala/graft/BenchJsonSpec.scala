@@ -19,30 +19,42 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(math.abs(root.path("value").asDouble()
       - 0.123456789 * results.size) < 0.0005 + 1e-9)
     assert(root.path("queries").size() == SparkEntry.queries.size)
-    assert(root.path("queries").path("q_agg_hash").asDouble() == 0.12)
+    assert(root.path("queries").path("q_agg_hash").asDouble() == 0.1)
   }
 
   test("bench line fits a bounded tail capture even with 3-digit seconds") {
     // 999s for EVERY query is far past any plausible round budget (the
     // driver would flag the round long before); what matters is the line
     // surviving the ~2.4KB tail window at worst believable widths. The
-    // renderer degrades precision as magnitude grows (2 decimals <10s,
-    // 1 decimal <100s, integer beyond), so even the pathological case
+    // renderer degrades precision away from the 1–10s leader band
+    // (tenths <1s, centiseconds 1–10s, tenths <100s, integer beyond),
+    // so even the pathological case
     // stays narrow.
     val worst = SparkEntry.queries.keys.map(_ -> 999.4).toMap
     val line = Bench.renderJson(worst, "/root/testdata/sf0.1")
     assert(mapper.readTree(line).path("queries").path("q_agg_hash")
       .asDouble() == 999.0)
-    // the hard protocol constraint is the ~2.4KB stdout tail window;
-    // keep ≥100B of margin under it at worst believable widths
-    assert(line.length <= 2300,
+    // the hard protocol constraint is the ~2.4KiB (2458B) stdout tail
+    // window; at 109 declared queries the names alone are ~2.25KB, so
+    // the achievable guard is ≥100B of margin, not the old 2300
+    assert(line.length <= 2350,
       s"bench line ${line.length}B risks truncation in a ~2.4KB tail window")
-    // precision tiers: sub-10s entries keep centiseconds
-    val mixed = Map("q_a" -> 1.234, "q_b" -> 12.34, "q_c" -> 123.4)
+    // widest believable rendering: EVERY query at centisecond width (a
+    // round-2-style contention event put many queries in the 1–10s
+    // band); must still clear the ~2.4KiB (2458B) window
+    val contended = SparkEntry.queries.keys.map(_ -> 9.99).toMap
+    val cline = Bench.renderJson(contended, "/root/testdata/sf0.1")
+    assert(cline.length <= 2430,
+      s"contended-round line ${cline.length}B risks truncation")
+    // precision tiers: centiseconds only in the 1–10s leader band,
+    // tenths below 1s, coarser above 10s
+    val mixed = Map("q_a" -> 1.234, "q_b" -> 12.34, "q_c" -> 123.4,
+      "q_d" -> 0.256)
     val m = mapper.readTree(Bench.renderJson(mixed, "x")).path("queries")
     assert(m.path("q_a").asDouble() == 1.23)
     assert(m.path("q_b").asDouble() == 12.3)
     assert(m.path("q_c").asDouble() == 123.0)
+    assert(m.path("q_d").asDouble() == 0.3)
   }
 
   test("empty result map renders a parseable zero line") {

@@ -43,6 +43,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_sessionize" -> 585L,
     "q_classifier_score" -> 500L,
     "q_hof_funcs" -> 500L,
+    "q_unpivot" -> 12L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
