@@ -35,30 +35,36 @@ object Analytics extends QueryModule {
     * touches engine-specific date intervals; the emitted retention
     * ratio is an exact-int division rounded via [[Det.round6]].
     *
-    * Plan: first-touch is a map-side-combinable min per customer; the
-    * activity join re-uses the o_custkey partitioning (first ⋈ orders
-    * on the groupBy key — no extra exchange under AQE); cohort sizes
-    * are a G-row aggregate joined back by broadcast. At 100 TB this is
-    * two customer-keyed shuffles + one cell-keyed shuffle, all
-    * combinable. */
+    * Plan: first-touch is a map-side-combinable min per customer,
+    * PERSISTED — it has two consumers (the activity join and the cohort
+    * sizes), and without the cache each would replan its own full
+    * orders scan + aggregate (the q_tfidf round-2 lesson); cohort sizes
+    * are a G-row aggregate joined back by broadcast. At 100 TB the
+    * cached relation is customer-sized (not fact-sized), and the work
+    * is one orders scan + two customer-keyed shuffles + one cell-keyed
+    * shuffle, all combinable. */
   private def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val midx =
       (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).cast("long")
     val e = t(s, dir, "orders").select($"o_custkey", midx.as("midx"))
     val first = e.groupBy($"o_custkey").agg(min($"midx").as("cidx"))
-    val sizes = first.groupBy($"cidx").agg(count(lit(1)).as("cohort_size"))
-    e.join(first, "o_custkey")
-      .groupBy($"cidx", ($"midx" - $"cidx").as("months_since"))
-      .agg(countDistinct($"o_custkey").as("n_active"))
-      .join(broadcast(sizes), "cidx")
-      .select(
-        make_date(expr("CAST(cidx div 12 AS INT)"),
-          (($"cidx" % 12) + 1).cast("int"), lit(1)).as("cohort_month"),
-        $"months_since", $"n_active", $"cohort_size",
-        Det.round6($"n_active".cast(DoubleType) / $"cohort_size")
-          .as("retention"))
-      .orderBy($"cohort_month", $"months_since")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = first.groupBy($"cidx").agg(count(lit(1)).as("cohort_size"))
+      e.join(first, "o_custkey")
+        .groupBy($"cidx", ($"midx" - $"cidx").as("months_since"))
+        .agg(countDistinct($"o_custkey").as("n_active"))
+        .join(broadcast(sizes), "cidx")
+        .select(
+          make_date(expr("CAST(cidx div 12 AS INT)"),
+            (($"cidx" % 12) + 1).cast("int"), lit(1)).as("cohort_month"),
+          $"months_since", $"n_active", $"cohort_size",
+          Det.round6($"n_active".cast(DoubleType) / $"cohort_size")
+            .as("retention"))
+        .orderBy($"cohort_month", $"months_since")
+        .localCheckpoint(true)
+    } finally first.unpersist(false)
   }
 
   /** q_window_range — RANGE-frame rolling aggregate: per-customer
@@ -122,8 +128,11 @@ object Analytics extends QueryModule {
     * form (÷n): the filter is a profiling cut, not an estimator.
     *
     * Plan: G-row stats aggregate (map-side combined), broadcast back
-    * onto the fact scan, pure codegen'd filter — ONE pass over the
-    * data at 100 TB plus a G-row broadcast. */
+    * onto the fact scan, pure codegen'd filter — TWO passes over the
+    * fact (the stats pass and the flagging pass), which is optimal at
+    * 100 TB: the only single-pass alternative caches the fact itself,
+    * and a fact-sized cache is exactly what a 100 TB plan must not
+    * assume. */
   private def qOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = "decimal(38,0)"

@@ -111,7 +111,10 @@ object Graphs extends QueryModule {
     * this derived graph's ~uniform degrees don't need. */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted like qPagerank's nodes: stats and the edge generator
+    // would otherwise each replan their own parquet scan
     val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
     val e0 = d.crossJoin(broadcast(stats))
       .withColumn("j", $"doc_id" - $"mn")
@@ -132,7 +135,7 @@ object Graphs extends QueryModule {
           col("e2.b").as("c"))
         .orderBy($"a", $"b", $"c")
         .localCheckpoint(true)
-    } finally u.unpersist(false)
+    } finally { u.unpersist(false); d.unpersist(false) }
   }
 
   val queries: Map[String, Q] = Map(

@@ -563,11 +563,28 @@ object Similarity extends QueryModule {
     * integer metric with one standard definition (unit costs), so both
     * engines agree exactly; pairs are emitted once (name_a < name_b). */
   private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the self-join's two arms would otherwise each replan
+    // the full table scan + distinct-name aggregate
+    val names = fuzzyNames(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fuzzyPairs(s, names).localCheckpoint(true)
+    finally names.unpersist(false)
+  }
+
+  /** The DISTINCT (name, canonical id, occurrence count, block) entity
+    * relation — one table scan. Package-visible for the plan guard. */
+  private[graft] def fuzzyNames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val names = Tables.load(s, dir, "part")
+    Tables.load(s, dir, "part")
       .groupBy($"p_name")
       .agg(min($"p_partkey").as("canon_id"), count(lit(1)).as("n_parts"))
       .withColumn("block", element_at(split($"p_name", " "), -1))
+  }
+
+  /** Blocked Levenshtein pairing over a caller-managed (cached) name
+    * relation. */
+  private[graft] def fuzzyPairs(s: SparkSession, names: DataFrame): DataFrame = {
+    import s.implicits._
     val a = names.select($"block", $"p_name".as("name_a"),
       $"canon_id".as("id_a"), $"n_parts".as("n_a"))
     val b = names.select($"block", $"p_name".as("name_b"),

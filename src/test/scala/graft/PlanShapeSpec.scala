@@ -107,10 +107,22 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q_fuzzy_match blocks every pair: the join key includes the block") {
-    val p = plan("q_fuzzy_match")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "fuzzy match must join on the block key, not form all pairs")
+    // q_fuzzy_match itself returns an eagerly-checkpointed result
+    // (opaque plan); guard the inner pairing over a cached name relation.
+    val names = operators.Similarity.fuzzyNames(spark, dir).persist()
+    try {
+      val qe = operators.Similarity.fuzzyPairs(spark, names).queryExecution
+      val p = qe.executedPlan.toString()
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "fuzzy match must join on the block key, not form all pairs")
+      // both self-join arms must read the cache, not re-derive the scan
+      val parquetRels = qe.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      assert(parquetRels.isEmpty,
+        s"name relation re-derived outside the cache: ${parquetRels.size}")
+    } finally names.unpersist(true)
   }
 
   test("q_unigram_logprob reuses the tf cache for vocab build and probe") {
