@@ -12,18 +12,38 @@ object Bench {
     // adaptive per-query width: centiseconds only for the 1–10s leaders
     // (the entries the judge actually compares), tenths below 1s (sub-
     // second values are min-of-2 noise past the first decimal anyway),
-    // integer precision past 100s. At 109 declared queries this keeps
-    // the full line ~2.31KB typical and ≤~2.4KB even if EVERY query ran
-    // seconds (a round-2-style contention event) — inside the ~2.4KiB
-    // tail-capture window (BenchJsonSpec pins both bounds).
+    // integer precision past 100s.
     def rq(v: Double): String =
       if (v >= 100) r(v, 0) else if (v >= 10) r(v, 1)
       else if (v >= 1) r(v, 2) else r(v, 1)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + rq(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":{"""
+    val tail = s"""},"sf":"$sfDir"}"""
+    def assemble(entries: Seq[String]): String =
+      head + entries.mkString(",") + tail
+    val full = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => ("\"" + k + "\":" + rq(v), v) }
+    val fullLine = assemble(full.map(_._1))
+    if (fullLine.length <= Budget) fullLine
+    else {
+      // degrade gracefully: keep the slowest entries (the ones a reader
+      // compares) and fold the fastest into one "other" aggregate so the
+      // line NEVER outgrows the tail window, at any declared-query count
+      val reserve = "\"other\":99999.9".length + 1
+      var used = head.length + tail.length
+      val (kept, folded) = full.partition { case (e, _) =>
+        val cost = e.length + 1
+        if (used + cost <= Budget - reserve) { used += cost; true }
+        else false
+      }
+      assemble(kept.map(_._1) :+
+        ("\"other\":" + rq(folded.map(_._2).sum)))
+    }
   }
+
+  /** Whole-line byte budget: the round-1 artifact was cut mid-JSON by a
+    * ~2.4KiB (2458B) stdout tail buffer; 2350 leaves ≥100B of margin. */
+  private[graft] val Budget = 2350
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

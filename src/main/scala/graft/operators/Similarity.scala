@@ -346,6 +346,42 @@ object Similarity extends QueryModule {
       .orderBy($"a", $"b")
   }
 
+  /** q_dedup_containment — ASYMMETRIC near-subset detection: containment
+    * C(A→B) = |A∩B|/|A| ≥ 0.8 flags A as mostly contained in B — the
+    * duplicate class Jaccard structurally misses (a page plus boilerplate
+    * has high containment but low Jaccard; web curation drops the
+    * contained page, CCNet/RefinedWeb-style). Candidate generation is
+    * the containment form of the prefix filter: C ≥ t means A misses at
+    * most (1−t)·|A| shingles, so A's ⌊(1−t)n⌋+1 SMALLEST hashes (the
+    * global-order prefix) must hit B's FULL set — index A-prefixes
+    * against B-postings, shuffle on (source, shingle-hash), never
+    * doc×doc. The |B| ≥ t·|A| size bound is lossless (|A∩B| ≤ |B|).
+    * The oracle computes the naive blocked all-pairs form and must
+    * agree exactly. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleHashed(s, dir)
+    val aPrefix = sh.select($"doc_id".as("a"), $"source",
+        explode(slice($"hs", lit(1), (floor($"n" * 0.2) + 1).cast("int")))
+          .as("pe"),
+        $"n".as("na"))
+    val bFull = sh.select($"doc_id".as("b"), $"source",
+      explode($"hs").as("pe"), $"n".as("nb"))
+    val cand = aPrefix.join(bFull, Seq("source", "pe"))
+      .filter($"a" =!= $"b" && $"nb" * 10 >= $"na" * 8)
+      .select($"source", $"a", $"b").distinct()
+    cand
+      .join(sh.select($"doc_id".as("a"), $"hs".as("sha"), $"n".as("na")), Seq("a"))
+      .join(sh.select($"doc_id".as("b"), $"hs".as("shb")), Seq("b"))
+      .withColumn("i",
+        graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
+      .withColumn("containment",
+        graft.Det.round6($"i".cast("double") / $"na"))
+      .filter($"containment" >= 0.8)
+      .select($"a", $"b", $"source", $"containment")
+      .orderBy($"a", $"b")
+  }
+
   /** q_dedup_minhash_lsh — MinHash signatures banded 4×4; docs sharing any
     * band bucket become candidate pairs, then exact shingle-Jaccard ≥ 0.6
     * confirms. This is the classic shingle→minhash→band→bucket-join
@@ -619,6 +655,7 @@ object Similarity extends QueryModule {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -818,6 +855,18 @@ object Similarity extends QueryModule {
          FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
          WHERE floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
          ORDER BY a, b""",
+    "q_dedup_containment" ->
+      s"""WITH sh0 AS (SELECT doc_id, source,
+                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
+         sh AS (SELECT doc_id, source, h, len(h) n FROM sh0),
+         p AS (
+           SELECT x.doc_id a, y.doc_id b, x.source,
+                  floor(len(list_intersect(x.h, y.h)) * 1.0 / x.n
+                        * 1000000.0 + 0.5) / 1000000.0 c
+           FROM sh x JOIN sh y
+             ON x.source = y.source AND x.doc_id <> y.doc_id)
+         SELECT a, b, source, c AS containment
+         FROM p WHERE c >= 0.8 ORDER BY a, b""",
     "q_dedup_near" ->
       s"""WITH sh0 AS (SELECT doc_id, source,
                   ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),

@@ -144,6 +144,19 @@ object StreamOps extends QueryModule {
       .select($"p_id", $"c_id", $"p_user".as("user_id"), $"p_ts", $"c_ts")
   }
 
+  /** Stream-static enrichment: every micro-batch joins the static
+    * dimension with a BROADCAST hash join — the standard "attach the
+    * user/customer profile to the event stream" pattern. The static
+    * side is planned once and re-used per batch; no stream state is
+    * created (unlike stream-stream joins, there is nothing to
+    * watermark), which is why this is the cheapest join a pipeline can
+    * run at 100 TB/day event volumes. Inner semantics drop events
+    * without a dim row; callers wanting passthrough use a left join the
+    * same way. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Production sink shape: per-micro-batch parquet append via
     * foreachBatch — the standard exactly-once-per-batch landing pattern
     * (each batch is an atomic parquet commit keyed by batchId). */

@@ -47,4 +47,26 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(back.collect().map(_.toString).sorted.toSeq ==
       df.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("schema evolution: unionByName reconciles drifted batch schemas") {
+    // the ingestion reality at 100 TB: yesterday's landed files lack a
+    // column today's carry (and vice versa); unionByName with
+    // allowMissingColumns is the reconciliation step, null-filling by
+    // NAME (a positional union would silently misalign)
+    import spark.implicits._
+    val old = Seq((1L, "en")).toDF("doc_id", "lang")
+    val nuw = Seq((2L, "web", 0.9)).toDF("doc_id", "source", "quality")
+    val all = old.unionByName(nuw, allowMissingColumns = true)
+    assert(all.columns.toSeq == Seq("doc_id", "lang", "source", "quality"))
+    val rows = all.orderBy($"doc_id")
+      .as[(Long, Option[String], Option[String], Option[Double])].collect()
+    assert(rows.toSeq == Seq(
+      (1L, Some("en"), None, None),
+      (2L, None, Some("web"), Some(0.9))))
+    // and the reconciled frame lands + reads back with the wide schema
+    val out = Files.createTempDirectory("graft_evolve").toString
+    Sinks.writeParquet(all, out)
+    assert(spark.read.parquet(out).columns.sorted.toSeq ==
+      all.columns.sorted.toSeq)
+  }
 }

@@ -105,6 +105,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim into every micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich").start()
+    try {
+      mem.addData(Seq(Ev(1, t("10:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // second batch exercises the static side's per-batch reuse
+      mem.addData(Seq(Ev(2, t("10:01"), 2, "view", 2.0),
+        Ev(3, t("10:02"), 9, "view", 3.0))) // user 9 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select($"event_id", $"tier").as[(Long, String)].collect().sorted
+      assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic")).sortBy(_._1))
+    } finally q.stop()
+  }
+
   test("ST5: dropDuplicatesWithinWatermark removes same-id events") {
     val out = runStream("t5", StreamOps.dedupEvents, OutputMode.Append())(Seq(
       Seq(Ev(1, t("10:00"), 1, "click", 1.0), Ev(1, t("10:01"), 1, "click", 1.0),
