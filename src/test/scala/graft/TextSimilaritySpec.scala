@@ -54,6 +54,35 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(sims.forall(j => j >= 0.6 && j <= 1.0))
   }
 
+  test("containment pairs equal the brute-force all-pairs replica") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .select($"a", $"b", $"containment").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // naive replica over raw text: distinct 3-shingles, same md5-fold
+    // hash domain is irrelevant for SET ratios — plain strings suffice
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    def sh(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ", -1)
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text.toLowerCase)
+    }
+    val bySource = docs.groupBy(_._2)
+    val want = bySource.values.iterator.flatMap { ds =>
+      for {
+        a <- ds.iterator; b <- ds.iterator if a._1 != b._1
+        sa = sh(a._3)
+        cr = math.floor(sa.intersect(sh(b._3)).size.toDouble / sa.size
+          * 1000000.0 + 0.5) / 1000000.0
+        if cr >= 0.8
+      } yield (a._1, b._1) -> cr
+    }.toMap
+    assert(got == want, "containment must match the naive all-pairs form")
+    assert(got.nonEmpty && got.values.forall(c => c >= 0.8 && c <= 1.0))
+  }
+
   test("minhash-LSH candidates are a superset of high-jaccard pairs it reports") {
     import spark.implicits._
     val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
