@@ -109,6 +109,7 @@ object VectorFunctions {
   val SIMHASH = "graft_simhash"
   val INTERSECT_SIZE = "graft_intersect_size"
   val KMV_DISTINCT = "graft_kmv_distinct"
+  val BPE_TOKENS = "graft_bpe_tokens"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -124,7 +125,12 @@ object VectorFunctions {
       INTERSECT_SIZE, exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       KMV_DISTINCT, exprs => KmvDistinct(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      BPE_TOKENS, exprs => BpeTokens(exprs.head), "built-in")
   }
+
+  /** BPE token array of a cleaned-word column. */
+  def bpeTokens(word: Column): Column = call_function(BPE_TOKENS, word)
 
   /** Fused cosine similarity column (requires [[register]] on the session). */
   def cosine(a: Column, b: Column): Column = call_function(COSINE, a, b)

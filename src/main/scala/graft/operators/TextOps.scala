@@ -124,11 +124,8 @@ object TextOps extends QueryModule {
     * takes id 36+r. A real tokenizer ships ~50k merges; 16 keeps the
     * oracle replayable while exercising the exact algorithm (multi-level
     * merges included: t+h→th→the, i+n→in→ing). */
-  private val BPE_MERGES: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
-    "a" -> "n", "an" -> "d", "e" -> "r", "r" -> "e",
-    "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
-    "t" -> "i", "e" -> "s", "s" -> "t", "l" -> "e")
+  private val BPE_MERGES: Seq[(String, String)] =
+    graft.functions.BpeEncoding.MERGES
 
   private val BPE_VOCAB: Seq[(Long, String)] =
     "abcdefghijklmnopqrstuvwxyz0123456789".zipWithIndex
@@ -148,9 +145,19 @@ object TextOps extends QueryModule {
     * Scale: one scan; per-word O(len·rules) string work inside
     * whole-stage codegen; ONE shuffle carrying ~vocab-size map-side-
     * combined groups; the vocab joins as a broadcast LocalRelation. */
-  /** BPE-encode one cleaned word column → ARRAY<STRING> of tokens
-    * (package-visible: BpeSpec asserts the merge semantics directly). */
-  private[graft] def bpeEncode(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** BPE-encode one cleaned word column → ARRAY<STRING> of tokens.
+    * Routes to the native [[graft.functions.BpeTokens]] single-pass
+    * expression; [[bpeEncodeSql]] keeps the wrapped-char replace-chain
+    * formulation as the spec'd reference (BpeSpec proves them
+    * token-for-token equal on the corpus, and the DuckDB oracle replays
+    * the SQL form — so the native path stays pinned to the portable
+    * semantics from two directions). */
+  private[graft] def bpeEncode(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.bpeTokens(word)
+
+  /** The portable SQL formulation of [[bpeEncode]] (reference for the
+    * equality spec; the oracle's form). */
+  private[graft] def bpeEncodeSql(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val enc0 = concat_ws("",
       transform(split(word, ""), c => concat(lit("("), c, lit(")"))))
     val enc = BPE_MERGES.foldLeft(enc0) { case (e, (a, b)) =>
@@ -161,6 +168,7 @@ object TextOps extends QueryModule {
 
   private def qTokenBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     val vocab = BPE_VOCAB.toDF("token_id", "token")
     docs(s, dir)
       .select(explode(split(lower($"text"), " ")).as("w"))

@@ -12,6 +12,7 @@ class BpeSpec extends AnyFunSuite {
 
   private def encode(words: String*): Map[String, Seq[String]] = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     words.toDF("word")
       .select($"word", operators.TextOps.bpeEncode($"word").as("toks"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
@@ -45,5 +46,26 @@ class BpeSpec extends AnyFunSuite {
   test("unmergeable words stay as base characters") {
     assert(encode("xyz")("xyz") == Seq("x", "y", "z"))
     assert(encode("a")("a") == Seq("a"))
+  }
+
+  test("native single-pass encoder equals the SQL replace chain on every corpus word") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val words = graft.sources.Tables
+      .load(spark, TestSession.sfDir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .select(regexp_replace($"w", "[^a-z0-9]", "").as("word"))
+      .filter(length($"word") > 0)
+      .distinct()
+    val crafted = Seq("the", "then", "thing", "ander", "rest", "tthh",
+      "ees", "xyz", "a", "thethethe", "ananan", "lest", "ingest")
+      .toDF("word")
+    val both = words.unionByName(crafted)
+      .select($"word",
+        operators.TextOps.bpeEncode($"word").as("native"),
+        operators.TextOps.bpeEncodeSql($"word").as("sql"))
+      .withColumn("eq", $"native" === $"sql")
+    val bad = both.filter(!$"eq").collect()
+    assert(bad.isEmpty, s"native != sql for: ${bad.take(5).mkString(", ")}")
   }
 }
