@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
+import graft.functions.{BpeTokens, CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
 
 /** SparkSessionExtensions hook: makes the engine's native functions
   * available SQL-wide via `spark.sql.extensions=graft.GraftExtensions`
@@ -40,5 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvDistinct].getName,
         VectorFunctions.KMV_DISTINCT),
       (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.BPE_TOKENS),
+      new ExpressionInfo(classOf[BpeTokens].getName,
+        VectorFunctions.BPE_TOKENS),
+      (exprs: Seq[Expression]) => BpeTokens(exprs.head)))
   }
 }

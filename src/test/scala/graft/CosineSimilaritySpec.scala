@@ -100,6 +100,9 @@ class CosineSimilaritySpec extends AnyFunSuite {
         "SELECT graft_cosine(array(CAST(1 AS FLOAT)), array(CAST(2 AS FLOAT)))")
         .first().getDouble(0)
       assert(math.abs(r - 1.0) < 1e-12)
+      val toks = s2.sql("SELECT graft_bpe_tokens('thing')")
+        .first().getSeq[String](0)
+      assert(toks == Seq("th", "ing"))
     } finally () // shared JVM: do not stop the underlying context
   }
 }
