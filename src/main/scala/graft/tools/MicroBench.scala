@@ -76,6 +76,20 @@ object MicroBench {
       pairs.select(graft.functions.VectorFunctions.cosine($"a", $"b").as("c"))
         .selectExpr("count(c)").first().getLong(0)
     }
+
+    val words = docs
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .select(regexp_replace($"w", "[^a-z0-9]", "").as("word"))
+      .filter(length($"word") > 0).cache()
+    words.count()
+    time("bpe_replace_chain") {
+      words.select(graft.operators.TextOps.bpeEncodeSql($"word").as("t"))
+        .selectExpr("sum(size(t))").first().getLong(0)
+    }
+    time("bpe_native") {
+      words.select(graft.operators.TextOps.bpeEncode($"word").as("t"))
+        .selectExpr("sum(size(t))").first().getLong(0)
+    }
     spark.stop()
   }
 }
