@@ -48,6 +48,29 @@ class BpeSpec extends AnyFunSuite {
     assert(encode("a")("a") == Seq("a"))
   }
 
+  test("native == SQL chain exhaustively over merge-dense short words") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // every length-4 word over the 6 chars that drive the t/th/the/in/ing
+    // chains (1296) + every length-3 word over the an/and/er/es/st chars
+    // (216): exhaustive coverage of rank-collision and overlap cases far
+    // beyond what the corpus vocabulary exercises
+    val a1 = "theing".toSeq
+    val a2 = "anders".toSeq
+    val words =
+      (for (c1 <- a1; c2 <- a1; c3 <- a1; c4 <- a1)
+        yield s"$c1$c2$c3$c4") ++
+      (for (c1 <- a2; c2 <- a2; c3 <- a2) yield s"$c1$c2$c3")
+    val both = words.toDF("word")
+      .select($"word",
+        operators.TextOps.bpeEncode($"word").as("native"),
+        operators.TextOps.bpeEncodeSql($"word").as("sql"))
+      .filter(!($"native" === $"sql"))
+      .collect()
+    assert(both.isEmpty,
+      s"native != sql for ${both.length} words, e.g. ${both.take(3).mkString(", ")}")
+  }
+
   test("native single-pass encoder equals the SQL replace chain on every corpus word") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
