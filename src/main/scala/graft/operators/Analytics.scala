@@ -41,8 +41,10 @@ object Analytics extends QueryModule {
     * orders scan + aggregate (the q_tfidf round-2 lesson); cohort sizes
     * are a G-row aggregate joined back by broadcast. At 100 TB the
     * cached relation is customer-sized (not fact-sized), and the work
-    * is one orders scan + two customer-keyed shuffles + one cell-keyed
-    * shuffle, all combinable. */
+    * is two narrow orders passes (the first-touch build and the
+    * activity join — a fact-sized cache that would fuse them is exactly
+    * what a 100 TB plan must not assume) + one customer-keyed and one
+    * cell-keyed shuffle, all combinable. */
   private def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val midx =

@@ -27,7 +27,8 @@ class GraphsSpec extends AnyFunSuite {
     assert(total <= Scale)
     // ...but not degenerately so: at least the teleport mass survives
     assert(total >= (15 * Scale / 100) / n * n)
-    // the affine link maps concentrate mass: ranks must not be uniform
+    // the hub-contraction link map concentrates mass: ranks must not be
+    // uniform (an affine map would be a permutation and degenerate here)
     assert(rows.map(_._2).distinct.length > 1)
   }
 
