@@ -784,7 +784,13 @@ object Relational extends QueryModule {
         (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
         // y is in 1e-4 units: rescale covariance/slope back once
         (cov / den / 10000.0).as("covar_qty_price"),
-        (cov / vx / 10000.0).as("regr_slope"))
+        (cov / vx / 10000.0).as("regr_slope"),
+        // intercept = mean_y − slope·mean_x; r² = cov²/(vx·vy) — same
+        // exact-sum sub-expressions, same op order in both engines
+        (syD.cast("double") / nD.cast("double") / 10000.0
+          - (cov / vx / 10000.0)
+            * (sxD.cast("double") / nD.cast("double"))).as("regr_intercept"),
+        (cov * cov / (vx * vy)).as("regr_r2"))
       .orderBy($"l_returnflag")
   }
 
@@ -810,7 +816,28 @@ object Relational extends QueryModule {
       .orderBy($"l_returnflag", $"measure")
   }
 
+  /** q_agg_bits — bitwise/boolean aggregate surface: bit_and/bit_or/
+    * bit_xor over the partkey domain and bool_and/bool_or over a
+    * predicate, per return flag — the flag-mask / any-all rollups a
+    * telemetry pipeline runs. Pure integer/boolean lattice operations:
+    * associative, commutative, engine-identical by construction (no
+    * quantization needed), one map-side-combined aggregate. */
+  private def qAggBits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        bit_and($"l_partkey").as("mask_and"),
+        bit_or($"l_partkey").as("mask_or"),
+        bit_xor($"l_partkey").as("mask_xor"),
+        bool_and($"l_quantity" > 5.0).as("all_over5"),
+        bool_or($"l_quantity" > 45.0).as("any_over45"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_bits" -> (qAggBits _),
     "q_unpivot" -> (qUnpivot _),
     "q_corr" -> (qCorr _),
     "q_histogram" -> (qHistogram _),
@@ -860,6 +887,16 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_agg_bits" ->
+      """SELECT l_returnflag,
+                bit_and(l_partkey) AS mask_and,
+                bit_or(l_partkey) AS mask_or,
+                bit_xor(l_partkey) AS mask_xor,
+                bool_and(l_quantity > 5.0) AS all_over5,
+                bool_or(l_quantity > 45.0) AS any_over45,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q_unpivot" ->
       s"""WITH m AS (
            SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
@@ -901,7 +938,17 @@ object Relational extends QueryModule {
                   AS covar_qty_price,
                 CAST(n * sxy - sx * sy AS DOUBLE)
                   / CAST(n * sx2 - sx * sx AS DOUBLE) / 10000.0
-                  AS regr_slope
+                  AS regr_slope,
+                CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sx2 - sx * sx AS DOUBLE) / 10000.0)
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS regr_intercept,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sx2 - sx * sx AS DOUBLE)
+                     * CAST(n * sy2 - sy * sy AS DOUBLE))
+                  AS regr_r2
          FROM s ORDER BY l_returnflag""",
     "q_histogram" ->
       s"""WITH b AS (

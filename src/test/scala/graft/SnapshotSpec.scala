@@ -45,6 +45,7 @@ class SnapshotSpec extends AnyFunSuite {
     "q_hof_funcs" -> 500L,
     "q_unpivot" -> 12L,
     "q_dedup_containment" -> 4L,
+    "q_agg_bits" -> 3L,
     "q_cube" -> 24L,
     "q_date_funcs" -> 1500L,
     "q_decontaminate" -> 367L,
