@@ -17,7 +17,7 @@ object ScaleProbe {
     "q_agg_hash", "q_doc_assembly", "q_text_tokenize_tf",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_near",
     "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_tfidf",
-    "q_pagerank", "q_triangles")
+    "q_pagerank", "q_triangles", "q_dedup_containment", "q_bm25")
 
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 4)
