@@ -2,10 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** The one-line bench protocol artifact. 3-decimal rounding keeps the
-    * whole line under ~2 KB so it survives intact in a bounded stdout
-    * tail capture (the round-1 line was cut mid-JSON by a ~2.4 KB tail
-    * buffer → parse failure); BenchJsonSpec pins validity + size. */
+  /** The one-line bench protocol artifact. The driver parses it out of a
+    * 2000-byte stdout tail (measured: BENCH_r01–r03 all carry exactly a
+    * 2000-char `tail`, and all three parsed as null because this line
+    * outgrew it) which ALSO holds sbt's ~75B `[success] Total time …`
+    * epilogue — so the whole line must stay ≤ ~1900B. The headline
+    * `value` is emitted LAST so the total survives in the tail even if a
+    * longer epilogue ever clips the head. BenchJsonSpec pins validity +
+    * size. */
   def renderJson(results: Map[String, Double], sfDir: String): String = {
     def r(v: Double, scale: Int): String = BigDecimal(v)
       .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
@@ -17,8 +21,8 @@ object Bench {
       if (v >= 100) r(v, 0) else if (v >= 10) r(v, 1)
       else if (v >= 1) r(v, 2) else r(v, 1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val head = s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":{"""
-    val tail = s"""},"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","unit":"sec","queries":{"""
+    val tail = s"""},"sf":"$sfDir","value":${r(total, 3)}}"""
     def assemble(entries: Seq[String]): String =
       head + entries.mkString(",") + tail
     val full = results.toSeq.sortBy { case (k, v) => (-v, k) }
@@ -41,9 +45,10 @@ object Bench {
     }
   }
 
-  /** Whole-line byte budget: the round-1 artifact was cut mid-JSON by a
-    * ~2.4KiB (2458B) stdout tail buffer; 2350 leaves ≥100B of margin. */
-  private[graft] val Budget = 2350
+  /** Whole-line byte budget: the driver's tail capture is 2000B and the
+    * sbt success epilogue shares it (~75B + newlines); 1800 leaves real
+    * margin for epilogue width drift. */
+  private[graft] val Budget = 1800
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

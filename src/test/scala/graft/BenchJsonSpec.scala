@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench protocol line is a graded artifact parsed out of a bounded
   * stdout tail capture — pin that it stays (a) valid JSON and (b) small
-  * enough to survive a ~2.4 KB tail window with every declared query. */
+  * enough to survive the driver's 2000B tail window (which also holds
+  * sbt's ~75B success epilogue) with every declared query. */
 class BenchJsonSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
@@ -18,14 +19,26 @@ class BenchJsonSpec extends AnyFunSuite {
     // total sums the UNROUNDED per-query values, then rounds once
     assert(math.abs(root.path("value").asDouble()
       - 0.123456789 * results.size) < 0.0005 + 1e-9)
-    assert(root.path("queries").size() == SparkEntry.queries.size)
-    assert(root.path("queries").path("q_agg_hash").asDouble() == 0.1)
+    // at the current query count the uniform map may fold its tail into
+    // "other" (budget-bound); every surviving key is a declared query,
+    // and the per-query values still conserve the total
+    val q = root.path("queries")
+    assert(q.size() <= results.size + 1)
+    val it = q.fields()
+    var sum = 0.0
+    while (it.hasNext) {
+      val e = it.next()
+      assert(e.getKey == "other" || results.contains(e.getKey))
+      sum += e.getValue.asDouble()
+    }
+    assert(math.abs(sum - 0.123456789 * results.size) < 0.06 * results.size)
+    assert(q.path("q_agg_hash").asDouble() == 0.1)
   }
 
   test("bench line fits a bounded tail capture even with 3-digit seconds") {
     // 999s for EVERY query is far past any plausible round budget (the
     // driver would flag the round long before); what matters is the line
-    // surviving the ~2.4KB tail window at worst believable widths. The
+    // surviving the 2000B tail window at worst believable widths. The
     // renderer degrades precision away from the 1–10s leader band
     // (tenths <1s, centiseconds 1–10s, tenths <100s, integer beyond),
     // so even the pathological case
@@ -35,12 +48,12 @@ class BenchJsonSpec extends AnyFunSuite {
     val wq = mapper.readTree(line).path("queries")
     assert(wq.path("q_agg_hash").asDouble() == 999.0 ||
       wq.has("other"), "leader entries must survive at full precision")
-    // the hard protocol constraint is the ~2.4KiB (2458B) stdout tail
-    // window; the renderer folds the FASTEST entries into "other" when
-    // the full map would outgrow the budget, so the bound holds at ANY
-    // declared-query count and ANY value widths
+    // the hard protocol constraint is the 2000B stdout tail window minus
+    // the sbt epilogue; the renderer folds the FASTEST entries into
+    // "other" when the full map would outgrow the budget, so the bound
+    // holds at ANY declared-query count and ANY value widths
     assert(line.length <= Bench.Budget,
-      s"bench line ${line.length}B risks truncation in a ~2.4KB tail window")
+      s"bench line ${line.length}B risks truncation in the 2000B tail window")
     // widest believable rendering: EVERY query at centisecond width (a
     // round-2-style contention event put many queries in the 1–10s band)
     val contended = SparkEntry.queries.keys.map(_ -> 9.99).toMap
