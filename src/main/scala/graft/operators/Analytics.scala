@@ -191,12 +191,53 @@ object Analytics extends QueryModule {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** q_range_join_binned — the 100 TB execution path for interval joins:
+    * every event inside each error-incident window (error ts ± 5 min),
+    * rolled up per incident. [[Relational]]'s `q_join_theta_range` keeps
+    * the textbook plan — BroadcastNestedLoopJoin — which is right ONLY
+    * while one side stays broadcastable; an incident table derived from
+    * the event stream grows WITH the stream, so at 100 TB that plan is
+    * O(N·M) against two fact-sized inputs. The standard fix (Databricks
+    * range-join binning, Flink interval joins): quantize time into
+    * fixed-width bins as wide as the interval, explode each interval to
+    * the ≤2 bins it overlaps, map each point to its single bin, and join
+    * on the bin as a plain shuffle equi-join, re-checking the exact
+    * predicate after the match. Work is O((N + 2M) + output) with both
+    * sides hash-partitioned — no broadcast, no nested loop, AQE handles
+    * hot bins like any skewed shuffle key.
+    *
+    * Points carry exactly ONE bin, so a (point, interval) pair can meet
+    * in at most one bin — no post-join dedup. All bounds are integer
+    * epoch-µs (`unix_micros` ≡ DuckDB `epoch_us`) so the window edges cut
+    * identically in both engines; the oracle runs the naive range join.
+    * Every window contains its own error event, so output rows = #errors. */
+  private def qRangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val halfUs = 300L * 1000000 // ±5 min, in epoch-µs
+    // bin width = interval width (600 s): each interval overlaps 1–2 bins
+    val ev = t(s, dir, "events")
+    val wins = ev.filter($"event_type" === "error")
+      .select($"event_id".as("wid"),
+        (unix_micros($"ts") - halfUs).as("lo_us"),
+        (unix_micros($"ts") + halfUs).as("hi_us"))
+      .withColumn("bin",
+        explode(expr("sequence(lo_us div 600000000, (hi_us - 1) div 600000000)")))
+    val pts = ev.select($"event_id", $"value", unix_micros($"ts").as("e_us"))
+      .withColumn("bin", expr("e_us div 600000000"))
+    pts.join(wins, "bin")
+      .filter($"e_us" >= $"lo_us" && $"e_us" < $"hi_us")
+      .groupBy($"wid")
+      .agg(count(lit(1)).as("n_events"), Det.sumd($"value").as("val_sum"))
+      .orderBy($"wid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sessionize" -> (qSessionize _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_window_range" -> (qWindowRange _),
     "q_scd2" -> (qScd2 _),
-    "q_outliers" -> (qOutliers _))
+    "q_outliers" -> (qOutliers _),
+    "q_range_join_binned" -> (qRangeJoinBinned _))
 
   val oracles: Map[String, String] = Map(
     "q_sessionize" ->
@@ -261,6 +302,17 @@ object Analytics extends QueryModule {
          FROM c
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    "q_range_join_binned" ->
+      s"""WITH w AS (
+           SELECT event_id wid,
+                  epoch_us(ts) - 300000000 lo_us,
+                  epoch_us(ts) + 300000000 hi_us
+           FROM events WHERE event_type = 'error'),
+         p AS (SELECT event_id, value, epoch_us(ts) e_us FROM events)
+         SELECT w.wid, count(*) AS n_events,
+                ${Det.SUMD("p.value")} AS val_sum
+         FROM p JOIN w ON p.e_us >= w.lo_us AND p.e_us < w.hi_us
+         GROUP BY w.wid ORDER BY wid""",
     "q_outliers" ->
       """WITH q AS (
            SELECT event_id, event_type, value,

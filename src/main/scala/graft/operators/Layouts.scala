@@ -164,11 +164,39 @@ object Layouts extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** q_orc_roundtrip — ORC, the columnar container of the Hive/Trino
+    * estates a 100 TB corpus is routinely inherited from, proven
+    * lossless INCLUDING free text by the same position-sensitive
+    * rolling-hash checksum as [[qJsonlRoundtrip]] (the oracle computes
+    * it over the ORIGINAL parquet). Read back under an explicit schema —
+    * never a 100 TB footer-sniffing inference pass — and aggregated per
+    * language with id-range bounds, so a dropped row, reordered byte, or
+    * type coercion anywhere in the write/read cycle fails the hash gate.
+    * Completes the interchange matrix: parquet (native), CSV (S4),
+    * JSONL (S4b), ORC (S4c). */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_orc"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Sinks.writeOrc(Tables.load(s, dir, "documents"), path)
+    }
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .orc(path)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum($"n_chars").as("total_chars"),
+        sum(TextOps.rollingHash("text")).as("text_checksum"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
-    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _))
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_partition_prune" ->
@@ -195,6 +223,16 @@ object Layouts extends QueryModule {
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang, source
          ORDER BY lang, source""",
+    "q_orc_roundtrip" ->
+      s"""WITH f AS (
+           SELECT lang, doc_id, n_chars,
+                  ${TextOps.ROLLING_HASH("text")} AS fp
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(fp) AS BIGINT) AS text_checksum
+         FROM f GROUP BY lang ORDER BY lang""",
     "q_jsonl_roundtrip" ->
       s"""WITH f AS (
            SELECT lang, source, n_chars,

@@ -432,7 +432,59 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_collocations — PMI-scored bigram collocations over the corpus
+    * (Church & Hanks 1990): which word pairs co-occur far more than
+    * chance, the standard corpus-linguistics signal for multiword
+    * expressions (and a cheap phrase-vocabulary miner for tokenizer
+    * construction). PMI(x,y) = ln(p(x,y) / (p(x)p(y))) with p from raw
+    * corpus counts; top-20 pairs with ≥3 occurrences.
+    *
+    * One corpus scan: each position emits (token, next-token-or-NULL) —
+    * the NULL marks a document's final token — aggregated immediately to
+    * a vocab²-sized count table (map-side combined), from which BOTH the
+    * bigram counts (b non-null) and the exact unigram counts (sum over
+    * b, doc-final tokens included via the NULL rows) derive; the table
+    * is persisted across those consumers (the round-2 single-scan
+    * lesson), and everything after it is vocab-sized: unigram sides
+    * broadcast into the scoring join, corpus totals ride as a broadcast
+    * 1-row aggregate, and the top-20 is a TakeOrderedAndProject.
+    * Determinism: counts are exact integers; the one transcendental (ln)
+    * is computed over identically-ordered double ops in both engines and
+    * quantized via [[graft.Det.round6]] BEFORE the rank cut, with a
+    * (w1, w2) tie-break so the limit boundary can't straddle engines. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .select(explode(expr(
+        """transform(sequence(1, size(toks)),
+          |  i -> struct(element_at(toks, i) AS a,
+          |              CASE WHEN i < size(toks)
+          |                   THEN element_at(toks, i + 1) END AS b))"""
+          .stripMargin)).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val uni = pc.groupBy($"a").agg(sum($"c").as("cx"))
+      val tot = pc.agg(
+        sum($"c").as("n_uni"),
+        sum(when($"b".isNotNull, $"c").otherwise(0L)).as("n_bi"))
+      pc.filter($"b".isNotNull && $"c" >= 3)
+        .join(broadcast(uni), "a")
+        .join(broadcast(uni.select($"a".as("b"), $"cx".as("cy"))), "b")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi", graft.Det.round6(expr(
+          "ln((CAST(c AS DOUBLE) * n_uni * n_uni) / (CAST(n_bi AS DOUBLE) * cx * cy))")))
+        .select($"a".as("w1"), $"b".as("w2"), $"c".as("pair_count"), $"pmi")
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(20)
+        .localCheckpoint(true)
+    } finally pc.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_collocations" -> (qCollocations _),
     "q_bm25" -> (qBm25 _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -447,6 +499,31 @@ object TextOps extends QueryModule {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_collocations" ->
+      s"""WITH toks AS (
+           SELECT string_split(lower(text), ' ') l FROM documents),
+         pc AS (
+           SELECT l[g] a,
+                  CASE WHEN g < len(l) THEN l[g + 1] END b,
+                  count(*) c
+           FROM (SELECT l, unnest(generate_series(1, len(l))) g FROM toks)
+           GROUP BY 1, 2),
+         uni AS (SELECT a, CAST(sum(c) AS BIGINT) cx FROM pc GROUP BY a),
+         tot AS (
+           SELECT CAST(sum(c) AS BIGINT) n_uni,
+                  CAST(sum(CASE WHEN b IS NOT NULL THEN c ELSE 0 END)
+                       AS BIGINT) n_bi
+           FROM pc)
+         SELECT pc.a AS w1, pc.b AS w2, pc.c AS pair_count,
+                ${graft.Det.ROUND6(
+        """ln((CAST(pc.c AS DOUBLE) * n_uni * n_uni)
+             / (CAST(n_bi AS DOUBLE) * cx.cx * cy.cx))""")} AS pmi
+         FROM pc
+         JOIN uni cx ON pc.a = cx.a
+         JOIN uni cy ON pc.b = cy.a
+         CROSS JOIN tot
+         WHERE pc.b IS NOT NULL AND pc.c >= 3
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "q_classifier_score" ->
       """WITH f AS (
            SELECT doc_id,

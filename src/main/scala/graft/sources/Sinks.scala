@@ -36,6 +36,14 @@ object Sinks {
     (if (single) df.coalesce(1) else df)
       .write.mode("overwrite").json(path)
 
+  /** S4c — ORC sink: the other columnar container a lakehouse ingests
+    * from (Hive/Trino estates ship ORC the way Spark estates ship
+    * Parquet). Same predicate-pushdown/column-pruning story as Parquet;
+    * q_orc_roundtrip proves the round trip lossless by checksum. */
+  def writeOrc(df: DataFrame, path: String, single: Boolean = false): Unit =
+    (if (single) df.coalesce(1) else df)
+      .write.mode("overwrite").orc(path)
+
   /** Scale path: hive-style partitioned Parquet layout. Readers filtering
     * on the partition columns prune whole directories before any IO —
     * the layout a 100 TB events table must have (static + dynamic

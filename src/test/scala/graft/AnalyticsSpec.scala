@@ -112,6 +112,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join binned: bin rewrite is lossless vs the naive range join") {
+    import spark.implicits._
+    // the naive plan the binning replaces: raw interval predicate
+    // (BroadcastNestedLoopJoin at this scale) — results must be identical
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val w = ev.filter($"event_type" === "error")
+      .select($"event_id".as("wid"),
+        (unix_micros($"ts") - 300000000L).as("lo_us"),
+        (unix_micros($"ts") + 300000000L).as("hi_us"))
+    val p = ev.select($"event_id", $"value", unix_micros($"ts").as("e_us"))
+    val naive = p.join(w, $"e_us" >= $"lo_us" && $"e_us" < $"hi_us")
+      .groupBy($"wid")
+      .agg(count(lit(1)).as("n_events"), Det.sumd($"value").as("val_sum"))
+      .orderBy($"wid")
+      .as[(Long, Long, Double)].collect().toSeq
+    val binned = q("q_range_join_binned")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(binned.nonEmpty && binned == naive,
+      "binned equi-join must return exactly the naive range-join result")
+  }
+
   test("bm25: scores match a naive Scala replica exactly at 1e-6 quanta") {
     import spark.implicits._
     val got = q("q_bm25")

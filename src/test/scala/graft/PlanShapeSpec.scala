@@ -47,6 +47,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q_range_join_binned joins on the bin key, never a nested loop") {
+    // the whole point of the binning rewrite: an interval predicate over
+    // two stream-sized inputs must NOT plan as BroadcastNestedLoopJoin
+    // (which is what the raw range predicate gives, and what
+    // q_join_theta_range legitimately uses against a tiny band table)
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join fell back to an O(N·M) plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi-join on the bin key found")
+  }
+
   test("q_ann_ivf broadcasts the codebook at every Lloyd round, never the corpus") {
     // q_ann_ivf itself returns an eagerly-checkpointed result (opaque
     // plan); guard the inner ranked frame over an uncached vector relation.

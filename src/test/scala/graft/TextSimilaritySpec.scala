@@ -134,6 +134,31 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("collocations match a driver-side PMI replica token for token") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select(lower($"text")).as[String].collect()
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    var nBi = 0L
+    texts.foreach { t =>
+      val toks = t.split(" ", -1)
+      toks.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      toks.sliding(2).filter(_.length == 2).foreach { p =>
+        bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1; nBi += 1
+      }
+    }
+    val nUni = uni.values.sum
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = bi.toSeq.collect { case ((a, b), c) if c >= 3 =>
+      (a, b, c, round6(math.log(
+        (c.toDouble * nUni * nUni) / (nBi.toDouble * uni(a) * uni(b)))))
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    val got = SparkEntry.queries("q_collocations")(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == want, "engine top-20 PMI differs from the replica")
+  }
+
   test("unigram surprisal matches the exact-quantized Scala replica") {
     import spark.implicits._
     val tf = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L))
