@@ -231,7 +231,45 @@ object Analytics extends QueryModule {
       .orderBy($"wid")
   }
 
+  /** q_winsorize — per-group p05/p95 winsorized clipping of
+    * events.value, the robust-statistics companion to [[qOutliers]]'s
+    * z-cut (clipping beats dropping when downstream wants every row).
+    * The percentiles are EXACT order statistics at integer ranks
+    * ⌈0.05n⌉/⌈0.95n⌉ computed WITHOUT sorting the fact: values are
+    * half-up quantized to 1e-4 BIGINTs, aggregated to a per-group value
+    * HISTOGRAM (map-side combined, G×V rows), and the rank is selected
+    * by a cumulative-count scan over that histogram — distributed
+    * selection in O(N) map-combine work plus a window over the tiny
+    * histogram, where a naive per-group sort would shuffle and sort the
+    * whole fact. Rank arithmetic is pure integer ((n·5+99) div 100 ≡
+    * ceil) and the clip happens on the quantized BIGINTs, so the bounds
+    * and the clipped set are bit-identical in both engines; bounds
+    * broadcast back onto one fact pass (two fact passes total — the
+    * [[qOutliers]] no-fact-cache posture). */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xq = floor($"value" * 10000.0 + 0.5).cast("long")
+    val e = t(s, dir, "events")
+      .select($"event_id", $"event_type", $"value", xq.as("xq"))
+    val h = e.groupBy($"event_type", $"xq").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy($"event_type").orderBy($"xq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = h
+      .withColumn("cum", sum($"cnt").over(wcum))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type").agg(
+        min(when($"cum" >= expr("(n * 5 + 99) div 100"), $"xq")).as("lo"),
+        min(when($"cum" >= expr("(n * 95 + 99) div 100"), $"xq")).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .select($"event_id", $"event_type", $"value",
+        (least(greatest($"xq", $"lo"), $"hi").cast("double") / 10000.0)
+          .as("value_w"),
+        ($"xq" < $"lo" || $"xq" > $"hi").as("clipped"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winsorize" -> (qWinsorize _),
     "q_sessionize" -> (qSessionize _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_window_range" -> (qWindowRange _),
@@ -302,6 +340,28 @@ object Analytics extends QueryModule {
          FROM c
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    "q_winsorize" ->
+      """WITH e AS (
+           SELECT event_id, event_type, value,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) xq
+           FROM events),
+         h AS (SELECT event_type, xq, count(*) cnt FROM e GROUP BY 1, 2),
+         hc AS (
+           SELECT *,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY xq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+                  sum(cnt) OVER (PARTITION BY event_type) n
+           FROM h),
+         b AS (
+           SELECT event_type,
+                  min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN xq END) lo,
+                  min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN xq END) hi
+           FROM hc GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+                CAST(least(greatest(e.xq, b.lo), b.hi) AS DOUBLE) / 10000.0
+                  AS value_w,
+                (e.xq < b.lo OR e.xq > b.hi) AS clipped
+         FROM e JOIN b USING (event_type) ORDER BY event_id""",
     "q_range_join_binned" ->
       s"""WITH w AS (
            SELECT event_id wid,

@@ -483,7 +483,38 @@ object TextOps extends QueryModule {
     } finally pc.unpersist(false)
   }
 
+  /** q_token_entropy — per-document Shannon entropy of the token
+    * distribution, H = ln(n) − (Σ c·ln c)/n over token counts c — the
+    * lexical-diversity quality signal that separates natural prose
+    * (high H) from keyword-stuffed or template junk (low H); the
+    * logarithmic sibling of [[qQualityRepetition]]'s ratio filters and a
+    * standard feature in web-corpus quality classifiers.
+    *
+    * Determinism (the [[qUnigramLogprob]] discipline): each distinct
+    * token's c·ln(c) term is half-up quantized to a 1e-6 BIGINT with
+    * pure IEEE ops, summed EXACTLY (order-free — Spark's aggregation
+    * tree and DuckDB's scan add in different orders), and H finishes in
+    * identical double ops, round6'd. Scale: one scan, a map-side-combined
+    * (doc, token) aggregate, then a doc-keyed rollup — O(tokens) total,
+    * no window, no join. */
+  private def qTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterm = floor($"c".cast("double") * log($"c".cast("double"))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    docs(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), sum(qterm).as("sq"))
+      .select($"doc_id", $"n_tokens",
+        graft.Det.round6(log($"n_tokens".cast("double"))
+          - ($"sq".cast("double") / lit(1000000.0))
+            / $"n_tokens".cast("double")).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_token_entropy" -> (qTokenEntropy _),
     "q_collocations" -> (qCollocations _),
     "q_bm25" -> (qBm25 _),
     "q_classifier_score" -> (qClassifierScore _),
@@ -499,6 +530,24 @@ object TextOps extends QueryModule {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_token_entropy" ->
+      s"""WITH tf AS (
+           SELECT doc_id, t, count(*) c
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
+                 FROM documents)
+           GROUP BY doc_id, t),
+         d AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+                  CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                      * 1000000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) sq
+           FROM tf GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+                ${graft.Det.ROUND6(
+        """ln(CAST(n_tokens AS DOUBLE))
+             - (CAST(sq AS DOUBLE) / 1000000.0)
+               / CAST(n_tokens AS DOUBLE)""")} AS entropy
+         FROM d ORDER BY doc_id""",
     "q_collocations" ->
       s"""WITH toks AS (
            SELECT string_split(lower(text), ' ') l FROM documents),

@@ -133,6 +133,28 @@ class AnalyticsSpec extends AnyFunSuite {
       "binned equi-join must return exactly the naive range-join result")
   }
 
+  test("winsorize: bounds are the exact ceil-rank order statistics, clip is faithful") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    val byType = ev.groupBy(_._2).map { case (tpe, rows) =>
+      val xs = rows.map(r => math.floor(r._3 * 10000.0 + 0.5).toLong).sorted
+      val n = xs.length
+      tpe -> (xs((n * 5 + 99) / 100 - 1), xs((n * 95 + 99) / 100 - 1))
+    }
+    val want = ev.map { case (id, tpe, v) =>
+      val (lo, hi) = byType(tpe)
+      val xq = math.floor(v * 10000.0 + 0.5).toLong
+      (id, tpe, v, math.min(math.max(xq, lo), hi).toDouble / 10000.0,
+        xq < lo || xq > hi)
+    }.sortBy(_._1).toSeq
+    val got = q("q_winsorize")
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    assert(got == want, "winsorized values differ from the sorted replica")
+    assert(got.exists(_._5), "expected a non-empty clipped tail")
+  }
+
   test("bm25: scores match a naive Scala replica exactly at 1e-6 quanta") {
     import spark.implicits._
     val got = q("q_bm25")

@@ -159,6 +159,47 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got == want, "engine top-20 PMI differs from the replica")
   }
 
+  test("substring dedup finds exactly the >=15-token shared runs, with true lengths") {
+    import spark.implicits._
+    // fixture corpus with KNOWN shared runs (all tokens otherwise unique,
+    // so no chance 8-gram collisions): written as a documents.parquet so
+    // the DECLARED query runs over it unchanged
+    def toks(p: String, r: Range) = r.map(i => s"$p$i").mkString(" ")
+    val d1 = toks("w", 0 until 60)
+    val d2 = toks("x", 0 until 20) + " " + toks("w", 10 until 30) + " " +
+      toks("y", 0 until 20) // shares w10..w29 with d1: run = 20
+    val d3 = toks("z", 0 until 10) + " " + toks("w", 30 until 44) + " " +
+      toks("z", 10 until 20) // shares only a 14-run with d1: BELOW cut
+    val d4 = toks("u", 0 until 40) // unrelated
+    val d5 = d1 // exact duplicate: run = 60 with d1, 20 with d2
+    val fixDir = "/tmp/graft_substr_fixture"
+    Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val got = SparkEntry.queries("q_substring_dedup")(spark, fixDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 20L), (1L, 5L, 60L), (2L, 5L, 20L)),
+      s"expected exact run pairs, got $got")
+  }
+
+  test("token entropy matches the exact-quantized Scala replica") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = texts.map { case (id, t) =>
+      val counts = t.split(" ", -1).groupBy(identity).values.map(_.length.toLong)
+      val n = counts.sum
+      val sq = counts.map(c =>
+        math.floor(c.toDouble * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+      (id, n, round6(math.log(n.toDouble) - (sq.toDouble / 1e6) / n))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_token_entropy")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, "engine entropy differs from the replica")
+  }
+
   test("unigram surprisal matches the exact-quantized Scala replica") {
     import spark.implicits._
     val tf = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L))
