@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   * the measured basis for the 100 TB path choice (SURVEY.md §2.9 T4).
   */
 object ScaleProbe {
-  private val probes = Seq(
+  private val all = Seq(
     "q_agg_hash", "q_doc_assembly", "q_text_tokenize_tf",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_near",
     "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_tfidf",
-    "q_pagerank", "q_triangles", "q_dedup_containment", "q_bm25")
+    "q_pagerank", "q_triangles", "q_dedup_containment", "q_bm25",
+    "q_range_join_binned", "q_substring_dedup", "q_collocations")
+
+  /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
+    * single operator's slope can be re-measured without the full sweep. */
+  private def probes: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBES") match {
+      case Some(f) => all.filter(f.split(",").map(_.trim).toSet)
+      case None => all
+    }
 
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 4)
