@@ -7,9 +7,13 @@ import graft.functions.{BpeTokens, CosineSimilarity, IntersectSize, KmvDistinct,
 
 /** SparkSessionExtensions hook: makes the engine's native functions
   * available SQL-wide via `spark.sql.extensions=graft.GraftExtensions`
-  * (no per-session registration call needed). */
+  * (no per-session registration call needed), and injects the
+  * [[graft.plans.RangeBinJoinRule]] optimizer rule (fixed-width interval
+  * joins → binned equi-joins; kill-switch
+  * `spark.graft.binRangeJoin.enabled=false`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     e.injectFunction((
       FunctionIdentifier(VectorFunctions.COSINE),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
