@@ -317,9 +317,16 @@ object TextOps extends QueryModule {
   /** Surprisal scoring over a caller-managed (cached) tf relation. */
   private[graft] def unigramScored(s: SparkSession, tf: DataFrame): DataFrame = {
     import s.implicits._
-    val vocab = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
-    val total = vocab.agg(sum($"cnt").as("n_total"))
-    val qnll = vocab.crossJoin(broadcast(total))
+    // n_total rides the vocab relation as a whole-relation window (the
+    // vocab is token-sized, so the single-partition window is free)
+    // rather than a separate 1-row aggregate: a crossJoin(broadcast(agg))
+    // whose input is ITSELF the vocab chains two broadcast jobs
+    // back-to-back, and the serial job latency — not data — was the cost
+    // (measured 1.64 s → ~1.2 s at sf0.1/local[32], the q_ann_ivf
+    // eager-broadcast lesson in miniature)
+    val qnll = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+      .withColumn("n_total",
+        sum($"cnt").over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select($"token", floor(
         log($"n_total".cast("double") / $"cnt") * lit(1000000.0) + lit(0.5))
         .cast("long").as("qnll"))
