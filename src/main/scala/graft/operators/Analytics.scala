@@ -268,7 +268,37 @@ object Analytics extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q_skyline — 2-D Pareto frontier (skyline operator, Börzsönyi et al.
+    * 2001) over parts: maximize retail price, minimize size; a part
+    * survives iff no other part is at least as good on both axes and
+    * strictly better on one. The multi-criteria "best offers" shape that
+    * otherwise needs an O(N²) self-join.
+    *
+    * Plan: dominance only depends on per-PRICE-LEVEL minima, so the fact
+    * collapses to a level table first (map-side combined); a running min
+    * over strictly-higher price levels decides strict-price dominance
+    * and the level's own min decides equal-price dominance; levels
+    * broadcast back onto one fact pass. The only window runs over the
+    * LEVEL table (value cardinality, not row count — the q_winsorize
+    * histogram argument; were level cardinality itself huge, the levels
+    * would range-partition). Pure comparisons on raw values — no
+    * arithmetic, so cross-engine determinism is free. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part").select($"p_partkey", $"p_retailprice", $"p_size")
+    val w = Window.orderBy($"p_retailprice".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl = p.groupBy($"p_retailprice").agg(min($"p_size").as("msz"))
+      .withColumn("prevmin", min($"msz").over(w))
+    p.join(broadcast(lvl), Seq("p_retailprice"))
+      .filter(!($"prevmin".isNotNull && $"prevmin" <= $"p_size") &&
+        !($"msz" < $"p_size"))
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_winsorize" -> (qWinsorize _),
     "q_sessionize" -> (qSessionize _),
     "q_retention_cohort" -> (qRetentionCohort _),
@@ -340,6 +370,20 @@ object Analytics extends QueryModule {
          FROM c
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    "q_skyline" ->
+      """WITH p AS (
+           SELECT p_partkey, p_retailprice, p_size FROM part),
+         lvl AS (
+           SELECT p_retailprice, min(p_size) msz FROM p GROUP BY 1),
+         l2 AS (
+           SELECT *, min(msz) OVER (ORDER BY p_retailprice DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prevmin
+           FROM lvl)
+         SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM p JOIN l2 USING (p_retailprice)
+         WHERE NOT (prevmin IS NOT NULL AND prevmin <= p_size)
+           AND NOT (msz < p_size)
+         ORDER BY p_partkey""",
     "q_winsorize" ->
       """WITH e AS (
            SELECT event_id, event_type, value,

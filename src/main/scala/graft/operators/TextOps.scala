@@ -520,7 +520,53 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_bigram_logprob — bigram-LM cross-entropy per document, the
+    * next step up from [[qUnigramLogprob]]'s unigram surprisal (the
+    * KenLM-perplexity-filter shape at its smallest order): score(doc) =
+    * mean over bigram occurrences of −ln P(b|a), with P(b|a) =
+    * count(a,b)/count(a,·) from corpus counts. Low = boilerplate n-gram
+    * soup, high = token-salad noise; both tails get filtered.
+    *
+    * Plan (the [[qTfidf]] cached-relation posture): ONE corpus scan
+    * builds the per-doc bigram counts, persisted for its two consumers —
+    * the corpus bigram table (vocab²-sized) and the scoring join's probe
+    * side. Context counts come from the bigram table itself (a context
+    * is a bigram start, so doc-final tokens are correctly excluded), the
+    * scored table broadcasts, and per-doc means are exact quantized
+    * BIGINT sums finished by one double division. */
+  private def qBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS a,
+          |              element_at(toks, i + 1) AS b))"""
+          .stripMargin)).as("p"))
+      .groupBy($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = perDoc.groupBy($"a", $"b").agg(sum($"c").as("cab"))
+        .withColumn("ca", sum($"cab").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"a")))
+      val qnll = corpus.select($"a", $"b", floor(
+        log($"ca".cast("double") / $"cab") * lit(1000000.0) + lit(0.5))
+        .cast("long").as("qnll"))
+      perDoc.join(broadcast(qnll), Seq("a", "b"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_bigrams"), sum($"c" * $"qnll").as("sq"))
+        .select($"doc_id", $"n_bigrams",
+          ($"sq".cast("double") / ($"n_bigrams" * lit(1000000.0)))
+            .as("avg_nll"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally perDoc.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bigram_logprob" -> (qBigramLogprob _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_collocations" -> (qCollocations _),
     "q_bm25" -> (qBm25 _),
@@ -537,6 +583,29 @@ object TextOps extends QueryModule {
     "q_fingerprint" -> (qFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') l
+           FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+         pd AS (
+           SELECT doc_id, l[g] a, l[g + 1] b, count(*) c
+           FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) g
+                 FROM toks)
+           GROUP BY 1, 2, 3),
+         corpus AS (
+           SELECT a, b, CAST(sum(c) AS BIGINT) cab FROM pd GROUP BY a, b),
+         ctx AS (
+           SELECT *, sum(cab) OVER (PARTITION BY a) ca FROM corpus),
+         q AS (
+           SELECT a, b, CAST(floor(ln(CAST(ca AS DOUBLE) / cab)
+                             * 1000000.0 + 0.5) AS BIGINT) qnll
+           FROM ctx)
+         SELECT pd.doc_id,
+                CAST(sum(pd.c) AS BIGINT) AS n_bigrams,
+                CAST(sum(pd.c * q.qnll) AS DOUBLE)
+                  / (CAST(sum(pd.c) AS BIGINT) * 1000000.0) AS avg_nll
+         FROM pd JOIN q ON pd.a = q.a AND pd.b = q.b
+         GROUP BY pd.doc_id ORDER BY doc_id""",
     "q_token_entropy" ->
       s"""WITH tf AS (
            SELECT doc_id, t, count(*) c

@@ -133,6 +133,21 @@ class AnalyticsSpec extends AnyFunSuite {
       "binned equi-join must return exactly the naive range-join result")
   }
 
+  test("skyline: returned set is exactly the brute-force Pareto frontier") {
+    import spark.implicits._
+    val parts = graft.sources.Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .as[(Long, Double, Int)].collect().toSeq
+    def dominated(r: (Long, Double, Int)) = parts.exists { o =>
+      o._1 != r._1 && o._2 >= r._2 && o._3 <= r._3 &&
+        (o._2 > r._2 || o._3 < r._3)
+    }
+    val want = parts.filterNot(dominated).sortBy(_._1)
+    val got = q("q_skyline").as[(Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "level-table skyline differs from the all-pairs frontier")
+  }
+
   test("winsorize: bounds are the exact ceil-rank order statistics, clip is faithful") {
     import spark.implicits._
     val ev = graft.sources.Tables.load(spark, dir, "events")

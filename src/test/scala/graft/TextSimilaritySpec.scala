@@ -200,6 +200,30 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got == want, "engine entropy differs from the replica")
   }
 
+  test("bigram cross-entropy matches the exact-quantized Scala replica") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val perDoc = texts.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < 2) Nil
+      else toks.sliding(2).map(p => ((id, p(0), p(1)), 1L)).toSeq
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cab = perDoc.toSeq.groupBy { case ((_, a, b), _) => (a, b) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val ca = cab.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    def qnll(a: String, b: String) = math.floor(
+      math.log(ca(a).toDouble / cab((a, b))) * 1e6 + 0.5).toLong
+    val want = perDoc.toSeq.groupBy(_._1._1).map { case (id, rows) =>
+      val n = rows.map(_._2).sum
+      val sq = rows.map { case ((_, a, b), c) => c * qnll(a, b) }.sum
+      (id, n, sq.toDouble / (n * 1e6))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_bigram_logprob")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, "engine bigram nll differs from the replica")
+  }
+
   test("unigram surprisal matches the exact-quantized Scala replica") {
     import spark.implicits._
     val tf = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L))
