@@ -94,6 +94,58 @@ object Multimodal extends QueryModule {
       expr(s"height * $box div greatest(width, height)").as("out_h"))
   }
 
+  /** One framed audio window's features (what a real featurizer computes
+    * per hop before MFCC/spectrogram work). */
+  case class AudioWindow(doc_id: Long, win_idx: Long, n: Long,
+                         peak: Long, energy: Long)
+
+  /** "Audio" decode: read the payload as 16-bit little-endian PCM and
+    * frame it into fixed windows, emitting per-window sample count, peak
+    * amplitude, and exact integer energy (Σ s²). Same honest-fake stance
+    * as [[FakeCodec]]: a real decoder would parse a WAV/FLAC header here;
+    * the framing, per-partition batching, and feature schema are the real
+    * plumbing. */
+  def pcmWindows(id: Long, payload: Array[Byte], win: Int): Seq[AudioWindow] = {
+    val ns = payload.length / 2
+    (0 until ns by win).map { st =>
+      val end = math.min(st + win, ns)
+      var peak = 0L
+      var energy = 0L
+      var i = st
+      while (i < end) {
+        val lo = payload(2 * i) & 0xff
+        val hi = payload(2 * i + 1) & 0xff
+        var s = lo + (hi << 8)
+        if (s >= 32768) s -= 65536
+        val a = math.abs(s).toLong
+        if (a > peak) peak = a
+        energy += s.toLong * s
+        i += 1
+      }
+      AudioWindow(id, (st / win).toLong, (end - st).toLong, peak, energy)
+    }
+  }
+
+  /** q_multimodal_audio — the audio leg of the modality matrix (decode =
+    * image features, frames = video sampling, resize = image geometry,
+    * audio = PCM window framing): binary payload → 16-bit samples →
+    * non-overlapping 256-sample windows → per-window peak/energy/RMS.
+    * Integer sample extraction and energy sums are exact in both engines;
+    * RMS is one IEEE sqrt (correctly rounded by spec) under
+    * [[graft.Det.round6]]. One `mapPartitions` pass, no shuffle. */
+  private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withMediaColumn(Tables.load(s, dir, "documents"))
+    docs.select($"doc_id", $"media").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) => pcmWindows(id, payload, 256) }
+      }
+      .toDF()
+      .select($"doc_id", $"win_idx", $"n", $"peak", $"energy",
+        graft.Det.round6(sqrt($"energy".cast("double") / $"n")).as("rms"))
+      .orderBy($"doc_id", $"win_idx")
+  }
+
   /** q_multimodal_resize — decode → fit-into-224 resize work orders. */
   private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -128,9 +180,35 @@ object Multimodal extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_resize" -> (qMultimodalResize _))
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_audio" -> (qMultimodalAudio _))
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_audio" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(text, '') ch FROM documents),
+         samp AS (
+           SELECT doc_id, ch, unnest(generate_series(1, len(ch) // 2)) i
+           FROM s),
+         v AS (
+           SELECT doc_id, i - 1 AS idx,
+                  ascii(ch[2*i - 1]) + 256 * ascii(ch[2*i]) AS raw
+           FROM samp),
+         sv AS (
+           SELECT doc_id, idx,
+                  CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END s
+           FROM v),
+         w AS (
+           SELECT doc_id, idx // 256 AS win_idx, count(*) n,
+                  max(abs(s)) peak,
+                  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) energy
+           FROM sv GROUP BY 1, 2)
+         SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+                CAST(n AS BIGINT) AS n, CAST(peak AS BIGINT) AS peak,
+                energy,
+                floor(sqrt(CAST(energy AS DOUBLE) / n) * 1000000.0 + 0.5)
+                  / 1000000.0 AS rms
+         FROM w ORDER BY doc_id, win_idx""",
     "q_multimodal_frames" ->
       """WITH b AS (
            SELECT doc_id,

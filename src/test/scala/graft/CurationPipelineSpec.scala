@@ -43,6 +43,16 @@ class CurationPipelineSpec extends AnyFunSuite {
       keptSides.join(surviving, "doc_id").count(),
       "the kept side of each near-dup pair must survive stage 3")
 
+    // stage 3b: exact-substring dedup (round 4) — the verbatim-run class
+    // set-based MinHash misses; same drop-the-larger-id policy, composed
+    // on the stage-3 survivors
+    val runPairs = q("q_substring_dedup").select($"doc_a", $"doc_b")
+    val runDrops = runPairs.select($"doc_b".as("doc_id")).distinct()
+    val afterRuns = surviving.join(runDrops, Seq("doc_id"), "left_anti")
+    val nRuns = afterRuns.count()
+    assert(nRuns == nSurv - surviving.join(runDrops, "doc_id").count(),
+      "substring-dedup stage must remove exactly the flagged run-pairs present")
+
     // stage 4: stable split assignment partitions the survivors
     val split = q("q_split_assign")
     val withSplit = surviving.join(split, "doc_id")

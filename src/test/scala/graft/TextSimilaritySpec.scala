@@ -250,6 +250,23 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(acc.value > 0.0)
   }
 
+  test("multimodal audio: PCM window framing matches hand arithmetic") {
+    // 5 samples from 10 bytes, window 2: [s0 s1][s2 s3][s4]
+    val bytes = Array[Byte](0x01, 0x00, // s0 = 1
+      0x00, 0x7f.toByte, // s1 = 32512 (max positive high byte)
+      0xff.toByte, 0xff.toByte, // s2 = -1
+      0x00, 0x80.toByte, // s3 = -32768
+      0x03, 0x00) // s4 = 3
+    val w = graft.operators.Multimodal.pcmWindows(9L, bytes, 2)
+    assert(w.map(x => (x.win_idx, x.n, x.peak, x.energy)) == Seq(
+      (0L, 2L, 32512L, 1L + 32512L * 32512L),
+      (1L, 2L, 32768L, 1L + 32768L * 32768L),
+      (2L, 1L, 3L, 9L)))
+    // odd trailing byte is dropped
+    assert(graft.operators.Multimodal.pcmWindows(1L, Array[Byte](1, 0, 5), 4)
+      .map(x => (x.n, x.peak)) == Seq((1L, 1L)))
+  }
+
   test("multimodal decode features match byte arithmetic") {
     import spark.implicits._
     val docs = Seq((7L, "abc", "s")).toDF("doc_id", "text", "source")
