@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Det, QueryModule}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -297,7 +297,75 @@ object Analytics extends QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** The lineitem columns q_data_profile covers, with each column's
+    * engine-agnostic string rendering: integers cast directly, doubles
+    * through DECIMAL(18,4) (fixed scale — both engines print "10.0000";
+    * a raw double-to-string cast is formatter-specific), timestamps
+    * through an explicit pattern. Shared by the Spark query and the
+    * generated oracle so the two can never drift. */
+  private val ProfileCols: Seq[(String, Column => Column, String => String)] =
+    Seq(
+      ("l_orderkey", (c: Column) => c.cast("string"),
+        (e: String) => s"CAST($e AS VARCHAR)"),
+      ("l_linenumber", (c: Column) => c.cast("string"),
+        (e: String) => s"CAST($e AS VARCHAR)"),
+      ("l_quantity",
+        (c: Column) => c.cast(DecimalType(18, 4)).cast("string"),
+        (e: String) => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"),
+      ("l_returnflag", (c: Column) => c, (e: String) => e),
+      ("l_linestatus", (c: Column) => c, (e: String) => e),
+      ("l_shipdate",
+        (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"),
+        (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"))
+
+  /** q_data_profile — the data-card/profiling operator (the Deequ/
+    * `df.summary()` shape a pipeline runs before training on a new
+    * snapshot): per column, row count, null count, exact distinct count,
+    * min/max, and mean rendered length — in ONE fact pass. Numeric
+    * min/max are computed on the RAW column (then rendered), so "10"
+    * never sorts above "9".
+    *
+    * Plan: a single aggregate over the scan computes all 6 columns'
+    * stats at once; the multiple COUNT(DISTINCT)s plan as one Expand
+    * (6× map-side row multiplication, the standard profiler trade) into
+    * a map-side-combined aggregate whose shuffle carries distinct
+    * values, not rows; the 1-row result then explodes to the long form
+    * driver-side-free. At 100 TB the Expand factor is the knob: drop to
+    * approx_count_distinct per column when exactness isn't contractual.
+    * Determinism: counts and min/max are exact; mean length is one
+    * division of exact integers. */
+  private def qDataProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.zipWithIndex.flatMap {
+      case ((name, fmt, _), i) =>
+        val c = col(name)
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
+          count_distinct(c).as(s"dist_$i"),
+          fmt(min(c)).as(s"min_$i"),
+          fmt(max(c)).as(s"max_$i"),
+          sum(length(fmt(c))).as(s"len_$i"),
+          count(c).as(s"nn_$i"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.zipWithIndex.map {
+        case ((name, _, _), i) =>
+          struct(
+            lit(name).as("column_name"),
+            $"n_rows",
+            col(s"nulls_$i").as("n_nulls"),
+            col(s"dist_$i").as("n_distinct"),
+            col(s"min_$i").as("min_value"),
+            col(s"max_$i").as("max_value"),
+            ($"len_$i".cast(DoubleType) / $"nn_$i").as("avg_len"))
+      }: _*)).as("p"))
+      .select($"p.*")
+      .orderBy($"column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_data_profile" -> (qDataProfile _),
     "q_skyline" -> (qSkyline _),
     "q_winsorize" -> (qWinsorize _),
     "q_sessionize" -> (qSessionize _),
@@ -307,7 +375,27 @@ object Analytics extends QueryModule {
     "q_outliers" -> (qOutliers _),
     "q_range_join_binned" -> (qRangeJoinBinned _))
 
+  /** Oracle for q_data_profile, generated from the same [[ProfileCols]]
+    * renderings the Spark query uses (one UNION ALL branch per column). */
+  private val DataProfileSql: String = {
+    val branches = ProfileCols.map { case (name, _, fmt) =>
+      s"""SELECT '$name' AS column_name,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             count(DISTINCT $name) AS n_distinct,
+             ${fmt(s"min($name)")} AS min_value,
+             ${fmt(s"max($name)")} AS max_value,
+             CAST(sum(length(${fmt(name)})) AS DOUBLE) / count($name)
+               AS avg_len
+           FROM lineitem"""
+    }
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY column_name")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_data_profile" -> DataProfileSql,
     "q_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts, event_id, epoch_us(ts) us FROM events),

@@ -97,6 +97,38 @@ object Curation extends QueryModule {
       .orderBy($"source", $"doc_id")
   }
 
+  /** q_sample_weighted — weighted sampling WITHOUT replacement via
+    * priority sampling (Efraimidis & Spirakis 2006): each document draws
+    * u ∈ (0,1] and gets key −ln(u)/w with w = n_chars; the k smallest
+    * keys are EXACTLY a w-proportional sample without replacement — the
+    * quality-weighted / length-weighted subset selection a curation
+    * pipeline runs after scoring. `rand()` would be engine-private and
+    * non-resumable; here u = (h+1)/2^52 with h the first 13 md5 hex
+    * digits of the salted text — a dyadic rational both engines
+    * represent exactly, so `ln` sees identical input bits, and the run
+    * is reproducible per document (the repo-wide content-hash stance).
+    * Keys are quantized to 1e-9 BIGINTs with a doc_id tie-break before
+    * the cut, the [[graft.Det]] transcendental discipline.
+    *
+    * Scale: one scan → TakeOrderedAndProject (per-partition top-k heap,
+    * driver merges k·partitions rows); no shuffle, no global sort. */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = expr(
+      "CAST(conv(substr(md5(concat(text, '|ws')), 1, 13), 16, 10) AS BIGINT)")
+    Tables.load(s, dir, "documents")
+      .filter($"n_chars" > 0L)
+      .withColumn("u",
+        (h + lit(1L)).cast("double") / lit(4503599627370496.0))
+      .withColumn("pq",
+        floor(-log($"u") / $"n_chars".cast("double") * lit(1000000000.0)
+          + lit(0.5)).cast("long"))
+      .select($"doc_id", $"n_chars".as("weight"),
+        ($"pq".cast("double") / lit(1000000000.0)).as("priority"))
+      .orderBy($"priority", $"doc_id")
+      .limit(50)
+  }
+
   /** q_chunk_docs — overlapping context windows: 32-token chunks at
     * stride 24 (8-token overlap), the chunking step upstream of packing.
     * Pure generator + slice: one output row per (doc, window), no shuffle
@@ -131,6 +163,7 @@ object Curation extends QueryModule {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_scrub_text" -> (qScrubText _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split_assign" -> (qSplitAssign _),
     "q_mix_weighted" -> (qMixWeighted _),
@@ -143,7 +176,29 @@ object Curation extends QueryModule {
       |     instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT) % 100)"""
       .stripMargin
 
+  /** 52-bit md5 fraction numerator of the salted text (DuckDB replay of
+    * the Spark `conv(substr(md5(...), 1, 13), 16, 10)` idiom). */
+  private val WS_HASH =
+    """CAST(list_reduce(
+      |   list_prepend('0', string_split(substr(md5(text || '|ws'), 1, 13), '')),
+      |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+      |     instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      s"""WITH h AS (
+           SELECT doc_id, n_chars, $WS_HASH AS hv
+           FROM documents WHERE n_chars > 0),
+         k AS (
+           SELECT doc_id, n_chars,
+                  CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 4503599627370496.0)
+                             / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5)
+                       AS BIGINT) AS pq
+           FROM h)
+         SELECT doc_id, n_chars AS weight,
+                CAST(pq AS DOUBLE) / 1000000000.0 AS priority
+         FROM k ORDER BY priority, doc_id LIMIT 50""",
     "q_sample_stratified" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,

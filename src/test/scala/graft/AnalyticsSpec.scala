@@ -13,6 +13,29 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("data profile: stats agree with direct per-column aggregates") {
+    import spark.implicits._
+    val got = q("q_data_profile")
+      .as[(String, Long, Long, Long, String, String, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == 6)
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val n = li.count()
+    assert(got.values.forall(_._2 == n), "n_rows is the table count")
+    assert(got.values.forall(_._3 == 0L), "testdata has no nulls")
+    val rfDistinct = li.select($"l_returnflag").distinct().count()
+    assert(got("l_returnflag")._4 == rfDistinct)
+    val okDistinct = li.select($"l_orderkey").distinct().count()
+    assert(got("l_orderkey")._4 == okDistinct)
+    // numeric min/max computed on the RAW column, not its string form
+    val (minK, maxK) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+      .as[(Long, Long)].head()
+    assert(got("l_orderkey")._5 == minK.toString &&
+      got("l_orderkey")._6 == maxK.toString,
+      "min/max must be numeric order (lexicographic would differ)")
+    assert(got("l_returnflag")._7 == 1.0, "flag strings are length 1")
+  }
+
   test("cohort retention: month-0 is full, ratios in (0,1], sizes partition customers") {
     import spark.implicits._
     val rows = q("q_retention_cohort")

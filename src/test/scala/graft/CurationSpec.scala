@@ -26,6 +26,33 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_._3 < 10))
   }
 
+  test("weighted sample picks exactly the 50 smallest priority keys") {
+    import spark.implicits._
+    val got = q("q_sample_weighted")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 50)
+    // brute-force replay of the Efraimidis–Spirakis keys over all docs
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)]
+      .collect()
+    val keys = all.filter(_._3 > 0).map { case (id, text, w) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((text + "|ws").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / math.pow(2, 52)
+      val pq = math.floor(-math.log(u) / w * 1e9 + 0.5).toLong
+      (pq, id)
+    }.sorted.take(50)
+    assert(got.map(r => (math.round(r._3 * 1e9), r._1)).toSeq == keys.toSeq,
+      "sample must be the true 50 smallest keys (ties by doc_id)")
+    // weighting sanity: the sample's mean weight exceeds the corpus mean
+    // (longer docs are proportionally more likely to be drawn)
+    val meanAll = all.map(_._3).sum.toDouble / all.length
+    val meanGot = got.map(_._2).sum.toDouble / got.length
+    assert(meanGot > meanAll * 1.05,
+      s"weighted sample mean $meanGot should exceed corpus mean $meanAll")
+  }
+
   test("weighted mix duplicates exactly the en documents") {
     import spark.implicits._
     val docs = graft.sources.Tables.load(spark, dir, "documents")
