@@ -181,6 +181,95 @@ object TextOps extends QueryModule {
       .orderBy($"token_id")
   }
 
+  /** Number of merge rules q_bpe_train learns (a real tokenizer learns
+    * ~50k; 8 keeps the oracle's unrolled CTEs readable while exercising
+    * every structural element — multi-level merges included). */
+  private[graft] val BpeTrainRounds = 8
+
+  /** The distinct-word relation BPE training iterates over (Sennrich et
+    * al. 2016 train on the word-frequency dict, not raw text — the corpus
+    * collapses to |vocab| rows with multiplicities after ONE scan, which
+    * is exactly what makes training tractable at 100 TB): cleaned word →
+    * wrapped-char encoding "(h)(i)" + occurrence count. */
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .select(regexp_replace($"w", "[^a-z0-9]", "").as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .select(concat_ws("", transform(split($"word", ""),
+        c => concat(lit("("), c, lit(")")))).as("enc"), $"wc")
+  }
+
+  /** One training round: occurrence-weighted adjacent-pair counts over
+    * the current encodings, then the deterministic argmax (count DESC,
+    * pair ASC — bare max-count ties are what make naive BPE training
+    * runs non-reproducible). */
+  private def bpeBestPair(words: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    words
+      .withColumn("t",
+        split(regexp_replace($"enc", "^\\(|\\)$", ""), "\\)\\("))
+      .select($"wc", explode(expr(
+        """transform(sequence(1, size(t)),
+          |  i -> struct(element_at(t, i) AS a,
+          |              CASE WHEN i < size(t)
+          |                   THEN element_at(t, i + 1) END AS b))"""
+          .stripMargin)).as("p"))
+      .filter($"p.b".isNotNull)
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"wc").as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b")
+      .limit(1)
+  }
+
+  /** The training loop over a caller-supplied (enc, wc) words relation:
+    * each round's winning pair is applied as the same left-to-right
+    * wrapped-char `replace` the ENCODER uses (q_token_bpe), so trained
+    * merges compose with encoding by construction. Everything stays a
+    * DataFrame: the 1-row winner BROADCASTS into the next round's
+    * rewrite (no driver collect — the q_ann_ivf Lloyd-round idiom), and
+    * each round materializes through an eager `localCheckpoint` (the
+    * q_dedup_clusters Pregel stance) because round r's lineage otherwise
+    * nests every earlier round TWICE (pair-count + rewrite consumers) —
+    * an O(2^rounds) logical tree that stalls the driver in plan
+    * canonicalization before a single task runs. O(rounds) jobs; the
+    * per-round work is vocab-sized. */
+  private[graft] def bpeTrainMerges(words0: DataFrame, rounds: Int): DataFrame = {
+    val s = words0.sparkSession
+    import s.implicits._
+    var words = words0.localCheckpoint(true)
+    val bests = (1 to rounds).map { r =>
+      val best = bpeBestPair(words).localCheckpoint(true)
+      words = words.crossJoin(broadcast(best.select($"a", $"b")))
+        .withColumn("enc", replace($"enc",
+          concat(lit("("), $"a", lit(")("), $"b", lit(")")),
+          concat(lit("("), $"a", $"b", lit(")"))))
+        .select($"enc", $"wc")
+        .localCheckpoint(true)
+      best.select(lit(r.toLong).as("rank"), $"a".as("lhs"), $"b".as("rhs"),
+        concat($"a", $"b").as("merged"), $"cnt".as("pair_count"))
+    }
+    bests.reduce(_.union(_)).orderBy($"rank")
+  }
+
+  /** q_bpe_train — BPE merge-table LEARNING (the training half of the
+    * tokenizer capability; q_token_bpe is the encoding half): learn the
+    * top-[[BpeTrainRounds]] merges from the corpus by iterated
+    * most-frequent-adjacent-pair selection (Sennrich, Haddow & Birch
+    * 2016). Output: the learned merge table (rank, pair, merged token,
+    * occurrence-weighted pair count) — the artifact a pipeline ships to
+    * its tokenizer.
+    *
+    * Scale: ONE corpus scan collapses to the word-frequency relation;
+    * every round after that is vocab-sized (pair counts are map-side
+    * combined; the winner broadcasts). The driver loop is O(rounds),
+    * never O(rows) — the [[graft.operators.Similarity]] Pregel stance. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainMerges(bpeWords(s, dir), BpeTrainRounds)
+
   /** q_quality_score — heuristic quality signal: doc length, mean token
     * length, stopword ratio, blended into one bounded score. Mirrors the
     * length/punct/stopword family of quality filters used on web corpora. */
@@ -566,6 +655,7 @@ object TextOps extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_bpe_train" -> (qBpeTrain _),
     "q_bigram_logprob" -> (qBigramLogprob _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_collocations" -> (qCollocations _),
@@ -582,7 +672,49 @@ object TextOps extends QueryModule {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _))
 
+  /** Oracle for q_bpe_train: the training rounds unrolled as CTEs (the
+    * q_ann_ivf Lloyd-iteration replay pattern) — per round, pair counts
+    * from the current encodings, ORDER BY/LIMIT-1 argmax, CROSS JOIN +
+    * replace rewrite. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val base =
+      """wd AS (
+           SELECT regexp_replace(w, '[^a-z0-9]', '', 'g') AS word
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)),
+         w0 AS (
+           SELECT list_aggregate(list_transform(string_split(word, ''),
+                    c -> '(' || c || ')'), 'string_agg', '') AS enc,
+                  count(*) AS wc
+           FROM wd WHERE len(word) > 0 GROUP BY word)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""t$r AS (
+           SELECT string_split(regexp_replace(enc, '^\\(|\\)$$', '', 'g'),
+                               ')(') AS t, wc
+           FROM w${r - 1}),
+         p$r AS (
+           SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+           FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM t$r)
+           GROUP BY 1, 2),
+         b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         w$r AS (
+           SELECT replace(w.enc, '(' || b.a || ')(' || b.b || ')',
+                          '(' || b.a || b.b || ')') AS enc, w.wc
+           FROM w${r - 1} w CROSS JOIN b$r b)"""
+    }
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs,
+                 a || b AS merged, cnt AS pair_count FROM b$r"""
+    }
+    s"""WITH $base,
+       ${roundCtes.mkString(",\n")}
+       SELECT * FROM (${rows.mkString("\nUNION ALL\n")})
+       ORDER BY rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
     "q_bigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') l

@@ -18,6 +18,45 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
   }
 
+  test("training learns the hand-computed merge sequence (ties break pair-ASC)") {
+    import spark.implicits._
+    // corpus: hello ×3, help ×2 — every round's winner is hand-checkable
+    val words = Seq(("(h)(e)(l)(l)(o)", 3L), ("(h)(e)(l)(p)", 2L))
+      .toDF("enc", "wc")
+    val got = operators.TextOps.bpeTrainMerges(words, 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      // (h,e)=5 ties (e,l)=5 → 'e' < 'h' picks (e,l)
+      (1L, "e", "l", "el", 5L),
+      (2L, "h", "el", "hel", 5L),
+      // (hel,l)=3 ties (l,o)=3 → 'hel' < 'l'
+      (3L, "hel", "l", "hell", 3L),
+      (4L, "hell", "o", "hello", 3L),
+      (5L, "hel", "p", "help", 2L)))
+    // round 6 has no adjacent pairs left: the table simply ends
+  }
+
+  test("trained merges feed the encoder: corpus round-1 pair is the corpus max") {
+    import spark.implicits._
+    val dir = TestSession.sfDir
+    val first = operators.TextOps
+      .bpeTrainMerges(operators.TextOps.bpeWords(spark, dir), 1)
+      .as[(Long, String, String, String, Long)].head()
+    // replay: the winner must be the max occurrence-weighted adjacent
+    // char pair over the cleaned corpus words
+    val words = operators.TextOps.bpeWords(spark, dir)
+      .as[(String, Long)].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { case (enc, wc) =>
+      val t = enc.stripPrefix("(").stripSuffix(")").split("\\)\\(")
+      t.sliding(2).filter(_.length == 2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + wc
+      }
+    }
+    val want = counts.toSeq.map { case ((a, b), c) => (-c, a, b) }.min
+    assert((first._2, first._3, first._5) == (want._2, want._3, -want._1))
+  }
+
   test("multi-level merges chain: t+h -> th, th+e -> the") {
     val m = encode("the", "then", "thing")
     assert(m("the") == Seq("the"))
