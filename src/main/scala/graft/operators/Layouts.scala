@@ -191,7 +191,67 @@ object Layouts extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Morton/Z-order interleave of two 16-bit dimensions rendered as PURE
+    * integer arithmetic — ((v div 2^i) % 2) · 2^(2i|2i+1) — so one
+    * formula serves Spark (`div`) and DuckDB (`//`) with no engine bit
+    * operators and exact cross-engine agreement. 32 constant-folded
+    * terms; the result fits comfortably in a BIGINT (< 2^33). */
+  private[graft] def mortonExpr(x: String, y: String, div: String): String =
+    (0 until 16).map { i =>
+      val p = 1L << i
+      s"((($x) $div $p) % 2) * ${1L << (2 * i)}" +
+        s" + ((($y) $div $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** On-disk location of the z-ordered orders layout (test aid:
+    * ZorderSpec reads per-file min/max spans from it). */
+  private[graft] def zorderPath(dir: String): String =
+    s"${layoutRoot(dir)}/orders_zorder"
+
+  /** Orders clustered by the z-value of (customer, order day): range-
+    * partitioned AND sorted on z, so every output file covers a tight
+    * rectangle in BOTH dimensions — the multi-dimensional data-skipping
+    * layout (Delta/Iceberg `ZORDER BY`) for the two-filter access path a
+    * 1-D sort can only serve on its leading column. Written once per
+    * corpus, `_SUCCESS`-guarded. */
+  private[graft] def ordersZordered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = zorderPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Tables.load(s, dir, "orders")
+        .withColumn("x", $"o_custkey" % 65536L)
+        .withColumn("yd",
+          datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01")))
+            .cast("long") % 65536L)
+        .withColumn("z", expr(mortonExpr("x", "yd", "div")))
+        .repartitionByRange(8, $"z")
+        .sortWithinPartitions($"z")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** q_zorder_layout — z-order clustering as a declared, oracle-checked
+    * query: read the z-clustered layout back and report each coarse
+    * z-range bucket's row count and min/max span in BOTH dimensions —
+    * the per-bucket rectangles whose tightness IS the data-skipping
+    * property (ZorderSpec additionally proves it at FILE granularity
+    * against a natural-order layout). The DuckDB oracle replays the
+    * morton arithmetic over the ORIGINAL orders parquet, so the layout
+    * write/read cycle and the interleave math are both gate-checked. */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ordersZordered(s, dir)
+      .withColumn("bucket", expr("z div 65536"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"x").as("min_cust"), max($"x").as("max_cust"),
+        min($"yd").as("min_day"), max($"yd").as("max_day"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -199,6 +259,17 @@ object Layouts extends QueryModule {
     "q_orc_roundtrip" -> (qOrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH b AS (
+           SELECT o_custkey % 65536 AS x,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) % 65536 AS yd
+           FROM orders),
+         z AS (SELECT x, yd, ${mortonExpr("x", "yd", "//")} AS z FROM b)
+         SELECT z // 65536 AS bucket, count(*) AS n_orders,
+                min(x) AS min_cust, max(x) AS max_cust,
+                min(yd) AS min_day, max(yd) AS max_day
+         FROM z GROUP BY 1 ORDER BY bucket""",
     "q_partition_prune" ->
       s"""WITH dim AS (
            SELECT m FROM (
