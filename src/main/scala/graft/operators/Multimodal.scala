@@ -177,13 +177,150 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** A 64-bit average-hash in 4×16-bit bands (perceptual hashing's
+    * simplest member: sample a fixed pixel grid, threshold each sample
+    * against the frame mean — Hamming-near hashes ⇔ visually-near
+    * frames). Pure integer arithmetic over the payload, so the oracle
+    * replays it byte-for-byte in SQL; a real pHash swaps the sampler for
+    * a DCT over decoded luma, changing nothing downstream. */
+  case class PHashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** aHash of one payload: 64 evenly-spaced byte samples thresholded
+    * against their own mean (×64 in integers — no division), packed LSB-
+    * first into 4 16-bit band values. */
+  def phashOf(id: Long, payload: Array[Byte]): PHashBands = {
+    val n = payload.length
+    val px = Array.tabulate(64)(i => payload((i * n) / 64) & 0xff)
+    val sum = px.sum
+    val bands = Array.fill(4)(0L)
+    var i = 0
+    while (i < 64) {
+      if (px(i) * 64 > sum) bands(i / 16) |= (1L << (i % 16))
+      i += 1
+    }
+    PHashBands(id, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** q_multimodal_phash — near-duplicate detection for the BINARY
+    * modality (the image-dedup leg a multimodal curation pipeline runs
+    * next to the text dedups in [[Similarity]]): the corpus is each
+    * document's payload PLUS a one-byte-perturbed "re-encode" of it
+    * (media id 2·doc_id / 2·doc_id+1 — the compressed-again copy every
+    * crawl contains, byte-different but perceptually identical); a
+    * per-partition aHash over each payload, banded candidate generation
+    * — pairs must share a full 16-bit band, which by pigeonhole is
+    * LOSSLESS for the τ=3 Hamming cut (4 bands can't all contain one of
+    * ≤3 differing bits) — and exact Hamming verification on candidates.
+    * The re-encode twins land at Hamming ≈ 0–2 (one sampled byte plus
+    * any mean-threshold flips), so the operator provably RECOVERS the
+    * planted duplicate class; byte-level hashing (q_dedup_exact's
+    * sha256) sees unrelated blobs, which is the point of perceptual
+    * hashing.
+    *
+    * Scale: hashing is one codec-boundary pass (no shuffle); candidates
+    * shuffle on (band, value) — never doc×doc; the hash relation is
+    * persisted across its two consumers (band index + verify join), the
+    * single-derivation discipline. */
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs0 = Tables.load(s, dir, "documents").filter(length($"text") > 0)
+    val orig = docs0.select(($"doc_id" * 2).as("mid"), $"text".as("pt"))
+    val reenc = docs0.select(($"doc_id" * 2 + 1).as("mid"), expr(
+      """concat(substring(text, 1, length(text) div 2), 'q',
+        |       substring(text, length(text) div 2 + 2))""".stripMargin)
+      .as("pt"))
+    val hashes = orig.unionByName(reenc)
+      .select($"mid".as("doc_id"), encode($"pt", "UTF-8").as("media"))
+      .select($"doc_id", $"media").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) => phashOf(id, payload) }
+      }
+      .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = hashes.select($"doc_id",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("band", "v")))
+      val cand = idx.as("l")
+        .join(idx.as("r"),
+          col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+        .distinct()
+      val left = hashes.select($"doc_id".as("da"), $"b0".as("a0"),
+        $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val right = hashes.select($"doc_id".as("db"), $"b0".as("c0"),
+        $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+      cand.join(left, "da").join(right, "db")
+        .withColumn("hamming", expr(
+          """CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+            |   + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"""
+            .stripMargin))
+        .filter($"hamming" <= 3L)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+        .localCheckpoint(true)
+    } finally hashes.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_audio" -> (qMultimodalAudio _))
 
+  /** One band of the oracle's aHash replay: 16 threshold bits packed via
+    * exact small powers of two (CASE avoids engine shift operators). */
+  private def PHASH_BAND(off: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, 16), k ->
+        CASE WHEN p[k + ${off + 1}] * 64 > s
+             THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
   val oracles: Map[String, String] = Map(
+    "q_multimodal_phash" ->
+      s"""WITH d0 AS (
+           SELECT doc_id, text FROM documents WHERE length(text) > 0),
+         m AS (
+           SELECT doc_id * 2 AS doc_id, text FROM d0
+           UNION ALL
+           SELECT doc_id * 2 + 1,
+                  substr(text, 1, length(text) // 2) || 'q' ||
+                  substr(text, length(text) // 2 + 2)
+           FROM d0),
+         d AS (
+           SELECT doc_id, string_split(text, '') AS t,
+                  length(text) AS n
+           FROM m),
+         px AS (
+           SELECT doc_id,
+                  list_transform(range(0, 64),
+                    i -> ascii(t[(i * n) // 64 + 1])) AS p
+           FROM d),
+         h AS (SELECT doc_id, p, list_sum(p) AS s FROM px),
+         bands AS (
+           SELECT doc_id,
+                  ${PHASH_BAND(0)} AS b0, ${PHASH_BAND(16)} AS b1,
+                  ${PHASH_BAND(32)} AS b2, ${PHASH_BAND(48)} AS b3
+           FROM h),
+         idx AS (
+           SELECT doc_id, 0 AS band, b0 AS v FROM bands
+           UNION ALL SELECT doc_id, 1, b1 FROM bands
+           UNION ALL SELECT doc_id, 2, b2 FROM bands
+           UNION ALL SELECT doc_id, 3, b3 FROM bands),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+           FROM idx l JOIN idx r
+             ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id),
+         ham AS (
+           SELECT da, db,
+                  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                       AS BIGINT) AS hamming
+           FROM cand
+           JOIN bands a ON a.doc_id = da
+           JOIN bands b ON b.doc_id = db)
+         SELECT da AS doc_a, db AS doc_b, hamming
+         FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "q_multimodal_audio" ->
       """WITH s AS (
            SELECT doc_id, string_split(text, '') ch FROM documents),
