@@ -297,6 +297,33 @@ object Analytics extends QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** q_attribution — last-touch marketing attribution over the event
+    * stream: each purchase is credited to the user's most recent
+    * PRECEDING non-purchase event (the "channel" that got the user
+    * there) — the conversion-attribution query every event warehouse
+    * runs. One user-keyed Exchange; both attribution columns share the
+    * same window frame (unbounded-preceding → 1-preceding `last` with
+    * IGNORE NULLS), so Catalyst plans a single Window over a single
+    * sort; no value arithmetic, so determinism needs only the (ts,
+    * event_id) total order inside the frame. Purchases with no prior
+    * touch credit to '(none)' with a NULL touch id. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("touch_type",
+        last(when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_id",
+        last(when($"event_type" =!= "purchase", $"event_id"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"value",
+        coalesce($"touch_type", lit("(none)")).as("channel"), $"touch_id")
+      .orderBy($"purchase_id")
+  }
+
   /** The lineitem columns q_data_profile covers, with each column's
     * engine-agnostic string rendering: integers cast directly, doubles
     * through DECIMAL(18,4) (fixed scale — both engines print "10.0000";
@@ -365,6 +392,7 @@ object Analytics extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_data_profile" -> (qDataProfile _),
     "q_skyline" -> (qSkyline _),
     "q_winsorize" -> (qWinsorize _),
@@ -395,6 +423,23 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH w AS (
+           SELECT event_id, user_id, event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER win AS touch_type,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_id END IGNORE NULLS)
+                    OVER win AS touch_id
+           FROM events
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING))
+         SELECT event_id AS purchase_id, user_id, value,
+                coalesce(touch_type, '(none)') AS channel, touch_id
+         FROM w WHERE event_type = 'purchase'
+         ORDER BY purchase_id""",
     "q_data_profile" -> DataProfileSql,
     "q_sessionize" ->
       """WITH e AS (

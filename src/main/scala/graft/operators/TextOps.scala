@@ -37,6 +37,32 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_incremental_dedup — the INCREMENTAL-ingest form of exact dedup
+    * (the production shape: a new crawl snapshot arrives and must dedup
+    * against everything already ingested, not just itself): the "new
+    * batch" (here the deterministic doc_id%5=4 slice standing in for
+    * today's snapshot) is (a) anti-joined against the historical digest
+    * index and (b) deduped within itself by smallest doc_id. Only
+    * survivors ship to training.
+    *
+    * Scale: both the anti-join and the window shuffle on the sha256
+    * digest — uniformly distributed by construction, no skew handling;
+    * at 100 TB the history index is a digest-bucketed table
+    * (q_join_bucketed's layout), making the recurring anti-join
+    * exchange-free on the history side. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).withColumn("dig", sha2($"text", 256))
+    val hist = d.filter($"doc_id" % 5 =!= 4).select($"dig").distinct()
+    val batch = d.filter($"doc_id" % 5 === 4)
+    val w = Window.partitionBy($"dig").orderBy($"doc_id")
+    batch.join(hist, Seq("dig"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** T2 q_text_tokenize_tf — tokenize + corpus-wide term frequency:
     * generator + hash aggregate; the shuffle carries one row per distinct
     * token (map-side combined), not per occurrence. */
@@ -662,6 +688,7 @@ object TextOps extends QueryModule {
     "q_bm25" -> (qBm25 _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
     "q_tfidf" -> (qTfidf _),
     "q_token_count" -> (qTokenCount _),
@@ -857,6 +884,17 @@ object TextOps extends QueryModule {
                 CAST(qs AS DOUBLE) / 1000000.0 AS bm25
          FROM sc WHERE n_terms > 0
          ORDER BY bm25 DESC, doc_id""",
+    "q_incremental_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source, n_chars, sha256(text) AS dig
+           FROM documents),
+         hist AS (SELECT DISTINCT dig FROM d WHERE doc_id % 5 <> 4),
+         surv AS (
+           SELECT * FROM d WHERE doc_id % 5 = 4
+           AND dig NOT IN (SELECT dig FROM hist))
+         SELECT doc_id, lang, source, n_chars FROM surv
+         WHERE doc_id IN (SELECT min(doc_id) FROM surv GROUP BY dig)
+         ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))

@@ -13,6 +13,29 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("attribution: every purchase credits its true latest preceding touch") {
+    import spark.implicits._
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts".cast("long"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap
+    val got = q("q_attribution")
+      .select($"purchase_id", $"user_id", $"channel", $"touch_id")
+      .as[(Long, Long, String, Option[Long])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (pid, uid, channel, touchId) =>
+      val timeline = events(uid)
+      val i = timeline.indexWhere(_._1 == pid)
+      val prior = timeline.take(i).filter(_._4 != "purchase")
+      if (prior.isEmpty)
+        assert(channel == "(none)" && touchId.isEmpty, s"purchase $pid")
+      else {
+        assert(channel == prior.last._4, s"purchase $pid channel")
+        assert(touchId.contains(prior.last._1), s"purchase $pid touch id")
+      }
+    }
+  }
+
   test("data profile: stats agree with direct per-column aggregates") {
     import spark.implicits._
     val got = q("q_data_profile")
