@@ -312,12 +312,13 @@ object Analytics extends QueryModule {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     t(s, dir, "events")
-      .withColumn("touch_type",
+      // both window columns in ONE select so Catalyst plans a single
+      // Window operator (separate withColumns left two sort passes)
+      .select($"event_id", $"user_id", $"event_type", $"value",
         last(when($"event_type" =!= "purchase", $"event_type"),
-          ignoreNulls = true).over(w))
-      .withColumn("touch_id",
+          ignoreNulls = true).over(w).as("touch_type"),
         last(when($"event_type" =!= "purchase", $"event_id"),
-          ignoreNulls = true).over(w))
+          ignoreNulls = true).over(w).as("touch_id"))
       .filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id", $"value",
         coalesce($"touch_type", lit("(none)")).as("channel"), $"touch_id")

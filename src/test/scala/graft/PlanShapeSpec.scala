@@ -231,6 +231,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), "stage min-aggs not map-side combined")
   }
 
+  test("q_sample_weighted takes the global top-k without a global sort") {
+    assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_data_profile computes all column stats in one scan (single Expand)") {
+    val p = plan("q_data_profile")
+    assert(p.contains("Expand"), "multi-distinct should plan one Expand")
+    assert(p.split("Scan parquet").length == 2,
+      "profile must read the fact exactly once")
+  }
+
+  test("q_attribution stacks both attribution columns on ONE window sort") {
+    val p = plan("q_attribution")
+    assert(p.split("\\bWindow\\b").length == 2,
+      "both last() columns must share a single Window operator")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      "exactly one user-keyed exchange expected")
+  }
+
+  test("q_incremental_dedup anti-joins the batch against the history index") {
+    val p = plan("q_incremental_dedup")
+    assert(p.contains("LeftAnti"), "history dedup must be an anti-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)
