@@ -129,6 +129,36 @@ object Curation extends QueryModule {
       .limit(50)
   }
 
+  /** q_sample_group_topk — the PER-STRATUM form of [[qSampleWeighted]]:
+    * within every source, keep the 5 documents with the smallest
+    * Efraimidis–Spirakis priority keys — i.e. a length-weighted sample
+    * without replacement PER SOURCE (the "cap every stratum but sample
+    * its best proportionally" recipe; [[qSampleStratified]] is the
+    * unweighted hash-order cousin). Same exactly-representable md5
+    * dyadic u, same 1e-9 key quantization.
+    *
+    * Scale: the rank filter sits under a per-source window, so Spark
+    * plans WindowGroupLimit — each map partition pre-prunes to its local
+    * top-5 BEFORE the source-keyed exchange; shuffle volume is
+    * O(sources·k), not O(rows). */
+  private def qSampleGroupTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = expr(
+      "CAST(conv(substr(md5(concat(text, '|ws')), 1, 13), 16, 10) AS BIGINT)")
+    val pq = floor(-log((h + lit(1L)).cast("double") /
+      lit(4503599627370496.0)) / $"n_chars".cast("double")
+      * lit(1000000000.0) + lit(0.5)).cast("long")
+    val w = Window.partitionBy($"source").orderBy($"pq", $"doc_id")
+    Tables.load(s, dir, "documents")
+      .filter($"n_chars" > 0L)
+      .withColumn("pq", pq)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"source", $"rk", $"doc_id", $"n_chars".as("weight"),
+        ($"pq".cast("double") / lit(1000000000.0)).as("priority"))
+      .orderBy($"source", $"rk")
+  }
+
   /** q_chunk_docs — overlapping context windows: 32-token chunks at
     * stride 24 (8-token overlap), the chunking step upstream of packing.
     * Pure generator + slice: one output row per (doc, window), no shuffle
@@ -164,6 +194,7 @@ object Curation extends QueryModule {
     "q_scrub_text" -> (qScrubText _),
     "q_sample_hash" -> (qSampleHash _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_sample_group_topk" -> (qSampleGroupTopk _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split_assign" -> (qSplitAssign _),
     "q_mix_weighted" -> (qMixWeighted _),
@@ -186,6 +217,23 @@ object Curation extends QueryModule {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sample_group_topk" ->
+      s"""WITH h AS (
+           SELECT doc_id, source, n_chars, $WS_HASH AS hv
+           FROM documents WHERE n_chars > 0),
+         k AS (
+           SELECT doc_id, source, n_chars,
+                  CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 4503599627370496.0)
+                             / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5)
+                       AS BIGINT) AS pq
+           FROM h),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY pq, doc_id) AS BIGINT) AS rk
+           FROM k)
+         SELECT source, rk, doc_id, n_chars AS weight,
+                CAST(pq AS DOUBLE) / 1000000000.0 AS priority
+         FROM r WHERE rk <= 5 ORDER BY source, rk""",
     "q_sample_weighted" ->
       s"""WITH h AS (
            SELECT doc_id, n_chars, $WS_HASH AS hv

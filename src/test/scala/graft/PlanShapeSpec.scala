@@ -235,6 +235,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"))
   }
 
+  test("q_sample_group_topk rank-limits per source before the exchange") {
+    assert(plan("q_sample_group_topk").contains("WindowGroupLimit"))
+  }
+
   test("q_data_profile computes all column stats in one scan (single Expand)") {
     val p = plan("q_data_profile")
     assert(p.contains("Expand"), "multi-distinct should plan one Expand")
