@@ -392,7 +392,73 @@ object Analytics extends QueryModule {
       .orderBy($"column_name")
   }
 
+  /** q_rolling_distinct — trailing 7-day distinct active users per day
+    * (the DAU/WAU overlap metric): for every day with events, how many
+    * distinct users were active in [day−6, day]. Neither engine's
+    * window machinery helps at scale — `COUNT(DISTINCT) OVER RANGE`
+    * either doesn't exist (Spark) or re-scans the frame per row — so
+    * the scalable formulation makes the DISTINCT structural: dedupe to
+    * (user, activity-day), then per user emit each covered day EXACTLY
+    * once by capping every activity's coverage interval at the next
+    * activity (lead): [a, min(a+6, next−1)] are disjoint per user and
+    * union to precisely the covered set, so the final count is a plain
+    * COUNT(*), never a distinct over an exploded product.
+    *
+    * Plan: fact collapses to the (user, day) activity relation first
+    * (map-side combined); one user-keyed Exchange for the lead; the
+    * ≤7× explode runs map-side; the observed-days dim (≈30 rows)
+    * broadcasts; final day-keyed aggregate is combinable. At 100 TB
+    * every shuffle carries activity-granularity rows, not events. */
+  private def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = datediff($"ts".cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val acts = t(s, dir, "events")
+      .select($"user_id", day.as("day"))
+      .distinct()
+    val days = acts.select($"day").distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    acts
+      .withColumn("nxt", lead($"day", 1).over(w))
+      .select($"user_id", explode(expr(
+        "sequence(day, least(day + 6, coalesce(nxt - 1, day + 6)))"))
+        .as("d"))
+      .join(broadcast(days.withColumnRenamed("day", "d")), "d")
+      .groupBy($"d".as("day"))
+      .agg(count(lit(1)).as("n_active_7d"))
+      .select($"day", $"n_active_7d")
+      .orderBy($"day")
+  }
+
+  /** q_event_transitions — first-order Markov transition matrix over
+    * per-user event sequences: count and probability of each
+    * (event_type → next event_type) step, the session-flow /
+    * next-action model every product-analytics stack fits. One
+    * user-keyed Exchange feeds the lead; pair counts are map-side
+    * combined to a T²-row table (T = #event types) whose per-source
+    * totals come from a window over those T² rows — never a second
+    * fact pass. Probability is one exact-integer division via
+    * [[Det.round6]]; (ts, event_id) ordering pins tie order under the
+    * hash gate. */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wsrc = Window.partitionBy($"src")
+    t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .filter($"dst".isNotNull)
+      .groupBy($"event_type".as("src"), $"dst")
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p",
+        Det.round6($"n_trans".cast(DoubleType) / sum($"n_trans").over(wsrc)))
+      .select($"src", $"dst", $"n_trans", $"p")
+      .orderBy($"src", $"dst")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_event_transitions" -> (qEventTransitions _),
     "q_attribution" -> (qAttribution _),
     "q_data_profile" -> (qDataProfile _),
     "q_skyline" -> (qSkyline _),
@@ -424,6 +490,29 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_distinct" ->
+      """WITH acts AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS BIGINT) AS day
+           FROM events),
+         days AS (SELECT DISTINCT day FROM acts)
+         SELECT d.day AS day, count(DISTINCT a.user_id) AS n_active_7d
+         FROM days d JOIN acts a ON a.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day ORDER BY day""",
+    "q_event_transitions" ->
+      """WITH p AS (
+           SELECT event_type src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) dst
+           FROM events),
+         c AS (SELECT src, dst, count(*) n_trans FROM p
+               WHERE dst IS NOT NULL GROUP BY src, dst)
+         SELECT src, dst, n_trans,
+                floor(CAST(n_trans AS DOUBLE)
+                      / sum(n_trans) OVER (PARTITION BY src)
+                      * 1000000.0 + 0.5) / 1000000.0 AS p
+         FROM c ORDER BY src, dst""",
     "q_attribution" ->
       """WITH w AS (
            SELECT event_id, user_id, event_type, value,

@@ -191,6 +191,60 @@ object Layouts extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** On-disk locations of the fragmented / compacted lineitem layouts
+    * (test aid: CompactionSpec counts data files on both sides). */
+  private[graft] def fragPath(dir: String): String =
+    s"${layoutRoot(dir)}/li_frag"
+  private[graft] def compactPath(dir: String): String =
+    s"${layoutRoot(dir)}/li_compact"
+
+  /** The small-files problem and its fix, materialized once per corpus:
+    * lineitem is first written as a 64-way fragmented layout (what a
+    * streaming ingest or over-parallel ETL leaves behind — at 100 TB,
+    * millions of KB-sized files whose open/footer cost dominates every
+    * scan), then COMPACTED: range-repartitioned and sorted on
+    * l_orderkey into 4 large files. Compaction both collapses the file
+    * count and buys clustering — each output file covers a tight
+    * orderkey range, so a key-range reader skips whole files (the
+    * OPTIMIZE/rewrite_data_files op of the Delta/Iceberg estates). */
+  private[graft] def lineitemCompacted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (frag, compact) = (fragPath(dir), compactPath(dir))
+    if (!new java.io.File(s"$frag/_SUCCESS").exists()) {
+      Tables.load(s, dir, "lineitem")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    }
+    if (!new java.io.File(s"$compact/_SUCCESS").exists()) {
+      s.read.parquet(frag)
+        .repartitionByRange(4, $"l_orderkey", $"l_linenumber")
+        .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+        .write.mode("overwrite").parquet(compact)
+    }
+    s.read.parquet(compact)
+  }
+
+  /** q_compact_files — small-file compaction as a declared,
+    * oracle-checked query: read the COMPACTED layout back and aggregate
+    * per (returnflag, linestatus) with row counts, exact DECIMAL sums,
+    * id bounds, and a row-identity checksum (Σ orderkey·7919 +
+    * linenumber — dropped, duplicated, or swapped rows shift it). The
+    * DuckDB oracle computes the identical aggregate over the ORIGINAL
+    * lineitem parquet, so the fragment→compact rewrite is proven
+    * lossless through the hash gate; CompactionSpec separately pins the
+    * layout property itself (64 data files → 4, disjoint orderkey
+    * ranges per file). */
+  private def qCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitemCompacted(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Det.sumd($"l_extendedprice").as("sum_price"),
+        min($"l_orderkey").as("min_ok"), max($"l_orderkey").as("max_ok"),
+        sum($"l_orderkey" * 7919L + $"l_linenumber").as("row_checksum"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   /** Morton/Z-order interleave of two 16-bit dimensions rendered as PURE
     * integer arithmetic — ((v div 2^i) % 2) · 2^(2i|2i+1) — so one
     * formula serves Spark (`div`) and DuckDB (`//`) with no engine bit
@@ -251,6 +305,7 @@ object Layouts extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_compact_files" -> (qCompactFiles _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_join_bucketed" -> (qJoinBucketed _),
@@ -259,6 +314,14 @@ object Layouts extends QueryModule {
     "q_orc_roundtrip" -> (qOrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q_compact_files" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                ${graft.Det.SUMD("l_extendedprice")} AS sum_price,
+                min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+                CAST(sum(l_orderkey * 7919 + l_linenumber) AS BIGINT)
+                  AS row_checksum
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q_zorder_layout" ->
       s"""WITH b AS (
            SELECT o_custkey % 65536 AS x,

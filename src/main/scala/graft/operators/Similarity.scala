@@ -272,6 +272,48 @@ object Similarity extends QueryModule {
       .orderBy($"a", $"b")
   }
 
+  /** q_embed_coherence — per-label centroid coherence scoring, the
+    * embedding-side QUALITY filter of a curation pipeline (CleanLab /
+    * prototype-distance mislabel detection): each vector is scored by
+    * its cosine to the EXACT mean embedding of its own label; low
+    * scores are the mislabeled/out-of-distribution candidates a
+    * training set drops first. Complements [[qDedupEmbedding]] (which
+    * finds pairs; this scores singletons against their class).
+    *
+    * Centroids use the [[kmeansCodebook]] exact-mean pipeline — each
+    * component half-up-quantized to 1e-4 (pure IEEE ops), summed as
+    * BIGINT (order-independent), one final double division — so the L
+    * centroids are bit-identical in both engines, and every cosine is
+    * the same left-to-right fold ([[graft.functions.CosineSimilarity]]
+    * ≡ DuckDB `list_dot_product`).
+    *
+    * Plan: ONE corpus pass builds all centroids (posexplode → (label,
+    * pos) map-side-combined aggregate — D·N rows reduce before the
+    * exchange, which carries only L·D); the L-row codebook then
+    * BROADCASTS back onto a second corpus pass for scoring. No window,
+    * no N×L product — each vector meets exactly its own centroid. */
+  private def qEmbedCoherence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val n = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", _.cast("double")).as("e"))
+    val cent = n
+      .select($"label", posexplode($"e"))
+      .groupBy($"label", $"pos")
+      .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
+        count(lit(1)).as("cnt"))
+      .withColumn("v", $"sv".cast("double") / ($"cnt" * 10000.0))
+      .groupBy($"label")
+      .agg(collect_list(struct($"pos", $"v")).as("pv"))
+      .select($"label", expr("transform(array_sort(pv), x -> x.v)").as("ce"))
+    n.join(broadcast(cent), Seq("label"))
+      .withColumn("coherence",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
+      .select($"vec_id", $"label", $"coherence")
+      .orderBy($"vec_id")
+  }
+
   // ----------------------------------------------------- text near-dup
 
   /** Shingle sets as distinct BIGINT hashes (fold of the leading 15 hex
@@ -706,6 +748,7 @@ object Similarity extends QueryModule {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_embed_coherence" -> (qEmbedCoherence _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -840,6 +883,32 @@ object Similarity extends QueryModule {
          FROM jj WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6"""
 
   val oracles: Map[String, String] = Map(
+    "q_embed_coherence" ->
+      """WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+           FROM embeddings),
+         x AS (
+           SELECT label,
+                  unnest(range(1, len(e) + 1)) pos,
+                  unnest(e) val
+           FROM n),
+         u AS (
+           SELECT label, pos,
+                  CAST(SUM(CAST(floor(val * 10000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) sv,
+                  count(*) cnt
+           FROM x GROUP BY label, pos),
+         cent AS (
+           SELECT label, list(CAST(sv AS DOUBLE) / (cnt * 10000.0)
+                              ORDER BY pos) ce
+           FROM u GROUP BY label)
+         SELECT n.vec_id, n.label,
+                floor(list_dot_product(n.e, c.ce)
+                      / (sqrt(list_dot_product(n.e, n.e))
+                         * sqrt(list_dot_product(c.ce, c.ce)))
+                      * 1000000.0 + 0.5) / 1000000.0 AS coherence
+         FROM n JOIN cent c ON n.label = c.label
+         ORDER BY n.vec_id""",
     "q_substring_dedup" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') l FROM documents),

@@ -158,6 +158,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling distinct: interval formulation equals the naive windowed count-distinct") {
+    import spark.implicits._
+    // naive replica: for every observed day, count distinct users with
+    // any activity in [day-6, day] via an explicit range join — the
+    // O(days×activity) plan the coverage-interval rewrite replaces
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val acts = ev.select($"user_id",
+      datediff($"ts".cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("a")).distinct()
+    val days = acts.select($"a".as("day")).distinct()
+    val naive = days.join(acts, $"a".between($"day" - 6, $"day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_active_7d"))
+      .orderBy($"day")
+      .as[(Long, Long)].collect().toSeq
+    val fast = q("q_rolling_distinct").as[(Long, Long)].collect().toSeq
+    assert(fast.nonEmpty && fast == naive,
+      "coverage-interval rewrite must equal the naive range-join count")
+  }
+
+  test("event transitions: probabilities normalize and pairs conserve events") {
+    import spark.implicits._
+    val rows = q("q_event_transitions")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // per source, probabilities sum to 1 within T quantization ulps
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val p = g.map(_._4).sum
+      assert(math.abs(p - 1.0) <= g.size * 1e-6, s"$src probs sum to $p")
+    }
+    // every non-final event contributes exactly one transition
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected,
+      "transition count must be #events - #users (one lead per non-last row)")
+  }
+
   test("range join binned: bin rewrite is lossless vs the naive range join") {
     import spark.implicits._
     // the naive plan the binning replaces: raw interval predicate

@@ -260,6 +260,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_rolling_distinct broadcasts the days dim and prunes its scan to ts") {
+    val p = plan("q_rolling_distinct")
+    assert(p.contains("BroadcastHashJoin"), "observed-days dim must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ReadSchema: struct<ts:"),
+      "days branch must scan only the ts column")
+  }
+
+  test("q_event_transitions reads the fact once, pair counts combine map-side") {
+    val p = plan("q_event_transitions")
+    assert(p.split("Scan parquet").length == 2, "events must be read once")
+    assert(p.contains("partial_count"), "pair counts must combine map-side")
+  }
+
+  test("q_embed_coherence broadcasts the codebook after map-side centroid sums") {
+    val p = plan("q_embed_coherence")
+    assert(p.contains("BroadcastHashJoin"), "label-centroid join must broadcast")
+    assert(p.contains("partial_sum"), "centroid sums must combine map-side")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)

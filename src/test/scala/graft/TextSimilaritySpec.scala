@@ -47,6 +47,41 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embed coherence equals a driver-side exact-centroid replica") {
+    import spark.implicits._
+    // replay the quantize->BIGINT-sum->one-division centroid and the
+    // left-to-right cosine fold in plain Scala and demand bit equality
+    val raw = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val cents = raw.groupBy(_._2).map { case (label, g) =>
+      val d = g.head._3.length
+      val ce = Array.tabulate(d) { i =>
+        val sv = g.map(v => math.floor(v._3(i) * 10000.0 + 0.5).toLong).sum
+        sv.toDouble / (g.size * 10000.0)
+      }
+      label -> ce
+    }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = raw.map { case (id, label, e) =>
+      id -> math.floor(fold(e, cents(label)) * 1000000.0 + 0.5) / 1000000.0
+    }.toMap
+    val got = SparkEntry.queries("q_embed_coherence")(spark, dir)
+      .as[(Long, Int, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, _, c) =>
+      assert(c == expected(id), s"coherence mismatch for vec $id")
+    }
+  }
+
   test("shingle Jaccard is 1 for identical docs and in [0,1] for all pairs") {
     import spark.implicits._
     val out = SparkEntry.queries("q_dedup_near")(spark, dir)
