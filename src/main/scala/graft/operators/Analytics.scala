@@ -456,7 +456,109 @@ object Analytics extends QueryModule {
       .orderBy($"src", $"dst")
   }
 
+  /** q_ohlc_resample — time-series downsampling to 15-minute bars per
+    * event type: open/close (first/last value in the bar), low/high,
+    * event count, and exact value sum — the resample/OHLC operator every
+    * metrics store and market-data pipeline runs to turn a raw stream
+    * into fixed-cadence series. Open/close use the [[Relational]]
+    * argmax discipline: min/max over the (µs, event_id, value) STRUCT —
+    * the unique (µs, event_id) prefix decides lexicographic order, so
+    * tie handling is deterministic and the value payload rides along
+    * untouched (no arithmetic ⇒ free cross-engine exactness); the bar
+    * key is integer epoch-µs division. One map-side-combined aggregate,
+    * one (type, bar)-keyed Exchange — first/last NEVER plan a window
+    * over the fact. */
+  private def qOhlcResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .withColumn("bar", expr("us div 900000000") * 900L)
+      .groupBy($"event_type", $"bar")
+      .agg(
+        min(struct($"us", $"event_id", $"value")).getField("value").as("px_open"),
+        max(struct($"us", $"event_id", $"value")).getField("value").as("px_close"),
+        min($"value").as("px_low"), max($"value").as("px_high"),
+        count(lit(1)).as("n_events"), Det.sumd($"value").as("val_sum"))
+      .orderBy($"event_type", $"bar")
+  }
+
+  /** q_rfm — RFM customer segmentation (recency / frequency / monetary)
+    * over the order book, each dimension scored 1–4 by population
+    * quartile. The textbook plan ranks customers three times with a
+    * GLOBAL ntile — an unpartitioned window that funnels every row
+    * through one task, the canonical 100 TB scale-killer. Instead the
+    * quartile BOUNDARIES are exact ⌈n/4⌉-rank order statistics selected
+    * from per-metric value histograms ([[qWinsorize]]'s distributed-
+    * selection pipeline: quantized BIGINT values, map-side-combined
+    * histogram, cumulative-count window over value cardinality, never
+    * rows), broadcast back onto one customer pass. Scores are "1 + #
+    * boundaries strictly below" — equal metric values always land in
+    * the same class (ntile would split ties by physical row order).
+    * Monetary sums are exact DECIMAL; recency is integer days from the
+    * corpus's max order date (computed, not wall clock — [[Det]]
+    * discipline: nothing depends on run time). */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val cust = t(s, dir, "orders")
+      .select($"o_custkey", day.as("day"),
+        floor($"o_totalprice" * 10000.0 + 0.5).cast("long").as("pq"))
+      .groupBy($"o_custkey")
+      .agg(max($"day").as("lastd"), count(lit(1)).as("fq"), sum($"pq").as("mq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val anchor = cust.agg(max($"lastd").as("maxd"))
+      val base = cust.crossJoin(broadcast(anchor))
+        .select($"o_custkey", ($"maxd" - $"lastd").as("rq"), $"fq", $"mq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // exact quartile boundaries of one metric via histogram selection
+        def bounds(metric: String): DataFrame = {
+          val h = base.groupBy(col(metric).as("v"))
+            .agg(count(lit(1)).as("cnt"))
+          val wc = Window.orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          h.withColumn("cum", sum($"cnt").over(wc))
+            .withColumn("n", sum($"cnt").over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+            .agg(
+              min(when($"cum" >= expr("(n * 1 + 3) div 4"), $"v")).as("b1"),
+              min(when($"cum" >= expr("(n * 2 + 3) div 4"), $"v")).as("b2"),
+              min(when($"cum" >= expr("(n * 3 + 3) div 4"), $"v")).as("b3"))
+            .select(struct($"b1", $"b2", $"b3").as(s"${metric}_b"))
+        }
+        def score(metric: String, desc: Boolean): Column = {
+          val b = col(s"${metric}_b")
+          val raw = lit(1) +
+            when(col(metric) > b.getField("b1"), 1).otherwise(0) +
+            when(col(metric) > b.getField("b2"), 1).otherwise(0) +
+            when(col(metric) > b.getField("b3"), 1).otherwise(0)
+          // recency: smaller = better → invert so 4 is always "best"
+          (if (desc) lit(5) - raw else raw).cast("long")
+        }
+        base
+          .crossJoin(broadcast(bounds("rq")))
+          .crossJoin(broadcast(bounds("fq")))
+          .crossJoin(broadcast(bounds("mq")))
+          .select($"o_custkey",
+            $"rq".as("recency_days"), $"fq".as("frequency"),
+            ($"mq".cast("double") / 10000.0).as("monetary"),
+            score("rq", desc = true).as("r_score"),
+            score("fq", desc = false).as("f_score"),
+            score("mq", desc = false).as("m_score"))
+          .withColumn("segment",
+            concat($"r_score", $"f_score", $"m_score"))
+          .orderBy($"o_custkey")
+          .localCheckpoint(true)
+      } finally base.unpersist(false)
+    } finally cust.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ohlc_resample" -> (qOhlcResample _),
+    "q_rfm" -> (qRfm _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_attribution" -> (qAttribution _),
@@ -490,6 +592,77 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc_resample" ->
+      s"""WITH e AS (
+           SELECT event_type, epoch_us(ts) us, event_id, value,
+                  (epoch_us(ts) // 900000000) * 900 AS bar
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, bar
+                                     ORDER BY us, event_id) rn_a,
+                  row_number() OVER (PARTITION BY event_type, bar
+                                     ORDER BY us DESC, event_id DESC) rn_z
+           FROM e)
+         SELECT event_type, bar,
+                min(CASE WHEN rn_a = 1 THEN value END) AS px_open,
+                min(CASE WHEN rn_z = 1 THEN value END) AS px_close,
+                min(value) AS px_low, max(value) AS px_high,
+                count(*) AS n_events,
+                ${Det.SUMD("value")} AS val_sum
+         FROM r GROUP BY event_type, bar
+         ORDER BY event_type, bar""",
+    "q_rfm" ->
+      """WITH c AS (
+           SELECT o_custkey,
+                  max(CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT)) lastd,
+                  count(*) fq,
+                  CAST(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) mq
+           FROM orders GROUP BY o_custkey),
+         base AS (
+           SELECT o_custkey, (SELECT max(lastd) FROM c) - lastd AS rq, fq, mq
+           FROM c),
+         rb AS (
+           SELECT min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) b1,
+                  min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) b2,
+                  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) b3
+           FROM (SELECT v, sum(cnt) OVER (ORDER BY v) cum, sum(cnt) OVER () n
+                 FROM (SELECT rq v, count(*) cnt FROM base GROUP BY rq))),
+         fb AS (
+           SELECT min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) b1,
+                  min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) b2,
+                  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) b3
+           FROM (SELECT v, sum(cnt) OVER (ORDER BY v) cum, sum(cnt) OVER () n
+                 FROM (SELECT fq v, count(*) cnt FROM base GROUP BY fq))),
+         mb AS (
+           SELECT min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) b1,
+                  min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) b2,
+                  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) b3
+           FROM (SELECT v, sum(cnt) OVER (ORDER BY v) cum, sum(cnt) OVER () n
+                 FROM (SELECT mq v, count(*) cnt FROM base GROUP BY mq))),
+         s AS (
+           SELECT base.o_custkey, rq, fq, mq,
+                  CAST(5 - (1 + (CASE WHEN rq > rb.b1 THEN 1 ELSE 0 END)
+                              + (CASE WHEN rq > rb.b2 THEN 1 ELSE 0 END)
+                              + (CASE WHEN rq > rb.b3 THEN 1 ELSE 0 END))
+                       AS BIGINT) r_score,
+                  CAST(1 + (CASE WHEN fq > fb.b1 THEN 1 ELSE 0 END)
+                         + (CASE WHEN fq > fb.b2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN fq > fb.b3 THEN 1 ELSE 0 END)
+                       AS BIGINT) f_score,
+                  CAST(1 + (CASE WHEN mq > mb.b1 THEN 1 ELSE 0 END)
+                         + (CASE WHEN mq > mb.b2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN mq > mb.b3 THEN 1 ELSE 0 END)
+                       AS BIGINT) m_score
+           FROM base, rb, fb, mb)
+         SELECT o_custkey, rq AS recency_days, fq AS frequency,
+                CAST(mq AS DOUBLE) / 10000.0 AS monetary,
+                r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+         FROM s ORDER BY o_custkey""",
     "q_rolling_distinct" ->
       """WITH acts AS (
            SELECT DISTINCT user_id,

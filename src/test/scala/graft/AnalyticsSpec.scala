@@ -158,6 +158,49 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ohlc resample: open/close/low/high match a driver-side replay per bar") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+    val bars = ev.groupBy { case (t, us, _, _) => (t, us / 900000000L * 900L) }
+    val got = q("q_ohlc_resample")
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect()
+    assert(got.length == bars.size)
+    got.foreach { case (t, bar, open, close, low, high, n, _) =>
+      val g = bars((t, bar)).sortBy { case (_, us, id, _) => (us, id) }
+      assert(open == g.head._4, s"open mismatch at ($t,$bar)")
+      assert(close == g.last._4, s"close mismatch at ($t,$bar)")
+      assert(low == g.map(_._4).min && high == g.map(_._4).max)
+      assert(n == g.size)
+    }
+  }
+
+  test("rfm: scores follow the exact ceil-rank quartile boundaries, 1..4 each") {
+    import spark.implicits._
+    val rows = q("q_rfm")
+      .as[(Long, Long, Long, Double, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    def replayScores(xs: Seq[Long]): Map[Long, Int] = {
+      val sorted = xs.sorted
+      val n = sorted.size
+      val bs = (1 to 3).map(k => sorted((k * n + 3) / 4 - 1))
+      xs.map(x => x -> (1 + bs.count(_ < x))).toMap
+    }
+    val r = replayScores(rows.map(_._2))
+    val f = replayScores(rows.map(_._3))
+    val m = replayScores(rows.map(r0 => math.floor(r0._4 * 10000.0 + 0.5).toLong))
+    rows.foreach { case (ck, rq, fq, mon, rs, fs, ms, seg) =>
+      assert(rs == 5 - r(rq), s"r_score mismatch for $ck")
+      assert(fs == f(fq), s"f_score mismatch for $ck")
+      assert(ms == m(math.floor(mon * 10000.0 + 0.5).toLong),
+        s"m_score mismatch for $ck")
+      assert(seg == s"$rs$fs$ms")
+      assert(Seq(rs, fs, ms).forall(x => x >= 1 && x <= 4))
+    }
+  }
+
   test("rolling distinct: interval formulation equals the naive windowed count-distinct") {
     import spark.implicits._
     // naive replica: for every observed day, count distinct users with

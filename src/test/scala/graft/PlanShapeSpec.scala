@@ -281,6 +281,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_ohlc_resample computes first/last as struct aggregates, never a window") {
+    val p = plan("q_ohlc_resample")
+    assert(!p.contains("Window"), "open/close must not plan a per-bar window sort")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "bar stats must combine map-side")
+    assert(p.split("Scan parquet").length == 2, "events must be read once")
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)
