@@ -19,7 +19,9 @@ object ScaleProbe {
     "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf", "q_tfidf",
     "q_pagerank", "q_triangles", "q_dedup_containment", "q_bm25",
     "q_range_join_binned", "q_substring_dedup", "q_collocations",
-    "q_bpe_train", "q_multimodal_phash", "q_incremental_dedup")
+    "q_bpe_train", "q_multimodal_phash", "q_incremental_dedup",
+    "q_rolling_distinct", "q_event_transitions", "q_embed_coherence",
+    "q_ohlc_resample")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */
