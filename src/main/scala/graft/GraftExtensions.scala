@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeTokens, CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
+import graft.functions.{BpeTokens, CmsEstimate, CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
 
 /** SparkSessionExtensions hook: makes the engine's native functions
   * available SQL-wide via `spark.sql.extensions=graft.GraftExtensions`
@@ -49,5 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeTokens].getName,
         VectorFunctions.BPE_TOKENS),
       (exprs: Seq[Expression]) => BpeTokens(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.CMS_ESTIMATE),
+      new ExpressionInfo(classOf[CmsEstimate].getName,
+        VectorFunctions.CMS_ESTIMATE),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
   }
 }

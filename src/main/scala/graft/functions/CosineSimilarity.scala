@@ -110,6 +110,7 @@ object VectorFunctions {
   val INTERSECT_SIZE = "graft_intersect_size"
   val KMV_DISTINCT = "graft_kmv_distinct"
   val BPE_TOKENS = "graft_bpe_tokens"
+  val CMS_ESTIMATE = "graft_cms_estimate"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -127,6 +128,8 @@ object VectorFunctions {
       KMV_DISTINCT, exprs => KmvDistinct(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       BPE_TOKENS, exprs => BpeTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      CMS_ESTIMATE, exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
   }
 
   /** BPE token array of a cleaned-word column. */
@@ -150,4 +153,8 @@ object VectorFunctions {
 
   /** KMV distinct-count sketch aggregate (k = 64, deterministic). */
   def kmvDistinct(c: Column): Column = call_function(KMV_DISTINCT, c)
+
+  /** Frequency estimate of `item` from a serialized count-min sketch. */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    call_function(CMS_ESTIMATE, sketch, item)
 }

@@ -278,6 +278,52 @@ object Relational extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** A13 q_agg_cms — Count-Min heavy-hitter probe over the token stream:
+    * a CMS of every document token is built in ONE mergeable pass
+    * (`count_min_sketch`, fixed seed ⇒ deterministic bits), then a fixed
+    * candidate list is probed through the native
+    * [[graft.functions.CmsEstimate]] expression against the broadcast
+    * 1-row sketch — the frequency-oracle workflow (Cormode–Muthukrishnan)
+    * that replaces an exact tf table when only point lookups are needed.
+    * Sub-linear state: the shuffle carries ~100 KB of sketch, never the
+    * token stream. Declared WITHOUT a DuckDB oracle (sketch bits are
+    * engine-specific, the A4 precedent); the law spec pins
+    * exact ≤ estimate ≤ exact + εN with the same-seed sketch. */
+  private def qAggCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val sk = t(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .agg(count_min_sketch($"tok", lit(0.001), lit(0.99), lit(42)).as("sk"))
+    Seq("the", "a", "join", "data", "spark", "merge", "scan", "absent_token")
+      .toDF("token")
+      .crossJoin(broadcast(sk))
+      .select($"token",
+        graft.functions.VectorFunctions.cmsEstimate($"sk", $"token")
+          .as("est_count"))
+      .orderBy($"token")
+  }
+
+  /** A14 q_agg_approx_percentile — quantile SKETCH per group
+    * (`percentile_approx`, Greenwald–Khanna): the bounded-state
+    * alternative to [[qPercentile]]'s exact interpolation when a 100 TB
+    * group can't ship its values. accuracy=10⁴ bounds rank error to
+    * n/10⁴. Declared WITHOUT an oracle (sketch internals are
+    * engine-specific — the A4 HLL precedent); the law spec brackets each
+    * estimate between the exact order statistics at rank ± n/accuracy. */
+  private def qAggApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(10000))
+        .as("pcts"))
+      .select($"event_type",
+        $"pcts".getItem(0).as("p50_approx"),
+        $"pcts".getItem(1).as("p95_approx"))
+      .orderBy($"event_type")
+  }
+
   /** A10 q_agg_kmv — KMV distinct-count sketch per group: a mergeable
     * O(k)-state alternative to exact COUNT(DISTINCT) whose every
     * ingredient (md5-fold hashing, k-th order statistic, estimator
@@ -870,6 +916,8 @@ object Relational extends QueryModule {
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_kmv" -> (qAggKmv _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_cms" -> (qAggCms _),
+    "q_agg_approx_percentile" -> (qAggApproxPercentile _),
     "q_agg_collect" -> (qAggCollect _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
