@@ -58,6 +58,31 @@ object StreamOps extends QueryModule {
         $"session_window.end".as("session_end"), $"user_id", $"n_events")
   }
 
+  /** ST8 — streaming OHLC: 15-minute bars per event type, the streaming
+    * twin of the batch `q_ohlc_resample`. Open/close use the identical
+    * deterministic first/last — min/max over the (epoch-µs, event_id,
+    * value) struct — but maintained INCREMENTALLY: struct min/max merge
+    * associatively, so per-open-bar state is two structs + two doubles +
+    * a count regardless of how many micro-batches feed the bar, and no
+    * per-bar sort ever exists. Append mode emits each bar exactly once,
+    * when the watermark passes its end. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(
+        min(struct(unix_micros($"ts").as("us"), $"event_id", $"value"))
+          .getField("value").as("px_open"),
+        max(struct(unix_micros($"ts").as("us"), $"event_id", $"value"))
+          .getField("value").as("px_close"),
+        min($"value").as("px_low"), max($"value").as("px_high"),
+        count(lit(1)).as("n_events"))
+      .select($"window.start".as("bar_start"), $"event_type",
+        $"px_open", $"px_close", $"px_low", $"px_high", $"n_events")
+  }
+
   /** ST5 — stateful dedup by event_id inside the watermark horizon. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -53,6 +53,19 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(nRuns == nSurv - surviving.join(runDrops, "doc_id").count(),
       "substring-dedup stage must remove exactly the flagged run-pairs present")
 
+    // stage 3c: embedding-coherence cut (round 4) — drop documents whose
+    // vector sits "below" its label centroid (coherence < 0), the
+    // prototype-distance mislabel/OOD filter; vec_id aligns with doc_id
+    // in the testdata. Composes by the same anti-join accounting.
+    val lowCoherence = q("q_embed_coherence")
+      .filter($"coherence" < 0.0)
+      .select($"vec_id".as("doc_id"))
+    val afterCoherence = afterRuns.join(lowCoherence, Seq("doc_id"), "left_anti")
+    assert(afterCoherence.count() ==
+      nRuns - afterRuns.join(lowCoherence, "doc_id").count(),
+      "coherence stage must remove exactly the flagged low-coherence docs")
+    assert(afterCoherence.count() > 0, "coherence cut must not empty the corpus")
+
     // stage 4: stable split assignment partitions the survivors
     val split = q("q_split_assign")
     val withSplit = surviving.join(split, "doc_id")

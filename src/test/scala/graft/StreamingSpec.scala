@@ -86,6 +86,23 @@ class StreamingSpec extends AnyFunSuite {
       s"expected purchase 4 attributed only to click 1, got ${pairs.toSeq}")
   }
 
+  test("ST8: streaming OHLC bars pick first/last across micro-batches, drop late rows") {
+    val out = runStream("ohlc", StreamOps.ohlcBars, OutputMode.Append())(Seq(
+      Seq(Ev(1, t("10:01"), 1, "trade", 5.0), Ev(2, t("10:05"), 1, "trade", 9.0)),
+      Seq(Ev(3, t("10:14"), 1, "trade", 2.0)),  // same bar, later micro-batch
+      Seq(Ev(4, t("11:00"), 1, "trade", 1.0)),  // watermark 10:50 closes 10:00 bar
+      Seq(Ev(5, t("10:10"), 1, "trade", 99.0)), // late: behind watermark, dropped
+      Seq(Ev(6, t("12:00"), 1, "trade", 3.0)))) // flusher: closes the 11:00 bar
+    val bars = out.map(r => r.getTimestamp(0).toString ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6))).toMap
+    // open = first by time (5.0), close = last by time (2.0) even though
+    // it arrived in a later micro-batch; the late 99.0 never appears
+    assert(bars("2024-01-01 10:00:00.0") == ((5.0, 2.0, 2.0, 9.0, 3L)))
+    assert(bars("2024-01-01 11:00:00.0") == ((1.0, 1.0, 1.0, 1.0, 1L)))
+    assert(!bars.values.exists(b => b._4 == 99.0), "late row must be dropped")
+  }
+
   test("foreachBatch parquet sink lands every micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
