@@ -189,7 +189,49 @@ object Curation extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q_curation_pipeline — the FULL pretraining-curation pipeline as one
+    * declared, oracle-checked query: model-based quality filter → exact
+    * dedup → MinHash near-dup drop → exact-substring-run drop →
+    * embedding-coherence (mislabel/OOD) cut → stable train/val/test
+    * split, reported as per-split document counts plus id-set
+    * invariants (min/max/sum over the surviving set, so ANY drift in
+    * any stage's surviving SET fails the hash gate — not just count
+    * drift). CurationPipelineSpec proves the stage-by-stage accounting;
+    * this query proves the COMPOSITION end-to-end against DuckDB, each
+    * stage replayed by its own already-proven oracle stitched in as a
+    * CTE. The "switch your pipeline to this library" claim, under the
+    * hash gate.
+    *
+    * Scale shape: every stage is one of the already-audited plans; the
+    * composition adds only doc_id anti-joins (bare-id relations — the
+    * drop sets shuffle ids, never payloads) and reuses the split
+    * assignment's content hash. Nothing here re-scans text beyond what
+    * the component stages already scan. */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = TextOps.queries("q_classifier_score")(s, dir)
+      .filter($"keep").select($"doc_id")
+    val canon = TextOps.queries("q_dedup_exact")(s, dir).select($"doc_id")
+    val mhDrops = Similarity.queries("q_dedup_minhash_lsh")(s, dir)
+      .select($"b".as("doc_id")).distinct()
+    val ssDrops = Similarity.queries("q_substring_dedup")(s, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+    val cohDrops = Similarity.queries("q_embed_coherence")(s, dir)
+      .filter($"coherence" < 0.0).select($"vec_id".as("doc_id"))
+    kept.join(canon, "doc_id")
+      .join(mhDrops, Seq("doc_id"), "left_anti")
+      .join(ssDrops, Seq("doc_id"), "left_anti")
+      .join(cohDrops, Seq("doc_id"), "left_anti")
+      .join(qSplitAssign(s, dir), "doc_id")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        sum($"doc_id").as("docset_sum"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_scrub_text" -> (qScrubText _),
     "q_sample_hash" -> (qSampleHash _),
@@ -216,7 +258,45 @@ object Curation extends QueryModule {
       |     instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)"""
       .stripMargin
 
+  /** q_curation_pipeline oracle: each stage's ALREADY-PROVEN oracle SQL
+    * stitched in as a derived table (DuckDB scopes nested WITH clauses
+    * locally, so the component CTE names can't collide). */
+  private def curationPipelineSql: String =
+    s"""WITH kept AS (
+         SELECT doc_id FROM (${TextOps.oracles("q_classifier_score")})
+         WHERE keep),
+       canon AS (
+         SELECT doc_id FROM (${TextOps.oracles("q_dedup_exact")})),
+       mh AS (
+         SELECT DISTINCT b AS doc_id
+         FROM (${Similarity.oracles("q_dedup_minhash_lsh")})),
+       ss AS (
+         SELECT DISTINCT doc_b AS doc_id
+         FROM (${Similarity.oracles("q_substring_dedup")})),
+       coh AS (
+         SELECT vec_id AS doc_id
+         FROM (${Similarity.oracles("q_embed_coherence")})
+         WHERE coherence < 0.0),
+       sp AS (
+         SELECT doc_id,
+                CASE WHEN $BUCKET < 90 THEN 'train'
+                     WHEN $BUCKET < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents),
+       surv AS (
+         SELECT kept.doc_id FROM kept
+         JOIN canon USING (doc_id)
+         WHERE kept.doc_id NOT IN (SELECT doc_id FROM mh)
+           AND kept.doc_id NOT IN (SELECT doc_id FROM ss)
+           AND kept.doc_id NOT IN (SELECT doc_id FROM coh))
+       SELECT sp.split, count(*) AS n_docs,
+              min(surv.doc_id) AS min_doc, max(surv.doc_id) AS max_doc,
+              CAST(sum(surv.doc_id) AS BIGINT) AS docset_sum
+       FROM surv JOIN sp USING (doc_id)
+       GROUP BY sp.split ORDER BY split"""
+
   val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_sample_group_topk" ->
       s"""WITH h AS (
            SELECT doc_id, source, n_chars, $WS_HASH AS hv
