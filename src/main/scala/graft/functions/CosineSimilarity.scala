@@ -111,6 +111,8 @@ object VectorFunctions {
   val KMV_DISTINCT = "graft_kmv_distinct"
   val BPE_TOKENS = "graft_bpe_tokens"
   val CMS_ESTIMATE = "graft_cms_estimate"
+  val BLOOM_AGG = "graft_bloom_agg"
+  val BLOOM_CONTAINS = "graft_bloom_contains"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -130,6 +132,10 @@ object VectorFunctions {
       BPE_TOKENS, exprs => BpeTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       CMS_ESTIMATE, exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      BLOOM_AGG, exprs => BloomKeysAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      BLOOM_CONTAINS, exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** BPE token array of a cleaned-word column. */
@@ -157,4 +163,11 @@ object VectorFunctions {
   /** Frequency estimate of `item` from a serialized count-min sketch. */
   def cmsEstimate(sketch: Column, item: Column): Column =
     call_function(CMS_ESTIMATE, sketch, item)
+
+  /** Bloom-filter build aggregate over a BIGINT key column → BINARY. */
+  def bloomAgg(key: Column): Column = call_function(BLOOM_AGG, key)
+
+  /** Probe a serialized Bloom filter (query-constant) with a key. */
+  def bloomContains(bloom: Column, key: Column): Column =
+    call_function(BLOOM_CONTAINS, bloom, key)
 }

@@ -633,6 +633,35 @@ object Relational extends QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** J14 q_join_bloom — Bloom-filter semi-join reduction: the BUILDING
+    * segment's key set is aggregated into an 8 KB Bloom bitset (scalar
+    * subquery, one pass over the dim) and probed on the fact side BEFORE
+    * the join, so only rows that might match enter the exchange. At
+    * 100 TB this is the lever for a dimension too big to broadcast as
+    * rows: the bitset broadcasts at ~1e-2 of the row payload and cuts
+    * the fact shuffle by the join's selectivity. Exactness: Bloom
+    * filters have no false negatives and the real join removes the
+    * false positives, so the result is bit-identical to the plain join —
+    * the oracle simply omits the bloom. Spark's InjectRuntimeFilter
+    * applies this only under its own heuristics; `graft_bloom_agg` /
+    * `graft_bloom_contains` (functions/BloomFilterOps.scala) make it a
+    * first-class user-directed operator. */
+  private def qJoinBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    t(s, dir, "customer").createOrReplaceTempView("bl_customer")
+    t(s, dir, "orders").createOrReplaceTempView("bl_orders")
+    s.sql(
+      s"""WITH dim AS (SELECT c_custkey FROM bl_customer
+         |             WHERE c_mktsegment = 'BUILDING')
+         |SELECT o_orderpriority AS priority, count(*) AS n_orders,
+         |       ${Det.SUMD("o_totalprice")} AS total
+         |FROM bl_orders JOIN dim ON o_custkey = c_custkey
+         |WHERE graft_bloom_contains(
+         |        (SELECT graft_bloom_agg(c_custkey) FROM dim), o_custkey)
+         |GROUP BY o_orderpriority
+         |ORDER BY priority""".stripMargin)
+  }
+
   /** F7 q_cond_funcs — conditional & bitwise scalar surface: multi-branch
     * CASE, nullif/coalesce null-plumbing, least/greatest, sign, and the
     * bitwise and/or/xor/shift family over integer keys. All codegen'd
@@ -893,6 +922,7 @@ object Relational extends QueryModule {
     "q_join_full" -> (qJoinFull _),
     "q_agg_stats" -> (qAggStats _),
     "q_subquery" -> (qSubquery _),
+    "q_join_bloom" -> (qJoinBloom _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_percentile" -> (qPercentile _),
@@ -935,6 +965,17 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    // the bloom prefilter passes every true key and the join removes the
+    // false positives, so the oracle is the PLAIN join — exactness of the
+    // reduction, not just shape, is what the hash gate certifies
+    "q_join_bloom" ->
+      s"""WITH dim AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING')
+          SELECT o_orderpriority AS priority, count(*) AS n_orders,
+                 ${SUMD("o_totalprice")} AS total
+          FROM orders JOIN dim ON o_custkey = c_custkey
+          GROUP BY o_orderpriority
+          ORDER BY priority""",
     "q_agg_bits" ->
       """SELECT l_returnflag,
                 bit_and(l_partkey) AS mask_and,

@@ -289,6 +289,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.split("Scan parquet").length == 2, "events must be read once")
   }
 
+  test("q_join_bloom probes the bloom on the fact side below the join") {
+    val p = plan("q_join_bloom")
+    // tree strings print top-down: the probe Filter must appear AFTER
+    // (i.e. beneath) the join node, meaning the fact is thinned before
+    // any join machinery — the semi-join-reduction shape
+    val join = p.indexOf("Join")
+    val probe = p.indexOf("graft_bloom_contains")
+    assert(join >= 0, s"no join in plan:\n$p")
+    assert(probe > join, s"bloom probe not beneath the join:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)
