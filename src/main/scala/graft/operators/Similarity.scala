@@ -255,6 +255,62 @@ object Similarity extends QueryModule {
     } finally n.unpersist(true)
   }
 
+  /** T3-scale q_ann_pq — product-quantization ANN (ADC variant): the
+    * 64-dim vectors are split into M=4 subspaces of 16 dims; each
+    * subspace trains its own K=8 codebook (one Lloyd round of the same
+    * deterministic [[kmeansCodebook]] the IVF path uses — md5-ordered
+    * seeds, exact quantized means, so the DuckDB oracle replays it
+    * bit-for-bit per subspace), and every vector compresses to M small
+    * codes. A query scores candidates WITHOUT touching their vectors:
+    * per-subspace query↔centroid similarities form a Q×K×M lookup table
+    * (KBs — broadcast), and a candidate's score is the sum of its M
+    * looked-up entries. That's the PQ promise at 100 TB: the corpus is
+    * scanned as CODES (M bytes/vector instead of 4·D), the float math is
+    * Q×K×M once, and the per-candidate work is M integer lookups.
+    *
+    * Determinism: each per-subspace similarity is quantized to a BIGINT
+    * (floor(sim·1e6 + 0.5)) BEFORE the sum, so the M-term addition is
+    * exact integer math — independent of join/aggregation order — and
+    * the final score divides once by 1e6. Ranking ties break on cand id.
+    * Production refinement (exact re-rank of the ADC top-k against the
+    * raw vectors) is one extra join by id; the declared operator keeps
+    * the pure-ADC ranking so the compression path itself is what the
+    * hash gate certifies. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = (0 until 4).map { m =>
+        val nm = n.select($"vec_id", slice($"e", m * 16 + 1, 16).as("e"))
+        (m, nm, kmeansCodebook(nm, c = 8, iters = 1))
+      }
+      val codes = subs.map { case (m, nm, cb) =>
+        assignCells(nm, cb)
+          .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
+      }.reduce(_ union _)
+      val lookups = subs.map { case (m, nm, cb) =>
+        nm.filter($"vec_id" % 100 === 0)
+          .crossJoin(broadcast(cb))
+          .select($"vec_id".as("qid"), lit(m).as("m"), $"cid".as("code"),
+            floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
+              * 1000000.0 + 0.5).cast("long").as("lq"))
+      }.reduce(_ union _)
+      val est = codes.join(broadcast(lookups), Seq("m", "code"))
+        .filter($"vec_id" =!= $"qid")
+        .groupBy($"qid", $"vec_id")
+        .agg(sum($"lq").as("sl"))
+      val w = Window.partitionBy($"qid").orderBy($"sl".desc, $"vec_id")
+      est
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"qid", $"rn", $"vec_id".as("cid"),
+          ($"sl".cast("double") / 1000000.0).as("score"))
+        .orderBy($"qid", $"rn")
+        .localCheckpoint(true)
+    } finally n.unpersist(false)
+  }
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
     * block (a < b, cosine ≥ 0.4). Blocking key = label. */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -747,6 +803,7 @@ object Similarity extends QueryModule {
     "q_similarity_topk" -> (qSimilarityTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_embed_coherence" -> (qEmbedCoherence _),
     "q_dedup_near" -> (qDedupNear _),
@@ -846,6 +903,92 @@ object Similarity extends QueryModule {
                                           ORDER BY sim DESC, cid) rn
              FROM pairs)
        SELECT qid, rn, cid, cell, sim FROM r WHERE rn <= 5
+       ORDER BY qid, rn"""
+
+  /** One PQ subspace as DuckDB CTEs (suffix `$m`, dims `lo..hi` of the
+    * 64-dim vector): md5-ordered seeds, ONE Lloyd round via the same
+    * quantize→BIGINT-sum→division pipeline as [[duckIvfIter]], then the
+    * final code assignment `cd$m` and the query↔centroid lookup `lk$m`
+    * with the similarity pre-quantized to BIGINT (exactly the Spark
+    * side's floor(sim·1e6 + 0.5) longs). */
+  private def duckPqSub(m: Int): String = {
+    val lo = m * 16 + 1
+    val hi = m * 16 + 16
+    val csim =
+      s"""floor(list_dot_product(n.e, c.ce)
+                / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                * 1000000.0 + 0.5)"""
+    s"""n$m AS (
+         SELECT vec_id, e[$lo:$hi] e,
+                sqrt(list_dot_product(e[$lo:$hi], e[$lo:$hi])) nrm
+         FROM nv),
+       c0$m AS (
+         SELECT cid, e ce FROM
+           (SELECT vec_id, e,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS BIGINT) cid
+            FROM n$m)
+         WHERE cid <= 8),
+       a$m AS (
+         SELECT n.vec_id, c.cid, $csim / 1000000.0 csim
+         FROM n$m n, c0$m c),
+       g$m AS (
+         SELECT vec_id, cid cell FROM
+           (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) rn FROM a$m)
+         WHERE rn = 1),
+       x$m AS (
+         SELECT g$m.cell,
+                unnest(range(1, len(n.e) + 1)) pos,
+                unnest(n.e) val
+         FROM n$m n JOIN g$m ON n.vec_id = g$m.vec_id),
+       u$m AS (
+         SELECT cell, pos,
+                CAST(SUM(CAST(floor(val * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) sv,
+                count(*) cnt
+         FROM x$m GROUP BY cell, pos),
+       ct$m AS (
+         SELECT cell cid, list(CAST(sv AS DOUBLE) / (cnt * 10000.0)
+                               ORDER BY pos) ce
+         FROM u$m GROUP BY cell),
+       fa$m AS (
+         SELECT n.vec_id, c.cid, $csim / 1000000.0 csim
+         FROM n$m n, ct$m c),
+       cd$m AS (
+         SELECT vec_id, $m m, cid code FROM
+           (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) rn FROM fa$m)
+         WHERE rn = 1),
+       lk$m AS (
+         SELECT n.vec_id qid, $m m, c.cid code,
+                CAST($csim AS BIGINT) lq
+         FROM n$m n, ct$m c WHERE n.vec_id % 100 = 0)"""
+  }
+
+  /** q_ann_pq oracle: four replayed subspace codebooks + the integer ADC
+    * sum — every arithmetic step mirrors the Spark side bit-for-bit. */
+  private val DUCK_PQ =
+    s"""WITH nv AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       ${duckPqSub(0)},
+       ${duckPqSub(1)},
+       ${duckPqSub(2)},
+       ${duckPqSub(3)},
+       cds AS (SELECT * FROM cd0 UNION ALL SELECT * FROM cd1
+               UNION ALL SELECT * FROM cd2 UNION ALL SELECT * FROM cd3),
+       lks AS (SELECT * FROM lk0 UNION ALL SELECT * FROM lk1
+               UNION ALL SELECT * FROM lk2 UNION ALL SELECT * FROM lk3),
+       est AS (
+         SELECT l.qid, c.vec_id cand, CAST(SUM(l.lq) AS BIGINT) sl
+         FROM cds c JOIN lks l ON c.m = l.m AND c.code = l.code
+         WHERE c.vec_id <> l.qid
+         GROUP BY l.qid, c.vec_id),
+       r AS (SELECT qid, cand, sl,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY sl DESC, cand) rn
+             FROM est)
+       SELECT qid, rn, cand AS cid, CAST(sl AS DOUBLE) / 1000000.0 AS score
+       FROM r WHERE rn <= 5
        ORDER BY qid, rn"""
 
   /** MinHash+LSH confirmed-pairs SQL (no final ORDER BY) — used directly
@@ -986,6 +1129,7 @@ object Similarity extends QueryModule {
                FROM pairs)
          SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "q_ann_ivf" -> DUCK_IVF,
+    "q_ann_pq" -> DUCK_PQ,
     "q_dedup_embedding" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the product-quantization ANN path (q_ann_pq): the compression
+  * invariant (every vector reduces to M=4 codes from K≤8-entry
+  * codebooks), determinism of the trained codebooks + ADC ranking, and a
+  * recall floor against exact brute-force cosine top-5. Exactness of the
+  * declared query itself is the DuckDB hash gate's job. */
+class AnnPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val dir = TestSession.sfDir
+
+  test("ADC ranking is deterministic across runs") {
+    val a = SparkEntry.queries("q_ann_pq")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("q_ann_pq")(spark, dir).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("every query gets exactly 5 ranked candidates with scores in [-4, 4]") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_ann_pq")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"query $q")
+    }
+    // score is a sum of 4 per-subspace cosines, each in [-1, 1]
+    rows.foreach { case (_, _, _, s) => assert(s >= -4.0 && s <= 4.0) }
+  }
+
+  test("ADC recall@5 vs exact brute-force cosine clears the floor") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val n = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"e".as("qe"))
+    val exact = n.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", graft.functions.VectorFunctions.cosine($"qe", $"e"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = SparkEntry.queries("q_ann_pq")(spark, dir)
+      .select($"qid", $"cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(adc.keySet == exact.keySet)
+    val recall = adc.keysIterator.map { k =>
+      (adc(k) intersect exact(k)).size.toDouble / 5.0
+    }.sum / adc.size
+    // 4×16-dim codebooks of 8 = 12 bits/vector on RANDOM vectors (no
+    // cluster structure — the hardest case for PQ: cosines concentrate
+    // near 0, so quantization noise swamps most of the signal) still
+    // beats blind guessing (5/N ≈ 1%) several-fold; measured 0.08 at
+    // sf0.001. Real corpora cluster and recall climbs with them.
+    assert(recall >= 0.05, s"mean recall@5 $recall below floor")
+  }
+}
