@@ -556,7 +556,54 @@ object Analytics extends QueryModule {
     } finally cust.unpersist(false)
   }
 
+  /** q_ab_test — per-event-type Welch two-sample t statistic between the
+    * user-parity variants (user_id % 2 — the deterministic stand-in for
+    * an experiment assignment column): the experimentation readout every
+    * analytics stack serves next to its funnels. ONE scan, conditional
+    * power sums per variant combined map-side; the t formula runs on
+    * G rows after the exchange.
+    *
+    * Determinism ([[Det]] discipline): `value` is half-up-quantized to
+    * 1e-4 BIGINTs, so Σx and Σx² are exact integers (Σx² < 2⁶³ until
+    * ~10⁶ rows/group at this value range — the [[qAggStats]] DECIMAL
+    * widening applies beyond); means/variances are single
+    * correctly-rounded IEEE ops off those integers, identical bits in
+    * both engines, and the t statistic itself is round6'd. */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = floor($"value" * 10000.0 + 0.5).cast("long")
+    val isA = $"user_id" % 2 === 0
+    def pw(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0L)))
+    val agg = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        pw(isA, lit(1L)).as("n_a"), pw(!isA, lit(1L)).as("n_b"),
+        pw(isA, v).as("sx_a"), pw(!isA, v).as("sx_b"),
+        pw(isA, v * v).as("sx2_a"), pw(!isA, v * v).as("sx2_b"))
+    def meanOf(sx: Column, n: Column): Column =
+      sx.cast(DoubleType) / (n * lit(10000.0))
+    def varOf(n: Column, sx: Column, sx2: Column): Column = {
+      val (nD, sxD, sx2D) = (n.cast(DecimalType(19, 0)),
+        sx.cast(DecimalType(19, 0)), sx2.cast(DecimalType(19, 0)))
+      (nD * sx2D - sxD * sxD).cast(DoubleType) /
+        ((nD * (nD - lit(1))).cast(DoubleType) * lit(100000000.0))
+    }
+    val (ma, mb) = (meanOf($"sx_a", $"n_a"), meanOf($"sx_b", $"n_b"))
+    val (va, vb) = (varOf($"n_a", $"sx_a", $"sx2_a"),
+      varOf($"n_b", $"sx_b", $"sx2_b"))
+    agg
+      .filter($"n_a" >= 2 && $"n_b" >= 2)
+      .select(
+        $"event_type", $"n_a", $"n_b",
+        ma.as("mean_a"), mb.as("mean_b"),
+        Det.round6((ma - mb) /
+          sqrt(va / $"n_a".cast(DoubleType) + vb / $"n_b".cast(DoubleType)))
+          .as("t_welch"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ab_test" -> (qAbTest _),
     "q_ohlc_resample" -> (qOhlcResample _),
     "q_rfm" -> (qRfm _),
     "q_rolling_distinct" -> (qRollingDistinct _),
@@ -592,6 +639,37 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      s"""WITH q AS (
+           SELECT event_type, user_id % 2 = 0 isa,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) v
+           FROM events),
+         s AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) n_a,
+             CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) n_b,
+             CAST(sum(CASE WHEN isa THEN v ELSE 0 END) AS BIGINT) sx_a,
+             CAST(sum(CASE WHEN NOT isa THEN v ELSE 0 END) AS BIGINT) sx_b,
+             CAST(sum(CASE WHEN isa THEN v * v ELSE 0 END) AS BIGINT) sx2_a,
+             CAST(sum(CASE WHEN NOT isa THEN v * v ELSE 0 END) AS BIGINT) sx2_b
+           FROM q GROUP BY event_type),
+         m AS (
+           SELECT event_type, n_a, n_b,
+             CAST(sx_a AS DOUBLE) / (n_a * 10000.0) mean_a,
+             CAST(sx_b AS DOUBLE) / (n_b * 10000.0) mean_b,
+             CAST(CAST(n_a AS HUGEINT) * sx2_a
+                  - CAST(sx_a AS HUGEINT) * sx_a AS DOUBLE)
+               / (CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE)
+                  * 100000000.0) va,
+             CAST(CAST(n_b AS HUGEINT) * sx2_b
+                  - CAST(sx_b AS HUGEINT) * sx_b AS DOUBLE)
+               / (CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE)
+                  * 100000000.0) vb
+           FROM s WHERE n_a >= 2 AND n_b >= 2)
+         SELECT event_type, n_a, n_b, mean_a, mean_b,
+                ${Det.ROUND6("(mean_a - mean_b) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))")}
+                  AS t_welch
+         FROM m ORDER BY event_type""",
     "q_ohlc_resample" ->
       s"""WITH e AS (
            SELECT event_type, epoch_us(ts) us, event_id, value,

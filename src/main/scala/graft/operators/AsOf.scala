@@ -117,9 +117,55 @@ object AsOf extends QueryModule {
       .orderBy($"custkey", $"month")
   }
 
+  /** q_gapfill_interp — gap fill by LINEAR INTERPOLATION between the
+    * nearest observed months (the upgrade of [[qGapfillLocf]] when the
+    * series is a level, not a state): filled = prev + (next − prev) ·
+    * Δm/Δn from two per-entity windows (carry-forward for the previous
+    * observation, carry-backward for the next). Months outside the
+    * observed span stay NULL — interpolation never extrapolates.
+    *
+    * Determinism: Δm/Δn are exact small-integer doubles (month-grid
+    * differences) and the fill is the identical left-to-right IEEE
+    * expression in both engines; the observed values are already
+    * Det.sumd-exact. Scale shape = LOCF's: dims-sized scaffold, one
+    * map-combined revenue aggregate, two per-entity windows —
+    * partition-parallel across entities. */
+  private def qGapfillInterp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = graft.sources.Tables.load(s, dir, "orders")
+    val bounds = orders.agg(
+      date_trunc("month", min($"o_orderdate")).as("mn"),
+      date_trunc("month", max($"o_orderdate")).as("mx"))
+    val months = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("m"))
+    val custs = graft.sources.Tables.load(s, dir, "customer")
+      .filter($"c_custkey" <= 5).select($"c_custkey")
+    val rev = orders.filter($"o_custkey" <= 5)
+      .groupBy($"o_custkey", date_trunc("month", $"o_orderdate").as("rm"))
+      .agg(graft.Det.sumd($"o_totalprice").as("rev"))
+    val wb = Window.partitionBy($"c_custkey").orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"c_custkey").orderBy($"m")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    custs.crossJoin(months)
+      .join(rev, $"c_custkey" === $"o_custkey" && $"m" === $"rm", "left")
+      .withColumn("pv", last($"rev", ignoreNulls = true).over(wb))
+      .withColumn("pm", last(when($"rev".isNotNull, $"m"), ignoreNulls = true).over(wb))
+      .withColumn("nv", first($"rev", ignoreNulls = true).over(wf))
+      .withColumn("nm", first(when($"rev".isNotNull, $"m"), ignoreNulls = true).over(wf))
+      .withColumn("rev_filled",
+        when($"rev".isNotNull, $"rev")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (months_between($"m", $"pm") / months_between($"nm", $"pm"))))
+      .select($"c_custkey".as("custkey"), $"m".cast("date").as("month"),
+        $"rev_filled", $"rev".isNull.as("is_gap"))
+      .orderBy($"custkey", $"month")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_asof" -> (qJoinAsof _),
-    "q_gapfill_locf" -> (qGapfillLocf _))
+    "q_gapfill_locf" -> (qGapfillLocf _),
+    "q_gapfill_interp" -> (qGapfillInterp _))
 
   val oracles: Map[String, String] = Map(
     "q_gapfill_locf" ->
@@ -143,6 +189,45 @@ object AsOf extends QueryModule {
          FROM (SELECT c_custkey, m FROM custs CROSS JOIN months) s
          LEFT JOIN rev r ON r.o_custkey = s.c_custkey AND r.m = s.m
          ORDER BY custkey, month""",
+    "q_gapfill_interp" ->
+      s"""WITH bounds AS (
+           SELECT date_trunc('month', min(o_orderdate)) mn,
+                  date_trunc('month', max(o_orderdate)) mx FROM orders),
+         months AS (
+           SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) m
+           FROM bounds),
+         custs AS (SELECT c_custkey FROM customer WHERE c_custkey <= 5),
+         rev AS (
+           SELECT o_custkey, date_trunc('month', o_orderdate) m,
+                  ${graft.Det.SUMD("o_totalprice")} rev
+           FROM orders WHERE o_custkey <= 5 GROUP BY 1, 2),
+         j AS (
+           SELECT s.c_custkey, s.m, r.rev
+           FROM (SELECT c_custkey, m FROM custs CROSS JOIN months) s
+           LEFT JOIN rev r ON r.o_custkey = s.c_custkey AND r.m = s.m),
+         w AS (
+           SELECT c_custkey, m, rev,
+             last_value(rev IGNORE NULLS) OVER (
+               PARTITION BY c_custkey ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+             last_value(CASE WHEN rev IS NOT NULL THEN m END IGNORE NULLS)
+               OVER (PARTITION BY c_custkey ORDER BY m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pm,
+             first_value(rev IGNORE NULLS) OVER (
+               PARTITION BY c_custkey ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+             first_value(CASE WHEN rev IS NOT NULL THEN m END IGNORE NULLS)
+               OVER (PARTITION BY c_custkey ORDER BY m
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nm
+           FROM j)
+         SELECT c_custkey AS custkey, CAST(m AS DATE) AS month,
+                CASE WHEN rev IS NOT NULL THEN rev
+                     ELSE pv + (nv - pv) *
+                          (CAST(date_diff('month', pm, m) AS DOUBLE)
+                           / CAST(date_diff('month', pm, nm) AS DOUBLE)) END
+                  AS rev_filled,
+                rev IS NULL AS is_gap
+         FROM w ORDER BY custkey, month""",
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, e.ts,
                 (SELECT max(s.ts) FROM events s

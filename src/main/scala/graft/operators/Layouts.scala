@@ -304,7 +304,49 @@ object Layouts extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** On-disk root of the two-generation orders layout (v1 = 3 columns,
+    * v2 = adds o_orderstatus) used by q_schema_evolution. */
+  private[graft] def evolutionPath(dir: String): String =
+    s"${layoutRoot(dir)}/orders_evolution"
+
+  /** q_schema_evolution — schema-on-read over a table whose files were
+    * written under TWO schema generations (the lake reality: producers
+    * upgrade, history doesn't): even orderkeys landed before the
+    * migration (3 columns), odd ones after (adds o_orderstatus). The
+    * reader merges footers (`mergeSchema`) so v1 rows surface NULL for
+    * the late column — no rewrite of the old files, the schema-evolution
+    * contract Delta/Iceberg formalize and plain parquet supports via
+    * footer merge. The aggregate proves the semantic union: pre-migration
+    * rows group under a sentinel, post-migration under their status.
+    *
+    * Scale: footer merge is per-file metadata work (parallelized by the
+    * driver's listing job); the data path is an ordinary columnar scan —
+    * files missing a column materialize it as NULL vectors, no
+    * per-row branching. Layout written once per corpus, _SUCCESS-guarded. */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = evolutionPath(dir)
+    if (!new java.io.File(s"$root/v2/_SUCCESS").exists()) {
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/v1")
+      orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/v2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+      .groupBy(coalesce($"o_orderstatus", lit("PRE_MIGRATION")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.sumd($"o_totalprice").as("total"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact_files" -> (qCompactFiles _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -314,6 +356,18 @@ object Layouts extends QueryModule {
     "q_orc_roundtrip" -> (qOrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      s"""WITH v1 AS (
+           SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) o_orderstatus
+           FROM orders WHERE o_orderkey % 2 = 0),
+         v2 AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 2 = 1),
+         u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         SELECT coalesce(o_orderstatus, 'PRE_MIGRATION') AS status,
+                count(*) AS n_orders,
+                ${graft.Det.SUMD("o_totalprice")} AS total
+         FROM u GROUP BY 1 ORDER BY status""",
     "q_compact_files" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                 ${graft.Det.SUMD("l_extendedprice")} AS sum_price,

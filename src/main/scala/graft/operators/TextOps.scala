@@ -680,7 +680,47 @@ object TextOps extends QueryModule {
     } finally perDoc.unpersist(false)
   }
 
+  /** q_inverted_index — posting-list build below the stopword line
+    * (df < 0.9·|docs|, tokens ≥ 4 chars; the cutoff is the exact integer
+    * comparison df·10 < N·9 so both engines agree without float
+    * thresholds): token → document frequency + sorted postings. The
+    * search-index primitive over the corpus, and a deliberate two-phase
+    * plan: the cheap df aggregate (one row per DISTINCT token, map-side
+    * combined) runs first against a broadcast 1-row corpus count, the
+    * surviving token set broadcasts back, and only then does the heavy
+    * `collect_list` see rows — so near-universal tokens (the df skew
+    * that would make a single-pass build collect billion-element
+    * postings for 'the' at 100 TB) are never materialized. The
+    * (doc, token) relation is persisted across its two consumers (the
+    * tfidf discipline: one corpus scan), and the small index is
+    * localCheckpoint'ed so the cache is dropped before return. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docs(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(split(lower($"text"), " "))).as("token"))
+      .filter(length($"token") >= 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nd = docs(s, dir).agg(count_distinct($"doc_id").as("nd"))
+      val kept = dt.groupBy($"token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter($"df" * 10 < $"nd" * 9)
+        .select($"token", $"df")
+      // postings serialize to a CSV string: the t2 comparator (like most
+      // interchange layers) takes scalar cells only (OutputSchemaSpec)
+      dt.join(broadcast(kept), Seq("token"))
+        .groupBy($"token", $"df")
+        .agg(expr("array_join(transform(sort_array(collect_list(doc_id))," +
+          " x -> cast(x as string)), ',')").as("postings"))
+        .select($"token", $"df", $"postings")
+        .orderBy($"token")
+        .localCheckpoint(true)
+    } finally dt.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bigram_logprob" -> (qBigramLogprob _),
     "q_token_entropy" -> (qTokenEntropy _),
@@ -741,6 +781,22 @@ object TextOps extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_inverted_index" ->
+      """WITH dt AS (
+           SELECT DISTINCT doc_id, t AS token FROM
+             (SELECT doc_id, unnest(string_split(lower(text), ' ')) t
+              FROM documents)
+           WHERE len(t) >= 4),
+         n AS (SELECT count(DISTINCT doc_id) nd FROM documents),
+         df AS (
+           SELECT token, count(*) AS df FROM dt, n
+           GROUP BY token, n.nd HAVING count(*) * 10 < n.nd * 9)
+         SELECT dt.token, df.df,
+                string_agg(CAST(dt.doc_id AS VARCHAR), ','
+                           ORDER BY dt.doc_id) AS postings
+         FROM dt JOIN df ON dt.token = df.token
+         GROUP BY dt.token, df.df
+         ORDER BY dt.token""",
     "q_bpe_train" -> bpeTrainOracle(BpeTrainRounds),
     "q_bigram_logprob" ->
       """WITH toks AS (

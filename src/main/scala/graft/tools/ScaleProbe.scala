@@ -21,7 +21,7 @@ object ScaleProbe {
     "q_range_join_binned", "q_substring_dedup", "q_collocations",
     "q_bpe_train", "q_multimodal_phash", "q_incremental_dedup",
     "q_rolling_distinct", "q_event_transitions", "q_embed_coherence",
-    "q_ohlc_resample")
+    "q_ohlc_resample", "q_ann_pq", "q_join_bloom")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */
@@ -63,6 +63,10 @@ object ScaleProbe {
       replicate("embeddings", Seq("vec_id"))
       replicate("lineitem", Seq("l_orderkey"))
       replicate("events", Seq("event_id"))
+      // customer + orders shift their shared key consistently, so each
+      // replica's fact⋈dim joins line up within its own copy
+      replicate("customer", Seq("c_custkey"))
+      replicate("orders", Seq("o_orderkey", "o_custkey"))
 
       probes.foreach { name =>
         val t0 = System.nanoTime()
