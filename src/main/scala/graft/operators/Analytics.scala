@@ -602,7 +602,39 @@ object Analytics extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_rolling_ema — exponentially-decayed rolling average (α = 1/2, 8
+    * taps) of each event-type's value series: the trend-smoothing
+    * primitive next to [[qOhlcResample]]'s bars. A TRUE EMA is a serial
+    * recurrence (state_t = f(state_{t−1})) — unbounded lookback, the
+    * anti-pattern at scale; the 8-tap truncation keeps >99% of the mass
+    * (2⁻⁸ tail) and becomes ONE window pass: 8 `lag` taps share a single
+    * (type, ts) sort, no self-join, no 8× row blowup.
+    *
+    * Determinism: tap weights are the exact integers 2^(7−i), values are
+    * 1e-4-quantized BIGINTs, so numerator and the present-tap weight sum
+    * are exact integer folds; one final double division. Missing taps
+    * (series heads) drop out of BOTH sums — the EMA renormalizes over
+    * observed history, same rule both engines. */
+  private def qRollingEma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val vq = floor($"value" * 10000.0 + 0.5).cast("long")
+    val taps = (0 until 8).map { i =>
+      (lag(vq, i).over(w), lit(1L << (7 - i)))
+    }
+    val num = taps.map { case (v, wt) =>
+      coalesce(v, lit(0L)) * wt }.reduce(_ + _)
+    val den = taps.map { case (v, wt) =>
+      when(v.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+    t(s, dir, "events")
+      .select($"event_id", $"event_type", $"ts", $"value",
+        (num.cast(DoubleType) / (den.cast(DoubleType) * lit(10000.0)))
+          .as("ema8"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rolling_ema" -> (qRollingEma _),
     "q_ab_test" -> (qAbTest _),
     "q_ohlc_resample" -> (qOhlcResample _),
     "q_rfm" -> (qRfm _),
@@ -639,6 +671,26 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_ema" -> {
+      val num = (0 until 8).map(i =>
+        s"coalesce(lag(vq, $i) OVER win, 0) * ${1L << (7 - i)}")
+        .mkString(" + ")
+      val den = (0 until 8).map(i =>
+        s"CASE WHEN lag(vq, $i) OVER win IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH q AS (
+           SELECT event_id, event_type, ts, value,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) vq
+           FROM events),
+         e AS (
+           SELECT event_id, event_type, ts, value,
+                  CAST($num AS BIGINT) num, CAST($den AS BIGINT) den
+           FROM q
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id))
+         SELECT event_id, event_type, ts, value,
+                CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 10000.0) AS ema8
+         FROM e ORDER BY event_id"""
+    },
     "q_ab_test" ->
       s"""WITH q AS (
            SELECT event_type, user_id % 2 = 0 isa,
