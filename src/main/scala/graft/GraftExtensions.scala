@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeTokens, CmsEstimate, CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
+import graft.functions.{BloomKeysAgg, BloomMightContain, BpeTokens, CmsEstimate, CosineSimilarity, IntersectSize, KmvDistinct, MinHashSig, ShingleHashes, SimHash16, VectorFunctions}
 
 /** SparkSessionExtensions hook: makes the engine's native functions
   * available SQL-wide via `spark.sql.extensions=graft.GraftExtensions`
@@ -54,5 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsEstimate].getName,
         VectorFunctions.CMS_ESTIMATE),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.BLOOM_AGG),
+      new ExpressionInfo(classOf[BloomKeysAgg].getName,
+        VectorFunctions.BLOOM_AGG),
+      (exprs: Seq[Expression]) => BloomKeysAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.BLOOM_CONTAINS),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        VectorFunctions.BLOOM_CONTAINS),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 }

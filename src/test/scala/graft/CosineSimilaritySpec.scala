@@ -103,6 +103,13 @@ class CosineSimilaritySpec extends AnyFunSuite {
       val toks = s2.sql("SELECT graft_bpe_tokens('thing')")
         .first().getSeq[String](0)
       assert(toks == Seq("th", "ing"))
+      val hit = s2.sql(
+        """SELECT graft_bloom_contains(
+          |  (SELECT graft_bloom_agg(x)
+          |   FROM (VALUES (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT))) t(x)),
+          |  CAST(7 AS BIGINT))""".stripMargin)
+        .first().getBoolean(0)
+      assert(hit)
     } finally () // shared JVM: do not stop the underlying context
   }
 }
