@@ -278,24 +278,46 @@ object Similarity extends QueryModule {
     * hash gate certifies. */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val n = ivfVectors(s, dir)
+    // ALL subspaces in one keyed relation (vec_id, m, e): the M
+    // trainings run as one DataFrame pipeline with m as an extra group/
+    // window key — one job tree instead of M independent ones, and the
+    // stage count no longer grows with M. Per-m arithmetic is identical
+    // to the unkeyed kmeansCodebook, so the oracle replays unchanged.
+    val nmAll = ivfVectors(s, dir)
+      .select($"vec_id", posexplode(array((0 until 4).map(m =>
+        slice($"e", m * 16 + 1, 16)): _*)).as(Seq("m", "e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val subs = (0 until 4).map { m =>
-        val nm = n.select($"vec_id", slice($"e", m * 16 + 1, 16).as("e"))
-        (m, nm, kmeansCodebook(nm, c = 8, iters = 1))
-      }
-      val codes = subs.map { case (m, nm, cb) =>
-        assignCells(nm, cb)
-          .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
-      }.reduce(_ union _)
-      val lookups = subs.map { case (m, nm, cb) =>
-        nm.filter($"vec_id" % 100 === 0)
-          .crossJoin(broadcast(cb))
-          .select($"vec_id".as("qid"), lit(m).as("m"), $"cid".as("code"),
-            floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
-              * 1000000.0 + 0.5).cast("long").as("lq"))
-      }.reduce(_ union _)
+      val seeds = nmAll
+        .withColumn("cid", row_number().over(
+          Window.partitionBy($"m")
+            .orderBy(md5($"vec_id".cast("string")), $"vec_id")).cast("long"))
+        .filter($"cid" <= 8)
+        .select($"m", $"cid", $"e".as("ce"))
+      def assign(cent: DataFrame): DataFrame =
+        nmAll.join(broadcast(cent), Seq("m"))
+          .withColumn("csim", graft.Det.round6(
+            graft.functions.VectorFunctions.cosine($"e", $"ce")))
+          .groupBy($"m", $"vec_id")
+          .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
+          .select($"m", $"vec_id", (-$"x.nc").as("cell"))
+      val cent = nmAll.join(assign(seeds), Seq("m", "vec_id"))
+        .select($"m", $"cell", posexplode($"e"))
+        .groupBy($"m", $"cell", $"pos")
+        .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .withColumn("v", $"sv".cast("double") / ($"cnt" * 10000.0))
+        .groupBy($"m", $"cell")
+        .agg(collect_list(struct($"pos", $"v")).as("pv"))
+        .select($"m", $"cell".as("cid"),
+          expr("transform(array_sort(pv), x -> x.v)").as("ce"))
+      val codes = assign(cent)
+        .select($"vec_id", $"m", $"cell".as("code"))
+      val lookups = nmAll.filter($"vec_id" % 100 === 0)
+        .join(broadcast(cent), Seq("m"))
+        .select($"vec_id".as("qid"), $"m", $"cid".as("code"),
+          floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
+            * 1000000.0 + 0.5).cast("long").as("lq"))
       val est = codes.join(broadcast(lookups), Seq("m", "code"))
         .filter($"vec_id" =!= $"qid")
         .groupBy($"qid", $"vec_id")
@@ -308,7 +330,7 @@ object Similarity extends QueryModule {
           ($"sl".cast("double") / 1000000.0).as("score"))
         .orderBy($"qid", $"rn")
         .localCheckpoint(true)
-    } finally n.unpersist(false)
+    } finally nmAll.unpersist(false)
   }
 
   /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
