@@ -30,23 +30,31 @@ object AsOf extends QueryModule {
     * timestamp by more than the tolerance is discarded (DuckDB
     * `ASOF ... TOLERANCE` semantics) — the carried right-side event time
     * rides along in `__vts` to evaluate the bound after the window. */
+  /** `tieCol`: optional right-side column making the pick deterministic
+    * when two right rows share (key, ts) — the LARGEST tie value wins
+    * (the oracle's `ORDER BY ts DESC, tie DESC LIMIT 1`). Without it,
+    * equal-ts right rows tie-break by partition order. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, valueCol: String, asofCol: String,
-               toleranceMicros: Option[Long] = None): DataFrame = {
+               toleranceMicros: Option[Long] = None,
+               tieCol: Option[String] = None): DataFrame = {
     val valType = right.schema(valueCol).dataType
     val l = left.withColumn("__side", lit(1))
       .withColumn("__val", lit(null).cast(valType))
       .withColumn("__vts", lit(null).cast("long"))
-    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as("__val"))
+      .withColumn("__tie", lit(null).cast("long"))
+    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as("__val"),
+        tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tie"))
       .withColumn("__side", lit(0))
       .withColumn("__vts", unix_micros(col(tsCol)))
     val extra = left.columns.filterNot(Set(keyCol, tsCol))
       .map(c => col(c)).toIndexedSeq
     val unioned = l.select(
-        (Seq(col(keyCol), col(tsCol), col("__side"), col("__val"), col("__vts"))
-          ++ extra): _*)
+        (Seq(col(keyCol), col(tsCol), col("__side"), col("__val"),
+          col("__vts"), col("__tie")) ++ extra): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__side"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn(asofCol, last(col("__val"), ignoreNulls = true).over(w))
@@ -57,7 +65,7 @@ object AsOf extends QueryModule {
         when(unix_micros(col(tsCol)) - col("__asof_ts") <= tol, col(asofCol)))
       case None => carried
     }
-    bounded.drop("__side", "__val", "__vts", "__asof_ts")
+    bounded.drop("__side", "__val", "__vts", "__tie", "__asof_ts")
   }
 
   /** J8 q_join_asof — for each purchase event, the user's most recent
@@ -78,6 +86,27 @@ object AsOf extends QueryModule {
       .withColumn("signup_ts", last($"signup_ts_src", ignoreNulls = true).over(w))
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts", $"signup_ts")
+      .orderBy($"event_id")
+  }
+
+  /** J8b q_join_asof_tol — the tolerance-bounded as-of join DECLARED
+    * (previously API-only): each purchase picks up the value of the
+    * user's latest click no older than ONE HOUR (DuckDB `ASOF …
+    * TOLERANCE` semantics); a latest-click outside the window yields
+    * NULL — and since the latest match is also the closest, no older
+    * click can resurrect the row. Same union-tag + single-window plan as
+    * J8 (one shuffle on user, no pair blowup); equal-ts clicks break
+    * deterministically to the largest event_id via the tie column. */
+  private def qJoinAsofTol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.sources.Tables.load(s, dir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value", $"event_id".as("click_id"))
+    asOfJoin(purchases, clicks, "user_id", "ts", "value",
+      "last_click_value", Some(3600L * 1000000L), Some("click_id"))
+      .select($"event_id", $"user_id", $"ts", $"last_click_value")
       .orderBy($"event_id")
   }
 
@@ -164,6 +193,7 @@ object AsOf extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_tol" -> (qJoinAsofTol _),
     "q_gapfill_locf" -> (qGapfillLocf _),
     "q_gapfill_interp" -> (qGapfillInterp _))
 
@@ -228,6 +258,16 @@ object AsOf extends QueryModule {
                   AS rev_filled,
                 rev IS NULL AS is_gap
          FROM w ORDER BY custkey, month""",
+    "q_join_asof_tol" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+                (SELECT c.value FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                   AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                  AS last_click_value
+         FROM events e
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, e.ts,
                 (SELECT max(s.ts) FROM events s
