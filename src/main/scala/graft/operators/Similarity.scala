@@ -276,61 +276,122 @@ object Similarity extends QueryModule {
     * raw vectors) is one extra join by id; the declared operator keeps
     * the pure-ADC ranking so the compression path itself is what the
     * hash gate certifies. */
+  /** All PQ subspaces as ONE keyed relation (vec_id, m, e): the M
+    * trainings run as one DataFrame pipeline with m as an extra group/
+    * window key — one job tree instead of M independent ones, and the
+    * stage count no longer grows with M. Per-m arithmetic is identical
+    * to the unkeyed [[kmeansCodebook]], so the oracle replays unchanged. */
+  private def pqSubspaces(n: DataFrame): DataFrame = {
+    val s = n.sparkSession; import s.implicits._
+    n.select($"vec_id", posexplode(array((0 until 4).map(m =>
+      slice($"e", m * 16 + 1, 16)): _*)).as(Seq("m", "e")))
+  }
+
+  /** Trained PQ codes + query ADC lookup table over a caller-persisted
+    * keyed subspace relation: (codes (vec_id, m, code),
+    * lookups (qid, m, code, lq)) with lq the BIGINT-quantized
+    * query↔centroid cosine. Shared by [[qAnnPq]] and [[qAnnIvfPq]]. */
+  private def pqCodesLookups(nmAll: DataFrame): (DataFrame, DataFrame) = {
+    val s = nmAll.sparkSession; import s.implicits._
+    val seeds = nmAll
+      .withColumn("cid", row_number().over(
+        Window.partitionBy($"m")
+          .orderBy(md5($"vec_id".cast("string")), $"vec_id")).cast("long"))
+      .filter($"cid" <= 8)
+      .select($"m", $"cid", $"e".as("ce"))
+    def assign(cent: DataFrame): DataFrame =
+      nmAll.join(broadcast(cent), Seq("m"))
+        .withColumn("csim", graft.Det.round6(
+          graft.functions.VectorFunctions.cosine($"e", $"ce")))
+        .groupBy($"m", $"vec_id")
+        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
+        .select($"m", $"vec_id", (-$"x.nc").as("cell"))
+    val cent = nmAll.join(assign(seeds), Seq("m", "vec_id"))
+      .select($"m", $"cell", posexplode($"e"))
+      .groupBy($"m", $"cell", $"pos")
+      .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
+        count(lit(1)).as("cnt"))
+      .withColumn("v", $"sv".cast("double") / ($"cnt" * 10000.0))
+      .groupBy($"m", $"cell")
+      .agg(collect_list(struct($"pos", $"v")).as("pv"))
+      .select($"m", $"cell".as("cid"),
+        expr("transform(array_sort(pv), x -> x.v)").as("ce"))
+    val codes = assign(cent)
+      .select($"vec_id", $"m", $"cell".as("code"))
+    val lookups = nmAll.filter($"vec_id" % 100 === 0)
+      .join(broadcast(cent), Seq("m"))
+      .select($"vec_id".as("qid"), $"m", $"cid".as("code"),
+        floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
+          * 1000000.0 + 0.5).cast("long").as("lq"))
+    (codes, lookups)
+  }
+
+  /** ADC scoring tail shared by the PQ queries: integer lookup sums →
+    * top-5 per query, eagerly checkpointed. */
+  private def adcRank(est: DataFrame): DataFrame = {
+    val s = est.sparkSession; import s.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"sl".desc, $"vec_id")
+    est
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"qid", $"rn", $"vec_id".as("cid"),
+        ($"sl".cast("double") / 1000000.0).as("score"))
+      .orderBy($"qid", $"rn")
+      .localCheckpoint(true)
+  }
+
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ALL subspaces in one keyed relation (vec_id, m, e): the M
-    // trainings run as one DataFrame pipeline with m as an extra group/
-    // window key — one job tree instead of M independent ones, and the
-    // stage count no longer grows with M. Per-m arithmetic is identical
-    // to the unkeyed kmeansCodebook, so the oracle replays unchanged.
-    val nmAll = ivfVectors(s, dir)
-      .select($"vec_id", posexplode(array((0 until 4).map(m =>
-        slice($"e", m * 16 + 1, 16)): _*)).as(Seq("m", "e")))
+    val nmAll = pqSubspaces(ivfVectors(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seeds = nmAll
-        .withColumn("cid", row_number().over(
-          Window.partitionBy($"m")
-            .orderBy(md5($"vec_id".cast("string")), $"vec_id")).cast("long"))
-        .filter($"cid" <= 8)
-        .select($"m", $"cid", $"e".as("ce"))
-      def assign(cent: DataFrame): DataFrame =
-        nmAll.join(broadcast(cent), Seq("m"))
-          .withColumn("csim", graft.Det.round6(
-            graft.functions.VectorFunctions.cosine($"e", $"ce")))
-          .groupBy($"m", $"vec_id")
-          .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
-          .select($"m", $"vec_id", (-$"x.nc").as("cell"))
-      val cent = nmAll.join(assign(seeds), Seq("m", "vec_id"))
-        .select($"m", $"cell", posexplode($"e"))
-        .groupBy($"m", $"cell", $"pos")
-        .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
-          count(lit(1)).as("cnt"))
-        .withColumn("v", $"sv".cast("double") / ($"cnt" * 10000.0))
-        .groupBy($"m", $"cell")
-        .agg(collect_list(struct($"pos", $"v")).as("pv"))
-        .select($"m", $"cell".as("cid"),
-          expr("transform(array_sort(pv), x -> x.v)").as("ce"))
-      val codes = assign(cent)
-        .select($"vec_id", $"m", $"cell".as("code"))
-      val lookups = nmAll.filter($"vec_id" % 100 === 0)
-        .join(broadcast(cent), Seq("m"))
-        .select($"vec_id".as("qid"), $"m", $"cid".as("code"),
-          floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
-            * 1000000.0 + 0.5).cast("long").as("lq"))
-      val est = codes.join(broadcast(lookups), Seq("m", "code"))
+      val (codes, lookups) = pqCodesLookups(nmAll)
+      adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
         .filter($"vec_id" =!= $"qid")
         .groupBy($"qid", $"vec_id")
-        .agg(sum($"lq").as("sl"))
-      val w = Window.partitionBy($"qid").orderBy($"sl".desc, $"vec_id")
-      est
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter($"rn" <= 5)
-        .select($"qid", $"rn", $"vec_id".as("cid"),
-          ($"sl".cast("double") / 1000000.0).as("score"))
-        .orderBy($"qid", $"rn")
-        .localCheckpoint(true)
+        .agg(sum($"lq").as("sl")))
     } finally nmAll.unpersist(false)
+  }
+
+  /** T3d q_ann_ivfpq — the production ANN composition at 100 TB: an IVF
+    * coarse quantizer (full-dim codebook, one Lloyd round) restricts
+    * each query to its nprobe=2 inverted lists, and PQ/ADC (the same
+    * trained subspace codebooks as [[qAnnPq]], no-residual variant)
+    * scores ONLY those candidates from codes — so per-query work is
+    * ~nprobe·N/C integer lookups instead of N·M float ops over the
+    * corpus, and the raw vectors are never touched after encoding.
+    * Candidate membership joins on the cell key (equi-join, no
+    * broadcast of anything corpus-sized); both codebooks broadcast.
+    * The oracle replays coarse + 4 subspace codebooks and the
+    * cell-filtered integer ADC sum. */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = kmeansCodebook(n, c = 8, iters = 1)
+      val asg = n.crossJoin(broadcast(coarse))
+        .withColumn("csim",
+          graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
+        .select($"vec_id", $"cid", $"csim")
+      val cells = asg
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
+        .select($"vec_id", (-$"x.nc").as("cell"))
+      val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+      val probes = asg.filter($"vec_id" % 100 === 0)
+        .withColumn("arn", row_number().over(wq))
+        .filter($"arn" <= 2)
+        .select($"vec_id".as("qid"), $"cid".as("cell"))
+      val pairs = cells.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id")
+      val (codes, lookups) = pqCodesLookups(pqSubspaces(n))
+      adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
+        .join(pairs, Seq("qid", "vec_id"))
+        .groupBy($"qid", $"vec_id")
+        .agg(sum($"lq").as("sl")))
+    } finally n.unpersist(false)
   }
 
   /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
@@ -826,6 +887,7 @@ object Similarity extends QueryModule {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_embed_coherence" -> (qEmbedCoherence _),
     "q_dedup_near" -> (qDedupNear _),
@@ -1013,6 +1075,83 @@ object Similarity extends QueryModule {
        FROM r WHERE rn <= 5
        ORDER BY qid, rn"""
 
+  /** q_ann_ivfpq oracle: coarse codebook (c-suffixed CTEs — the
+    * subspace blocks own the bare numeric suffixes) + the four replayed
+    * PQ codebooks + the cell-filtered integer ADC sum. */
+  private val DUCK_IVFPQ = {
+    val csim =
+      s"""floor(list_dot_product(n.e, c.ce)
+                / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                * 1000000.0 + 0.5)"""
+    s"""WITH nv AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       n AS (
+         SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM nv),
+       cent0 AS (
+         SELECT cid, e ce FROM
+           (SELECT vec_id, e,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS BIGINT) cid
+            FROM n)
+         WHERE cid <= 8),
+       ac AS (
+         SELECT n.vec_id, c.cid, $csim / 1000000.0 csim
+         FROM n, cent0 c),
+       gc AS (
+         SELECT vec_id, cid cell FROM
+           (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) rn FROM ac)
+         WHERE rn = 1),
+       xc AS (
+         SELECT gc.cell,
+                unnest(range(1, len(n.e) + 1)) pos,
+                unnest(n.e) val
+         FROM n JOIN gc ON n.vec_id = gc.vec_id),
+       uc AS (
+         SELECT cell, pos,
+                CAST(SUM(CAST(floor(val * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) sv,
+                count(*) cnt
+         FROM xc GROUP BY cell, pos),
+       centc AS (
+         SELECT cell cid, list(CAST(sv AS DOUBLE) / (cnt * 10000.0)
+                               ORDER BY pos) ce
+         FROM uc GROUP BY cell),
+       fac AS (
+         SELECT n.vec_id, c.cid, $csim / 1000000.0 csim
+         FROM n, centc c),
+       rankedc AS (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) arn
+         FROM fac),
+       cells AS (SELECT vec_id cand_id, cid cell FROM rankedc WHERE arn = 1),
+       probes AS (SELECT vec_id qid, cid cell FROM rankedc
+                  WHERE arn <= 2 AND vec_id % 100 = 0),
+       ${duckPqSub(0)},
+       ${duckPqSub(1)},
+       ${duckPqSub(2)},
+       ${duckPqSub(3)},
+       cds AS (SELECT * FROM cd0 UNION ALL SELECT * FROM cd1
+               UNION ALL SELECT * FROM cd2 UNION ALL SELECT * FROM cd3),
+       lks AS (SELECT * FROM lk0 UNION ALL SELECT * FROM lk1
+               UNION ALL SELECT * FROM lk2 UNION ALL SELECT * FROM lk3),
+       est AS (
+         SELECT l.qid, c.vec_id cand, CAST(SUM(l.lq) AS BIGINT) sl
+         FROM cds c
+         JOIN lks l ON c.m = l.m AND c.code = l.code
+         JOIN cells cl ON cl.cand_id = c.vec_id
+         JOIN probes p ON p.qid = l.qid AND p.cell = cl.cell
+         WHERE c.vec_id <> l.qid
+         GROUP BY l.qid, c.vec_id),
+       r AS (SELECT qid, cand, sl,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY sl DESC, cand) rn
+             FROM est)
+       SELECT qid, rn, cand AS cid, CAST(sl AS DOUBLE) / 1000000.0 AS score
+       FROM r WHERE rn <= 5
+       ORDER BY qid, rn"""
+  }
+
   /** MinHash+LSH confirmed-pairs SQL (no final ORDER BY) — used directly
     * by the q_dedup_minhash_lsh oracle and as a nested CTE by the
     * q_dedup_clusters oracle. */
@@ -1152,6 +1291,7 @@ object Similarity extends QueryModule {
          SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "q_ann_ivf" -> DUCK_IVF,
     "q_ann_pq" -> DUCK_PQ,
+    "q_ann_ivfpq" -> DUCK_IVFPQ,
     "q_dedup_embedding" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,

@@ -30,6 +30,28 @@ class AnnPqSpec extends AnyFunSuite {
     rows.foreach { case (_, _, _, s) => assert(s >= -4.0 && s <= 4.0) }
   }
 
+  test("ivfpq returns at most 5 per query and only ADC-scored candidates") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // cell filtering can leave < 5 candidates; ranks must stay dense
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"query $q")
+      assert(rs.length <= 5)
+    }
+    // the cell filter only ever SHRINKS the pure-ADC candidate pool, so
+    // each (qid, cid, score) must also appear in the unfiltered ADC
+    // ranking's scoring universe with the SAME score: spot-check via the
+    // full q_ann_pq top-5 — any shared (qid,cid) pair must agree on score
+    val pq = SparkEntry.queries("q_ann_pq")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    rows.foreach { case (q, _, c, s) =>
+      pq.get((q, c)).foreach(ps => assert(ps == s, s"score drift ($q,$c)"))
+    }
+  }
+
   test("ADC recall@5 vs exact brute-force cosine clears the floor") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
