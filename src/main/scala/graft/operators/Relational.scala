@@ -777,6 +777,38 @@ object Relational extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_cdc_apply — change-data-capture log materialization: an ordered
+    * I/U/D log (synthesized deterministically from orders: insert at
+    * seq 1, update +1000 at seq 2 for every third key, delete at seq 3
+    * for every ninth) collapses to final table state — the latest op per
+    * key wins, keys whose last op is a delete vanish. The lakehouse
+    * MERGE-from-log primitive next to [[qMergeUpsert]]'s single-batch
+    * upsert.
+    *
+    * Scale shape: last-writer-wins is an ARGMAX (`max(struct(seq, …))`),
+    * not a window — map-side combinable, so the exchange carries one row
+    * per key however long the log is; no per-key sort. seq is unique per
+    * key so the struct pick can't tie. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val log = o.select($"o_orderkey", lit(1L).as("seq"), lit("I").as("op"),
+        $"o_totalprice".as("price"))
+      .unionByName(o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", lit(2L).as("seq"), lit("U").as("op"),
+          ($"o_totalprice" + 1000.0).as("price")))
+      .unionByName(o.filter($"o_orderkey" % 9 === 0)
+        .select($"o_orderkey", lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price")))
+    log.groupBy($"o_orderkey")
+      .agg(max(struct($"seq", $"op", $"price")).as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter($"last.op" =!= "D")
+      .select($"o_orderkey", $"last.seq".as("last_seq"), $"n_ops",
+        $"last.price".as("final_price"))
+      .orderBy($"o_orderkey")
+  }
+
   /** q_histogram — fixed-bound equi-width binning of l_extendedprice
     * (10k-wide buckets), the profiling aggregate every pipeline runs
     * before choosing filters/partitioning. The bucket id is pure integer
@@ -919,6 +951,7 @@ object Relational extends QueryModule {
     "q_agg_mode" -> (qAggMode _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_join_full" -> (qJoinFull _),
     "q_agg_stats" -> (qAggStats _),
     "q_subquery" -> (qSubquery _),
@@ -965,6 +998,26 @@ object Relational extends QueryModule {
   import Det.{AVGD, SUMD}
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH log AS (
+           SELECT o_orderkey, CAST(1 AS BIGINT) seq, 'I' op,
+                  o_totalprice price
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_totalprice + 1000.0
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, CAST(3 AS BIGINT), 'D', CAST(NULL AS DOUBLE)
+           FROM orders WHERE o_orderkey % 9 = 0),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) rn,
+                  count(*) OVER (PARTITION BY o_orderkey) n_ops
+           FROM log)
+         SELECT o_orderkey, seq AS last_seq, n_ops, price AS final_price
+         FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY o_orderkey""",
     // the bloom prefilter passes every true key and the join removes the
     // false positives, so the oracle is the PLAIN join — exactness of the
     // reduction, not just shape, is what the hash gate certifies

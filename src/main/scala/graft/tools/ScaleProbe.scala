@@ -21,7 +21,7 @@ object ScaleProbe {
     "q_range_join_binned", "q_substring_dedup", "q_collocations",
     "q_bpe_train", "q_multimodal_phash", "q_incremental_dedup",
     "q_rolling_distinct", "q_event_transitions", "q_embed_coherence",
-    "q_ohlc_resample", "q_ann_pq", "q_join_bloom")
+    "q_ohlc_resample", "q_ann_pq", "q_join_bloom", "q_ann_ivfpq")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */
