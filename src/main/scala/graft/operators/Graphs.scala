@@ -138,11 +138,87 @@ object Graphs extends QueryModule {
     } finally { u.unpersist(false); d.unpersist(false) }
   }
 
+  /** q_label_prop — synchronous label propagation (community detection)
+    * over the same derived link graph, SYMMETRIZED: three fixed rounds
+    * of "adopt the most frequent neighbor label, ties to the smallest"
+    * from a labels-are-ids start. The community primitive next to
+    * [[qPagerank]] centrality, triangles density, and the dedup-cluster
+    * connected components (which LPA refines: CC merges everything
+    * touching, LPA splits by internal density).
+    *
+    * Scale: each round is one edge⋈labels equi-join + a map-combinable
+    * (node, label) count + a max(struct(count, −label)) argmax — no
+    * windows, no driver loops over data; rounds are FIXED (3), matching
+    * what an unrolled oracle can replay. All-integer, zero float-parity
+    * surface. Edges/labels-relation persisted across rounds. */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val eu = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l0 = d.select($"doc_id", $"doc_id".as("lbl"))
+      val l3 = (1 to 3).foldLeft(l0) { (lbl, _) =>
+        eu.join(lbl, eu("dst") === lbl("doc_id"))
+          .groupBy($"src", $"lbl")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"src")
+          .agg(max(struct($"c", (-$"lbl").as("nl"))).as("x"))
+          .select($"src".as("doc_id"), (-$"x.nl").as("lbl"))
+      }
+      l3.select($"doc_id", $"lbl".as("community"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally { eu.unpersist(false); d.unpersist(false) }
+  }
+
+  /** One unrolled LPA round as DuckDB CTEs: neighbor-label counts then
+    * the (count DESC, label ASC) argmax per node. */
+  private def duckLpaIter(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""c$i AS (
+         SELECT eu.src, $prev.lbl, count(*) c
+         FROM eu JOIN $prev ON eu.dst = $prev.doc_id
+         GROUP BY eu.src, $prev.lbl),
+       l$i AS (
+         SELECT src doc_id, lbl FROM
+           (SELECT src, lbl, row_number() OVER (PARTITION BY src
+                     ORDER BY c DESC, lbl) rn FROM c$i)
+         WHERE rn = 1)"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_label_prop" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         eu AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM ef
+                   UNION ALL SELECT dst, src FROM ef)),
+         l0 AS (SELECT doc_id, doc_id lbl FROM d),
+         ${(1 to 3).map(duckLpaIter).mkString(",\n")}
+         SELECT doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
     "q_triangles" ->
       """WITH d AS (SELECT doc_id FROM documents),
          s AS (SELECT count(*) n, min(doc_id) mn FROM d),
