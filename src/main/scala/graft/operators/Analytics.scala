@@ -633,7 +633,172 @@ object Analytics extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** The star schema's FK edges, audited by [[qRiAudit]]. One row each:
+    * (constraint name, child table, FK column, parent table, PK column). */
+  private val FkEdges = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"))
+
+  /** q_ri_audit — referential-integrity audit across every FK edge of
+    * the star schema: per constraint, child rows, NULL FKs, distinct FK
+    * values, and the orphan damage (keys + rows with no matching
+    * parent). The data-quality gate a warehouse runs before trusting a
+    * snapshot — the relational sibling of [[qDataProfile]]'s per-column
+    * profile.
+    *
+    * Scale: the fact NEVER travels. Each edge first collapses the child
+    * to a (fk → row-count) relation — a map-side-combinable aggregate,
+    * so the shuffle carries distinct keys, not rows — and the orphan
+    * check is a left-anti join of THAT relation against the parent's
+    * key column (broadcast for dims; key-partitioned for the fact-fact
+    * edge). Orphan ROWS then come free off the counts — no join back to
+    * the fact. The 7 edges are independent branches of one union, so
+    * they schedule as one job. All-integer outputs; zero float surface. */
+  private def qRiAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val audits = FkEdges.map { case (name, child, fk, parent, pk) =>
+      val keyed = t(s, dir, child)
+        .groupBy(col(fk).as("fk")).agg(count(lit(1)).as("rows"))
+      val totals = keyed.agg(
+        sum($"rows").as("child_rows"),
+        coalesce(sum(when($"fk".isNull, $"rows")), lit(0L)).as("null_fks"),
+        count(when($"fk".isNotNull, lit(1))).as("distinct_fks"))
+      val orphans = keyed.filter($"fk".isNotNull)
+        .join(t(s, dir, parent).select(col(pk).as("pk")),
+          $"fk" === $"pk", "left_anti")
+        .agg(count(lit(1)).as("orphan_keys"),
+          coalesce(sum($"rows"), lit(0L)).as("orphan_rows"))
+      totals.crossJoin(orphans)
+        .select(lit(name).as("constraint_name"), $"child_rows",
+          $"null_fks", $"distinct_fks", $"orphan_keys", $"orphan_rows")
+    }
+    audits.reduce(_ unionByName _).orderBy($"constraint_name")
+  }
+
+  /** One q_ri_audit oracle branch; count(*) everywhere keeps every
+    * metric BIGINT without HUGEINT casts. */
+  private def riAuditBranch(name: String, child: String, fk: String,
+                            parent: String, pk: String): String =
+    s"""SELECT '$name' AS constraint_name,
+          (SELECT count(*) FROM $child) AS child_rows,
+          (SELECT count(*) FROM $child WHERE $fk IS NULL) AS null_fks,
+          (SELECT count(DISTINCT $fk) FROM $child) AS distinct_fks,
+          (SELECT count(DISTINCT $fk) FROM $child
+            WHERE $fk IS NOT NULL
+              AND $fk NOT IN (SELECT $pk FROM $parent)) AS orphan_keys,
+          (SELECT count(*) FROM $child
+            WHERE $fk IS NOT NULL
+              AND $fk NOT IN (SELECT $pk FROM $parent)) AS orphan_rows"""
+
+  /** q_anomaly_mad — robust per-group anomaly scores via the median
+    * absolute deviation: |x − median| / MAD, the outlier detector that
+    * (unlike [[qOutliers]]' z-score) a few extreme rows cannot drag —
+    * the filter of choice for heavy-tailed quality signals in a
+    * training-data pipeline.
+    *
+    * Both medians are EXACT order statistics selected from HISTOGRAMS,
+    * never from a sorted fact (the [[qWinsorize]] selection): values
+    * half-up-quantize to 1e-4 BIGINTs → per-(group, value) counts
+    * (map-side combined, G×V rows). The deviation histogram then derives
+    * from the VALUE histogram — regroup its rows by |xq − median| — so
+    * the second median costs NO fact pass; two fact scans total (the
+    * histogram build and the final scoring pass, bounds broadcast). Rank
+    * arithmetic is integer ((n+1) div 2 = lower median); the score is
+    * one double division, [[Det.round6]]'d. MAD = 0 (over half the group
+    * at one value) yields NULL scores — flagged, not divided. */
+  private def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xq = floor($"value" * 10000.0 + 0.5).cast("long")
+    val e = t(s, dir, "events")
+      .select($"event_id", $"event_type", $"value", xq.as("xq"))
+    val h = e.groupBy($"event_type", $"xq").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wcum = Window.partitionBy($"event_type").orderBy($"xq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy($"event_type")
+      val med = h
+        .withColumn("cum", sum($"cnt").over(wcum))
+        .withColumn("n", sum($"cnt").over(wall))
+        .groupBy($"event_type")
+        .agg(min(when($"cum" >= expr("(n + 1) div 2"), $"xq")).as("med"))
+      // deviation histogram: regroup the VALUE histogram, no fact pass
+      val dh = h.join(broadcast(med), "event_type")
+        .groupBy($"event_type", abs($"xq" - $"med").as("dev"))
+        .agg(sum($"cnt").as("cnt"))
+      val wdc = Window.partitionBy($"event_type").orderBy($"dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = dh
+        .withColumn("cum", sum($"cnt").over(wdc))
+        .withColumn("n", sum($"cnt").over(wall))
+        .groupBy($"event_type")
+        .agg(min(when($"cum" >= expr("(n + 1) div 2"), $"dev")).as("mad"))
+      val b = med.join(mad, "event_type")
+      e.join(broadcast(b), "event_type")
+        .select($"event_id", $"event_type", $"value",
+          ($"med".cast(DoubleType) / 10000.0).as("median"),
+          Det.round6(when($"mad" > 0,
+            abs($"xq" - $"med").cast(DoubleType) / $"mad".cast(DoubleType)))
+            .as("mad_score"),
+          ($"mad" > 0 && abs($"xq" - $"med") > lit(3) * $"mad")
+            .as("is_anomaly"))
+        .orderBy($"event_id")
+        .localCheckpoint(true)
+    } finally { h.unpersist(false) }
+  }
+
+  /** q_time_weighted_avg — per-type time-weighted mean of the event
+    * value series: each observation holds until the next one, so it
+    * weighs by its duration (the telemetry/IoT "average sensor reading"
+    * that a plain AVG gets wrong under irregular sampling). The last
+    * observation of a series carries no duration and drops from both
+    * sums — the standard open-interval convention.
+    *
+    * One (type)-keyed Exchange: `lead` over (ts, event_id) supplies the
+    * interval end (epoch-µs, `unix_micros` ≡ DuckDB `epoch_us` — the
+    * repo's time convention), then duration·value products fold as
+    * exact DECIMAL integers (1e-4-quantized value × µs duration,
+    * DECIMAL(19,0)×DECIMAL(19,0) per-row products — a LONG product
+    * could overflow for a sparse series spanning the full window) and
+    * ONE double division finishes. The denominator Σdt is the series'
+    * time span — integer, engine-identical. */
+  private def qTimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"tus", $"event_id")
+    val vq = floor($"value" * 10000.0 + 0.5).cast("long")
+    val dec = DecimalType(19, 0)
+    t(s, dir, "events")
+      .select($"event_type", $"event_id", vq.as("vq"),
+        unix_micros($"ts").as("tus"))
+      .withColumn("dt", lead($"tus", 1).over(w) - $"tus")
+      .filter($"dt".isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum($"dt").as("span_us"),
+        sum($"vq".cast(dec) * $"dt".cast(dec)).as("wsum"))
+      .select($"event_type", $"n_intervals", $"span_us",
+        ($"wsum".cast(DoubleType) /
+          ($"span_us".cast(DoubleType) * 10000.0)).as("twa"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ri_audit" -> (qRiAudit _),
+    "q_anomaly_mad" -> (qAnomalyMad _),
+    "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "q_rolling_ema" -> (qRollingEma _),
     "q_ab_test" -> (qAbTest _),
     "q_ohlc_resample" -> (qOhlcResample _),
@@ -671,6 +836,73 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ri_audit" ->
+      FkEdges.map { case (name, child, fk, parent, pk) =>
+        riAuditBranch(name, child, fk, parent, pk)
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY constraint_name"),
+    "q_anomaly_mad" ->
+      s"""WITH e AS (
+           SELECT event_id, event_type, value,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) xq
+           FROM events),
+         h AS (SELECT event_type, xq, count(*) cnt
+               FROM e GROUP BY event_type, xq),
+         hc AS (
+           SELECT event_type, xq,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY xq
+                    ROWS UNBOUNDED PRECEDING) cum,
+                  sum(cnt) OVER (PARTITION BY event_type) n
+           FROM h),
+         med AS (
+           SELECT event_type,
+                  min(CASE WHEN cum >= (n + 1) // 2 THEN xq END) med
+           FROM hc GROUP BY event_type),
+         dh AS (
+           SELECT h.event_type, abs(h.xq - med.med) dev, sum(h.cnt) cnt
+           FROM h JOIN med ON h.event_type = med.event_type
+           GROUP BY h.event_type, abs(h.xq - med.med)),
+         dc AS (
+           SELECT event_type, dev,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                    ROWS UNBOUNDED PRECEDING) cum,
+                  sum(cnt) OVER (PARTITION BY event_type) n
+           FROM dh),
+         mad AS (
+           SELECT event_type,
+                  min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) mad
+           FROM dc GROUP BY event_type),
+         b AS (SELECT med.event_type, med.med, mad.mad
+               FROM med JOIN mad ON med.event_type = mad.event_type)
+         SELECT e.event_id, e.event_type, e.value,
+                CAST(b.med AS DOUBLE) / 10000.0 AS median,
+                ${Det.ROUND6("CASE WHEN b.mad > 0 THEN " +
+          "CAST(abs(e.xq - b.med) AS DOUBLE) / CAST(b.mad AS DOUBLE) END")}
+                  AS mad_score,
+                (b.mad > 0 AND abs(e.xq - b.med) > 3 * b.mad) AS is_anomaly
+         FROM e JOIN b ON e.event_type = b.event_type
+         ORDER BY e.event_id""",
+    "q_time_weighted_avg" ->
+      """WITH q AS (
+           SELECT event_type,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) vq,
+                  epoch_us(ts) tus, event_id
+           FROM events),
+         iv AS (
+           SELECT event_type, vq,
+                  lead(tus, 1) OVER (PARTITION BY event_type
+                    ORDER BY tus, event_id) - tus dt
+           FROM q),
+         a AS (
+           SELECT event_type, count(*) n_intervals,
+                  CAST(sum(dt) AS BIGINT) span_us,
+                  sum(CAST(vq AS DECIMAL(19,0))
+                      * CAST(dt AS DECIMAL(19,0))) wsum
+           FROM iv WHERE dt IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n_intervals, span_us,
+                CAST(wsum AS DOUBLE) / (CAST(span_us AS DOUBLE) * 10000.0)
+                  AS twa
+         FROM a ORDER BY event_type""",
     "q_rolling_ema" -> {
       val num = (0 until 8).map(i =>
         s"coalesce(lag(vq, $i) OVER win, 0) * ${1L << (7 - i)}")

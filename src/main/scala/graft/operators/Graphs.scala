@@ -182,6 +182,62 @@ object Graphs extends QueryModule {
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
 
+  /** q_graph_bfs — multi-source breadth-first distances over the same
+    * symmetrized derived link graph as [[qLabelProp]]: every node's hop
+    * distance (≤ 3) to the nearest seed (doc_id ≡ 5 mod 31 — the
+    * deterministic stand-in for "trusted root pages"), the
+    * reachability/proximity prior web-curation pipelines compute from a
+    * seed whitelist (e.g. the TrustRank / seed-distance features next to
+    * [[qPagerank]] centrality). Unreached nodes (> 3 hops) are absent —
+    * the frontier relation only ever holds REACHED nodes, which is what
+    * keeps the state small on sparse graphs.
+    *
+    * Scale: each round is one edges⋈reached equi-join (shuffle keyed by
+    * node id, map-side-combinable min) — the textbook iterative-relaxation
+    * BFS; rounds are FIXED (3), so the driver loop iterates rounds, never
+    * rows, and an unrolled oracle replays it. All-integer distances; no
+    * float surface at all. */
+  private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val eu = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b0 = d.filter($"doc_id" % 31 === 5)
+        .select($"doc_id", lit(0L).as("dist"))
+      val b3 = (1 to 3).foldLeft(b0) { (reached, _) =>
+        val relaxed = eu.join(reached, eu("dst") === reached("doc_id"))
+          .select(eu("src").as("doc_id"), ($"dist" + 1L).as("dist"))
+        reached.union(relaxed)
+          .groupBy($"doc_id").agg(min($"dist").as("dist"))
+      }
+      b3.orderBy($"doc_id").localCheckpoint(true)
+    } finally { eu.unpersist(false); d.unpersist(false) }
+  }
+
+  /** One unrolled BFS relaxation as a DuckDB CTE: keep the old distance,
+    * offer every neighbor distance+1, take the min per node. */
+  private def duckBfsIter(i: Int): String = {
+    val prev = s"b${i - 1}"
+    s"""b$i AS (
+         SELECT doc_id, min(dist) dist FROM (
+           SELECT doc_id, dist FROM $prev
+           UNION ALL
+           SELECT eu.src, $prev.dist + 1
+           FROM eu JOIN $prev ON eu.dst = $prev.doc_id)
+         GROUP BY doc_id)"""
+  }
+
   /** One unrolled LPA round as DuckDB CTEs: neighbor-label counts then
     * the (count DESC, label ASC) argmax per node. */
   private def duckLpaIter(i: Int): String = {
@@ -200,9 +256,27 @@ object Graphs extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_label_prop" -> (qLabelProp _),
+    "q_graph_bfs" -> (qGraphBfs _),
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         eu AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM ef
+                   UNION ALL SELECT dst, src FROM ef)),
+         b0 AS (SELECT doc_id, CAST(0 AS BIGINT) dist FROM d
+                WHERE doc_id % 31 = 5),
+         ${(1 to 3).map(duckBfsIter).mkString(",\n")}
+         SELECT doc_id, dist FROM b3 ORDER BY doc_id""",
     "q_label_prop" ->
       s"""WITH d AS (SELECT doc_id FROM documents),
          s AS (SELECT count(*) n, min(doc_id) mn FROM d),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, QueryModule}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core (SURVEY.md §2.1–§2.4, §2.6–§2.8): the reference's
@@ -339,6 +340,62 @@ object Relational extends QueryModule {
           .as("kmv_distinct"),
         countDistinct($"l_partkey").as("exact_distinct"))
       .orderBy($"l_returnflag")
+  }
+
+  /** q_sketch_union — KMV sketch MERGEABILITY, the property that makes
+    * sketches the 100 TB replacement for COUNT(DISTINCT): per-nation
+    * sketches of the active-customer id set (64 smallest distinct
+    * [[graft.functions.TextHashing.hash15]] values, built here in pure
+    * SQL expressions — `conv(substr(md5(x),1,15),16,10) % p`, the same
+    * hash the [[qAggKmv]] UDAF computes) are UNION-MERGED up the
+    * region rollup: merged sketch = k smallest of the union of the
+    * per-nation sketch sets, exactly what re-aggregating stored daily
+    * sketches into monthly counts does — no raw data revisit. Exact
+    * region distinct included for calibration.
+    *
+    * Scale: the fact collapses to distinct (region, nation, hash) —
+    * map-side combinable — and the per-nation top-64 rank-filter plans
+    * as WindowGroupLimit (per-partition top-k, never a full per-group
+    * sort); the merge then ranks ≤ 64·nations rows per region. If any
+    * nation sketch saturated (64 entries), the merged rank-64 estimator
+    * applies; a merged set under 64 means every input was exact, so the
+    * union is too — the UDAF's own small-set semantics, preserved by
+    * construction. */
+  private def qSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 64
+    val P = graft.functions.TextHashing.P
+    val j = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name", $"o_custkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val h = (conv(substring(md5($"o_custkey".cast("string")), 1, 15),
+        16, 10).cast("long") % lit(P)).as("h")
+      val hh = j.select($"r_name", $"n_name", h).distinct()
+      val wNat = Window.partitionBy($"r_name", $"n_name").orderBy($"h")
+      val sketches = hh.withColumn("rn", row_number().over(wNat))
+        .filter($"rn" <= K)
+        .select($"r_name", $"h").distinct()
+      val wReg = Window.partitionBy($"r_name")
+      val ranked = sketches
+        .withColumn("rn", row_number().over(wReg.orderBy($"h")))
+        .withColumn("d", count(lit(1)).over(wReg))
+      val est = ranked.groupBy($"r_name")
+        .agg(max($"d").as("d"), max(when($"rn" === K, $"h")).as("hk"))
+      val exact = j.groupBy($"r_name")
+        .agg(countDistinct($"o_custkey").as("exact_distinct"))
+      est.join(exact, "r_name")
+        .select($"r_name",
+          when($"d" < K, $"d".cast("double"))
+            .otherwise(lit((K - 1).toDouble) /
+              ($"hk".cast("double") / lit(P.toDouble))).as("kmv_merged"),
+          $"exact_distinct")
+        .orderBy($"r_name")
+        .localCheckpoint(true)
+    } finally j.unpersist(false)
   }
 
   /** A7 q_agg_collect — per-group array materialization
@@ -978,6 +1035,7 @@ object Relational extends QueryModule {
     "q_agg_hash" -> (qAggHash _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_kmv" -> (qAggKmv _),
+    "q_sketch_union" -> (qSketchUnion _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_cms" -> (qAggCms _),
     "q_agg_approx_percentile" -> (qAggApproxPercentile _),
@@ -1347,6 +1405,46 @@ object Relational extends QueryModule {
                 count(DISTINCT l_suppkey) AS n_supps,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sketch_union" ->
+      """WITH j AS (
+           SELECT r_name, n_name, o_custkey
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         hh AS (
+           SELECT DISTINCT r_name, n_name,
+                  CAST(list_reduce(
+                    list_prepend('0',
+                      string_split(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15), '')),
+                    (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+                      instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)
+                  % 1000000007 h
+           FROM j),
+         l1 AS (
+           SELECT r_name, n_name, h,
+                  row_number() OVER (PARTITION BY r_name, n_name ORDER BY h) rn
+           FROM hh),
+         sk AS (SELECT DISTINCT r_name, h FROM l1 WHERE rn <= 64),
+         r AS (
+           SELECT r_name, h,
+                  row_number() OVER (PARTITION BY r_name ORDER BY h) rn,
+                  count(*) OVER (PARTITION BY r_name) d
+           FROM sk),
+         e AS (
+           SELECT r_name, max(d) d,
+                  max(CASE WHEN rn = 64 THEN h END) h64
+           FROM r GROUP BY r_name),
+         x AS (
+           SELECT r_name, count(DISTINCT o_custkey) exact_distinct
+           FROM j GROUP BY r_name)
+         SELECT e.r_name,
+                CASE WHEN e.d < 64 THEN CAST(e.d AS DOUBLE)
+                     ELSE 63.0 / (CAST(e.h64 AS DOUBLE) / 1000000007.0) END
+                  AS kmv_merged,
+                x.exact_distinct
+         FROM e JOIN x ON x.r_name = e.r_name
+         ORDER BY e.r_name""",
     "q_agg_kmv" ->
       """WITH hh AS (
            SELECT DISTINCT l_returnflag g,

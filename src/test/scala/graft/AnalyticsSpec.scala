@@ -13,6 +13,105 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("ri audit: one row per FK edge, clean star schema, metrics consistent") {
+    import spark.implicits._
+    val got = q("q_ri_audit")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 7, "one row per declared FK edge")
+    assert(got.map(_._1).sorted.sameElements(got.map(_._1)), "ordered by name")
+    got.foreach { case (name, rows, nulls, distinct, okeys, orows) =>
+      assert(rows > 0, s"$name: empty child")
+      // the synthetic star schema is referentially clean
+      assert(nulls == 0 && okeys == 0 && orows == 0, s"$name: dirty")
+      assert(distinct <= rows, s"$name: distinct exceeds rows")
+    }
+    // cross-check one edge against direct aggregates
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val row = got.find(_._1 == "lineitem.l_orderkey->orders").get
+    assert(row._2 == li.count())
+    assert(row._4 == li.select($"l_orderkey").distinct().count())
+  }
+
+  test("ri audit: orphans and null FKs are counted, keys and rows separately") {
+    import spark.implicits._
+    // a deliberately dirty child against the real region parent: two rows
+    // of a known-good key, three rows across two orphan keys, two NULLs
+    val dirty = Seq(Option(0), Option(0), Option(777), Option(777),
+      Option(888), None, None).toDF("fk")
+    val keyed = dirty.groupBy($"fk").agg(count(lit(1)).as("rows"))
+    val parent = graft.sources.Tables.load(spark, dir, "region")
+      .select($"r_regionkey".as("pk"))
+    val orphans = keyed.filter($"fk".isNotNull)
+      .join(parent, $"fk" === $"pk", "left_anti")
+      .agg(count(lit(1)).as("ok"), coalesce(sum($"rows"), lit(0L)).as("or"))
+      .as[(Long, Long)].head()
+    assert(orphans == ((2L, 3L)), "2 orphan keys carrying 3 orphan rows")
+    val nulls = keyed.agg(
+      coalesce(sum(when($"fk".isNull, $"rows")), lit(0L)))
+      .as[Long].head()
+    assert(nulls == 2L)
+  }
+
+  test("anomaly mad: median, MAD, and flags match an exact Scala replica") {
+    import spark.implicits._
+    val got = q("q_anomaly_mad")
+      .select($"event_id", $"event_type", $"median", $"mad_score",
+        $"is_anomaly")
+      .as[(Long, String, Double, Option[Double], Boolean)].collect()
+    assert(got.nonEmpty)
+    val byType = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._2)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((xs.length + 1) / 2 - 1) // ceil(n/2)-th, 1-based -> 0-based
+    }
+    val stats = byType.map { case (t, rows) =>
+      val xq = rows.map(r => math.floor(r._3 * 10000.0 + 0.5).toLong)
+      val med = lowerMedian(xq)
+      val mad = lowerMedian(xq.map(x => math.abs(x - med)))
+      t -> (med, mad)
+    }
+    val xqOf = byType.values.flatten
+      .map(r => r._1 -> math.floor(r._3 * 10000.0 + 0.5).toLong).toMap
+    got.foreach { case (id, t, median, score, flag) =>
+      val (med, mad) = stats(t)
+      assert(median == med.toDouble / 10000.0, s"event $id median")
+      val dev = math.abs(xqOf(id) - med)
+      if (mad > 0) {
+        val want =
+          math.floor(dev.toDouble / mad.toDouble * 1e6 + 0.5) / 1e6
+        assert(score.contains(want), s"event $id score")
+        assert(flag == (dev > 3 * mad), s"event $id flag")
+      } else {
+        assert(score.isEmpty && !flag, s"event $id degenerate-MAD")
+      }
+    }
+  }
+
+  test("time weighted avg: per-type TWA matches an interval replay") {
+    import spark.implicits._
+    val got = q("q_time_weighted_avg")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val byType = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"event_id", unix_micros($"ts"), $"value")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    got.foreach { case (t, nIv, span, twa) =>
+      val series = byType(t)
+      assert(nIv == series.length - 1, s"$t interval count")
+      assert(span == series.last._3 - series.head._3, s"$t span")
+      val wsum = series.toSeq.sliding(2).collect { case Seq(a, b) =>
+        BigInt(math.floor(a._4 * 10000.0 + 0.5).toLong) * (b._3 - a._3)
+      }.sum
+      val want = wsum.toDouble / (span.toDouble * 10000.0)
+      assert(twa == want, s"$t twa: $twa vs $want")
+    }
+  }
+
   test("attribution: every purchase credits its true latest preceding touch") {
     import spark.implicits._
     val events = graft.sources.Tables.load(spark, dir, "events")

@@ -58,6 +58,43 @@ class GraphsSpec extends AnyFunSuite {
     assert(tris.toSet == want, "must enumerate every triangle exactly once")
   }
 
+  test("bfs: result is exactly the 3-round relaxation from the seed set") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_graph_bfs")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // rebuild the symmetrized edge set the same way the query derives it
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val (n, mn) = (ids.length.toLong, ids.min)
+    val adj = ids.flatMap { i =>
+      val j = i - mn
+      Seq(mn + j / 3, mn + (j * j + 1) % n).filter(_ != i)
+        .flatMap(d => Seq(i -> d, d -> i))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var dist = ids.filter(_ % 31 == 5).map(_ -> 0L).toMap
+    assert(dist.nonEmpty, "seed set must be non-empty at this SF")
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (v, dv) =>
+        adj.getOrElse(v, Set.empty[Long]).map(_ -> (dv + 1)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(got == dist, "BFS distances must equal the brute-force relaxation")
+    // structural sanity: seeds at 0, and any edge's distances differ by <= 1
+    got.foreach { case (v, d) => if (v % 31 == 5) assert(d == 0L) }
+    adj.foreach { case (u, vs) => vs.foreach { v =>
+      (got.get(u), got.get(v)) match {
+        case (Some(du), Some(dv)) =>
+          // triangle inequality holds where BOTH ends settled (frontier
+          // nodes reached in the last round may not have relaxed back)
+          if (du < 3 && dv < 3) assert(math.abs(du - dv) <= 1)
+        case (Some(du), None) =>
+          assert(du >= 3, s"settled node $u borders unreached $v")
+        case _ => ()
+      }
+    }}
+  }
+
   test("corr matches Spark's native streaming kernel within double noise") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

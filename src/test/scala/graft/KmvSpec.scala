@@ -29,4 +29,40 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(bigKmv - bigExact) / bigExact < 0.30,
       s"kmv=$bigKmv exact=$bigExact")
   }
+
+  test("sketch union: merged nation sketches equal the direct region sketch") {
+    import spark.implicits._
+    import graft.functions.TextHashing
+    // sf0.01: ~300 active customers per region, so the per-nation sketches
+    // SATURATE (64 entries) and the merge exercises the rank-64 estimator,
+    // not just the small-exact path
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_sketch_union")(spark, dir)
+      .as[(String, Double, Long)].collect()
+    assert(got.length == 5)
+    val t = (n: String) => graft.sources.Tables.load(spark, dir, n)
+    val pairs = t("orders")
+      .join(t("customer"), $"o_custkey" === $"c_custkey")
+      .join(t("nation"), $"c_nationkey" === $"n_nationkey")
+      .join(t("region"), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"o_custkey")
+      .as[(String, Long)].collect()
+    val byRegion = pairs.groupBy(_._1)
+    assert(got.exists { case (r, _, _) =>
+      byRegion(r).map(_._2).distinct.length >= 64
+    }, "at least one region must exercise the saturated estimator")
+    got.foreach { case (r, merged, exact) =>
+      val keys = byRegion(r).map(_._2).distinct
+      assert(exact == keys.length, s"$r exact")
+      // mergeability law: k smallest of the union of per-part k-smallest
+      // sets == k smallest of the whole — so the DIRECT whole-region
+      // sketch is the ground truth for the merged one
+      val hs = keys.map(k => TextHashing.hash15(k.toString))
+        .distinct.sorted
+      val want =
+        if (hs.length < 64) hs.length.toDouble
+        else 63.0 / (hs(63).toDouble / TextHashing.P.toDouble)
+      assert(merged == want, s"$r merged=$merged want=$want")
+    }
+  }
 }
