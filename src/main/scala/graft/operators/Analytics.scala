@@ -795,7 +795,142 @@ object Analytics extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_linreg_trend — per-event-type OLS of value on time (slope,
+    * intercept, R²): the drift detector a data pipeline runs over its
+    * quality metrics ("is this signal trending?"), computed the only way
+    * that scales — closed-form normal equations from power sums, never an
+    * iterative fit.
+    *
+    * ONE scan, six map-side-combinable sums per group (n, Σx, Σy, Σxy,
+    * Σx², Σy²); the G-row tail does the algebra. Determinism: x is
+    * integer seconds since 2024-01-01 (epoch-µs div 10⁶ — small offsets
+    * keep the power sums far from overflow), y is the 1e-4-quantized
+    * BIGINT; all sums fold as DECIMAL(38,0) exact integers (Σx² at 10⁹
+    * rows/group is ~4·10²⁵ — LONG dies at ~10⁶ rows, the [[qAggStats]]
+    * widening), so the centered moments n·Σxy−ΣxΣy etc. are exact
+    * integers too; slope/intercept/R² are then a fixed sequence of IEEE
+    * double ops off those integers, mirrored token-for-token in the
+    * oracle, and round6'd. */
+  private def qLinregTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    val x = (expr("unix_micros(ts) div 1000000") - lit(1704067200L)).cast(dec)
+    val y = floor($"value" * 10000.0 + 0.5).cast("long").cast(dec)
+    val agg = t(s, dir, "events")
+      .select($"event_type", x.as("x"), y.as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    val covD = ($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType)
+    val varxD = ($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)
+    val varyD = ($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType)
+    val nD = $"n".cast(DoubleType)
+    val slope = covD / varxD / lit(10000.0)
+    val meanX = $"sx".cast(DoubleType) / nD
+    val meanY = $"sy".cast(DoubleType) / (nD * lit(10000.0))
+    agg.select($"event_type", $"n".cast("long").as("n_obs"),
+      Det.round6(slope).as("slope_per_sec"),
+      Det.round6(meanY - slope * meanX).as("intercept"),
+      Det.round6(covD * covD / (varxD * varyD)).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  /** q_changepoint_cusum — CUSUM changepoint per event type: the index
+    * (and timestamp) where the cumulative deviation from the series mean
+    * peaks — the classic single-changepoint statistic a pipeline-health
+    * monitor runs over its metric streams.
+    *
+    * The mean is rational, so the statistic is scaled through by n:
+    * D_i = n·cum_i − i·Σv is an EXACT integer (DECIMAL(38,0) — n·cum at
+    * 10⁹ rows/group is ~10²⁸), and argmax|D| needs no floating compare.
+    * One (type)-keyed sort feeds the cumulative window AND the
+    * unordered full-partition n/Σv/max windows — a single Exchange; the
+    * argmax row resolves by min_by on the unique row index (earliest
+    * peak wins ties, both engines). The emitted statistic
+    * max|cum_i − i·mean| = |D|/n is one double division, round6'd. */
+  private def qChangepointCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    val wcum = Window.partitionBy($"event_type").orderBy($"tus", $"event_id")
+    val wall = Window.partitionBy($"event_type")
+    val vq = floor($"value" * 10000.0 + 0.5).cast("long")
+    t(s, dir, "events")
+      .select($"event_type", $"event_id",
+        unix_micros($"ts").as("tus"), vq.as("vq"))
+      .withColumn("i", row_number().over(wcum))
+      .withColumn("cum", sum($"vq").over(wcum))
+      .withColumn("n", count(lit(1)).over(wall))
+      .withColumn("sv", sum($"vq").over(wall))
+      .withColumn("absd", abs($"n".cast(dec) * $"cum".cast(dec)
+        - $"i".cast(dec) * $"sv".cast(dec)))
+      .withColumn("mx", max($"absd").over(wall))
+      .filter($"absd" === $"mx")
+      .groupBy($"event_type")
+      .agg(min($"i").as("cp_idx"),
+        expr("min_by(tus, i)").as("cp_tus"),
+        min($"n").as("n_obs"),
+        min($"absd").as("absd"))
+      .select($"event_type", $"cp_idx", $"cp_tus", $"n_obs",
+        Det.round6($"absd".cast(DoubleType)
+          / ($"n_obs".cast(DoubleType) * lit(10000.0))).as("cusum_stat"))
+      .orderBy($"event_type")
+  }
+
+  /** q_market_basket — pairwise frequent-itemset mining over the order
+    * book (the support/lift readout of an a-priori pass, truncated at
+    * pair size): which parts co-occur in baskets more than chance.
+    *
+    * Scale discipline: (1) the fact collapses to DISTINCT (order, part)
+    * first; (2) items below min-support are pruned BEFORE pairing (the
+    * a-priori bound — candidate pairs can only be frequent if both ends
+    * are), shrinking the self-join's input; (3) pair generation is an
+    * order-keyed self-equi-join, so the blowup is Σ per-basket k², k
+    * bounded by basket size — never a global cross; (4) the item
+    * frequency table is dimension-sized and broadcasts back for lift.
+    * The item relation has four consumers (frequency, both join sides,
+    * basket count), so it persists for the job. Lift is exact-integer
+    * arithmetic until one final double ratio, round6'd. */
+  private def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minSup = 2L
+    val items = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+        .filter($"c" >= minSup)
+      val pruned = items.join(broadcast(freq.select($"l_partkey")),
+        "l_partkey")
+      val a = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
+      val b = pruned.select($"l_orderkey", $"l_partkey".as("part_b"))
+      val sup = a.join(b, Seq("l_orderkey"))
+        .filter($"part_a" < $"part_b")
+        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+        .filter($"support" >= minSup)
+      val baskets = items.select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      sup
+        .join(broadcast(freq.select($"l_partkey".as("part_a"),
+          $"c".as("c_a"))), "part_a")
+        .join(broadcast(freq.select($"l_partkey".as("part_b"),
+          $"c".as("c_b"))), "part_b")
+        .crossJoin(broadcast(baskets))
+        .select($"part_a", $"part_b", $"support",
+          Det.round6(($"n_baskets".cast(DoubleType)
+            * $"support".cast(DoubleType))
+            / ($"c_a".cast(DoubleType) * $"c_b".cast(DoubleType)))
+            .as("lift"))
+        .orderBy($"support".desc, $"part_a", $"part_b")
+        .localCheckpoint(true)
+    } finally items.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_linreg_trend" -> (qLinregTrend _),
+    "q_changepoint_cusum" -> (qChangepointCusum _),
+    "q_market_basket" -> (qMarketBasket _),
     "q_ri_audit" -> (qRiAudit _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_time_weighted_avg" -> (qTimeWeightedAvg _),
@@ -836,6 +971,82 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_linreg_trend" ->
+      s"""WITH q AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) // 1000000 - 1704067200 AS HUGEINT) x,
+                  CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                       AS HUGEINT) y
+           FROM events),
+         a AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) n,
+                  sum(x) sx, sum(y) sy, sum(x * y) sxy,
+                  sum(x * x) sxx, sum(y * y) syy
+           FROM q GROUP BY event_type),
+         m AS (
+           SELECT event_type, n, sx, sy,
+                  CAST(n * sxy - sx * sy AS DOUBLE) cov,
+                  CAST(n * sxx - sx * sx AS DOUBLE) varx,
+                  CAST(n * syy - sy * sy AS DOUBLE) vary
+           FROM a)
+         SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+                ${Det.ROUND6("cov / varx / 10000.0")} AS slope_per_sec,
+                ${Det.ROUND6(
+        "CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)" +
+          " - cov / varx / 10000.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))")}
+                  AS intercept,
+                ${Det.ROUND6("cov * cov / (varx * vary)")} AS r2
+         FROM m ORDER BY event_type""",
+    "q_changepoint_cusum" ->
+      s"""WITH q AS (
+           SELECT event_type, event_id, epoch_us(ts) tus,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) vq
+           FROM events),
+         w AS (
+           SELECT event_type, event_id, tus,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY tus, event_id) i,
+                  sum(vq) OVER (PARTITION BY event_type
+                    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) cum,
+                  count(*) OVER (PARTITION BY event_type) n,
+                  sum(vq) OVER (PARTITION BY event_type) sv
+           FROM q),
+         d AS (
+           SELECT *, abs(CAST(n AS HUGEINT) * CAST(cum AS HUGEINT)
+                       - CAST(i AS HUGEINT) * CAST(sv AS HUGEINT)) absd
+           FROM w),
+         x AS (
+           SELECT *, max(absd) OVER (PARTITION BY event_type) mx FROM d)
+         SELECT event_type, min(i) AS cp_idx, arg_min(tus, i) AS cp_tus,
+                min(n) AS n_obs,
+                ${Det.ROUND6("CAST(min(absd) AS DOUBLE)" +
+        " / (CAST(min(n) AS DOUBLE) * 10000.0)")} AS cusum_stat
+         FROM x WHERE absd = mx GROUP BY event_type
+         ORDER BY event_type""",
+    "q_market_basket" ->
+      s"""WITH items AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         freq AS (
+           SELECT l_partkey, count(*) c FROM items
+           GROUP BY l_partkey HAVING count(*) >= 2),
+         pruned AS (
+           SELECT i.l_orderkey, i.l_partkey FROM items i
+           JOIN freq f ON i.l_partkey = f.l_partkey),
+         sup AS (
+           SELECT a.l_partkey part_a, b.l_partkey part_b, count(*) support
+           FROM pruned a JOIN pruned b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+         nb AS (SELECT count(DISTINCT l_orderkey) n_baskets FROM items)
+         SELECT part_a, part_b, support,
+                ${Det.ROUND6(
+        "(CAST(n_baskets AS DOUBLE) * CAST(support AS DOUBLE))" +
+          " / (CAST(fa.c AS DOUBLE) * CAST(fb.c AS DOUBLE))")} AS lift
+         FROM sup
+         JOIN freq fa ON part_a = fa.l_partkey
+         JOIN freq fb ON part_b = fb.l_partkey
+         CROSS JOIN nb
+         ORDER BY support DESC, part_a, part_b""",
     "q_ri_audit" ->
       FkEdges.map { case (name, child, fk, parent, pk) =>
         riAuditBranch(name, child, fk, parent, pk)

@@ -473,6 +473,41 @@ object Relational extends QueryModule {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
   }
 
+  /** q_shipping_priority — the TPC-H Q3 shape (segment-filtered customers
+    * × pre-cutoff orders × post-cutoff shipments, revenue top-10): the
+    * benchmark-standard "combined" OLAP query exercising every optimizer
+    * lever at once, declared here so the engine's composed behavior is
+    * oracle-pinned, not just its operator parts.
+    *
+    * Plan: both date filters push down to the parquet scans (half the
+    * fact never leaves the files); the segment-filtered customer key set
+    * broadcasts; lineitem⋈orders shuffles once on the order key with
+    * partial aggregation before the exchange; the global top-10 plans as
+    * TakeOrderedAndProject (per-partition top-k + driver merge — no full
+    * sort). Revenue folds via [[Det.sumd]]'s DECIMAL quantization; the
+    * DESC order over those exact sums is engine-identical, and the
+    * orderkey tie-break makes the cut deterministic. */
+  private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(Det.sumd($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+  }
+
   // -------------------------------------------------------- set operations
 
   /** q_union / q_intersect / q_except (SURVEY.md §2.7). */
@@ -1044,6 +1079,7 @@ object Relational extends QueryModule {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_sort_limit" -> (qSortLimit _),
+    "q_shipping_priority" -> (qShippingPriority _),
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_union_distinct" -> (qUnionDistinct _),
     "q_union" -> (qUnion _),
@@ -1505,6 +1541,18 @@ object Relational extends QueryModule {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+           SELECT l_orderkey, o_orderdate, o_orderpriority,
+                  ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-06-01'
+             AND l_shipdate > TIMESTAMP '1998-06-01'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_join_nullsafe" ->
       """SELECT c_custkey, s_suppkey, a.grp FROM
            (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp FROM customer) a

@@ -719,7 +719,49 @@ object TextOps extends QueryModule {
     } finally dt.unpersist(false)
   }
 
+  /** q_vocab_growth — Heaps'-law vocabulary-growth curve: the corpus is
+    * cut into 10 equal doc-id deciles and each decile reports its token
+    * volume plus how many vocabulary types appear there for the FIRST
+    * time, with running totals — the corpus-health diagnostic that tells
+    * a curation pipeline whether more data is still buying new
+    * vocabulary (a flattening curve on a "fresh" crawl means duplication
+    * upstream; this testdata's tiny synthetic vocab saturates in decile
+    * 0, which is exactly the signal the curve exists to expose).
+    *
+    * ONE fact pass: tokens collapse straight to (type, decile) counts —
+    * map-side combinable, vocab×10 rows — and BOTH downstream aggregates
+    * (per-decile volume, per-type first decile) derive from that tiny
+    * relation, never from a second corpus scan. The cumulative windows
+    * run over 10 rows. All-integer output. */
+  private def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = docs(s, dir)
+      .agg(min($"doc_id").as("mn"),
+        (max($"doc_id") - min($"doc_id") + 1).as("spanw"))
+    val h = docs(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .crossJoin(broadcast(stats))
+      .select(expr("(doc_id - mn) * 10 div spanw").as("decile"), $"tok")
+      .groupBy($"decile", $"tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vol = h.groupBy($"decile").agg(sum($"c").as("n_tokens"))
+      val fresh = h.groupBy($"tok").agg(min($"decile").as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vol.join(fresh, Seq("decile"), "left")
+        .select($"decile", $"n_tokens",
+          coalesce($"new_types", lit(0L)).as("new_types"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("cum_types", sum($"new_types").over(w))
+        .orderBy($"decile")
+        .localCheckpoint(true)
+    } finally h.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_growth" -> (qVocabGrowth _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bigram_logprob" -> (qBigramLogprob _),
@@ -781,6 +823,30 @@ object TextOps extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_growth" ->
+      """WITH s AS (
+           SELECT min(doc_id) mn, max(doc_id) - min(doc_id) + 1 spanw
+           FROM documents),
+         h AS (
+           SELECT (doc_id - mn) * 10 // spanw AS decile, tok, count(*) c
+           FROM (SELECT doc_id,
+                        unnest(string_split(lower(text), ' ')) tok
+                 FROM documents) CROSS JOIN s
+           GROUP BY 1, 2),
+         vol AS (SELECT decile, sum(c) n_tokens FROM h GROUP BY decile),
+         fresh AS (
+           SELECT decile, count(*) new_types FROM
+             (SELECT tok, min(decile) decile FROM h GROUP BY tok)
+           GROUP BY decile)
+         SELECT vol.decile, CAST(vol.n_tokens AS BIGINT) AS n_tokens,
+                coalesce(fresh.new_types, 0) AS new_types,
+                CAST(sum(vol.n_tokens) OVER (ORDER BY vol.decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                CAST(sum(coalesce(fresh.new_types, 0)) OVER (
+                  ORDER BY vol.decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         FROM vol LEFT JOIN fresh ON vol.decile = fresh.decile
+         ORDER BY vol.decile""",
     "q_inverted_index" ->
       """WITH dt AS (
            SELECT DISTINCT doc_id, t AS token FROM

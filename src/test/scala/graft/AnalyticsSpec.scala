@@ -13,6 +13,95 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("linreg trend: slope/intercept/r2 match an exact BigInt replica") {
+    import spark.implicits._
+    val got = q("q_linreg_trend")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == 5)
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", unix_micros($"ts"), $"value")
+      .as[(String, Long, Double)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (t, nObs, slope, intercept, r2) =>
+      val xs = rows.filter(_._1 == t).map { case (_, tus, v) =>
+        (BigInt(tus / 1000000L - 1704067200L),
+          BigInt(math.floor(v * 10000.0 + 0.5).toLong))
+      }
+      assert(nObs == xs.length, s"$t n")
+      val n = BigInt(xs.length)
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val cov = (n * sxy - sx * sy).toDouble
+      val varx = (n * sxx - sx * sx).toDouble
+      val vary = (n * syy - sy * sy).toDouble
+      val wSlope = cov / varx / 10000.0
+      assert(slope == r6(wSlope), s"$t slope")
+      assert(intercept == r6(sy.toDouble / (n.toDouble * 10000.0)
+        - wSlope * (sx.toDouble / n.toDouble)), s"$t intercept")
+      assert(r2 == r6(cov * cov / (varx * vary)), s"$t r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$t r2 out of range")
+    }
+  }
+
+  test("changepoint cusum: peak index and statistic match brute force") {
+    import spark.implicits._
+    val got = q("q_changepoint_cusum")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(got.length == 5)
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"event_id", unix_micros($"ts"), $"value")
+      .as[(String, Long, Long, Double)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (t, cpIdx, cpTus, nObs, stat) =>
+      val series = rows.filter(_._1 == t).sortBy(e => (e._3, e._2))
+        .map(e => (e._3, BigInt(math.floor(e._4 * 10000.0 + 0.5).toLong)))
+      val n = BigInt(series.length)
+      val sv = series.map(_._2).sum
+      var cum = BigInt(0)
+      val ds = series.zipWithIndex.map { case ((tus, vq), i0) =>
+        cum += vq
+        (i0 + 1, tus, (n * cum - BigInt(i0 + 1) * sv).abs)
+      }
+      val mx = ds.map(_._3).max
+      val peak = ds.filter(_._3 == mx).minBy(_._1)
+      assert(nObs == series.length, s"$t n")
+      assert(cpIdx == peak._1, s"$t index")
+      assert(cpTus == peak._2, s"$t ts")
+      assert(stat == r6(mx.toDouble / (n.toDouble * 10000.0)), s"$t stat")
+    }
+  }
+
+  test("market basket: support and lift match brute-force pair counting") {
+    import spark.implicits._
+    val got = q("q_market_basket")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val items = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val freq = items.groupBy(_._2).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2L).toMap
+    val nBaskets = items.map(_._1).distinct.length.toLong
+    val want = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).filter(freq.contains).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.map(g => (g._1, g._2)).toSet == want.keySet, "pair set")
+    got.foreach { case (a, b, sup, lift) =>
+      assert(sup == want((a, b)), s"($a,$b) support")
+      assert(lift == r6(nBaskets.toDouble * sup.toDouble
+        / (freq(a).toDouble * freq(b).toDouble)), s"($a,$b) lift")
+    }
+    // ordering: support desc, then pair
+    val key = got.map(g => (-g._3, g._1, g._2))
+    assert(key.sameElements(key.sorted), "output ordering")
+  }
+
   test("ri audit: one row per FK edge, clean star schema, metrics consistent") {
     import spark.implicits._
     val got = q("q_ri_audit")

@@ -47,6 +47,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q_shipping_priority: pushed date filters, broadcast customer, top-k") {
+    val df = SparkEntry.queries("q_shipping_priority")(spark, dir)
+    val formatted = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("LessThan(o_orderdate"),
+      "order-date cutoff not pushed to the orders scan")
+    assert(formatted.contains("GreaterThan(l_shipdate"),
+      "ship-date cutoff not pushed to the lineitem scan")
+    val p = plan("q_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "customer key set must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(p.contains("partial_sum"), "revenue must pre-aggregate map-side")
+  }
+
   test("q_range_join_binned joins on the bin key, never a nested loop") {
     // the whole point of the binning rewrite: an interval predicate over
     // two stream-sized inputs must NOT plan as BroadcastNestedLoopJoin

@@ -148,6 +148,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("shipping priority: top-10 matches a brute-force replay of TPC-H Q3") {
+    import spark.implicits._
+    val got = q("q_shipping_priority")
+      .select($"l_orderkey", $"revenue").as[(Long, Double)].collect()
+    assert(got.length == 10)
+    val cutoff = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    val building = graft.sources.Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").as[Long].collect().toSet
+    val ords = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(o => o._3.before(cutoff) && building(o._2)).map(_._1).toSet
+    val want = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_shipdate")
+      .as[(Long, Double, Double, java.sql.Timestamp)].collect()
+      .filter(l => l._4.after(cutoff) && ords(l._1))
+      .groupBy(_._1)
+      .map { case (k, ls) =>
+        // replay the DECIMAL(18,4) quantized fold exactly
+        val rev = ls.map { case (_, p, d, _) =>
+          BigDecimal(p * (1.0 - d)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (k, rev.toDouble)
+      }.toSeq.sortBy { case (k, r) => (-r, k) }.take(10)
+    assert(got.toSeq == want, "top-10 revenue orders diverge from replay")
+  }
+
   test("asOfJoin helper matches inequality-join semantics on crafted data") {
     import spark.implicits._
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")

@@ -271,6 +271,32 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((2L, (qnll(2) + qnll(1)).toDouble / (2L * 1e6))))
   }
 
+  test("vocab growth: decile volumes and first-occurrence types match brute force") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_vocab_growth")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (0L to 9L), "one row per decile, ordered")
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val mn = docs.map(_._1).min
+    val spanw = docs.map(_._1).max - mn + 1
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => ((id - mn) * 10 / spanw, w))
+    }
+    val vol = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val fresh = toks.groupBy(_._2).values.map(_.map(_._1).min)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var (cumT, cumV) = (0L, 0L)
+    got.foreach { case (d, nTok, newTypes, cumTok, cumTypes) =>
+      assert(nTok == vol(d), s"decile $d volume")
+      assert(newTypes == fresh.getOrElse(d, 0L), s"decile $d new types")
+      cumT += nTok; cumV += newTypes
+      assert(cumTok == cumT && cumTypes == cumV, s"decile $d cumulative")
+    }
+    // Heaps sanity: cumulative types are monotone and end at the vocab size
+    assert(got.last._5 == toks.map(_._2).distinct.length.toLong)
+  }
+
   test("LLM stub summarize: plumbing, parse, and cost accumulator") {
     import spark.implicits._
     val acc = spark.sparkContext.doubleAccumulator("test_llm_cost")
