@@ -225,6 +225,111 @@ object Graphs extends QueryModule {
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
 
+  /** q_graph_jaccard — neighborhood (co-citation) similarity over the
+    * symmetrized link graph: for every pair of pages sharing ≥ 2
+    * neighbors, |N(a)∩N(b)| / |N(a)∪N(b)| — the structural-similarity
+    * signal link-spam and mirror-site detectors run over a crawl graph
+    * (two pages linked by the same set of hubs are near-mirrors even
+    * when their text already diverged).
+    *
+    * Scale: candidate pairs are generated by joining the edge list to
+    * itself ON THE SHARED NEIGHBOR — the wedge relation, Σ_w deg(w)²
+    * work bounded by the degree distribution, never the all-pairs
+    * product; the ≥ 2 common-neighbor floor then prunes before the
+    * degree join, and degrees are a node-sized aggregate. Hub nodes are
+    * the known hazard (a degree-D hub mints D² wedges); the production
+    * mitigation — cap or sample wedges at super-hub nodes — is noted,
+    * not needed at this graph's bounded degree. Integer counts
+    * throughout; the Jaccard is one double division, round6'd. */
+  private def qGraphJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val eu = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l = eu.select($"dst".as("w"), $"src".as("a"))
+      val r = eu.select($"dst".as("w"), $"src".as("b"))
+      val inter = l.join(r, Seq("w")).filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+        .filter($"common" >= 2)
+      val deg = eu.groupBy($"src").agg(count(lit(1)).as("deg"))
+      inter
+        .join(deg.select($"src".as("a"), $"deg".as("deg_a")), Seq("a"))
+        .join(deg.select($"src".as("b"), $"deg".as("deg_b")), Seq("b"))
+        .select($"a".as("doc_a"), $"b".as("doc_b"), $"common",
+          $"deg_a", $"deg_b",
+          graft.Det.round6($"common".cast("double") /
+            ($"deg_a" + $"deg_b" - $"common").cast("double")).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+        .localCheckpoint(true)
+    } finally eu.unpersist(false)
+  }
+
+  /** q_kcore — three peeling rounds toward the 3-core of the link graph:
+    * each round drops nodes whose degree in the current induced subgraph
+    * is < 3, the classic coreness peel (fixed rounds — the driver loop
+    * iterates ROUNDS, the [[qPagerank]]/[[qGraphBfs]] stance — so the
+    * oracle unrolls it; full coreness just runs more rounds). The dense
+    * core is the "remove dead-end/leaf pages" filter a link-quality
+    * prior starts from (k=3 actually peels on this graph — at k=2 every
+    * node survives, which exercises nothing).
+    *
+    * Each round: two semi-joins restrict the cached edge list to live
+    * endpoints, then a map-combinable degree count and the ≥ k filter —
+    * node-relation state only, no per-round edge rewrite. Output is the
+    * surviving nodes with their last-round induced degree; all-integer. */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val eu = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n0 = d.select($"doc_id")
+      val last = (1 to 3).foldLeft((n0, n0)) { case ((nodes, _), _) =>
+        val live = eu
+          .join(nodes.select($"doc_id".as("src")), Seq("src"), "left_semi")
+          .join(nodes.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
+        val kept = live.groupBy($"src").agg(count(lit(1)).as("degree"))
+          .filter($"degree" >= 3)
+        (kept.select($"src".as("doc_id")), kept)
+      }._2
+      last.select($"src".as("doc_id"), $"degree")
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally { eu.unpersist(false); d.unpersist(false) }
+  }
+
+  /** One unrolled peel round as DuckDB CTEs: restrict edges to live
+    * endpoints, count induced degrees, keep the ≥ 3 nodes. */
+  private def duckPeel(i: Int): String = {
+    val prev = s"n${i - 1}"
+    s"""deg$i AS (
+         SELECT src, count(*) degree FROM eu
+         WHERE src IN (SELECT doc_id FROM $prev)
+           AND dst IN (SELECT doc_id FROM $prev)
+         GROUP BY src),
+       n$i AS (SELECT src doc_id FROM deg$i WHERE degree >= 3)"""
+  }
+
   /** One unrolled BFS relaxation as a DuckDB CTE: keep the old distance,
     * offer every neighbor distance+1, take the min per node. */
   private def duckBfsIter(i: Int): String = {
@@ -257,9 +362,55 @@ object Graphs extends QueryModule {
     "q_pagerank" -> (qPagerank _),
     "q_label_prop" -> (qLabelProp _),
     "q_graph_bfs" -> (qGraphBfs _),
+    "q_graph_jaccard" -> (qGraphJaccard _),
+    "q_kcore" -> (qKcore _),
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_jaccard" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         eu AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM ef
+                   UNION ALL SELECT dst, src FROM ef)),
+         inter AS (
+           SELECT l.src a, r.src b, count(*) common
+           FROM eu l JOIN eu r ON l.dst = r.dst
+           WHERE l.src < r.src
+           GROUP BY l.src, r.src HAVING count(*) >= 2),
+         deg AS (SELECT src, count(*) deg FROM eu GROUP BY src)
+         SELECT a AS doc_a, b AS doc_b, common,
+                da.deg AS deg_a, db.deg AS deg_b,
+                ${graft.Det.ROUND6("CAST(common AS DOUBLE)" +
+        " / CAST(da.deg + db.deg - common AS DOUBLE)")} AS jaccard
+         FROM inter
+         JOIN deg da ON a = da.src
+         JOIN deg db ON b = db.src
+         ORDER BY doc_a, doc_b""",
+    "q_kcore" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         eu AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM ef
+                   UNION ALL SELECT dst, src FROM ef)),
+         n0 AS (SELECT doc_id FROM d),
+         ${(1 to 3).map(duckPeel).mkString(",\n")}
+         SELECT src AS doc_id, degree FROM deg3 WHERE degree >= 3
+         ORDER BY doc_id""",
     "q_graph_bfs" ->
       s"""WITH d AS (SELECT doc_id FROM documents),
          s AS (SELECT count(*) n, min(doc_id) mn FROM d),

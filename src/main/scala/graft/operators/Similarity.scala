@@ -129,6 +129,42 @@ object Similarity extends QueryModule {
     finally n.unpersist(false)
   }
 
+  /** q_diverse_sample — semantic diversification: train the same
+    * deterministic k-means codebook the IVF index uses, assign every
+    * vector to its cell, and keep ONE representative per cell (the
+    * vector closest to its centroid) plus the cell population — the
+    * cluster-then-pick-centers recipe for building a topically diverse
+    * training subset (coverage per semantic region instead of i.i.d.
+    * sampling, which oversamples dense regions).
+    *
+    * Scale: training and assignment are the [[kmeansCodebook]] /
+    * [[assignCells]] machinery (broadcast C-row codebook, fused codegen
+    * cosine, map-combinable argmax — N·C work, no window over N); the
+    * per-cell representative is then a C-group max(struct) argmax —
+    * round6'd similarity first, smallest-vec_id ties, so the pick can
+    * never flip on an ulp. */
+  private def qDiverseSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = kmeansCodebook(n, 8, 2)
+      val asg = n.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("m"))
+        .select($"vec_id", (-$"m.nc").as("cell"), $"m.cs".as("csim"))
+      asg.groupBy($"cell")
+        .agg(count(lit(1)).as("cell_size"),
+          max(struct($"csim".as("cs"), (-$"vec_id").as("nv"))).as("r"))
+        .select($"cell", $"cell_size",
+          (-$"r.nv").as("rep_id"), $"r.cs".as("rep_sim"))
+        .orderBy($"cell")
+        .localCheckpoint(true)
+    } finally n.unpersist(false)
+  }
+
   /** The narrow vector relation (vec_id, e: ARRAY<DOUBLE>) every IVF
     * stage reads — cache this, not the parquet. float→double is exact in
     * both engines, and every cosine is three left-to-right double folds
@@ -886,6 +922,7 @@ object Similarity extends QueryModule {
     "q_similarity_topk" -> (qSimilarityTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_diverse_sample" -> (qDiverseSample _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -988,6 +1025,45 @@ object Similarity extends QueryModule {
              FROM pairs)
        SELECT qid, rn, cid, cell, sim FROM r WHERE rn <= 5
        ORDER BY qid, rn"""
+
+  /** q_diverse_sample oracle: the same replayed codebook as [[DUCK_IVF]]
+    * (cent0 + two unrolled Lloyd rounds), then per-cell argmax by
+    * (similarity DESC, vec_id ASC) plus the cell population. */
+  private val DUCK_DIVERSE =
+    s"""WITH n AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) nrm
+         FROM embeddings),
+       cent0 AS (
+         SELECT cid, e ce FROM
+           (SELECT vec_id, e,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS BIGINT) cid
+            FROM n)
+         WHERE cid <= 8),
+       ${duckIvfIter(1)},
+       ${duckIvfIter(2)},
+       fa AS (
+         SELECT n.vec_id, c.cid,
+                floor(list_dot_product(n.e, c.ce)
+                      / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                      * 1000000.0 + 0.5) / 1000000.0 csim
+         FROM n, cent2 c),
+       cells AS (
+         SELECT vec_id, cid cell, csim FROM
+           (SELECT vec_id, cid, csim,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) rn FROM fa)
+         WHERE rn = 1),
+       sel AS (
+         SELECT vec_id, cell, csim,
+                row_number() OVER (PARTITION BY cell
+                  ORDER BY csim DESC, vec_id) rn,
+                count(*) OVER (PARTITION BY cell) cell_size
+         FROM cells)
+       SELECT cell, cell_size, vec_id AS rep_id, csim AS rep_sim
+       FROM sel WHERE rn = 1 ORDER BY cell"""
 
   /** One PQ subspace as DuckDB CTEs (suffix `$m`, dims `lo..hi` of the
     * 64-dim vector): md5-ordered seeds, ONE Lloyd round via the same
@@ -1290,6 +1366,7 @@ object Similarity extends QueryModule {
                FROM pairs)
          SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "q_ann_ivf" -> DUCK_IVF,
+    "q_diverse_sample" -> DUCK_DIVERSE,
     "q_ann_pq" -> DUCK_PQ,
     "q_ann_ivfpq" -> DUCK_IVFPQ,
     "q_dedup_embedding" ->

@@ -21,7 +21,11 @@ object ScaleProbe {
     "q_range_join_binned", "q_substring_dedup", "q_collocations",
     "q_bpe_train", "q_multimodal_phash", "q_incremental_dedup",
     "q_rolling_distinct", "q_event_transitions", "q_embed_coherence",
-    "q_ohlc_resample", "q_ann_pq", "q_join_bloom", "q_ann_ivfpq")
+    "q_ohlc_resample", "q_ann_pq", "q_join_bloom", "q_ann_ivfpq",
+    "q_graph_bfs", "q_anomaly_mad", "q_time_weighted_avg",
+    "q_linreg_trend", "q_changepoint_cusum", "q_market_basket",
+    "q_vocab_growth", "q_shipping_priority", "q_ri_audit",
+    "q_sketch_union")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */
@@ -67,6 +71,12 @@ object ScaleProbe {
       // replica's fact⋈dim joins line up within its own copy
       replicate("customer", Seq("c_custkey"))
       replicate("orders", Seq("o_orderkey", "o_custkey"))
+      // dimensions don't scale with the fact (the 100 TB posture): one
+      // verbatim copy each, so star-schema probes resolve their joins
+      Seq("region", "nation", "part", "supplier").foreach { tbl =>
+        graft.sources.Tables.loadRaw(spark, base, tbl)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$tbl.parquet")
+      }
 
       probes.foreach { name =>
         val t0 = System.nanoTime()

