@@ -927,7 +927,38 @@ object Analytics extends QueryModule {
     } finally items.unpersist(false)
   }
 
+  /** q_seasonality — hour-of-day seasonal profile per event type: each
+    * (type, hour) cell's volume, mean value, and ratio to the type's
+    * all-day mean — the diurnal-pattern readout (traffic shaping,
+    * anomaly baselining, crawl scheduling) every telemetry stack keeps.
+    *
+    * ONE fact pass collapses to the (type, hour) histogram (map-side
+    * combinable, G×24 rows); the per-type totals DERIVE from that
+    * histogram — never a second fact scan (the q_tfidf lesson) — and
+    * broadcast back as a G-row relation. Determinism: counts and
+    * 1e-4-quantized value sums are exact integers; mean and ratio are a
+    * fixed IEEE op sequence mirrored in the oracle, round6'd. */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vq = floor($"value" * 10000.0 + 0.5).cast("long")
+    val h = t(s, dir, "events")
+      .select($"event_type", hour($"ts").cast("long").as("hod"), vq.as("vq"))
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n"), sum($"vq").as("sv"))
+    val tot = h.groupBy($"event_type")
+      .agg(sum($"n").as("tn"), sum($"sv").as("tsv"))
+    val mean = $"sv".cast(DoubleType) / ($"n".cast(DoubleType) * lit(10000.0))
+    val tmean =
+      $"tsv".cast(DoubleType) / ($"tn".cast(DoubleType) * lit(10000.0))
+    h.join(broadcast(tot), "event_type")
+      .select($"event_type", $"hod", $"n",
+        Det.round6(mean).as("mean_value"),
+        Det.round6(mean / tmean).as("seasonal_ratio"))
+      .orderBy($"event_type", $"hod")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seasonality" -> (qSeasonality _),
     "q_linreg_trend" -> (qLinregTrend _),
     "q_changepoint_cusum" -> (qChangepointCusum _),
     "q_market_basket" -> (qMarketBasket _),
@@ -971,6 +1002,26 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_seasonality" ->
+      s"""WITH h AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) hod, count(*) n,
+                  CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) sv
+           FROM events GROUP BY event_type, hour(ts)),
+         tot AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) tn,
+                  CAST(sum(sv) AS BIGINT) tsv
+           FROM h GROUP BY event_type)
+         SELECT h.event_type, h.hod, h.n,
+                ${Det.ROUND6(
+        "CAST(h.sv AS DOUBLE) / (CAST(h.n AS DOUBLE) * 10000.0)")}
+                  AS mean_value,
+                ${Det.ROUND6(
+        "(CAST(h.sv AS DOUBLE) / (CAST(h.n AS DOUBLE) * 10000.0))" +
+          " / (CAST(tot.tsv AS DOUBLE) / (CAST(tot.tn AS DOUBLE) * 10000.0))")}
+                  AS seasonal_ratio
+         FROM h JOIN tot ON h.event_type = tot.event_type
+         ORDER BY h.event_type, h.hod""",
     "q_linreg_trend" ->
       s"""WITH q AS (
            SELECT event_type,

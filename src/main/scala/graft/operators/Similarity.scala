@@ -850,6 +850,42 @@ object Similarity extends QueryModule {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** q_entity_resolution — end-to-end entity resolution: the blocked
+    * Levenshtein pair graph ([[fuzzyPairs]] — q_fuzzy_match's output) is
+    * closed transitively via the same distributed min-label
+    * [[connectedComponents]] the dedup clusterer uses, and every name
+    * variant collapses onto one resolved entity (smallest member id —
+    * A~B, B~C ⇒ {A,B,C} even when A↔C exceeds the edit threshold, which
+    * pairwise matching alone cannot give). One row per entity: id,
+    * variant count, total occurrences, lexicographically-first canonical
+    * name. The master-data/dedup-customers operator every warehouse runs.
+    *
+    * Scale: the pair graph is near-dup-sized (blocked candidate
+    * generation), components iterate O(diameter) rounds over edge-sized
+    * state, and the final rollup keys on entity id — nothing here
+    * touches the fact beyond the one [[fuzzyNames]] collapse. Singleton
+    * names (no fuzzy neighbor) skip the component join entirely via
+    * coalesce onto their own id. */
+  private def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = fuzzyNames(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = fuzzyPairs(s, names).select($"id_a".as("a"), $"id_b".as("b"))
+      val comp = connectedComponents(pairs)
+      names
+        .join(comp, names("canon_id") === comp("id"), "left")
+        .select($"p_name", $"n_parts",
+          coalesce($"lbl", $"canon_id").as("entity_id"))
+        .groupBy($"entity_id")
+        .agg(count(lit(1)).as("n_names"),
+          sum($"n_parts").as("n_parts"),
+          min($"p_name").as("canonical_name"))
+        .orderBy($"entity_id")
+        .localCheckpoint(true)
+    } finally names.unpersist(false)
+  }
+
   /** T6 q_multimodal_struct — one row carrying text + vector + metadata
     * (documents ⋈ embeddings 1:1): project/filter across modalities. */
   private def qMultimodalStruct(s: SparkSession, dir: String): DataFrame = {
@@ -935,6 +971,7 @@ object Similarity extends QueryModule {
     "q_decontaminate" -> (qDecontaminate _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_entity_resolution" -> (qEntityResolution _),
     "q_multimodal_struct" -> (qMultimodalStruct _))
 
   private val DUCK_SHINGLES =
@@ -1310,6 +1347,32 @@ object Similarity extends QueryModule {
          SELECT doc_a, doc_b, CAST(max(m) + 7 AS BIGINT) AS max_run
          FROM m GROUP BY doc_a, doc_b HAVING max(m) + 7 >= 15
          ORDER BY doc_a, doc_b""",
+    "q_entity_resolution" ->
+      """WITH RECURSIVE names AS (
+           SELECT p_name, min(p_partkey) canon_id, count(*) n_parts,
+                  string_split(p_name, ' ')[-1] block
+           FROM part GROUP BY p_name),
+         pr AS (
+           SELECT a.canon_id id_a, b.canon_id id_b
+           FROM names a JOIN names b
+             ON a.block = b.block AND a.p_name < b.p_name
+           WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         edges AS (SELECT id_a a, id_b b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         verts AS (SELECT DISTINCT a id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         lbl AS (
+           SELECT n.p_name, n.n_parts,
+                  coalesce(c.rep, n.canon_id) entity_id
+           FROM names n LEFT JOIN comp c ON n.canon_id = c.id)
+         SELECT entity_id, count(*) AS n_names,
+                CAST(sum(n_parts) AS BIGINT) AS n_parts,
+                min(p_name) AS canonical_name
+         FROM lbl GROUP BY entity_id ORDER BY entity_id""",
     "q_fuzzy_match" ->
       """WITH names AS (
            SELECT p_name, min(p_partkey) canon_id, count(*) n_parts,

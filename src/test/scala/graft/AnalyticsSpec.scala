@@ -13,6 +13,36 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("seasonality: hour profile matches an exact quantized replica") {
+    import spark.implicits._
+    val got = q("q_seasonality")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == 120, "5 types x 24 hours")
+    val rows = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", hour($"ts").cast("long"), $"value")
+      .as[(String, Long, Double)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val byCell = rows.groupBy(r => (r._1, r._2))
+    val byType = rows.groupBy(_._1)
+    got.foreach { case (t, hod, n, mean, ratio) =>
+      val cell = byCell((t, hod))
+      assert(n == cell.length, s"($t,$hod) n")
+      val sv = cell.map(r => math.floor(r._3 * 10000.0 + 0.5).toLong).sum
+      val wMean = sv.toDouble / (n.toDouble * 10000.0)
+      assert(mean == r6(wMean), s"($t,$hod) mean")
+      val all = byType(t)
+      val tsv = all.map(r => math.floor(r._3 * 10000.0 + 0.5).toLong).sum
+      val tMean = tsv.toDouble / (all.length.toDouble * 10000.0)
+      assert(ratio == r6(wMean / tMean), s"($t,$hod) ratio")
+    }
+    // profile sanity: per type, the weighted hour means average to the
+    // type mean, so ratios bracket 1
+    byType.keys.foreach { t =>
+      val rs = got.filter(_._1 == t).map(_._5)
+      assert(rs.min <= 1.0 + 1e-6 && rs.max >= 1.0 - 1e-6, s"$t ratios")
+    }
+  }
+
   test("linreg trend: slope/intercept/r2 match an exact BigInt replica") {
     import spark.implicits._
     val got = q("q_linreg_trend")

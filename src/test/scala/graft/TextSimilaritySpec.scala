@@ -271,6 +271,46 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((2L, (qnll(2) + qnll(1)).toDouble / (2L * 1e6))))
   }
 
+  test("entity resolution: clusters are the transitive closure of fuzzy pairs") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_entity_resolution")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    // brute-force replica: blocked Levenshtein pairs + union-find
+    val names = graft.sources.Tables.load(spark, dir, "part")
+      .groupBy($"p_name")
+      .agg(min($"p_partkey").as("id"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parent = scala.collection.mutable.Map(names.map(n => n._2 -> n._2): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      Seq(a, b) <- names.groupBy(_._1.split(" ").last).values
+        .flatMap(_.toSeq.sortBy(_._1).combinations(2))
+      if lev(a._1, b._1) <= 3
+    } {
+      val (ra, rb) = (find(a._2), find(b._2))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = names.groupBy(n => find(n._2)).map { case (rep, ms) =>
+      rep -> (ms.length.toLong, ms.map(_._3).sum, ms.map(_._1).min)
+    }
+    assert(got.map(_._1).toSet == want.keySet, "entity id set")
+    got.foreach { case (id, nNames, nParts, canon) =>
+      assert((nNames, nParts, canon) == want(id), s"entity $id")
+    }
+    assert(got.exists(_._2 > 1), "must merge at least one variant cluster")
+  }
+
   test("vocab growth: decile volumes and first-occurrence types match brute force") {
     import spark.implicits._
     val got = SparkEntry.queries("q_vocab_growth")(spark, dir)
