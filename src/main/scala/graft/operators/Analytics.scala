@@ -957,7 +957,36 @@ object Analytics extends QueryModule {
       .orderBy($"event_type", $"hod")
   }
 
+  /** q_period_growth — month-over-month revenue growth per order
+    * priority: the period-over-period delta every BI layer computes, as
+    * one aggregation plus one lag. The month key is the integer index
+    * (year·12 + month − 1, the [[qRetentionCohort]] convention — no
+    * engine-specific date intervals), revenue folds via [[Det.sumd]]'s
+    * exact DECIMAL quantization, and the growth ratio is one double
+    * division off those exact sums, round6'd; the first month of each
+    * series has no predecessor and reports NULL growth (both engines).
+    *
+    * Scale: ONE fact pass collapses to G×months rows (map-side
+    * combinable); the lag window sorts that tiny relation per priority
+    * — the fact never reaches the window. */
+  private def qPeriodGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val midx =
+      (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).cast("long")
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"midx")
+    t(s, dir, "orders")
+      .select($"o_orderpriority", midx.as("midx"), $"o_totalprice")
+      .groupBy($"o_orderpriority", $"midx")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.sumd($"o_totalprice").as("revenue"))
+      .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+      .withColumn("mom_growth", Det.round6(
+        ($"revenue" - $"prev_revenue") / $"prev_revenue"))
+      .orderBy($"o_orderpriority", $"midx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_period_growth" -> (qPeriodGrowth _),
     "q_seasonality" -> (qSeasonality _),
     "q_linreg_trend" -> (qLinregTrend _),
     "q_changepoint_cusum" -> (qChangepointCusum _),
@@ -1002,6 +1031,22 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_period_growth" ->
+      s"""WITH m AS (
+           SELECT o_orderpriority,
+                  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                       AS BIGINT) midx,
+                  count(*) n_orders,
+                  ${Det.SUMD("o_totalprice")} AS revenue
+           FROM orders GROUP BY o_orderpriority, 2),
+         g AS (
+           SELECT *, lag(revenue, 1) OVER (PARTITION BY o_orderpriority
+                       ORDER BY midx) prev_revenue
+           FROM m)
+         SELECT o_orderpriority, midx, n_orders, revenue, prev_revenue,
+                ${Det.ROUND6("(revenue - prev_revenue) / prev_revenue")}
+                  AS mom_growth
+         FROM g ORDER BY o_orderpriority, midx""",
     "q_seasonality" ->
       s"""WITH h AS (
            SELECT event_type, CAST(hour(ts) AS BIGINT) hod, count(*) n,

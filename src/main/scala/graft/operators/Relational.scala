@@ -398,6 +398,77 @@ object Relational extends QueryModule {
     } finally j.unpersist(false)
   }
 
+  /** q_sketch_intersect — KMV sketch ALGEBRA: overlap estimates between
+    * segment audiences by inclusion–exclusion over mergeable sketches,
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) — how a 100 TB stack answers
+    * "how many customers do these two segments share?" from stored
+    * per-segment sketches without ever revisiting raw data. Completes
+    * [[qSketchUnion]]'s union-merge with the derived set operation; the
+    * exact intersection rides along for calibration.
+    *
+    * Scale: the fact collapses once to distinct (segment, customer-hash)
+    * — map-side combinable — and EVERYTHING downstream is sketch-sized:
+    * per-segment top-64 rank filters (WindowGroupLimit), pair unions
+    * over ≤ 2·64 rows per segment pair, S² pair algebra on S segments.
+    * The exact calibration join is the only fact-sized stage. Estimates
+    * can undershoot to negative; clamped at 0 (both engines). */
+  private def qSketchIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 64
+    val P = graft.functions.TextHashing.P
+    val base = t(s, dir, "orders")
+      .select($"o_orderpriority".as("seg"), $"o_custkey").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val h = (conv(substring(md5($"o_custkey".cast("string")), 1, 15),
+        16, 10).cast("long") % lit(P)).as("h")
+      val sk = base.select($"seg", h).distinct()
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"seg").orderBy($"h")))
+        .filter($"rn" <= K)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def estOf(d: Column, hk: Column): Column =
+          when(d < K, d.cast("double"))
+            .otherwise(lit((K - 1).toDouble) /
+              (hk.cast("double") / lit(P.toDouble)))
+        val est = sk.groupBy($"seg")
+          .agg(count(lit(1)).as("d"), max(when($"rn" === K, $"h")).as("hk"))
+        val pairs = est.select($"seg".as("sa"), $"d".as("da"), $"hk".as("hka"))
+          .join(est.select($"seg".as("sb"), $"d".as("db"), $"hk".as("hkb")),
+            $"sa" < $"sb")
+        val mh = pairs.select($"sa", $"sb")
+          .join(sk.select($"seg".as("sa"), $"h"), Seq("sa"))
+          .select($"sa", $"sb", $"h")
+          .union(pairs.select($"sa", $"sb")
+            .join(sk.select($"seg".as("sb"), $"h"), Seq("sb"))
+            .select($"sa", $"sb", $"h"))
+          .distinct()
+        val estU = mh
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy($"sa", $"sb").orderBy($"h")))
+          .filter($"rn" <= K)
+          .groupBy($"sa", $"sb")
+          .agg(count(lit(1)).as("du"), max(when($"rn" === K, $"h")).as("hku"))
+        val exact = base.select($"seg".as("sa"), $"o_custkey")
+          .join(base.select($"seg".as("sb"), $"o_custkey"), Seq("o_custkey"))
+          .filter($"sa" < $"sb")
+          .groupBy($"sa", $"sb")
+          .agg(countDistinct($"o_custkey").as("exact_intersect"))
+        val (ea, eb, eu) = (estOf($"da", $"hka"), estOf($"db", $"hkb"),
+          estOf($"du", $"hku"))
+        pairs.join(estU, Seq("sa", "sb"))
+          .join(exact, Seq("sa", "sb"), "left")
+          .select($"sa".as("seg_a"), $"sb".as("seg_b"),
+            ea.as("kmv_a"), eb.as("kmv_b"), eu.as("kmv_union"),
+            greatest(lit(0.0), ea + eb - eu).as("kmv_intersect"),
+            coalesce($"exact_intersect", lit(0L)).as("exact_intersect"))
+          .orderBy($"seg_a", $"seg_b")
+          .localCheckpoint(true)
+      } finally sk.unpersist(false)
+    } finally base.unpersist(false)
+  }
+
   /** A7 q_agg_collect — per-group array materialization
     * (`blocks = [block for block in conclusion.core.blocks]`,
     * `generate_conclusions_summaries.py:54`), `sort_array` for
@@ -1071,6 +1142,7 @@ object Relational extends QueryModule {
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_kmv" -> (qAggKmv _),
     "q_sketch_union" -> (qSketchUnion _),
+    "q_sketch_intersect" -> (qSketchIntersect _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_cms" -> (qAggCms _),
     "q_agg_approx_percentile" -> (qAggApproxPercentile _),
@@ -1441,6 +1513,72 @@ object Relational extends QueryModule {
                 count(DISTINCT l_suppkey) AS n_supps,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sketch_intersect" ->
+      """WITH base AS (
+           SELECT DISTINCT o_orderpriority seg, o_custkey FROM orders),
+         hh AS (
+           SELECT DISTINCT seg,
+                  CAST(list_reduce(
+                    list_prepend('0',
+                      string_split(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15), '')),
+                    (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+                      instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)
+                  % 1000000007 h
+           FROM base),
+         sk AS (
+           SELECT seg, h, rn FROM
+             (SELECT seg, h,
+                     row_number() OVER (PARTITION BY seg ORDER BY h) rn
+              FROM hh)
+           WHERE rn <= 64),
+         est AS (
+           SELECT seg, count(*) d,
+                  max(CASE WHEN rn = 64 THEN h END) hk
+           FROM sk GROUP BY seg),
+         pairs AS (
+           SELECT a.seg sa, a.d da, a.hk hka, b.seg sb, b.d db, b.hk hkb
+           FROM est a JOIN est b ON a.seg < b.seg),
+         mh AS (
+           SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.seg = p.sa
+           UNION
+           SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.seg = p.sb),
+         mr AS (
+           SELECT sa, sb, h,
+                  row_number() OVER (PARTITION BY sa, sb ORDER BY h) rn
+           FROM mh),
+         eu AS (
+           SELECT sa, sb, count(*) du,
+                  max(CASE WHEN rn = 64 THEN h END) hku
+           FROM mr WHERE rn <= 64 GROUP BY sa, sb),
+         ex AS (
+           SELECT a.seg sa, b.seg sb,
+                  count(DISTINCT a.o_custkey) exact_intersect
+           FROM base a JOIN base b
+             ON a.o_custkey = b.o_custkey AND a.seg < b.seg
+           GROUP BY a.seg, b.seg)
+         SELECT p.sa AS seg_a, p.sb AS seg_b,
+                CASE WHEN p.da < 64 THEN CAST(p.da AS DOUBLE)
+                     ELSE 63.0 / (CAST(p.hka AS DOUBLE) / 1000000007.0) END
+                  AS kmv_a,
+                CASE WHEN p.db < 64 THEN CAST(p.db AS DOUBLE)
+                     ELSE 63.0 / (CAST(p.hkb AS DOUBLE) / 1000000007.0) END
+                  AS kmv_b,
+                CASE WHEN eu.du < 64 THEN CAST(eu.du AS DOUBLE)
+                     ELSE 63.0 / (CAST(eu.hku AS DOUBLE) / 1000000007.0) END
+                  AS kmv_union,
+                greatest(0.0,
+                  (CASE WHEN p.da < 64 THEN CAST(p.da AS DOUBLE)
+                        ELSE 63.0 / (CAST(p.hka AS DOUBLE) / 1000000007.0) END)
+                  + (CASE WHEN p.db < 64 THEN CAST(p.db AS DOUBLE)
+                          ELSE 63.0 / (CAST(p.hkb AS DOUBLE) / 1000000007.0) END)
+                  - (CASE WHEN eu.du < 64 THEN CAST(eu.du AS DOUBLE)
+                          ELSE 63.0 / (CAST(eu.hku AS DOUBLE) / 1000000007.0) END))
+                  AS kmv_intersect,
+                coalesce(ex.exact_intersect, 0) AS exact_intersect
+         FROM pairs p
+         JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
+         LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+         ORDER BY seg_a, seg_b""",
     "q_sketch_union" ->
       """WITH j AS (
            SELECT r_name, n_name, o_custkey

@@ -13,6 +13,38 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("period growth: month-over-month deltas match a decimal replica") {
+    import spark.implicits._
+    val got = q("q_period_growth")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(got.nonEmpty)
+    val rows = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", year($"o_orderdate") * 12
+        + month($"o_orderdate") - 1, $"o_totalprice")
+      .as[(String, Int, Double)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cells = rows.groupBy(r => (r._1, r._2.toLong)).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(r => BigDecimal(r._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }.toMap
+    // per priority the output is month-ordered and growth chains revenues
+    got.groupBy(_._1).foreach { case (prio, series) =>
+      val s = series.sortBy(_._2)
+      assert(s.map(_._2).sameElements(series.map(_._2)), s"$prio order")
+      s.zipWithIndex.foreach { case ((_, m, n, rev, prev, growth), i) =>
+        val (wn, wrev) = cells((prio, m))
+        assert(n == wn && rev == wrev, s"$prio/$m cell")
+        if (i == 0) assert(prev.isEmpty && growth.isEmpty, s"$prio head")
+        else {
+          val p = s(i - 1)._4
+          assert(prev.contains(p), s"$prio/$m prev")
+          assert(growth.contains(r6((rev - p) / p)), s"$prio/$m growth")
+        }
+      }
+    }
+  }
+
   test("seasonality: hour profile matches an exact quantized replica") {
     import spark.implicits._
     val got = q("q_seasonality")

@@ -30,6 +30,40 @@ class KmvSpec extends AnyFunSuite {
       s"kmv=$bigKmv exact=$bigExact")
   }
 
+  test("sketch intersect: inclusion-exclusion over true k-smallest sketches") {
+    import spark.implicits._
+    import graft.functions.TextHashing
+    // sf0.01: segment audiences are ~900 customers, so sketches saturate
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_sketch_intersect")(spark, dir)
+      .as[(String, String, Double, Double, Double, Double, Long)].collect()
+    assert(got.length == 10, "C(5,2) priority pairs")
+    val pairs = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_custkey").distinct()
+      .as[(String, Long)].collect()
+    val bySeg = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def sketch(keys: Set[Long]): Seq[Long] =
+      keys.map(k => TextHashing.hash15(k.toString)).toSeq.distinct.sorted.take(64)
+    def est(hs: Seq[Long]): Double =
+      if (hs.length < 64) hs.length.toDouble
+      else 63.0 / (hs(63).toDouble / TextHashing.P.toDouble)
+    got.foreach { case (a, b, ka, kb, ku, ki, exact) =>
+      val (sa, sb) = (bySeg(a), bySeg(b))
+      assert(exact == (sa intersect sb).size.toLong, s"($a,$b) exact")
+      assert(ka == est(sketch(sa)), s"($a,$b) kmv_a")
+      assert(kb == est(sketch(sb)), s"($a,$b) kmv_b")
+      // mergeability law: the pairwise-merged sketch equals the sketch
+      // of the union, so est(A∪B) is computable from stored sketches
+      val merged = (sketch(sa) ++ sketch(sb)).distinct.sorted.take(64)
+      assert(ku == est(merged), s"($a,$b) kmv_union")
+      assert(ki == math.max(0.0, ka + kb - ku), s"($a,$b) kmv_intersect")
+      // calibration: saturated estimates stay within 40% of truth here
+      if (exact > 100) assert(math.abs(ki - exact) / exact < 0.4,
+        s"($a,$b) intersect est $ki vs exact $exact")
+    }
+  }
+
   test("sketch union: merged nation sketches equal the direct region sketch") {
     import spark.implicits._
     import graft.functions.TextHashing
