@@ -579,6 +579,90 @@ object Relational extends QueryModule {
       .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
   }
 
+  /** q_supplier_volume — the TPC-H Q5 shape (local supplier volume):
+    * revenue per nation from orders where the customer and the supplier
+    * sit in the SAME nation of one region, over one order-date year. The
+    * six-relation join is the classic star-with-a-cycle plan — the
+    * c_nationkey = s_nationkey closure edge is what distinguishes it
+    * from a pure snowflake and forces the optimizer to pick a join order
+    * rather than just follow FKs.
+    *
+    * Plan: the region→nation filter broadcasts (≤ 25 rows survive), so
+    * customer and supplier each thin BEFORE touching a fact; the date
+    * filter pushes to the orders scan (one year of ~6.5 survives the
+    * file read). The only fact⋈fact exchange is lineitem⋈orders on the
+    * order key; the nation-match closure is applied as a residual on
+    * broadcast-joined dims, never as its own shuffle. Revenue folds via
+    * [[Det.sumd]]; output is nation-grouped (≤ 25 rows). */
+  private def qSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val nat = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val supp = t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(Det.sumd($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** q_returned_revenue — the TPC-H Q10 shape (returned-item reporting):
+    * top-20 customers by revenue lost to returns in one order-date
+    * quarter, with their nation attached. The benchmark's "wide output"
+    * combined query: a selective fact filter (returnflag), a date-sliced
+    * fact⋈fact join, a grouped fold over a HIGH-cardinality key
+    * (customers, not nations), and a global top-k over the fold.
+    *
+    * Plan: both filters push to the scans; lineitem⋈orders shuffles once
+    * on the order key; the customer dim broadcasts onto the aggregate's
+    * OUTPUT (group first on o_custkey, join the ≤ |customer| result —
+    * never widening the fact rows with customer attributes before the
+    * fold); the top-20 plans as TakeOrderedAndProject. Ties on the
+    * exact-decimal revenue break by custkey, so the cut is
+    * deterministic in both engines. */
+  private def qReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+    t(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(Det.sumd($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .orderBy($"revenue".desc, $"o_custkey")
+      .limit(20)
+      .select($"o_custkey".as("c_custkey"), $"c_name", $"revenue",
+        $"n_returned", $"c_acctbal", $"n_name")
+  }
+
   // -------------------------------------------------------- set operations
 
   /** q_union / q_intersect / q_except (SURVEY.md §2.7). */
@@ -1152,6 +1236,8 @@ object Relational extends QueryModule {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_sort_limit" -> (qSortLimit _),
     "q_shipping_priority" -> (qShippingPriority _),
+    "q_supplier_volume" -> (qSupplierVolume _),
+    "q_returned_revenue" -> (qReturnedRevenue _),
     "q_join_nullsafe" -> (qJoinNullsafe _),
     "q_union_distinct" -> (qUnionDistinct _),
     "q_union" -> (qUnion _),
@@ -1691,6 +1777,37 @@ object Relational extends QueryModule {
              AND l_shipdate > TIMESTAMP '1998-06-01'
            GROUP BY l_orderkey, o_orderdate, o_orderpriority)
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_supplier_volume" ->
+      s"""SELECT n_name,
+                ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, revenue, n_returned, c_acctbal, n_name
+         FROM (
+           SELECT o_custkey AS c_custkey,
+                  ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                  count(*) AS n_returned
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-07-01'
+             AND o_orderdate <  TIMESTAMP '1996-10-01'
+           GROUP BY o_custkey)
+         JOIN customer USING (c_custkey)
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_join_nullsafe" ->
       """SELECT c_custkey, s_suppkey, a.grp FROM
            (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp FROM customer) a

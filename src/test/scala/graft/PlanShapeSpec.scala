@@ -61,6 +61,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "revenue must pre-aggregate map-side")
   }
 
+  test("q_supplier_volume: pushed year slice, broadcast dims, one fact exchange") {
+    val df = SparkEntry.queries("q_supplier_volume")(spark, dir)
+    val formatted = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date year slice not pushed to the orders scan")
+    val p = plan("q_supplier_volume")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      "customer- and supplier-side dims must broadcast")
+    assert(p.contains("partial_sum"), "revenue must pre-aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_returned_revenue: groups the fact BEFORE widening with customer attrs") {
+    val p = plan("q_returned_revenue")
+    // the customer⋈nation broadcast must sit ABOVE the aggregate: the
+    // HashAggregate's input is the lineitem⋈orders join, not a join that
+    // already carries c_name/c_acctbal through the shuffle
+    val aggIdx = p.indexOf("HashAggregate")
+    val bcIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && bcIdx >= 0)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    val formatted = SparkEntry.queries("q_returned_revenue")(spark, dir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter not pushed to the lineitem scan")
+  }
+
   test("q_range_join_binned joins on the bin key, never a nested loop") {
     // the whole point of the binning rewrite: an interval predicate over
     // two stream-sized inputs must NOT plan as BroadcastNestedLoopJoin
