@@ -985,7 +985,52 @@ object Analytics extends QueryModule {
       .orderBy($"o_orderpriority", $"midx")
   }
 
+  /** q_gini — revenue-concentration (Gini coefficient) of customer spend
+    * within each nation: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the
+    * ascending-sorted per-customer revenues — the standard inequality
+    * summary a marketplace-analytics layer reports per region ("do 20%
+    * of customers carry 80% of revenue here?").
+    *
+    * Exactness: per-customer revenue folds via the DECIMAL(18,4)
+    * quantization, then scales to BIGINT ten-thousandths, so the rank
+    * products i·xᵢ and both Σ fold as EXACT integers (order-independent
+    * under any partial-agg merge; bounded ≪ 2⁶³ at bench scale — the
+    * 100 TB variant widens to DECIMAL(38,4), same plan). Equal revenues
+    * commute in Σ i·xᵢ, so the custkey tie-break affects nothing. Only
+    * the final G is double — one identical left-associated IEEE
+    * expression per engine, round6'd.
+    *
+    * Scale: ONE fact pass to per-customer sums (map-combinable); the
+    * rank window partitions by nation; the final fold is 25 rows. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custRev = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,4)")) * 10000)
+        .cast("long").as("rev_q"))
+    val dim = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val w = Window.partitionBy($"n_name").orderBy($"rev_q", $"o_custkey")
+    custRev
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"rev_q").as("s_x"),
+        sum($"i" * $"rev_q").as("s_ix"))
+      .select($"n_name", $"n_cust",
+        Det.round6($"s_x".cast("double") / lit(10000.0)).as("total_rev"),
+        Det.round6(
+          (lit(2.0) * $"s_ix".cast("double")) /
+            ($"n_cust".cast("double") * $"s_x".cast("double")) -
+            ($"n_cust" + 1).cast("double") / $"n_cust".cast("double"))
+          .as("gini"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gini" -> (qGini _),
     "q_period_growth" -> (qPeriodGrowth _),
     "q_seasonality" -> (qSeasonality _),
     "q_linreg_trend" -> (qLinregTrend _),
@@ -1031,6 +1076,33 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH cr AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+                       AS BIGINT) rev_q
+           FROM orders GROUP BY o_custkey),
+         d AS (
+           SELECT c_custkey, n_name
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         r AS (
+           SELECT n_name, rev_q,
+                  CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY rev_q, o_custkey) AS BIGINT) i
+           FROM cr JOIN d ON o_custkey = c_custkey),
+         g AS (
+           SELECT n_name, count(*) n_cust,
+                  CAST(sum(rev_q) AS BIGINT) s_x,
+                  CAST(sum(i * rev_q) AS BIGINT) s_ix
+           FROM r GROUP BY n_name)
+         SELECT n_name, n_cust,
+                floor((CAST(s_x AS DOUBLE) / 10000.0)
+                      * 1000000.0 + 0.5) / 1000000.0 AS total_rev,
+                floor(((2.0 * CAST(s_ix AS DOUBLE))
+                       / (CAST(n_cust AS DOUBLE) * CAST(s_x AS DOUBLE))
+                       - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS gini
+         FROM g ORDER BY n_name""",
     "q_period_growth" ->
       s"""WITH m AS (
            SELECT o_orderpriority,

@@ -563,6 +563,52 @@ object Similarity extends QueryModule {
       .orderBy($"a", $"b")
   }
 
+  /** q_dedup_sorted_nbhd — Sorted Neighborhood Method (Hernández &
+    * Stolfo 1995): sort each source block by a discriminating key and
+    * compare every record only to its next W neighbors in that order —
+    * the THIRD candidate-generation family next to the prefix filter
+    * ([[qDedupNear]]) and banded MinHash ([[qDedupMinhashLsh]]), and the
+    * one record-linkage stacks reach for when a cheap sortable key
+    * exists. Key here: the 3 lexicographically smallest distinct tokens
+    * (token-order-insensitive, so shuffled near-dups still sort
+    * adjacently).
+    *
+    * Scale: candidates are N·W instead of N² per block; the sort/lead
+    * window partitions by source (distributed — no global single
+    * partition), and the verify join ships shingle sets only for
+    * surviving pairs. SNM is a heuristic blocker: recall comes from
+    * multi-pass runs with different keys (this is the one-key pass;
+    * candidates missed by the sort order are the documented trade), so
+    * the oracle replays the SAME window pairing rather than all pairs. */
+  private def qDedupSortedNbhd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 5
+    val sh = shingleHashed(s, dir)
+    val keyed = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source",
+        array_join(slice(array_sort(array_distinct(
+          split(lower($"text"), " "))), 1, 3), " ").as("skey"))
+    val w = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
+    val cand = keyed
+      .withColumn("nbrs", array((1 to W).map(i =>
+        lead($"doc_id", i).over(w)): _*))
+      .select($"source", $"doc_id".as("ai"), explode($"nbrs").as("bi"))
+      .filter($"bi".isNotNull)
+      .select($"source", least($"ai", $"bi").as("a"),
+        greatest($"ai", $"bi").as("b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("a"), $"hs".as("sha"), $"n".as("na")), Seq("a"))
+      .join(sh.select($"doc_id".as("b"), $"hs".as("shb"), $"n".as("nb")), Seq("b"))
+      .withColumn("i",
+        graft.functions.VectorFunctions.intersectSize($"sha", $"shb"))
+      .withColumn("jaccard",
+        graft.Det.round6($"i".cast("double") / ($"na" + $"nb" - $"i")))
+      .filter($"jaccard" >= 0.6)
+      .select($"a", $"b", $"source", $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
   /** q_dedup_containment — ASYMMETRIC near-subset detection: containment
     * C(A→B) = |A∩B|/|A| ≥ 0.8 flags A as mostly contained in B — the
     * duplicate class Jaccard structurally misses (a page plus boilerplate
@@ -964,6 +1010,7 @@ object Similarity extends QueryModule {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_embed_coherence" -> (qEmbedCoherence _),
     "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_sorted_nbhd" -> (qDedupSortedNbhd _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1465,6 +1512,35 @@ object Similarity extends QueryModule {
            FROM sh x JOIN sh y
              ON x.source = y.source AND x.doc_id < y.doc_id
             AND least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 6)
+         SELECT a, b, source, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
+         FROM p WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
+         ORDER BY a, b""",
+    "q_dedup_sorted_nbhd" ->
+      s"""WITH k AS (
+           SELECT doc_id, source,
+                  array_to_string(list_slice(list_sort(list_distinct(
+                    string_split(lower(text), ' '))), 1, 3), ' ') skey
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY skey, doc_id) rn
+           FROM k),
+         cand AS (
+           SELECT DISTINCT x.source,
+                  least(x.doc_id, y.doc_id) a,
+                  greatest(x.doc_id, y.doc_id) b
+           FROM r x JOIN r y
+             ON x.source = y.source AND y.rn > x.rn AND y.rn <= x.rn + 5),
+         sh0 AS (SELECT doc_id,
+                  ${DUCK_SHINGLE_HASH.replace("{SH}", DUCK_SHINGLES)} h FROM documents),
+         sh AS (SELECT doc_id, h, len(h) n FROM sh0),
+         p AS (
+           SELECT c.a, c.b, c.source,
+                  len(list_intersect(xa.h, xb.h)) i, xa.n + xb.n AS nn
+           FROM cand c
+           JOIN sh xa ON xa.doc_id = c.a
+           JOIN sh xb ON xb.doc_id = c.b)
          SELECT a, b, source, floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 jaccard
          FROM p WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6
          ORDER BY a, b""",

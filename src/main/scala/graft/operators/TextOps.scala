@@ -554,6 +554,57 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_chi2_select — χ² feature selection: the top-5 tokens most
+    * associated with each language class by the chi-square statistic over
+    * the (token-presence × class) 2×2 contingency table — the classic
+    * supervised vocabulary selector a data pipeline runs before training
+    * a fastText-style quality/domain classifier (Manning & Schütze ch.5;
+    * same role as sklearn's chi2 scorer).
+    *
+    * χ² = N·(n11·n00 − n10·n01)² / (df·(N−df)·Nc·(N−Nc)), all four
+    * margins derived from ONE corpus pass: per-doc distinct tokens
+    * explode to (lang, token) presence counts n11 (map-side combinable);
+    * df(token) = Σ_lang n11 comes from that vocabulary-sized relation,
+    * NOT a second scan; class sizes Nc and N come from the docs dim.
+    * The contingency determinant folds in exact BIGINT (counts ≤ N, so
+    * products ≤ N² < 2⁶³); only the final ratio is double — both engines
+    * evaluate the identical left-associated IEEE expression, and the
+    * score is round6'd before the rank so an ulp can't flip the top-5
+    * cut (the [[qTfidf]] discipline).
+    *
+    * Scale: corpus touched once; everything after the presence aggregate
+    * is vocabulary-sized (df broadcasts — the TF-IDF df-join argument,
+    * PLANS.md round-2); the rank window partitions by class. */
+  private def qChi2Select(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cell = docs(s, dir)
+      .select($"lang",
+        explode(array_distinct(split(lower($"text"), " "))).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("n11"))
+    val dfT = cell.groupBy($"token")
+      .agg(sum($"n11").cast("long").as("df"))
+    val nc = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_c"))
+    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = cell
+      .join(broadcast(dfT), Seq("token"))
+      .join(broadcast(nc), Seq("lang"))
+      .crossJoin(broadcast(nn))
+      .filter($"df" < $"n_docs") // token in every doc carries zero signal
+      .withColumn("diff",
+        ($"n11" * ($"n_docs" - $"df" - $"n_c" + $"n11") -
+          ($"df" - $"n11") * ($"n_c" - $"n11")).cast("double"))
+      .withColumn("chi2", graft.Det.round6(
+        ($"n_docs".cast("double") * $"diff" * $"diff") /
+          ($"df".cast("double") * ($"n_docs" - $"df").cast("double") *
+            $"n_c".cast("double") * ($"n_docs" - $"n_c").cast("double"))))
+    val w = Window.partitionBy($"lang").orderBy($"chi2".desc, $"token")
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn", $"token", $"n11", $"df", $"chi2")
+      .orderBy($"lang", $"rn")
+  }
+
   /** q_collocations — PMI-scored bigram collocations over the corpus
     * (Church & Hanks 1990): which word pairs co-occur far more than
     * chance, the standard corpus-linguistics signal for multiword
@@ -769,6 +820,7 @@ object TextOps extends QueryModule {
     "q_collocations" -> (qCollocations _),
     "q_bm25" -> (qBm25 _),
     "q_classifier_score" -> (qClassifierScore _),
+    "q_chi2_select" -> (qChi2Select _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
@@ -955,6 +1007,42 @@ object TextOps extends QueryModule {
                   / 1000000.0 AS score,
                 z >= 0.0 AS keep
          FROM z ORDER BY doc_id""",
+    "q_chi2_select" ->
+      """WITH pres AS (
+           SELECT lang,
+                  unnest(list_distinct(string_split(lower(text), ' '))) token
+           FROM documents),
+         cell AS (
+           SELECT lang, token, count(*) n11 FROM pres GROUP BY lang, token),
+         dft AS (
+           SELECT token, CAST(sum(n11) AS BIGINT) df FROM cell GROUP BY token),
+         ncl AS (
+           SELECT lang, count(*) n_c FROM documents GROUP BY lang),
+         nn AS (SELECT count(*) n_docs FROM documents),
+         sc AS (
+           SELECT c.lang, c.token, c.n11, d.df,
+                  CAST(c.n11 * (n_docs - d.df - n_c + c.n11)
+                       - (d.df - c.n11) * (n_c - c.n11) AS DOUBLE) diff,
+                  n_docs, n_c
+           FROM cell c
+           JOIN dft d USING (token)
+           JOIN ncl USING (lang)
+           CROSS JOIN nn
+           WHERE d.df < n_docs),
+         x AS (
+           SELECT lang, token, n11, df,
+                  floor((CAST(n_docs AS DOUBLE) * diff * diff)
+                        / (CAST(df AS DOUBLE) * CAST(n_docs - df AS DOUBLE)
+                           * CAST(n_c AS DOUBLE)
+                           * CAST(n_docs - n_c AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0 chi2
+           FROM sc),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY chi2 DESC, token) rn
+           FROM x)
+         SELECT lang, rn, token, n11, df, chi2
+         FROM r WHERE rn <= 5 ORDER BY lang, rn""",
     "q_bm25" ->
       """WITH d AS (
            SELECT doc_id,

@@ -13,6 +13,40 @@ class AnalyticsSpec extends AnyFunSuite {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("gini: per-nation concentration matches an exact rank-sum replica") {
+    import spark.implicits._
+    val got = q("q_gini").as[(String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val rev = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => BigDecimal(r._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum)
+      .mapValues(d => (d * 10000).toLongExact).toMap
+    val natOf = {
+      val nn = graft.sources.Tables.load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name").as[(Int, String)].collect().toMap
+      graft.sources.Tables.load(spark, dir, "customer")
+        .select($"c_custkey", $"c_nationkey").as[(Long, Int)].collect()
+        .map { case (c, k) => c -> nn(k) }.toMap
+    }
+    val byNat = rev.toSeq.map { case (c, r) => (natOf(c), c, r) }
+      .groupBy(_._1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (nat, nCust, totalRev, gini) =>
+      val xs = byNat(nat).sortBy(d => (d._3, d._2)).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      assert(nCust == n, s"$nat count")
+      assert(totalRev == r6(sx.toDouble / 10000.0), s"$nat revenue")
+      val want = r6((2.0 * six.toDouble) / (n.toDouble * sx.toDouble) -
+        (n + 1).toDouble / n.toDouble)
+      assert(gini == want, s"$nat gini")
+      assert(gini >= 0.0 && gini < 1.0, s"$nat gini bounds")
+    }
+    assert(got.map(_._1).sameElements(got.map(_._1).sorted))
+  }
+
   test("period growth: month-over-month deltas match a decimal replica") {
     import spark.implicits._
     val got = q("q_period_growth")

@@ -118,6 +118,73 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.forall(c => c >= 0.8 && c <= 1.0))
   }
 
+  test("sorted-neighborhood pairs are true near-dups found by the window pairing") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_dedup_sorted_nbhd")(spark, dir)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall { case (a, b, j) =>
+      a < b && j >= 0.6 && j <= 1.0 })
+    // every reported pair must also be in the exhaustive truth set with
+    // the identical jaccard (SNM trades recall, never precision)
+    val truth = SparkEntry.queries("q_dedup_near")(spark, dir)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (a, b, j) =>
+      assert(truth.get((a, b)).contains(j), s"($a,$b) not in truth or sim drifted") }
+    // window-pairing replica: candidates are exactly rank-distance <= 5
+    // within (source, 3-smallest-token key) order
+    val keyed = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+      .map { case (id, src, txt) =>
+        val key = txt.toLowerCase.split(" ", -1).distinct.sorted.take(3)
+          .mkString(" ")
+        (id, src, key)
+      }
+    val cand = keyed.groupBy(_._2).values.flatMap { ds =>
+      val ord = ds.sortBy(d => (d._3, d._1)).map(_._1)
+      for {
+        i <- ord.indices; k <- 1 to 5 if i + k < ord.length
+        p = (math.min(ord(i), ord(i + k)), math.max(ord(i), ord(i + k)))
+      } yield p
+    }.toSet
+    got.foreach { case (a, b, _) =>
+      assert(cand((a, b)), s"($a,$b) outside the W=5 neighborhood") }
+  }
+
+  test("chi2 select: scores match an exact contingency replica, top-5 per lang") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_chi2_select")(spark, dir)
+      .as[(String, Long, String, Long, Long, Double)].collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (l, t) => (l, t.toLowerCase.split(" ", -1).distinct.toSet) }
+    val n = docs.length.toLong
+    val nc = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cell = docs.flatMap { case (l, ts) => ts.map(t => (l, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfT = cell.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def chi2(l: String, t: String): Double = {
+      val n11 = cell((l, t)); val df = dfT(t); val c = nc(l)
+      val diff = (n11 * (n - df - c + n11) - (df - n11) * (c - n11)).toDouble
+      val x = (n.toDouble * diff * diff) /
+        (df.toDouble * (n - df).toDouble * c.toDouble * (n - c).toDouble)
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    }
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to 5L), s"$lang ranks")
+      rows.foreach { case (_, _, tok, n11, df, sc) =>
+        assert(n11 == cell((lang, tok)) && df == dfT(tok), s"$lang/$tok counts")
+        assert(sc == chi2(lang, tok), s"$lang/$tok score")
+      }
+      // the reported 5 really are the arg-top-5 under (chi2 desc, token)
+      val best = dfT.keys.filter(t => cell.contains((lang, t)) && dfT(t) < n)
+        .toSeq.map(t => (t, chi2(lang, t)))
+        .sortBy { case (t, s) => (-s, t) }.take(5).map(_._1)
+      assert(rows.sortBy(_._2).map(_._3).sameElements(best), s"$lang top-5")
+    }
+  }
+
   test("minhash-LSH candidates are a superset of high-jaccard pairs it reports") {
     import spark.implicits._
     val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
