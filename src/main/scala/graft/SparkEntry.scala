@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Similarity,
     operators.Graphs,
     operators.Analytics,
+    operators.MlOps,
     operators.Llm,
     operators.Multimodal,
     operators.Curation,

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural laws for the ML-ops module — the DuckDB gate proves
+  * Spark ≡ DuckDB; these prove the statistics are RIGHT against
+  * brute-force in-memory replicas at sf0.001. */
+class MlOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (source, score, pos) replica of the shared scorer. */
+  private def scoredRows(): Seq[(String, Double, Int)] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select($"source", $"text", $"lang").as[(String, String, String)]
+      .collect().toSeq.map { case (src, text, lang) =>
+        val letters = text.toLowerCase.count(c => c >= 'a' && c <= 'z')
+        (src, r6(letters.toDouble / text.length),
+          if (lang == "en") 1 else 0)
+      }
+  }
+
+  test("auc: matches the O(P*N) pairwise definition per source") {
+    import spark.implicits._
+    val got = q("q_auc").as[(String, Long, Long, Option[Double])]
+      .collect().map { case (s, p, n, a) => s -> ((p, n, a)) }.toMap
+    assert(got.nonEmpty)
+    scoredRows().groupBy(_._1).foreach { case (src, rows) =>
+      val pos = rows.filter(_._3 == 1).map(_._2)
+      val neg = rows.filter(_._3 == 0).map(_._2)
+      val (gp, gn, gauc) = got(src)
+      assert(gp == pos.size && gn == neg.size, s"$src counts")
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // Pairwise: 1 for pos>neg, 1/2 for ties.
+        val wins = (for (p <- pos; n <- neg) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        assert(gauc.contains(r6(wins.toDouble / (2.0 * pos.size * neg.size))),
+          s"$src auc")
+      } else assert(gauc.isEmpty, s"$src degenerate auc must be NULL")
+    }
+  }
+
+  test("calibration: bins partition the corpus; brier decomposes") {
+    import spark.implicits._
+    val got = q("q_calibration_bins")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val rows = scoredRows()
+    assert(got.map(_._2).sum == rows.size, "bin counts partition corpus")
+    assert(got.map(_._3).sum == rows.count(_._3 == 1), "positives partition")
+    got.foreach { case (bin, n, nPos, meanScore, posRate, brier) =>
+      val members = rows.filter(r =>
+        math.min(math.floor(r._2 * 50.0), 49.0).toLong == bin)
+      assert(members.size == n, s"bin $bin size")
+      assert(math.abs(meanScore - members.map(_._2).sum / n) < 1e-9)
+      assert(posRate == r6(nPos.toDouble / n))
+      val want = members.map(r => {
+        val d = r._2 - r._3
+        math.floor(d * d * 1e12 + 0.5)
+      }).sum / (n * 1e12)
+      assert(math.abs(brier - want) < 1e-12, s"bin $bin brier")
+    }
+  }
+
+  test("target encoding: leave-one-out identity per customer") {
+    import spark.implicits._
+    val got = q("q_target_encoding")
+      .as[(Long, String, Double, Long, Double)].collect()
+    assert(got.length == graft.sources.Tables
+      .load(spark, dir, "customer").count())
+    // Replica on the exact 1e-4 revenue grid.
+    val rev = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => BigDecimal(r._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum)
+      .mapValues(d => (d * 10000).toLongExact).toMap
+    val segOf = got.map(r => r._1 -> r._2).toMap
+    val rqOf = got.map(r => r._1 -> rev.getOrElse(r._1, 0L)).toMap
+    val bySeg = rqOf.toSeq.groupBy(r => segOf(r._1))
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    val (gn, gsq) = (bySeg.values.map(_._1).sum, bySeg.values.map(_._2).sum)
+    got.foreach { case (ck, seg, custRev, segN, enc) =>
+      val (n, sq) = bySeg(seg)
+      assert(segN == n, s"$ck seg_n")
+      assert(custRev == rqOf(ck).toDouble / 10000.0, s"$ck rev")
+      val want = r6(((sq - rqOf(ck)).toDouble / 10000.0 +
+        10.0 * (gsq.toDouble / 10000.0 / gn.toDouble)) / (n - 1 + 10).toDouble)
+      assert(enc == want, s"$ck enc")
+    }
+    // LOO really removed the row's own target: two same-segment
+    // customers with different revenue must encode differently.
+    val bigSeg = got.groupBy(_._2).maxBy(_._2.size)._2
+    val distinctRev = bigSeg.map(_._3).distinct
+    assert(distinctRev.size > 1)
+    assert(bigSeg.map(_._5).distinct.size > 1,
+      "LOO encodings must vary within a segment")
+  }
+
+  test("benford: frequencies sum to one; expectation is Benford's law") {
+    import spark.implicits._
+    val got = q("q_benford")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    val nTotal = got.map(_._2).sum
+    assert(nTotal == graft.sources.Tables.load(spark, dir, "orders").count())
+    got.foreach { case (d, n, obs, exp, dev) =>
+      assert(obs == r6(n.toDouble / nTotal))
+      assert(exp == r6(math.log10(1.0 + 1.0 / d)))
+      assert(dev == obs - exp)
+    }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+  }
+}
