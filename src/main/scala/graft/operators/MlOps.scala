@@ -185,11 +185,141 @@ object MlOps extends QueryModule {
       .orderBy($"digit")
   }
 
+  /** q_recommend_cooccur — directional item-to-item recommendations
+    * ("customers whose baskets had A also had B"): per-item top-3
+    * co-purchased parts ranked by CONFIDENCE P(B|A) = sup(A,B)/c(A),
+    * lift as the chance-correction tiebreak column. Distinct from
+    * [[Analytics]]'s q_market_basket (symmetric a<b support pairs):
+    * this is the per-item DIRECTIONAL rec list a retrieval system
+    * serves, cut by a rank window.
+    *
+    * Scale: same a-priori discipline as the basket miner — distinct
+    * (order, part) first, sub-support items pruned BEFORE the pair
+    * join, pair blowup bounded by Σ per-basket k²; the rank window
+    * partitions by part_a and Spark cuts it with WindowGroupLimit, so
+    * no partition materializes more than its top rows. Confidence and
+    * lift stay exact-integer until one final division each. */
+  private def qRecommendCooccur(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minSup = 2L
+    val items = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+        .filter($"c" >= minSup)
+      val pruned = items.join(broadcast(freq.select($"l_partkey")),
+        "l_partkey")
+      val sup = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
+        .join(pruned.select($"l_orderkey", $"l_partkey".as("part_b")),
+          Seq("l_orderkey"))
+        .filter($"part_a" =!= $"part_b")
+        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+        .filter($"support" >= minSup)
+      val baskets = items.select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val conf = Det.round6($"support".cast(DoubleType)
+        / $"c_a".cast(DoubleType))
+      val lift = Det.round6(($"n_baskets".cast(DoubleType)
+        * $"support".cast(DoubleType))
+        / ($"c_a".cast(DoubleType) * $"c_b".cast(DoubleType)))
+      val w = Window.partitionBy($"part_a")
+        .orderBy($"confidence".desc, $"support".desc, $"part_b")
+      sup
+        .join(broadcast(freq.select($"l_partkey".as("part_a"),
+          $"c".as("c_a"))), "part_a")
+        .join(broadcast(freq.select($"l_partkey".as("part_b"),
+          $"c".as("c_b"))), "part_b")
+        .crossJoin(broadcast(baskets))
+        .select($"part_a", $"part_b", $"support",
+          conf.as("confidence"), lift.as("lift"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 3)
+        .orderBy($"part_a", $"rn")
+        .localCheckpoint(true)
+    } finally items.unpersist(false)
+  }
+
+  /** q_naive_bayes — multinomial naive-Bayes language identification,
+    * trained AND applied in one query (resubstitution scoring): class
+    * priors and Laplace-smoothed token likelihoods are aggregations
+    * over the corpus; each doc's posterior is Σ tf·ln p(tok|lang) +
+    * ln p(lang), argmax over the 5 classes — "training a classifier IS
+    * a groupBy" is the whole point of doing ML inside the engine.
+    *
+    * Determinism (the q_unigram_logprob discipline): every ln is
+    * quantized to a 1e-6 BIGINT at the (lang, token) cell — the
+    * per-doc score is then an exact integer sum, and the argmax
+    * compares integers (ties broken lang-ascending), so an ulp of
+    * libm difference can never flip a prediction.
+    *
+    * Scale: ONE corpus tokenize builds the (doc, lang, token, tf)
+    * relation, persisted for its two consumers (cell training + doc
+    * scoring — the q_tfidf lesson); the model (vocab×5 cells + 5
+    * priors) is vocabulary-sized and BROADCASTS into the scoring join;
+    * scoring is a (doc, lang)-keyed combine of ≤5× the token stream.
+    * The rank window cuts with WindowGroupLimit. Unseen (lang, token)
+    * pairs coalesce to the class's smoothed-zero likelihood, carried
+    * on the 5-row lang dim — no vocab×5 densification anywhere. */
+  private def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = t(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cells = tf.groupBy($"lang", $"token")
+        .agg(sum($"tf").as("c"))
+      val langTot = cells.groupBy($"lang").agg(sum($"c").as("tot"))
+      val vocab = cells.select($"token").distinct()
+        .agg(count(lit(1)).as("v"))
+      val docsDim = tf.select($"doc_id", $"lang".as("lang_true")).distinct()
+      val priors = docsDim.groupBy($"lang_true".as("cand")).agg(
+        count(lit(1)).as("nd"))
+        .withColumn("nd_all", sum($"nd").over(Window.partitionBy()))
+      // Per-class model constants: smoothed-zero likelihood + prior,
+      // both 1e-6 BIGINTs on a 5-row relation.
+      val classes = priors
+        .join(langTot.withColumnRenamed("lang", "cand"), "cand")
+        .crossJoin(broadcast(vocab))
+        .select($"cand", $"tot", $"v",
+          floor(log(lit(1.0) / ($"tot" + $"v").cast(DoubleType))
+            * lit(1000000.0) + lit(0.5)).cast(LongType).as("q0"),
+          floor(log($"nd".cast(DoubleType) / $"nd_all")
+            * lit(1000000.0) + lit(0.5)).cast(LongType).as("qprior"))
+      val qlp = cells
+        .join(broadcast(langTot), "lang")
+        .crossJoin(broadcast(vocab))
+        .select($"lang".as("cand"), $"token",
+          floor(log(($"c" + lit(1L)).cast(DoubleType)
+            / ($"tot" + $"v").cast(DoubleType))
+            * lit(1000000.0) + lit(0.5)).cast(LongType).as("qlp"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score_q".desc, $"cand")
+      tf.crossJoin(broadcast(classes.select($"cand", $"q0", $"qprior")))
+        .join(broadcast(qlp), Seq("cand", "token"), "left")
+        .groupBy($"doc_id", $"lang", $"cand")
+        .agg((sum($"tf" * coalesce($"qlp", $"q0")) + min($"qprior"))
+          .as("score_q"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang".as("lang_true"),
+          $"cand".as("lang_pred"),
+          ($"score_q".cast(DoubleType) / lit(1000000.0)).as("log_post"),
+          ($"cand" === $"lang").as("correct"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally tf.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
     "q_target_encoding" -> (qTargetEncoding _),
-    "q_benford" -> (qBenford _))
+    "q_benford" -> (qBenford _),
+    "q_recommend_cooccur" -> (qRecommendCooccur _),
+    "q_naive_bayes" -> (qNaiveBayes _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -251,6 +381,86 @@ object MlOps extends QueryModule {
                       * 1000000.0 + 0.5) / 1000000.0 AS enc
          FROM cust JOIN seg ON c_mktsegment = seg CROSS JOIN gstats
          ORDER BY c_custkey""",
+    "q_recommend_cooccur" ->
+      s"""WITH items AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         freq AS (
+           SELECT l_partkey, count(*) c FROM items
+           GROUP BY l_partkey HAVING count(*) >= 2),
+         pruned AS (
+           SELECT i.l_orderkey, i.l_partkey FROM items i
+           JOIN freq f ON i.l_partkey = f.l_partkey),
+         sup AS (
+           SELECT a.l_partkey part_a, b.l_partkey part_b, count(*) support
+           FROM pruned a JOIN pruned b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         nb AS (SELECT count(DISTINCT l_orderkey) n_baskets FROM items),
+         scored AS (
+           SELECT part_a, part_b, support,
+                  ${Det.ROUND6(
+        "CAST(support AS DOUBLE) / CAST(fa.c AS DOUBLE)")} confidence,
+                  ${Det.ROUND6(
+        "(CAST(n_baskets AS DOUBLE) * CAST(support AS DOUBLE))" +
+          " / (CAST(fa.c AS DOUBLE) * CAST(fb.c AS DOUBLE))")} lift
+           FROM sup
+           JOIN freq fa ON part_a = fa.l_partkey
+           JOIN freq fb ON part_b = fb.l_partkey
+           CROSS JOIN nb),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY part_a
+                     ORDER BY confidence DESC, support DESC, part_b)
+                     AS BIGINT) rn
+           FROM scored)
+         SELECT part_a, part_b, support, confidence, lift, rn
+         FROM ranked WHERE rn <= 3 ORDER BY part_a, rn""",
+    "q_naive_bayes" ->
+      """WITH tf AS (
+           SELECT doc_id, lang, tok AS token, count(*) tf
+           FROM (SELECT doc_id, lang,
+                        unnest(string_split(lower(text), ' ')) tok
+                 FROM documents)
+           GROUP BY doc_id, lang, tok),
+         cells AS (
+           SELECT lang, token, CAST(sum(tf) AS BIGINT) c
+           FROM tf GROUP BY lang, token),
+         langtot AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) tot FROM cells GROUP BY lang),
+         vocab AS (SELECT count(DISTINCT token) v FROM cells),
+         docsdim AS (SELECT DISTINCT doc_id, lang FROM tf),
+         priors AS (
+           SELECT lang cand, count(*) nd,
+                  CAST(sum(count(*)) OVER () AS BIGINT) nd_all
+           FROM docsdim GROUP BY lang),
+         classes AS (
+           SELECT cand,
+                  CAST(floor(ln(1.0 / CAST(tot + v AS DOUBLE))
+                             * 1000000.0 + 0.5) AS BIGINT) q0,
+                  CAST(floor(ln(CAST(nd AS DOUBLE) / nd_all)
+                             * 1000000.0 + 0.5) AS BIGINT) qprior
+           FROM priors JOIN langtot ON cand = lang CROSS JOIN vocab),
+         qlp AS (
+           SELECT cells.lang cand, token,
+                  CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                                / CAST(tot + v AS DOUBLE))
+                             * 1000000.0 + 0.5) AS BIGINT) qlp
+           FROM cells JOIN langtot ON cells.lang = langtot.lang
+           CROSS JOIN vocab),
+         scoredd AS (
+           SELECT tf.doc_id, tf.lang, cl.cand,
+                  CAST(sum(tf.tf * COALESCE(qlp.qlp, cl.q0))
+                       + min(cl.qprior) AS BIGINT) score_q
+           FROM tf CROSS JOIN classes cl
+           LEFT JOIN qlp ON qlp.cand = cl.cand AND qlp.token = tf.token
+           GROUP BY tf.doc_id, tf.lang, cl.cand),
+         rankedd AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_q DESC, cand) rn
+           FROM scoredd)
+         SELECT doc_id, lang AS lang_true, cand AS lang_pred,
+                CAST(score_q AS DOUBLE) / 1000000.0 AS log_post,
+                (cand = lang) AS correct
+         FROM rankedd WHERE rn = 1 ORDER BY doc_id""",
     "q_benford" ->
       s"""WITH d AS (
            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)

@@ -102,6 +102,80 @@ class MlOpsSpec extends AnyFunSuite {
       "LOO encodings must vary within a segment")
   }
 
+  test("recommend: confidence ranks truthfully; top-3 cut per item") {
+    import spark.implicits._
+    val got = q("q_recommend_cooccur")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val baskets = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemCount = baskets.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nBaskets = baskets.size.toLong
+    // Replica of the directional support counts.
+    val supRep = baskets.values.toSeq.flatMap(parts =>
+      for (a <- parts.toSeq; b <- parts.toSeq if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case ((a, b), s) =>
+        s >= 2 && itemCount(a) >= 2 && itemCount(b) >= 2 }.toMap
+    got.foreach { case (a, b, sup, conf, lift, rn) =>
+      assert(supRep((a, b)) == sup, s"($a,$b) support")
+      assert(conf == r6(sup.toDouble / itemCount(a)), s"($a,$b) confidence")
+      assert(lift == r6(nBaskets.toDouble * sup /
+        (itemCount(a).toDouble * itemCount(b))), s"($a,$b) lift")
+      assert(rn >= 1 && rn <= 3)
+    }
+    // Per-item: emitted rows are exactly the top-3 of the full ranking.
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val full = supRep.collect { case ((x, b), s) if x == a =>
+        (r6(s.toDouble / itemCount(a)), s, b) }.toSeq
+        .sortBy { case (c, s, b) => (-c, -s, b) }
+      val want = full.take(3).map(_._3)
+      assert(rows.sortBy(_._6).map(_._2).toSeq == want, s"item $a top-3")
+    }
+  }
+
+  test("naive bayes: argmax matches an in-memory trained replica") {
+    import spark.implicits._
+    val got = q("q_naive_bayes")
+      .as[(Long, String, String, Double, Boolean)].collect()
+    val docsRows = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect()
+    assert(got.length == docsRows.length)
+    val tf = docsRows.map { case (id, lang, text) =>
+      (id, lang, text.toLowerCase.split(" ", -1).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val cells = tf.flatMap { case (_, lang, m) =>
+      m.map { case (t, c) => ((lang, t), c) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val langTot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = cells.keySet.map(_._2).size.toLong
+    val nd = docsRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ndAll = docsRows.length.toLong
+    def q6ln(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val langs = nd.keySet.toSeq.sorted
+    val predicted = tf.map { case (id, _, m) =>
+      val scores = langs.map { l =>
+        val s = q6ln(nd(l).toDouble / ndAll) + m.map { case (t, c) =>
+          c * cells.get((l, t)).map(cc =>
+            q6ln((cc + 1).toDouble / (langTot(l) + v)))
+            .getOrElse(q6ln(1.0 / (langTot(l) + v)))
+        }.sum
+        (l, s)
+      }
+      id -> scores.maxBy { case (l, s) => (s, -langs.indexOf(l)) }
+    }.toMap
+    got.foreach { case (id, langTrue, langPred, logPost, correct) =>
+      val (wantLang, wantQ) = predicted(id)
+      assert(langPred == wantLang, s"doc $id prediction")
+      assert(logPost == wantQ.toDouble / 1e6, s"doc $id score")
+      assert(correct == (langPred == langTrue))
+    }
+  }
+
   test("benford: frequencies sum to one; expectation is Benford's law") {
     import spark.implicits._
     val got = q("q_benford")
