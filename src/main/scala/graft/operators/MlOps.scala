@@ -313,13 +313,140 @@ object MlOps extends QueryModule {
     } finally tf.unpersist(false)
   }
 
+  /** q_pca_power — top principal component of the embedding store via
+    * three unrolled power iterations over the d×d covariance: the
+    * dimensionality-reduction / drift-diagnostic pass an embedding
+    * pipeline runs (is one direction eating the variance?). "Training"
+    * is again pure aggregation: mean (d rows), covariance (d² rows),
+    * then three matrix-vector hops on the d²-sized model — never a
+    * fact-sized intermediate.
+    *
+    * Plan: TWO narrow corpus passes — mean (combine to d rows), then
+    * covariance (double-posexplode to n·d² quantized products, combined
+    * map-side to d² cells). Deliberately NOT one pass over a persisted
+    * n·d explode: a fact-sized cache is exactly what a 100 TB plan must
+    * not assume (the q_retention_cohort note); d² per row is the honest
+    * cost of exact covariance and combines before any exchange. Every
+    * iteration is a d²⋈d broadcast join + d-row combine — driver
+    * iterates a FIXED count, never data.
+    *
+    * Determinism: inputs quantize to the 1e-4 grid; every sum
+    * (covariance products 1e-8, matvec terms 1e-12, norm squares
+    * 1e-12) is an exact BIGINT sum of identically-quantized IEEE
+    * products; sqrt is irrational-safe under round6; iterates re-enter
+    * on the 1e-6 grid. The sign is canonicalized (Σ⌊v·1e6⌋ ≥ 0) and
+    * the flip re-rounds so −0.0 can't leak into the hash. */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val xq = floor($"xi".cast(DoubleType) * lit(10000.0) + lit(0.5))
+      .cast(LongType)
+    val a = emb.select($"vec_id", $"embedding",
+      posexplode($"embedding").as(Seq("i", "xi")))
+    val mu = a.select($"i", xq.as("xq"))
+      .groupBy($"i").agg(sum($"xq").as("sx"), count(lit(1)).as("n"))
+      .select($"i",
+        ($"sx".cast(DoubleType) / ($"n" * lit(10000.0))).as("mu"),
+        $"n")
+    val b = a.select($"vec_id", $"i", xq.as("xqi"),
+        posexplode($"embedding").as(Seq("j", "xj")))
+      .select($"vec_id", $"i", $"xqi",
+        $"j", floor($"xj".cast(DoubleType) * lit(10000.0) + lit(0.5))
+          .cast(LongType).as("xqj"))
+    val ci = $"xqi".cast(DoubleType) / lit(10000.0) - $"mui"
+    val cj = $"xqj".cast(DoubleType) / lit(10000.0) - $"muj"
+    val cov = b
+      .join(broadcast(mu.select($"i", $"mu".as("mui"))), "i")
+      .join(broadcast(mu.select($"i".as("j"), $"mu".as("muj"), $"n")), "j")
+      .select($"i", $"j", $"n",
+        floor(ci * cj * lit(100000000.0) + lit(0.5)).cast(LongType).as("pq"))
+      .groupBy($"i", $"j").agg(sum($"pq").as("spq"), min($"n").as("n"))
+      .select($"i", $"j", ($"spq".cast(DoubleType)
+        / (lit(100000000.0) * ($"n" - lit(1L)))).as("cov"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wAll = Window.partitionBy()
+      def step(v: DataFrame): DataFrame = {
+        // One matvec + normalize; v is (j, val) on the 1e-6 grid.
+        val wq = cov.join(broadcast(v), "j")
+          .select($"i",
+            floor($"cov" * $"val" * lit(1e12) + lit(0.5))
+              .cast(LongType).as("tq"))
+          .groupBy($"i").agg(sum($"tq").as("sq"))
+          .select($"i", ($"sq".cast(DoubleType) / lit(1e12)).as("w"))
+        wq
+          .withColumn("nq", sum(floor($"w" * $"w" * lit(1e12) + lit(0.5))
+            .cast(LongType)).over(wAll))
+          .select($"i".as("j"),
+            Det.round6($"w" / sqrt($"nq".cast(DoubleType) / lit(1e12)))
+              .as("val"),
+            sqrt($"nq".cast(DoubleType) / lit(1e12)).as("nrm"))
+      }
+      val v0 = mu.select($"i".as("j"), lit(0.125).as("val"))
+      val v3 = step(step(step(v0).drop("nrm")).drop("nrm"))
+      v3
+        .withColumn("sg", sum(floor($"val" * lit(1000000.0)).cast(LongType))
+          .over(wAll))
+        .select($"j".as("pos"),
+          when($"sg" < 0, Det.round6(-$"val")).otherwise($"val")
+            .as("loading"),
+          Det.round6($"nrm").as("eigenvalue"))
+        .orderBy($"pos")
+        .localCheckpoint(true)
+    } finally cov.unpersist(false)
+  }
+
+  /** q_knn_classify — k-nearest-neighbor label prediction over the
+    * embedding store (k=5, cosine): every 20th vector is a "query"
+    * whose label is predicted by majority vote of its 5 nearest OTHER
+    * vectors — the label-propagation / auto-labeling primitive of a
+    * weak-supervision pipeline, and an accuracy probe for the
+    * embedding space itself.
+    *
+    * Plan: the query set BROADCASTS against the full store (the
+    * q_similarity_topk posture — at 100 TB the probe side is the small
+    * side by construction); the per-query top-5 window cuts with
+    * WindowGroupLimit before the vote aggregate (25 queries × ≤5
+    * rows), and the vote argmax is a second tiny window. Cosine is the
+    * codegen'd fused expression, round6'd; ties break (votes desc,
+    * label asc, best-rank) — fully ordered, no float comparison. */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val cand = emb.select($"vec_id".as("cid"), $"embedding".as("ce"),
+      $"label".as("clabel"))
+    val qs = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("label_true"))
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    val top = cand.join(broadcast(qs), $"cid" =!= $"qid")
+      .withColumn("sim",
+        Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= 5)
+    val wVote = Window.partitionBy($"qid")
+      .orderBy($"n_votes".desc, $"clabel")
+    top
+      .groupBy($"qid", $"label_true", $"clabel")
+      .agg(count(lit(1)).cast(LongType).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter($"vr" === 1)
+      .select($"qid", $"label_true".cast(LongType).as("label_true"),
+        $"clabel".cast(LongType).as("label_pred"), $"n_votes",
+        ($"clabel" === $"label_true").as("correct"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
     "q_target_encoding" -> (qTargetEncoding _),
     "q_benford" -> (qBenford _),
     "q_recommend_cooccur" -> (qRecommendCooccur _),
-    "q_naive_bayes" -> (qNaiveBayes _))
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_pca_power" -> (qPcaPower _),
+    "q_knn_classify" -> (qKnnClassify _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -461,6 +588,94 @@ object MlOps extends QueryModule {
                 CAST(score_q AS DOUBLE) / 1000000.0 AS log_post,
                 (cand = lang) AS correct
          FROM rankedd WHERE rn = 1 ORDER BY doc_id""",
+    "q_pca_power" -> {
+      // One matvec+normalize hop as a CTE pair; unrolled three times.
+      def iter(k: Int, prev: String): String =
+        s"""w$k AS (
+             SELECT c.i,
+                    CAST(sum(CAST(floor(c.cov * v.val * 1000000000000.0 + 0.5)
+                                  AS BIGINT)) AS BIGINT) sq
+             FROM covd c JOIN $prev v ON c.j = v.j GROUP BY c.i),
+           n$k AS (
+             SELECT sqrt(CAST(sum(CAST(floor((CAST(sq AS DOUBLE)
+                      / 1000000000000.0) * (CAST(sq AS DOUBLE)
+                      / 1000000000000.0) * 1000000000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000000000.0) nrm
+             FROM w$k),
+           v$k AS (
+             SELECT i AS j,
+                    floor((CAST(sq AS DOUBLE) / 1000000000000.0) / nrm
+                          * 1000000.0 + 0.5) / 1000000.0 val,
+                    nrm
+             FROM w$k CROSS JOIN n$k)"""
+      s"""WITH a AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  unnest(range(0, len(embedding))) i,
+                  CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 10000.0
+                             + 0.5) AS BIGINT) xqi
+           FROM embeddings),
+         mu AS (
+           SELECT i, CAST(sum(xqi) AS DOUBLE) / (count(*) * 10000.0) mu,
+                  count(*) n
+           FROM a GROUP BY i),
+         b AS (
+           SELECT vec_id, i, xqi,
+                  unnest(range(0, len(e))) j,
+                  CAST(floor(unnest(e) * 10000.0 + 0.5) AS BIGINT) xqj
+           FROM a),
+         cov AS (
+           SELECT b.i, b.j,
+                  CAST(sum(CAST(floor((CAST(xqi AS DOUBLE) / 10000.0 - mi.mu)
+                    * (CAST(xqj AS DOUBLE) / 10000.0 - mj.mu)
+                    * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) spq,
+                  min(mi.n) n
+           FROM b JOIN mu mi ON b.i = mi.i JOIN mu mj ON b.j = mj.i
+           GROUP BY b.i, b.j),
+         covd AS (
+           SELECT i, j, CAST(spq AS DOUBLE) / (100000000.0 * (n - 1)) cov
+           FROM cov),
+         v0 AS (SELECT i AS j, 0.125 val FROM mu),
+         ${iter(1, "v0")},
+         ${iter(2, "v1")},
+         ${iter(3, "v2")},
+         sg AS (
+           SELECT CAST(sum(CAST(floor(val * 1000000.0) AS BIGINT)) AS BIGINT) s
+           FROM v3)
+         SELECT j AS pos,
+                CASE WHEN s < 0
+                  THEN floor(-val * 1000000.0 + 0.5) / 1000000.0
+                  ELSE val END AS loading,
+                floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
+         FROM v3 CROSS JOIN sg ORDER BY pos"""
+    },
+    "q_knn_classify" ->
+      """WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+         pairs AS (
+           SELECT q.vec_id qid, q.label label_true, c.vec_id cid,
+                  c.label clabel,
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                        * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, cid) rn
+           FROM pairs),
+         votes AS (
+           SELECT qid, label_true, clabel, CAST(count(*) AS BIGINT) n_votes
+           FROM r WHERE rn <= 5 GROUP BY qid, label_true, clabel),
+         v AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY n_votes DESC, clabel) vr
+           FROM votes)
+         SELECT qid, CAST(label_true AS BIGINT) label_true,
+                CAST(clabel AS BIGINT) label_pred, n_votes,
+                (clabel = label_true) AS correct
+         FROM v WHERE vr = 1 ORDER BY qid""",
     "q_benford" ->
       s"""WITH d AS (
            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)

@@ -176,6 +176,92 @@ class MlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pca power: matches an in-memory replica; unit norm; dominant") {
+    import spark.implicits._
+    val got = q("q_pca_power").as[(Int, Double, Double)].collect()
+    assert(got.length == 64)
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val d = 64
+    val xq = emb.map(_.map(x => math.floor(x.toDouble * 10000.0 + 0.5)))
+    val n = xq.length
+    val mu = (0 until d).map(i => xq.map(_(i)).sum / (n * 10000.0))
+    val spq = Array.ofDim[Long](d, d)
+    xq.foreach { r =>
+      val c = (0 until d).map(i => r(i) / 10000.0 - mu(i))
+      for (i <- 0 until d; j <- 0 until d)
+        spq(i)(j) += math.floor(c(i) * c(j) * 1e8 + 0.5).toLong
+    }
+    val cov = Array.tabulate(d, d)((i, j) => spq(i)(j) / (1e8 * (n - 1)))
+    def step(v: IndexedSeq[Double]): (IndexedSeq[Double], Double) = {
+      val sq = (0 until d).map(i =>
+        (0 until d).map(j =>
+          math.floor(cov(i)(j) * v(j) * 1e12 + 0.5).toLong).sum)
+      val w = sq.map(_.toDouble / 1e12)
+      val nrm = math.sqrt(
+        w.map(x => math.floor(x * x * 1e12 + 0.5).toLong).sum / 1e12)
+      (w.map(x => r6(x / nrm)), nrm)
+    }
+    var v: IndexedSeq[Double] = IndexedSeq.fill(d)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to 3) { val (nv, nn) = step(v); v = nv; nrm = nn }
+    val sg = v.map(x => math.floor(x * 1e6).toLong).sum
+    val want = if (sg < 0) v.map(x => r6(-x)) else v
+    got.foreach { case (pos, loading, eig) =>
+      assert(loading == want(pos), s"pos $pos")
+      assert(eig == r6(nrm))
+    }
+    // Unit vector (up to grid rounding) and canonical sign.
+    val norm2 = got.map(r => r._2 * r._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"norm² $norm2")
+    assert(got.map(r => math.floor(r._2 * 1e6).toLong).sum >= 0)
+    // Dominance: Rayleigh quotient of the found direction must beat a
+    // coordinate axis's by a fair margin.
+    def rayleigh(u: IndexedSeq[Double]) = {
+      val cu = (0 until d).map(i => (0 until d).map(j =>
+        cov(i)(j) * u(j)).sum)
+      (0 until d).map(i => u(i) * cu(i)).sum /
+        u.map(x => x * x).sum
+    }
+    val axis = IndexedSeq.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    assert(rayleigh(got.map(_._2).toIndexedSeq) >= rayleigh(axis))
+  }
+
+  test("knn: majority vote of the true top-5 neighbors") {
+    import spark.implicits._
+    val got = q("q_knn_classify")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val qs = emb.filter(_._1 % 20 == 0)
+    assert(got.length == qs.length)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val byId = got.map(r => r._1 -> r).toMap
+    qs.foreach { case (qid, qe, qlabel) =>
+      val top = emb.filter(_._1 != qid)
+        .map { case (cid, ce, cl) => (cos(qe, ce), cid, cl) }
+        .sortBy { case (s, cid, _) => (-s, cid) }.take(5)
+      val votes = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, nv) => (-nv, l) }
+      val (wantLabel, wantVotes) = votes.head
+      val (_, lt, lp, nv, corr) = byId(qid)
+      assert(lt == qlabel.toLong, s"q $qid true label")
+      assert(lp == wantLabel.toLong, s"q $qid predicted")
+      assert(nv == wantVotes.toLong, s"q $qid votes")
+      assert(corr == (lp == lt))
+    }
+  }
+
   test("benford: frequencies sum to one; expectation is Benford's law") {
     import spark.implicits._
     val got = q("q_benford")
