@@ -210,12 +210,18 @@ object MlOps extends QueryModule {
         .filter($"c" >= minSup)
       val pruned = items.join(broadcast(freq.select($"l_partkey")),
         "l_partkey")
-      val sup = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
+      // Support is symmetric: count each unordered pair ONCE (a<b halves
+      // the pair-join output and its groupBy exchange) and mirror the
+      // counted relation — the directional table costs a union of the
+      // small survivors, not a second fact-sized pair generation.
+      val supHalf = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
         .join(pruned.select($"l_orderkey", $"l_partkey".as("part_b")),
           Seq("l_orderkey"))
-        .filter($"part_a" =!= $"part_b")
+        .filter($"part_a" < $"part_b")
         .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
         .filter($"support" >= minSup)
+      val sup = supHalf.unionByName(supHalf.select(
+        $"part_b".as("part_a"), $"part_a".as("part_b"), $"support"))
       val baskets = items.select($"l_orderkey").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val conf = Det.round6($"support".cast(DoubleType)
@@ -297,11 +303,24 @@ object MlOps extends QueryModule {
             * lit(1000000.0) + lit(0.5)).cast(LongType).as("qlp"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"score_q".desc, $"cand")
-      tf.crossJoin(broadcast(classes.select($"cand", $"q0", $"qprior")))
-        .join(broadcast(qlp), Seq("cand", "token"), "left")
-        .groupBy($"doc_id", $"lang", $"cand")
-        .agg((sum($"tf" * coalesce($"qlp", $"q0")) + min($"qprior"))
-          .as("score_q"))
+      // Sparse scoring decomposition (exactly equal in integer math):
+      //   Σ_t tf·coalesce(qlp, q0)  =  q0·T_doc + Σ_{seen} tf·(qlp − q0)
+      // so the token stream is NEVER replicated ×|classes| — the dense
+      // base rides the doc-sized total-token relation, and the fact-sized
+      // join touches only (token ⋈ model) hits (≤ langs-containing-token
+      // rows per token, not 5).
+      val docT = tf.groupBy($"doc_id", $"lang")
+        .agg(sum($"tf").as("t_doc"))
+      val dq = qlp
+        .join(broadcast(classes.select($"cand", $"q0")), "cand")
+        .select($"cand", $"token", ($"qlp" - $"q0").as("dq"))
+      val adj = tf.join(broadcast(dq), Seq("token"))
+        .groupBy($"doc_id", $"cand").agg(sum($"tf" * $"dq").as("adj"))
+      docT.crossJoin(broadcast(classes.select($"cand", $"q0", $"qprior")))
+        .join(adj, Seq("doc_id", "cand"), "left")
+        .select($"doc_id", $"lang", $"cand",
+          ($"qprior" + $"q0" * $"t_doc" + coalesce($"adj", lit(0L)))
+            .as("score_q"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"doc_id", $"lang".as("lang_true"),
