@@ -343,6 +343,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(probe > join, s"bloom probe not beneath the join:\n$p")
   }
 
+  test("q_auc scans the corpus once; cells combine map-side") {
+    val p = plan("q_auc")
+    assert(p.split("Scan parquet").length == 2,
+      "AUC must read documents exactly once")
+    assert(p.contains("partial_sum"), "cell counts must combine map-side")
+  }
+
+  test("q_calibration_bins is one fact-combine into bins, no window/sort") {
+    val p = plan("q_calibration_bins")
+    assert(p.split("Scan parquet").length == 2)
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      "width-binning must not need a rank window")
+  }
+
+  test("q_target_encoding broadcasts segment stats back onto customers") {
+    val p = plan("q_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), "segment stats must broadcast")
+    assert(p.contains("partial_sum"), "revenue must pre-aggregate map-side")
+  }
+
+  test("q_benford combines into nine digit rows before any exchange") {
+    val p = plan("q_benford")
+    assert(p.split("Scan parquet").length == 2)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "digit counts must combine map-side")
+  }
+
+  test("q_knn_classify broadcasts queries and rank-limits the top-5 window") {
+    val p = plan("q_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast against the store")
+    assert(p.contains("WindowGroupLimit"),
+      "top-5 cut must plan as WindowGroupLimit")
+  }
+
   test("no declared query plans a CartesianProduct except the declared cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q_join_cross").foreach { name =>
       val p = plan(name)
