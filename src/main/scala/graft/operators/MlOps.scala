@@ -275,28 +275,35 @@ object MlOps extends QueryModule {
       .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cells = tf.groupBy($"lang", $"token")
+      // The ENTIRE model — per-(class,token) counts, class totals, vocab
+      // size, doc counts — folds into ONE persisted vocabulary-sized
+      // relation: every stat after the cell combine is a window over
+      // ≤|vocab|·|classes| rows, so training costs one cache pass
+      // instead of a fan of broadcast jobs that each re-derive the cell
+      // aggregate from the token cache (measured: the fan was the whole
+      // bench cost of this query — job latency, not data).
+      val model = tf.groupBy($"lang", $"token")
         .agg(sum($"tf").as("c"))
-      val langTot = cells.groupBy($"lang").agg(sum($"c").as("tot"))
-      val vocab = cells.select($"token").distinct()
-        .agg(count(lit(1)).as("v"))
-      val docsDim = tf.select($"doc_id", $"lang".as("lang_true")).distinct()
-      val priors = docsDim.groupBy($"lang_true".as("cand")).agg(
-        count(lit(1)).as("nd"))
-        .withColumn("nd_all", sum($"nd").over(Window.partitionBy()))
-      // Per-class model constants: smoothed-zero likelihood + prior,
-      // both 1e-6 BIGINTs on a 5-row relation.
-      val classes = priors
-        .join(langTot.withColumnRenamed("lang", "cand"), "cand")
-        .crossJoin(broadcast(vocab))
+        .withColumn("tot", sum($"c").over(Window.partitionBy($"lang")))
+        .withColumn("tfirst",
+          row_number().over(Window.partitionBy($"token").orderBy($"lang")))
+        .withColumn("v", sum(when($"tfirst" === 1, 1L).otherwise(0L))
+          .over(Window.partitionBy()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Class doc counts are NOT derivable from the cell relation (a
+      // class's docs are distinct over all its tokens) — one extra
+      // cache pass over tf.
+      val priors = tf.groupBy($"lang".as("cand"))
+        .agg(countDistinct($"doc_id").as("ndx"))
+        .withColumn("nd_all", sum($"ndx").over(Window.partitionBy()))
+      val classes = model.select($"lang".as("cand"), $"tot", $"v").distinct()
+        .join(broadcast(priors), "cand")
         .select($"cand", $"tot", $"v",
           floor(log(lit(1.0) / ($"tot" + $"v").cast(DoubleType))
             * lit(1000000.0) + lit(0.5)).cast(LongType).as("q0"),
-          floor(log($"nd".cast(DoubleType) / $"nd_all")
+          floor(log($"ndx".cast(DoubleType) / $"nd_all")
             * lit(1000000.0) + lit(0.5)).cast(LongType).as("qprior"))
-      val qlp = cells
-        .join(broadcast(langTot), "lang")
-        .crossJoin(broadcast(vocab))
+      val qlp = model
         .select($"lang".as("cand"), $"token",
           floor(log(($"c" + lit(1L)).cast(DoubleType)
             / ($"tot" + $"v").cast(DoubleType))
@@ -316,7 +323,8 @@ object MlOps extends QueryModule {
         .select($"cand", $"token", ($"qlp" - $"q0").as("dq"))
       val adj = tf.join(broadcast(dq), Seq("token"))
         .groupBy($"doc_id", $"cand").agg(sum($"tf" * $"dq").as("adj"))
-      docT.crossJoin(broadcast(classes.select($"cand", $"q0", $"qprior")))
+      try docT
+        .crossJoin(broadcast(classes.select($"cand", $"q0", $"qprior")))
         .join(adj, Seq("doc_id", "cand"), "left")
         .select($"doc_id", $"lang", $"cand",
           ($"qprior" + $"q0" * $"t_doc" + coalesce($"adj", lit(0L)))
@@ -329,6 +337,7 @@ object MlOps extends QueryModule {
           ($"cand" === $"lang").as("correct"))
         .orderBy($"doc_id")
         .localCheckpoint(true)
+      finally model.unpersist(false)
     } finally tf.unpersist(false)
   }
 
