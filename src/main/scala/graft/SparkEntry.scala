@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Aggregates every operator module's declared queries and DuckDB oracles. */
 object SparkEntry {
 
-  private def modules: Seq[QueryModule] = Seq(
+  private[graft] def modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.Assembly,
     operators.Windows,

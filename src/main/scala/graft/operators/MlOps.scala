@@ -34,12 +34,17 @@ object MlOps extends QueryModule {
     * codegen'd projection; the binary label rides along. */
   private def scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(
-      $"doc_id", $"source",
-      Det.round6(
-        length(regexp_replace(lower($"text"), "[^a-z]", "")).cast(DoubleType)
-          / length($"text").cast(DoubleType)).as("score"),
-      when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+    // An empty doc has no letter fraction (0/0); exclude it in BOTH
+    // engines rather than inherit their differing div-by-zero semantics
+    // (NaN in Spark non-ANSI, NULL/err in DuckDB).
+    t(s, dir, "documents")
+      .filter(length($"text") > 0)
+      .select(
+        $"doc_id", $"source",
+        Det.round6(
+          length(regexp_replace(lower($"text"), "[^a-z]", "")).cast(DoubleType)
+            / length($"text").cast(DoubleType)).as("score"),
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
   }
 
   private val ScoredSql =
@@ -49,7 +54,7 @@ object MlOps extends QueryModule {
                     / CAST(length(text) AS DOUBLE) * 1000000.0 + 0.5)
                 / 1000000.0 AS score,
               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-       FROM documents"""
+       FROM documents WHERE length(text) > 0"""
 
   /** q_auc — ROC AUC of a classifier score, per corpus slice: the
     * model-evaluation pass every quality-filter deployment runs
@@ -173,7 +178,13 @@ object MlOps extends QueryModule {
     import s.implicits._
     val digit = substring(floor($"o_totalprice").cast(LongType)
       .cast("string"), 1, 1).cast(LongType)
+    // Benford's law is defined on magnitudes >= 1: values in [0,1)
+    // would bin to digit 0 (exp_freq = log10(1+1/0) diverges) and
+    // negatives would put '-' in front of the prefix (NULL in Spark,
+    // a cast error in DuckDB). Guard the domain in BOTH engines so
+    // the query is safe beyond the TPC-H generator's positive prices.
     t(s, dir, "orders")
+      .filter($"o_totalprice" >= 1)
       .select(digit.as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
       .withColumn("n_total", sum($"n").over(Window.partitionBy()))
@@ -708,7 +719,7 @@ object MlOps extends QueryModule {
       s"""WITH d AS (
            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                  AS VARCHAR), 1, 1) AS BIGINT) digit
-           FROM orders),
+           FROM orders WHERE o_totalprice >= 1),
          g AS (SELECT digit, count(*) n FROM d GROUP BY digit),
          w AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) n_total FROM g)
          SELECT digit, n,

@@ -24,15 +24,9 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("no query name collides across modules (Map concat would shadow)") {
-    val modules = Seq(
-      graft.operators.Relational, graft.operators.Assembly,
-      graft.operators.Windows, graft.operators.AsOf,
-      graft.operators.SemiStructured, graft.operators.TextOps,
-      graft.operators.Similarity, graft.operators.Graphs,
-      graft.operators.Analytics, graft.operators.Llm,
-      graft.operators.Multimodal, graft.operators.Curation,
-      graft.operators.Layouts, graft.streaming.StreamOps)
-    val perModule = modules.map(_.queries.size).sum
+    // Derived from the registry itself so a new module can never make
+    // this guard stale (round-4 lesson: a hand-copied list missed MlOps).
+    val perModule = SparkEntry.modules.map(_.queries.size).sum
     assert(SparkEntry.queries.size == perModule,
       s"collision: ${perModule - SparkEntry.queries.size} shadowed keys")
   }
