@@ -13,31 +13,41 @@ import org.apache.spark.sql.DataFrame
   * through a checkpoint.
   *
   * [[Exec.seal]] keeps the eager lifecycle for normal runs but lets plan
-  * inspection opt OUT via [[Exec.lazyPlans]]: with the flag on, the query
-  * function returns the un-checkpointed DataFrame whose
-  * `queryExecution` is the genuine plan (persist/unpersist become no-ops
-  * for plan purposes — the lineage is still correct, merely uncached).
-  * Tests flip the flag around a whole-registry sweep (PlanShapeSpec);
-  * production paths never touch it. Every declared query is
+  * inspection opt OUT via [[Exec.withLazyPlans]]: inside the block, query
+  * functions return the un-checkpointed DataFrame whose `queryExecution`
+  * is the genuine plan. PlanShapeSpec's registry-wide sweeps run under
+  * this block; production paths never touch it. Every declared query is
   * deterministic by construction ([[Det]] discipline), so executing the
   * lazy form yields bit-identical rows to the sealed form.
+  *
+  * Scope rules:
+  *  - Only RESULT-BOUNDARY checkpoints route through [[seal]]
+  *    (`.transform(Exec.seal)` as the last step of a query function).
+  *    Intra-loop lineage truncations (BPE training rounds, connected-
+  *    components hops) stay raw eager `localCheckpoint(true)` — they
+  *    bound driver-side plan growth and must fire even during plan
+  *    inspection.
+  *  - The flag is a [[scala.util.DynamicVariable]] (thread-scoped,
+  *    reentrant): concurrent suites on other threads never observe the
+  *    block's value, and nested blocks restore correctly.
+  *  - Lazy-mode plans reflect the POST-unpersist state: an operator that
+  *    unpersists its intermediate before returning shows raw scans (no
+  *    InMemoryRelation), so cache-REUSE shape assertions must keep
+  *    persisting the inner frame inside the test itself (the tf/bm25
+  *    cache specs do exactly that).
   */
 object Exec {
 
-  /** When true, [[seal]] skips the eager localCheckpoint so
-    * `df.queryExecution` exposes the real operator tree. Test-only. */
-  @volatile private[graft] var lazyPlans: Boolean = false
+  private val lazyPlans = new scala.util.DynamicVariable[Boolean](false)
 
   /** Seal a query result: eager localCheckpoint in normal runs (so
-    * persisted intermediates can be released immediately), identity when
-    * [[lazyPlans]] is set. */
+    * persisted intermediates can be released immediately), identity
+    * inside a [[withLazyPlans]] block. */
   def seal(df: DataFrame): DataFrame =
-    if (lazyPlans) df else df.localCheckpoint(true)
+    if (lazyPlans.value) df else df.localCheckpoint(true)
 
-  /** Run `body` with lazy plan capture enabled; restores the prior mode. */
-  private[graft] def withLazyPlans[A](body: => A): A = {
-    val prev = lazyPlans
-    lazyPlans = true
-    try body finally lazyPlans = prev
-  }
+  /** Run `body` with lazy plan capture enabled on THIS thread; restores
+    * the prior mode on exit (reentrant). */
+  private[graft] def withLazyPlans[A](body: => A): A =
+    lazyPlans.withValue(true)(body)
 }

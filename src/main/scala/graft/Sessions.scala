@@ -23,9 +23,6 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries timestamp[ns]; the Tables loader reads the
-      // raw INT64 under this conf (session-level so the loader is pure)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,7 +39,6 @@ object Sessions {
     "spark.sql.files.maxPartitionBytes" -> (256 * 1024 * 1024).toString,
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.shuffle.compress" -> "true",
     // transformWithState (StreamOps ST6) requires the RocksDB provider;

@@ -65,7 +65,7 @@ object Analytics extends QueryModule {
           Det.round6($"n_active".cast(DoubleType) / $"cohort_size")
             .as("retention"))
         .orderBy($"cohort_month", $"months_since")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally first.unpersist(false)
   }
 
@@ -278,18 +278,37 @@ object Analytics extends QueryModule {
     * collapses to a level table first (map-side combined); a running min
     * over strictly-higher price levels decides strict-price dominance
     * and the level's own min decides equal-price dominance; levels
-    * broadcast back onto one fact pass. The only window runs over the
-    * LEVEL table (value cardinality, not row count — the q_winsorize
-    * histogram argument; were level cardinality itself huge, the levels
-    * would range-partition). Pure comparisons on raw values — no
+    * broadcast back onto one fact pass. The running min is a TWO-LEVEL
+    * bucketed prefix (prefix-min is associative): constant-B price-range
+    * buckets, exclusive prefix-min over the ≤B bucket minima (single-
+    * partition work bounded by a constant), then a bucket-PARTITIONED
+    * within-bucket prefix-min — so even a huge price-level cardinality
+    * never funnels through one task. Pure comparisons on raw values — no
     * arithmetic, so cross-engine determinism is free. */
   private def qSkyline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = t(s, dir, "part").select($"p_partkey", $"p_retailprice", $"p_size")
-    val w = Window.orderBy($"p_retailprice".desc)
+    val B = 4096L
+    val lvl0 = p.groupBy($"p_retailprice").agg(min($"p_size").as("msz"))
+    val mm = lvl0.agg(min($"p_retailprice").as("lo"),
+      max($"p_retailprice").as("hi"))
+    // bucket 0 = highest prices, so bucket-ascending == price-descending
+    val lb = lvl0.crossJoin(broadcast(mm))
+      .withColumn("bucket", when($"hi" === $"lo", lit(0L))
+        .otherwise(least(lit(B - 1L),
+          floor(($"hi" - $"p_retailprice") * B / ($"hi" - $"lo"))
+            .cast("long"))))
+    val wOffB = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val lvl = p.groupBy($"p_retailprice").agg(min($"p_size").as("msz"))
-      .withColumn("prevmin", min($"msz").over(w))
+    val boff = lb.groupBy($"bucket").agg(min($"msz").as("bmin"))
+      .withColumn("prevb", min($"bmin").over(wOffB))
+      .select($"bucket", $"prevb")
+    val wv = Window.partitionBy($"bucket").orderBy($"p_retailprice".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl = lb.join(broadcast(boff), "bucket")
+      // least() skips NULLs: null prefix on both levels ⇒ null prevmin
+      .withColumn("prevmin", least($"prevb", min($"msz").over(wv)))
+      .select($"p_retailprice", $"msz", $"prevmin")
     p.join(broadcast(lvl), Seq("p_retailprice"))
       .filter(!($"prevmin".isNotNull && $"prevmin" <= $"p_size") &&
         !($"msz" < $"p_size"))
@@ -488,10 +507,11 @@ object Analytics extends QueryModule {
     * GLOBAL ntile — an unpartitioned window that funnels every row
     * through one task, the canonical 100 TB scale-killer. Instead the
     * quartile BOUNDARIES are exact ⌈n/4⌉-rank order statistics selected
-    * from per-metric value histograms ([[qWinsorize]]'s distributed-
-    * selection pipeline: quantized BIGINT values, map-side-combined
-    * histogram, cumulative-count window over value cardinality, never
-    * rows), broadcast back onto one customer pass. Scores are "1 + #
+    * from per-metric value histograms by two-level bucketed selection
+    * (constant-B range buckets → bucket-offset prefix over ≤B rows →
+    * bucket-PARTITIONED within-bucket cumulative; no window ever sees
+    * more than max(B, values-per-bucket) rows in one partition),
+    * broadcast back onto one customer pass. Scores are "1 + #
     * boundaries strictly below" — equal metric values always land in
     * the same class (ntile would split ties by physical row order).
     * Monetary sums are exact DECIMAL; recency is integer days from the
@@ -513,16 +533,41 @@ object Analytics extends QueryModule {
         .select($"o_custkey", ($"maxd" - $"lastd").as("rq"), $"fq", $"mq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // exact quartile boundaries of one metric via histogram selection
+        // Exact quartile boundaries of one metric via TWO-LEVEL bucketed
+        // selection (the monetary metric is a per-customer DECIMAL sum —
+        // near-unique, so a single global cumulative window over its value
+        // histogram would funnel ~|customers| rows through one task at
+        // 100 TB). Level 1: constant-width range buckets over [lo, hi]
+        // (B = 4096, a compile-time constant), bucket totals + exclusive
+        // prefix offsets computed by a window over ≤B rows — single-
+        // partition work bounded by a CONSTANT regardless of data scale.
+        // Level 2: within-bucket cumulative counts under a window
+        // PARTITIONED by bucket; global rank = bucket offset + local
+        // cumulative. Range-skew caveat: mass concentrated in one
+        // bucket's value range degrades level 2 toward the global sort;
+        // a recursive refinement of the hot bucket would restore the
+        // bound (not needed at TPC-H-like value spreads).
         def bounds(metric: String): DataFrame = {
+          val B = 4096L
           val h = base.groupBy(col(metric).as("v"))
             .agg(count(lit(1)).as("cnt"))
-          val wc = Window.orderBy($"v")
+          val mm = h.agg(min($"v").as("lo"), max($"v").as("hi"))
+          val hb = h.crossJoin(broadcast(mm))
+            .withColumn("bucket", least(lit(B - 1L),
+              floor(($"v" - $"lo").cast("double") * B /
+                (($"hi" - $"lo").cast("double") + 1.0)).cast("long")))
+          val wOff = Window.orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val off = hb.groupBy($"bucket").agg(sum($"cnt").as("bcnt"))
+            .withColumn("off", coalesce(sum($"bcnt").over(wOff), lit(0L)))
+            .withColumn("n", sum($"bcnt").over(
+              Window.orderBy($"bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+            .select($"bucket", $"off", $"n")
+          val wv = Window.partitionBy($"bucket").orderBy($"v")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          h.withColumn("cum", sum($"cnt").over(wc))
-            .withColumn("n", sum($"cnt").over(
-              Window.rowsBetween(Window.unboundedPreceding,
-                Window.unboundedFollowing)))
+          hb.join(broadcast(off), "bucket")
+            .withColumn("cum", $"off" + sum($"cnt").over(wv))
             .agg(
               min(when($"cum" >= expr("(n * 1 + 3) div 4"), $"v")).as("b1"),
               min(when($"cum" >= expr("(n * 2 + 3) div 4"), $"v")).as("b2"),
@@ -551,7 +596,7 @@ object Analytics extends QueryModule {
           .withColumn("segment",
             concat($"r_score", $"f_score", $"m_score"))
           .orderBy($"o_custkey")
-          .localCheckpoint(true)
+          .transform(graft.Exec.seal)
       } finally base.unpersist(false)
     } finally cust.unpersist(false)
   }
@@ -755,7 +800,7 @@ object Analytics extends QueryModule {
           ($"mad" > 0 && abs($"xq" - $"med") > lit(3) * $"mad")
             .as("is_anomaly"))
         .orderBy($"event_id")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally { h.unpersist(false) }
   }
 
@@ -923,7 +968,7 @@ object Analytics extends QueryModule {
             / ($"c_a".cast(DoubleType) * $"c_b".cast(DoubleType)))
             .as("lift"))
         .orderBy($"support".desc, $"part_a", $"part_b")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally items.unpersist(false)
   }
 

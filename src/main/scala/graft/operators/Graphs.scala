@@ -76,7 +76,7 @@ object Graphs extends QueryModule {
       rN.select($"doc_id", $"pr",
           ($"pr".cast("double") / lit(Scale.toDouble)).as("rank"))
         .orderBy($"doc_id")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally { edges.unpersist(false); nodes.unpersist(false) }
   }
 
@@ -134,7 +134,7 @@ object Graphs extends QueryModule {
         .select(col("e1.a").as("a"), col("e1.b").as("b"),
           col("e2.b").as("c"))
         .orderBy($"a", $"b", $"c")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally { u.unpersist(false); d.unpersist(false) }
   }
 
@@ -178,7 +178,7 @@ object Graphs extends QueryModule {
       }
       l3.select($"doc_id", $"lbl".as("community"))
         .orderBy($"doc_id")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
 
@@ -221,7 +221,7 @@ object Graphs extends QueryModule {
         reached.union(relaxed)
           .groupBy($"doc_id").agg(min($"dist").as("dist"))
       }
-      b3.orderBy($"doc_id").localCheckpoint(true)
+      b3.orderBy($"doc_id").transform(graft.Exec.seal)
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
 
@@ -270,7 +270,7 @@ object Graphs extends QueryModule {
           graft.Det.round6($"common".cast("double") /
             ($"deg_a" + $"deg_b" - $"common").cast("double")).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally eu.unpersist(false)
   }
 
@@ -314,7 +314,7 @@ object Graphs extends QueryModule {
       }._2
       last.select($"src".as("doc_id"), $"degree")
         .orderBy($"doc_id")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
 

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * promoted from an API-level spec to a declared, oracle-checked query.
   *
   * Both queries materialize their layout on first use under /tmp (keyed
-  * by the source dir, `_SUCCESS`-guarded) and read it back; the DuckDB
+  * by source dir + data mtime + JVM, `_SUCCESS`-guarded) and read it
+  * back; the DuckDB
   * oracle runs the same semantics over the ORIGINAL orders/lineitem
   * parquet, so the correctness gate proves the derived layout returns
   * exactly the source rows — a layout round-trip check, not just a plan
@@ -22,8 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Layouts extends QueryModule {
 
-  private def layoutRoot(dir: String): String =
-    s"/tmp/graft_layout_${java.lang.Integer.toHexString(dir.hashCode)}"
+  /** Layout scratch root. Keyed by (source dir, source mtime, THIS JVM):
+    *  - mtime ⇒ a regenerated corpus can never serve a stale layout,
+    *  - pid ⇒ concurrent sessions (a test suite next to a verify run)
+    *    never race on each other's `overwrite` — the round-6 red suite
+    *    was exactly two JVMs overwriting one shared bucketed table.
+    * The build amortizes within a JVM (verify / bench each build once);
+    * /tmp is ephemeral, so per-pid roots need no cleanup pass. */
+  private def layoutRoot(dir: String): String = {
+    val mtime = new java.io.File(s"$dir/orders.parquet").lastModified()
+    val key = s"$dir:$mtime"
+    val pid = ProcessHandle.current().pid()
+    s"/tmp/graft_layout_${java.lang.Integer.toHexString(key.hashCode)}_$pid"
+  }
 
   /** On-disk location of the month-partitioned orders layout (test aid:
     * PlanShapeSpec counts pruned vs total partition directories). */
@@ -77,7 +89,8 @@ object Layouts extends QueryModule {
     * the recurring fact⋈fact join consumes bucketed scans directly — no
     * exchange on either input. */
   private[graft] def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
     val (liT, oT) = (s"li_bkt_$tag", s"o_bkt_$tag")
     val root = layoutRoot(dir)
     if (!s.catalog.tableExists(liT)) {

@@ -253,7 +253,7 @@ object MlOps extends QueryModule {
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter($"rn" <= 3)
         .orderBy($"part_a", $"rn")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally items.unpersist(false)
   }
 
@@ -286,27 +286,27 @@ object MlOps extends QueryModule {
       .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // The ENTIRE model — per-(class,token) counts, class totals, vocab
-      // size, doc counts — folds into ONE persisted vocabulary-sized
-      // relation: every stat after the cell combine is a window over
-      // ≤|vocab|·|classes| rows, so training costs one cache pass
-      // instead of a fan of broadcast jobs that each re-derive the cell
-      // aggregate from the token cache (measured: the fan was the whole
-      // bench cost of this query — job latency, not data).
-      val model = tf.groupBy($"lang", $"token")
+      // Per-(class,token) counts and class totals fold into ONE persisted
+      // vocabulary-sized cell relation (class totals are a window
+      // PARTITIONED by class). The two GLOBAL scalars — vocab size and
+      // total doc count — are distributed aggregates broadcast back as
+      // 1-row dims: a global window for them would funnel the
+      // vocab×classes relation through a single task at 100 TB (the
+      // PlanShapeSpec unpartitioned-window sweep guards this), while an
+      // aggregate combines map-side and costs one tiny broadcast each.
+      val cells = tf.groupBy($"lang", $"token")
         .agg(sum($"tf").as("c"))
         .withColumn("tot", sum($"c").over(Window.partitionBy($"lang")))
-        .withColumn("tfirst",
-          row_number().over(Window.partitionBy($"token").orderBy($"lang")))
-        .withColumn("v", sum(when($"tfirst" === 1, 1L).otherwise(0L))
-          .over(Window.partitionBy()))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = cells.crossJoin(broadcast(
+        cells.agg(countDistinct($"token").as("v"))))
       // Class doc counts are NOT derivable from the cell relation (a
       // class's docs are distinct over all its tokens) — one extra
       // cache pass over tf.
-      val priors = tf.groupBy($"lang".as("cand"))
+      val priors0 = tf.groupBy($"lang".as("cand"))
         .agg(countDistinct($"doc_id").as("ndx"))
-        .withColumn("nd_all", sum($"ndx").over(Window.partitionBy()))
+      val priors = priors0.crossJoin(broadcast(
+        priors0.agg(sum($"ndx").as("nd_all"))))
       val classes = model.select($"lang".as("cand"), $"tot", $"v").distinct()
         .join(broadcast(priors), "cand")
         .select($"cand", $"tot", $"v",
@@ -347,8 +347,8 @@ object MlOps extends QueryModule {
           ($"score_q".cast(DoubleType) / lit(1000000.0)).as("log_post"),
           ($"cand" === $"lang").as("correct"))
         .orderBy($"doc_id")
-        .localCheckpoint(true)
-      finally model.unpersist(false)
+        .transform(graft.Exec.seal)
+      finally cells.unpersist(false)
     } finally tf.unpersist(false)
   }
 
@@ -431,7 +431,7 @@ object MlOps extends QueryModule {
             .as("loading"),
           Det.round6($"nrm").as("eigenvalue"))
         .orderBy($"pos")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally cov.unpersist(false)
   }
 

@@ -258,7 +258,7 @@ object Multimodal extends QueryModule {
         .filter($"hamming" <= 3L)
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"hamming")
         .orderBy($"doc_a", $"doc_b")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally hashes.unpersist(false)
   }
 

@@ -38,6 +38,25 @@ object Relational extends QueryModule {
       .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 
+  /** S1b q_dsv2_scan — a declared query through the full DataSource-V2
+    * connector ([[graft.sources.v2.DocGenSource]], the shape a production
+    * deployment implements against its real backing store — the
+    * reference's PostgreSQL, `/root/reference/probe.py:4`). The `doc_id`
+    * range predicates are ABSORBED by the ScanBuilder (the generated id
+    * range narrows BEFORE any row exists — the DSv2 analog of parquet
+    * row-group skipping), `n_chars >= 500` stays a residual Spark filter,
+    * and column pruning drops `lang` from the reader schema entirely.
+    * Oracle: the connector's deterministic row function re-expressed in
+    * SQL over `generate_series`. */
+  private def qDsv2Scan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", 5000).option("slices", 8).load()
+      .filter($"doc_id" >= 100L && $"doc_id" < 4000L && $"n_chars" >= 500L)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------- filters / projections
 
   /** P1 q_filter_or_eq — the reference's only WHERE: disjunctive equality
@@ -394,7 +413,7 @@ object Relational extends QueryModule {
               ($"hk".cast("double") / lit(P.toDouble))).as("kmv_merged"),
           $"exact_distinct")
         .orderBy($"r_name")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally j.unpersist(false)
   }
 
@@ -464,7 +483,7 @@ object Relational extends QueryModule {
             greatest(lit(0.0), ea + eb - eu).as("kmv_intersect"),
             coalesce($"exact_intersect", lit(0L)).as("exact_intersect"))
           .orderBy($"seg_a", $"seg_b")
-          .localCheckpoint(true)
+          .transform(graft.Exec.seal)
       } finally sk.unpersist(false)
     } finally base.unpersist(false)
   }
@@ -1209,6 +1228,7 @@ object Relational extends QueryModule {
     "q_pivot" -> (qPivot _),
     "q_regex_funcs" -> (qRegexFuncs _),
     "q_scan_project" -> (qScanProject _),
+    "q_dsv2_scan" -> (qDsv2Scan _),
     "q_filter_or_eq" -> (qFilterOrEq _),
     "q_project" -> (qProject _),
     "q_filter_pred" -> (qFilterPred _),
@@ -1500,6 +1520,11 @@ object Relational extends QueryModule {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "q_dsv2_scan" ->
+      """SELECT g AS doc_id, 50 + (g * 37) % 950 AS n_chars
+         FROM generate_series(100, 3999) t(g)
+         WHERE 50 + (g * 37) % 950 >= 500
+         ORDER BY doc_id""",
     "q_filter_or_eq" ->
       """SELECT c_custkey, c_name, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey

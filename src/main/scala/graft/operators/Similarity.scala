@@ -125,7 +125,7 @@ object Similarity extends QueryModule {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val n = ivfVectors(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try ivfRanked(s, n, c = 8, iters = 2, nprobe = 2).localCheckpoint(true)
+    try ivfRanked(s, n, c = 8, iters = 2, nprobe = 2).transform(graft.Exec.seal)
     finally n.unpersist(false)
   }
 
@@ -161,7 +161,7 @@ object Similarity extends QueryModule {
         .select($"cell", $"cell_size",
           (-$"r.nv").as("rep_id"), $"r.cs".as("rep_sim"))
         .orderBy($"cell")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally n.unpersist(false)
   }
 
@@ -373,7 +373,7 @@ object Similarity extends QueryModule {
       .select($"qid", $"rn", $"vec_id".as("cid"),
         ($"sl".cast("double") / 1000000.0).as("score"))
       .orderBy($"qid", $"rn")
-      .localCheckpoint(true)
+      .transform(graft.Exec.seal)
   }
 
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
@@ -866,7 +866,7 @@ object Similarity extends QueryModule {
     // the full table scan + distinct-name aggregate
     val names = fuzzyNames(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try fuzzyPairs(s, names).localCheckpoint(true)
+    try fuzzyPairs(s, names).transform(graft.Exec.seal)
     finally names.unpersist(false)
   }
 
@@ -928,7 +928,7 @@ object Similarity extends QueryModule {
           sum($"n_parts").as("n_parts"),
           min($"p_name").as("canonical_name"))
         .orderBy($"entity_id")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally names.unpersist(false)
   }
 
@@ -995,7 +995,7 @@ object Similarity extends QueryModule {
         .agg((max($"m") + (k - 1)).as("max_run"))
         .filter($"max_run" >= 15)
         .orderBy($"doc_a", $"doc_b")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally grams.unpersist(false)
   }
 

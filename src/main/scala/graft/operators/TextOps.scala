@@ -93,7 +93,7 @@ object TextOps extends QueryModule {
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val tf = tfRelation(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try tfidfRanked(s, dir, tf).localCheckpoint(true)
+    try tfidfRanked(s, dir, tf).transform(graft.Exec.seal)
     finally tf.unpersist(false)
   }
 
@@ -425,7 +425,7 @@ object TextOps extends QueryModule {
   private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val tf = tfRelation(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try unigramScored(s, tf).localCheckpoint(true)
+    try unigramScored(s, tf).transform(graft.Exec.seal)
     finally tf.unpersist(false)
   }
 
@@ -468,7 +468,7 @@ object TextOps extends QueryModule {
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val perDoc = bm25PerDoc(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try bm25Scored(s, perDoc).localCheckpoint(true)
+    try bm25Scored(s, perDoc).transform(graft.Exec.seal)
     finally perDoc.unpersist(false)
   }
 
@@ -652,7 +652,7 @@ object TextOps extends QueryModule {
         .select($"a".as("w1"), $"b".as("w2"), $"c".as("pair_count"), $"pmi")
         .orderBy($"pmi".desc, $"w1", $"w2")
         .limit(20)
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally pc.unpersist(false)
   }
 
@@ -727,7 +727,7 @@ object TextOps extends QueryModule {
           ($"sq".cast("double") / ($"n_bigrams" * lit(1000000.0)))
             .as("avg_nll"))
         .orderBy($"doc_id")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally perDoc.unpersist(false)
   }
 
@@ -766,7 +766,7 @@ object TextOps extends QueryModule {
           " x -> cast(x as string)), ',')").as("postings"))
         .select($"token", $"df", $"postings")
         .orderBy($"token")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally dt.unpersist(false)
   }
 
@@ -807,7 +807,7 @@ object TextOps extends QueryModule {
         .withColumn("cum_tokens", sum($"n_tokens").over(w))
         .withColumn("cum_types", sum($"new_types").over(w))
         .orderBy($"decile")
-        .localCheckpoint(true)
+        .transform(graft.Exec.seal)
     } finally h.unpersist(false)
   }
 

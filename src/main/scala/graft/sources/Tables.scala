@@ -67,18 +67,9 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is physically parquet timestamp[ns]; Spark has no nanos
-    * timestamp type, so the scan reads the raw INT64 (legacy nanosAsLong
-    * conf) and the loader truncates to micros — exactly what DuckDB does
-    * when it reads the same file, keeping the t2 oracle aligned. */
-  private val eventsRaw: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
+  /** `events.ts` is parquet timestamp[us] (isAdjustedToUTC=false); the
+    * session pins `spark.sql.session.timeZone=UTC` so the naive micros are
+    * read as the same instants DuckDB sees, keeping the t2 oracle aligned. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -105,34 +96,17 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Columnar scan with a declared schema (SURVEY.md §2.1 S1).
-    *
-    * Reading `events` requires `spark.sql.legacy.parquet.nanosAsLong=true`
-    * on the SESSION (set by `Sessions.local` / `clusterConf` and every
-    * entry-point builder) — the loader itself is side-effect-free, so
-    * concurrent queries sharing a session never observe a conf flip. */
+  /** Columnar scan with a declared schema (SURVEY.md §2.1 S1). All tables
+    * (including `events`) are plain declared-schema parquet scans — no
+    * loader-side transforms, so a table copy written from this output is
+    * loader-compatible (ScaleProbe k-replication relies on that). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-        .select(events.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
-    } else {
-      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-    }
+    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
-  /** Raw physical read — `events.ts` stays the parquet file's INT64 nanos
-    * (no micros normalization). For tooling that WRITES table copies
-    * (ScaleProbe k-replication): a copy written from [[load]]'s output
-    * would carry micros timestamps that [[load]] would then re-divide by
-    * 1000 on the next read; a copy written from this reader stays
-    * loader-compatible. */
+  /** Kept for tooling compatibility — identical to [[load]] now that the
+    * events scan has no normalization step. */
   def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
-    } else load(spark, dir, name)
+    load(spark, dir, name)
 
   /** Catalog surface (SURVEY.md §2.1 S2, mirrors
     * `/root/reference/probe.py:6-7` `inspector.get_table_names()`):

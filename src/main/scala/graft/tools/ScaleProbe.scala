@@ -44,7 +44,6 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,8 +52,6 @@ object ScaleProbe {
     ks.foreach { k =>
       val dir = s"/tmp/graft_scale_$k"
       def replicate(table: String, idCols: Seq[String]): Unit = {
-        // loadRaw keeps events.ts as raw INT64 nanos so the written
-        // replica round-trips through Tables.load unchanged (ADVICE r1).
         val src = graft.sources.Tables.loadRaw(spark, base, table)
         val copies = (0 until k).map { i =>
           idCols.foldLeft(src) { (df, c) =>

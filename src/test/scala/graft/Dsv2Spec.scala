@@ -15,10 +15,18 @@ class Dsv2Spec extends AnyFunSuite {
     spark.read.format("graft.sources.v2.DocGenSource")
       .option("rows", rows).option("slices", slices).load()
 
-  private def scanOf(df: DataFrame): graft.sources.v2.DocGenScan =
-    df.queryExecution.executedPlan.collectFirst {
+  private def scanOf(df: DataFrame): graft.sources.v2.DocGenScan = {
+    // queries with an exchange wrap in AdaptiveSparkPlanExec, whose
+    // inputPlan is not among its children — unwrap before collecting
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    p.collectFirst {
       case b: BatchScanExec => b.scan.asInstanceOf[graft.sources.v2.DocGenScan]
     }.get
+  }
 
   test("full read: rows, partitions, and values match the reference derivation") {
     import spark.implicits._
@@ -60,5 +68,14 @@ class Dsv2Spec extends AnyFunSuite {
       ((123L, graft.sources.v2.DocGen.lang(123), graft.sources.v2.DocGen.nChars(123))))
     val none = read().filter($"doc_id" > 2000L)
     assert(none.rdd.getNumPartitions == 0 || none.count() == 0)
+  }
+
+  test("q_dsv2_scan (declared): id range pushed, lang pruned from the reader") {
+    val df = SparkEntry.queries("q_dsv2_scan")(spark, TestSession.sfDir)
+    val scan = scanOf(df)
+    assert(scan.lo == 100L && scan.hi == 4000L,
+      s"pushed range expected [100,4000), got [${scan.lo},${scan.hi})")
+    assert(scan.readSchema().fieldNames.toSeq == Seq("doc_id", "n_chars"),
+      "lang must be pruned from the reader schema")
   }
 }

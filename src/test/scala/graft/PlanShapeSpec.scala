@@ -8,8 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
   private val dir = TestSession.sfDir
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+  // Exec.withLazyPlans: sealed (localCheckpoint'ed) queries return their
+  // un-checkpointed form, so the sweep inspects REAL operator trees, not
+  // opaque RDDScanExec nodes.
+  private def planOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+    Exec.withLazyPlans(SparkEntry.queries(name)(spark, dir))
+      .queryExecution.executedPlan
+  private def plan(name: String): String = planOf(name).toString()
 
   test("q_filter_pred pushes every predicate into the parquet scan") {
     val formatted = SparkEntry.queries("q_filter_pred")(spark, dir)
@@ -385,5 +390,61 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"),
         s"$name plans an unbounded cartesian product")
     }
+  }
+
+  /** Queries whose unpartitioned windows run over inputs PROVABLY bounded
+    * by a constant (or by value-range cardinality fixed at authoring
+    * time), so the single-partition stage never grows with data scale.
+    * Every entry needs a reason — this list is the pressure valve of the
+    * sweep below, not an escape hatch. */
+  private val constantCardinalityWindows: Map[String, String] = Map(
+    "q_rfm" -> "≤4096 bucket offsets per metric (two-level selection)",
+    "q_skyline" -> "≤4096 bucket prefix-minima (two-level selection)",
+    "q_benford" -> "9 digit rows",
+    "q_vocab_growth" -> "decile rows (constant 10)",
+    "q_unigram_logprob" -> "global-total window over G event-type rows",
+    "q_pca_power" -> "matvec/normalize windows over d=64-dim vectors (constant)")
+
+  test("no declared query plans an unpartitioned Window over unbounded input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
+    // A window whose input subtree passes through a LIMIT is bounded by
+    // that literal, whatever the table size (the IVF seed-numbering
+    // shape: orderBy.limit(C).row_number) — structurally safe.
+    def limitBounded(n: SparkPlan): Boolean = n match {
+      case _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case a: AdaptiveSparkPlanExec => limitBounded(a.inputPlan)
+      case other => other.children.exists(limitBounded)
+    }
+    def offenders(p: SparkPlan): Seq[String] = {
+      val buf = scala.collection.mutable.Buffer[String]()
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+          case w: WindowExec
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+            buf += w.simpleStringWithNodeId()
+          case w: WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+            buf += w.simpleStringWithNodeId()
+          case _ =>
+        }
+        n.children.foreach(walk)
+        n.subqueries.foreach(walk)
+      }
+      walk(p); buf.toSeq
+    }
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(constantCardinalityWindows.contains)
+      .flatMap { name =>
+        val off = offenders(planOf(name))
+        if (off.isEmpty) None else Some(s"$name: ${off.size} (${off.head})")
+      }
+    assert(bad.isEmpty,
+      s"unpartitioned Window(s) — single-partition funnel at scale:\n  " +
+        bad.mkString("\n  "))
   }
 }
