@@ -533,47 +533,51 @@ object Analytics extends QueryModule {
         .select($"o_custkey", ($"maxd" - $"lastd").as("rq"), $"fq", $"mq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // Exact quartile boundaries of one metric via TWO-LEVEL bucketed
-        // selection (the monetary metric is a per-customer DECIMAL sum —
-        // near-unique, so a single global cumulative window over its value
-        // histogram would funnel ~|customers| rows through one task at
-        // 100 TB). Level 1: constant-width range buckets over [lo, hi]
-        // (B = 4096, a compile-time constant), bucket totals + exclusive
-        // prefix offsets computed by a window over ≤B rows — single-
-        // partition work bounded by a CONSTANT regardless of data scale.
-        // Level 2: within-bucket cumulative counts under a window
-        // PARTITIONED by bucket; global rank = bucket offset + local
-        // cumulative. Range-skew caveat: mass concentrated in one
-        // bucket's value range degrades level 2 toward the global sort;
-        // a recursive refinement of the hot bucket would restore the
-        // bound (not needed at TPC-H-like value spreads).
-        def bounds(metric: String): DataFrame = {
-          val B = 4096L
-          val h = base.groupBy(col(metric).as("v"))
-            .agg(count(lit(1)).as("cnt"))
-          val mm = h.agg(min($"v").as("lo"), max($"v").as("hi"))
-          val hb = h.crossJoin(broadcast(mm))
-            .withColumn("bucket", least(lit(B - 1L),
-              floor(($"v" - $"lo").cast("double") * B /
-                (($"hi" - $"lo").cast("double") + 1.0)).cast("long")))
-          val wOff = Window.orderBy($"bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)
-          val off = hb.groupBy($"bucket").agg(sum($"cnt").as("bcnt"))
-            .withColumn("off", coalesce(sum($"bcnt").over(wOff), lit(0L)))
-            .withColumn("n", sum($"bcnt").over(
-              Window.orderBy($"bucket").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing)))
-            .select($"bucket", $"off", $"n")
-          val wv = Window.partitionBy($"bucket").orderBy($"v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          hb.join(broadcast(off), "bucket")
-            .withColumn("cum", $"off" + sum($"cnt").over(wv))
-            .agg(
-              min(when($"cum" >= expr("(n * 1 + 3) div 4"), $"v")).as("b1"),
-              min(when($"cum" >= expr("(n * 2 + 3) div 4"), $"v")).as("b2"),
-              min(when($"cum" >= expr("(n * 3 + 3) div 4"), $"v")).as("b3"))
-            .select(struct($"b1", $"b2", $"b3").as(s"${metric}_b"))
-        }
+        // Exact quartile boundaries of ALL THREE metrics in ONE two-level
+        // bucketed-selection pass (the monetary metric is a per-customer
+        // DECIMAL sum — near-unique, so a global cumulative window over
+        // its value histogram would funnel ~|customers| rows through one
+        // task at 100 TB). The metrics unpivot to (metric, v) long form,
+        // then: level 1 — constant-width range buckets over each
+        // metric's [lo, hi] (B = 4096); bucket totals + exclusive prefix
+        // offsets under a window PARTITIONED by metric over ≤B rows;
+        // level 2 — within-(metric, bucket) cumulative counts; global
+        // rank = bucket offset + local cumulative. Every window is
+        // partitioned — nothing in this plan funnels. Range-skew caveat:
+        // mass concentrated in one bucket's value range degrades level 2
+        // toward a per-bucket sort; recursive refinement of the hot
+        // bucket would restore the bound (not needed at TPC-H value
+        // spreads).
+        val B = 4096L
+        val mv = base.select(explode(map(
+          lit("rq"), $"rq", lit("fq"), $"fq", lit("mq"), $"mq"))
+          .as(Seq("metric", "v")))
+        val h = mv.groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
+        val mm = h.groupBy($"metric")
+          .agg(min($"v").as("lo"), max($"v").as("hi"))
+        val hb = h.join(broadcast(mm), "metric")
+          .withColumn("bucket", least(lit(B - 1L),
+            floor(($"v" - $"lo").cast("double") * B /
+              (($"hi" - $"lo").cast("double") + 1.0)).cast("long")))
+        val wOff = Window.partitionBy($"metric").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = hb.groupBy($"metric", $"bucket")
+          .agg(sum($"cnt").as("bcnt"))
+          .withColumn("off", coalesce(sum($"bcnt").over(wOff), lit(0L)))
+          .withColumn("n", sum($"bcnt").over(Window.partitionBy($"metric")))
+          .select($"metric", $"bucket", $"off", $"n")
+        val wv = Window.partitionBy($"metric", $"bucket").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val qb = hb.join(broadcast(off), Seq("metric", "bucket"))
+          .withColumn("cum", $"off" + sum($"cnt").over(wv))
+          .groupBy($"metric").agg(
+            min(when($"cum" >= expr("(n * 1 + 3) div 4"), $"v")).as("b1"),
+            min(when($"cum" >= expr("(n * 2 + 3) div 4"), $"v")).as("b2"),
+            min(when($"cum" >= expr("(n * 3 + 3) div 4"), $"v")).as("b3"))
+        // fold the 3 boundary rows into one broadcastable struct row
+        def pick(m: String) = max(when($"metric" === m,
+          struct($"b1", $"b2", $"b3"))).as(s"${m}_b")
+        val bounds = qb.agg(pick("rq"), pick("fq"), pick("mq"))
         def score(metric: String, desc: Boolean): Column = {
           val b = col(s"${metric}_b")
           val raw = lit(1) +
@@ -584,9 +588,7 @@ object Analytics extends QueryModule {
           (if (desc) lit(5) - raw else raw).cast("long")
         }
         base
-          .crossJoin(broadcast(bounds("rq")))
-          .crossJoin(broadcast(bounds("fq")))
-          .crossJoin(broadcast(bounds("mq")))
+          .crossJoin(broadcast(bounds))
           .select($"o_custkey",
             $"rq".as("recency_days"), $"fq".as("frequency"),
             ($"mq".cast("double") / 10000.0).as("monetary"),

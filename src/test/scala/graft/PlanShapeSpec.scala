@@ -398,7 +398,6 @@ class PlanShapeSpec extends AnyFunSuite {
     * Every entry needs a reason — this list is the pressure valve of the
     * sweep below, not an escape hatch. */
   private val constantCardinalityWindows: Map[String, String] = Map(
-    "q_rfm" -> "≤4096 bucket offsets per metric (two-level selection)",
     "q_skyline" -> "≤4096 bucket prefix-minima (two-level selection)",
     "q_benford" -> "9 digit rows",
     "q_vocab_growth" -> "decile rows (constant 10)",
