@@ -300,11 +300,15 @@ object MlOps extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = cells.crossJoin(broadcast(
         cells.agg(countDistinct($"token").as("v"))))
-      // Class doc counts are NOT derivable from the cell relation (a
-      // class's docs are distinct over all its tokens) — one extra
-      // cache pass over tf.
-      val priors0 = tf.groupBy($"lang".as("cand"))
-        .agg(countDistinct($"doc_id").as("ndx"))
+      // Class doc counts come from the DOC-sized (doc, lang) relation the
+      // scoring base needs anyway (a doc carries one lang, so a plain
+      // count over it equals countDistinct(doc_id) over the fact-sized
+      // token stream — without the extra distinct's two shuffle stages).
+      val docT = tf.groupBy($"doc_id", $"lang")
+        .agg(sum($"tf").as("t_doc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val priors0 = docT.groupBy($"lang".as("cand"))
+        .agg(count(lit(1)).as("ndx"))
       val priors = priors0.crossJoin(broadcast(
         priors0.agg(sum($"ndx").as("nd_all"))))
       val classes = model.select($"lang".as("cand"), $"tot", $"v").distinct()
@@ -314,11 +318,6 @@ object MlOps extends QueryModule {
             * lit(1000000.0) + lit(0.5)).cast(LongType).as("q0"),
           floor(log($"ndx".cast(DoubleType) / $"nd_all")
             * lit(1000000.0) + lit(0.5)).cast(LongType).as("qprior"))
-      val qlp = model
-        .select($"lang".as("cand"), $"token",
-          floor(log(($"c" + lit(1L)).cast(DoubleType)
-            / ($"tot" + $"v").cast(DoubleType))
-            * lit(1000000.0) + lit(0.5)).cast(LongType).as("qlp"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"score_q".desc, $"cand")
       // Sparse scoring decomposition (exactly equal in integer math):
@@ -326,12 +325,17 @@ object MlOps extends QueryModule {
       // so the token stream is NEVER replicated ×|classes| — the dense
       // base rides the doc-sized total-token relation, and the fact-sized
       // join touches only (token ⋈ model) hits (≤ langs-containing-token
-      // rows per token, not 5).
-      val docT = tf.groupBy($"doc_id", $"lang")
-        .agg(sum($"tf").as("t_doc"))
-      val dq = qlp
-        .join(broadcast(classes.select($"cand", $"q0")), "cand")
-        .select($"cand", $"token", ($"qlp" - $"q0").as("dq"))
+      // rows per token, not 5). Both qlp and q0 are functions of the
+      // model row's own (c, tot, v), so dq needs NO join with `classes`
+      // — quantized separately, exactly as `classes` quantizes q0, to
+      // keep the subtraction bit-identical with the dense-base term.
+      val dq = model
+        .select($"lang".as("cand"), $"token",
+          (floor(log(($"c" + lit(1L)).cast(DoubleType)
+              / ($"tot" + $"v").cast(DoubleType))
+              * lit(1000000.0) + lit(0.5)).cast(LongType)
+            - floor(log(lit(1.0) / ($"tot" + $"v").cast(DoubleType))
+              * lit(1000000.0) + lit(0.5)).cast(LongType)).as("dq"))
       val adj = tf.join(broadcast(dq), Seq("token"))
         .groupBy($"doc_id", $"cand").agg(sum($"tf" * $"dq").as("adj"))
       try docT
@@ -348,7 +352,7 @@ object MlOps extends QueryModule {
           ($"cand" === $"lang").as("correct"))
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
-      finally cells.unpersist(false)
+      finally { cells.unpersist(false); docT.unpersist(false) }
     } finally tf.unpersist(false)
   }
 
