@@ -21,7 +21,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // lazy-plan mode: sealed queries print their REAL operator tree
+      // instead of the localCheckpoint'ed RDD scan
+      graft.Exec.withLazyPlans(
+        graft.SparkEntry.queries(n)(spark, sfDir)).explain("formatted")
     }
     spark.stop()
   }
