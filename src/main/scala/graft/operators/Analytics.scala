@@ -238,25 +238,39 @@ object Analytics extends QueryModule {
     * ⌈0.05n⌉/⌈0.95n⌉ computed WITHOUT sorting the fact: values are
     * half-up quantized to 1e-4 BIGINTs, aggregated to a per-group value
     * HISTOGRAM (map-side combined, G×V rows), and the rank is selected
-    * by a cumulative-count scan over that histogram — distributed
-    * selection in O(N) map-combine work plus a window over the tiny
-    * histogram, where a naive per-group sort would shuffle and sort the
-    * whole fact. Rank arithmetic is pure integer ((n·5+99) div 100 ≡
-    * ceil) and the clip happens on the quantized BIGINTs, so the bounds
-    * and the clipped set are bit-identical in both engines; bounds
-    * broadcast back onto one fact pass (two fact passes total — the
-    * [[qOutliers]] no-fact-cache posture). */
+    * by the same TWO-LEVEL bucketed selection as [[qRfm]] — per-(group,
+    * bucket) summaries + an exclusive prefix under a window over ≤B
+    * rows per group, then a (group, bucket)-partitioned within-bucket
+    * cumulative — so even a group whose value histogram alone is huge
+    * never funnels through one task. Rank arithmetic is pure integer
+    * ((n·5+99) div 100 ≡ ceil) and the clip happens on the quantized
+    * BIGINTs, so the bounds and the clipped set are bit-identical in
+    * both engines; bounds broadcast back onto one fact pass (two fact
+    * passes total — the [[qOutliers]] no-fact-cache posture). */
   private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val B = 4096L
     val xq = floor($"value" * 10000.0 + 0.5).cast("long")
     val e = t(s, dir, "events")
       .select($"event_id", $"event_type", $"value", xq.as("xq"))
     val h = e.groupBy($"event_type", $"xq").agg(count(lit(1)).as("cnt"))
-    val wcum = Window.partitionBy($"event_type").orderBy($"xq")
+    val mm = h.groupBy($"event_type")
+      .agg(min($"xq").as("lo_v"), max($"xq").as("hi_v"))
+    val hb = h.join(broadcast(mm), "event_type")
+      .withColumn("bucket", least(lit(B - 1L),
+        floor(($"xq" - $"lo_v").cast("double") * B /
+          (($"hi_v" - $"lo_v").cast("double") + 1.0)).cast("long")))
+    val wOff = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hb.groupBy($"event_type", $"bucket")
+      .agg(sum($"cnt").as("bcnt"))
+      .withColumn("off", coalesce(sum($"bcnt").over(wOff), lit(0L)))
+      .withColumn("n", sum($"bcnt").over(Window.partitionBy($"event_type")))
+      .select($"event_type", $"bucket", $"off", $"n")
+    val wv = Window.partitionBy($"event_type", $"bucket").orderBy($"xq")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bounds = h
-      .withColumn("cum", sum($"cnt").over(wcum))
-      .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+    val bounds = hb.join(broadcast(off), Seq("event_type", "bucket"))
+      .withColumn("cum", $"off" + sum($"cnt").over(wv))
       .groupBy($"event_type").agg(
         min(when($"cum" >= expr("(n * 5 + 99) div 100"), $"xq")).as("lo"),
         min(when($"cum" >= expr("(n * 95 + 99) div 100"), $"xq")).as("hi"))
