@@ -56,6 +56,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // events.ts is a NAIVE parquet timestamp: without the UTC pin a
+      // non-UTC JVM would shift every event instant and bench a
+      // different workload than the one Verify checks
+      .config("spark.sql.session.timeZone", "UTC")
       // default true (the 100 TB posture); toggle for overhead A/B runs
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))

@@ -23,19 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Layouts extends QueryModule {
 
-  /** Layout scratch root. Keyed by (source dir, source mtime, THIS JVM):
-    *  - mtime ⇒ a regenerated corpus can never serve a stale layout,
+  /** Layout scratch root. Keyed by (source dir, max source mtime, THIS
+    * JVM):
+    *  - mtime (max over EVERY *.parquet in the dir, so regenerating any
+    *    feeding table — documents for the csv/jsonl layouts, orders/
+    *    lineitem for the bucketed pair — invalidates) ⇒ a regenerated
+    *    corpus can never serve a stale layout,
     *  - pid ⇒ concurrent sessions (a test suite next to a verify run)
     *    never race on each other's `overwrite` — the round-6 red suite
     *    was exactly two JVMs overwriting one shared bucketed table.
     * The build amortizes within a JVM (verify / bench each build once);
-    * /tmp is ephemeral, so per-pid roots need no cleanup pass. */
-  private def layoutRoot(dir: String): String = {
-    val mtime = new java.io.File(s"$dir/orders.parquet").lastModified()
-    val key = s"$dir:$mtime"
-    val pid = ProcessHandle.current().pid()
-    s"/tmp/graft_layout_${java.lang.Integer.toHexString(key.hashCode)}_$pid"
+    * /tmp is ephemeral, so per-pid roots need no cleanup pass. Local-fs
+    * tooling only (tests/verify/bench read testdata from local disk); a
+    * cluster deployment derives its layout locations from its catalog,
+    * not from /tmp. */
+  private[graft] def layoutKey(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val mtime = files.filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).sorted.lastOption.getOrElse(
+        sys.error(s"layoutKey: no parquet files under $dir"))
+    java.lang.Integer.toHexString(s"$dir:$mtime".hashCode) +
+      "_" + ProcessHandle.current().pid()
   }
+
+  private def layoutRoot(dir: String): String =
+    s"/tmp/graft_layout_${layoutKey(dir)}"
 
   /** On-disk location of the month-partitioned orders layout (test aid:
     * PlanShapeSpec counts pruned vs total partition directories). */
@@ -89,8 +101,9 @@ object Layouts extends QueryModule {
     * the recurring fact⋈fact join consumes bucketed scans directly — no
     * exchange on either input. */
   private[graft] def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode) +
-      "_" + ProcessHandle.current().pid()
+    // same key as layoutRoot: a regenerated corpus within one long-lived
+    // session must invalidate the CATALOG entry too, not just the path
+    val tag = layoutKey(dir)
     val (liT, oT) = (s"li_bkt_$tag", s"o_bkt_$tag")
     val root = layoutRoot(dir)
     if (!s.catalog.tableExists(liT)) {

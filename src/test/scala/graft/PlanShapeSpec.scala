@@ -392,31 +392,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  /** Queries whose unpartitioned windows run over inputs PROVABLY bounded
-    * by a constant (or by value-range cardinality fixed at authoring
-    * time), so the single-partition stage never grows with data scale.
-    * Every entry needs a reason — this list is the pressure valve of the
-    * sweep below, not an escape hatch. */
-  private val constantCardinalityWindows: Map[String, String] = Map(
-    "q_skyline" -> "≤4096 bucket prefix-minima (two-level selection)",
-    "q_benford" -> "9 digit rows",
-    "q_vocab_growth" -> "decile rows (constant 10)",
-    "q_unigram_logprob" -> "global-total window over G event-type rows",
-    "q_pca_power" -> "matvec/normalize windows over d=64-dim vectors (constant)")
+  /** Queries with unpartitioned windows over inputs PROVABLY bounded by
+    * a constant (or by value-range cardinality fixed at authoring time),
+    * so the single-partition stage never grows with data scale. Each
+    * entry pins the EXACT expected offender count — the sweep still
+    * walks these plans, so a future edit adding one more global window
+    * to an exempted query fails (count drift), and removing the bounded
+    * window prompts deleting the entry. */
+  private val constantCardinalityWindows: Map[String, (Int, String)] = Map(
+    "q_skyline" -> (1 -> "≤4096 bucket prefix-minima (two-level selection)"),
+    "q_benford" -> (1 -> "9 digit rows"),
+    "q_vocab_growth" -> (1 -> "decile rows (constant 10)"),
+    "q_unigram_logprob" -> (1 -> "global-total window over G event-type rows"),
+    "q_pca_power" -> (4 -> "matvec/normalize windows over d=64-dim vectors (constant)"))
 
   test("no declared query plans an unpartitioned Window over unbounded input") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.{GlobalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
-    // A window whose input subtree passes through a LIMIT is bounded by
-    // that literal, whatever the table size (the IVF seed-numbering
-    // shape: orderBy.limit(C).row_number) — structurally safe.
+    // A window input is LIMIT-bounded only when the path from the window
+    // down to the limit crosses nothing that can expand cardinality:
+    // recurse through UNARY non-expanding nodes only (joins have two
+    // children and fall out naturally; explode/expand are excluded
+    // explicitly). `fact JOIN dim.limit(3)` therefore does NOT pass —
+    // the limit bounds the dim side, not the window input.
     def limitBounded(n: SparkPlan): Boolean = n match {
       case _: GlobalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true
       case a: AdaptiveSparkPlanExec => limitBounded(a.inputPlan)
-      case other => other.children.exists(limitBounded)
+      case _: org.apache.spark.sql.execution.GenerateExec => false
+      case _: org.apache.spark.sql.execution.ExpandExec => false
+      case u if u.children.size == 1 => limitBounded(u.children.head)
+      case _ => false
     }
     def offenders(p: SparkPlan): Seq[String] = {
       val buf = scala.collection.mutable.Buffer[String]()
@@ -436,14 +444,15 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       walk(p); buf.toSeq
     }
-    val bad = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(constantCardinalityWindows.contains)
-      .flatMap { name =>
-        val off = offenders(planOf(name))
-        if (off.isEmpty) None else Some(s"$name: ${off.size} (${off.head})")
-      }
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val off = offenders(planOf(name))
+      val allowed = constantCardinalityWindows.get(name).map(_._1).getOrElse(0)
+      if (off.size == allowed) None
+      else Some(s"$name: ${off.size} unpartitioned (expected $allowed)" +
+        off.headOption.map(h => s" — $h").getOrElse(""))
+    }
     assert(bad.isEmpty,
-      s"unpartitioned Window(s) — single-partition funnel at scale:\n  " +
-        bad.mkString("\n  "))
+      s"unpartitioned Window(s) — single-partition funnel at scale " +
+        s"(or stale allow-list count):\n  " + bad.mkString("\n  "))
   }
 }
