@@ -249,28 +249,11 @@ object Analytics extends QueryModule {
     * passes total — the [[qOutliers]] no-fact-cache posture). */
   private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val B = 4096L
     val xq = floor($"value" * 10000.0 + 0.5).cast("long")
     val e = t(s, dir, "events")
       .select($"event_id", $"event_type", $"value", xq.as("xq"))
     val h = e.groupBy($"event_type", $"xq").agg(count(lit(1)).as("cnt"))
-    val mm = h.groupBy($"event_type")
-      .agg(min($"xq").as("lo_v"), max($"xq").as("hi_v"))
-    val hb = h.join(broadcast(mm), "event_type")
-      .withColumn("bucket", least(lit(B - 1L),
-        floor(($"xq" - $"lo_v").cast("double") * B /
-          (($"hi_v" - $"lo_v").cast("double") + 1.0)).cast("long")))
-    val wOff = Window.partitionBy($"event_type").orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val off = hb.groupBy($"event_type", $"bucket")
-      .agg(sum($"cnt").as("bcnt"))
-      .withColumn("off", coalesce(sum($"bcnt").over(wOff), lit(0L)))
-      .withColumn("n", sum($"bcnt").over(Window.partitionBy($"event_type")))
-      .select($"event_type", $"bucket", $"off", $"n")
-    val wv = Window.partitionBy($"event_type", $"bucket").orderBy($"xq")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bounds = hb.join(broadcast(off), Seq("event_type", "bucket"))
-      .withColumn("cum", $"off" + sum($"cnt").over(wv))
+    val bounds = Selection.withRankCum(h, Seq("event_type"), "xq", "cnt")
       .groupBy($"event_type").agg(
         min(when($"cum" >= expr("(n * 5 + 99) div 100"), $"xq")).as("lo"),
         min(when($"cum" >= expr("(n * 95 + 99) div 100"), $"xq")).as("hi"))
@@ -547,43 +530,19 @@ object Analytics extends QueryModule {
         .select($"o_custkey", ($"maxd" - $"lastd").as("rq"), $"fq", $"mq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // Exact quartile boundaries of ALL THREE metrics in ONE two-level
-        // bucketed-selection pass (the monetary metric is a per-customer
-        // DECIMAL sum — near-unique, so a global cumulative window over
-        // its value histogram would funnel ~|customers| rows through one
-        // task at 100 TB). The metrics unpivot to (metric, v) long form,
-        // then: level 1 — constant-width range buckets over each
-        // metric's [lo, hi] (B = 4096); bucket totals + exclusive prefix
-        // offsets under a window PARTITIONED by metric over ≤B rows;
-        // level 2 — within-(metric, bucket) cumulative counts; global
-        // rank = bucket offset + local cumulative. Every window is
-        // partitioned — nothing in this plan funnels. Range-skew caveat:
-        // mass concentrated in one bucket's value range degrades level 2
-        // toward a per-bucket sort; recursive refinement of the hot
-        // bucket would restore the bound (not needed at TPC-H value
-        // spreads).
-        val B = 4096L
+        // Exact quartile boundaries of ALL THREE metrics in ONE
+        // two-level bucketed-selection pass ([[Selection.withRankCum]] —
+        // the monetary metric is a per-customer DECIMAL sum, near-
+        // unique, so a global cumulative window over its value histogram
+        // would funnel ~|customers| rows through one task at 100 TB).
+        // The metrics unpivot to (metric, v) long form so one histogram
+        // shuffle and one metric-partitioned window pass serve all
+        // three; every window in the plan is partitioned.
         val mv = base.select(explode(map(
           lit("rq"), $"rq", lit("fq"), $"fq", lit("mq"), $"mq"))
           .as(Seq("metric", "v")))
         val h = mv.groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
-        val mm = h.groupBy($"metric")
-          .agg(min($"v").as("lo"), max($"v").as("hi"))
-        val hb = h.join(broadcast(mm), "metric")
-          .withColumn("bucket", least(lit(B - 1L),
-            floor(($"v" - $"lo").cast("double") * B /
-              (($"hi" - $"lo").cast("double") + 1.0)).cast("long")))
-        val wOff = Window.partitionBy($"metric").orderBy($"bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val off = hb.groupBy($"metric", $"bucket")
-          .agg(sum($"cnt").as("bcnt"))
-          .withColumn("off", coalesce(sum($"bcnt").over(wOff), lit(0L)))
-          .withColumn("n", sum($"bcnt").over(Window.partitionBy($"metric")))
-          .select($"metric", $"bucket", $"off", $"n")
-        val wv = Window.partitionBy($"metric", $"bucket").orderBy($"v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val qb = hb.join(broadcast(off), Seq("metric", "bucket"))
-          .withColumn("cum", $"off" + sum($"cnt").over(wv))
+        val qb = Selection.withRankCum(h, Seq("metric"), "v", "cnt")
           .groupBy($"metric").agg(
             min(when($"cum" >= expr("(n * 1 + 3) div 4"), $"v")).as("b1"),
             min(when($"cum" >= expr("(n * 2 + 3) div 4"), $"v")).as("b2"),

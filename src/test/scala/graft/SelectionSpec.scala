@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property coverage for the shared two-level selection machinery
+  * (operators.Selection.withRankCum): for ANY multiset of values —
+  * including the adversarial shapes the bucket math must survive
+  * (all-equal values collapsing the range, heavy duplication, extreme
+  * range skew packing everything into one bucket, negatives) — the
+  * reported `cum` must select exactly the sorted multiset's r-th
+  * element for EVERY rank r. The q_rfm/q_winsorize oracle checks prove
+  * the same thing on real data; this pins the helper itself so future
+  * edits (a different B, a changed bucket formula) can't drift. */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def rankSelect(values: Seq[Long], b: Long): Unit = {
+    import spark.implicits._
+    val h = values.groupBy(identity).map { case (v, occ) => (v, occ.size.toLong) }
+      .toSeq.toDF("v", "cnt")
+    val cum = graft.operators.Selection
+      .withRankCum(h, Seq.empty, "v", "cnt", b)
+      .select($"v", $"cum", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sorted = values.sorted
+    assert(cum.map(_._3).distinct.toSeq == Seq(values.size.toLong), "n")
+    // cum(v) must equal the count of elements <= v …
+    cum.foreach { case (v, c, _) =>
+      assert(c == sorted.count(_ <= v).toLong, s"cum($v)")
+    }
+    // … which makes min{v : cum(v) >= r} the exact r-th order statistic
+    (1 to values.size).foreach { r =>
+      val got = cum.filter(_._2 >= r).map(_._1).min
+      assert(got == sorted(r - 1), s"rank $r of $sorted")
+    }
+  }
+
+  test("rank selection equals the sorted multiset at every rank (random)") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic suite
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val vs = Seq.fill(n)(rnd.nextLong(2001) - 1000)
+      rankSelect(vs, b = 16L)
+    }
+  }
+
+  test("adversarial shapes: all-equal, one-hot range skew, tiny B") {
+    rankSelect(Seq.fill(17)(42L), b = 16L)
+    // one far outlier packs the rest into a single bucket
+    rankSelect(Seq(1L, 2L, 2L, 3L, 4L, 5L, 1000000000L), b = 4L)
+    rankSelect(Seq(-5L, -5L, 0L, 7L), b = 1L) // B=1: degenerates safely
+    rankSelect(Seq(Long.MinValue / 4, 0L, Long.MaxValue / 4), b = 8L)
+  }
+
+  test("grouped selection: each group's ranks are independent") {
+    import spark.implicits._
+    val h = Seq(("a", 1L, 2L), ("a", 5L, 1L), ("b", 2L, 3L), ("b", 9L, 2L))
+      .toDF("g", "v", "cnt")
+    val cum = graft.operators.Selection
+      .withRankCum(h, Seq("g"), "v", "cnt")
+      .select($"g", $"v", $"cum", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(cum == Set(("a", 1L, 2L, 3L), ("a", 5L, 3L, 3L),
+      ("b", 2L, 3L, 5L), ("b", 9L, 5L, 5L)))
+  }
+}
