@@ -290,11 +290,11 @@ object Analytics extends QueryModule {
     val mm = lvl0.agg(min($"p_retailprice").as("lo"),
       max($"p_retailprice").as("hi"))
     // bucket 0 = highest prices, so bucket-ascending == price-descending
+    // (shared monotone bucket math — Selection.bucketExpr on the NEGATED
+    // price, so the overflow/null/degenerate-range handling lives once)
     val lb = lvl0.crossJoin(broadcast(mm))
-      .withColumn("bucket", when($"hi" === $"lo", lit(0L))
-        .otherwise(least(lit(B - 1L),
-          floor(($"hi" - $"p_retailprice") * B / ($"hi" - $"lo"))
-            .cast("long"))))
+      .withColumn("bucket", Selection.bucketExpr(
+        -$"p_retailprice", -$"hi", -$"lo", B))
     val wOffB = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val boff = lb.groupBy($"bucket").agg(min($"msz").as("bmin"))

@@ -39,9 +39,10 @@ object Layouts extends QueryModule {
     * not from /tmp. */
   private[graft] def layoutKey(dir: String): String = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    // empty/missing dir → key 0: the subsequent table read fails with
+    // the loader's own missing-file error, which names the actual table
     val mtime = files.filter(_.getName.endsWith(".parquet"))
-      .map(_.lastModified()).sorted.lastOption.getOrElse(
-        sys.error(s"layoutKey: no parquet files under $dir"))
+      .map(_.lastModified()).sorted.lastOption.getOrElse(0L)
     java.lang.Integer.toHexString(s"$dir:$mtime".hashCode) +
       "_" + ProcessHandle.current().pid()
   }

@@ -50,7 +50,24 @@ class SelectionSpec extends AnyFunSuite {
     // one far outlier packs the rest into a single bucket
     rankSelect(Seq(1L, 2L, 2L, 3L, 4L, 5L, 1000000000L), b = 4L)
     rankSelect(Seq(-5L, -5L, 0L, 7L), b = 1L) // B=1: degenerates safely
-    rankSelect(Seq(Long.MinValue / 4, 0L, Long.MaxValue / 4), b = 8L)
+    // range wider than Long.MaxValue: a Long-typed (hi - lo) would wrap
+    // and break bucket monotonicity — bucketExpr casts to double first
+    rankSelect(Seq(Long.MinValue / 2, 0L, Long.MaxValue / 2), b = 8L)
+    rankSelect(Seq(Long.MinValue, Long.MaxValue), b = 4096L)
+  }
+
+  test("NULL values rank first, consistent with orderBy nulls-first") {
+    import spark.implicits._
+    val h = Seq[(Option[Long], Long)]((None, 2L), (Some(-7L), 1L),
+      (Some(4L), 3L)).toDF("v", "cnt")
+    val cum = graft.operators.Selection
+      .withRankCum(h, Seq.empty, "v", "cnt")
+      .select($"v", $"cum", $"n").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    // nulls bucket to -1 and sort first: cum(null)=2, cum(-7)=3, cum(4)=6
+    assert(cum == Set((None, 2L, 6L), (Some(-7L), 3L, 6L),
+      (Some(4L), 6L, 6L)))
   }
 
   test("grouped selection: each group's ranks are independent") {
