@@ -907,11 +907,17 @@ object Analytics extends QueryModule {
     * a-priori bound — candidate pairs can only be frequent if both ends
     * are), shrinking the self-join's input; (3) pair generation is an
     * order-keyed self-equi-join, so the blowup is Σ per-basket k², k
-    * bounded by basket size — never a global cross; (4) the item
-    * frequency table is dimension-sized and broadcasts back for lift.
-    * The item relation has four consumers (frequency, both join sides,
-    * basket count), so it persists for the job. Lift is exact-integer
-    * arithmetic until one final double ratio, round6'd. */
+    * bounded by basket size — never a global cross; (4) hot items are
+    * clamped to [[Baskets.DefaultCap]] baskets in content-hash order
+    * BEFORE pairing ([[Baskets.capPerItem]] — a power-law hot item
+    * would otherwise grow the pair join quadratically in its
+    * popularity; no-op at driver scales, see the cap's scaladoc);
+    * (5) the item frequency table is dimension-sized and broadcasts
+    * back for lift, counted over the CAPPED relation so lift stays
+    * coherent within the sample. The item relation has four consumers
+    * (frequency, both join sides, basket count), so it persists for
+    * the job. Lift is exact-integer arithmetic until one final double
+    * ratio, round6'd. */
   private def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val minSup = 2L
@@ -919,12 +925,17 @@ object Analytics extends QueryModule {
       .select($"l_orderkey", $"l_partkey").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      val freq0 = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
         .filter($"c" >= minSup)
-      val pruned = items.join(broadcast(freq.select($"l_partkey")),
+      val pruned = items.join(broadcast(freq0.select($"l_partkey")),
         "l_partkey")
-      val a = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
-      val b = pruned.select($"l_orderkey", $"l_partkey".as("part_b"))
+      val capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey")
+      // lift denominators count the CAPPED occurrences (= true count
+      // for every item under the cap), and capped's window output is
+      // already item-partitioned so this groupBy adds no exchange
+      val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      val a = capped.select($"l_orderkey", $"l_partkey".as("part_a"))
+      val b = capped.select($"l_orderkey", $"l_partkey".as("part_b"))
       val sup = a.join(b, Seq("l_orderkey"))
         .filter($"part_a" < $"part_b")
         .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
@@ -1214,15 +1225,19 @@ object Analytics extends QueryModule {
     "q_market_basket" ->
       s"""WITH items AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         freq AS (
+         freq0 AS (
            SELECT l_partkey, count(*) c FROM items
            GROUP BY l_partkey HAVING count(*) >= 2),
          pruned AS (
            SELECT i.l_orderkey, i.l_partkey FROM items i
-           JOIN freq f ON i.l_partkey = f.l_partkey),
+           JOIN freq0 f ON i.l_partkey = f.l_partkey),
+         capped AS (
+           ${Baskets.capSql("pruned", "l_partkey", "l_orderkey")}),
+         freq AS (
+           SELECT l_partkey, count(*) c FROM capped GROUP BY l_partkey),
          sup AS (
            SELECT a.l_partkey part_a, b.l_partkey part_b, count(*) support
-           FROM pruned a JOIN pruned b ON a.l_orderkey = b.l_orderkey
+           FROM capped a JOIN capped b ON a.l_orderkey = b.l_orderkey
            WHERE a.l_partkey < b.l_partkey
            GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
          nb AS (SELECT count(DISTINCT l_orderkey) n_baskets FROM items)

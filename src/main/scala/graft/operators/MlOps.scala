@@ -206,10 +206,16 @@ object MlOps extends QueryModule {
     *
     * Scale: same a-priori discipline as the basket miner — distinct
     * (order, part) first, sub-support items pruned BEFORE the pair
-    * join, pair blowup bounded by Σ per-basket k²; the rank window
-    * partitions by part_a and Spark cuts it with WindowGroupLimit, so
-    * no partition materializes more than its top rows. Confidence and
-    * lift stay exact-integer until one final division each. */
+    * join, hot items clamped to [[Baskets.DefaultCap]] baskets in
+    * content-hash order before pairing ([[Baskets.capPerItem]]; no-op
+    * at driver scales, flattens the power-law pair blowup beyond), so
+    * pair volume is bounded by Σ per-basket k² with every item's
+    * basket multiplicity ≤ the cap; the rank window partitions by
+    * part_a and Spark cuts it with WindowGroupLimit, so no partition
+    * materializes more than its top rows. Confidence divides by the
+    * CAPPED per-item count (a coherent P(B|A) within the sample).
+    * Confidence and lift stay exact-integer until one final division
+    * each. */
   private def qRecommendCooccur(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val minSup = 2L
@@ -217,16 +223,18 @@ object MlOps extends QueryModule {
       .select($"l_orderkey", $"l_partkey").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      val freq0 = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
         .filter($"c" >= minSup)
-      val pruned = items.join(broadcast(freq.select($"l_partkey")),
+      val pruned = items.join(broadcast(freq0.select($"l_partkey")),
         "l_partkey")
+      val capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey")
+      val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
       // Support is symmetric: count each unordered pair ONCE (a<b halves
       // the pair-join output and its groupBy exchange) and mirror the
       // counted relation — the directional table costs a union of the
       // small survivors, not a second fact-sized pair generation.
-      val supHalf = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
-        .join(pruned.select($"l_orderkey", $"l_partkey".as("part_b")),
+      val supHalf = capped.select($"l_orderkey", $"l_partkey".as("part_a"))
+        .join(capped.select($"l_orderkey", $"l_partkey".as("part_b")),
           Seq("l_orderkey"))
         .filter($"part_a" < $"part_b")
         .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
@@ -554,15 +562,20 @@ object MlOps extends QueryModule {
     "q_recommend_cooccur" ->
       s"""WITH items AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         freq AS (
+         freq0 AS (
            SELECT l_partkey, count(*) c FROM items
            GROUP BY l_partkey HAVING count(*) >= 2),
          pruned AS (
            SELECT i.l_orderkey, i.l_partkey FROM items i
-           JOIN freq f ON i.l_partkey = f.l_partkey),
+           JOIN freq0 f ON i.l_partkey = f.l_partkey),
+         capped AS (
+           ${graft.operators.Baskets.capSql(
+        "pruned", "l_partkey", "l_orderkey")}),
+         freq AS (
+           SELECT l_partkey, count(*) c FROM capped GROUP BY l_partkey),
          sup AS (
            SELECT a.l_partkey part_a, b.l_partkey part_b, count(*) support
-           FROM pruned a JOIN pruned b ON a.l_orderkey = b.l_orderkey
+           FROM capped a JOIN capped b ON a.l_orderkey = b.l_orderkey
            WHERE a.l_partkey <> b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
          nb AS (SELECT count(DISTINCT l_orderkey) n_baskets FROM items),

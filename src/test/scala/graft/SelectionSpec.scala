@@ -56,6 +56,41 @@ class SelectionSpec extends AnyFunSuite {
     rankSelect(Seq(Long.MinValue, Long.MaxValue), b = 4096L)
   }
 
+  test("hot-bucket refinement bounds the cumulative-window partitions") {
+    import spark.implicits._
+    // Pathological range skew: one far outlier stretches [lo, hi] so
+    // ALL other mass lands in level-1 bucket 0 — the shape round 6
+    // documented as degrading the two-level bound toward a per-bucket
+    // histogram. The level-2 refinement must re-spread bucket 0 over
+    // its own observed sub-range so no within-bucket cumulative
+    // partition exceeds max(B, ⌈n/B⌉) rows.
+    val vs = (1L to 1000L) :+ 1000000000000000L
+    val h = vs.map((_, 1L)).toDF("v", "cnt")
+    val b = 16L
+    val sizes = graft.operators.Selection
+      .bucketed(h, Seq.empty, "v", "cnt", b)
+      .groupBy($"graft_sel_b1", $"graft_sel_b2").count()
+      .select($"count").as[Long].collect()
+    val bound = math.max(b, math.ceil(vs.size.toDouble / b).toLong)
+    assert(sizes.max <= bound,
+      s"max partition ${sizes.max} exceeds max(B, n/B) = $bound")
+    // and the ranks stay exact on the same shape
+    rankSelect(vs, b)
+  }
+
+  test("null group keys keep their bounds (null-safe group join)") {
+    import spark.implicits._
+    val h = Seq((Option.empty[String], 1L, 2L), (None, 5L, 1L),
+      (Some("g"), 3L, 4L)).toDF("g", "v", "cnt")
+    val cum = graft.operators.Selection
+      .withRankCum(h, Seq("g"), "v", "cnt")
+      .select($"g", $"v", $"cum", $"n").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // the NULL group is a real group: its two values rank within it
+    assert(cum == Set((None, 1L, 2L, 3L), (None, 5L, 3L, 3L),
+      (Some("g"), 3L, 4L, 4L)))
+  }
   test("NULL values rank first, consistent with orderBy nulls-first") {
     import spark.implicits._
     val h = Seq[(Option[Long], Long)]((None, 2L), (Some(-7L), 1L),
