@@ -924,15 +924,20 @@ object Analytics extends QueryModule {
     val items = t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // capped is the multi-consumer hub (freq + both pair-join sides):
+    // persisted, or its freq0 aggregation and hot/cold broadcast joins
+    // re-run per consumer
+    var capped: DataFrame = null
     try {
       val freq0 = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
         .filter($"c" >= minSup)
       val pruned = items.join(broadcast(freq0.select($"l_partkey")),
         "l_partkey")
-      val capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey")
+      capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey",
+        counts = Some(freq0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // lift denominators count the CAPPED occurrences (= true count
-      // for every item under the cap), and capped's window output is
-      // already item-partitioned so this groupBy adds no exchange
+      // for every item under the cap)
       val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
       val a = capped.select($"l_orderkey", $"l_partkey".as("part_a"))
       val b = capped.select($"l_orderkey", $"l_partkey".as("part_b"))
@@ -955,7 +960,10 @@ object Analytics extends QueryModule {
             .as("lift"))
         .orderBy($"support".desc, $"part_a", $"part_b")
         .transform(graft.Exec.seal)
-    } finally items.unpersist(false)
+    } finally {
+      if (capped != null) capped.unpersist(false)
+      items.unpersist(false)
+    }
   }
 
   /** q_seasonality — hour-of-day seasonal profile per event type: each

@@ -46,21 +46,43 @@ object Baskets {
 
   /** Keep at most `cap` baskets per item, in md5(item_basket) order.
     *
+    * Only items OVER the cap route through the rank window: for an item
+    * with ≤cap baskets the row_number filter is an identity, so the
+    * occurrence relation splits on a broadcast anti/semi join against
+    * the (tiny) hot-item set and the window shuffles ONLY the hot
+    * items' occurrences — zero rows at the driver's scales (max 53
+    * baskets/part at sf0.1), the power-law head alone at 100 TB. The
+    * uniform single-window form ([[capSql]]) is semantically identical;
+    * the split is purely a physical-plan optimization.
+    *
     * @param occ    distinct (item, basket) occurrence relation
     * @param item   item key column name
     * @param basket basket key column name
+    * @param counts optional precomputed (item, `c`) occurrence counts
+    *               covering every item in `occ` (callers usually have
+    *               the a-priori frequency table already); computed from
+    *               `occ` when absent
     */
   def capPerItem(occ: DataFrame, item: String, basket: String,
-                 cap: Long = DefaultCap): DataFrame = {
+                 cap: Long = DefaultCap,
+                 counts: Option[DataFrame] = None): DataFrame = {
     require(!occ.columns.contains("graft_cap_rk"),
       "capPerItem emits a transient `graft_cap_rk` — rename the input's")
+    val cnts = counts.getOrElse(
+      occ.groupBy(col(item)).agg(count(lit(1)).as("c")))
+    val hot = cnts.filter(col("c") > cap).select(col(item))
+    val cold = occ.join(broadcast(hot), Seq(item), "left_anti")
     val w = Window.partitionBy(col(item)).orderBy(
       md5(concat(col(item).cast("string"), lit("_"),
         col(basket).cast("string"))),
       col(basket))
-    occ.withColumn("graft_cap_rk", row_number().over(w))
+    val hotCapped = occ.join(broadcast(hot), Seq(item), "left_semi")
+      .withColumn("graft_cap_rk", row_number().over(w))
       .filter(col("graft_cap_rk") <= cap)
       .drop("graft_cap_rk")
+    // restore occ's column order (the joins moved the key first)
+    cold.select(occ.columns.map(col): _*)
+      .unionByName(hotCapped.select(occ.columns.map(col): _*))
   }
 
   /** The identical cap as a DuckDB SQL derived table over a CTE named

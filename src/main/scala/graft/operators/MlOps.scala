@@ -222,12 +222,18 @@ object MlOps extends QueryModule {
     val items = t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // capped replaces `pruned` as the multi-consumer hub (freq + both
+    // pair-join sides): persisted, or its freq0 aggregation and
+    // hot/cold broadcast joins re-run per consumer
+    var capped: DataFrame = null
     try {
       val freq0 = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
         .filter($"c" >= minSup)
       val pruned = items.join(broadcast(freq0.select($"l_partkey")),
         "l_partkey")
-      val capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey")
+      capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey",
+        counts = Some(freq0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
       // Support is symmetric: count each unordered pair ONCE (a<b halves
       // the pair-join output and its groupBy exchange) and mirror the
@@ -262,7 +268,10 @@ object MlOps extends QueryModule {
         .filter($"rn" <= 3)
         .orderBy($"part_a", $"rn")
         .transform(graft.Exec.seal)
-    } finally items.unpersist(false)
+    } finally {
+      if (capped != null) capped.unpersist(false)
+      items.unpersist(false)
+    }
   }
 
   /** q_naive_bayes — multinomial naive-Bayes language identification,
