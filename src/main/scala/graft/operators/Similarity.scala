@@ -962,13 +962,20 @@ object Similarity extends QueryModule {
     * the TRUE maximal run length — the rewrite is lossless, and the
     * DuckDB oracle replays the identical algebra.
     *
-    * Scale: the gram relation is built once and persisted across its two
-    * join sides (self-join = 2 consumers; the round-2 single-scan
-    * lesson); candidate volume is bounded by true positional overlap,
-    * not by block population. At web scale the one extra lever is
-    * dropping grams with pathological document frequency (boilerplate);
-    * the testdata vocabulary makes 8-gram chance collisions ~31⁻⁸, so no
-    * cap is needed for the declared semantics. */
+    * Scale: the index key is xxhash64 OF THE TOKEN SUB-ARRAY — the
+    * gram string is never materialized (round-7 profiling: string
+    * assembly was the dominant stage) and the self-join shuffles 8-byte
+    * keys instead of ~50-char strings. A chance 64-bit collision could
+    * admit a spurious candidate pair (which the run-length filter then
+    * must also pass): P ≈ (#grams)²/2⁶⁵ ≈ 10⁻⁸ at sf0.1 — the oracle
+    * replays the same algebra on the exact STRING grams, so the gate
+    * itself re-proves collision-freedom every round; a web-scale corpus
+    * (10¹² grams) would move to a two-seed 128-bit key. The gram
+    * relation is built once and persisted across its two join sides
+    * (self-join = 2 consumers; the round-2 single-scan lesson);
+    * candidate volume is bounded by true positional overlap, not by
+    * block population. At web scale the one extra lever is dropping
+    * grams with pathological document frequency (boilerplate). */
   private def qSubstringDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 8
@@ -977,13 +984,13 @@ object Similarity extends QueryModule {
       .filter(size($"toks") >= k)
       .select($"doc_id", explode(expr(
         s"""transform(sequence(1, size(toks) - ${k - 1}),
-           |  g -> struct(g AS pos, array_join(slice(toks, g, $k), ' ') AS gram))"""
+           |  g -> struct(g AS pos, xxhash64(slice(toks, g, $k)) AS gh))"""
           .stripMargin)).as("kg"))
-      .select($"doc_id", $"kg.pos".as("pos"), $"kg.gram".as("gram"))
+      .select($"doc_id", $"kg.pos".as("pos"), $"kg.gh".as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = grams.select($"doc_id".as("doc_a"), $"pos".as("pa"), $"gram")
-        .join(grams.select($"doc_id".as("doc_b"), $"pos".as("pb"), $"gram"), "gram")
+      val cand = grams.select($"doc_id".as("doc_a"), $"pos".as("pa"), $"gh")
+        .join(grams.select($"doc_id".as("doc_b"), $"pos".as("pb"), $"gh"), "gh")
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b", $"pa", ($"pa" - $"pb").as("diag"))
       val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
