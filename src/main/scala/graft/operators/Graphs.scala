@@ -39,9 +39,11 @@ object Graphs extends QueryModule {
   private val Iters = 3
 
   /** Rank update over a caller-managed (cached) node/edge pair:
-    * base + damped in-mass, all integer. */
-  private def prIteration(nodes: DataFrame, edges: DataFrame,
-                          stats: DataFrame, r: DataFrame): DataFrame = {
+    * base + damped in-mass, all integer. Package-private so the
+    * PlanShapeSpec loop-body sweep inspects the REAL per-round fragment
+    * (checkpointed loops hide their bodies from whole-query sweeps). */
+  private[graft] def prIteration(nodes: DataFrame, edges: DataFrame,
+                                 stats: DataFrame, r: DataFrame): DataFrame = {
     val s = nodes.sparkSession; import s.implicits._
     val contrib = edges.join(r, edges("src") === r("doc_id"))
       .select($"dst", expr("pr div outdeg").as("c"))
@@ -96,19 +98,78 @@ object Graphs extends QueryModule {
            ON i$i.dst = d.doc_id)"""
   }
 
+  /** Degree-orientation of an undirected distinct edge list (columns
+    * `a`, `b` with a<b by id): each edge is directed from its endpoint
+    * with the smaller (degree, id) key to the larger, and the oriented
+    * row carries the destination's key for wedge ordering. Orienting by
+    * degree bounds every node's OUT-degree by O(√m) regardless of the
+    * degree distribution (a hub of degree D receives almost all of its
+    * edges INBOUND, because its neighbors almost all have smaller
+    * degree), so wedge generation — Σ out-deg² — survives power-law
+    * graphs where bare id-orientation can mint D² wedges at one
+    * low-id hub. Output: (s, t, tk) with tk = struct(deg(t), t).
+    *
+    * The degree aggregate is node-sized (AQE broadcasts it while it
+    * fits, falls back to a node-keyed shuffle join when it doesn't);
+    * the (deg, id) key is a total order because ids are distinct, so
+    * orientation — and therefore the triangle set — is deterministic. */
+  private[graft] def orientByDegree(u: DataFrame): DataFrame = {
+    val s = u.sparkSession; import s.implicits._
+    val deg = u.select($"a".as("v")).unionByName(u.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    // identical field names on both keys — CASE branches must agree on
+    // the full struct TYPE, field names included
+    val ak = struct($"da".as("d"), $"a".as("v"))
+    val bk = struct($"db".as("d"), $"b".as("v"))
+    u.join(deg.select($"v".as("a"), $"d".as("da")), Seq("a"))
+      .join(deg.select($"v".as("b"), $"d".as("db")), Seq("b"))
+      .select(
+        when(ak < bk, $"a").otherwise($"b").as("s"),
+        when(ak < bk, $"b").otherwise($"a").as("t"),
+        when(ak < bk, bk).otherwise(ak).as("tk"))
+  }
+
+  /** Wedge relation over a degree-oriented edge list: both out-edges of
+    * a shared center `s`, ordered by the destinations' (deg, id) keys so
+    * each unordered wedge appears exactly once. Fan-out per center is
+    * out-deg² — bounded by the orientation, not the raw degree. */
+  private[graft] def wedges(o: DataFrame): DataFrame =
+    o.as("e1").join(o.as("e2"),
+      col("e2.s") === col("e1.s") && col("e1.tk") < col("e2.tk"))
+      .select(col("e1.s").as("w"),
+        col("e1.t").as("x"), col("e2.t").as("y"))
+
+  /** Close wedges into triangles: the closing undirected edge {x, y},
+    * when present, is oriented exactly x→y (x precedes y in the key
+    * order by the wedge's own ordering), so one equi-join on both
+    * endpoints suffices. Output is the id-sorted triple (a<b<c) — the
+    * same row set any orientation produces, which is what keeps the
+    * oracle orientation-agnostic. */
+  private[graft] def closeTriangles(o: DataFrame): DataFrame = {
+    val s = o.sparkSession; import s.implicits._
+    wedges(o)
+      .join(o.as("e3"),
+        col("e3.s") === col("x") && col("e3.t") === col("y"))
+      .select(sort_array(array($"w", $"x", $"y")).as("t"))
+      .select(element_at($"t", 1).as("a"), element_at($"t", 2).as("b"),
+        element_at($"t", 3).as("c"))
+  }
+
   /** q_triangles — triangle enumeration over the same derived link
     * graph (undirected): the clustering-coefficient / community-density
-    * primitive next to [[qPagerank]]'s centrality. Edges are oriented
-    * low-id→high-id so each triangle (a<b<c) is emitted exactly once by
-    * the wedge join (e1: a–b) ⋈ (e2: b–c) closed by (e3: a–c).
+    * primitive next to [[qPagerank]]'s centrality. Edges are
+    * DEGREE-oriented ([[orientByDegree]]) so each triangle is emitted
+    * exactly once by the wedge join and wedge fan-out is bounded by
+    * O(√m) out-degrees even under a power-law hub (GraphsSpec plants a
+    * star and pins the wedge counts: id-orientation D·(D−1)/2, degree-
+    * orientation 0). Output rows are id-sorted triples, identical to
+    * the previous low-id→high-id orientation — the oracle is
+    * orientation-blind.
     *
-    * Scale: two equi-joins shuffling on node keys over a DISTINCT
-    * oriented edge list (persisted once, three consumers — without the
-    * persist each join arm would re-derive the generator + distinct).
-    * Orientation bounds wedge fan-out by out-degree; on skewed
-    * power-law graphs production systems orient by (degree, id) instead
-    * of bare id — same plan shape, one extra degree aggregate — which
-    * this derived graph's ~uniform degrees don't need. */
+    * Scale: one node-sized degree aggregate + two equi-joins shuffling
+    * on node keys over a DISTINCT oriented edge list (persisted once,
+    * three consumers — without the persist each join arm would
+    * re-derive the generator + distinct + orientation). */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // persisted like qPagerank's nodes: stats and the edge generator
@@ -125,17 +186,13 @@ object Graphs extends QueryModule {
     val u = e0
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .distinct()
+    val o = orientByDegree(u)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      u.as("e1")
-        .join(u.as("e2"), col("e2.a") === col("e1.b"))
-        .join(u.as("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-        .select(col("e1.a").as("a"), col("e1.b").as("b"),
-          col("e2.b").as("c"))
+      closeTriangles(o)
         .orderBy($"a", $"b", $"c")
         .transform(graft.Exec.seal)
-    } finally { u.unpersist(false); d.unpersist(false) }
+    } finally { o.unpersist(false); d.unpersist(false) }
   }
 
   /** q_label_prop — synchronous label propagation (community detection)
@@ -215,12 +272,7 @@ object Graphs extends QueryModule {
     try {
       val b0 = d.filter($"doc_id" % 31 === 5)
         .select($"doc_id", lit(0L).as("dist"))
-      val b3 = (1 to 3).foldLeft(b0) { (reached, _) =>
-        val relaxed = eu.join(reached, eu("dst") === reached("doc_id"))
-          .select(eu("src").as("doc_id"), ($"dist" + 1L).as("dist"))
-        reached.union(relaxed)
-          .groupBy($"doc_id").agg(min($"dist").as("dist"))
-      }
+      val b3 = (1 to 3).foldLeft(b0)((reached, _) => bfsStep(eu, reached))
       b3.orderBy($"doc_id").transform(graft.Exec.seal)
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
@@ -237,10 +289,19 @@ object Graphs extends QueryModule {
     * work bounded by the degree distribution, never the all-pairs
     * product; the ≥ 2 common-neighbor floor then prunes before the
     * degree join, and degrees are a node-sized aggregate. Hub nodes are
-    * the known hazard (a degree-D hub mints D² wedges); the production
-    * mitigation — cap or sample wedges at super-hub nodes — is noted,
-    * not needed at this graph's bounded degree. Integer counts
-    * throughout; the Jaccard is one double division, round6'd. */
+    * the known hazard (a degree-D hub mints D² wedges), closed by the
+    * [[Baskets.capPerItem]] machinery: every wedge CENTER keeps at most
+    * [[JaccardHubCap]] incident edges in portable md5 order — ~2.4× the
+    * max symmetrized degree at the largest driver scale (105 at sf0.1),
+    * so declared outputs are bit-identical while a power-law hub's D²
+    * blowup is clamped to cap². The cap is applied to the adjacency
+    * BEFORE both the wedge join and the degree aggregate (and
+    * identically in the DuckDB oracle via [[Baskets.capSql]]), so
+    * common/deg stay coherent within the sampled graph — the
+    * q_recommend_cooccur trade. Integer counts throughout; the Jaccard
+    * is one double division, round6'd. */
+  private[graft] val JaccardHubCap = 256L
+
   private def qGraphJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.load(s, dir, "documents").select($"doc_id")
@@ -251,9 +312,12 @@ object Graphs extends QueryModule {
         $"mn" + expr("j div 3"),
         $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
       .filter($"src" =!= $"dst")
-    val eu = e0.select($"src", $"dst")
+    val eu0 = e0.select($"src", $"dst")
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
+    // cap per wedge center (dst): the join on w below fans out as
+    // in-deg(w)² — the capped relation bounds that by cap² per hub
+    val eu = Baskets.capPerItem(eu0, "dst", "src", JaccardHubCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val l = eu.select($"dst".as("w"), $"src".as("a"))
@@ -305,17 +369,167 @@ object Graphs extends QueryModule {
     try {
       val n0 = d.select($"doc_id")
       val last = (1 to 3).foldLeft((n0, n0)) { case ((nodes, _), _) =>
-        val live = eu
-          .join(nodes.select($"doc_id".as("src")), Seq("src"), "left_semi")
-          .join(nodes.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
-        val kept = live.groupBy($"src").agg(count(lit(1)).as("degree"))
-          .filter($"degree" >= 3)
+        val kept = kcoreStep(eu, nodes, 3)
         (kept.select($"src".as("doc_id")), kept)
       }._2
       last.select($"src".as("doc_id"), $"degree")
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
     } finally { eu.unpersist(false); d.unpersist(false) }
+  }
+
+  /** One BFS relaxation over a symmetrized edge list: offer every
+    * neighbor distance+1, keep the per-node min. Shared by the
+    * fixed-round declared query (oracle-unrollable) and
+    * [[bfsConverged]]; package-private so the PlanShapeSpec loop-body
+    * sweep inspects the real per-round fragment. */
+  private[graft] def bfsStep(eu: DataFrame, reached: DataFrame): DataFrame = {
+    val s = eu.sparkSession; import s.implicits._
+    val relaxed = eu.join(reached, eu("dst") === reached("doc_id"))
+      .select(eu("src").as("doc_id"), ($"dist" + 1L).as("dist"))
+    reached.union(relaxed)
+      .groupBy($"doc_id").agg(min($"dist").as("dist"))
+  }
+
+  /** One k-core peel round: restrict the edge list to live endpoints
+    * (two semi-joins), count induced degrees, keep the ≥ k nodes.
+    * Returns (src, degree). Shared by the fixed-round declared query
+    * and [[kcoreConverged]]. */
+  private[graft] def kcoreStep(eu: DataFrame, nodes: DataFrame,
+                               k: Int): DataFrame = {
+    val s = eu.sparkSession; import s.implicits._
+    eu.join(nodes.select($"doc_id".as("src")), Seq("src"), "left_semi")
+      .join(nodes.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
+      .groupBy($"src").agg(count(lit(1)).as("degree"))
+      .filter($"degree" >= k)
+  }
+
+  // ---- convergence-detected variants --------------------------------
+  //
+  // The declared queries above run FIXED rounds so a DuckDB oracle can
+  // unroll them; these API variants run the SAME per-round fragments to
+  // their fixpoint, detected by an observed metric riding each round's
+  // eager localCheckpoint — the connectedComponentsLoop pattern
+  // (Similarity.scala): one job per round, no second "did anything
+  // change?" job, no driver collect of row data, lineage truncated so
+  // round r never replans rounds 1..r−1. GraphsSpec proves each on a
+  // hand-built graph where fixed-round ≠ fixpoint (a long path for BFS
+  // and pagerank, a peel chain for k-core).
+
+  /** k-core fixpoint: peel with [[kcoreStep]] until the surviving-node
+    * count stalls. Peeling only ever REMOVES nodes, so an unchanged
+    * count means an unchanged node set — the count is an exact
+    * convergence witness, not a heuristic. Rounds are O(peel depth);
+    * each is two semi-joins + a map-combinable degree count.
+    *
+    * @param edges symmetrized DISTINCT edge list (src, dst)
+    * @return surviving (doc_id, degree) — degree in the induced core
+    */
+  def kcoreConverged(edges: DataFrame, k: Int,
+                     maxRounds: Int = 10000): DataFrame = {
+    val s = edges.sparkSession; import s.implicits._
+    val eu = edges.select($"src", $"dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var nodes = eu.select($"src".as("doc_id")).distinct()
+        .localCheckpoint(true)
+      var kept: DataFrame = nodes.withColumn("degree", lit(0L))
+        .select($"doc_id".as("src"), $"degree")
+      var prev = -1L
+      var cur = nodes.count()
+      var rounds = 0
+      while (cur != prev && rounds < maxRounds) {
+        prev = cur; rounds += 1
+        val obs = org.apache.spark.sql.Observation()
+        kept = kcoreStep(eu, nodes, k)
+          .observe(obs, count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        nodes = kept.select($"src".as("doc_id"))
+        cur = obs.get("c").asInstanceOf[Long]
+      }
+      kept.select($"src".as("doc_id"), $"degree")
+    } finally eu.unpersist(false)
+  }
+
+  /** Multi-source BFS fixpoint: relax with [[bfsStep]] until the
+    * (reached count, Σ dist) pair stalls. Distances only DECREASE per
+    * node and the reached set only GROWS, so an unchanged pair means no
+    * node was added (count) and no distance dropped (sum) — an exact
+    * witness. Rounds are O(eccentricity of the seed set).
+    *
+    * @param edges symmetrized DISTINCT edge list (src, dst)
+    * @param seeds seed nodes (doc_id), distance 0
+    * @return reached (doc_id, dist); unreached nodes are absent
+    */
+  def bfsConverged(edges: DataFrame, seeds: DataFrame,
+                   maxRounds: Int = 10000): DataFrame = {
+    val s = edges.sparkSession; import s.implicits._
+    val eu = edges.select($"src", $"dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var reached = seeds.select($"doc_id", lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var prev = (-1L, -1L)
+      var cur = (0L, 0L)
+      var rounds = 0
+      while (cur != prev && rounds < maxRounds) {
+        prev = cur; rounds += 1
+        val obs = org.apache.spark.sql.Observation()
+        reached = bfsStep(eu, reached)
+          .observe(obs, count(lit(1)).as("c"), sum($"dist").as("s"))
+          .localCheckpoint(true)
+        cur = (obs.get("c").asInstanceOf[Long],
+          Option(obs.get("s")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+      reached
+    } finally eu.unpersist(false)
+  }
+
+  /** PageRank to tolerance: iterate [[prIteration]] until the total
+    * absolute rank change Σ|Δpr| drops to `tolUnits` (integer rank
+    * units, [[Scale]] = total mass; the default 10⁶ is 10⁻⁶ of mass).
+    * Ranks are NOT monotone, so the witness is the per-round L1 delta,
+    * computed by a doc_id equi-join of successive iterates that rides
+    * the same checkpoint job — one extra node-sized shuffle per round,
+    * no driver collect. Integer truncation can leave a persistent ±1-
+    * unit-per-node dither, so tolUnits = 0 is only guaranteed to
+    * terminate on graphs whose iteration map reaches an exact integer
+    * fixpoint (DAGs do: contributions through a depth-D graph settle in
+    * D+1 rounds — the GraphsSpec fixture); `maxRounds` backstops the
+    * general case.
+    *
+    * @param edges directed edge list (src, dst)
+    * @param nodes node relation (doc_id)
+    * @return (doc_id, pr) in integer rank units
+    */
+  def pagerankConverged(edges: DataFrame, nodes: DataFrame,
+                        tolUnits: Long = 1000000L,
+                        maxRounds: Int = 100): DataFrame = {
+    val s = edges.sparkSession; import s.implicits._
+    val nd = nodes.select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = nd.agg(count(lit(1)).as("n"))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val ed = edges.select($"src", $"dst").join(outdeg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var r = nd.crossJoin(broadcast(stats))
+        .select($"doc_id", expr(s"($Scale div n)").as("pr"))
+        .localCheckpoint(true)
+      var delta = Long.MaxValue
+      var rounds = 0
+      while (delta > tolUnits && rounds < maxRounds) {
+        rounds += 1
+        val obs = org.apache.spark.sql.Observation()
+        r = prIteration(nd, ed, stats, r)
+          .join(r.select($"doc_id", $"pr".as("graft_pr_prev")), Seq("doc_id"))
+          .observe(obs, sum(abs($"pr" - $"graft_pr_prev")).as("d"))
+          .select($"doc_id", $"pr")
+          .localCheckpoint(true)
+        delta = Option(obs.get("d")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      }
+      r
+    } finally { ed.unpersist(false); nd.unpersist(false) }
   }
 
   /** One unrolled peel round as DuckDB CTEs: restrict edges to live
@@ -380,12 +594,13 @@ object Graphs extends QueryModule {
          eu AS (SELECT DISTINCT src, dst FROM
                   (SELECT src, dst FROM ef
                    UNION ALL SELECT dst, src FROM ef)),
+         euc AS (${Baskets.capSql("eu", "dst", "src", JaccardHubCap)}),
          inter AS (
            SELECT l.src a, r.src b, count(*) common
-           FROM eu l JOIN eu r ON l.dst = r.dst
+           FROM euc l JOIN euc r ON l.dst = r.dst
            WHERE l.src < r.src
            GROUP BY l.src, r.src HAVING count(*) >= 2),
-         deg AS (SELECT src, count(*) deg FROM eu GROUP BY src)
+         deg AS (SELECT src, count(*) deg FROM euc GROUP BY src)
          SELECT a AS doc_a, b AS doc_b, common,
                 da.deg AS deg_a, db.deg AS deg_b,
                 ${graft.Det.ROUND6("CAST(common AS DOUBLE)" +

@@ -33,7 +33,9 @@ object Layouts extends QueryModule {
     *    never race on each other's `overwrite` — the round-6 red suite
     *    was exactly two JVMs overwriting one shared bucketed table.
     * The build amortizes within a JVM (verify / bench each build once);
-    * /tmp is ephemeral, so per-pid roots need no cleanup pass. Local-fs
+    * [[reapStaleRoots]] deletes dead processes' roots once per JVM so a
+    * long-lived host doesn't accumulate one full layout copy per past
+    * run (round-6 review). Local-fs
     * tooling only (tests/verify/bench read testdata from local disk); a
     * cluster deployment derives its layout locations from its catalog,
     * not from /tmp. */
@@ -47,8 +49,33 @@ object Layouts extends QueryModule {
       "_" + ProcessHandle.current().pid()
   }
 
-  private def layoutRoot(dir: String): String =
+  /** One-shot per JVM: delete `/tmp/graft_layout_*_<pid>` roots whose
+    * owning process is gone. The pid suffix is this JVM's own isolation
+    * key, so a dead pid's root can never be read again — reaping it is
+    * always safe; a LIVE pid's root is never touched (no race with a
+    * concurrent suite/verify JVM). Failures are ignored: cleanup is
+    * best-effort hygiene, never a correctness dependency. */
+  private lazy val reapStaleRoots: Unit = {
+    val roots = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+    roots.filter(_.getName.startsWith("graft_layout_")).foreach { f =>
+      val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
+      val dead = pid.toLongOption.exists(p =>
+        p != ProcessHandle.current().pid() && ProcessHandle.of(p).isEmpty)
+      if (dead) {
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(f.toPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  private def layoutRoot(dir: String): String = {
+    reapStaleRoots
     s"/tmp/graft_layout_${layoutKey(dir)}"
+  }
 
   /** On-disk location of the month-partitioned orders layout (test aid:
     * PlanShapeSpec counts pruned vs total partition directories). */

@@ -730,20 +730,26 @@ object Similarity extends QueryModule {
     } finally s.conf.set(shufKey, prevShuf)
   }
 
+  /** One min-propagation hop: lbl(x) := min(lbl(x), min over neighbors).
+    * Formulated as union + min-aggregate (2 shuffle stages) rather than
+    * aggregate + left-join merge (3): the loop's cost on a shallow graph
+    * is stage scheduling, not data. Package-private so the PlanShapeSpec
+    * loop-body sweep inspects the real per-round fragment (the loop's
+    * localCheckpoints hide it from whole-query sweeps). */
+  private[graft] def ccHop(edges: DataFrame, ls: DataFrame): DataFrame = {
+    val s = edges.sparkSession; import s.implicits._
+    edges.join(ls, edges("b") === ls("id"))
+      .select(edges("a").as("id"), $"lbl")
+      .unionByName(ls)
+      .groupBy($"id").agg(min($"lbl").as("lbl"))
+  }
+
   private def connectedComponentsLoop(s: SparkSession,
                                       edges: DataFrame): DataFrame = {
     import s.implicits._
     var labels = edges.select($"a".as("id")).distinct()
       .withColumn("lbl", $"id").localCheckpoint(true)
-    // one min-propagation hop: lbl(x) := min(lbl(x), min over neighbors).
-    // Formulated as union + min-aggregate (2 shuffle stages) rather than
-    // aggregate + left-join merge (3): the loop's cost on a shallow graph
-    // is stage scheduling, not data.
-    def hop(ls: DataFrame): DataFrame =
-      edges.join(ls, edges("b") === ls("id"))
-        .select(edges("a").as("id"), $"lbl")
-        .unionByName(ls)
-        .groupBy($"id").agg(min($"lbl").as("lbl"))
+    def hop(ls: DataFrame): DataFrame = ccHop(edges, ls)
     // Convergence WITHOUT a second job or a self-join: labels only ever
     // DECREASE and the id set is fixed, so Σlbl is strictly monotone and
     // stalls exactly at the fixpoint. The sum rides the checkpoint

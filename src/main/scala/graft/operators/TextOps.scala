@@ -231,8 +231,9 @@ object TextOps extends QueryModule {
   /** One training round: occurrence-weighted adjacent-pair counts over
     * the current encodings, then the deterministic argmax (count DESC,
     * pair ASC — bare max-count ties are what make naive BPE training
-    * runs non-reproducible). */
-  private def bpeBestPair(words: DataFrame): DataFrame = {
+    * runs non-reproducible). Package-private so the PlanShapeSpec
+    * loop-body sweep inspects the real per-round fragment. */
+  private[graft] def bpeBestPair(words: DataFrame): DataFrame = {
     val s = words.sparkSession
     import s.implicits._
     words

@@ -149,6 +149,111 @@ class GraphsSpec extends AnyFunSuite {
     got.values.foreach(d => assert(d >= 3))
   }
 
+  test("degree orientation: identical triangles on a planted-hub star; hub wedges eliminated") {
+    import spark.implicits._
+    // hub 0 (LOW id — the worst case for id-orientation) linked to 40
+    // leaves, plus two leaf triangles
+    val leaves = (1L to 40L)
+    val und = (leaves.map(l => (0L, l)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L)))
+      .distinct
+    val u = und.toDF("a", "b")
+    val o = graft.operators.Graphs.orientByDegree(u)
+    val got = graft.operators.Graphs.closeTriangles(o)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force enumeration over the undirected set
+    val es = und.toSet
+    def edge(x: Long, y: Long) = es((math.min(x, y), math.max(x, y)))
+    val ids = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b && edge(a, b)
+      c <- ids if b < c && edge(b, c) && edge(a, c)
+    } yield (a, b, c)).toSet
+    assert(got == want, "orientation must not change the triangle set")
+    // id-orientation would mint C(40,2)=780 wedges at the low-id hub;
+    // degree-orientation gives the hub out-degree 0 (all its edges point
+    // IN: every leaf has smaller degree), so wedge volume collapses to
+    // the leaf triangles' own
+    val wedgeCount = graft.operators.Graphs.wedges(o).count()
+    assert(wedgeCount < 100,
+      s"hub wedges not eliminated: $wedgeCount (id-orientation mints 780)")
+    // and the oriented hub really has no out-edges
+    val hubOut = o.filter($"s" === 0L).count()
+    assert(hubOut == 0L, s"hub should orient inbound-only, has $hubOut out")
+  }
+
+  test("bfsConverged reaches the whole path where the fixed 3 rounds cannot") {
+    import spark.implicits._
+    // path 0-1-2-…-7: eccentricity 7 from seed 0, so 3 rounds reach only
+    // distance ≤ 3 — fixed-round ≠ fixpoint by construction
+    val dirEdges = (0L to 6L).map(i => (i, i + 1))
+    val eu = (dirEdges ++ dirEdges.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("doc_id")
+    val conv = graft.operators.Graphs.bfsConverged(eu, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(conv == (0L to 7L).map(i => i -> i).toMap,
+      s"fixpoint must reach every node at its true distance: $conv")
+    val threeRounds = (1 to 3).foldLeft(
+      seeds.select($"doc_id", org.apache.spark.sql.functions.lit(0L).as("dist")))(
+      (r, _) => graft.operators.Graphs.bfsStep(eu, r))
+      .as[(Long, Long)].collect().toMap
+    assert(threeRounds == (0L to 3L).map(i => i -> i).toMap,
+      "the fixed-round form must stop at 3 hops on this path")
+  }
+
+  test("kcoreConverged peels a chain the fixed 3 rounds cannot") {
+    import spark.implicits._
+    // a 5-node tail (0-1-2-3-4) hanging off a triangle (5,6,7): the
+    // 2-core is exactly the triangle, but peeling the tail takes 5
+    // rounds — one endpoint per round
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L))
+    val eu = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val conv = graft.operators.Graphs.kcoreConverged(eu, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(conv == Map(5L -> 2L, 6L -> 2L, 7L -> 2L),
+      s"2-core fixpoint must be the bare triangle: $conv")
+    val nodes0 = (0L to 7L).toDF("doc_id")
+    val threeRounds = (1 to 3).foldLeft(nodes0) { (nodes, _) =>
+      graft.operators.Graphs.kcoreStep(eu, nodes, 2)
+        .select($"src".as("doc_id"))
+    }.as[Long].collect().toSet
+    assert(threeRounds == Set(3L, 4L, 5L, 6L, 7L),
+      s"the fixed-round peel must still hold tail nodes: $threeRounds")
+  }
+
+  test("pagerankConverged reaches the exact integer fixpoint on a directed path") {
+    import spark.implicits._
+    // directed path 1→2→…→8: the iteration map is nilpotent (depth 7),
+    // so integer PageRank reaches an EXACT fixpoint in ≤ 8 rounds —
+    // while 3 rounds provably haven't settled the deep nodes
+    val n = 8L
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (1L to n).toDF("doc_id")
+    val got = graft.operators.Graphs
+      .pagerankConverged(edges, nodes, tolUnits = 0L, maxRounds = 50)
+      .as[(Long, Long)].collect().toMap
+    // replay the same integer recurrence to ITS fixpoint in plain Scala
+    val base = (15L * Scale / 100L) / n
+    def iterate(prev: Map[Long, Long]): Map[Long, Long] =
+      (1L to n).map { k =>
+        k -> (if (k == 1L) base
+              else base + (85L * prev(k - 1L)) / 100L)
+      }.toMap
+    var fix = (1L to n).map(_ -> Scale / n).toMap
+    var next = iterate(fix)
+    var rounds3: Map[Long, Long] = null
+    var r = 0
+    while (next != fix) {
+      fix = next; next = iterate(fix); r += 1
+      if (r == 3) rounds3 = fix
+    }
+    assert(got == fix, s"converged ranks must equal the exact fixpoint")
+    assert(rounds3 != null && rounds3(n) != fix(n),
+      "3 rounds must NOT have settled the deepest node (else the fixture " +
+        "proves nothing)")
+  }
+
   test("corr matches Spark's native streaming kernel within double noise") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -406,44 +406,62 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_unigram_logprob" -> (1 -> "global-total window over G event-type rows"),
     "q_pca_power" -> (4 -> "matvec/normalize windows over d=64-dim vectors (constant)"))
 
-  test("no declared query plans an unpartitioned Window over unbounded input") {
-    import org.apache.spark.sql.execution.SparkPlan
+  // A window input is LIMIT-bounded only when the path from the window
+  // down to the limit crosses nothing that can expand cardinality:
+  // recurse through UNARY non-expanding nodes only (joins have two
+  // children and fall out naturally; explode/expand are excluded
+  // explicitly). `fact JOIN dim.limit(3)` therefore does NOT pass —
+  // the limit bounds the dim side, not the window input.
+  private def limitBounded(
+      n: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    import org.apache.spark.sql.execution.{GlobalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
-    // A window input is LIMIT-bounded only when the path from the window
-    // down to the limit crosses nothing that can expand cardinality:
-    // recurse through UNARY non-expanding nodes only (joins have two
-    // children and fall out naturally; explode/expand are excluded
-    // explicitly). `fact JOIN dim.limit(3)` therefore does NOT pass —
-    // the limit bounds the dim side, not the window input.
-    def limitBounded(n: SparkPlan): Boolean = n match {
+    n match {
       case _: GlobalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true
       case a: AdaptiveSparkPlanExec => limitBounded(a.inputPlan)
-      case _: org.apache.spark.sql.execution.GenerateExec => false
-      case _: org.apache.spark.sql.execution.ExpandExec => false
+      case _: GenerateExec => false
+      case _: ExpandExec => false
       case u if u.children.size == 1 => limitBounded(u.children.head)
       case _ => false
     }
-    def offenders(p: SparkPlan): Seq[String] = {
-      val buf = scala.collection.mutable.Buffer[String]()
-      def walk(n: SparkPlan): Unit = {
-        n match {
-          case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
-          case w: WindowExec
-            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
-            buf += w.simpleStringWithNodeId()
-          case w: WindowGroupLimitExec
-            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
-            buf += w.simpleStringWithNodeId()
-          case _ =>
-        }
-        n.children.foreach(walk)
-        n.subqueries.foreach(walk)
+  }
+
+  /** Unpartitioned, un-limit-bounded Window nodes anywhere in `p` —
+    * the single-partition funnel detector shared by the registry-wide
+    * sweep and the loop-body fragment sweep. */
+  private def windowOffenders(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val buf = scala.collection.mutable.Buffer[String]()
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case w: WindowExec
+          if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+          buf += w.simpleStringWithNodeId()
+        case w: WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+          buf += w.simpleStringWithNodeId()
+        case _ =>
       }
-      walk(p); buf.toSeq
+      n.children.foreach(walk)
+      n.subqueries.foreach(walk)
     }
+    walk(p); buf.toSeq
+  }
+
+  /** BLIND SPOT (round-6 review): this sweep sees each declared query's
+    * plan AT ITS RESULT — a window added inside an iterative loop body
+    * (BPE rounds, connected-components hops) hides behind the loop's
+    * eager localCheckpoints, which appear as opaque RDD scans even under
+    * withLazyPlans. The loop-body fragment sweep below closes it by
+    * planning each per-round builder directly, un-checkpointed. */
+  test("no declared query plans an unpartitioned Window over unbounded input") {
+    def offenders(p: org.apache.spark.sql.execution.SparkPlan) =
+      windowOffenders(p)
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val off = offenders(planOf(name))
       val allowed = constantCardinalityWindows.get(name).map(_._1).getOrElse(0)
@@ -454,5 +472,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"unpartitioned Window(s) — single-partition funnel at scale " +
         s"(or stale allow-list count):\n  " + bad.mkString("\n  "))
+  }
+
+  test("loop-body fragments: no unpartitioned windows, no cartesians inside checkpointed loops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Each iterative operator's per-round builder, planned DIRECTLY over
+    // small typed relations — the subtrees the registry sweep above
+    // cannot see once the loops checkpoint them. A scale-killer window
+    // or cartesian added to a round body fails here.
+    val eu = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val fragments: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "cc-hop" -> graft.operators.Similarity.ccHop(
+        Seq((1L, 2L), (2L, 1L)).toDF("a", "b"),
+        Seq((1L, 1L), (2L, 2L)).toDF("id", "lbl")),
+      "bpe-best-pair" -> graft.operators.TextOps.bpeBestPair(
+        Seq(("(a)(b)(c)", 3L), ("(b)(c)", 2L)).toDF("enc", "wc")),
+      "bfs-step" -> graft.operators.Graphs.bfsStep(
+        eu, Seq((1L, 0L)).toDF("doc_id", "dist")),
+      "kcore-step" -> graft.operators.Graphs.kcoreStep(
+        eu, Seq(1L, 2L, 3L).toDF("doc_id"), 2),
+      "pagerank-iteration" -> {
+        val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+        val stats = nodes.agg(count(lit(1)).as("n"))
+        val edges = eu.withColumn("outdeg", lit(1L))
+        graft.operators.Graphs.prIteration(nodes, edges, stats,
+          nodes.select($"doc_id", lit(100L).as("pr")))
+      })
+    val bad = fragments.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      val p = df.queryExecution.executedPlan
+      val off = windowOffenders(p)
+      val cart = p.toString().contains("CartesianProduct")
+      if (off.isEmpty && !cart) None
+      else Some(s"$name: ${off.size} unpartitioned window(s)" +
+        (if (cart) " + CartesianProduct" else "") +
+        off.headOption.map(h => s" — $h").getOrElse(""))
+    }
+    assert(bad.isEmpty, "loop-body fragment plans a scale-killer:\n  " +
+      bad.mkString("\n  "))
   }
 }

@@ -5,6 +5,10 @@ emits ONE JSON line shaped like graft.Bench's — so each round can persist
 Spark and DuckDB numbers side by side (BENCH_DUCKDB_r{N}.json) instead of
 leaning on PLANS.md prose for the ratio.
 
+A failing oracle SQL (or a table whose parquet is missing) is recorded in
+the output's `errors` map instead of aborting the run — the timings of
+every query that already ran always survive to the JSON line.
+
 Usage:
   python3 tools/bench_duckdb.py <sfDir> <oracleSqlJson> [minOfN=2]
 """
@@ -15,27 +19,41 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(f"usage: {sys.argv[0]} <sfDir> <oracleSqlJson> [minOfN=2]")
     sf_dir = sys.argv[1]
     oracle_path = sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     con = duckdb.connect()
+    errors = {}
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except duckdb.Error as e:
+            errors[f"view:{t}"] = str(e).splitlines()[0]
     oracle = json.load(open(oracle_path))
     times = {}
     for name, sql in sorted(oracle.items()):
         best = None
         for _ in range(n):
             t0 = time.monotonic()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            except duckdb.Error as e:
+                errors[name] = str(e).splitlines()[0]
+                best = None
+                break
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        if best is not None:
+            times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     ordered = dict(sorted(times.items(), key=lambda kv: -kv[1]))
-    print(json.dumps({"metric": "total", "unit": "sec", "engine": "duckdb",
-                      "n": n, "queries": ordered, "sf": sf_dir,
-                      "value": total}))
+    out = {"metric": "total", "unit": "sec", "engine": "duckdb",
+           "n": n, "queries": ordered, "sf": sf_dir, "value": total}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 main()
