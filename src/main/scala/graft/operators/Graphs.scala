@@ -183,16 +183,19 @@ object Graphs extends QueryModule {
         $"mn" + expr("j div 3"),
         $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
       .filter($"src" =!= $"dst")
+    // u feeds the degree union twice and the orientation join once —
+    // persist it or the generator+distinct replans three times
     val u = e0
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val o = orientByDegree(u)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       closeTriangles(o)
         .orderBy($"a", $"b", $"c")
         .transform(graft.Exec.seal)
-    } finally { o.unpersist(false); d.unpersist(false) }
+    } finally { o.unpersist(false); u.unpersist(false); d.unpersist(false) }
   }
 
   /** q_label_prop — synchronous label propagation (community detection)
@@ -312,9 +315,12 @@ object Graphs extends QueryModule {
         $"mn" + expr("j div 3"),
         $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
       .filter($"src" =!= $"dst")
+    // eu0 feeds the cap's count aggregate plus its cold/hot split —
+    // persist it or the generator+distinct replans three times
     val eu0 = e0.select($"src", $"dst")
       .union(e0.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cap per wedge center (dst): the join on w below fans out as
     // in-deg(w)² — the capped relation bounds that by cap² per hub
     val eu = Baskets.capPerItem(eu0, "dst", "src", JaccardHubCap)
@@ -335,7 +341,7 @@ object Graphs extends QueryModule {
             ($"deg_a" + $"deg_b" - $"common").cast("double")).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
         .transform(graft.Exec.seal)
-    } finally eu.unpersist(false)
+    } finally { eu.unpersist(false); eu0.unpersist(false) }
   }
 
   /** q_kcore — three peeling rounds toward the 3-core of the link graph:
