@@ -447,6 +447,55 @@ object Similarity extends QueryModule {
       .orderBy($"a", $"b")
   }
 
+  /** q_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic deduplication inside LEARNED k-means cells — the
+    * embedding-space analog of MinHash near-dedup that web-scale
+    * training pipelines run to drop paraphrase/boilerplate duplicates
+    * exact n-gram methods can't see. Train the same deterministic
+    * Lloyd codebook the IVF index uses ([[kmeansCodebook]] — so the
+    * DuckDB oracle replays it as unrolled CTEs), assign every vector to
+    * its nearest cell, and within each cell mark as duplicates all
+    * vectors with a SMALLER-id cell-mate at cosine ≥ 0.30 — the greedy
+    * keep-first rule, one aggregation, no iteration (deliberately NOT
+    * transitive closure: q_dedup_clusters owns that; SemDeDup's
+    * published form is exactly pairwise ε-dedup within clusters).
+    *
+    * Scale: the pair join is keyed on the CELL — (N/C)² per cell, never
+    * doc×doc; C is the scale lever (C ≈ N/1000 bounds cells to ~10³
+    * members at any corpus size, the paper's regime), the codebook
+    * broadcasts, the N·C assignment is a map-combinable argmax, and the
+    * smaller-id-neighbor aggregate is one shuffle on vec_id. Output is
+    * one row per vector (cell, #smaller similar neighbors, max dup
+    * similarity, kept flag) — the keep/drop decision a curation
+    * pipeline joins back onto the corpus. Determinism: round6'd cosines
+    * (ulp-stable threshold + max), integer counts. */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = kmeansCodebook(n, 8, 2)
+      val m = n.join(assignCells(n, cent), Seq("vec_id"))
+      val l = m.select($"cell", $"vec_id".as("a"), $"e".as("ea"))
+      val r = m.select($"cell", $"vec_id".as("b"), $"e".as("eb"))
+      val dup = l.join(r, Seq("cell")).filter($"a" < $"b")
+        .withColumn("sim",
+          graft.Det.round6(graft.functions.VectorFunctions.cosine($"ea", $"eb")))
+        .filter($"sim" >= 0.30)
+        .groupBy($"b".as("vec_id"))
+        .agg(count(lit(1)).as("n_dup_smaller"),
+          max($"sim").as("max_dup_sim"))
+      m.select($"vec_id", $"cell")
+        .join(dup, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell",
+          coalesce($"n_dup_smaller", lit(0L)).as("n_dup_smaller"),
+          $"max_dup_sim",
+          when($"n_dup_smaller".isNull, 1L).otherwise(0L).as("kept"))
+        .orderBy($"vec_id")
+        .transform(graft.Exec.seal)
+    } finally n.unpersist(false)
+  }
+
   /** q_embed_coherence — per-label centroid coherence scoring, the
     * embedding-side QUALITY filter of a curation pipeline (CleanLab /
     * prototype-distance mislabel detection): each vector is scored by
@@ -1021,6 +1070,7 @@ object Similarity extends QueryModule {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_semdedup" -> (qSemDedup _),
     "q_embed_coherence" -> (qEmbedCoherence _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_sorted_nbhd" -> (qDedupSortedNbhd _),
@@ -1161,6 +1211,55 @@ object Similarity extends QueryModule {
          FROM cells)
        SELECT cell, cell_size, vec_id AS rep_id, csim AS rep_sim
        FROM sel WHERE rn = 1 ORDER BY cell"""
+
+  /** q_semdedup oracle: the same replayed codebook as [[DUCK_IVF]]
+    * (cent0 + two unrolled Lloyd rounds), nearest-cell assignment, then
+    * the within-cell smaller-id-neighbor aggregate at the same round6'd
+    * threshold. */
+  private val DUCK_SEMDEDUP =
+    s"""WITH n AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) nrm
+         FROM embeddings),
+       cent0 AS (
+         SELECT cid, e ce FROM
+           (SELECT vec_id, e,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS BIGINT) cid
+            FROM n)
+         WHERE cid <= 8),
+       ${duckIvfIter(1)},
+       ${duckIvfIter(2)},
+       fa AS (
+         SELECT n.vec_id, c.cid,
+                floor(list_dot_product(n.e, c.ce)
+                      / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                      * 1000000.0 + 0.5) / 1000000.0 csim
+         FROM n, cent2 c),
+       cells AS (
+         SELECT vec_id, cid cell FROM
+           (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid) rn FROM fa)
+         WHERE rn = 1),
+       m AS (SELECT c.vec_id, c.cell, n.e, n.nrm
+             FROM cells c JOIN n ON n.vec_id = c.vec_id),
+       dup AS (
+         SELECT vec_id, count(*) n_dup_smaller, max(sim) max_dup_sim
+         FROM (
+           SELECT b.vec_id,
+                  floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                        * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         WHERE sim >= 0.30 GROUP BY vec_id)
+       SELECT m.vec_id, m.cell,
+              coalesce(d.n_dup_smaller, CAST(0 AS BIGINT)) AS n_dup_smaller,
+              d.max_dup_sim,
+              CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                AS kept
+       FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
+       ORDER BY m.vec_id"""
 
   /** One PQ subspace as DuckDB CTEs (suffix `$m`, dims `lo..hi` of the
     * 64-dim vector): md5-ordered seeds, ONE Lloyd round via the same
@@ -1490,6 +1589,7 @@ object Similarity extends QueryModule {
          SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "q_ann_ivf" -> DUCK_IVF,
     "q_diverse_sample" -> DUCK_DIVERSE,
+    "q_semdedup" -> DUCK_SEMDEDUP,
     "q_ann_pq" -> DUCK_PQ,
     "q_ann_ivfpq" -> DUCK_IVFPQ,
     "q_dedup_embedding" ->
