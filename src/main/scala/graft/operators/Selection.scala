@@ -73,12 +73,20 @@ object Selection {
     * bucket ids, sub-range bounds, level-1 exclusive offset and group
     * total. Package-private so the spec measures the REAL partition
     * keys the cumulative window will use, not a re-derivation. */
-  private[graft] def bucketed(h: DataFrame, group: Seq[String], v: String,
+  private[graft] def bucketed(h0: DataFrame, group: Seq[String], v: String,
                               cnt: String, b: Long): DataFrame = {
-    require(h.columns.forall(c =>
+    require(h0.columns.forall(c =>
       c != "cum" && c != "n" && !c.startsWith("graft_sel_")),
       "withRankCum emits `cum`/`n` and transient `graft_sel_*` columns " +
         "— rename the input's columns")
+    // Each level below consumes its predecessor TWICE (a summary
+    // aggregate plus the join that carries the summaries back onto the
+    // rows), so the raw logical tree TRIPLES per level — 14 sort-merge
+    // joins and 36 scans for one q_rfm call, all recomputed (exchange
+    // reuse never fires across the differing aliases). Seal each reused
+    // relation once: histogram-sized materializations, and Exec.seal is
+    // lazy-plan-aware so PlanShapeSpec still sweeps the full tree.
+    val h = graft.Exec.seal(h0)
     val gcols = group.map(col)
     // group-level min/max and the per-(group, bucket) summaries are G-
     // and G×B-sized: no explicit broadcast hint — Catalyst/AQE
@@ -91,9 +99,9 @@ object Selection {
     val joined =
       if (group.isEmpty) h.crossJoin(broadcast(mm)) // 1 row — always safe
       else joinNullSafe(h, mm, group)
-    val hb = joined.withColumn("graft_sel_b1",
+    val hb = graft.Exec.seal(joined.withColumn("graft_sel_b1",
       bucketExpr(col(v), col("graft_sel_lo"), col("graft_sel_hi"), b))
-      .drop("graft_sel_lo", "graft_sel_hi")
+      .drop("graft_sel_lo", "graft_sel_hi"))
     // level-1 summaries: totals AND each bucket's observed value
     // sub-range, on one (group, b1) shuffle; the ≤B+1-row-per-group
     // prefix window yields the level-1 exclusive offset and group total
@@ -131,7 +139,7 @@ object Selection {
   def withRankCum(h: DataFrame, group: Seq[String], v: String, cnt: String,
                   b: Long = 4096L): DataFrame = {
     val gcols = group.map(col)
-    val hb2 = bucketed(h, group, v, cnt, b)
+    val hb2 = graft.Exec.seal(bucketed(h, group, v, cnt, b))
     val b12 = Seq(col("graft_sel_b1"), col("graft_sel_b2"))
     // level-2 exclusive offsets within each level-1 bucket: the groupBy
     // key is a superset of the join's (group, b1) partitioning, so the
