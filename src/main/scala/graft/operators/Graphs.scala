@@ -275,7 +275,10 @@ object Graphs extends QueryModule {
     try {
       val b0 = d.filter($"doc_id" % 31 === 5)
         .select($"doc_id", lit(0L).as("dist"))
-      val b3 = (1 to 3).foldLeft(b0)((reached, _) => bfsStep(eu, reached))
+      // seal each round: bfsStep consumes `reached` twice (join + union),
+      // so the raw tree doubles per round — 2³ replans by round 3
+      val b3 = (1 to 3).foldLeft(b0)((reached, _) =>
+        graft.Exec.seal(bfsStep(eu, reached)))
       b3.orderBy($"doc_id").transform(graft.Exec.seal)
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
@@ -374,8 +377,10 @@ object Graphs extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n0 = d.select($"doc_id")
+      // seal each round: kcoreStep consumes `nodes` twice (two
+      // semi-joins), so the raw tree doubles per round
       val last = (1 to 3).foldLeft((n0, n0)) { case ((nodes, _), _) =>
-        val kept = kcoreStep(eu, nodes, 3)
+        val kept = graft.Exec.seal(kcoreStep(eu, nodes, 3))
         (kept.select($"src".as("doc_id")), kept)
       }._2
       last.select($"src".as("doc_id"), $"degree")

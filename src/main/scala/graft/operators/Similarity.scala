@@ -475,7 +475,10 @@ object Similarity extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cent = kmeansCodebook(n, 8, 2)
-      val m = n.join(assignCells(n, cent), Seq("vec_id"))
+      // m feeds both pair-join arms plus the final decision join — seal
+      // it or the N·C assignment replans three times (the Selection
+      // tree-duplication lesson, same round)
+      val m = graft.Exec.seal(n.join(assignCells(n, cent), Seq("vec_id")))
       val l = m.select($"cell", $"vec_id".as("a"), $"e".as("ea"))
       val r = m.select($"cell", $"vec_id".as("b"), $"e".as("eb"))
       val dup = l.join(r, Seq("cell")).filter($"a" < $"b")
