@@ -474,6 +474,60 @@ class PlanShapeSpec extends AnyFunSuite {
         s"(or stale allow-list count):\n  " + bad.mkString("\n  "))
   }
 
+  /** LAZY-tree scan multiplicities pinned for every query above the
+    * free bound. These counts are the RAW tree before runtime seals /
+    * persists truncate it (the sweep runs under withLazyPlans, and the
+    * builders' `finally unpersist` has already dropped their caches by
+    * inspection time) — so a high pin is NOT a runtime defect; what the
+    * pin catches is DRIFT: a new double-consumption level multiplies
+    * the count (the round-7 q_rfm blowup tripled per level), and a
+    * falling count means a seal was added — update the pin either way,
+    * and check the warm TimeQ cost when raising one. */
+  private val scanMultiplicity: Map[String, Int] = Map(
+    "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 8,
+    "q_curation_pipeline" -> 9, "q_graph_bfs" -> 36,
+    "q_graph_jaccard" -> 96, "q_kcore" -> 148, "q_label_prop" -> 13,
+    "q_market_basket" -> 25, "q_multimodal_phash" -> 8,
+    "q_naive_bayes" -> 8, "q_pagerank" -> 20, "q_pca_power" -> 10,
+    "q_recommend_cooccur" -> 37, "q_rfm" -> 18, "q_semdedup" -> 21,
+    "q_sketch_intersect" -> 10, "q_triangles" -> 30, "q_winsorize" -> 9)
+
+  test("per-table scan multiplicity stays at its pinned lazy-tree count") {
+    // The round-7 Selection lesson: an operator that consumes its input
+    // twice per level TRIPLES the raw logical tree (q_rfm planned 36
+    // scans / 14 sort-merge joins and ran 2.9× slower than its sealed
+    // form) — and exchange reuse does NOT rescue it across renamed
+    // aliases. Catalyst plans the duplication silently; this sweep pins
+    // the worst per-table multiplicity per query so the next doubling
+    // fails loudly instead of surfacing as a bench regression.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def maxScan(p: SparkPlan): Int = {
+      val buf = scala.collection.mutable.Buffer[String]()
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+          case f: FileSourceScanExec =>
+            buf ++= f.relation.location.rootPaths.map(_.getName)
+          case _ =>
+        }
+        n.children.foreach(walk)
+        n.subqueries.foreach(walk)
+      }
+      walk(p)
+      if (buf.isEmpty) 0
+      else buf.groupBy(identity).valuesIterator.map(_.size).max
+    }
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val got = maxScan(planOf(name))
+      val allowed = scanMultiplicity.getOrElse(name, 6)
+      if (got <= allowed) None
+      else Some(s"$name: max per-table scan count $got (pinned $allowed)")
+    }
+    assert(bad.isEmpty, "scan-duplication drift (seal the reused " +
+      "subtree, or consciously update the pin):\n  " + bad.mkString("\n  "))
+  }
+
   test("loop-body fragments: no unpartitioned windows, no cartesians inside checkpointed loops") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
