@@ -812,7 +812,78 @@ object TextOps extends QueryModule {
     } finally h.unpersist(false)
   }
 
+  /** Hashed-vocabulary size for [[qDsir]]: small enough that the
+    * per-bucket LM table broadcasts trivially, large enough that bucket
+    * collisions don't wash out the domain signal at the corpus's
+    * vocabulary size. */
+  private val DsirBuckets = 256L
+
+  /** q_dsir — Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169), the published recipe for "pick raw-corpus
+    * documents that look like the target domain": fit two hashed-
+    * unigram LMs — target (here lang='en', the deterministic stand-in
+    * for a curated target corpus) and raw (everything) — and weight
+    * each document by its summed per-token log importance ratio
+    * log p_target(b(t)) − log p_raw(b(t)) over [[DsirBuckets]] hashed
+    * buckets (Laplace-smoothed). Documents in the top 20% by weight are
+    * flagged `selected` — the resampling cut.
+    *
+    * Determinism (the [[qUnigramLogprob]] discipline): ONE ln per
+    * BUCKET, computed from a ratio of exact integer products and
+    * half-up quantized to 1e-6 BIGINT; per-doc weights are then exact
+    * integer sums (order-free) and the emitted double is one division.
+    * The integer products stay under 2⁶³ while corpus tokens × bucket
+    * count < ~10¹⁸ — past that, widen to DECIMAL. The 20% threshold is
+    * an exact order statistic from [[Selection.withRankCum]] (global
+    * selection — every window is bounded by the constant bucket count),
+    * so ties at the boundary resolve identically in both engines.
+    *
+    * Scale: one corpus scan builds the (doc, bucket) occurrence
+    * relation, persisted for its two consumers (bucket LM + doc
+    * weights); the 256-row LM broadcasts; the weight histogram and
+    * threshold are doc-sized aggregates. No window ever sees more than
+    * max(256, 4096) rows in one partition. */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = docs(s, dir)
+      .select($"doc_id", $"lang",
+        explode(split(lower($"text"), " ")).as("token"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"token"), 1, 15), 16, 10).cast("long")
+          % lit(DsirBuckets)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // raw + target bucket counts in ONE map-side-combined pass; the
+      // totals ride the 256-row relation as whole-relation windows
+      // (the qUnigramLogprob trick — a separate 1-row aggregate would
+      // chain a second broadcast job)
+      val bc = occ.groupBy($"b").agg(
+        count(lit(1)).as("cr"),
+        count(when($"lang" === "en", 1)).as("ct"))
+        .withColumn("tr", sum($"cr").over(Window.partitionBy()))
+        .withColumn("tg", sum($"ct").over(Window.partitionBy()))
+      val qb = bc.select($"b",
+        floor(log(
+          (($"ct" + 1L) * ($"tr" + lit(DsirBuckets))).cast("double") /
+            (($"cr" + 1L) * ($"tg" + lit(DsirBuckets))).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+      val dw = graft.Exec.seal(occ.join(broadcast(qb), Seq("b"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"q").as("sw")))
+      val h = dw.groupBy($"sw".as("v")).agg(count(lit(1)).as("cnt"))
+      val th = Selection.withRankCum(h, Seq(), "v", "cnt")
+        .agg(min(when($"cum" >= expr("(n * 4 + 4) div 5"), $"v")).as("t"))
+      dw.crossJoin(broadcast(th))
+        .select($"doc_id", $"n_tokens",
+          ($"sw".cast("double") / lit(1000000.0)).as("log_ratio"),
+          when($"sw" >= $"t", 1L).otherwise(0L).as("selected"))
+        .orderBy($"doc_id")
+        .transform(graft.Exec.seal)
+    } finally occ.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dsir" -> (qDsir _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -876,6 +947,43 @@ object TextOps extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dsir" ->
+      s"""WITH occ AS (
+           SELECT doc_id, lang,
+                  CAST(list_reduce(
+                    list_prepend('0',
+                      string_split(substr(md5(token), 1, 15), '')),
+                    (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+                      instr('0123456789abcdef', c) - 1 AS VARCHAR))
+                    AS BIGINT) % $DsirBuckets AS b
+           FROM (SELECT doc_id, lang,
+                        UNNEST(string_split(lower(text), ' ')) AS token
+                 FROM documents)),
+         bc AS (
+           SELECT b, count(*) cr,
+                  count(CASE WHEN lang = 'en' THEN 1 END) ct
+           FROM occ GROUP BY b),
+         qb AS (
+           SELECT b,
+                  CAST(floor(ln(
+                    CAST((ct + 1) * (tr + $DsirBuckets) AS DOUBLE) /
+                    CAST((cr + 1) * (tg + $DsirBuckets) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) q
+           FROM (SELECT b, cr, ct, sum(cr) OVER () tr, sum(ct) OVER () tg
+                 FROM bc)),
+         dw AS (
+           SELECT doc_id, count(*) n_tokens, CAST(sum(q) AS BIGINT) sw
+           FROM occ JOIN qb USING (b) GROUP BY doc_id),
+         th AS (
+           SELECT min(CASE WHEN cum >= (n * 4 + 4) // 5 THEN v END) t
+           FROM (SELECT v, sum(cnt) OVER (ORDER BY v) cum,
+                        sum(cnt) OVER () n
+                 FROM (SELECT sw v, count(*) cnt FROM dw GROUP BY sw)))
+         SELECT doc_id, n_tokens,
+                CAST(sw AS DOUBLE) / 1000000.0 AS log_ratio,
+                CAST(CASE WHEN sw >= t THEN 1 ELSE 0 END AS BIGINT)
+                  AS selected
+         FROM dw, th ORDER BY doc_id""",
     "q_vocab_growth" ->
       """WITH s AS (
            SELECT min(doc_id) mn, max(doc_id) - min(doc_id) + 1 spanw

@@ -404,7 +404,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_benford" -> (1 -> "9 digit rows"),
     "q_vocab_growth" -> (1 -> "decile rows (constant 10)"),
     "q_unigram_logprob" -> (1 -> "global-total window over G event-type rows"),
-    "q_pca_power" -> (4 -> "matvec/normalize windows over d=64-dim vectors (constant)"))
+    "q_pca_power" -> (4 -> "matvec/normalize windows over d=64-dim vectors (constant)"),
+    "q_dsir" -> (11, "256-row bucket-LM totals + ≤4097-row global-selection summaries, " +
+      "multiplied by the lazy-tree duplication the runtime seals truncate"))
 
   // A window input is LIMIT-bounded only when the path from the window
   // down to the limit crosses nothing that can expand cardinality:
@@ -490,6 +492,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_market_basket" -> 25, "q_multimodal_phash" -> 8,
     "q_naive_bayes" -> 8, "q_pagerank" -> 20, "q_pca_power" -> 10,
     "q_recommend_cooccur" -> 37, "q_rfm" -> 18, "q_semdedup" -> 21,
+    "q_dsir" -> 18,
     "q_sketch_intersect" -> 10, "q_triangles" -> 30, "q_winsorize" -> 9)
 
   test("per-table scan multiplicity stays at its pinned lazy-tree count") {
