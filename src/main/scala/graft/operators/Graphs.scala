@@ -228,14 +228,7 @@ object Graphs extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val l0 = d.select($"doc_id", $"doc_id".as("lbl"))
-      val l3 = (1 to 3).foldLeft(l0) { (lbl, _) =>
-        eu.join(lbl, eu("dst") === lbl("doc_id"))
-          .groupBy($"src", $"lbl")
-          .agg(count(lit(1)).as("c"))
-          .groupBy($"src")
-          .agg(max(struct($"c", (-$"lbl").as("nl"))).as("x"))
-          .select($"src".as("doc_id"), (-$"x.nl").as("lbl"))
-      }
+      val l3 = (1 to 3).foldLeft(l0)((lbl, _) => lpaStep(eu, lbl))
       l3.select($"doc_id", $"lbl".as("community"))
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
@@ -389,6 +382,20 @@ object Graphs extends QueryModule {
     } finally { eu.unpersist(false); d.unpersist(false) }
   }
 
+  /** One synchronous label-propagation round: adopt the most frequent
+    * neighbor label, ties to the smallest. Consumes `lbl` once — the
+    * fixed-round fold's tree grows linearly, no per-round seal needed.
+    * Shared by the declared query and [[labelPropConverged]]. */
+  private[graft] def lpaStep(eu: DataFrame, lbl: DataFrame): DataFrame = {
+    val s = eu.sparkSession; import s.implicits._
+    eu.join(lbl, eu("dst") === lbl("doc_id"))
+      .groupBy($"src", $"lbl")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"src")
+      .agg(max(struct($"c", (-$"lbl").as("nl"))).as("x"))
+      .select($"src".as("doc_id"), (-$"x.nl").as("lbl"))
+  }
+
   /** One BFS relaxation over a symmetrized edge list: offer every
     * neighbor distance+1, keep the per-node min. Shared by the
     * fixed-round declared query (oracle-unrollable) and
@@ -493,6 +500,59 @@ object Graphs extends QueryModule {
           Option(obs.get("s")).map(_.asInstanceOf[Long]).getOrElse(0L))
       }
       reached
+    } finally eu.unpersist(false)
+  }
+
+  /** Outcome of [[labelPropConverged]]: the final labels, rounds run,
+    * and whether the loop stopped on a detected 2-cycle (synchronous
+    * LPA's known oscillation on bipartite structure) rather than a
+    * fixpoint. */
+  final case class LpaResult(labels: DataFrame, rounds: Int,
+                             cycled: Boolean)
+
+  /** Label propagation to convergence: iterate [[lpaStep]] until the
+    * assignment stalls — or until it 2-CYCLES, which synchronous LPA
+    * provably can (an isolated edge swaps labels forever: each endpoint
+    * adopts the other's). The witness is an order-free assignment
+    * digest Σ xxhash64(doc_id, lbl) riding each round's checkpoint;
+    * digest == previous ⟹ fixpoint, digest == two-rounds-ago ⟹
+    * 2-cycle (stop, report `cycled` — production LPA breaks these with
+    * async/randomized updates, which would forfeit determinism here).
+    * Digest equality is a hash witness, not a proof — a colliding sum
+    * of per-node changes is ~2⁻⁶⁴ per round.
+    *
+    * @param edges symmetrized DISTINCT edge list (src, dst)
+    */
+  def labelPropConverged(edges: DataFrame,
+                         maxRounds: Int = 10000): LpaResult = {
+    val s = edges.sparkSession; import s.implicits._
+    val eu = edges.select($"src", $"dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lbl = eu.select($"src".as("doc_id")).distinct()
+        .withColumn("lbl", $"doc_id").localCheckpoint(true)
+      // sentinels never equal a real digest except with ~2⁻⁶⁴ chance
+      var prev = -1L // digest two rounds ago
+      var cur = -2L  // digest one round ago
+      var rounds = 0
+      var cycled = false
+      var done = false
+      while (!done && rounds < maxRounds) {
+        rounds += 1
+        val obs = org.apache.spark.sql.Observation()
+        // hashes reduced mod a prime before the sum: a raw Σ xxhash64
+        // overflows Long under ANSI; the reduced sum stays order-free
+        // and under 2⁶³ up to ~9·10⁹ nodes
+        lbl = lpaStep(eu, lbl)
+          .observe(obs,
+            sum(xxhash64($"doc_id", $"lbl") % lit(1000000007L)).as("d"))
+          .localCheckpoint(true)
+        val d = Option(obs.get("d")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (d == cur) done = true
+        else if (d == prev) { done = true; cycled = true }
+        prev = cur; cur = d
+      }
+      LpaResult(lbl, rounds, cycled)
     } finally eu.unpersist(false)
   }
 

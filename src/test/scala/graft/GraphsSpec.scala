@@ -222,6 +222,23 @@ class GraphsSpec extends AnyFunSuite {
       s"the fixed-round peel must still hold tail nodes: $threeRounds")
   }
 
+  test("labelPropConverged: fixpoint on a triangle, 2-cycle detected on an isolated edge") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val euTri = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val fix = graft.operators.Graphs.labelPropConverged(euTri, maxRounds = 50)
+    assert(!fix.cycled && fix.rounds < 50, "triangle must reach a fixpoint")
+    val mt = fix.labels.as[(Long, Long)].collect().toMap
+    assert(mt.values.toSet.size == 1, s"one community expected: $mt")
+    // synchronous LPA on an isolated edge swaps labels forever — the
+    // digest-vs-two-rounds-ago witness must catch it, not maxRounds
+    val und = tri ++ Seq((8L, 9L))
+    val eu = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val res = graft.operators.Graphs.labelPropConverged(eu, maxRounds = 50)
+    assert(res.cycled, "the isolated edge must be reported as a 2-cycle")
+    assert(res.rounds < 10, s"cycle detection should stop fast: ${res.rounds}")
+  }
+
   test("pagerankConverged reaches the exact integer fixpoint on a directed path") {
     import spark.implicits._
     // directed path 1→2→…→8: the iteration map is nilpotent (depth 7),
