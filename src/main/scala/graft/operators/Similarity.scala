@@ -291,6 +291,26 @@ object Similarity extends QueryModule {
     } finally n.unpersist(true)
   }
 
+  /** Within-cell pair count for [[qSemDedup]]'s C lever
+    * ([[tools.ScaleProbe]]): the dedup pair join does Σ_cell C(sz, 2)
+    * work — this returns that total at a given codebook size next to
+    * the all-pairs C(N, 2) it replaces, so the "C ≈ N/1000 bounds the
+    * blowup" claim is measured, not asserted. */
+  def semdedupPairWork(s: SparkSession, dir: String, c: Int): (Long, Long) = {
+    import s.implicits._
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = n.count()
+      val cent = kmeansCodebook(n, c, iters = 2)
+      val pairs = assignCells(n, cent)
+        .groupBy($"cell").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(expr("(sz * (sz - 1)) div 2")), lit(0L)))
+        .head().getLong(0)
+      (pairs, total * (total - 1) / 2)
+    } finally n.unpersist(true)
+  }
+
   /** T3-scale q_ann_pq — product-quantization ANN (ADC variant): the
     * 64-dim vectors are split into M=4 subspaces of 16 dims; each
     * subspace trains its own K=8 codebook (one Lloyd round of the same

@@ -95,6 +95,18 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"k":$k,"query":"ivf_probe_work","sec":$sec%.2f,""" +
         f""""c":$c,"probed_pairs":$probed,"brute_pairs":$brute}""")
+
+      // SemDeDup C lever: within-cell pair work at the declared C=8 vs
+      // the production C≈√N regime vs all-pairs — the scaladoc's
+      // "C bounds the blowup" claim as a measured point
+      Seq(8, c).distinct.foreach { cc =>
+        val t1 = System.nanoTime()
+        val (pw, ap) =
+          graft.operators.Similarity.semdedupPairWork(spark, dir, cc)
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"""{"k":$k,"query":"semdedup_pair_work","sec":$s1%.2f,""" +
+          f""""c":$cc,"cell_pairs":$pw,"all_pairs":$ap}""")
+      }
     }
     spark.stop()
   }
