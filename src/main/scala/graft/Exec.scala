@@ -21,12 +21,22 @@ import org.apache.spark.sql.DataFrame
   * lazy form yields bit-identical rows to the sealed form.
   *
   * Scope rules:
-  *  - Only RESULT-BOUNDARY checkpoints route through [[seal]]
-  *    (`.transform(Exec.seal)` as the last step of a query function).
-  *    Intra-loop lineage truncations (BPE training rounds, connected-
-  *    components hops) stay raw eager `localCheckpoint(true)` — they
-  *    bound driver-side plan growth and must fire even during plan
-  *    inspection.
+  *  - RESULT-BOUNDARY checkpoints route through [[seal]]
+  *    (`.transform(Exec.seal)` as the last step of a query function),
+  *    and so do REUSED-HUB truncations whose raw duplication is BOUNDED
+  *    (a relation consumed 2–3 times, or a fixed 3-round loop that
+  *    doubles per round — Selection's bucketed levels, the kcore/bfs
+  *    round results, semdedup's assignment, dsir's weights): the lazy
+  *    sweeps then still see the full tree, and the runtime pays each
+  *    subtree once (round 7: the unsealed q_rfm form planned 14
+  *    sort-merge joins over 36 scans and ran 2.9× slower).
+  *  - Raw eager `localCheckpoint(true)` remains ONLY where lineage
+  *    growth is unbounded or super-polynomial in rounds (BPE's ~50
+  *    training rounds, the connected-components while-loop): there the
+  *    un-truncated lazy tree would stall the DRIVER in plan
+  *    canonicalization before a single task runs, so truncation must
+  *    fire even during plan inspection — which is why those loop BODIES
+  *    get their own direct fragment sweep in PlanShapeSpec instead.
   *  - The flag is a [[scala.util.DynamicVariable]] (thread-scoped,
   *    reentrant): concurrent suites on other threads never observe the
   *    block's value, and nested blocks restore correctly.

@@ -434,6 +434,14 @@ object Graphs extends QueryModule {
   // hand-built graph where fixed-round ≠ fixpoint (a long path for BFS
   // and pagerank, a peel chain for k-core).
 
+  /** Outcome of a convergence-detected loop: the final relation, rounds
+    * run, and whether the loop actually stopped on its witness —
+    * `converged = false` means the `maxRounds` backstop fired and the
+    * result is NOT a fixpoint (the round-7 review: a bare DataFrame
+    * made a bailout indistinguishable from convergence). */
+  final case class FixpointResult(result: DataFrame, rounds: Int,
+                                  converged: Boolean)
+
   /** k-core fixpoint: peel with [[kcoreStep]] until the surviving-node
     * count stalls. Peeling only ever REMOVES nodes, so an unchanged
     * count means an unchanged node set — the count is an exact
@@ -444,7 +452,8 @@ object Graphs extends QueryModule {
     * @return surviving (doc_id, degree) — degree in the induced core
     */
   def kcoreConverged(edges: DataFrame, k: Int,
-                     maxRounds: Int = 10000): DataFrame = {
+                     maxRounds: Int = 10000): FixpointResult = {
+    require(maxRounds >= 1, "kcoreConverged needs at least one round")
     val s = edges.sparkSession; import s.implicits._
     val eu = edges.select($"src", $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -465,7 +474,8 @@ object Graphs extends QueryModule {
         nodes = kept.select($"src".as("doc_id"))
         cur = obs.get("c").asInstanceOf[Long]
       }
-      kept.select($"src".as("doc_id"), $"degree")
+      FixpointResult(kept.select($"src".as("doc_id"), $"degree"),
+        rounds, cur == prev)
     } finally eu.unpersist(false)
   }
 
@@ -480,7 +490,7 @@ object Graphs extends QueryModule {
     * @return reached (doc_id, dist); unreached nodes are absent
     */
   def bfsConverged(edges: DataFrame, seeds: DataFrame,
-                   maxRounds: Int = 10000): DataFrame = {
+                   maxRounds: Int = 10000): FixpointResult = {
     val s = edges.sparkSession; import s.implicits._
     val eu = edges.select($"src", $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -499,7 +509,7 @@ object Graphs extends QueryModule {
         cur = (obs.get("c").asInstanceOf[Long],
           Option(obs.get("s")).map(_.asInstanceOf[Long]).getOrElse(0L))
       }
-      reached
+      FixpointResult(reached, rounds, cur == prev)
     } finally eu.unpersist(false)
   }
 
@@ -575,7 +585,7 @@ object Graphs extends QueryModule {
     */
   def pagerankConverged(edges: DataFrame, nodes: DataFrame,
                         tolUnits: Long = 1000000L,
-                        maxRounds: Int = 100): DataFrame = {
+                        maxRounds: Int = 100): FixpointResult = {
     val s = edges.sparkSession; import s.implicits._
     val nd = nodes.select($"doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -599,7 +609,7 @@ object Graphs extends QueryModule {
           .localCheckpoint(true)
         delta = Option(obs.get("d")).map(_.asInstanceOf[Long]).getOrElse(0L)
       }
-      r
+      FixpointResult(r, rounds, delta <= tolUnits)
     } finally { ed.unpersist(false); nd.unpersist(false) }
   }
 

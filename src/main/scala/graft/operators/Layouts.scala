@@ -62,12 +62,20 @@ object Layouts extends QueryModule {
       val dead = pid.toLongOption.exists(p =>
         p != ProcessHandle.current().pid() && ProcessHandle.of(p).isEmpty)
       if (dead) {
+        // NonFatal, not IOException: Files.walk consumption surfaces a
+        // concurrent reaper's deletions as UncheckedIOException (a
+        // RuntimeException) — two JVMs racing on the same dead root is
+        // exactly the scenario here, and best-effort means neither may
+        // crash the query build. The stream must also be closed, or the
+        // directory handles leak per reap.
         try {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
-          Files.walk(f.toPath).sorted(Comparator.reverseOrder[Path]())
+          val walk = Files.walk(f.toPath)
+          try walk.sorted(Comparator.reverseOrder[Path]())
             .forEach(p => Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

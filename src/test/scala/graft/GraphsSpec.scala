@@ -189,8 +189,9 @@ class GraphsSpec extends AnyFunSuite {
     val dirEdges = (0L to 6L).map(i => (i, i + 1))
     val eu = (dirEdges ++ dirEdges.map(_.swap)).toDF("src", "dst")
     val seeds = Seq(0L).toDF("doc_id")
-    val conv = graft.operators.Graphs.bfsConverged(eu, seeds)
-      .as[(Long, Long)].collect().toMap
+    val res = graft.operators.Graphs.bfsConverged(eu, seeds)
+    assert(res.converged, "witness must fire before the backstop")
+    val conv = res.result.as[(Long, Long)].collect().toMap
     assert(conv == (0L to 7L).map(i => i -> i).toMap,
       s"fixpoint must reach every node at its true distance: $conv")
     val threeRounds = (1 to 3).foldLeft(
@@ -209,8 +210,10 @@ class GraphsSpec extends AnyFunSuite {
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (5L, 6L), (6L, 7L), (7L, 5L))
     val eu = (und ++ und.map(_.swap)).toDF("src", "dst")
-    val conv = graft.operators.Graphs.kcoreConverged(eu, 2)
-      .as[(Long, Long)].collect().toMap
+    val res = graft.operators.Graphs.kcoreConverged(eu, 2)
+    assert(res.converged && res.rounds > 3,
+      s"the 5-peel chain needs >3 witnessed rounds: $res")
+    val conv = res.result.as[(Long, Long)].collect().toMap
     assert(conv == Map(5L -> 2L, 6L -> 2L, 7L -> 2L),
       s"2-core fixpoint must be the bare triangle: $conv")
     val nodes0 = (0L to 7L).toDF("doc_id")
@@ -247,9 +250,10 @@ class GraphsSpec extends AnyFunSuite {
     val n = 8L
     val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
     val nodes = (1L to n).toDF("doc_id")
-    val got = graft.operators.Graphs
+    val resPr = graft.operators.Graphs
       .pagerankConverged(edges, nodes, tolUnits = 0L, maxRounds = 50)
-      .as[(Long, Long)].collect().toMap
+    assert(resPr.converged, "the DAG must reach an exact integer fixpoint")
+    val got = resPr.result.as[(Long, Long)].collect().toMap
     // replay the same integer recurrence to ITS fixpoint in plain Scala
     val base = (15L * Scale / 100L) / n
     def iterate(prev: Map[Long, Long]): Map[Long, Long] =

@@ -41,8 +41,10 @@ def main():
             try:
                 con.execute(sql).fetchall()
             except duckdb.Error as e:
+                # record the failure but KEEP any timing an earlier rep
+                # produced — a transient rep-2 error must not silently
+                # shrink the total the Spark/DuckDB ratio is read from
                 errors[name] = str(e).splitlines()[0]
-                best = None
                 break
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
