@@ -476,6 +476,37 @@ class PlanShapeSpec extends AnyFunSuite {
         s"(or stale allow-list count):\n  " + bad.mkString("\n  "))
   }
 
+  test("q_semdedup: pruned embedding scan, broadcast codebook, cell-keyed pair join") {
+    val df = Exec.withLazyPlans(SparkEntry.queries("q_semdedup")(spark, dir))
+    val formatted = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>"),
+      "embeddings scan must prune to (vec_id, embedding)")
+    val p = plan("q_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the codebook must broadcast into assignment")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the within-cell pair join must be keyed (shuffle on cell), present")
+    assert(!p.contains("CartesianProduct"),
+      "no unkeyed pair product anywhere")
+  }
+
+  test("q_dsir: per-consumer column pruning and broadcast LM/threshold") {
+    val df = Exec.withLazyPlans(SparkEntry.queries("q_dsir")(spark, dir))
+    val formatted = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the bucket-LM consumer needs no doc_id; the weight consumer no lang
+    assert(formatted.contains("ReadSchema: struct<text:string,lang:string>"),
+      "LM pass must prune doc_id from its scan")
+    assert(formatted.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "weight pass must prune lang from its scan")
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row bucket LM must broadcast into the weight join")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row threshold must broadcast, never a raw cartesian")
+  }
+
   /** LAZY-tree scan multiplicities pinned for every query above the
     * free bound. These counts are the RAW tree before runtime seals /
     * persists truncate it (the sweep runs under withLazyPlans, and the
