@@ -77,4 +77,34 @@ class BasketsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == sup, "capped miner ≡ uncapped miner under the cap")
   }
+
+  test("hot/cold split ≡ the definitional single-window cap (random relations)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // capPerItem's broadcast anti/semi split is documented as a purely
+    // physical optimization of the uniform row_number form — prove the
+    // EQUALITY on random occurrence relations where the cap genuinely
+    // bites, including ties in basket count at the cap boundary
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val items = 1 + rnd.nextInt(6)
+      val rows = (1 to items).flatMap { i =>
+        val nb = 1 + rnd.nextInt(12)
+        rnd.shuffle((1L to 30L).toList).take(nb).map(b => (i.toLong, b))
+      }
+      val cap = 1L + rnd.nextInt(8)
+      val occ = rows.toDF("item", "basket")
+      val split = graft.operators.Baskets
+        .capPerItem(occ, "item", "basket", cap)
+        .as[(Long, Long)].collect().toSet
+      val w = Window.partitionBy($"item").orderBy(
+        md5(concat($"item".cast("string"), lit("_"),
+          $"basket".cast("string"))), $"basket")
+      val uniform = occ.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= cap).drop("rk")
+        .as[(Long, Long)].collect().toSet
+      assert(split == uniform,
+        s"split/uniform divergence at cap=$cap on ${rows.size} rows")
+    }
+  }
 }
