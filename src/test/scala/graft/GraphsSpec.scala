@@ -182,6 +182,30 @@ class GraphsSpec extends AnyFunSuite {
     assert(hubOut == 0L, s"hub should orient inbound-only, has $hubOut out")
   }
 
+  test("degree orientation: triangle set equals brute force on random graphs") {
+    import spark.implicits._
+    // fixtures can miss degree-TIE configurations; random G(n, p) graphs
+    // exercise the (deg, id) total order broadly
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = 6 + rnd.nextInt(12)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toVector
+      if (und.nonEmpty) {
+        val got = graft.operators.Graphs.closeTriangles(
+          graft.operators.Graphs.orientByDegree(und.toDF("a", "b")))
+          .as[(Long, Long, Long)].collect().toSet
+        val es = und.toSet
+        val want = (for {
+          (a, b) <- es; c <- (b + 1) to (n - 1).toLong
+          if es((a, c)) && es((b, c))
+        } yield (a, b, c)).toSet
+        assert(got == want, s"divergence on n=$n graph with ${und.size} edges")
+      }
+    }
+  }
+
   test("bfsConverged reaches the whole path where the fixed 3 rounds cannot") {
     import spark.implicits._
     // path 0-1-2-…-7: eccentricity 7 from seed 0, so 3 rounds reach only
