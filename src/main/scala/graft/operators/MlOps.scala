@@ -231,6 +231,12 @@ object MlOps extends QueryModule {
         .filter($"c" >= minSup)
       val pruned = items.join(broadcast(freq0.select($"l_partkey")),
         "l_partkey")
+      // NOT pre-partitioned on the basket key: an A/B measured the
+      // repartition-before-persist variant (cache carries the join's
+      // partitioning, pair join plans no exchange) at 6.5 s vs 5.2 s
+      // warm — the extra materialization shuffle costs more than the
+      // two join exchanges it saves, and the freq consumer needs the
+      // item-keyed partitioning anyway
       capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey",
         counts = Some(freq0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
