@@ -266,6 +266,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(res.rounds < 10, s"cycle detection should stop fast: ${res.rounds}")
   }
 
+  test("kcoreConverged on the derived link graph: fixpoint nested in the 3-round peel") {
+    import spark.implicits._
+    // integration-scale check: build the SAME symmetrized link graph the
+    // declared queries derive, run the fixpoint API, and pin the lattice
+    // law fixed-round ⊇ fixpoint (peeling is monotone, so more rounds
+    // only shrink) plus the core property (every survivor has induced
+    // degree ≥ 3 within the survivor set)
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val (n, mn) = (ids.length.toLong, ids.min)
+    val und = ids.flatMap { i =>
+      val j = i - mn
+      Seq(mn + j / 3, mn + (j * j + 1) % n).filter(_ != i).map(d => (i, d))
+    }
+    val eu = (und ++ und.map(_.swap)).distinct.toSeq.toDF("src", "dst")
+    val res = graft.operators.Graphs.kcoreConverged(eu, 3)
+    assert(res.converged, "corpus graph must reach its 3-core fixpoint")
+    val core = res.result.as[(Long, Long)].collect().toMap
+    val threeRound = SparkEntry.queries("q_kcore")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(core.keySet.subsetOf(threeRound.keySet),
+      "fixpoint core must nest inside the fixed-round peel")
+    // induced-degree law on the fixpoint
+    val es = eu.as[(Long, Long)].collect().toSet
+    core.keys.foreach { v =>
+      val indeg = core.keys.count(u => u != v && es((v, u)))
+      assert(indeg >= 3, s"node $v has induced degree $indeg < 3")
+    }
+  }
+
   test("pagerankConverged reaches the exact integer fixpoint on a directed path") {
     import spark.implicits._
     // directed path 1→2→…→8: the iteration map is nilpotent (depth 7),
