@@ -58,6 +58,39 @@ object Similarity extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
+  /** q_hard_negatives — hard-negative mining for contrastive training
+    * (DPR, Karpukhin et al. 2020, arXiv:2004.04906; the step every
+    * embedding-model pipeline runs after random in-batch negatives stop
+    * teaching): for each anchor, the top-5 most-similar candidates
+    * whose LABEL DIFFERS — maximally confusable wrong answers, mined as
+    * training negatives. Same physical posture as [[qSimilarityTopk]]:
+    * the |Q|-row anchor set broadcasts (the corpus side is never
+    * shuffled), the label-mismatch predicate rides the broadcast join,
+    * and the top-5 cut plans as WindowGroupLimit (map-side rank
+    * pruning before the per-anchor exchange). At 100 TB the candidate
+    * side routes through the IVF/LSH index family instead — same
+    * declared semantics, indexed candidate generation. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val cand = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("cid"), $"label".as("clabel"),
+        $"embedding".as("ce"))
+    val qs = Tables.load(s, dir, "embeddings").filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("qe"))
+    val pairs = cand.join(broadcast(qs), $"clabel" =!= $"qlabel")
+      .withColumn("sim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"qid", $"qlabel", $"rn", $"cid", $"clabel", $"sim")
+      .orderBy($"qid", $"rn")
+      .transform(graft.Exec.seal)
+  }
+
   /** T3-scale q_ann_lsh — random-hyperplane LSH: 8 deterministic ±1
     * hyperplanes (signs from md5("j:i"), precomputed once — NOT per row),
     * bucket = 8 sign bits; neighbors are only sought inside the query's
@@ -1087,6 +1120,7 @@ object Similarity extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_similarity_topk" -> (qSimilarityTopk _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_diverse_sample" -> (qDiverseSample _),
@@ -1582,6 +1616,21 @@ object Similarity extends QueryModule {
          r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
                FROM pairs)
          SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_hard_negatives" ->
+      """WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.vec_id qid, q.label qlabel, c.vec_id cid, c.label clabel,
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM q JOIN n c ON c.label <> q.label),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
+               FROM pairs)
+         SELECT qid, qlabel, rn, cid, clabel, sim FROM r WHERE rn <= 5
+         ORDER BY qid, rn""",
     "q_ann_lsh" ->
       """WITH signs AS (
            SELECT j, list_transform(range(1, 65), i ->
