@@ -491,6 +491,7 @@ object Graphs extends QueryModule {
     */
   def bfsConverged(edges: DataFrame, seeds: DataFrame,
                    maxRounds: Int = 10000): FixpointResult = {
+    require(maxRounds >= 1, "bfsConverged needs at least one round")
     val s = edges.sparkSession; import s.implicits._
     val eu = edges.select($"src", $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -514,11 +515,14 @@ object Graphs extends QueryModule {
   }
 
   /** Outcome of [[labelPropConverged]]: the final labels, rounds run,
-    * and whether the loop stopped on a detected 2-cycle (synchronous
-    * LPA's known oscillation on bipartite structure) rather than a
-    * fixpoint. */
+    * whether the loop stopped on a detected 2-cycle (synchronous LPA's
+    * known oscillation on bipartite structure), and whether it reached
+    * a true fixpoint. `converged` is true ONLY when the digest witness
+    * fired without cycling — an exit on the maxRounds backstop leaves
+    * both flags false, so the three outcomes (fixpoint / 2-cycle /
+    * round-limit) are distinguishable without inferring from `rounds`. */
   final case class LpaResult(labels: DataFrame, rounds: Int,
-                             cycled: Boolean)
+                             cycled: Boolean, converged: Boolean)
 
   /** Label propagation to convergence: iterate [[lpaStep]] until the
     * assignment stalls — or until it 2-CYCLES, which synchronous LPA
@@ -535,6 +539,7 @@ object Graphs extends QueryModule {
     */
   def labelPropConverged(edges: DataFrame,
                          maxRounds: Int = 10000): LpaResult = {
+    require(maxRounds >= 1, "labelPropConverged needs at least one round")
     val s = edges.sparkSession; import s.implicits._
     val eu = edges.select($"src", $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -562,7 +567,7 @@ object Graphs extends QueryModule {
         else if (d == prev) { done = true; cycled = true }
         prev = cur; cur = d
       }
-      LpaResult(lbl, rounds, cycled)
+      LpaResult(lbl, rounds, cycled, converged = done && !cycled)
     } finally eu.unpersist(false)
   }
 
@@ -586,6 +591,7 @@ object Graphs extends QueryModule {
   def pagerankConverged(edges: DataFrame, nodes: DataFrame,
                         tolUnits: Long = 1000000L,
                         maxRounds: Int = 100): FixpointResult = {
+    require(maxRounds >= 1, "pagerankConverged needs at least one round")
     val s = edges.sparkSession; import s.implicits._
     val nd = nodes.select($"doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -254,7 +254,8 @@ class GraphsSpec extends AnyFunSuite {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     val euTri = (tri ++ tri.map(_.swap)).toDF("src", "dst")
     val fix = graft.operators.Graphs.labelPropConverged(euTri, maxRounds = 50)
-    assert(!fix.cycled && fix.rounds < 50, "triangle must reach a fixpoint")
+    assert(fix.converged && !fix.cycled && fix.rounds < 50,
+      "triangle must reach a witnessed fixpoint")
     val mt = fix.labels.as[(Long, Long)].collect().toMap
     assert(mt.values.toSet.size == 1, s"one community expected: $mt")
     // synchronous LPA on an isolated edge swaps labels forever — the
@@ -262,8 +263,29 @@ class GraphsSpec extends AnyFunSuite {
     val und = tri ++ Seq((8L, 9L))
     val eu = (und ++ und.map(_.swap)).toDF("src", "dst")
     val res = graft.operators.Graphs.labelPropConverged(eu, maxRounds = 50)
-    assert(res.cycled, "the isolated edge must be reported as a 2-cycle")
+    assert(res.cycled && !res.converged,
+      "the isolated edge must be reported as a 2-cycle, not a fixpoint")
     assert(res.rounds < 10, s"cycle detection should stop fast: ${res.rounds}")
+    // maxRounds backstop: neither fixpoint nor cycle is claimed — the
+    // third outcome is distinguishable without inspecting `rounds`
+    val cut = graft.operators.Graphs.labelPropConverged(eu, maxRounds = 1)
+    assert(!cut.converged && !cut.cycled && cut.rounds == 1,
+      s"a round-limit exit must leave both flags false: $cut")
+  }
+
+  test("converged-loop APIs fail fast on a degenerate round budget") {
+    import spark.implicits._
+    val eu = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("doc_id")
+    val nodes = Seq(1L, 2L).toDF("doc_id")
+    intercept[IllegalArgumentException](
+      graft.operators.Graphs.bfsConverged(eu, seeds, maxRounds = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Graphs.labelPropConverged(eu, maxRounds = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Graphs.pagerankConverged(eu, nodes, maxRounds = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Graphs.kcoreConverged(eu, 2, maxRounds = 0))
   }
 
   test("kcoreConverged on the derived link graph: fixpoint nested in the 3-round peel") {

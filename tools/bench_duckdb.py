@@ -53,9 +53,14 @@ def main():
     total = round(sum(times.values()), 3)
     ordered = dict(sorted(times.items(), key=lambda kv: -kv[1]))
     out = {"metric": "total", "unit": "sec", "engine": "duckdb",
-           "n": n, "queries": ordered, "sf": sf_dir, "value": total}
+           "n": n, "timed": len(times), "queries": ordered,
+           "sf": sf_dir, "value": total}
     if errors:
+        # a non-empty error map means `value` sums FEWER queries than
+        # the oracle set — flag it so ratio consumers detect the
+        # mismatched query sets instead of comparing unequal totals
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
 
 main()
