@@ -504,6 +504,107 @@ object MlOps extends QueryModule {
       .orderBy($"qid")
   }
 
+  /** Thresholds of the Poisson(1) CDF scaled to 2¹⁶ and rendered as
+    * 4-hex-char lowercase strings: a uniform draw u = a 4-hex-char
+    * slice of an md5 compares LEXICOGRAPHICALLY against these exactly
+    * as the underlying 16-bit integers compare (fixed-width lowercase
+    * hex), so the inverse-CDF CASE needs no hex→int parsing — the one
+    * md5-portability primitive both engines share (the
+    * [[Baskets.capPerItem]] ordering idiom). 16-bit resolution and the
+    * weight cap at 7 (P(X≥8|grid) ≈ 1.5e-5) are part of the DECLARED
+    * draw, identical in both engines — not sampling error. The coarse
+    * grid exists so ONE md5 digest (32 hex chars) yields EIGHT
+    * independent draws: md5 dominates the per-row cost, and 13 digests
+    * per row replace the naive 100 (measured 9.8 s → see PLANS.md). */
+  private[graft] val PoissonCdfHex: Seq[(String, Long)] = Seq(
+    "5e2d" -> 0L, "bc5a" -> 1L, "eb71" -> 2L, "fb23" -> 3L,
+    "ff10" -> 4L, "ffd9" -> 5L, "fffa" -> 6L)
+
+  private[graft] val BootReps = 100
+
+  /** The inverse-CDF draw as a CASE over the hex thresholds — the SAME
+    * generator emits the Spark SQL expression and the DuckDB oracle
+    * fragment, so the two engines can never drift. `u` is the caller's
+    * expression text for the 4-hex-char slice; the INT result is cast
+    * to BIGINT by both consumers before any sum. */
+  private def poissonCaseSql(u: String): String =
+    PoissonCdfHex.map { case (hex, k) => s"WHEN $u < '$hex' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  /** q_bootstrap_ci — Poisson-bootstrap 95% confidence interval of the
+    * mean event value per event_type (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams": resampling-with-replacement
+    * over a distributed corpus is a full extra pass per replica, but
+    * Poisson(1) per-row weights approximate the multinomial draw and
+    * every replica rides ONE shared scan). Replica b weights each row
+    * by a deterministic Poisson(1) inverse-CDF draw from the b-th
+    * 16-bit slice of the md5(event_id, b div 8) digest family; the
+    * replica mean is an exact integer rational
+    * (values quantized to 1e-4 BIGINT units, weighted sums exact); the
+    * CI is the empirical [2.5%, 97.5%] order statistics over the B=100
+    * replica means.
+    *
+    * Determinism: the uniform is the md5 prefix compared against
+    * [[PoissonCdfHex]] as strings (no float RNG, no hex parsing); each
+    * replica mean is rounded half-up to the 1e-6 grid with pure integer
+    * arithmetic — (200·S + N) div (2·N) is exact for the non-negative
+    * values the events table carries (both engines truncate integral
+    * division toward zero, which equals floor for non-negatives).
+    * Exactness bound: S = Σw·sv ≤ ~4.6e16 value-units per
+    * (type, replica) in BIGINT — beyond that, lift S to DECIMAL(38,0)
+    * (the q_agg_stats discipline).
+    *
+    * Scale: the B-fold explode happens in the PROJECTION, before the
+    * partial aggregate — map-side combine collapses it to B rows per
+    * (event_type, partition), so the only exchange is B·G summary rows
+    * regardless of corpus size; the rank window then orders B rows per
+    * group. One fact scan, no fact-sized shuffle, no resampling pass —
+    * the reason Poisson bootstrap IS the 100 TB bootstrap. */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBlocks = (BootReps + 7) / 8 // 8 draws per 32-hex digest
+    val sv = floor($"value" * lit(10000.0) + lit(0.5)).cast(LongType)
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"event_type", sv.as("sv"))
+    // Two stacked explodes keep EVERY step inside whole-stage codegen
+    // (a transform(...) lambda would run interpreted): 13 md5 digests
+    // per row, then 8 cheap 16-bit slices per digest. md5 dominates
+    // the per-row cost, so the digest count is the lever — measured at
+    // sf0.1: 9.8 s (one md5 per (row, replica)) → 147 s (digests built
+    // inside nested HOF lambdas, interpreted) → 1.9 s (this shape).
+    val reps = ev
+      .select($"event_type", $"sv", $"event_id",
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("dig", md5(concat($"event_id".cast("string"),
+        lit("_"), $"blk".cast("string"))))
+      .select($"event_type", $"sv", $"blk", $"dig",
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .withColumn("b", $"blk" * 8 + $"i")
+      .filter($"b" < BootReps)
+      .withColumn("u", expr("substr(dig, i * 4 + 1, 4)"))
+      .withColumn("w", expr(s"CAST(${poissonCaseSql("u")} AS BIGINT)"))
+      .groupBy($"event_type", $"b")
+      .agg(sum($"w").as("nb"), sum($"w" * $"sv").as("swv"))
+      .filter($"nb" > 0)
+      .select($"event_type", $"b",
+        expr("(200 * swv + nb) div (2 * nb)").as("qm"))
+    val wRank = Window.partitionBy($"event_type").orderBy($"qm", $"b")
+    val cis = reps.withColumn("rn", row_number().over(wRank))
+      .groupBy($"event_type")
+      .agg(max(when($"rn" === 3, $"qm")).as("qlo"),
+        max(when($"rn" === 98, $"qm")).as("qhi"))
+    val pt = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"sv").as("s0"))
+      .select($"event_type", $"n_events",
+        expr("(200 * s0 + n_events) div (2 * n_events)").as("qmean"))
+    pt.join(cis, Seq("event_type"))
+      .select($"event_type", $"n_events",
+        ($"qmean".cast(DoubleType) / lit(1000000.0)).as("mean"),
+        ($"qlo".cast(DoubleType) / lit(1000000.0)).as("ci_lo"),
+        ($"qhi".cast(DoubleType) / lit(1000000.0)).as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
@@ -512,7 +613,8 @@ object MlOps extends QueryModule {
     "q_recommend_cooccur" -> (qRecommendCooccur _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_pca_power" -> (qPcaPower _),
-    "q_knn_classify" -> (qKnnClassify _))
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_bootstrap_ci" -> (qBootstrapCi _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -759,7 +861,42 @@ object MlOps extends QueryModule {
                 ${Det.ROUND6("log10(1.0 + 1.0 / digit)")} AS exp_freq,
                 (${Det.ROUND6("CAST(n AS DOUBLE) / n_total")}
                  - ${Det.ROUND6("log10(1.0 + 1.0 / digit)")}) AS dev
-         FROM w ORDER BY digit""")
+         FROM w ORDER BY digit""",
+    "q_bootstrap_ci" ->
+      s"""WITH ev AS (
+           SELECT event_id, event_type,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) sv
+           FROM events),
+         draws AS (
+           SELECT event_type, b, sv, ${poissonCaseSql("u")} AS w
+           FROM (SELECT ev.*, g.b,
+                        substr(md5(CAST(event_id AS VARCHAR) || '_'
+                                   || CAST((g.b // 8) AS VARCHAR)),
+                               (g.b % 8) * 4 + 1, 4) u
+                 FROM ev, generate_series(0, ${BootReps - 1}) g(b))),
+         reps AS (
+           SELECT event_type, b, CAST(sum(w) AS BIGINT) nb,
+                  CAST(sum(w * sv) AS BIGINT) swv
+           FROM draws GROUP BY event_type, b),
+         qm AS (
+           SELECT event_type, b, (200 * swv + nb) // (2 * nb) AS qm
+           FROM reps WHERE nb > 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY qm, b) rn FROM qm),
+         ci AS (SELECT event_type,
+                       max(CASE WHEN rn = 3 THEN qm END) qlo,
+                       max(CASE WHEN rn = 98 THEN qm END) qhi
+                FROM r GROUP BY event_type),
+         pt AS (SELECT event_type, count(*) n_events,
+                       CAST(sum(sv) AS BIGINT) s0
+                FROM ev GROUP BY event_type)
+         SELECT pt.event_type, n_events,
+                CAST((200 * s0 + n_events) // (2 * n_events) AS DOUBLE)
+                  / 1000000.0 AS mean,
+                CAST(qlo AS DOUBLE) / 1000000.0 AS ci_lo,
+                CAST(qhi AS DOUBLE) / 1000000.0 AS ci_hi
+         FROM pt JOIN ci ON pt.event_type = ci.event_type
+         ORDER BY pt.event_type""")
 
   private[operators] val Dec =
     org.apache.spark.sql.types.DecimalType(18, 4)

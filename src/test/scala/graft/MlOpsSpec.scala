@@ -276,4 +276,56 @@ class MlOpsSpec extends AnyFunSuite {
     }
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
   }
+
+  test("bootstrap_ci: threshold table is the Poisson(1) CDF on the 2^16 grid") {
+    val cdf = (0 to 6).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product
+    }.tail // cdf(0..6)
+    val expect = cdf.zipWithIndex.map { case (c, k) =>
+      f"${math.floor(c * 65536.0).toLong}%04x" -> k.toLong
+    }
+    assert(graft.operators.MlOps.PoissonCdfHex == expect,
+      s"thresholds must be floor(cdf·2^16) as 4-hex strings: $expect")
+  }
+
+  test("bootstrap_ci: exact match against a plain-Scala replica of the declared draw") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val thr = graft.operators.MlOps.PoissonCdfHex
+    def draw(eventId: Long, b: Int): Long = {
+      val dig = md5hex(s"${eventId}_${b / 8}")
+      val u = dig.substring((b % 8) * 4, (b % 8) * 4 + 4)
+      thr.collectFirst { case (hex, k) if u < hex => k }.getOrElse(7L)
+    }
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    val B = graft.operators.MlOps.BootReps
+    val byType = ev.groupBy(_._2)
+    val expect = byType.toSeq.sortBy(_._1).map { case (tpe, rows) =>
+      val svs = rows.map { case (id, _, v) =>
+        (id, math.floor(v * 10000.0 + 0.5).toLong) }
+      val qms = (0 until B).flatMap { b =>
+        var nb = 0L; var swv = 0L
+        svs.foreach { case (id, sv) =>
+          val w = draw(id, b); nb += w; swv += w * sv }
+        if (nb > 0) Some((200L * swv + nb) / (2L * nb) -> b.toLong)
+        else None
+      }.sorted
+      val n = svs.length.toLong
+      val s0 = svs.map(_._2).sum
+      val qmean = (200L * s0 + n) / (2L * n)
+      (tpe, n, qmean / 1e6, qms(2)._1 / 1e6, qms(97)._1 / 1e6)
+    }
+    val got = q("q_bootstrap_ci")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    got.foreach { case (tpe, _, mean, lo, hi) =>
+      assert(lo < hi, s"$tpe: degenerate CI [$lo,$hi]")
+      assert(lo <= mean && mean <= hi,
+        s"$tpe: point mean $mean outside CI [$lo,$hi]")
+    }
+  }
 }
