@@ -605,6 +605,80 @@ object MlOps extends QueryModule {
       .orderBy($"event_type")
   }
 
+  private[graft] val NdcgK = 10
+
+  /** DCG position gains on the 1e-6 grid — floor(1e6/log₂(rn+1) + 0.5)
+    * for rn = 1..K, computed ONCE driver-side and inlined as integer
+    * literals in BOTH engines, so no engine's log/pow ever runs inside
+    * the query (the one place cross-engine float parity could break). */
+  private[graft] val NdcgGains: Seq[Long] = (1 to NdcgK).map(rn =>
+    math.floor(1e6 / (math.log(rn + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Ideal-DCG prefix sums: IDCG(m) = Σ gains(1..m), m = 1..K. */
+  private[graft] val NdcgPrefix: Seq[Long] =
+    NdcgGains.scanLeft(0L)(_ + _).tail
+
+  private def gainCaseSql(rn: String): String =
+    NdcgGains.zipWithIndex.map { case (g, i) =>
+      s"WHEN $rn = ${i + 1} THEN $g" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  private def idcgCaseSql(m: String): String =
+    NdcgPrefix.zipWithIndex.map { case (p, i) =>
+      s"WHEN $m = ${i + 1} THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** q_ndcg — nDCG@10 of embedding retrieval against label relevance:
+    * rank every anchor's neighbors by cosine, score rel=1 when the
+    * neighbor shares the anchor's label, DCG = Σ rel/log₂(rank+1),
+    * normalized by the ideal ordering's DCG over min(K, available
+    * relevant) — the standard offline retrieval-quality metric run
+    * after every embedding-model or ANN-index change (Järvelin &
+    * Kekäläinen 2002).
+    *
+    * Determinism: gains and IDCG are PRECOMPUTED integer literals
+    * ([[NdcgGains]]/[[NdcgPrefix]]) so both engines sum exact BIGINTs;
+    * the only division is the final round6'd qdcg/qidcg rational.
+    * Anchors with zero same-label candidates emit NULL (0/0 has no
+    * ideal ranking).
+    *
+    * Plan: the [[qKnnClassify]] posture — the anchor set broadcasts
+    * against the candidate store (the corpus never shuffles), the
+    * per-anchor top-K cuts via WindowGroupLimit before the gain
+    * aggregate, and the label histogram (n_rel source) is a broadcast
+    * G-row relation. At 100 TB the candidate side routes through the
+    * IVF/LSH index family with identical declared semantics. */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val labelCnt = emb.groupBy($"label").agg(count(lit(1)).as("n_label"))
+    val qs = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("qlabel"))
+    val cand = emb.select($"vec_id".as("cid"), $"embedding".as("ce"),
+      $"label".as("clabel"))
+    val wTop = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    val top = cand.join(broadcast(qs), $"cid" =!= $"qid")
+      .withColumn("sim",
+        Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= NdcgK)
+    top
+      .groupBy($"qid", $"qlabel")
+      .agg(sum(when($"clabel" === $"qlabel", expr(gainCaseSql("rn")))
+        .otherwise(0L)).as("qdcg"))
+      .join(broadcast(labelCnt), $"qlabel" === $"label")
+      .withColumn("n_rel", ($"n_label" - 1).cast(LongType))
+      .withColumn("qidcg",
+        expr(idcgCaseSql(s"least(n_rel, ${NdcgK.toLong})")))
+      .select($"qid", $"qlabel".cast(LongType).as("label"), $"n_rel",
+        ($"qdcg".cast(DoubleType) / lit(1000000.0)).as("dcg"),
+        when($"qidcg" > 0,
+          Det.round6($"qdcg".cast(DoubleType) / $"qidcg")).as("ndcg"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
@@ -614,7 +688,8 @@ object MlOps extends QueryModule {
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_pca_power" -> (qPcaPower _),
     "q_knn_classify" -> (qKnnClassify _),
-    "q_bootstrap_ci" -> (qBootstrapCi _))
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_ndcg" -> (qNdcg _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -896,7 +971,41 @@ object MlOps extends QueryModule {
                 CAST(qlo AS DOUBLE) / 1000000.0 AS ci_lo,
                 CAST(qhi AS DOUBLE) / 1000000.0 AS ci_hi
          FROM pt JOIN ci ON pt.event_type = ci.event_type
-         ORDER BY pt.event_type""")
+         ORDER BY pt.event_type""",
+    "q_ndcg" ->
+      s"""WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+         lc AS (SELECT label, count(*) n_label FROM embeddings
+                GROUP BY label),
+         pairs AS (
+           SELECT q.vec_id qid, q.label qlabel, c.vec_id cid,
+                  c.label clabel,
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                        * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, cid) rn
+               FROM pairs),
+         d AS (
+           SELECT qid, qlabel,
+                  CAST(sum(CASE WHEN clabel = qlabel
+                           THEN ${gainCaseSql("rn")} ELSE 0 END)
+                       AS BIGINT) qdcg
+           FROM r WHERE rn <= $NdcgK GROUP BY qid, qlabel),
+         j AS (
+           SELECT d.*, CAST(lc.n_label - 1 AS BIGINT) n_rel,
+                  ${idcgCaseSql(s"least(lc.n_label - 1, $NdcgK)")} qidcg
+           FROM d JOIN lc ON d.qlabel = lc.label)
+         SELECT qid, CAST(qlabel AS BIGINT) AS label, n_rel,
+                CAST(qdcg AS DOUBLE) / 1000000.0 AS dcg,
+                CASE WHEN qidcg > 0 THEN
+                  ${Det.ROUND6("CAST(qdcg AS DOUBLE) / qidcg")}
+                END AS ndcg
+         FROM j ORDER BY qid""")
 
   private[operators] val Dec =
     org.apache.spark.sql.types.DecimalType(18, 4)
