@@ -679,6 +679,71 @@ object MlOps extends QueryModule {
       .orderBy($"qid")
   }
 
+  /** Centroid-offset for [[qEmbeddingDrift]]'s integer round-half-up:
+    * shifting the per-dim sum by n·OFF makes the numerator non-negative
+    * (|x| < 4 ≫ the store's observed |x| < 0.6), so truncating integral
+    * division — the semantics BOTH engines share — equals floor and the
+    * rounded centroid is exact despite negative embedding values. */
+  private val DriftOff = 4000000L
+
+  /** q_embedding_drift — per-label centroid drift between two
+    * deterministic md5 halves of the embedding store: the
+    * distribution-shift monitor a training pipeline runs between
+    * snapshots or train/serve populations (low cosine between a
+    * label's two half-centroids flags drift or a bimodal label). The
+    * split stands in for any two-population comparison; swapping the
+    * hash predicate for a date or source predicate is the production
+    * form.
+    *
+    * Determinism: per-(label, half, dim) sums of 1e-6-quantized
+    * components are exact BIGINTs; each centroid coordinate is rounded
+    * half-up to the 1e-6 grid with the [[DriftOff]] shift (pure
+    * integer arithmetic, no decimal division); the cross-half cosine
+    * runs on those integer coordinates and only the final
+    * dot/(√n·√n) division is floating point (sqrt is correctly
+    * rounded IEEE — identical in both engines), round6'd.
+    *
+    * Plan: ONE N·d explode feeding a map-side-combined
+    * (label, half, dim) aggregate — the only fact-sized stage; the
+    * centroid matrix is G·d rows (KBs at any corpus size) and the
+    * final cosine is a G-row aggregate. No window, no join against
+    * fact data, so the shape survives any scale-up unchanged. */
+  private def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val half = when(
+      substring(md5($"vec_id".cast("string")), 1, 1) < "8", lit(1L))
+      .otherwise(lit(0L))
+    val comps = t(s, dir, "embeddings")
+      .select($"label", half.as("h"),
+        posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"label", $"i")
+      .agg(sum(when($"h" === 1,
+        floor($"x" * lit(1000000.0) + lit(0.5)).cast(LongType))).as("sqa"),
+        sum($"h").as("na"),
+        sum(when($"h" === 0,
+          floor($"x" * lit(1000000.0) + lit(0.5)).cast(LongType))).as("sqb"),
+        sum(lit(1L) - $"h").as("nb"))
+      .filter($"na" > 0 && $"nb" > 0)
+      .select($"label",
+        (expr(s"(2 * (sqa + na * $DriftOff) + na) div (2 * na)")
+          - lit(DriftOff)).as("qca"),
+        (expr(s"(2 * (sqb + nb * $DriftOff) + nb) div (2 * nb)")
+          - lit(DriftOff)).as("qcb"),
+        $"na", $"nb")
+    comps
+      .groupBy($"label")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        sum($"qca" * $"qcb").as("dot"),
+        sum($"qca" * $"qca").as("n2a"),
+        sum($"qcb" * $"qcb").as("n2b"))
+      .select($"label".cast(LongType).as("label"), $"n_a", $"n_b",
+        when($"n2a" > 0 && $"n2b" > 0,
+          Det.round6($"dot".cast(DoubleType)
+            / (sqrt($"n2a".cast(DoubleType))
+              * sqrt($"n2b".cast(DoubleType))))).as("drift_cos"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
@@ -689,7 +754,8 @@ object MlOps extends QueryModule {
     "q_pca_power" -> (qPcaPower _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
-    "q_ndcg" -> (qNdcg _))
+    "q_ndcg" -> (qNdcg _),
+    "q_embedding_drift" -> (qEmbeddingDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -1005,7 +1071,38 @@ object MlOps extends QueryModule {
                 CASE WHEN qidcg > 0 THEN
                   ${Det.ROUND6("CAST(qdcg AS DOUBLE) / qidcg")}
                 END AS ndcg
-         FROM j ORDER BY qid""")
+         FROM j ORDER BY qid""",
+    "q_embedding_drift" ->
+      s"""WITH x AS (
+           SELECT label,
+                  CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                            < '8' THEN 1 ELSE 0 END h,
+                  unnest(generate_series(1, len(embedding))) i,
+                  CAST(floor(unnest(CAST(embedding AS DOUBLE[]))
+                             * 1000000.0 + 0.5) AS BIGINT) qx
+           FROM embeddings),
+         comps AS (
+           SELECT label, i,
+                  CAST(sum(CASE WHEN h = 1 THEN qx END) AS BIGINT) sqa,
+                  CAST(sum(h) AS BIGINT) na,
+                  CAST(sum(CASE WHEN h = 0 THEN qx END) AS BIGINT) sqb,
+                  CAST(sum(1 - h) AS BIGINT) nb
+           FROM x GROUP BY label, i),
+         cent AS (
+           SELECT label,
+                  (2 * (sqa + na * $DriftOff) + na) // (2 * na)
+                    - $DriftOff qca,
+                  (2 * (sqb + nb * $DriftOff) + nb) // (2 * nb)
+                    - $DriftOff qcb,
+                  na, nb
+           FROM comps WHERE na > 0 AND nb > 0)
+         SELECT CAST(label AS BIGINT) AS label,
+                max(na) AS n_a, max(nb) AS n_b,
+                CASE WHEN sum(qca * qca) > 0 AND sum(qcb * qcb) > 0 THEN
+                  ${Det.ROUND6(
+        "CAST(sum(qca * qcb) AS DOUBLE) / (sqrt(CAST(sum(qca * qca) AS DOUBLE)) * sqrt(CAST(sum(qcb * qcb) AS DOUBLE)))")}
+                END AS drift_cos
+         FROM cent GROUP BY label ORDER BY label""")
 
   private[operators] val Dec =
     org.apache.spark.sql.types.DecimalType(18, 4)

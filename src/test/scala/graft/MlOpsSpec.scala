@@ -328,4 +328,47 @@ class MlOpsSpec extends AnyFunSuite {
         s"$tpe: point mean $mean outside CI [$lo,$hi]")
     }
   }
+
+  test("embedding_drift: exact match against a plain-Scala replica; cosine in [-1,1]") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def halfOf(vecId: Long): Int = {
+      val d0 = md.digest(vecId.toString.getBytes("UTF-8"))(0) & 0xff
+      if (d0 < 0x80) 1 else 0
+    }
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    val off = 4000000L
+    val expect = vecs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (label, rows) =>
+        val dims = rows.head._3.length
+        def centroid(h: Int): (Long, Array[Long]) = {
+          val members = rows.filter(r => halfOf(r._1) == h)
+          val n = members.size.toLong
+          val c = Array.tabulate(dims) { i =>
+            val sq = members.map(r =>
+              math.floor(r._3(i).toDouble * 1e6 + 0.5).toLong).sum
+            (2 * (sq + n * off) + n) / (2 * n) - off
+          }
+          (n, c)
+        }
+        val (na, ca) = centroid(1)
+        val (nb, cb) = centroid(0)
+        val dot = (0 until dims).map(i => ca(i) * cb(i)).sum
+        val n2a = ca.map(v => v * v).sum
+        val n2b = cb.map(v => v * v).sum
+        val cos = math.floor(dot.toDouble /
+          (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+          * 1e6 + 0.5) / 1e6
+        (label, na, nb, Option(cos))
+    }
+    val got = q("q_embedding_drift")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    got.foreach { case (l, na, nb, c) =>
+      assert(na > 0 && nb > 0, s"label $l: empty half")
+      c.foreach(v => assert(v >= -1.0 && v <= 1.0, s"label $l: cos $v"))
+    }
+  }
 }
