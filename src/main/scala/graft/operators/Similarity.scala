@@ -1117,7 +1117,62 @@ object Similarity extends QueryModule {
     } finally grams.unpersist(false)
   }
 
+  /** Target dimensionality of [[qRandomProjection]]. */
+  private val JlDims = 16
+
+  /** q_random_projection — Johnson–Lindenstrauss random projection of
+    * the embedding store to [[JlDims]] dimensions with a deterministic
+    * ±1 sign matrix (Achlioptas 2003: Rademacher entries satisfy the
+    * JL lemma with the same distortion bound as Gaussians, and ±1
+    * turns the matrix multiply into integer adds). Emits each vector's
+    * projected coordinates (serialized, exact integers in 1e-6 input
+    * units) plus the JL distortion ratio ‖y‖²/(d′·‖x‖²), whose
+    * expectation is exactly 1 under random signs — the operator is the
+    * standard pre-pass that makes downstream ANN / clustering /
+    * dedup distance work d′/d cheaper at controlled distortion.
+    *
+    * Determinism: components quantize to 1e-6 BIGINTs, so every
+    * projected coordinate is an EXACT signed integer sum — no float
+    * order sensitivity anywhere; the sign s(i,j) is the md5 first-hex
+    * parity of the (dimension, target) pair, identical text in both
+    * engines; only the final ratio divides, round6'd.
+    *
+    * Scale: the sign matrix is d·d′ rows built from the data's OWN
+    * distinct dimension indices (no hardcoded width) and broadcasts;
+    * the N·d explode combines map-side into (vec, j) partial sums, so
+    * the one exchange carries N·d′ rows — d/d′ ≈ 4× LESS than the
+    * input — and the serialize step is a per-vector d′-element
+    * collect_list. No window over unbounded input, no self-join. */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comps = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+      .select($"vec_id", $"i",
+        floor($"x".cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("qx"))
+    val signs = comps.select($"i").distinct()
+      .select($"i", explode(sequence(lit(0), lit(JlDims - 1))).as("j"))
+      .withColumn("sgn", when(
+        substring(md5(concat($"i".cast("string"), lit("_"),
+          $"j".cast("string"))), 1, 1) < "8", lit(1L)).otherwise(lit(-1L)))
+    comps
+      .join(broadcast(signs), Seq("i"))
+      .groupBy($"vec_id", $"j")
+      .agg(sum($"sgn" * $"qx").as("y"), sum($"qx" * $"qx").as("sx2"))
+      .groupBy($"vec_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct($"j", $"y"))),
+          e => e.getField("y").cast("string")), ",").as("y_proj"),
+        sum($"y" * $"y").as("sy2"), max($"sx2").as("nx2"))
+      .select($"vec_id", $"y_proj",
+        when($"nx2" > 0, graft.Det.round6($"sy2".cast("double")
+          / (lit(JlDims.toDouble) * $"nx2"))).as("jl_ratio"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_random_projection" -> (qRandomProjection _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_similarity_topk" -> (qSimilarityTopk _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -1516,6 +1571,35 @@ object Similarity extends QueryModule {
          FROM jj WHERE floor(CAST(i AS DOUBLE) / (nn - i) * 1000000.0 + 0.5) / 1000000.0 >= 0.6"""
 
   val oracles: Map[String, String] = Map(
+    "q_random_projection" ->
+      s"""WITH x AS (
+           SELECT vec_id,
+                  unnest(generate_series(0, len(embedding) - 1)) i,
+                  CAST(floor(unnest(CAST(embedding AS DOUBLE[]))
+                             * 1000000.0 + 0.5) AS BIGINT) qx
+           FROM embeddings),
+         sgn AS (
+           SELECT d.i, j.j,
+                  CASE WHEN substr(md5(CAST(d.i AS VARCHAR) || '_'
+                              || CAST(j.j AS VARCHAR)), 1, 1) < '8'
+                       THEN 1 ELSE -1 END sgn
+           FROM (SELECT DISTINCT i FROM x) d,
+                generate_series(0, ${JlDims - 1}) j(j)),
+         yj AS (
+           SELECT vec_id, j, CAST(sum(sgn * qx) AS BIGINT) y,
+                  CAST(sum(qx * qx) AS BIGINT) sx2
+           FROM x JOIN sgn ON x.i = sgn.i GROUP BY vec_id, j),
+         v AS (
+           SELECT vec_id,
+                  string_agg(CAST(y AS VARCHAR), ',' ORDER BY j) y_proj,
+                  CAST(sum(y * y) AS BIGINT) sy2,
+                  CAST(max(sx2) AS BIGINT) nx2
+           FROM yj GROUP BY vec_id)
+         SELECT vec_id, y_proj,
+                CASE WHEN nx2 > 0 THEN ${graft.Det.ROUND6(
+        s"CAST(sy2 AS DOUBLE) / ($JlDims.0 * nx2)")}
+                END AS jl_ratio
+         FROM v ORDER BY vec_id""",
     "q_embed_coherence" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
