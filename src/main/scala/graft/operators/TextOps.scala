@@ -207,6 +207,47 @@ object TextOps extends QueryModule {
       .orderBy($"token_id")
   }
 
+  /** q_tokenizer_fertility — per-language tokenizer-efficiency audit:
+    * fertility (BPE tokens per word) and compression (characters per
+    * token), the metric multilingual-LLM teams watch because a
+    * tokenizer trained on one language over-fragments the others —
+    * inflating their effective sequence length and training cost
+    * (Rust et al. 2021, "How good is your tokenizer?"). Reuses the
+    * EXACT [[bpeEncode]] encoder q_token_bpe declares, so the numbers
+    * audit the engine's own tokenizer.
+    *
+    * Determinism: all four carried measures are exact BIGINT counts;
+    * the two emitted rates are round6'd rationals of those counts.
+    *
+    * Scale: one corpus scan; the per-word encode + token count runs in
+    * the scan projection (native single-pass expression), the language
+    * rollup is a map-side-combined G-row aggregate, and n_docs comes
+    * from a SEPARATE document-sized aggregate joined on the G-row
+    * result — not a count-distinct over the exploded word relation,
+    * which would shuffle fact-sized state for a docs-sized answer. */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val perLang = docs(s, dir)
+      .select($"lang", explode(split(lower($"text"), " ")).as("w"))
+      .select($"lang", regexp_replace($"w", "[^a-z0-9]", "").as("word"))
+      .filter(length($"word") > 0)
+      .select($"lang", length($"word").cast("long").as("nc"),
+        size(bpeEncode($"word")).cast("long").as("nt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"nc").as("n_chars"),
+        sum($"nt").as("n_tokens"))
+    val nDocs = docs(s, dir).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(perLang, Seq("lang"))
+      .select($"lang", $"n_docs", $"n_words", $"n_tokens",
+        graft.Det.round6($"n_tokens".cast("double") / $"n_words")
+          .as("fertility"),
+        graft.Det.round6($"n_chars".cast("double") / $"n_tokens")
+          .as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
   /** Number of merge rules q_bpe_train learns (a real tokenizer learns
     * ~50k; 8 keeps the oracle's unrolled CTEs readable while exercising
     * every structural element — multi-level merges included). */
@@ -903,7 +944,17 @@ object TextOps extends QueryModule {
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_lang_id" -> (qLangId _),
-    "q_fingerprint" -> (qFingerprint _))
+    "q_fingerprint" -> (qFingerprint _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _))
+
+  /** DuckDB replay of [[bpeEncodeSql]] over a column named `word` —
+    * shared by the q_token_bpe and q_tokenizer_fertility oracles so the
+    * encoder text can never drift between them. */
+  private def duckBpeEncSql: String = BPE_MERGES.foldLeft(
+    "list_aggregate(list_transform(string_split(word, ''), " +
+      "c -> '(' || c || ')'), 'string_agg', '')") {
+    case (e, (a, b)) => s"replace($e, '($a)($b)', '(${a + b})')"
+  }
 
   /** Oracle for q_bpe_train: the training rounds unrolled as CTEs (the
     * q_ann_ivf Lloyd-iteration replay pattern) — per round, pair counts
@@ -1250,11 +1301,7 @@ object TextOps extends QueryModule {
                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
          FROM documents ORDER BY doc_id""",
     "q_token_bpe" -> {
-      val encSql = BPE_MERGES.foldLeft(
-        "list_aggregate(list_transform(string_split(word, ''), " +
-          "c -> '(' || c || ')'), 'string_agg', '')") {
-        case (e, (a, b)) => s"replace($e, '($a)($b)', '(${a + b})')"
-      }
+      val encSql = duckBpeEncSql
       val vocabSql = BPE_VOCAB
         .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
       s"""WITH words AS (
@@ -1273,6 +1320,28 @@ object TextOps extends QueryModule {
          FROM c JOIN vocab v ON v.token = c.token
          ORDER BY v.token_id"""
     },
+    "q_tokenizer_fertility" ->
+      s"""WITH words AS (
+           SELECT lang, regexp_replace(w, '[^a-z0-9]', '', 'g') AS word
+           FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)),
+         wtok AS (
+           SELECT lang, len(word) AS nc,
+                  len(string_split(regexp_replace(
+                    $duckBpeEncSql, '^\\(|\\)$$', '', 'g'), ')(')) AS nt
+           FROM words WHERE len(word) > 0),
+         a AS (SELECT lang, count(*) n_words,
+                      CAST(sum(nc) AS BIGINT) n_chars,
+                      CAST(sum(nt) AS BIGINT) n_tokens
+               FROM wtok GROUP BY lang),
+         d AS (SELECT lang, count(*) n_docs FROM documents
+               GROUP BY lang)
+         SELECT d.lang, d.n_docs, a.n_words, a.n_tokens,
+                ${graft.Det.ROUND6(
+        "CAST(a.n_tokens AS DOUBLE) / a.n_words")} AS fertility,
+                ${graft.Det.ROUND6(
+        "CAST(a.n_chars AS DOUBLE) / a.n_tokens")} AS chars_per_token
+         FROM d JOIN a ON d.lang = a.lang ORDER BY d.lang""",
     "q_quality_score" ->
       """WITH q AS (
            SELECT doc_id,

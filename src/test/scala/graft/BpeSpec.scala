@@ -130,4 +130,24 @@ class BpeSpec extends AnyFunSuite {
     val bad = both.filter(!$"eq").collect()
     assert(bad.isEmpty, s"native != sql for: ${bad.take(5).mkString(", ")}")
   }
+
+  test("tokenizer_fertility: bounds hold and token totals reconcile with q_token_bpe") {
+    import spark.implicits._
+    val dir = TestSession.sfDir
+    val fert = SparkEntry.queries("q_tokenizer_fertility")(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(fert.nonEmpty)
+    fert.foreach { case (lang, nDocs, nWords, nToks, f, cpt) =>
+      assert(nDocs > 0 && nWords > 0 && nToks > 0, s"$lang: empty counts")
+      assert(f >= 1.0, s"$lang: a word never encodes to <1 token ($f)")
+      assert(cpt >= 1.0, s"$lang: a token never has <1 char ($cpt)")
+    }
+    // Same encoder, same corpus: per-lang token totals must reconcile
+    // with q_token_bpe's corpus-wide per-token occurrence counts.
+    val bpeTotal = SparkEntry.queries("q_token_bpe")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"n_occurrences"))
+      .as[Long].head()
+    assert(fert.map(_._4).sum == bpeTotal,
+      "Σ per-lang n_tokens must equal q_token_bpe's occurrence total")
+  }
 }
