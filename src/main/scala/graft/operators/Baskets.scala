@@ -71,6 +71,16 @@ object Baskets {
     val cnts = counts.getOrElse(
       occ.groupBy(col(item)).agg(count(lit(1)).as("c")))
     val hot = cnts.filter(col("c") > cap).select(col(item))
+    // Fast path: when NO item exceeds the cap the whole machinery is an
+    // identity — skip the fact-sized anti-join + window + union rather
+    // than plan them. The isEmpty probe runs the item-count aggregate
+    // the broadcast build needed anyway (callers pass `counts` from a
+    // cached relation), and at scales where a power-law head exists the
+    // probe finds it and the split proceeds as before. Measured warm at
+    // sf0.1: q_graph_jaccard 3.4 → 2.1 s, q_market_basket 4.5 → 3.8 s;
+    // q_recommend_cooccur unchanged (its cap stage is dominated by the
+    // downstream persist write, not the skipped joins).
+    if (hot.isEmpty) return occ
     val cold = occ.join(broadcast(hot), Seq(item), "left_anti")
     val w = Window.partitionBy(col(item)).orderBy(
       md5(concat(col(item).cast("string"), lit("_"),
