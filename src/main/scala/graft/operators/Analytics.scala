@@ -939,9 +939,14 @@ object Analytics extends QueryModule {
       // lift denominators count the CAPPED occurrences (= true count
       // for every item under the cap)
       val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-      val a = capped.select($"l_orderkey", $"l_partkey".as("part_a"))
-      val b = capped.select($"l_orderkey", $"l_partkey".as("part_b"))
-      val sup = a.join(b, Seq("l_orderkey"))
+      // pairs via per-basket collect_list + double explode, not a
+      // fact-sized self-join — one basket-keyed shuffle replaces the
+      // join's two exchanges (the q_recommend_cooccur A/B); support is
+      // order-free so collect_list's nondeterministic order cannot leak
+      val sup = capped.groupBy($"l_orderkey")
+        .agg(collect_list($"l_partkey").as("parts"))
+        .select(explode($"parts").as("part_a"), $"parts")
+        .select($"part_a", explode($"parts").as("part_b"))
         .filter($"part_a" < $"part_b")
         .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
         .filter($"support" >= minSup)
