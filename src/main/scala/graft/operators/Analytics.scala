@@ -1073,7 +1073,70 @@ object Analytics extends QueryModule {
       .orderBy($"n_name")
   }
 
+  /** q_ks_drift — two-sample Kolmogorov–Smirnov drift test of each
+    * event_type's value distribution against the 'view' reference:
+    * D = max_x |CDF_t(x) − CDF_ref(x)|, the classic nonparametric
+    * "did this feature's distribution move?" monitor run next to
+    * [[MlOps]]'s embedding-level drift check.
+    *
+    * Determinism: values land on the 1e-2 grid (the data's own
+    * precision), so the empirical CDFs are step functions over exact
+    * integer cells; D's argmax compares the INTEGER cross product
+    * |cum_t·N_ref − cum_ref·N_t| (exact to N_t·N_ref ≲ 9·10¹⁸ — lift
+    * to DECIMAL(38,0) beyond ~3·10⁹ rows per side), and only the
+    * final D divides, round6'd.
+    *
+    * Plan: one fact scan combines into (type, cell) counts; each
+    * type's jump-point set merges with the broadcast reference cells
+    * via a UNION + re-aggregate (never a fact join); the cumulative
+    * window partitions by type over CELL relations — bounded by the
+    * value grid, not the corpus — and the final max is a G-row
+    * aggregate. */
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val RefType = "view"
+    val ev = t(s, dir, "events")
+      .select($"event_type",
+        floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("qv"))
+    val cells = ev.groupBy($"event_type", $"qv")
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = cells.groupBy($"event_type").agg(sum($"n").as("nt"))
+      val refCells = cells.filter($"event_type" === RefType)
+        .select($"qv", $"n".as("nref"))
+      val refTot = tot.filter($"event_type" === RefType)
+        .select($"nt".as("nr"))
+      val typeList = tot.filter($"event_type" =!= RefType)
+        .select($"event_type", $"nt")
+      val merged = cells.filter($"event_type" =!= RefType)
+        .select($"event_type", $"qv", $"n".as("ct0"), lit(0L).as("cr0"))
+        .unionByName(typeList.select($"event_type")
+          .crossJoin(refCells)
+          .select($"event_type", $"qv", lit(0L).as("ct0"),
+            $"nref".as("cr0")))
+        .groupBy($"event_type", $"qv")
+        .agg(sum($"ct0").as("dt"), sum($"cr0").as("dr"))
+      val w = Window.partitionBy($"event_type").orderBy($"qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      merged
+        .withColumn("ct", sum($"dt").over(w))
+        .withColumn("cr", sum($"dr").over(w))
+        .join(broadcast(typeList), Seq("event_type"))
+        .crossJoin(broadcast(refTot))
+        .groupBy($"event_type")
+        .agg(max($"nt").as("n"), max($"nr").as("n_ref"),
+          max(abs($"ct" * $"nr" - $"cr" * $"nt")).as("dmax"))
+        .select($"event_type", $"n", $"n_ref",
+          Det.round6($"dmax".cast(DoubleType)
+            / ($"n".cast(DoubleType) * $"n_ref".cast(DoubleType)))
+            .as("ks_stat"))
+        .orderBy($"event_type")
+    } finally cells.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ks_drift" -> (qKsDrift _),
     "q_gini" -> (qGini _),
     "q_period_growth" -> (qPeriodGrowth _),
     "q_seasonality" -> (qSeasonality _),
@@ -1120,6 +1183,41 @@ object Analytics extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ks_drift" ->
+      s"""WITH ev AS (
+           SELECT event_type,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) qv
+           FROM events),
+         cells AS (SELECT event_type, qv, count(*) n FROM ev
+                   GROUP BY event_type, qv),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) nt FROM cells
+                 GROUP BY event_type),
+         refc AS (SELECT qv, n nref FROM cells
+                  WHERE event_type = 'view'),
+         reft AS (SELECT nt nr FROM tot WHERE event_type = 'view'),
+         tl AS (SELECT event_type, nt FROM tot
+                WHERE event_type <> 'view'),
+         m AS (
+           SELECT event_type, qv, CAST(sum(ct0) AS BIGINT) dt,
+                  CAST(sum(cr0) AS BIGINT) dr
+           FROM (
+             SELECT event_type, qv, n ct0, 0 cr0 FROM cells
+             WHERE event_type <> 'view'
+             UNION ALL
+             SELECT tl.event_type, refc.qv, 0, refc.nref FROM tl, refc)
+           GROUP BY event_type, qv),
+         c AS (
+           SELECT event_type, qv,
+                  CAST(sum(dt) OVER (PARTITION BY event_type
+                         ORDER BY qv) AS BIGINT) ct,
+                  CAST(sum(dr) OVER (PARTITION BY event_type
+                         ORDER BY qv) AS BIGINT) cr
+           FROM m)
+         SELECT c.event_type, max(tl.nt) AS n, max(reft.nr) AS n_ref,
+                ${Det.ROUND6("CAST(max(abs(ct * reft.nr - cr * tl.nt)) AS DOUBLE) / (CAST(max(tl.nt) AS DOUBLE) * max(reft.nr))")}
+                  AS ks_stat
+         FROM c JOIN tl ON c.event_type = tl.event_type, reft
+         GROUP BY c.event_type ORDER BY c.event_type""",
     "q_gini" ->
       """WITH cr AS (
            SELECT o_custkey,

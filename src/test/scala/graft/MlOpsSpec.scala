@@ -371,4 +371,32 @@ class MlOpsSpec extends AnyFunSuite {
       c.foreach(v => assert(v >= -1.0 && v <= 1.0, s"label $l: cos $v"))
     }
   }
+
+  test("ks_drift: exact match against a plain-Scala replica; D in [0,1]") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .map { case (t, v) => (t, math.floor(v * 100.0 + 0.5).toLong) }
+    val ref = ev.filter(_._1 == "view").map(_._2)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = ev.groupBy(_._1).filter(_._1 != "view").toSeq
+      .sortBy(_._1).map { case (tpe, rows) =>
+        val xs = rows.map(_._2)
+        val cellsT = xs.groupBy(identity).view.mapValues(_.size.toLong)
+        val cellsR = ref.groupBy(identity).view.mapValues(_.size.toLong)
+        val jumps = (cellsT.keys ++ cellsR.keys).toSeq.distinct.sorted
+        val nt = xs.length.toLong; val nr = ref.length.toLong
+        var ct = 0L; var cr = 0L; var dmax = 0L
+        jumps.foreach { q =>
+          ct += cellsT.getOrElse(q, 0L); cr += cellsR.getOrElse(q, 0L)
+          dmax = math.max(dmax, math.abs(ct * nr - cr * nt))
+        }
+        (tpe, nt, nr, r6(dmax.toDouble / (nt.toDouble * nr.toDouble)))
+      }
+    val got = q("q_ks_drift")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    got.foreach { case (t, _, _, d) =>
+      assert(d >= 0.0 && d <= 1.0, s"$t: KS statistic $d out of [0,1]") }
+  }
 }
