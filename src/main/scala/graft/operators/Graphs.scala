@@ -659,8 +659,71 @@ object Graphs extends QueryModule {
          WHERE rn = 1)"""
   }
 
+  /** q_graph_modularity — Newman modularity of the [[qLabelProp]]
+    * communities, per community: Q_c = e_c/m − (d_c/2m)², the standard
+    * "are these communities real?" score (Newman & Girvan 2004) that
+    * turns the LPA assignment from a labeling into an evaluated
+    * clustering. Emitted per community (Σ Q_c is the graph's
+    * modularity) over the SAME derived link graph and the SAME 3
+    * unrolled LPA rounds as the declared community query.
+    *
+    * Determinism: with m2 = |symmetrized edge list| = 2m,
+    * e_in2 = within-community directed edges = 2e_c and d_c the
+    * symmetrized degree sum, each contribution is the exact integer
+    * rational (e_in2·m2 − d_c²)/m2², round6'd at emission only.
+    * Exact while m2 < ~3·10⁹ (d_c² in BIGINT); DECIMAL(38,0) beyond.
+    *
+    * Plan: labels are node-sized and consumed three times (two edge
+    * endpoints + the degree rollup) — sealed once; both label joins
+    * key the EDGE relation on an endpoint, the degree join keys
+    * node-sized state, and every aggregate map-side combines to
+    * community-sized rows. No window, no fact-sized state beyond the
+    * edge list the community query already builds. */
+  private def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val eu = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l0 = d.select($"doc_id", $"doc_id".as("lbl"))
+      val lbl = graft.Exec.seal(
+        (1 to 3).foldLeft(l0)((l, _) => lpaStep(eu, l)))
+      val m2 = eu.agg(count(lit(1)).as("m2"))
+      val degLbl = eu.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .join(lbl, col("src") === lbl("doc_id"))
+        .groupBy($"lbl")
+        .agg(sum($"deg").as("d_c"), count(lit(1)).as("n_nodes"))
+      val within = eu
+        .join(lbl.select($"doc_id".as("src"), $"lbl".as("ls")), Seq("src"))
+        .join(lbl.select($"doc_id".as("dst"), $"lbl".as("ld")), Seq("dst"))
+        .filter($"ls" === $"ld")
+        .groupBy($"ls").agg(count(lit(1)).as("e_in2"))
+        .select($"ls".as("lbl"), $"e_in2")
+      degLbl.join(within, Seq("lbl"), "left")
+        .na.fill(0L, Seq("e_in2"))
+        .crossJoin(broadcast(m2))
+        .select($"lbl".as("community"), $"n_nodes", $"e_in2", $"d_c",
+          graft.Det.round6(
+            ($"e_in2" * $"m2" - $"d_c" * $"d_c").cast("double")
+              / ($"m2" * $"m2").cast("double")).as("q_contrib"))
+        .orderBy($"community")
+        .transform(graft.Exec.seal)
+    } finally { eu.unpersist(false); d.unpersist(false) }
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_graph_modularity" -> (qGraphModularity _),
     "q_label_prop" -> (qLabelProp _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_graph_jaccard" -> (qGraphJaccard _),
@@ -746,6 +809,39 @@ object Graphs extends QueryModule {
          l0 AS (SELECT doc_id, doc_id lbl FROM d),
          ${(1 to 3).map(duckLpaIter).mkString(",\n")}
          SELECT doc_id, lbl AS community FROM l3 ORDER BY doc_id""",
+    "q_graph_modularity" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         eu AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM ef
+                   UNION ALL SELECT dst, src FROM ef)),
+         l0 AS (SELECT doc_id, doc_id lbl FROM d),
+         ${(1 to 3).map(duckLpaIter).mkString(",\n")},
+         m AS (SELECT count(*) m2 FROM eu),
+         dl AS (
+           SELECT l.lbl, CAST(sum(deg) AS BIGINT) d_c,
+                  count(*) n_nodes
+           FROM (SELECT src, count(*) deg FROM eu GROUP BY src) g
+           JOIN l3 l ON g.src = l.doc_id GROUP BY l.lbl),
+         wi AS (
+           SELECT a.lbl, count(*) e_in2
+           FROM eu JOIN l3 a ON eu.src = a.doc_id
+                   JOIN l3 b ON eu.dst = b.doc_id
+           WHERE a.lbl = b.lbl GROUP BY a.lbl)
+         SELECT dl.lbl AS community, dl.n_nodes,
+                CAST(COALESCE(wi.e_in2, 0) AS BIGINT) AS e_in2, dl.d_c,
+                ${graft.Det.ROUND6(
+        "CAST(COALESCE(wi.e_in2, 0) * m2 - d_c * d_c AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2)")}
+                  AS q_contrib
+         FROM dl LEFT JOIN wi ON dl.lbl = wi.lbl CROSS JOIN m
+         ORDER BY community""",
     "q_triangles" ->
       """WITH d AS (SELECT doc_id FROM documents),
          s AS (SELECT count(*) n, min(doc_id) mn FROM d),

@@ -273,6 +273,42 @@ class GraphsSpec extends AnyFunSuite {
       s"a round-limit exit must leave both flags false: $cut")
   }
 
+  test("graph_modularity: reconciles with q_label_prop and a plain-Scala modularity replay") {
+    import spark.implicits._
+    val dir = TestSession.sfDir
+    val labels = SparkEntry.queries("q_label_prop")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // rebuild the SAME derived symmetrized edge list in plain Scala
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect().sorted
+    val n = ids.length; val mn = ids.min
+    val dirEdges = ids.flatMap { id =>
+      val j = id - mn
+      Seq(id -> (mn + j / 3), id -> (mn + (j * j + 1) % n))
+    }.filter { case (a, b) => a != b }
+    val eu = (dirEdges ++ dirEdges.map(_.swap)).distinct
+    val m2 = eu.length.toLong
+    val deg = eu.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = labels.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (c, members) =>
+        val ms = members.keySet
+        val dC = ms.toSeq.map(deg.getOrElse(_, 0L)).sum
+        val eIn2 = eu.count { case (a, b) =>
+          ms.contains(a) && ms.contains(b) }.toLong
+        (c, ms.size.toLong, eIn2, dC,
+          r6((eIn2 * m2 - dC * dC).toDouble / (m2.toDouble * m2)))
+    }
+    val got = SparkEntry.queries("q_graph_modularity")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect, s"first diff: ${
+      got.zip(expect).find(p => p._1 != p._2)}")
+    val q = got.map(_._5).sum
+    assert(q > -0.5 && q <= 1.0, s"total modularity $q out of range")
+    assert(got.map(_._3).sum <= m2, "within-edges cannot exceed the edge list")
+    assert(got.map(_._2).sum == n, "communities partition the nodes")
+  }
+
   test("converged-loop APIs fail fast on a degenerate round budget") {
     import spark.implicits._
     val eu = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")

@@ -519,7 +519,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private val scanMultiplicity: Map[String, Int] = Map(
     "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 8,
     "q_curation_pipeline" -> 9, "q_graph_bfs" -> 36,
-    "q_graph_jaccard" -> 96, "q_kcore" -> 148, "q_label_prop" -> 13,
+    "q_graph_jaccard" -> 96, "q_graph_modularity" -> 51,
+    "q_kcore" -> 148, "q_label_prop" -> 13,
     "q_market_basket" -> 25, "q_multimodal_phash" -> 8,
     "q_naive_bayes" -> 8, "q_pagerank" -> 20, "q_pca_power" -> 10,
     "q_recommend_cooccur" -> 37, "q_rfm" -> 18, "q_semdedup" -> 21,
