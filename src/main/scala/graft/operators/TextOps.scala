@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -617,6 +617,60 @@ object TextOps extends QueryModule {
     * Scale: corpus touched once; everything after the presence aggregate
     * is vocabulary-sized (df broadcasts — the TF-IDF df-join argument,
     * PLANS.md round-2); the rank window partitions by class. */
+  /** q_mi_select — mutual-information feature selection: the top-5
+    * tokens most informative about each language class by I(token;
+    * class) over the same (presence × class) 2×2 table as
+    * [[qChi2Select]] — the OTHER standard supervised vocabulary
+    * selector (sklearn's mutual_info_classif next to its chi2; Manning
+    * & Schütze ch.5 run both because χ² over-weights rare tokens while
+    * MI weights by probability mass).
+    *
+    * Determinism: each cell's log-ratio ln(n·N/(rowm·colm)) is
+    * quantized half-up to 1e-6 micro-nats FIRST, the four n·qln terms
+    * sum as exact BIGINTs (zero cells contribute zero, sidestepping
+    * ln 0), ranking orders on the INTEGER mi_q so an ulp can never
+    * flip the top-5 cut, and the emitted MI is the one exact division
+    * mi_q/(N·1e6) — the [[qUnigramLogprob]] discipline on a 2×2 grid.
+    *
+    * Scale: identical posture to [[qChi2Select]] — one corpus pass to
+    * presence cells, vocabulary-sized everything after, broadcast
+    * margins, class-partitioned rank window. */
+  private def qMiSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cell = docs(s, dir)
+      .select($"lang",
+        explode(array_distinct(split(lower($"text"), " "))).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("n11"))
+    val dfT = cell.groupBy($"token")
+      .agg(sum($"n11").cast("long").as("df"))
+    val nc = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_c"))
+    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    def term(n: Column, rowm: Column, colm: Column): Column =
+      when(n > 0, n * floor(
+        log((n.cast("double") * $"n_docs".cast("double"))
+          / (rowm.cast("double") * colm.cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(lit(0L))
+    val scored = cell
+      .join(broadcast(dfT), Seq("token"))
+      .join(broadcast(nc), Seq("lang"))
+      .crossJoin(broadcast(nn))
+      .filter($"df" < $"n_docs")
+      .withColumn("mi_q",
+        term($"n11", $"df", $"n_c")
+          + term($"df" - $"n11", $"df", $"n_docs" - $"n_c")
+          + term($"n_c" - $"n11", $"n_docs" - $"df", $"n_c")
+          + term($"n_docs" - $"df" - $"n_c" + $"n11",
+            $"n_docs" - $"df", $"n_docs" - $"n_c"))
+    val w = Window.partitionBy($"lang").orderBy($"mi_q".desc, $"token")
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn", $"token", $"n11", $"df",
+        ($"mi_q".cast("double")
+          / ($"n_docs".cast("double") * lit(1000000.0))).as("mi"))
+      .orderBy($"lang", $"rn")
+  }
+
   private def qChi2Select(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cell = docs(s, dir)
@@ -934,6 +988,7 @@ object TextOps extends QueryModule {
     "q_bm25" -> (qBm25 _),
     "q_classifier_score" -> (qClassifierScore _),
     "q_chi2_select" -> (qChi2Select _),
+    "q_mi_select" -> (qMiSelect _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
@@ -1203,6 +1258,44 @@ object TextOps extends QueryModule {
            FROM x)
          SELECT lang, rn, token, n11, df, chi2
          FROM r WHERE rn <= 5 ORDER BY lang, rn""",
+    "q_mi_select" -> {
+      def term(n: String, rowm: String, colm: String): String =
+        s"""CASE WHEN ($n) > 0 THEN ($n) * CAST(floor(
+              ln((CAST($n AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                 / (CAST($rowm AS DOUBLE) * CAST($colm AS DOUBLE)))
+              * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"""
+      s"""WITH pres AS (
+           SELECT lang,
+                  unnest(list_distinct(string_split(lower(text), ' '))) token
+           FROM documents),
+         cell AS (
+           SELECT lang, token, count(*) n11 FROM pres GROUP BY lang, token),
+         dft AS (
+           SELECT token, CAST(sum(n11) AS BIGINT) df FROM cell GROUP BY token),
+         ncl AS (
+           SELECT lang, count(*) n_c FROM documents GROUP BY lang),
+         nn AS (SELECT count(*) n_docs FROM documents),
+         sc AS (
+           SELECT c.lang, c.token, c.n11, d.df, n_docs, n_c,
+                  ${term("c.n11", "d.df", "n_c")}
+                  + ${term("d.df - c.n11", "d.df", "n_docs - n_c")}
+                  + ${term("n_c - c.n11", "n_docs - d.df", "n_c")}
+                  + ${term("n_docs - d.df - n_c + c.n11",
+        "n_docs - d.df", "n_docs - n_c")} AS mi_q
+           FROM cell c
+           JOIN dft d USING (token)
+           JOIN ncl USING (lang)
+           CROSS JOIN nn
+           WHERE d.df < n_docs),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY mi_q DESC, token) rn
+           FROM sc)
+         SELECT lang, rn, token, n11, df,
+                CAST(mi_q AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * 1000000.0) AS mi
+         FROM r WHERE rn <= 5 ORDER BY lang, rn"""
+    },
     "q_bm25" ->
       """WITH d AS (
            SELECT doc_id,

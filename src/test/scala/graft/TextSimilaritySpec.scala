@@ -185,6 +185,43 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mi select: scores match an exact quantized-MI replica, top-5 per lang") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_mi_select")(spark, dir)
+      .as[(String, Long, String, Long, Long, Double)].collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+      .map { case (l, t) => (l, t.toLowerCase.split(" ", -1).distinct.toSet) }
+    val n = docs.length.toLong
+    val nc = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cell = docs.flatMap { case (l, ts) => ts.map(t => (l, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfT = cell.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def term(nCell: Long, rowm: Long, colm: Long): Long =
+      if (nCell <= 0) 0L
+      else nCell * math.floor(math.log(
+        (nCell.toDouble * n) / (rowm.toDouble * colm)) * 1e6 + 0.5).toLong
+    def miQ(l: String, t: String): Long = {
+      val n11 = cell((l, t)); val df = dfT(t); val c = nc(l)
+      term(n11, df, c) + term(df - n11, df, n - c) +
+        term(c - n11, n - df, c) + term(n - df - c + n11, n - df, n - c)
+    }
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to 5L), s"$lang ranks")
+      rows.foreach { case (_, _, tok, n11, df, mi) =>
+        assert(n11 == cell((lang, tok)) && df == dfT(tok), s"$lang/$tok counts")
+        assert(mi == miQ(lang, tok).toDouble / (n.toDouble * 1e6),
+          s"$lang/$tok score")
+        assert(mi > -1e-4, s"$lang/$tok: MI materially negative ($mi)")
+      }
+      // the reported 5 really are the arg-top-5 under (mi_q desc, token)
+      val best = dfT.keys.filter(t => cell.contains((lang, t)) && dfT(t) < n)
+        .toSeq.map(t => (t, miQ(lang, t)))
+        .sortBy { case (t, s) => (-s, t) }.take(5).map(_._1)
+      assert(rows.sortBy(_._2).map(_._3).sameElements(best), s"$lang top-5")
+    }
+  }
+
   test("minhash-LSH candidates are a superset of high-jaccard pairs it reports") {
     import spark.implicits._
     val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
