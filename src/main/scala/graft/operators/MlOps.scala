@@ -751,6 +751,68 @@ object MlOps extends QueryModule {
       .orderBy($"label")
   }
 
+  /** q_conformal — split-conformal prediction intervals (Vovk et al.;
+    * Lei et al. 2018): the md5 train half fits a per-type mean
+    * predictor, the calibration half's absolute residuals yield
+    * q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest residual, and ŷ ± q̂ is a
+    * distribution-free 90% prediction interval — the modern "how wrong
+    * is my model, with guarantees" wrapper teams put around any point
+    * predictor. Emits the realized calibration coverage next to the
+    * interval (≥ 0.9 by the conformal guarantee, up to ties).
+    *
+    * Determinism: predictions and residuals live on the exact 1e-4
+    * value grid (the bootstrap-CI integer rounding), the rank index is
+    * pure integer ceil arithmetic, and the order statistic comes from
+    * the two-level [[Selection.withRankCum]] machinery — so the
+    * interval is bit-identical in both engines and no per-type
+    * residual sort ever funnels a group through one task at scale.
+    *
+    * Plan: one fact scan persisted for its two passes (train fit +
+    * calibration residuals), the predictor broadcasts, residuals
+    * combine map-side into a (type, r) histogram, and selection +
+    * coverage both run over that HISTOGRAM — everything after the
+    * combine is distinct-residual-sized. */
+  private def qConformal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = floor($"value" * lit(10000.0) + lit(0.5)).cast(LongType)
+    val ev = t(s, dir, "events")
+      .select($"event_type", sv.as("sv"),
+        (substring(md5($"event_id".cast("string")), 1, 1) < "8")
+          .as("is_cal"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val yh = ev.filter(!$"is_cal").groupBy($"event_type")
+        .agg(count(lit(1)).as("n_train"), sum($"sv").as("strain"))
+        .select($"event_type", $"n_train",
+          expr("(2 * strain + n_train) div (2 * n_train)").as("qyhat"))
+      val h = ev.filter($"is_cal")
+        .join(broadcast(yh), Seq("event_type"))
+        .select($"event_type", abs($"sv" - $"qyhat").as("r"))
+        .groupBy($"event_type", $"r").agg(count(lit(1)).as("cnt"))
+      // cum is monotone in r, so the q̂ row ALSO carries the realized
+      // coverage count: ncov = #(residuals ≤ q̂) = cum at q̂ — no
+      // second histogram pass, no persist
+      val qh = Selection.withRankCum(h, Seq("event_type"), "r", "cnt")
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_cal"),
+          min(when($"cum" >= expr("((n + 1) * 9 + 9) div 10"), $"r"))
+            .as("qhat"),
+          min(when($"cum" >= expr("((n + 1) * 9 + 9) div 10"), $"cum"))
+            .as("ncov"))
+        .filter($"qhat".isNotNull)
+      yh.join(qh, Seq("event_type"))
+        .select($"event_type", $"n_train", $"n_cal",
+          ($"qyhat".cast(DoubleType) / 10000.0).as("yhat"),
+          ($"qhat".cast(DoubleType) / 10000.0).as("qhat"),
+          (($"qyhat" - $"qhat").cast(DoubleType) / 10000.0).as("lo"),
+          (($"qyhat" + $"qhat").cast(DoubleType) / 10000.0).as("hi"),
+          Det.round6($"ncov".cast(DoubleType) / $"n_cal")
+            .as("coverage"))
+        .orderBy($"event_type")
+        .transform(graft.Exec.seal)
+    } finally ev.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
@@ -762,7 +824,8 @@ object MlOps extends QueryModule {
     "q_knn_classify" -> (qKnnClassify _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_ndcg" -> (qNdcg _),
-    "q_embedding_drift" -> (qEmbeddingDrift _))
+    "q_embedding_drift" -> (qEmbeddingDrift _),
+    "q_conformal" -> (qConformal _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -1109,7 +1172,47 @@ object MlOps extends QueryModule {
                   ${Det.ROUND6(
         "CAST(sum(qca * qcb) AS DOUBLE) / (sqrt(CAST(sum(qca * qca) AS DOUBLE)) * sqrt(CAST(sum(qcb * qcb) AS DOUBLE)))")}
                 END AS drift_cos
-         FROM cent GROUP BY label ORDER BY label""")
+         FROM cent GROUP BY label ORDER BY label""",
+    "q_conformal" ->
+      s"""WITH ev AS (
+           SELECT event_type,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) sv,
+                  substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                    AS is_cal
+           FROM events),
+         tr AS (SELECT event_type, count(*) n_train,
+                       CAST(sum(sv) AS BIGINT) strain
+                FROM ev WHERE NOT is_cal GROUP BY event_type),
+         yh AS (SELECT event_type, n_train,
+                       (2 * strain + n_train) // (2 * n_train) qyhat
+                FROM tr),
+         cal AS (SELECT e.event_type, abs(e.sv - y.qyhat) r
+                 FROM ev e JOIN yh y USING (event_type)
+                 WHERE e.is_cal),
+         nc AS (SELECT event_type, count(*) n_cal FROM cal
+                GROUP BY event_type),
+         rr AS (SELECT event_type, r, row_number() OVER
+                  (PARTITION BY event_type ORDER BY r) rn FROM cal),
+         qh AS (SELECT rr.event_type, min(r) qhat
+                FROM rr JOIN nc USING (event_type)
+                WHERE rn >= ((n_cal + 1) * 9 + 9) // 10
+                GROUP BY rr.event_type),
+         cov AS (SELECT c.event_type,
+                        CAST(sum(CASE WHEN c.r <= q.qhat THEN 1
+                                 ELSE 0 END) AS BIGINT) ncov
+                 FROM cal c JOIN qh q USING (event_type)
+                 GROUP BY c.event_type)
+         SELECT y.event_type, y.n_train, nc.n_cal,
+                CAST(y.qyhat AS DOUBLE) / 10000.0 AS yhat,
+                CAST(q.qhat AS DOUBLE) / 10000.0 AS qhat,
+                CAST(y.qyhat - q.qhat AS DOUBLE) / 10000.0 AS lo,
+                CAST(y.qyhat + q.qhat AS DOUBLE) / 10000.0 AS hi,
+                ${Det.ROUND6("CAST(cov.ncov AS DOUBLE) / nc.n_cal")}
+                  AS coverage
+         FROM yh y JOIN nc USING (event_type)
+              JOIN qh q USING (event_type)
+              JOIN cov USING (event_type)
+         ORDER BY y.event_type""")
 
   private[operators] val Dec =
     org.apache.spark.sql.types.DecimalType(18, 4)

@@ -399,4 +399,40 @@ class MlOpsSpec extends AnyFunSuite {
     got.foreach { case (t, _, _, d) =>
       assert(d >= 0.0 && d <= 1.0, s"$t: KS statistic $d out of [0,1]") }
   }
+
+  test("conformal: exact match against a plain-Scala replica; coverage >= 0.9") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isCal(id: Long): Boolean =
+      (md.digest(id.toString.getBytes("UTF-8"))(0) & 0xff) < 0x80
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, t, v) =>
+        (t, math.floor(v * 10000.0 + 0.5).toLong, isCal(id)) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (tpe, rows) =>
+        val train = rows.filter(!_._3).map(_._2)
+        val cal = rows.filter(_._3).map(_._2)
+        val nT = train.length.toLong
+        val qyhat = (2 * train.sum + nT) / (2 * nT)
+        val rs = cal.map(v => math.abs(v - qyhat)).sorted
+        val nC = cal.length.toLong
+        val k = ((nC + 1) * 9 + 9) / 10
+        val qhat = rs(k.toInt - 1)
+        val ncov = rs.count(_ <= qhat).toLong
+        (tpe, nT, nC, qyhat / 1e4, qhat / 1e4,
+          (qyhat - qhat) / 1e4, (qyhat + qhat) / 1e4,
+          r6(ncov.toDouble / nC))
+    }
+    val got = q("q_conformal")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    got.foreach { case (t, _, _, _, _, lo, hi, cov) =>
+      assert(cov >= 0.9, s"$t: conformal coverage $cov below 0.9")
+      assert(lo < hi, s"$t: degenerate interval")
+    }
+  }
 }

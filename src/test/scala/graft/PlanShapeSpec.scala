@@ -518,6 +518,7 @@ class PlanShapeSpec extends AnyFunSuite {
     * and check the warm TimeQ cost when raising one. */
   private val scanMultiplicity: Map[String, Int] = Map(
     "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 8,
+    "q_conformal" -> 17,
     "q_curation_pipeline" -> 9, "q_graph_bfs" -> 36,
     "q_graph_jaccard" -> 96, "q_graph_modularity" -> 51,
     "q_kcore" -> 148, "q_label_prop" -> 13,
