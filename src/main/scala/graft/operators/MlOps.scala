@@ -813,6 +813,62 @@ object MlOps extends QueryModule {
     } finally ev.unpersist(false)
   }
 
+  /** q_ips_eval — inverse-propensity-score off-policy evaluation
+    * (Horvitz–Thompson / Dudík et al. 2011): estimate what a TARGET
+    * policy (uniform over {purchase, click}) would have earned from
+    * logs collected under the behavior policy, without running it.
+    * Per user segment (user_id % 4): V_ips = (1/n) Σ r_i·w_i over
+    * matching rows with w_i = π(a_i)/p̂(a_i|x), propensities estimated
+    * from the logs; the behavior policy's own mean value rides along
+    * as v_logged, and the effective sample size (Σw)²/Σw² — THE
+    * importance-weighting health diagnostic — is emitted per segment.
+    *
+    * Determinism: propensity weights round half-up to 1e-6 BIGINTs
+    * with pure integer arithmetic ((2e6·n + 2c) div (4c) — values
+    * non-negative so truncation = floor in both engines), rewards stay
+    * on the exact 1e-4 grid, every sum is integer (exact while
+    * qw²·c < 2⁶³ — a propensity rarer than ~n/3·10⁹ needs the
+    * DECIMAL(38,0) lift), and the three emitted ratios are single
+    * round6'd divisions (ESS squares an exact ≤2⁵³ integer in
+    * double — identical IEEE in both engines).
+    *
+    * Plan: one fact scan combines map-side into (segment, action)
+    * cells; propensities live on that G·A-row relation and broadcast
+    * back; everything downstream is segment-sized. No window, no
+    * second fact pass. */
+  private def qIpsEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val TargetActions = Seq("purchase", "click")
+    val sv = floor($"value" * lit(10000.0) + lit(0.5)).cast(LongType)
+    val cells = t(s, dir, "events")
+      .select(($"user_id" % 4).as("segment"), $"event_type", sv.as("sv"))
+      .groupBy($"segment", $"event_type")
+      .agg(count(lit(1)).as("c"), sum($"sv").as("srew"))
+    val seg = cells.groupBy($"segment").agg(
+      sum($"c").as("n"), sum($"srew").as("stot"))
+    cells
+      .filter($"event_type".isin(TargetActions: _*))
+      .join(broadcast(seg), Seq("segment"))
+      // qw = round-half-up of 1e6 · π(a)/p̂(a|x) = 1e6·n/(2c)
+      .withColumn("qw",
+        expr("(2 * 1000000 * n + 2 * c) div (4 * c)"))
+      .groupBy($"segment")
+      .agg(max($"n").as("n"), sum($"c").as("n_match"),
+        max($"stot").as("stot"),
+        sum($"qw" * $"srew").as("swr"),
+        sum($"qw" * $"c").as("sw"),
+        sum($"qw" * $"qw" * $"c").as("sw2"))
+      .select($"segment".cast(LongType).as("segment"), $"n", $"n_match",
+        Det.round6($"swr".cast(DoubleType)
+          / ($"n".cast(DoubleType) * lit(1.0e10))).as("v_ips"),
+        Det.round6($"stot".cast(DoubleType)
+          / ($"n".cast(DoubleType) * lit(10000.0))).as("v_logged"),
+        Det.round6(($"sw".cast(DoubleType) * $"sw".cast(DoubleType))
+          / ($"sw2".cast(DoubleType) * $"n".cast(DoubleType)))
+          .as("ess_frac"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_auc" -> (qAuc _),
     "q_calibration_bins" -> (qCalibrationBins _),
@@ -825,7 +881,8 @@ object MlOps extends QueryModule {
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_ndcg" -> (qNdcg _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
-    "q_conformal" -> (qConformal _))
+    "q_conformal" -> (qConformal _),
+    "q_ips_eval" -> (qIpsEval _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" ->
@@ -1212,7 +1269,37 @@ object MlOps extends QueryModule {
          FROM yh y JOIN nc USING (event_type)
               JOIN qh q USING (event_type)
               JOIN cov USING (event_type)
-         ORDER BY y.event_type""")
+         ORDER BY y.event_type""",
+    "q_ips_eval" ->
+      s"""WITH cells AS (
+           SELECT user_id % 4 AS segment, event_type,
+                  count(*) c,
+                  CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) srew
+           FROM events GROUP BY user_id % 4, event_type),
+         seg AS (
+           SELECT segment, CAST(sum(c) AS BIGINT) n,
+                  CAST(sum(srew) AS BIGINT) stot
+           FROM cells GROUP BY segment),
+         m AS (
+           SELECT cells.segment, cells.c, cells.srew, seg.n, seg.stot,
+                  (2 * 1000000 * seg.n + 2 * cells.c) // (4 * cells.c)
+                    AS qw
+           FROM cells JOIN seg USING (segment)
+           WHERE event_type IN ('purchase', 'click'))
+         SELECT CAST(segment AS BIGINT) AS segment,
+                CAST(max(n) AS BIGINT) AS n,
+                CAST(sum(c) AS BIGINT) AS n_match,
+                ${Det.ROUND6(
+        "CAST(sum(qw * srew) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1.0e10)")}
+                  AS v_ips,
+                ${Det.ROUND6(
+        "CAST(max(stot) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 10000.0)")}
+                  AS v_logged,
+                ${Det.ROUND6(
+        "(CAST(sum(qw * c) AS DOUBLE) * CAST(sum(qw * c) AS DOUBLE)) / (CAST(sum(qw * qw * c) AS DOUBLE) * CAST(max(n) AS DOUBLE))")}
+                  AS ess_frac
+         FROM m GROUP BY segment ORDER BY segment""")
 
   private[operators] val Dec =
     org.apache.spark.sql.types.DecimalType(18, 4)

@@ -435,4 +435,40 @@ class MlOpsSpec extends AnyFunSuite {
       assert(lo < hi, s"$t: degenerate interval")
     }
   }
+
+  test("ips_eval: exact match against a plain-Scala replica; ESS fraction in (0,1]") {
+    import spark.implicits._
+    val target = Set("purchase", "click")
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .map { case (u, a, v) =>
+        (u % 4, a, math.floor(v * 10000.0 + 0.5).toLong) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (segIdx, rows) =>
+        val n = rows.length.toLong
+        val stot = rows.map(_._3).sum
+        val byA = rows.groupBy(_._2).view
+          .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+        val matches = byA.filter(kv => target(kv._1))
+        def qw(c: Long) = (2L * 1000000L * n + 2L * c) / (4L * c)
+        val nMatch = matches.values.map(_._1).sum
+        val swr = matches.values.map { case (c, sr) => qw(c) * sr }.sum
+        val sw = matches.values.map { case (c, _) => qw(c) * c }.sum
+        val sw2 = matches.values.map { case (c, _) =>
+          qw(c) * qw(c) * c }.sum
+        (segIdx, n, nMatch,
+          r6(swr.toDouble / (n.toDouble * 1.0e10)),
+          r6(stot.toDouble / (n.toDouble * 10000.0)),
+          r6((sw.toDouble * sw.toDouble) / (sw2.toDouble * n.toDouble)))
+    }
+    val got = q("q_ips_eval")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    got.foreach { case (seg, _, nMatch, vIps, _, ess) =>
+      assert(nMatch > 0 && vIps > 0, s"seg $seg: degenerate estimate")
+      assert(ess > 0.0 && ess <= 1.0, s"seg $seg: ESS fraction $ess")
+    }
+  }
 }
