@@ -248,6 +248,63 @@ object TextOps extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** q_rank_fusion — reciprocal-rank fusion (Cormack et al. 2009) of
+    * two retrieval rankers over the same fixed query: BM25 and raw
+    * tf·idf (no length normalization — a genuinely different ordering).
+    * RRF(d) = Σ_r 1/(60 + rank_r(d)) over each ranker's top-100; the
+    * hybrid-search merge step every modern retrieval stack runs to
+    * combine lexical and secondary rankers without score calibration.
+    *
+    * Determinism: both rankers order on already-quantized INTEGER
+    * scores (ties → doc_id); each reciprocal term is the exact integer
+    * floor(1e9/(60+r) + 0.5) computed by pure integer arithmetic — no
+    * literal table, no float division until the emitted score.
+    *
+    * Plan: ONE persisted per-doc term-frequency pass feeds both
+    * rankers (the corpus parquet is touched once); each top-100 cut is
+    * a TakeOrdered (never a global sort), the rank windows run over
+    * LIMIT-bounded 100-row inputs, and the fusion is a full outer join
+    * of two 100-row relations. */
+  private def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val TopN = 100
+    val perDoc = bm25PerDoc(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wA = Window.orderBy($"bm25".desc, $"doc_id")
+      val a = bm25Scored(s, perDoc)
+        .orderBy($"bm25".desc, $"doc_id").limit(TopN)
+        .withColumn("rank_a", row_number().over(wA).cast("long"))
+        .select($"doc_id", $"rank_a")
+      val aggs = count(lit(1)).as("n") +: Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val st = perDoc.agg(aggs.head, aggs.tail: _*)
+      def qidf(i: Int): Column = floor(
+        log($"n".cast("double") / col(s"df$i").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long")
+      val wB = Window.orderBy($"qb".desc, $"doc_id")
+      val b = perDoc.crossJoin(broadcast(st))
+        .withColumn("qb", Bm25Terms.indices
+          .map(i => col(s"tf$i") * qidf(i)).reduce(_ + _))
+        .filter($"qb" > 0)
+        .orderBy($"qb".desc, $"doc_id").limit(TopN)
+        .withColumn("rank_b", row_number().over(wB).cast("long"))
+        .select($"doc_id", $"rank_b")
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("qrrf",
+          coalesce(expr(
+            "(2000000000 + (60 + rank_a)) div (2 * (60 + rank_a))"),
+            lit(0L))
+            + coalesce(expr(
+            "(2000000000 + (60 + rank_b)) div (2 * (60 + rank_b))"),
+            lit(0L)))
+        .orderBy($"qrrf".desc, $"doc_id").limit(20)
+        .select($"doc_id", $"rank_a", $"rank_b",
+          ($"qrrf".cast("double") / lit(1.0e9)).as("rrf_score"))
+        .orderBy($"rrf_score".desc, $"doc_id")
+    } finally perDoc.unpersist(false)
+  }
+
   /** Number of merge rules q_bpe_train learns (a real tokenizer learns
     * ~50k; 8 keeps the oracle's unrolled CTEs readable while exercising
     * every structural element — multi-level merges included). */
@@ -1000,7 +1057,8 @@ object TextOps extends QueryModule {
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_tokenizer_fertility" -> (qTokenizerFertility _))
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q_rank_fusion" -> (qRankFusion _))
 
   /** DuckDB replay of [[bpeEncodeSql]] over a column named `word` —
     * shared by the q_token_bpe and q_tokenizer_fertility oracles so the
@@ -1051,6 +1109,57 @@ object TextOps extends QueryModule {
        SELECT * FROM (${rows.mkString("\nUNION ALL\n")})
        ORDER BY rank"""
   }
+
+  /** The BM25 scorer CTEs (d/st/sc) shared by the q_bm25 and
+    * q_rank_fusion oracles - single-sourced so the scorer text can
+    * never drift between them. */
+  private val DuckBm25Cte: String =
+    """d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) dl,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'spark')) AS BIGINT) tf0,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'vector')) AS BIGINT) tf1,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x = 'dup')) AS BIGINT) tf2
+           FROM documents),
+         st AS (
+           SELECT CAST(count(*) AS BIGINT) n, sum(dl) sumdl,
+                  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0,
+                  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1,
+                  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2
+           FROM d),
+         sc AS (
+           SELECT doc_id, dl,
+             (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) n_terms,
+             (CASE WHEN tf0 > 0 THEN CAST(floor(
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                        / (CAST(df0 AS DOUBLE) + 0.5))
+                 * (CAST(tf0 AS DOUBLE) * 2.2
+                    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN CAST(floor(
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                        / (CAST(df1 AS DOUBLE) + 0.5))
+                 * (CAST(tf1 AS DOUBLE) * 2.2
+                    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN CAST(floor(
+                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                        / (CAST(df2 AS DOUBLE) + 0.5))
+                 * (CAST(tf2 AS DOUBLE) * 2.2
+                    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) qs
+           FROM d CROSS JOIN st)"""
 
   val oracles: Map[String, String] = Map(
     "q_dsir" ->
@@ -1297,52 +1406,7 @@ object TextOps extends QueryModule {
          FROM r WHERE rn <= 5 ORDER BY lang, rn"""
     },
     "q_bm25" ->
-      """WITH d AS (
-           SELECT doc_id,
-                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) dl,
-                  CAST(len(list_filter(string_split(lower(text), ' '),
-                       x -> x = 'spark')) AS BIGINT) tf0,
-                  CAST(len(list_filter(string_split(lower(text), ' '),
-                       x -> x = 'vector')) AS BIGINT) tf1,
-                  CAST(len(list_filter(string_split(lower(text), ' '),
-                       x -> x = 'dup')) AS BIGINT) tf2
-           FROM documents),
-         st AS (
-           SELECT CAST(count(*) AS BIGINT) n, sum(dl) sumdl,
-                  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0,
-                  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1,
-                  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2
-           FROM d),
-         sc AS (
-           SELECT doc_id, dl,
-             (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) n_terms,
-             (CASE WHEN tf0 > 0 THEN CAST(floor(
-                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
-                        / (CAST(df0 AS DOUBLE) + 0.5))
-                 * (CAST(tf0 AS DOUBLE) * 2.2
-                    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
-                       * (CAST(dl AS DOUBLE)
-                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
-                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
-              + CASE WHEN tf1 > 0 THEN CAST(floor(
-                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
-                        / (CAST(df1 AS DOUBLE) + 0.5))
-                 * (CAST(tf1 AS DOUBLE) * 2.2
-                    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
-                       * (CAST(dl AS DOUBLE)
-                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
-                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END
-              + CASE WHEN tf2 > 0 THEN CAST(floor(
-                 ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
-                        / (CAST(df2 AS DOUBLE) + 0.5))
-                 * (CAST(tf2 AS DOUBLE) * 2.2
-                    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
-                       * (CAST(dl AS DOUBLE)
-                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
-                 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) qs
-           FROM d CROSS JOIN st)
+      s"""WITH ${DuckBm25Cte}
          SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, dl,
                 CAST(qs AS DOUBLE) / 1000000.0 AS bm25
          FROM sc WHERE n_terms > 0
@@ -1413,6 +1477,41 @@ object TextOps extends QueryModule {
          FROM c JOIN vocab v ON v.token = c.token
          ORDER BY v.token_id"""
     },
+    "q_rank_fusion" ->
+      s"""WITH $DuckBm25Cte,
+         a AS (SELECT doc_id, qs FROM sc WHERE n_terms > 0
+               ORDER BY CAST(qs AS DOUBLE) / 1000000.0 DESC, doc_id
+               LIMIT 100),
+         ar AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY CAST(qs AS DOUBLE) / 1000000.0 DESC,
+                   doc_id) rank_a
+                FROM a),
+         bsc AS (
+           SELECT doc_id,
+                  (tf0 * CAST(floor(ln(CAST(n AS DOUBLE)
+                      / CAST(df0 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 + tf1 * CAST(floor(ln(CAST(n AS DOUBLE)
+                      / CAST(df1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 + tf2 * CAST(floor(ln(CAST(n AS DOUBLE)
+                      / CAST(df2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                    qb
+           FROM d CROSS JOIN st),
+         b AS (SELECT doc_id, qb FROM bsc WHERE qb > 0
+               ORDER BY qb DESC, doc_id LIMIT 100),
+         br AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY qb DESC, doc_id) rank_b FROM b),
+         f AS (
+           SELECT COALESCE(ar.doc_id, br.doc_id) doc_id,
+                  ar.rank_a, br.rank_b,
+                  COALESCE((2000000000 + (60 + ar.rank_a))
+                           // (2 * (60 + ar.rank_a)), 0)
+                  + COALESCE((2000000000 + (60 + br.rank_b))
+                             // (2 * (60 + br.rank_b)), 0) qrrf
+           FROM ar FULL OUTER JOIN br ON ar.doc_id = br.doc_id)
+         SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+                CAST(rank_b AS BIGINT) AS rank_b,
+                CAST(qrrf AS DOUBLE) / 1.0e9 AS rrf_score
+         FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""",
     "q_tokenizer_fertility" ->
       s"""WITH words AS (
            SELECT lang, regexp_replace(w, '[^a-z0-9]', '', 'g') AS word

@@ -222,6 +222,48 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rank fusion: exact match against a plain-Scala RRF replica") {
+    import spark.implicits._
+    val terms = Seq("spark", "vector", "dup")
+    val docsT = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.toLowerCase.split(" ", -1).toSeq) }
+    val n = docsT.length.toLong
+    val tf = docsT.map { case (id, toks) =>
+      id -> terms.map(t => toks.count(_ == t).toLong) }.toMap
+    val dl = docsT.map { case (id, toks) => id -> toks.length.toLong }.toMap
+    val df = terms.indices.map(i => tf.values.count(_(i) > 0).toLong)
+    val avgdl = dl.values.sum.toDouble / n
+    def qsBm25(id: Long): Long = terms.indices.map { i =>
+      val t = tf(id)(i)
+      if (t == 0) 0L
+      else {
+        val idf = math.log(1.0 + (n.toDouble - df(i) + 0.5) / (df(i) + 0.5))
+        val norm = t * 2.2 / (t + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+        math.floor(idf * norm * 1e6 + 0.5).toLong
+      }
+    }.sum
+    def qb(id: Long): Long = terms.indices.map { i =>
+      tf(id)(i) * math.floor(math.log(n.toDouble / df(i)) * 1e6 + 0.5).toLong
+    }.sum
+    def top100(score: Long => Long): Seq[(Long, Long)] =
+      tf.keys.toSeq.map(id => (id, score(id))).filter(_._2 > 0)
+        .sortBy { case (id, s) => (-s, id) }.take(100)
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+    val ra = top100(qsBm25).toMap
+    val rb = top100(qb).toMap
+    def rrf(r: Option[Long]): Long = r.map(x =>
+      (2000000000L + (60 + x)) / (2 * (60 + x))).getOrElse(0L)
+    val expect = (ra.keySet ++ rb.keySet).toSeq
+      .map(id => (id, ra.get(id), rb.get(id),
+        rrf(ra.get(id)) + rrf(rb.get(id))))
+      .sortBy { case (id, _, _, q) => (-q, id) }.take(20)
+      .map { case (id, a, b, q) => (id, a, b, q / 1e9) }
+    val got = SparkEntry.queries("q_rank_fusion")(spark, dir)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    assert(got == expect, s"got ${got.take(5)}...\nexpect ${expect.take(5)}...")
+  }
+
   test("minhash-LSH candidates are a superset of high-jaccard pairs it reports") {
     import spark.implicits._
     val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
