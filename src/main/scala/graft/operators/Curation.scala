@@ -230,7 +230,46 @@ object Curation extends QueryModule {
       .orderBy($"split")
   }
 
+  /** q_temperature_mix — temperature-scaled language sampling weights
+    * (Conneau et al. 2020, XLM-R; Arivazhagan et al. 2019): sample
+    * language i with probability q_i ∝ p_i^α, α = 0.3 — the published
+    * recipe that upsamples low-resource languages without letting the
+    * head language drown them. Emits per language the observed share,
+    * the temperature-scaled share, the implied up/downsampling factor,
+    * and the per-million-document budget allocation.
+    *
+    * Determinism: p_i^α is ONE pow per language (G evaluations total),
+    * quantized half-up to a 1e-6 BIGINT immediately — the same
+    * single-transcendental-then-quantize discipline as every ln in the
+    * repo; all shares and factors are then exact integer rationals,
+    * round6'd at emission.
+    *
+    * Scale: one map-side-combined G-row aggregate; the normalization
+    * constant rides a whole-relation window over G rows. Nothing else
+    * touches the fact. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total",
+        sum($"n_docs").over(Window.partitionBy()))
+      .withColumn("qpow", floor(
+        pow($"n_docs".cast("double") / $"n_total".cast("double"),
+          lit(0.3)) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("z", sum($"qpow").over(Window.partitionBy()))
+    counts
+      .select($"lang", $"n_docs",
+        graft.Det.round6($"n_docs".cast("double") / $"n_total")
+          .as("p_share"),
+        graft.Det.round6($"qpow".cast("double") / $"z").as("q_share"),
+        graft.Det.round6(($"qpow".cast("double") * $"n_total")
+          / ($"z".cast("double") * $"n_docs")).as("upsample"),
+        expr("(1000000 * qpow) div z").as("docs_per_million"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_temperature_mix" -> (qTemperatureMix _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_scrub_text" -> (qScrubText _),
@@ -296,6 +335,30 @@ object Curation extends QueryModule {
        GROUP BY sp.split ORDER BY split"""
 
   val oracles: Map[String, String] = Map(
+    "q_temperature_mix" ->
+      s"""WITH c AS (
+           SELECT lang, count(*) n_docs FROM documents GROUP BY lang),
+         t AS (
+           SELECT lang, n_docs, CAST(sum(n_docs) OVER () AS BIGINT)
+                    n_total
+           FROM c),
+         q AS (
+           SELECT lang, n_docs, n_total,
+                  CAST(floor(pow(CAST(n_docs AS DOUBLE)
+                        / CAST(n_total AS DOUBLE), 0.3)
+                      * 1000000.0 + 0.5) AS BIGINT) qpow
+           FROM t),
+         z AS (SELECT *, CAST(sum(qpow) OVER () AS BIGINT) z FROM q)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                ${graft.Det.ROUND6(
+        "CAST(n_docs AS DOUBLE) / n_total")} AS p_share,
+                ${graft.Det.ROUND6(
+        "CAST(qpow AS DOUBLE) / z")} AS q_share,
+                ${graft.Det.ROUND6(
+        "(CAST(qpow AS DOUBLE) * n_total) / (CAST(z AS DOUBLE) * n_docs)")}
+                  AS upsample,
+                (1000000 * qpow) // z AS docs_per_million
+         FROM z ORDER BY lang""",
     "q_curation_pipeline" -> curationPipelineSql,
     "q_sample_group_topk" ->
       s"""WITH h AS (

@@ -103,4 +103,36 @@ class CurationSpec extends AnyFunSuite {
       assert(sorted.head._4 == sorted.head._3)
     }
   }
+
+  test("temperature mix: exact replica; flattens the distribution toward uniform") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_temperature_mix")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+    val counts = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val nTot = counts.values.sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val qpow = counts.view.mapValues(n =>
+      math.floor(math.pow(n.toDouble / nTot, 0.3) * 1e6 + 0.5).toLong)
+      .toMap
+    val z = qpow.values.sum
+    val expect = counts.keys.toSeq.sorted.map { l =>
+      (l, counts(l), r6(counts(l).toDouble / nTot),
+        r6(qpow(l).toDouble / z),
+        r6((qpow(l).toDouble * nTot) / (z.toDouble * counts(l))),
+        1000000L * qpow(l) / z)
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+    // temperature at alpha<1 flattens: rare langs upsample, the head
+    // downsamples, and the q ordering preserves the p ordering
+    val byP = got.sortBy(_._3)
+    assert(byP.head._5 > 1.0 - 1e-6 || got.map(_._3).distinct.size == 1,
+      "the rarest language must not be downsampled")
+    assert(byP.last._5 <= 1.0 + 1e-6,
+      "the head language must not be upsampled")
+    assert(byP.map(_._4) == byP.map(_._4).sorted,
+      "q must preserve the p ordering")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4, "q shares sum to 1")
+    assert(got.map(_._6).sum <= 1000000L, "budget never over-allocates")
+  }
 }

@@ -404,6 +404,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_benford" -> (1 -> "9 digit rows"),
     "q_vocab_growth" -> (1 -> "decile rows (constant 10)"),
     "q_unigram_logprob" -> (1 -> "global-total window over G event-type rows"),
+    "q_temperature_mix" -> (2 -> "total + normalizer windows over G language rows"),
     "q_pca_power" -> (4 -> "matvec/normalize windows over d=64-dim vectors (constant)"),
     "q_dsir" -> (11, "256-row bucket-LM totals + ≤4097-row global-selection summaries, " +
       "multiplied by the lazy-tree duplication the runtime seals truncate"))
