@@ -268,7 +268,54 @@ object Curation extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** q_weak_supervision — programmatic labeling, Snorkel-style
+    * (Ratner et al. 2017): four deterministic labeling functions vote
+    * +1 (keep) / −1 (drop) / 0 (abstain) on every document — length,
+    * stopword presence, digit density, token repetitiveness — and the
+    * majority sign becomes the weak label (ties abstain to NULL). The
+    * pattern that turns heuristics into training labels when human
+    * annotation can't reach corpus scale; a real deployment swaps in
+    * domain LFs and a learned label model, the vote plumbing is
+    * identical.
+    *
+    * Determinism: every LF is integer/string arithmetic (the digit-
+    * density cut compares 10·digits > 3·len — no division), so votes,
+    * counts and the label are exact in both engines.
+    *
+    * Scale: ONE scan, zero shuffles — all four LFs and the vote run in
+    * a single codegen'd projection; the only exchange is the output
+    * sort. */
+  private def qWeakSupervision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(lower($"text"), " ")
+    val lfLength = when($"n_chars" > 400, 1L)
+      .when($"n_chars" < 50, -1L).otherwise(0L)
+    val lfStopword = when(
+      arrays_overlap(toks, array(lit("the"), lit("of"), lit("and"))),
+      1L).otherwise(0L)
+    val digits = length(regexp_replace($"text", "[^0-9]", ""))
+    val lfDigit = when(digits * 10 > length($"text") * 3, -1L)
+      .otherwise(0L)
+    val lfRepeat = when(
+      size(array_distinct(toks)) * 2 < size(toks), -1L).otherwise(0L)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", lfLength.as("lf_length"),
+        lfStopword.as("lf_stopword"), lfDigit.as("lf_digit"),
+        lfRepeat.as("lf_repeat"))
+      .withColumn("n_votes",
+        (abs($"lf_length") + abs($"lf_stopword") + abs($"lf_digit")
+          + abs($"lf_repeat")).cast("long"))
+      .withColumn("vote_sum",
+        $"lf_length" + $"lf_stopword" + $"lf_digit" + $"lf_repeat")
+      .select($"doc_id", $"lf_length", $"lf_stopword", $"lf_digit",
+        $"lf_repeat", $"n_votes",
+        when($"vote_sum" > 0, 1L).when($"vote_sum" < 0, -1L)
+          .as("label"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_weak_supervision" -> (qWeakSupervision _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_chunk_docs" -> (qChunkDocs _),
@@ -335,6 +382,36 @@ object Curation extends QueryModule {
        GROUP BY sp.split ORDER BY split"""
 
   val oracles: Map[String, String] = Map(
+    "q_weak_supervision" ->
+      """WITH lf AS (
+           SELECT doc_id,
+                  CASE WHEN n_chars > 400 THEN 1
+                       WHEN n_chars < 50 THEN -1 ELSE 0 END lf_length,
+                  CASE WHEN len(list_filter(
+                         string_split(lower(text), ' '),
+                         t -> t IN ('the', 'of', 'and'))) > 0
+                       THEN 1 ELSE 0 END lf_stopword,
+                  CASE WHEN length(regexp_replace(text, '[^0-9]', '',
+                         'g')) * 10 > length(text) * 3
+                       THEN -1 ELSE 0 END lf_digit,
+                  CASE WHEN len(list_distinct(
+                         string_split(lower(text), ' '))) * 2
+                         < len(string_split(lower(text), ' '))
+                       THEN -1 ELSE 0 END lf_repeat
+           FROM documents)
+         SELECT doc_id,
+                CAST(lf_length AS BIGINT) AS lf_length,
+                CAST(lf_stopword AS BIGINT) AS lf_stopword,
+                CAST(lf_digit AS BIGINT) AS lf_digit,
+                CAST(lf_repeat AS BIGINT) AS lf_repeat,
+                CAST(abs(lf_length) + abs(lf_stopword) + abs(lf_digit)
+                     + abs(lf_repeat) AS BIGINT) AS n_votes,
+                CAST(CASE WHEN lf_length + lf_stopword + lf_digit
+                               + lf_repeat > 0 THEN 1
+                          WHEN lf_length + lf_stopword + lf_digit
+                               + lf_repeat < 0 THEN -1
+                     END AS BIGINT) AS label
+         FROM lf ORDER BY doc_id""",
     "q_temperature_mix" ->
       s"""WITH c AS (
            SELECT lang, count(*) n_docs FROM documents GROUP BY lang),

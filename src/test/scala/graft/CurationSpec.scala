@@ -135,4 +135,31 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4, "q shares sum to 1")
     assert(got.map(_._6).sum <= 1000000L, "budget never over-allocates")
   }
+
+  test("weak supervision: exact LF replica; label is the majority sign, ties abstain") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_weak_supervision")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    val docsT = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    assert(got.size == docsT.size, "one row per document")
+    val expect = docsT.toSeq.sortBy(_._1).map { case (id, text, nChars) =>
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      val lf1 = if (nChars > 400) 1L else if (nChars < 50) -1L else 0L
+      val lf2 = if (toks.exists(Set("the", "of", "and"))) 1L else 0L
+      val digits = text.count(_.isDigit)
+      val lf3 = if (digits * 10 > text.length * 3) -1L else 0L
+      val lf4 = if (toks.distinct.size * 2 < toks.size) -1L else 0L
+      val s = lf1 + lf2 + lf3 + lf4
+      (id, lf1, lf2, lf3, lf4,
+        math.abs(lf1) + math.abs(lf2) + math.abs(lf3) + math.abs(lf4),
+        if (s > 0) Some(1L) else if (s < 0) Some(-1L) else None)
+    }
+    assert(got == expect, s"first diff: ${
+      got.zip(expect).find(p => p._1 != p._2)}")
+    assert(got.exists(_._7.contains(1L)) && got.exists(_._7.isEmpty),
+      "the corpus must exercise both labeled and abstained outcomes")
+  }
 }
