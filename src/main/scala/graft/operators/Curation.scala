@@ -314,7 +314,44 @@ object Curation extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_gdpr_delete — right-to-be-forgotten cascade audit: a deletion
+    * list of data subjects (customers on a deterministic md5 bucket,
+    * standing in for the request queue) propagates through every table
+    * keyed by that subject — customer, orders (o_custkey), events
+    * (user_id) — and the audit reports per entity how many rows the
+    * erasure removes. The compliance pass every data platform runs
+    * before a purge: prove the blast radius, then delete.
+    *
+    * Determinism: pure integer counts plus one round6'd fraction.
+    *
+    * Scale: the deletion list is request-queue-sized and BROADCASTS
+    * into one left join per table (never a shuffle of the facts); each
+    * audit row is a single map-side-combined aggregate, and the purge
+    * itself (not materialized here) is the same join as an anti. */
+  private def qGdprDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val del = Tables.load(s, dir, "customer")
+      .filter(substring(md5($"c_custkey".cast("string")), 1, 1) === "0")
+      .select($"c_custkey".as("k"), lit(1L).as("del"))
+    def audit(df: DataFrame, key: String, name: String): DataFrame =
+      df.select(col(key).cast("long").as("k"))
+        .join(broadcast(del), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          sum(coalesce($"del", lit(0L))).as("n_deleted"))
+        .select(lit(name).as("entity"), $"n_before", $"n_deleted",
+          ($"n_before" - $"n_deleted").as("n_after"),
+          graft.Det.round6($"n_deleted".cast("double") / $"n_before")
+            .as("purge_frac"))
+    audit(Tables.load(s, dir, "customer"), "c_custkey", "customer")
+      .unionByName(audit(Tables.load(s, dir, "orders"), "o_custkey",
+        "orders"))
+      .unionByName(audit(Tables.load(s, dir, "events"), "user_id",
+        "events"))
+      .orderBy($"entity")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gdpr_delete" -> (qGdprDelete _),
     "q_weak_supervision" -> (qWeakSupervision _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_curation_pipeline" -> (qCurationPipeline _),
@@ -382,6 +419,23 @@ object Curation extends QueryModule {
        GROUP BY sp.split ORDER BY split"""
 
   val oracles: Map[String, String] = Map(
+    "q_gdpr_delete" -> {
+      def audit(table: String, key: String, name: String): String =
+        s"""SELECT '$name' AS entity, count(*) AS n_before,
+              CAST(sum(CASE WHEN substr(md5(CAST($key AS VARCHAR)), 1, 1)
+                            = '0' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_deleted
+            FROM $table"""
+      s"""WITH a AS (
+           ${audit("customer", "c_custkey", "customer")}
+           UNION ALL ${audit("orders", "o_custkey", "orders")}
+           UNION ALL ${audit("events", "user_id", "events")})
+         SELECT entity, n_before, n_deleted,
+                n_before - n_deleted AS n_after,
+                ${graft.Det.ROUND6(
+        "CAST(n_deleted AS DOUBLE) / n_before")} AS purge_frac
+         FROM a ORDER BY entity"""
+    },
     "q_weak_supervision" ->
       """WITH lf AS (
            SELECT doc_id,

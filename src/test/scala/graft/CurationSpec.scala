@@ -162,4 +162,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got.exists(_._7.contains(1L)) && got.exists(_._7.isEmpty),
       "the corpus must exercise both labeled and abstained outcomes")
   }
+
+  test("gdpr delete: cascade counts reconcile exactly across the three tables") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def deleted(k: Long): Boolean =
+      ((md.digest(k.toString.getBytes("UTF-8"))(0) & 0xf0) >> 4) == 0
+    val got = SparkEntry.queries("q_gdpr_delete")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def check(table: String, key: String, name: String): Unit = {
+      val ks = graft.sources.Tables.load(spark, dir, table)
+        .select(org.apache.spark.sql.functions.col(key).cast("long"))
+        .as[Long].collect()
+      val nDel = ks.count(deleted).toLong
+      val (_, nb, nd, na, f) = got(name)
+      assert((nb, nd, na) == (ks.length.toLong, nDel, ks.length - nDel),
+        s"$name counts")
+      assert(f == r6(nDel.toDouble / ks.length), s"$name fraction")
+    }
+    check("customer", "c_custkey", "customer")
+    check("orders", "o_custkey", "orders")
+    check("events", "user_id", "events")
+    assert(got("customer")._3 > 0, "the deletion list must be non-empty")
+  }
 }
