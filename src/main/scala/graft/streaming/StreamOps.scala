@@ -208,6 +208,37 @@ object StreamOps extends QueryModule {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** q_stream_topk — windowed trending-items: per 1-hour tumbling
+    * window, the top-3 event types by count with their window share —
+    * the canonical streaming leaderboard ("what's hot this hour").
+    * Declared as the batch-equivalent form (oracle-checkable); a
+    * streaming deployment ranks each completed window's rows in
+    * foreachBatch over the SAME tumbling aggregate [[tumblingCounts]]
+    * already proves end-to-end, so the stateful plumbing is shared.
+    *
+    * Determinism: counts are exact, ranking orders (n desc,
+    * event_type), and the share is one round6'd rational. The rank
+    * window partitions by WINDOW over the (window, type) CELL relation
+    * — bounded by #types per window, never event rows. */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val cells = Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    cells
+      .withColumn("n_window",
+        sum($"n").over(W.partitionBy($"window_start")))
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"window_start").orderBy($"n".desc, $"event_type"))
+        .cast("long"))
+      .filter($"rn" <= 3)
+      .select($"window_start", $"rn", $"event_type", $"n",
+        Det.round6($"n".cast("double") / $"n_window").as("share"))
+      .orderBy($"window_start", $"rn")
+  }
+
   /** ST2 q_stream_sliding — batch equivalent of [[slidingCounts]]: every
     * event belongs to exactly 4 overlapping 1h windows at 15min slide. */
   private def qStreamSliding(s: SparkSession, dir: String): DataFrame = {
@@ -281,6 +312,7 @@ object StreamOps extends QueryModule {
     "q_funnel" -> (qFunnel _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _))
 
@@ -319,6 +351,21 @@ object StreamOps extends QueryModule {
                 event_type, count(*) AS n, ${Det.SUMD("value")} AS value_sum
          FROM events
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_topk" ->
+      s"""WITH c AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) ws,
+                  event_type, count(*) n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT *, CAST(sum(n) OVER (PARTITION BY ws) AS BIGINT)
+                       n_window,
+                  row_number() OVER (PARTITION BY ws
+                    ORDER BY n DESC, event_type) rn
+           FROM c)
+         SELECT ws AS window_start, CAST(rn AS BIGINT) AS rn,
+                event_type, n,
+                ${Det.ROUND6("CAST(n AS DOUBLE) / n_window")} AS share
+         FROM w WHERE rn <= 3 ORDER BY window_start, rn""",
     "q_stream_sliding" ->
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
                                - CAST(k AS BIGINT) * 900000000) AS window_start,

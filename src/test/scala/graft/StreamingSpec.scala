@@ -149,4 +149,29 @@ class StreamingSpec extends AnyFunSuite {
         Ev(2, t("10:02"), 1, "click", 1.0))))
     assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("stream topk: per-window leaders reconcile with the tumbling counts") {
+    import spark.implicits._
+    val dir = TestSession.sfDir
+    val topk = SparkEntry.queries("q_stream_topk")(spark, dir)
+      .as[(java.sql.Timestamp, Long, String, Long, Double)]
+      .collect().toSeq
+    val counts = SparkEntry.queries("q_stream_tumbling")(spark, dir)
+      .select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    topk.groupBy(_._1).foreach { case (ws, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size), s"$ws ranks dense")
+      val cell = counts.filter(_._1 == ws)
+      val nWin = cell.map(_._3).sum
+      val want = cell.sortBy { case (_, tpe, n) => (-n, tpe) }
+        .take(3).zipWithIndex
+        .map { case ((_, tpe, n), i) =>
+          (i + 1L, tpe, n, r6(n.toDouble / nWin)) }
+      assert(rows.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5)) == want,
+        s"$ws leaders")
+    }
+    assert(topk.map(_._1).distinct.size ==
+      counts.map(_._1).distinct.size, "every window has a leader board")
+  }
 }
