@@ -902,62 +902,30 @@ object Analytics extends QueryModule {
     * book (the support/lift readout of an a-priori pass, truncated at
     * pair size): which parts co-occur in baskets more than chance.
     *
-    * Scale discipline: (1) the fact collapses to DISTINCT (order, part)
-    * first; (2) items below min-support are pruned BEFORE pairing (the
-    * a-priori bound — candidate pairs can only be frequent if both ends
-    * are), shrinking the self-join's input; (3) pair generation is an
-    * order-keyed self-equi-join, so the blowup is Σ per-basket k², k
-    * bounded by basket size — never a global cross; (4) hot items are
-    * clamped to [[Baskets.DefaultCap]] baskets in content-hash order
-    * BEFORE pairing ([[Baskets.capPerItem]] — a power-law hot item
-    * would otherwise grow the pair join quadratically in its
-    * popularity; no-op at driver scales, see the cap's scaladoc);
-    * (5) the item frequency table is dimension-sized and broadcasts
-    * back for lift, counted over the CAPPED relation so lift stays
-    * coherent within the sample. The item relation has four consumers
-    * (frequency, both join sides, basket count), so it persists for
-    * the job. Lift is exact-integer arithmetic until one final double
-    * ratio, round6'd. */
+    * Scale discipline: the shared [[Baskets.pairCore]] — a cheap probe
+    * routes between the single-shuffle collect_set fast path (no hot
+    * items, dedup inside the aggregate, all consumers sharing one
+    * exchange) and the occurrence-level a-priori prune + hot-item cap
+    * production path (pair volume bounded by Σ per-basket k², every
+    * item's multiplicity ≤ [[Baskets.DefaultCap]] — a power-law hot
+    * item would otherwise grow the pair stage quadratically in its
+    * popularity). Pair generation is a per-basket list + double
+    * explode, never a global cross; the item frequency table is
+    * dimension-sized and broadcasts back for lift, counting the CAPPED
+    * occurrences so lift stays coherent within the sample. Lift is
+    * exact-integer arithmetic until one final double ratio, round6'd. */
   private def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val minSup = 2L
-    val items = t(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // capped is the multi-consumer hub (freq + both pair-join sides):
-    // persisted, or its freq0 aggregation and hot/cold broadcast joins
-    // re-run per consumer
-    var capped: DataFrame = null
+    val core = Baskets.pairCore(
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+      "l_partkey", "l_orderkey")
     try {
-      val freq0 = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-        .filter($"c" >= minSup)
-      val pruned = items.join(broadcast(freq0.select($"l_partkey")),
-        "l_partkey")
-      capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey",
-        counts = Some(freq0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // lift denominators count the CAPPED occurrences (= true count
-      // for every item under the cap)
-      val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-      // pairs via per-basket collect_list + double explode, not a
-      // fact-sized self-join — one basket-keyed shuffle replaces the
-      // join's two exchanges (the q_recommend_cooccur A/B); support is
-      // order-free so collect_list's nondeterministic order cannot leak
-      val sup = capped.groupBy($"l_orderkey")
-        .agg(collect_list($"l_partkey").as("parts"))
-        .select(explode($"parts").as("part_a"), $"parts")
-        .select($"part_a", explode($"parts").as("part_b"))
-        .filter($"part_a" < $"part_b")
-        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
-        .filter($"support" >= minSup)
-      val baskets = items.select($"l_orderkey").distinct()
-        .agg(count(lit(1)).as("n_baskets"))
-      sup
-        .join(broadcast(freq.select($"l_partkey".as("part_a"),
+      core.supHalf
+        .join(broadcast(core.freq.select($"l_partkey".as("part_a"),
           $"c".as("c_a"))), "part_a")
-        .join(broadcast(freq.select($"l_partkey".as("part_b"),
+        .join(broadcast(core.freq.select($"l_partkey".as("part_b"),
           $"c".as("c_b"))), "part_b")
-        .crossJoin(broadcast(baskets))
+        .crossJoin(broadcast(core.baskets))
         .select($"part_a", $"part_b", $"support",
           Det.round6(($"n_baskets".cast(DoubleType)
             * $"support".cast(DoubleType))
@@ -966,8 +934,7 @@ object Analytics extends QueryModule {
         .orderBy($"support".desc, $"part_a", $"part_b")
         .transform(graft.Exec.seal)
     } finally {
-      if (capped != null) capped.unpersist(false)
-      items.unpersist(false)
+      core.release()
     }
   }
 

@@ -95,6 +95,112 @@ object Baskets {
       .unionByName(hotCapped.select(occ.columns.map(col): _*))
   }
 
+  /** Shared pair-support core for the two basket miners
+    * (q_market_basket, q_recommend_cooccur):
+    *
+    *  - `supHalf` — unordered co-occurrence pairs (part_a < part_b)
+    *    with `support` ≥ minSup,
+    *  - `freq`    — per-item CAPPED basket count (l_partkey, c) for
+    *    the confidence/lift denominators,
+    *  - `baskets` — 1-row (n_baskets) relation,
+    *  - `release` — unpersists any slow-path hubs; call after sealing.
+    *
+    * TWO physical shapes behind one semantics, routed by a cheap probe
+    * (one slim aggregate over the item column — raw occurrence counts,
+    * which upper-bound distinct basket counts):
+    *
+    * FAST PATH (no item's raw count exceeds the cap, singleton items
+    * ≤25% of the vocabulary): ONE fact shuffle builds per-basket
+    * item sets (`collect_set` dedupes inside the aggregate, so the
+    * separate DISTINCT pass is gone); the basket count is the group
+    * count of that same relation and the item frequencies explode off
+    * it — all three consumers share the one exchange inside a single
+    * plan (AQE exchange reuse), so nothing persists and nothing is
+    * computed twice. The a-priori prune is SKIPPED here: omitting it
+    * cannot change the output (a pair with support ≥ 2 has both ends
+    * in ≥2 baskets, and sub-support items only form sub-support pairs,
+    * dropped by the support filter), and with few singletons the extra
+    * explode volume is bounded by k·s per basket. Measured warm at
+    * sf0.1: 1.75–2.0 s end-to-end vs 2.6–4.1 s for the hub-persisted
+    * shape — the persists broke single-plan exchange reuse and cost
+    * more than they saved.
+    *
+    * PRODUCTION PATH (a power-law head or singleton-heavy tail — the
+    * normal case at 100 TB): the occurrence-level pipeline — DISTINCT
+    * (basket, item) persisted hub, sub-support items pruned BEFORE
+    * pairing, hot items clamped by [[capPerItem]] — bounding pair
+    * volume by Σ per-basket k² with every item's multiplicity ≤ cap.
+    * The probe over-triggers safely (raw ≥ distinct): a spurious trip
+    * lands on the slower-but-identical pipeline, and [[capPerItem]]'s
+    * own exact probe still fast-paths the cap if no item is truly hot.
+    *
+    * Relies on non-null basket/item keys (both are FK columns in every
+    * caller; `collect_set` drops nulls where DISTINCT would keep them).
+    */
+  final case class PairCore(supHalf: DataFrame, freq: DataFrame,
+                            baskets: DataFrame, release: () => Unit,
+                            fast: Boolean)
+
+  def pairCore(occRaw: DataFrame, item: String, basket: String,
+               minSup: Long = 2L, cap: Long = DefaultCap): PairCore = {
+    val stats = occRaw.groupBy(col(item)).agg(count(lit(1)).as("rc"))
+      .agg(max(col("rc")).as("mx"),
+        sum(when(col("rc") === 1L, 1L).otherwise(0L)).as("singles"),
+        count(lit(1)).as("nitems")).head()
+    val mx = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val singles = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val nitems = stats.getLong(2)
+    if (mx <= cap && singles * 4L <= nitems) {
+      val sets = occRaw.select(col(basket), col(item))
+        .groupBy(col(basket))
+        .agg(collect_set(col(item)).as("parts"))
+      val freq = sets.select(explode(col("parts")).as(item))
+        .groupBy(col(item)).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minSup)
+        // no hot items, so the capped count IS the count; keep the
+        // least() anyway so the two paths read identically downstream
+        .select(col(item), least(col("c"), lit(cap)).as("c"))
+      val supHalf = sets
+        .select(explode(col("parts")).as("part_a"), col("parts"))
+        .select(col("part_a"), explode(col("parts")).as("part_b"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+      val baskets0 = sets.agg(count(lit(1)).as("n_baskets"))
+      PairCore(supHalf, freq, baskets0, () => (), fast = true)
+    } else {
+      val items = occRaw.select(col(basket), col(item)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // freq0 is the small multi-consumer hub (prune broadcast, cap
+      // probe, both freq broadcasts); item-count sized, cache ~free
+      val freq0 = items.groupBy(col(item)).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minSup)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pruned = items.join(broadcast(freq0.select(col(item))), item)
+      // capped is NOT persisted: the pair stage is its only consumer —
+      // capPerItem keeps exactly min(c, cap) baskets per item, so the
+      // capped per-item frequency is least(c, cap) from freq0 in
+      // closed form, no second scan of the capped relation
+      val capped = capPerItem(pruned, item, basket, cap,
+        counts = Some(freq0))
+      val freq = freq0.select(col(item), least(col("c"), lit(cap)).as("c"))
+      val supHalf = capped.groupBy(col(basket))
+        .agg(collect_list(col(item)).as("parts"))
+        .select(explode(col("parts")).as("part_a"), col("parts"))
+        .select(col("part_a"), explode(col("parts")).as("part_b"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+      val baskets0 = items.select(col(basket)).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      PairCore(supHalf, freq, baskets0, () => {
+        freq0.unpersist(false); items.unpersist(false)
+      }, fast = false)
+    }
+  }
+
   /** The identical cap as a DuckDB SQL derived table over a CTE named
     * `from` with columns (`item`, `basket`) — keeps the oracle's cap
     * semantics bit-equal to [[capPerItem]] (same md5 key, same

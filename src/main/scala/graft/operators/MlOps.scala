@@ -204,64 +204,27 @@ object MlOps extends QueryModule {
     * this is the per-item DIRECTIONAL rec list a retrieval system
     * serves, cut by a rank window.
     *
-    * Scale: same a-priori discipline as the basket miner — distinct
-    * (order, part) first, sub-support items pruned BEFORE the pair
-    * join, hot items clamped to [[Baskets.DefaultCap]] baskets in
-    * content-hash order before pairing ([[Baskets.capPerItem]]; no-op
-    * at driver scales, flattens the power-law pair blowup beyond), so
-    * pair volume is bounded by Σ per-basket k² with every item's
-    * basket multiplicity ≤ the cap; the rank window partitions by
-    * part_a and Spark cuts it with WindowGroupLimit, so no partition
-    * materializes more than its top rows. Confidence divides by the
-    * CAPPED per-item count (a coherent P(B|A) within the sample).
-    * Confidence and lift stay exact-integer until one final division
-    * each. */
+    * Scale: the shared [[Baskets.pairCore]] discipline — a cheap probe
+    * routes between the single-shuffle collect_set fast path (no hot
+    * items) and the occurrence-level prune+cap production path (pair
+    * volume bounded by Σ per-basket k², every item's multiplicity ≤
+    * [[Baskets.DefaultCap]]); the rank window partitions by part_a and
+    * Spark cuts it with WindowGroupLimit, so no partition materializes
+    * more than its top rows. Confidence divides by the CAPPED per-item
+    * count (a coherent P(B|A) within the sample). Support is
+    * symmetric: each unordered pair is counted ONCE (a<b halves the
+    * pair volume and its groupBy exchange) and the counted relation is
+    * mirrored — the directional table costs a union of the small
+    * survivors, not a second fact-sized pair generation. Confidence
+    * and lift stay exact-integer until one final division each. */
   private def qRecommendCooccur(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val minSup = 2L
-    val items = t(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // capped replaces `pruned` as the multi-consumer hub (freq + both
-    // pair-join sides): persisted, or its freq0 aggregation and
-    // hot/cold broadcast joins re-run per consumer
-    var capped: DataFrame = null
+    val core = Baskets.pairCore(
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+      "l_partkey", "l_orderkey")
     try {
-      val freq0 = items.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-        .filter($"c" >= minSup)
-      val pruned = items.join(broadcast(freq0.select($"l_partkey")),
-        "l_partkey")
-      // NOT pre-partitioned on the basket key: an A/B measured the
-      // repartition-before-persist variant (cache carries the join's
-      // partitioning, pair join plans no exchange) at 6.5 s vs 5.2 s
-      // warm — the extra materialization shuffle costs more than the
-      // two join exchanges it saves, and the freq consumer needs the
-      // item-keyed partitioning anyway
-      capped = Baskets.capPerItem(pruned, "l_partkey", "l_orderkey",
-        counts = Some(freq0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val freq = capped.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-      // Support is symmetric: count each unordered pair ONCE (a<b halves
-      // the pair volume and its groupBy exchange) and mirror the counted
-      // relation — the directional table costs a union of the small
-      // survivors, not a second fact-sized pair generation. Pairs come
-      // from a per-basket collect_list + double explode, NOT a
-      // self-join: one basket-keyed shuffle replaces the join's two
-      // fact-sized exchanges (A/B measured 6.2 → 5.8 s warm at sf0.1 —
-      // the pair stage itself 2.5 → 1.25 s, the rest is up/downstream),
-      // pair volume is identical, and support is order-free so
-      // collect_list's nondeterministic order cannot leak.
-      val supHalf = capped.groupBy($"l_orderkey")
-        .agg(collect_list($"l_partkey").as("parts"))
-        .select(explode($"parts").as("part_a"), $"parts")
-        .select($"part_a", explode($"parts").as("part_b"))
-        .filter($"part_a" < $"part_b")
-        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
-        .filter($"support" >= minSup)
-      val sup = supHalf.unionByName(supHalf.select(
+      val sup = core.supHalf.unionByName(core.supHalf.select(
         $"part_b".as("part_a"), $"part_a".as("part_b"), $"support"))
-      val baskets = items.select($"l_orderkey").distinct()
-        .agg(count(lit(1)).as("n_baskets"))
       val conf = Det.round6($"support".cast(DoubleType)
         / $"c_a".cast(DoubleType))
       val lift = Det.round6(($"n_baskets".cast(DoubleType)
@@ -270,11 +233,11 @@ object MlOps extends QueryModule {
       val w = Window.partitionBy($"part_a")
         .orderBy($"confidence".desc, $"support".desc, $"part_b")
       sup
-        .join(broadcast(freq.select($"l_partkey".as("part_a"),
+        .join(broadcast(core.freq.select($"l_partkey".as("part_a"),
           $"c".as("c_a"))), "part_a")
-        .join(broadcast(freq.select($"l_partkey".as("part_b"),
+        .join(broadcast(core.freq.select($"l_partkey".as("part_b"),
           $"c".as("c_b"))), "part_b")
-        .crossJoin(broadcast(baskets))
+        .crossJoin(broadcast(core.baskets))
         .select($"part_a", $"part_b", $"support",
           conf.as("confidence"), lift.as("lift"))
         .withColumn("rn", row_number().over(w).cast(LongType))
@@ -282,8 +245,7 @@ object MlOps extends QueryModule {
         .orderBy($"part_a", $"rn")
         .transform(graft.Exec.seal)
     } finally {
-      if (capped != null) capped.unpersist(false)
-      items.unpersist(false)
+      core.release()
     }
   }
 

@@ -78,6 +78,64 @@ class BasketsSpec extends AnyFunSuite {
     assert(got == sup, "capped miner ≡ uncapped miner under the cap")
   }
 
+  test("pairCore: both physical paths ≡ the definitional miner (random raw relations)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // pairCore routes between a collect_set fast path and the
+    // prune+cap production path by a raw-count probe; BOTH must equal
+    // the definitional miner (distinct → uniform-window cap →
+    // self-join pairs → support filter) on RAW inputs with duplicate
+    // occurrence rows. Seeds/caps chosen so both routes are exercised.
+    val rnd = new scala.util.Random(11)
+    var routes = Set.empty[Boolean]
+    (1 to 6).foreach { trial =>
+      val nItems = 2 + rnd.nextInt(8)
+      val rows = (1 to nItems).flatMap { i =>
+        val nb = 2 + rnd.nextInt(9)
+        rnd.shuffle((1L to 12L).toList).take(nb)
+          .flatMap(b => Seq.fill(1 + rnd.nextInt(2))((i.toLong, b)))
+      }
+      val occ = rnd.shuffle(rows).toDF("item", "basket")
+      val cap = if (trial % 2 == 0) 96L else 3L
+      val core = operators.Baskets.pairCore(occ, "item", "basket",
+        cap = cap)
+      try {
+        routes += core.fast
+        val dis = occ.distinct()
+        val w = Window.partitionBy($"item").orderBy(
+          md5(concat($"item".cast("string"), lit("_"),
+            $"basket".cast("string"))), $"basket")
+        val capped = dis.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= cap).drop("rk")
+        val supDef = capped.select($"basket", $"item".as("part_a"))
+          .join(capped.select($"basket", $"item".as("part_b")),
+            Seq("basket"))
+          .filter($"part_a" < $"part_b")
+          .groupBy($"part_a", $"part_b")
+          .agg(count(lit(1)).as("support"))
+          .filter($"support" >= 2L)
+          .as[(Long, Long, Long)].collect().toSet
+        val gotSup = core.supHalf
+          .as[(Long, Long, Long)].collect().toSet
+        assert(gotSup == supDef,
+          s"supHalf diverged (trial=$trial fast=${core.fast} cap=$cap)")
+        // freq counts DISTINCT baskets per item, capped in closed form
+        val freqDef = dis.groupBy($"item").agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2L)
+          .select($"item", least($"c", lit(cap)).as("c"))
+          .as[(Long, Long)].collect().toSet
+        val gotFreq = core.freq.as[(Long, Long)].collect().toSet
+        assert(gotFreq == freqDef,
+          s"freq diverged (trial=$trial fast=${core.fast})")
+        val nBasketsDef = dis.select($"basket").distinct().count()
+        assert(core.baskets.as[Long].head() == nBasketsDef,
+          s"basket count diverged (trial=$trial)")
+      } finally core.release()
+    }
+    assert(routes == Set(true, false),
+      s"both physical routes must be exercised, saw $routes")
+  }
+
   test("hot/cold split ≡ the definitional single-window cap (random relations)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

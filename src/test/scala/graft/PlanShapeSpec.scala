@@ -523,9 +523,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_curation_pipeline" -> 9, "q_graph_bfs" -> 36,
     "q_graph_jaccard" -> 96, "q_graph_modularity" -> 51,
     "q_kcore" -> 148, "q_label_prop" -> 13,
-    "q_market_basket" -> 25, "q_multimodal_phash" -> 8,
+    // the two pairCore miners are probe-routed (Baskets.pairCore): the
+    // fixture takes the no-hot-item fast path at every SF (raw max
+    // multiplicity ≪ cap), so these pins pin the FAST-path tree; a data
+    // change that trips the probe would legitimately raise them to the
+    // production-path counts (old shape: 25/37) — update consciously.
+    "q_market_basket" -> 4, "q_multimodal_phash" -> 8,
     "q_naive_bayes" -> 8, "q_pagerank" -> 20, "q_pca_power" -> 10,
-    "q_recommend_cooccur" -> 37, "q_rfm" -> 18, "q_semdedup" -> 21,
+    "q_recommend_cooccur" -> 5, "q_rfm" -> 18, "q_semdedup" -> 21,
     "q_dsir" -> 18,
     "q_sketch_intersect" -> 10, "q_triangles" -> 30, "q_winsorize" -> 9)
 
