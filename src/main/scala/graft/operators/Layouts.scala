@@ -80,7 +80,7 @@ object Layouts extends QueryModule {
     }
   }
 
-  private def layoutRoot(dir: String): String = {
+  private[operators] def layoutRoot(dir: String): String = {
     reapStaleRoots
     s"/tmp/graft_layout_${layoutKey(dir)}"
   }

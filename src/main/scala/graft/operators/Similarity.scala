@@ -376,11 +376,23 @@ object Similarity extends QueryModule {
       slice($"e", m * 16 + 1, 16)): _*)).as(Seq("m", "e")))
   }
 
-  /** Trained PQ codes + query ADC lookup table over a caller-persisted
-    * keyed subspace relation: (codes (vec_id, m, code),
-    * lookups (qid, m, code, lq)) with lq the BIGINT-quantized
-    * query↔centroid cosine. Shared by [[qAnnPq]] and [[qAnnIvfPq]]. */
-  private def pqCodesLookups(nmAll: DataFrame): (DataFrame, DataFrame) = {
+  /** Per-subspace nearest-centroid assignment over a keyed subspace
+    * relation: (m, vec_id, cell) — same argmax discipline as
+    * [[assignCells]] with m as an extra key. */
+  private def pqAssign(nm: DataFrame, cent: DataFrame): DataFrame = {
+    val s = nm.sparkSession; import s.implicits._
+    nm.join(broadcast(cent), Seq("m"))
+      .withColumn("csim", graft.Det.round6(
+        graft.functions.VectorFunctions.cosine($"e", $"ce")))
+      .groupBy($"m", $"vec_id")
+      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
+      .select($"m", $"vec_id", (-$"x.nc").as("cell"))
+  }
+
+  /** One-Lloyd-round PQ codebook (m, cid, ce) over a keyed subspace
+    * relation — md5-ordered seeds per subspace, exact quantized means
+    * (the [[kmeansCodebook]] arithmetic with m as an extra group key). */
+  private def pqTrain(nmAll: DataFrame): DataFrame = {
     val s = nmAll.sparkSession; import s.implicits._
     val seeds = nmAll
       .withColumn("cid", row_number().over(
@@ -388,14 +400,7 @@ object Similarity extends QueryModule {
           .orderBy(md5($"vec_id".cast("string")), $"vec_id")).cast("long"))
       .filter($"cid" <= 8)
       .select($"m", $"cid", $"e".as("ce"))
-    def assign(cent: DataFrame): DataFrame =
-      nmAll.join(broadcast(cent), Seq("m"))
-        .withColumn("csim", graft.Det.round6(
-          graft.functions.VectorFunctions.cosine($"e", $"ce")))
-        .groupBy($"m", $"vec_id")
-        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
-        .select($"m", $"vec_id", (-$"x.nc").as("cell"))
-    val cent = nmAll.join(assign(seeds), Seq("m", "vec_id"))
+    nmAll.join(pqAssign(nmAll, seeds), Seq("m", "vec_id"))
       .select($"m", $"cell", posexplode($"e"))
       .groupBy($"m", $"cell", $"pos")
       .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
@@ -405,13 +410,29 @@ object Similarity extends QueryModule {
       .agg(collect_list(struct($"pos", $"v")).as("pv"))
       .select($"m", $"cell".as("cid"),
         expr("transform(array_sort(pv), x -> x.v)").as("ce"))
-    val codes = assign(cent)
-      .select($"vec_id", $"m", $"cell".as("code"))
-    val lookups = nmAll.filter($"vec_id" % 100 === 0)
-      .join(broadcast(cent), Seq("m"))
+  }
+
+  /** Query ADC lookup table (qid, m, code, lq) from a trained PQ
+    * codebook: lq is the BIGINT-quantized query↔centroid cosine, so
+    * downstream ADC sums are exact integer math. */
+  private def pqLookups(qm: DataFrame, cent: DataFrame): DataFrame = {
+    val s = qm.sparkSession; import s.implicits._
+    qm.join(broadcast(cent), Seq("m"))
       .select($"vec_id".as("qid"), $"m", $"cid".as("code"),
         floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
           * 1000000.0 + 0.5).cast("long").as("lq"))
+  }
+
+  /** Trained PQ codes + query ADC lookup table over a caller-persisted
+    * keyed subspace relation: (codes (vec_id, m, code),
+    * lookups (qid, m, code, lq)). Shared by [[qAnnPq]] and
+    * [[qAnnIvfPq]]; [[annIndex]] persists the same parts. */
+  private def pqCodesLookups(nmAll: DataFrame): (DataFrame, DataFrame) = {
+    val s = nmAll.sparkSession; import s.implicits._
+    val cent = pqTrain(nmAll)
+    val codes = pqAssign(nmAll, cent)
+      .select($"vec_id", $"m", $"cell".as("code"))
+    val lookups = pqLookups(nmAll.filter($"vec_id" % 100 === 0), cent)
     (codes, lookups)
   }
 
@@ -481,6 +502,93 @@ object Similarity extends QueryModule {
         .groupBy($"qid", $"vec_id")
         .agg(sum($"lq").as("sl")))
     } finally n.unpersist(false)
+  }
+
+  /** On-disk root of the trained IVF-PQ index artifact (test aid:
+    * AnnIndexSpec checks the parts and the rebuild guard). */
+  private[graft] def annIndexPath(dir: String): String =
+    s"${Layouts.layoutRoot(dir)}/ann_index"
+
+  /** Train-once IVF-PQ index artifact — the production ANN shape: the
+    * coarse codebook, per-vector cell assignments (the inverted lists),
+    * the four subspace PQ codebooks, and the per-vector PQ codes are
+    * trained ONCE per corpus and persisted as parquet
+    * (`_SUCCESS`-guarded, same lifecycle as [[Layouts.ordersZordered]]);
+    * every later search reads them back and never touches the training
+    * pipeline. Training is fully deterministic ([[kmeansCodebook]]
+    * discipline: md5-ordered seeds, exact quantized means), so the
+    * stored artifact is bit-identical to an in-memory retrain and the
+    * DuckDB oracle can replay it from the raw embeddings.
+    *
+    * Returns (coarse (cid, ce), cells (vec_id, cell),
+    * pqCent (m, cid, ce), codes (vec_id, m, code)). */
+  private[graft] def annIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val root = annIndexPath(dir)
+    if (!new java.io.File(s"$root/codes/_SUCCESS").exists()) {
+      val n = ivfVectors(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val coarse = kmeansCodebook(n, c = 8, iters = 1)
+          .localCheckpoint(true) // train once, both consumers below
+        coarse.write.mode("overwrite").parquet(s"$root/coarse")
+        assignCells(n, coarse)
+          .write.mode("overwrite").parquet(s"$root/cells")
+        val nm = pqSubspaces(n)
+        val pqCent = pqTrain(nm).localCheckpoint(true)
+        pqCent.write.mode("overwrite").parquet(s"$root/pq")
+        pqAssign(nm, pqCent)
+          .select($"vec_id", $"m", $"cell".as("code"))
+          .write.mode("overwrite").parquet(s"$root/codes")
+      } finally n.unpersist(false)
+    }
+    (s.read.parquet(s"$root/coarse"), s.read.parquet(s"$root/cells"),
+      s.read.parquet(s"$root/pq"), s.read.parquet(s"$root/codes"))
+  }
+
+  /** T3e q_ann_search_indexed — the SEARCH half of the train-once/
+    * search-many split [[annIndex]] provides (q_ann_ivfpq re-trains its
+    * codebooks inside the declared query; real deployments don't). At
+    * search time the only relations touched are: the two codebooks
+    * (KB-sized, broadcast), the |Q|-row query slice of the raw vectors
+    * (the one float-math input a search genuinely needs), and the
+    * CODES/CELLS artifacts — the corpus's raw embeddings are never
+    * re-read or re-encoded. Per-query work is the IVF-PQ promise:
+    * nprobe·N/C candidate rows joined on the cell key, M integer
+    * lookups each, one top-5 rank window cut by WindowGroupLimit.
+    *
+    * Output and oracle are IDENTICAL to q_ann_ivfpq (same parameters,
+    * deterministic training) — which is exactly the point: the gate
+    * proves searching the stored index loses nothing vs retraining.
+    * AnnIndexSpec additionally pins that the search plan contains no
+    * training subtree (no Lloyd-round scan of the embeddings table
+    * beyond the query slice). */
+  private def qAnnSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (coarse, cells, pqCent, codes) = annIndex(s, dir)
+    val q = ivfVectors(s, dir).filter($"vec_id" % 100 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // probes: |Q|×C similarities, rank window over query rows only
+      val asg = q.crossJoin(broadcast(coarse))
+        .withColumn("csim",
+          graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
+        .select($"vec_id", $"cid", $"csim")
+      val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+      val probes = asg
+        .withColumn("arn", row_number().over(wq))
+        .filter($"arn" <= 2)
+        .select($"vec_id".as("qid"), $"cid".as("cell"))
+      val pairs = cells.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id")
+      val lookups = pqLookups(pqSubspaces(q), pqCent)
+      adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
+        .join(pairs, Seq("qid", "vec_id"))
+        .groupBy($"qid", $"vec_id")
+        .agg(sum($"lq").as("sl")))
+    } finally q.unpersist(false)
   }
 
   /** q_dedup_embedding — embedding-cosine near-dup pairs within a label
@@ -1181,6 +1289,7 @@ object Similarity extends QueryModule {
     "q_diverse_sample" -> (qDiverseSample _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_search_indexed" -> (qAnnSearchIndexed _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_coherence" -> (qEmbedCoherence _),
@@ -1748,6 +1857,12 @@ object Similarity extends QueryModule {
     "q_semdedup" -> DUCK_SEMDEDUP,
     "q_ann_pq" -> DUCK_PQ,
     "q_ann_ivfpq" -> DUCK_IVFPQ,
+    // the search-indexed split produces bit-identical output to
+    // q_ann_ivfpq by construction (deterministic training persisted to
+    // parquet, doubles round-trip exactly) — the shared oracle replays
+    // the training+search composition from the raw embeddings, proving
+    // the stored index loses nothing vs retraining
+    "q_ann_search_indexed" -> DUCK_IVFPQ,
     "q_dedup_embedding" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
