@@ -1092,8 +1092,13 @@ object Analytics extends QueryModule {
         .join(broadcast(typeList), Seq("event_type"))
         .crossJoin(broadcast(refTot))
         .groupBy($"event_type")
+        // the ct·nr / cr·nt cross products run in DECIMAL(38,0): past
+        // 2⁶³ (n·n_ref > 9.2e18, reachable at 100 TB event counts)
+        // Spark non-ANSI would wrap silently where DuckDB raises —
+        // the lift makes both engines exact instead
         .agg(max($"nt").as("n"), max($"nr").as("n_ref"),
-          max(abs($"ct" * $"nr" - $"cr" * $"nt")).as("dmax"))
+          max(abs($"ct".cast(DecimalType(38, 0)) * $"nr"
+            - $"cr".cast(DecimalType(38, 0)) * $"nt")).as("dmax"))
         .select($"event_type", $"n", $"n_ref",
           Det.round6($"dmax".cast(DoubleType)
             / ($"n".cast(DoubleType) * $"n_ref".cast(DoubleType)))

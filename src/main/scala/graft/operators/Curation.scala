@@ -420,13 +420,21 @@ object Curation extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q_gdpr_delete" -> {
+      // the deletion set derives from the CUSTOMER table and joins onto
+      // each audited table — mirroring the Spark query's broadcast join,
+      // so equivalence does NOT depend on the (currently true) FK
+      // invariant that every o_custkey / user_id exists in customer: an
+      // orphan key that happens to hash to '0' is correctly NOT deleted
+      // in both engines
       def audit(table: String, key: String, name: String): String =
         s"""SELECT '$name' AS entity, count(*) AS n_before,
-              CAST(sum(CASE WHEN substr(md5(CAST($key AS VARCHAR)), 1, 1)
-                            = '0' THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_deleted
-            FROM $table"""
-      s"""WITH a AS (
+              CAST(sum(CASE WHEN del.k IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_deleted
+            FROM $table LEFT JOIN del ON CAST($key AS BIGINT) = del.k"""
+      s"""WITH del AS (
+           SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+         a AS (
            ${audit("customer", "c_custkey", "customer")}
            UNION ALL ${audit("orders", "o_custkey", "orders")}
            UNION ALL ${audit("events", "user_id", "events")})

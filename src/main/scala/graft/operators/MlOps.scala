@@ -5,7 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** ML feature-engineering and model-evaluation operators (north-star
   * §2 extensions — the reference's 258 LoC has no modeling surface;
@@ -788,11 +788,13 @@ object MlOps extends QueryModule {
     * Determinism: propensity weights round half-up to 1e-6 BIGINTs
     * with pure integer arithmetic ((2e6·n + 2c) div (4c) — values
     * non-negative so truncation = floor in both engines), rewards stay
-    * on the exact 1e-4 grid, every sum is integer (exact while
-    * qw²·c < 2⁶³ — a propensity rarer than ~n/3·10⁹ needs the
-    * DECIMAL(38,0) lift), and the three emitted ratios are single
-    * round6'd divisions (ESS squares an exact ≤2⁵³ integer in
-    * double — identical IEEE in both engines).
+    * on the exact 1e-4 grid, and the weighted accumulations run in
+    * DECIMAL(38,0) — Spark (non-ANSI) would WRAP silently past 2⁶³
+    * where DuckDB raises, so the qw²·c sums (≈10¹²·(n/c)²·c — the
+    * first to cross) get the lift up front rather than an ambient
+    * exactness bound; the three emitted ratios are single round6'd
+    * divisions (ESS squares an exact ≤2⁵³ integer in double —
+    * identical IEEE in both engines).
     *
     * Plan: one fact scan combines map-side into (segment, action)
     * cells; propensities live on that G·A-row relation and broadcast
@@ -817,9 +819,9 @@ object MlOps extends QueryModule {
       .groupBy($"segment")
       .agg(max($"n").as("n"), sum($"c").as("n_match"),
         max($"stot").as("stot"),
-        sum($"qw" * $"srew").as("swr"),
-        sum($"qw" * $"c").as("sw"),
-        sum($"qw" * $"qw" * $"c").as("sw2"))
+        sum($"qw".cast(DecimalType(38, 0)) * $"srew").as("swr"),
+        sum($"qw".cast(DecimalType(38, 0)) * $"c").as("sw"),
+        sum($"qw".cast(DecimalType(38, 0)) * $"qw" * $"c").as("sw2"))
       .select($"segment".cast(LongType).as("segment"), $"n", $"n_match",
         Det.round6($"swr".cast(DoubleType)
           / ($"n".cast(DoubleType) * lit(1.0e10))).as("v_ips"),

@@ -1487,13 +1487,24 @@ object TextOps extends QueryModule {
                    doc_id) rank_a
                 FROM a),
          bsc AS (
+           -- df_i = 0 guard: a query term absent from the corpus has
+           -- tf_i = 0 everywhere, so Spark's product short-circuits to
+           -- 0 — but DuckDB would still evaluate ln(n/0) = inf and
+           -- error on the BIGINT cast; the CASE mirrors the
+           -- short-circuit so degenerate corpora match instead of crash
            SELECT doc_id,
-                  (tf0 * CAST(floor(ln(CAST(n AS DOUBLE)
+                  (CASE WHEN df0 > 0 THEN
+                     tf0 * CAST(floor(ln(CAST(n AS DOUBLE)
                       / CAST(df0 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-                 + tf1 * CAST(floor(ln(CAST(n AS DOUBLE)
+                   ELSE 0 END
+                 + CASE WHEN df1 > 0 THEN
+                     tf1 * CAST(floor(ln(CAST(n AS DOUBLE)
                       / CAST(df1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-                 + tf2 * CAST(floor(ln(CAST(n AS DOUBLE)
-                      / CAST(df2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                   ELSE 0 END
+                 + CASE WHEN df2 > 0 THEN
+                     tf2 * CAST(floor(ln(CAST(n AS DOUBLE)
+                      / CAST(df2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END)
                     qb
            FROM d CROSS JOIN st),
          b AS (SELECT doc_id, qb FROM bsc WHERE qb > 0
