@@ -25,10 +25,23 @@ import org.apache.spark.sql.functions._
   * outlier stretching [lo, hi]) is re-spread by that bucket's own
   * sub-range, so no partition holds more than max(B, ~rows-per-
   * sub-bucket) rows — only mass packed non-uniformly inside BOTH
-  * levels (geometric value packing) degrades further, and the level-2
-  * summaries ride the SAME shuffle as the level-1 totals, so the
-  * refinement costs one extra bucket-summary window, not a histogram
-  * pass.
+  * levels degrades further, and the level-2 summaries ride the SAME
+  * shuffle as the level-1 totals, so the refinement costs one extra
+  * bucket-summary window, not a histogram pass.
+  *
+  * Quantified residual (SelectionSpec's geometric-packing property):
+  * DOUBLY-geometric values with ratio r (v_i = r^i) defeat the uniform
+  * bound — each level's constant-width buckets peel only ~log_r(B)
+  * values off the hot bucket, and the re-spread inherits the same
+  * shape, so the hot cumulative partition keeps ~n − 2·log_r(B)
+  * DISTINCT values (measured: 32 of 38 at r=3, B=16). Two mitigations
+  * bound this in practice: the window partitions over the HISTOGRAM
+  * (duplicates collapse into cnt first, so n is the distinct-value
+  * count, grid-capped for quantized metrics like the 1e-4 revenue
+  * sums q_rfm feeds in); and each additional refinement level costs
+  * one more ≤B+1-row summary window while peeling another log_r(B) —
+  * recursion depth, not window width, is the knob if a truly
+  * exponential distinct-value grid ever shows up.
   *
   * Determinism: bucket assignment is pure IEEE arithmetic on the row's
   * own values, and [[bucketExpr]] is MONOTONE in v at both levels (the

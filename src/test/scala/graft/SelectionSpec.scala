@@ -78,6 +78,34 @@ class SelectionSpec extends AnyFunSuite {
     rankSelect(vs, b)
   }
 
+  test("geometric value packing degrades level 2 by only log_r(B) per level — measured") {
+    import spark.implicits._
+    // The residual the scaladoc documents: doubly-geometric mass
+    // (values 3^1..3^38, ratio r=3) packs all but ~log_r(B) values
+    // into level-1 bucket 0, and the level-2 re-spread inherits the
+    // SAME shape — so the hot within-bucket cumulative partition keeps
+    // n − 2·⌈log_3 16⌉ = n − 6 distinct values, NOT the uniform
+    // max(B, ⌈n/B⌉) bound the one-outlier shape enjoys. This pins the
+    // degradation honestly: each refinement level peels ~log_r(B)
+    // values, and only the histogram's distinct-value grid (cnt
+    // collapses duplicates before the window) caps the partition in
+    // practice. If a future change tightens this, move the bound down.
+    val vs = (1 to 38).map(i => math.pow(3.0, i).toLong)
+    val h = vs.map((_, 1L)).toDF("v", "cnt")
+    val b = 16L
+    val sizes = graft.operators.Selection
+      .bucketed(h, Seq.empty, "v", "cnt", b)
+      .groupBy($"graft_sel_b1", $"graft_sel_b2").count()
+      .select($"count").as[Long].collect()
+    val n = vs.size.toLong
+    assert(sizes.max >= n - 8 && sizes.max <= n - 4,
+      s"expected the documented n − 2·log_3(B) ≈ ${n - 6} hot partition, " +
+        s"got ${sizes.max} — update Selection's scaladoc if the " +
+        "refinement got better (or worse)")
+    // and the ranks stay exact on the degraded shape
+    rankSelect(vs, b)
+  }
+
   test("null group keys keep their bounds (null-safe group join)") {
     import spark.implicits._
     val h = Seq((Option.empty[String], 1L, 2L), (None, 5L, 1L),
