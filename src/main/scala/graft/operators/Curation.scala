@@ -251,6 +251,8 @@ object Curation extends QueryModule {
     import s.implicits._
     val counts = Tables.load(s, dir, "documents")
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      // both whole-relation windows ride the per-language count
+      // relation — bounded by the language vocabulary, never fact-sized
       .withColumn("n_total",
         sum($"n_docs").over(Window.partitionBy()))
       .withColumn("qpow", floor(

@@ -187,6 +187,7 @@ object MlOps extends QueryModule {
       .filter($"o_totalprice" >= 1)
       .select(digit.as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
+      // bounded: ≤9 rows (one per leading digit) reach this window
       .withColumn("n_total", sum($"n").over(Window.partitionBy()))
       .select($"digit", $"n",
         Det.round6($"n".cast(DoubleType) / $"n_total").as("obs_freq"),
@@ -400,7 +401,7 @@ object MlOps extends QueryModule {
         / (lit(100000000.0) * ($"n" - lit(1L)))).as("cov"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: rides d-row iterate vectors
       def step(v: DataFrame): DataFrame = {
         // One matvec + normalize; v is (j, val) on the 1e-6 grid.
         val wq = cov.join(broadcast(v), "j")

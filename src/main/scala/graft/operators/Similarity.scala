@@ -240,6 +240,7 @@ object Similarity extends QueryModule {
     val s = n.sparkSession; import s.implicits._
     val seedOrd = Seq(md5($"vec_id".cast("string")), $"vec_id")
     val seeds = n.select($"vec_id", $"e").orderBy(seedOrd: _*).limit(c)
+      // bounded: numbers the ≤C seed rows the limit above selected
       .withColumn("cid",
         row_number().over(Window.orderBy(seedOrd: _*)).cast("long"))
       .select($"cid", $"e".as("ce"))

@@ -271,6 +271,8 @@ object TextOps extends QueryModule {
     val perDoc = bm25PerDoc(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // both rank windows are bounded: ≤TopN(100) rows by the limit
+      // directly under them — never fact-sized
       val wA = Window.orderBy($"bm25".desc, $"doc_id")
       val a = bm25Scored(s, perDoc)
         .orderBy($"bm25".desc, $"doc_id").limit(TopN)
