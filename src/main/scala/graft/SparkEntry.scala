@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Analytics,
     operators.MlOps,
     operators.Llm,
+    operators.ReferencePipeline,
     operators.Multimodal,
     operators.Curation,
     operators.Layouts,

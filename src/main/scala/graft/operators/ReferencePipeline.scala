@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * one Catalyst-planned DAG with a single shuffle for assembly and
   * executor-parallel inference (SURVEY.md §3.2 Spark trace).
   */
-object ReferencePipeline {
+object ReferencePipeline extends graft.QueryModule {
 
   /** Expected input schemas (FIXTURES.md):
     *  doc(doc_id, symbol, body_symbol)
@@ -88,4 +88,127 @@ object ReferencePipeline {
       .select(col("symbol"), col("summary"))
       .orderBy(col("symbol"))
   }
+
+  // ---- declared queries: both reference entry points, driver-oracled ----
+  //
+  // The driver testdata has no reference-shaped tables, so both queries
+  // derive them deterministically from orders/lineitem (the
+  // Assembly.blocksFromLineitem idiom): orders become parents — the
+  // symbol keyed off o_custkey % 199 so duplicate symbols EXIST and the
+  // last-write-wins dedup is actually exercised — and lineitem rows
+  // become blocks. With the deterministic StubClient the full pipelines
+  // (body filter / bridge traversal, assembly grammar, dedup, batch
+  // summarize) are DuckDB-oracle-checkable end to end.
+
+  /** doc(doc_id, symbol, body_symbol) from orders: body cycles through
+    * four reference bodies, so the SBI/SBSTA filter keeps half. */
+  private def docFromOrders(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("doc_id"),
+      concat(lit("FCCC/SBI/"), (col("o_custkey") % 199).cast("string"))
+        .as("symbol"),
+      when(col("o_orderkey") % 4 === 0, "SBI")
+        .when(col("o_orderkey") % 4 === 1, "SBSTA")
+        .when(col("o_orderkey") % 4 === 2, "COP")
+        .otherwise("CMA").as("body_symbol"))
+
+  private def qReferenceConclusions(s: SparkSession, dir: String): DataFrame =
+    conclusionsSummaries(s, docFromOrders(s, dir),
+      Assembly.blocksFromLineitem(s, dir), new Llm.StubClient)
+
+  private def qReferenceDecisions(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.load(s, dir, "lineitem")
+    // blocks keyed by their own id; l_linenumber ≤ 7, so *8 is injective
+    val blocks = Assembly.blocksFromLineitem(s, dir)
+      .withColumn("block_id", col("doc_id") * 8 + col("ord"))
+      .drop("doc_id", "ord")
+    // the bridge REVERSES the lineitem order (ord = 8 - linenumber), so
+    // the bridge-ord-overrides-block-ord semantics are load-bearing
+    val bridge = li.select(
+      col("l_orderkey").as("dec_id"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("block_id"),
+      (lit(8) - col("l_linenumber")).as("ord"))
+    val decisions = graft.sources.Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("dec_id"),
+      concat((col("o_custkey") % 199).cast("string"), lit("/CP.26"))
+        .as("symbol"))
+    decisionsSummaries(s, decisions, bridge, blocks, new Llm.StubClient)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_reference_conclusions" -> (qReferenceConclusions _),
+    "q_reference_decisions" -> (qReferenceDecisions _))
+
+  /** Shared oracle CTE: blocksFromLineitem + piece grammar (the
+    * q_doc_assembly oracle's text, verbatim) with a block_id column. */
+  private val blocksSql =
+    """b AS (
+         SELECT l_orderkey AS doc_id, l_linenumber AS ord,
+                l_orderkey * 8 + l_linenumber AS block_id,
+                CASE WHEN l_linenumber % 2 = 1
+                     THEN CAST(l_linenumber AS VARCHAR) || '.' END AS numbering,
+                CASE WHEN l_linenumber % 3 <> 0
+                     THEN 'p ' || CAST(l_partkey AS VARCHAR) END AS para_text,
+                CASE WHEN l_linenumber % 3 = 0 AND l_suppkey % 2 = 1
+                     THEN 'cap ' || CAST(l_suppkey AS VARCHAR) END AS table_caption,
+                CASE WHEN l_linenumber % 3 = 0
+                     THEN 'c ' || CAST(l_quantity AS VARCHAR) END AS table_cells
+         FROM lineitem)"""
+
+  private def pieceSql(src: String): String =
+    s"""CASE WHEN $src.para_text IS NOT NULL
+             THEN coalesce(trim($src.numbering) || chr(9), '')
+                  || trim($src.para_text) || chr(10)
+             WHEN $src.table_cells IS NOT NULL
+             THEN coalesce(trim($src.table_caption) || chr(10), '')
+                  || $src.table_cells || chr(10)
+             ELSE '' END"""
+
+  /** The StubClient summary law over an assembled text column. */
+  private def stubSql(col: String): String =
+    s"""array_to_string(string_split($col, ' ')[1:8], ' ')
+        || ' … (' || CAST(len(string_split($col, ' ')) AS VARCHAR)
+        || ' tokens)'"""
+
+  val oracles: Map[String, String] = Map(
+    "q_reference_conclusions" ->
+      s"""WITH $blocksSql,
+           p AS (SELECT doc_id, ord, ${pieceSql("b")} AS piece FROM b),
+           asm AS (SELECT doc_id,
+                          string_agg(piece, '' ORDER BY ord, piece) AS doc_text
+                   FROM p GROUP BY doc_id),
+           doc AS (SELECT o_orderkey AS doc_id,
+                          'FCCC/SBI/' || CAST(o_custkey % 199 AS VARCHAR) AS symbol
+                   FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+           j AS (SELECT doc.symbol, doc.doc_id, asm.doc_text
+                 FROM doc JOIN asm USING (doc_id)),
+           dd AS (SELECT symbol, doc_text FROM (
+                    SELECT symbol, doc_text, row_number() OVER (
+                      PARTITION BY symbol ORDER BY doc_id DESC) AS rn FROM j)
+                  WHERE rn = 1)
+         SELECT symbol, ${stubSql("doc_text")} AS summary
+         FROM dd ORDER BY symbol""",
+    "q_reference_decisions" ->
+      s"""WITH $blocksSql,
+           m AS (SELECT l_orderkey AS dec_id,
+                        l_orderkey * 8 + l_linenumber AS block_id,
+                        8 - l_linenumber AS ord
+                 FROM lineitem),
+           p AS (SELECT m.dec_id AS doc_id, m.ord AS ord,
+                        ${pieceSql("b")} AS piece
+                 FROM m JOIN b USING (block_id)),
+           asm AS (SELECT doc_id,
+                          string_agg(piece, '' ORDER BY ord, piece) AS doc_text
+                   FROM p GROUP BY doc_id),
+           d AS (SELECT o_orderkey AS dec_id,
+                        CAST(o_custkey % 199 AS VARCHAR) || '/CP.26' AS symbol
+                 FROM orders),
+           j AS (SELECT d.symbol, d.dec_id, asm.doc_text
+                 FROM d JOIN asm ON asm.doc_id = d.dec_id),
+           dd AS (SELECT symbol, doc_text FROM (
+                    SELECT symbol, doc_text, row_number() OVER (
+                      PARTITION BY symbol ORDER BY dec_id DESC) AS rn FROM j)
+                  WHERE rn = 1)
+         SELECT symbol, ${stubSql("doc_text")} AS summary
+         FROM dd ORDER BY symbol""")
 }
