@@ -116,6 +116,12 @@ object ReferencePipeline extends graft.QueryModule {
     conclusionsSummaries(s, docFromOrders(s, dir),
       Assembly.blocksFromLineitem(s, dir), new Llm.StubClient)
 
+  // NOTE: at fixture scale the bridge AND the blocks both derive from
+  // lineitem, so the declared plan scans it twice — an artifact of the
+  // derivation, not the pipeline: real deployments feed
+  // [[decisionsSummaries]] three distinct tables and each is scanned
+  // once (the bridge⋈block equi-join is the reference's actual shape
+  // and is what this query exists to exercise).
   private def qReferenceDecisions(s: SparkSession, dir: String): DataFrame = {
     val li = graft.sources.Tables.load(s, dir, "lineitem")
     // blocks keyed by their own id; l_linenumber ≤ 7, so *8 is injective

@@ -29,7 +29,9 @@ object ScaleProbe {
     "q_pca_power", "q_knn_classify", "q_target_encoding", "q_rfm",
     "q_graph_jaccard", "q_kcore", "q_semdedup", "q_dsir",
     "q_bootstrap_ci", "q_conformal", "q_ks_drift", "q_graph_modularity",
-    "q_tokenizer_fertility", "q_mi_select")
+    "q_tokenizer_fertility", "q_mi_select",
+    "q_reference_conclusions", "q_reference_decisions",
+    "q_ann_search_indexed")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */
