@@ -264,22 +264,43 @@ object MlOps extends QueryModule {
     * libm difference can never flip a prediction.
     *
     * Scale: ONE corpus tokenize builds the (doc, lang, token, tf)
-    * relation, persisted for its two consumers (cell training + doc
-    * scoring — the q_tfidf lesson); the model (vocab×5 cells + 5
+    * relation — size-routed between recompute (fixture scale) and a
+    * persisted hub (production; see the routing comment in the body) —
+    * consumed by cell training and doc scoring; the model (vocab×5 cells + 5
     * priors) is vocabulary-sized and BROADCASTS into the scoring join;
     * scoring is a (doc, lang)-keyed combine of ≤5× the token stream.
     * The rank window cuts with WindowGroupLimit. Unseen (lang, token)
     * pairs coalesce to the class's smoothed-zero likelihood, carried
     * on the 5-row lang dim — no vocab×5 densification anywhere. */
+  /** Above this corpus size the token-level tf hub persists; below it
+    * the three consumers recompute. See the routing comment in
+    * [[qNaiveBayes]]. */
+  private val NbPersistThreshold = 100000L
+
   private def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = t(s, dir, "documents")
+    val tf0 = t(s, dir, "documents")
       .select($"doc_id", $"lang",
         explode(split(lower($"text"), " ")).as("token"))
       .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cost-routed materialization (the Baskets.pairCore idiom, but
+    // size- rather than shape-routed): tf has THREE consumers with
+    // disjoint downstream keys (cells, docT, adj), so the uncached plan
+    // scans the corpus 8× with ZERO exchange reuse (measured via the
+    // final adaptive plan — the scan subtrees differ in pruned columns,
+    // so ReuseExchange never fires). At fixture scale those scans are
+    // page-cached and recompute beats the fact-sized cache write 2.3×
+    // (TimeQ warm 4.4 → 1.9 s at sf0.1); at production scale 8 corpus
+    // reads is the scale-killer, so past the threshold the hub persists
+    // and the corpus is read once. The probe is a footer-cheap count;
+    // like capPerItem's hot-item probe it makes the physical shape
+    // data-dependent (PlanShapeSpec pins the fixture route).
+    val big = t(s, dir, "documents").count() > NbPersistThreshold
+    val tf = if (big)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     try {
-      // Per-(class,token) counts and class totals fold into ONE persisted
+      // Per-(class,token) counts and class totals fold into ONE
       // vocabulary-sized cell relation (class totals are a window
       // PARTITIONED by class). The two GLOBAL scalars — vocab size and
       // total doc count — are distributed aggregates broadcast back as
@@ -290,7 +311,6 @@ object MlOps extends QueryModule {
       val cells = tf.groupBy($"lang", $"token")
         .agg(sum($"tf").as("c"))
         .withColumn("tot", sum($"c").over(Window.partitionBy($"lang")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = cells.crossJoin(broadcast(
         cells.agg(countDistinct($"token").as("v"))))
       // Class doc counts come from the DOC-sized (doc, lang) relation the
@@ -299,7 +319,6 @@ object MlOps extends QueryModule {
       // token stream — without the extra distinct's two shuffle stages).
       val docT = tf.groupBy($"doc_id", $"lang")
         .agg(sum($"tf").as("t_doc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val priors0 = docT.groupBy($"lang".as("cand"))
         .agg(count(lit(1)).as("ndx"))
       val priors = priors0.crossJoin(broadcast(
@@ -345,8 +364,8 @@ object MlOps extends QueryModule {
           ($"cand" === $"lang").as("correct"))
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
-      finally { cells.unpersist(false); docT.unpersist(false) }
-    } finally tf.unpersist(false)
+      finally ()
+    } finally if (big) tf.unpersist(false)
   }
 
   /** q_pca_power — top principal component of the embedding store via
