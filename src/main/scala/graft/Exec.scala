@@ -60,4 +60,35 @@ object Exec {
     * the prior mode on exit (reentrant). */
   private[graft] def withLazyPlans[A](body: => A): A =
     lazyPlans.withValue(true)(body)
+
+  /** Above this input size a multi-consumer fact-derived hub persists;
+    * below it the consumers recompute. All driver fixture scales (≤5 k
+    * docs at sf0.1; ScaleProbe 8× ≈ 40 k) sit under it, every real
+    * deployment sits far over it. */
+  val HubPersistThreshold = 100000L
+
+  /** Cost-routed hub materialization — the q_naive_bayes lesson
+    * generalized. A fact-derived relation with ≥2 consumers whose
+    * downstream keys differ faces a real trade: persisting pays a
+    * fact-sized cache write (measured 2.3× the whole query at fixture
+    * scale, where the recomputed scans are page-cached), while
+    * recomputing pays one corpus scan PER consumer subtree (measured:
+    * ZERO ReuseExchange hits across the consumers — pruned-column
+    * differences defeat static reuse, and AQE dedupes nothing across
+    * independent subtrees) — the 100 TB scale-killer. So route on the
+    * input's size: small → return the hub as-is (recompute), large →
+    * persist MEMORY_AND_DISK. `release()` unpersists iff persisted;
+    * call it after the result is sealed.
+    *
+    * Like `Baskets.capPerItem`'s hot-item probe, the size probe makes
+    * the physical shape data-dependent (PlanShapeSpec pins the fixture
+    * route); `factRows` is memoized per table by
+    * [[graft.sources.Tables.rowCount]] so a full Verify/Bench run pays
+    * each probe job once. */
+  def sizedHub(hub: DataFrame, factRows: => Long,
+               threshold: Long = HubPersistThreshold): (DataFrame, () => Unit) =
+    if (factRows > threshold) {
+      val p = hub.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, () => { p.unpersist(false); () })
+    } else (hub, () => ())
 }

@@ -272,33 +272,19 @@ object MlOps extends QueryModule {
     * The rank window cuts with WindowGroupLimit. Unseen (lang, token)
     * pairs coalesce to the class's smoothed-zero likelihood, carried
     * on the 5-row lang dim — no vocab×5 densification anywhere. */
-  /** Above this corpus size the token-level tf hub persists; below it
-    * the three consumers recompute. See the routing comment in
-    * [[qNaiveBayes]]. */
-  private val NbPersistThreshold = 100000L
-
   private def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf0 = t(s, dir, "documents")
-      .select($"doc_id", $"lang",
-        explode(split(lower($"text"), " ")).as("token"))
-      .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf"))
-    // Cost-routed materialization (the Baskets.pairCore idiom, but
-    // size- rather than shape-routed): tf has THREE consumers with
-    // disjoint downstream keys (cells, docT, adj), so the uncached plan
-    // scans the corpus 8× with ZERO exchange reuse (measured via the
-    // final adaptive plan — the scan subtrees differ in pruned columns,
-    // so ReuseExchange never fires). At fixture scale those scans are
-    // page-cached and recompute beats the fact-sized cache write 2.3×
-    // (TimeQ warm 4.4 → 1.9 s at sf0.1); at production scale 8 corpus
-    // reads is the scale-killer, so past the threshold the hub persists
-    // and the corpus is read once. The probe is a footer-cheap count;
-    // like capPerItem's hot-item probe it makes the physical shape
-    // data-dependent (PlanShapeSpec pins the fixture route).
-    val big = t(s, dir, "documents").count() > NbPersistThreshold
-    val tf = if (big)
-      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tf0
+    // tf has THREE consumers with disjoint downstream keys (cells,
+    // docT, adj): uncached, the plan scans the corpus 8× with zero
+    // exchange reuse (measured, final adaptive plan) — so the hub is
+    // size-routed; TimeQ warm 4.4 → 1.9 s at sf0.1 on the recompute
+    // route (see Exec.sizedHub).
+    val (tf, release) = graft.Exec.sizedHub(
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"doc_id", $"lang", $"token").agg(count(lit(1)).as("tf")),
+      Tables.rowCount(s, dir, "documents"))
     try {
       // Per-(class,token) counts and class totals fold into ONE
       // vocabulary-sized cell relation (class totals are a window
@@ -365,7 +351,7 @@ object MlOps extends QueryModule {
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
       finally ()
-    } finally if (big) tf.unpersist(false)
+    } finally release()
   }
 
   /** q_pca_power — top principal component of the embedding store via

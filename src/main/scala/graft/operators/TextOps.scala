@@ -91,10 +91,11 @@ object TextOps extends QueryModule {
     * ranking so an engine ulp on `ln` can't flip the top-3 cut (same
     * discipline as the Similarity module). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
-    val tf = tfRelation(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf0 = tfRelation(s, dir)
+    val (tf, tfRel) = graft.Exec.sizedHub(tf0,
+      Tables.rowCount(s, dir, "documents"))
     try tfidfRanked(s, dir, tf).transform(graft.Exec.seal)
-    finally tf.unpersist(false)
+    finally tfRel()
   }
 
   /** The (doc_id, token, tf) relation — one corpus scan, map-side-combined
@@ -268,8 +269,9 @@ object TextOps extends QueryModule {
   private def qRankFusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val TopN = 100
-    val perDoc = bm25PerDoc(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc0 = bm25PerDoc(s, dir)
+    val (perDoc, perDocRel) = graft.Exec.sizedHub(perDoc0,
+      Tables.rowCount(s, dir, "documents"))
     try {
       // both rank windows are bounded: ≤TopN(100) rows by the limit
       // directly under them — never fact-sized
@@ -304,7 +306,7 @@ object TextOps extends QueryModule {
         .select($"doc_id", $"rank_a", $"rank_b",
           ($"qrrf".cast("double") / lit(1.0e9)).as("rrf_score"))
         .orderBy($"rrf_score".desc, $"doc_id")
-    } finally perDoc.unpersist(false)
+    } finally perDocRel()
   }
 
   /** Number of merge rules q_bpe_train learns (a real tokenizer learns
@@ -524,10 +526,11 @@ object TextOps extends QueryModule {
     * total rides along as a broadcast 1-row aggregate, so the only
     * full-size exchange is tf's own map-side-combined groupBy. */
   private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val tf = tfRelation(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf0 = tfRelation(s, dir)
+    val (tf, tfRel) = graft.Exec.sizedHub(tf0,
+      Tables.rowCount(s, dir, "documents"))
     try unigramScored(s, tf).transform(graft.Exec.seal)
-    finally tf.unpersist(false)
+    finally tfRel()
   }
 
   /** Surprisal scoring over a caller-managed (cached) tf relation. */
@@ -567,10 +570,11 @@ object TextOps extends QueryModule {
     * are order-free), `ln` stays inside the quantization like
     * [[qTfidf]]; the emitted double is one exact integer division. */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = bm25PerDoc(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc0 = bm25PerDoc(s, dir)
+    val (perDoc, perDocRel) = graft.Exec.sizedHub(perDoc0,
+      Tables.rowCount(s, dir, "documents"))
     try bm25Scored(s, perDoc).transform(graft.Exec.seal)
-    finally perDoc.unpersist(false)
+    finally perDocRel()
   }
 
   private val Bm25Terms = Seq("spark", "vector", "dup")
@@ -782,7 +786,7 @@ object TextOps extends QueryModule {
     * (w1, w2) tie-break so the limit boundary can't straddle engines. */
   private def qCollocations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pc = docs(s, dir)
+    val pc0 = docs(s, dir)
       .withColumn("toks", split(lower($"text"), " "))
       .select(explode(expr(
         """transform(sequence(1, size(toks)),
@@ -792,7 +796,8 @@ object TextOps extends QueryModule {
           .stripMargin)).as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pc, pcRel) = graft.Exec.sizedHub(pc0,
+      Tables.rowCount(s, dir, "documents"))
     try {
       val uni = pc.groupBy($"a").agg(sum($"c").as("cx"))
       val tot = pc.agg(
@@ -808,7 +813,7 @@ object TextOps extends QueryModule {
         .orderBy($"pmi".desc, $"w1", $"w2")
         .limit(20)
         .transform(graft.Exec.seal)
-    } finally pc.unpersist(false)
+    } finally pcRel()
   }
 
   /** q_token_entropy — per-document Shannon entropy of the token
@@ -857,7 +862,7 @@ object TextOps extends QueryModule {
     * BIGINT sums finished by one double division. */
   private def qBigramLogprob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perDoc = docs(s, dir)
+    val perDoc0 = docs(s, dir)
       .withColumn("toks", split(lower($"text"), " "))
       .filter(size($"toks") >= 2)
       .select($"doc_id", explode(expr(
@@ -867,7 +872,8 @@ object TextOps extends QueryModule {
           .stripMargin)).as("p"))
       .groupBy($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (perDoc, perDocRel) = graft.Exec.sizedHub(perDoc0,
+      Tables.rowCount(s, dir, "documents"))
     try {
       val corpus = perDoc.groupBy($"a", $"b").agg(sum($"c").as("cab"))
         .withColumn("ca", sum($"cab").over(
@@ -883,7 +889,7 @@ object TextOps extends QueryModule {
             .as("avg_nll"))
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
-    } finally perDoc.unpersist(false)
+    } finally perDocRel()
   }
 
   /** q_inverted_index — posting-list build below the stopword line
@@ -902,11 +908,12 @@ object TextOps extends QueryModule {
     * localCheckpoint'ed so the cache is dropped before return. */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dt = docs(s, dir)
+    val dt0 = docs(s, dir)
       .select($"doc_id",
         explode(array_distinct(split(lower($"text"), " "))).as("token"))
       .filter(length($"token") >= 4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dt, dtRel) = graft.Exec.sizedHub(dt0,
+      Tables.rowCount(s, dir, "documents"))
     try {
       val nd = docs(s, dir).agg(count_distinct($"doc_id").as("nd"))
       val kept = dt.groupBy($"token").agg(count(lit(1)).as("df"))
@@ -922,7 +929,7 @@ object TextOps extends QueryModule {
         .select($"token", $"df", $"postings")
         .orderBy($"token")
         .transform(graft.Exec.seal)
-    } finally dt.unpersist(false)
+    } finally dtRel()
   }
 
   /** q_vocab_growth — Heaps'-law vocabulary-growth curve: the corpus is
@@ -944,12 +951,13 @@ object TextOps extends QueryModule {
     val stats = docs(s, dir)
       .agg(min($"doc_id").as("mn"),
         (max($"doc_id") - min($"doc_id") + 1).as("spanw"))
-    val h = docs(s, dir)
+    val h0 = docs(s, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
       .crossJoin(broadcast(stats))
       .select(expr("(doc_id - mn) * 10 div spanw").as("decile"), $"tok")
       .groupBy($"decile", $"tok").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (h, hRel) = graft.Exec.sizedHub(h0,
+      Tables.rowCount(s, dir, "documents"))
     try {
       val vol = h.groupBy($"decile").agg(sum($"c").as("n_tokens"))
       val fresh = h.groupBy($"tok").agg(min($"decile").as("decile"))
@@ -963,7 +971,7 @@ object TextOps extends QueryModule {
         .withColumn("cum_types", sum($"new_types").over(w))
         .orderBy($"decile")
         .transform(graft.Exec.seal)
-    } finally h.unpersist(false)
+    } finally hRel()
   }
 
   /** Hashed-vocabulary size for [[qDsir]]: small enough that the
@@ -999,13 +1007,14 @@ object TextOps extends QueryModule {
     * max(256, 4096) rows in one partition. */
   private def qDsir(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val occ = docs(s, dir)
+    val occ0 = docs(s, dir)
       .select($"doc_id", $"lang",
         explode(split(lower($"text"), " ")).as("token"))
       .select($"doc_id", $"lang",
         (conv(substring(md5($"token"), 1, 15), 16, 10).cast("long")
           % lit(DsirBuckets)).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (occ, occRel) = graft.Exec.sizedHub(occ0,
+      Tables.rowCount(s, dir, "documents"))
     try {
       // raw + target bucket counts in ONE map-side-combined pass; the
       // totals ride the 256-row relation as whole-relation windows
@@ -1033,7 +1042,7 @@ object TextOps extends QueryModule {
           when($"sw" >= $"t", 1L).otherwise(0L).as("selected"))
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
-    } finally occ.unpersist(false)
+    } finally occRel()
   }
 
   val queries: Map[String, Q] = Map(

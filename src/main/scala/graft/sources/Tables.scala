@@ -108,6 +108,19 @@ object Tables {
   def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     load(spark, dir, name)
 
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized table row count — the size probe behind cost-routed hub
+    * materialization ([[graft.Exec.sizedHub]]). A parquet count is
+    * footer-cheap but still a job; memoizing per (dir, table) means a
+    * Bench/Verify run pays it once per table, not once per probing
+    * query. Driver-lifetime cache: testdata dirs are immutable per run
+    * (the driver regenerates into fresh paths). */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCounts.computeIfAbsent(s"$dir/$name",
+      _ => java.lang.Long.valueOf(load(spark, dir, name).count())).longValue()
+
   /** Catalog surface (SURVEY.md §2.1 S2, mirrors
     * `/root/reference/probe.py:6-7` `inspector.get_table_names()`):
     * register every testdata table as a temp view and list them. */
