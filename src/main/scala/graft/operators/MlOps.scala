@@ -294,17 +294,26 @@ object MlOps extends QueryModule {
       // vocab×classes relation through a single task at 100 TB (the
       // PlanShapeSpec unpartitioned-window sweep guards this), while an
       // aggregate combines map-side and costs one tiny broadcast each.
-      val cells = tf.groupBy($"lang", $"token")
-        .agg(sum($"tf").as("c"))
-        .withColumn("tot", sum($"c").over(Window.partitionBy($"lang")))
+      // cells and docT ride the SAME size route as tf: on the persisted
+      // (production) route cells is consumed 4× (model's two arms ×
+      // classes/dq) and docT 2× — each a fact-derived shuffle with zero
+      // exchange reuse, so past the threshold they must cache too or
+      // the cached tf gets re-aggregated per consumer.
+      val (cells, cellsRel) = graft.Exec.sizedHub(
+        tf.groupBy($"lang", $"token")
+          .agg(sum($"tf").as("c"))
+          .withColumn("tot", sum($"c").over(Window.partitionBy($"lang"))),
+        Tables.rowCount(s, dir, "documents"))
       val model = cells.crossJoin(broadcast(
         cells.agg(countDistinct($"token").as("v"))))
       // Class doc counts come from the DOC-sized (doc, lang) relation the
       // scoring base needs anyway (a doc carries one lang, so a plain
       // count over it equals countDistinct(doc_id) over the fact-sized
       // token stream — without the extra distinct's two shuffle stages).
-      val docT = tf.groupBy($"doc_id", $"lang")
-        .agg(sum($"tf").as("t_doc"))
+      val (docT, docTRel) = graft.Exec.sizedHub(
+        tf.groupBy($"doc_id", $"lang")
+          .agg(sum($"tf").as("t_doc")),
+        Tables.rowCount(s, dir, "documents"))
       val priors0 = docT.groupBy($"lang".as("cand"))
         .agg(count(lit(1)).as("ndx"))
       val priors = priors0.crossJoin(broadcast(
@@ -350,7 +359,7 @@ object MlOps extends QueryModule {
           ($"cand" === $"lang").as("correct"))
         .orderBy($"doc_id")
         .transform(graft.Exec.seal)
-      finally ()
+      finally { cellsRel(); docTRel() }
     } finally release()
   }
 

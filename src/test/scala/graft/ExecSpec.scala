@@ -34,13 +34,18 @@ class ExecSpec extends AnyFunSuite {
   }
 
   test("both routes yield bit-identical results") {
+    // Order matters: collect the recompute route BEFORE the persisted
+    // route exists — CacheManager substitutes InMemoryRelation into any
+    // later plan whose canonical subtree matches, which would make the
+    // "recompute" side silently read the cache and the test vacuous.
     val (small, rs) = Exec.sizedHub(hubDf, factRows = 1L, threshold = 100L)
+    val a = small.orderBy("tok").collect().toSeq
+    rs()
     val (big, rb) = Exec.sizedHub(hubDf, factRows = 1000L, threshold = 100L)
     try {
-      val a = small.orderBy("tok").collect().toSeq
       val b = big.orderBy("tok").collect().toSeq
       assert(a == b)
-    } finally { rs(); rb() }
+    } finally rb()
   }
 
   test("probe is lazy: the fast route must not evaluate a persisted side") {
