@@ -21,6 +21,7 @@ object SparkEntry {
     operators.ReferencePipeline,
     operators.Multimodal,
     operators.Curation,
+    operators.Governance,
     operators.Layouts,
     streaming.StreamOps)
 

@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators (round 9, north-star extension next to
+  * [[Curation]]'s `q_gdpr_delete`): the privacy/compliance audits a
+  * 100 TB data platform runs before releasing or retaining data —
+  * k-anonymity / l-diversity risk audit, differentially-private
+  * aggregate release, and PII detection + masking.
+  *
+  * The fixtures carry no real PII (synthetic TPC-H-ish names and
+  * word-soup documents), so `q_pii_detect`'s haystack is derived
+  * deterministically from customer keys — the same honest stand-in
+  * posture as the [[Graphs]] link graph and the `q_lang_id` profiles;
+  * the OPERATOR machinery (multi-class regex detection, masking,
+  * per-cohort risk accounting) is the real thing and is what the
+  * oracle replays.
+  *
+  * Determinism: k-anonymity is all-integer; the DP noise draws its
+  * uniforms from md5 of the group key (the repo-wide content-hash
+  * stance — reproducible, resumable, engine-agnostic) and quantizes
+  * immediately after the single ln per draw, the [[graft.Det]]
+  * transcendental discipline.
+  */
+object Governance extends QueryModule {
+
+  /** q_kanonymity — k-anonymity / l-diversity audit: group the customer
+    * table by its quasi-identifier tuple (nation, market segment) and
+    * report, per equivalence class, the class size n, whether it meets
+    * k = 10 (a class smaller than k re-identifies its members), the
+    * l-diversity of the sensitive attribute (distinct account-balance
+    * bands — a class whose members all share one band leaks the value
+    * even when n ≥ k), and the worst-case re-identification risk 1/n.
+    * The audit a platform runs before publishing a "de-identified"
+    * extract.
+    *
+    * Scale: ONE scan, one map-side-combinable aggregate keyed by the
+    * QI tuple (the distinct-band count is a two-level partial
+    * aggregate); output is |QI-space| rows — bounded by the attribute
+    * vocabulary, never fact-sized. */
+  private def qKanonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select($"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"))
+      .groupBy($"nation", $"segment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"band").as("l_div"))
+      .select($"nation", $"segment", $"n", $"l_div",
+        ($"n" >= 10L).as("k_anon"),
+        graft.Det.round6(lit(1.0) / $"n".cast("double"))
+          .as("reident_risk"))
+      .orderBy($"nation", $"segment")
+  }
+
+  /** 52-bit md5 dyadic uniform u ∈ (0, 1] of `e` salted with `salt`:
+    * (h + 1) / 2^52 with h the first 13 md5 hex digits — exactly
+    * representable in both engines, so `ln` sees identical bits (the
+    * [[Curation]] Efraimidis-sampling idiom). */
+  private def mdUniform(e: String, salt: String) =
+    (expr(s"CAST(conv(substr(md5(concat($e, '$salt')), 1, 13), " +
+      "16, 10) AS BIGINT)") + lit(1L)).cast("double") /
+      lit(4503599627370496.0)
+
+  /** q_dp_release — differentially-private count release (ε = 1):
+    * per-event-type counts perturbed with Laplace(1/ε) noise before
+    * publication — the mechanism a platform uses to publish usage
+    * statistics without exposing any individual's presence. The Laplace
+    * draw is the difference of two exponentials, −b·ln(u₁) + b·ln(u₂)
+    * with independent uniforms (no branch, no ln(0) edge); uniforms are
+    * md5-derived (deterministic release — a re-run publishes the same
+    * numbers, and the noise is still Laplace across group keys), and
+    * the noise is quantized to 1e-6 right after the two lns, so
+    * `released = n + noise` is exact integer-plus-quantum arithmetic in
+    * both engines. `n_true` is emitted for the oracle gate only; a
+    * production release ships the `released` column alone.
+    *
+    * Scale: one map-side-combined G-row aggregate; the noise is G
+    * scalar expressions. Nothing else touches the fact. */
+  private def qDpRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = 1.0 // Laplace scale = sensitivity/ε = 1/1
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise_q",
+        floor((log(mdUniform("event_type", "|dp2"))
+          - log(mdUniform("event_type", "|dp1"))) * lit(b)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select($"event_type", $"n_true", lit(1.0).as("epsilon"),
+        ($"noise_q".cast("double") / lit(1000000.0)).as("noise"),
+        ($"n_true".cast("double")
+          + $"noise_q".cast("double") / lit(1000000.0)).as("released"))
+      .orderBy($"event_type")
+  }
+
+  /** Synthetic per-customer profile string: name plus PII-shaped
+    * contact fields planted on deterministic key residues (email on
+    * custkey ≡ 0 mod 3, phone on ≡ 0 mod 2, a 16-digit PAN on ≡ 0
+    * mod 5) — so the detector sees a MIX of clean and dirty rows, not
+    * a constant hit rate. */
+  private def profileCol = {
+    val k = col("c_custkey")
+    concat(
+      col("c_name"),
+      when(k % 3 === 0,
+        concat(lit(" <"), lower(col("c_mktsegment")),
+          k.cast("string"), lit("@example.com>"))).otherwise(lit("")),
+      when(k % 2 === 0,
+        concat(lit(" tel "), lpad((k % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((k * 13) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(k % 5 === 0,
+        concat(lit(" card "), lpad(k.cast("string"), 16, "9")))
+        .otherwise(lit("")))
+  }
+
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val CardRe = "[0-9]{16}"
+
+  /** q_pii_detect — PII detection + masking audit: three regex
+    * detector classes (email, phone, payment-card PAN) sweep a
+    * free-text profile field; every hit class is counted and the
+    * masked form (class tokens substituted) is measured, reported per
+    * market-segment cohort: rows scanned, hits per class, clean rows,
+    * the cohort's PII incidence rate, and the total characters the
+    * masking pass removes. The pre-release scrub audit next to
+    * [[Curation]]'s `q_scrub_text` (which normalizes) and
+    * `q_gdpr_delete` (which erases by subject).
+    *
+    * Detector order matters for masking: the PAN class is masked
+    * FIRST, else the phone regex could match inside a longer digit
+    * run; with the dash-delimited phone shape the classes are
+    * disjoint, and the oracle replays the same order.
+    *
+    * Scale: ONE scan; detection and masking are codegen'd projections;
+    * the only exchange carries |segments| partial-agg rows. */
+  private def qPiiDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val masked = regexp_replace(regexp_replace(regexp_replace(
+      col("profile"), CardRe, "<PAN>"), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    Tables.load(s, dir, "customer")
+      .withColumn("profile", profileCol)
+      .select($"c_mktsegment".as("segment"),
+        expr(s"CAST(regexp_count(profile, '$EmailRe') AS BIGINT)")
+          .as("e"),
+        expr(s"CAST(regexp_count(profile, '$PhoneRe') AS BIGINT)")
+          .as("p"),
+        expr(s"CAST(regexp_count(profile, '$CardRe') AS BIGINT)")
+          .as("c"),
+        (length($"profile") - length(masked)).cast("long").as("cut"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"e").as("n_email"),
+        sum($"p").as("n_phone"),
+        sum($"c").as("n_card"),
+        sum(when($"e" + $"p" + $"c" === 0L, 1L).otherwise(0L))
+          .as("n_clean"),
+        sum($"cut").as("masked_chars"))
+      .select($"segment", $"n_rows", $"n_email", $"n_phone", $"n_card",
+        $"n_clean",
+        graft.Det.round6(($"n_rows" - $"n_clean").cast("double")
+          / $"n_rows".cast("double")).as("pii_rate"),
+        $"masked_chars")
+      .orderBy($"segment")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_kanonymity" -> (qKanonymity _),
+    "q_dp_release" -> (qDpRelease _),
+    "q_pii_detect" -> (qPiiDetect _))
+
+  /** DuckDB replay of [[mdUniform]]'s 52-bit md5 numerator. */
+  private def duckHash(e: String, salt: String): String =
+    s"""CAST(list_reduce(
+       |   list_prepend('0', string_split(substr(md5($e || '$salt'), 1, 13), '')),
+       |   (acc, c) -> CAST(CAST(acc AS BIGINT) * 16 +
+       |     instr('0123456789abcdef', c) - 1 AS VARCHAR)) AS BIGINT)"""
+      .stripMargin
+
+  /** The profile builder replayed in DuckDB (lpad/concat/CASE parity
+    * with [[profileCol]]). */
+  private val ProfileSql =
+    """c_name
+      || CASE WHEN c_custkey % 3 = 0
+              THEN ' <' || lower(c_mktsegment)
+                   || CAST(c_custkey AS VARCHAR) || '@example.com>'
+              ELSE '' END
+      || CASE WHEN c_custkey % 2 = 0
+              THEN ' tel ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN c_custkey % 5 = 0
+              THEN ' card ' || lpad(CAST(c_custkey AS VARCHAR), 16, '9')
+              ELSE '' END"""
+
+  val oracles: Map[String, String] = Map(
+    "q_kanonymity" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                c_mktsegment AS segment,
+                count(*) AS n,
+                CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                     AS BIGINT) AS l_div,
+                count(*) >= 10 AS k_anon,
+                ${graft.Det.ROUND6("1.0 / count(*)")} AS reident_risk
+         FROM customer
+         GROUP BY c_nationkey, c_mktsegment
+         ORDER BY nation, segment""",
+    "q_dp_release" ->
+      s"""WITH g AS (
+           SELECT event_type, count(*) AS n_true FROM events
+           GROUP BY event_type),
+         u AS (
+           SELECT event_type, n_true,
+                  (CAST(${duckHash("event_type", "|dp2")} AS DOUBLE) + 1)
+                    / 4503599627370496.0 AS u2,
+                  (CAST(${duckHash("event_type", "|dp1")} AS DOUBLE) + 1)
+                    / 4503599627370496.0 AS u1
+           FROM g),
+         q AS (
+           SELECT event_type, n_true,
+                  CAST(floor((ln(u2) - ln(u1)) * 1.0 * 1000000.0 + 0.5)
+                       AS BIGINT) AS noise_q
+           FROM u)
+         SELECT event_type, n_true, 1.0 AS epsilon,
+                CAST(noise_q AS DOUBLE) / 1000000.0 AS noise,
+                CAST(n_true AS DOUBLE)
+                  + CAST(noise_q AS DOUBLE) / 1000000.0 AS released
+         FROM q ORDER BY event_type""",
+    "q_pii_detect" ->
+      s"""WITH p AS (SELECT c_mktsegment AS segment,
+                           $ProfileSql AS profile
+                    FROM customer),
+         d AS (
+           SELECT segment,
+                  CAST(len(regexp_extract_all(profile, '$EmailRe'))
+                       AS BIGINT) AS e,
+                  CAST(len(regexp_extract_all(profile, '$PhoneRe'))
+                       AS BIGINT) AS p,
+                  CAST(len(regexp_extract_all(profile, '$CardRe'))
+                       AS BIGINT) AS c,
+                  CAST(length(profile) - length(
+                    regexp_replace(regexp_replace(regexp_replace(profile,
+                      '$CardRe', '<PAN>', 'g'),
+                      '$EmailRe', '<EMAIL>', 'g'),
+                      '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS cut
+           FROM p)
+         SELECT segment, count(*) AS n_rows,
+                CAST(sum(e) AS BIGINT) AS n_email,
+                CAST(sum(p) AS BIGINT) AS n_phone,
+                CAST(sum(c) AS BIGINT) AS n_card,
+                CAST(sum(CASE WHEN e + p + c = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clean,
+                ${graft.Det.ROUND6(
+        "CAST(count(*) - sum(CASE WHEN e + p + c = 0 THEN 1 ELSE 0 END)" +
+          " AS DOUBLE) / count(*)")} AS pii_rate,
+                CAST(sum(cut) AS BIGINT) AS masked_chars
+         FROM d GROUP BY segment ORDER BY segment""")
+}

@@ -422,6 +422,120 @@ object Graphs extends QueryModule {
       .filter($"degree" >= k)
   }
 
+  /** q_hits — HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * derived link graph (same generator as [[qPagerank]]): two fixed
+    * mutual-reinforcement rounds — auth(v) = Σ_{u→v} hub(u), then
+    * hub(u) = Σ_{u→v} auth(v) — the link-quality pair PageRank's single
+    * score can't separate (a directory page is a hub, a cited page an
+    * authority; crawl-curation uses both as priors). Scores start at
+    * 1e6 integer units and stay UN-normalized integers through the two
+    * rounds (round-count × log(max-degree) bits of headroom — ≤ ~2e10
+    * at sf1 — so the sums are exact, order-free BIGINTs in both
+    * engines); the conventional max-normalization happens ONCE at
+    * emission as a cosmetic double division. More rounds would need the
+    * production mid-loop rescale, which forfeits integer exactness —
+    * the fixed-2 form is what an unrolled oracle can replay bit-exactly.
+    *
+    * Scale: each half-round is ONE edges⋈scores equi-join with a
+    * map-side-combinable sum keyed by node id; the final max is a 1-row
+    * broadcast. Edges and nodes persist across rounds ([[qPagerank]]
+    * lifecycle), each half-round result is sealed (consumed by the next
+    * join AND the final assembly). */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val ef = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val h0 = d.select($"doc_id", lit(1000000L).as("h"))
+      val (hN, aN) = (1 to 2).foldLeft((h0, h0.select($"doc_id",
+        lit(0L).as("a")))) { case ((h, _), _) =>
+        val aRaw = ef.join(h, ef("src") === h("doc_id"))
+          .groupBy($"dst").agg(sum($"h").as("a"))
+        val a = graft.Exec.seal(
+          d.join(aRaw, d("doc_id") === aRaw("dst"), "left")
+            .select(d("doc_id"), coalesce($"a", lit(0L)).as("a")))
+        val hRaw = ef.join(a, ef("dst") === a("doc_id"))
+          .groupBy($"src").agg(sum($"a").as("h"))
+        val h2 = graft.Exec.seal(
+          d.join(hRaw, d("doc_id") === hRaw("src"), "left")
+            .select(d("doc_id"), coalesce($"h", lit(0L)).as("h")))
+        (h2, a)
+      }
+      val scores = hN.join(aN, Seq("doc_id"))
+      val mx = scores.agg(max($"h").as("hmax"), max($"a").as("amax"))
+      scores.crossJoin(broadcast(mx))
+        .select($"doc_id", $"h".as("hub"), $"a".as("auth"),
+          graft.Det.round6($"h".cast("double") / $"hmax".cast("double"))
+            .as("hub_score"),
+          graft.Det.round6($"a".cast("double") / $"amax".cast("double"))
+            .as("auth_score"))
+        .orderBy($"doc_id")
+        .transform(graft.Exec.seal)
+    } finally { ef.unpersist(false); d.unpersist(false) }
+  }
+
+  /** One weighted relaxation over a symmetrized weighted edge list:
+    * offer every neighbor dist + w, keep the per-node min. The weighted
+    * generalization of [[bfsStep]]; package-private for the
+    * PlanShapeSpec loop-body sweep. */
+  private[graft] def ssspStep(ew: DataFrame, reached: DataFrame): DataFrame = {
+    val s = ew.sparkSession; import s.implicits._
+    val relaxed = ew.join(reached, ew("dst") === reached("doc_id"))
+      .select(ew("src").as("doc_id"), ($"dist" + $"w").as("dist"))
+    reached.union(relaxed)
+      .groupBy($"doc_id").agg(min($"dist").as("dist"))
+  }
+
+  /** q_sssp_weighted — bounded-hop weighted shortest paths
+    * (Bellman–Ford relaxation) from the [[qGraphBfs]] seed set over the
+    * symmetrized link graph with deterministic integer edge weights
+    * w = 1 + (src + dst) mod 7 (symmetric in the endpoints, so the
+    * symmetrized directions agree). Three fixed relaxation rounds give
+    * the exact cheapest cost over paths of ≤ 3 edges — the oracle-
+    * replayable fixed-round form of SSSP; running the same step to a
+    * fixpoint (the [[bfsConverged]] pattern) yields full shortest
+    * paths. Note hop-bounded ≠ hop-count: a 3-hop path of weight 5
+    * correctly beats a 1-hop edge of weight 7.
+    *
+    * Scale: identical posture to BFS — each round is one edges⋈reached
+    * equi-join with a map-side-combinable min keyed by node id; the
+    * frontier relation holds only REACHED nodes; all-integer distances,
+    * zero float surface. */
+  private def qSsspWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val e0 = d.crossJoin(broadcast(stats))
+      .withColumn("j", $"doc_id" - $"mn")
+      .select($"doc_id".as("src"), explode(array(
+        $"mn" + expr("j div 3"),
+        $"mn" + ($"j" * $"j" + 1) % $"n")).as("dst"))
+      .filter($"src" =!= $"dst")
+    val ew = e0.select($"src", $"dst")
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .withColumn("w", lit(1L) + ($"src" + $"dst") % 7L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r0 = d.filter($"doc_id" % 31 === 5)
+        .select($"doc_id", lit(0L).as("dist"))
+      // seal each round: ssspStep consumes `reached` twice (join +
+      // union), the [[qGraphBfs]] doubling
+      val r3 = (1 to 3).foldLeft(r0)((reached, _) =>
+        graft.Exec.seal(ssspStep(ew, reached)))
+      r3.orderBy($"doc_id").transform(graft.Exec.seal)
+    } finally { ew.unpersist(false); d.unpersist(false) }
+  }
+
   // ---- convergence-detected variants --------------------------------
   //
   // The declared queries above run FIXED rounds so a DuckDB oracle can
@@ -644,6 +758,37 @@ object Graphs extends QueryModule {
          GROUP BY doc_id)"""
   }
 
+  /** One unrolled HITS round as DuckDB CTEs: the auth half-step from
+    * the previous hubs, then the hub half-step from the fresh
+    * authorities (HUGEINT sums cast back to BIGINT, the [[duckIter]]
+    * convention). */
+  private def duckHitsIter(i: Int): String = {
+    val prevH = s"h${i - 1}"
+    s"""a$i AS (
+         SELECT d.doc_id, COALESCE(r.a, 0) a FROM d LEFT JOIN (
+           SELECT ef.dst, CAST(sum($prevH.h) AS BIGINT) a
+           FROM ef JOIN $prevH ON ef.src = $prevH.doc_id
+           GROUP BY ef.dst) r ON r.dst = d.doc_id),
+       h$i AS (
+         SELECT d.doc_id, COALESCE(r.h, 0) h FROM d LEFT JOIN (
+           SELECT ef.src, CAST(sum(a$i.a) AS BIGINT) h
+           FROM ef JOIN a$i ON ef.dst = a$i.doc_id
+           GROUP BY ef.src) r ON r.src = d.doc_id)"""
+  }
+
+  /** One unrolled weighted relaxation as a DuckDB CTE: keep the old
+    * distance, offer every neighbor dist + w, take the min per node. */
+  private def duckSsspIter(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""w$i AS (
+         SELECT doc_id, min(dist) dist FROM (
+           SELECT doc_id, dist FROM $prev
+           UNION ALL
+           SELECT ew.src, $prev.dist + ew.w
+           FROM ew JOIN $prev ON ew.dst = $prev.doc_id)
+         GROUP BY doc_id)"""
+  }
+
   /** One unrolled LPA round as DuckDB CTEs: neighbor-label counts then
     * the (count DESC, label ASC) argmax per node. */
   private def duckLpaIter(i: Int): String = {
@@ -722,6 +867,8 @@ object Graphs extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_hits" -> (qHits _),
+    "q_sssp_weighted" -> (qSsspWeighted _),
     "q_pagerank" -> (qPagerank _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_label_prop" -> (qLabelProp _),
@@ -731,6 +878,45 @@ object Graphs extends QueryModule {
     "q_triangles" -> (qTriangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_hits" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) h FROM d),
+         ${(1 to 2).map(duckHitsIter).mkString(",\n")},
+         sc AS (SELECT h2.doc_id, h2.h, a2.a
+                FROM h2 JOIN a2 USING (doc_id)),
+         mx AS (SELECT max(h) hmax, max(a) amax FROM sc)
+         SELECT doc_id, h AS hub, a AS auth,
+                ${graft.Det.ROUND6(
+        "CAST(h AS DOUBLE) / CAST(hmax AS DOUBLE)")} AS hub_score,
+                ${graft.Det.ROUND6(
+        "CAST(a AS DOUBLE) / CAST(amax AS DOUBLE)")} AS auth_score
+         FROM sc CROSS JOIN mx ORDER BY doc_id""",
+    "q_sssp_weighted" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         s AS (SELECT count(*) n, min(doc_id) mn FROM d),
+         e0 AS (
+           SELECT doc_id src, mn + ((doc_id - mn) // 3) dst
+           FROM d CROSS JOIN s
+           UNION ALL
+           SELECT doc_id, mn + ((doc_id - mn) * (doc_id - mn) + 1) % n
+           FROM d CROSS JOIN s),
+         ef AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         eu AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM ef
+                   UNION ALL SELECT dst, src FROM ef)),
+         ew AS (SELECT src, dst, 1 + (src + dst) % 7 w FROM eu),
+         w0 AS (SELECT doc_id, CAST(0 AS BIGINT) dist FROM d
+                WHERE doc_id % 31 = 5),
+         ${(1 to 3).map(duckSsspIter).mkString(",\n")}
+         SELECT doc_id, dist FROM w3 ORDER BY doc_id""",
     "q_graph_jaccard" ->
       s"""WITH d AS (SELECT doc_id FROM documents),
          s AS (SELECT count(*) n, min(doc_id) mn FROM d),

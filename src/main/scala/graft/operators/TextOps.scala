@@ -399,6 +399,44 @@ object TextOps extends QueryModule {
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainMerges(bpeWords(s, dir), BpeTrainRounds)
 
+  /** q_readability — Flesch reading-ease scoring (Flesch 1948; the
+    * readability prior corpus-quality pipelines compute next to the
+    * heuristic [[qQualityScore]]): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), with syllables approximated by vowel
+    * groups (the standard dictionary-free proxy) and sentences by
+    * terminal-punctuation runs, floored at 1 so punctuation-free text
+    * degrades to one sentence instead of a division by zero. Each doc
+    * also gets the coarse easy/medium/hard band downstream mixers key
+    * on.
+    *
+    * Determinism: the three counts are integers; the score is pure
+    * IEEE double arithmetic on them (two divisions, two multiplies),
+    * identical bitwise in both engines, round6'd at emission.
+    *
+    * Scale: ONE scan, zero shuffles — counts, score and band are a
+    * single codegen'd projection; the only exchange is the output
+    * sort. */
+  private def qReadability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+        expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
+          .as("n_syllables"),
+        expr("CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT)")
+          .as("n_sentences"))
+      .withColumn("flesch", graft.Det.round6(
+        lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double")
+            / $"n_sentences".cast("double"))
+          - lit(84.6) * ($"n_syllables".cast("double")
+            / $"n_words".cast("double"))))
+      .withColumn("band",
+        when($"flesch" >= 60.0, "easy")
+          .when($"flesch" >= 30.0, "medium").otherwise("hard"))
+      .orderBy($"doc_id")
+  }
+
   /** q_quality_score — heuristic quality signal: doc length, mean token
     * length, stopword ratio, blended into one bounded score. Mirrors the
     * length/punct/stopword family of quality filters used on web corpora. */
@@ -1064,6 +1102,7 @@ object TextOps extends QueryModule {
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_quality_score" -> (qQualityScore _),
+    "q_readability" -> (qReadability _),
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_lang_id" -> (qLangId _),
@@ -1556,6 +1595,29 @@ object TextOps extends QueryModule {
                 ${graft.Det.ROUND6(
         "CAST(a.n_chars AS DOUBLE) / a.n_tokens")} AS chars_per_token
          FROM d JOIN a ON d.lang = a.lang ORDER BY d.lang""",
+    "q_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables,
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS BIGINT) AS n_sentences
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_words, n_syllables, n_sentences,
+                  floor((206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE))
+                         - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE)))
+                        * 1000000.0 + 0.5) / 1000000.0 AS flesch
+           FROM c)
+         SELECT doc_id, n_words, n_syllables, n_sentences, flesch,
+                CASE WHEN flesch >= 60.0 THEN 'easy'
+                     WHEN flesch >= 30.0 THEN 'medium'
+                     ELSE 'hard' END AS band
+         FROM f ORDER BY doc_id""",
     "q_quality_score" ->
       """WITH q AS (
            SELECT doc_id,

@@ -31,7 +31,9 @@ object ScaleProbe {
     "q_bootstrap_ci", "q_conformal", "q_ks_drift", "q_graph_modularity",
     "q_tokenizer_fertility", "q_mi_select",
     "q_reference_conclusions", "q_reference_decisions",
-    "q_ann_search_indexed")
+    "q_ann_search_indexed",
+    "q_hits", "q_sssp_weighted", "q_kanonymity", "q_dp_release",
+    "q_pii_detect", "q_readability")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */

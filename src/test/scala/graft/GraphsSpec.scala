@@ -387,6 +387,75 @@ class GraphsSpec extends AnyFunSuite {
         "proves nothing)")
   }
 
+  /** The derived directed link graph, rebuilt driver-side exactly as
+    * every Graphs query derives it. */
+  private def derivedEdges(): (Array[Long], Array[(Long, Long)]) = {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val (n, mn) = (ids.length.toLong, ids.min)
+    val ef = ids.flatMap { i =>
+      val j = i - mn
+      Seq(i -> (mn + j / 3), i -> (mn + (j * j + 1) % n))
+    }.filter { case (s, d) => s != d }
+    (ids, ef)
+  }
+
+  test("hits: exact match with a 2-round driver-side replica; max scores are 1") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_hits")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val (ids, ef) = derivedEdges()
+    assert(got.length == ids.length)
+    var h = ids.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long].withDefaultValue(0L)
+    (1 to 2).foreach { _ =>
+      val aRaw = ef.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => h(e._1)).sum }
+      a = ids.map(v => v -> aRaw.getOrElse(v, 0L)).toMap
+      val hRaw = ef.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => a(e._2)).sum }
+      h = ids.map(v => v -> hRaw.getOrElse(v, 0L)).toMap
+    }
+    val (hmax, amax) = (h.values.max, a.values.max)
+    got.foreach { case (id, hub, auth, hs, as_) =>
+      assert(hub == h(id) && auth == a(id), s"node $id")
+      assert(hs == math.floor(hub.toDouble / hmax * 1e6 + 0.5) / 1e6)
+      assert(as_ == math.floor(auth.toDouble / amax * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.map(_._4).max == 1.0 && got.map(_._5).max == 1.0)
+    // hubs and authorities separate: the two rankings are not identical
+    val byHub = got.sortBy(-_._2).map(_._1).take(10).toSeq
+    val byAuth = got.sortBy(-_._3).map(_._1).take(10).toSeq
+    assert(byHub != byAuth, "hub and authority top-10 must differ on this graph")
+  }
+
+  test("sssp: exact match with a 3-round Bellman-Ford replica; weighted ≠ hop metric") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_sssp_weighted")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val (ids, ef) = derivedEdges()
+    val ew = (ef ++ ef.map(e => (e._2, e._1))).distinct
+      .map { case (s, d) => (s, d, 1L + (s + d) % 7L) }
+    var dist = ids.filter(_ % 31 == 5).map(_ -> 0L).toMap
+    (1 to 3).foreach { _ =>
+      val relaxed = ew.flatMap { case (s, d, w) =>
+        dist.get(d).map(x => s -> (x + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(got == dist, "bounded-hop SSSP must equal the exact replica")
+    // the weight metric is load-bearing: some reached node's cost must
+    // differ from 7 × its unweighted hop count bound and from the hop
+    // count itself (i.e. weights neither collapse to 1 nor saturate)
+    val bfs = SparkEntry.queries("q_graph_bfs")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == bfs.keySet,
+      "same seeds + same 3 relaxation rounds reach the same node set")
+    assert(got.exists { case (k, v) => v != bfs(k) },
+      "weighted distances must differ from hop counts somewhere")
+  }
+
   test("corr matches Spark's native streaming kernel within double noise") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

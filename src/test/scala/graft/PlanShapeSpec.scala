@@ -529,6 +529,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // change that trips the probe would legitimately raise them to the
     // production-path counts (old shape: 25/37) — update consciously.
     "q_market_basket" -> 4, "q_multimodal_phash" -> 8,
+    // q_hits / q_sssp_weighted: 2 resp. 3 sealed rounds over the
+    // persisted node+edge pair — raw lazy trees double per round like
+    // q_graph_bfs (runtime pays each subtree once via Exec.seal)
+    "q_hits" -> 46, "q_sssp_weighted" -> 36,
     "q_naive_bayes" -> 8, "q_pagerank" -> 20, "q_pca_power" -> 10,
     "q_recommend_cooccur" -> 5, "q_rfm" -> 18, "q_semdedup" -> 21,
     "q_dsir" -> 18,
