@@ -485,6 +485,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm bounds: collect-sort route ≡ bucketed-Selection route on the real metric vectors") {
+    import spark.implicits._
+    // Rebuild the exact (metric, v) relation qRfm unpivots, then run
+    // BOTH physical routes of rfmBounds over it: the boundaries are the
+    // same order statistic by definition, so the routes must agree bit
+    // for bit — the guard that keeps size-routing a physical-only choice.
+    val day = datediff($"o_orderdate".cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val cust = graft.sources.Tables.load(spark, dir, "orders")
+      .select($"o_custkey", day.as("day"),
+        floor($"o_totalprice" * 10000.0 + 0.5).cast("long").as("pq"))
+      .groupBy($"o_custkey")
+      .agg(max($"day").as("lastd"), count(lit(1)).as("fq"), sum($"pq").as("mq"))
+    val anchor = cust.agg(max($"lastd").as("maxd"))
+    val mv = cust.crossJoin(broadcast(anchor))
+      .select(explode(map(
+        lit("rq"), $"maxd" - $"lastd", lit("fq"), $"fq", lit("mq"), $"mq"))
+        .as(Seq("metric", "v")))
+    val small = graft.operators.Analytics.rfmBounds(mv, small = true)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val large = graft.operators.Analytics.rfmBounds(mv, small = false)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(small.length == 3)
+    assert(small.toSeq == large.toSeq,
+      s"route divergence: small=${small.toSeq} large=${large.toSeq}")
+  }
+
   test("rolling distinct: interval formulation equals the naive windowed count-distinct") {
     import spark.implicits._
     // naive replica: for every observed day, count distinct users with
