@@ -49,15 +49,22 @@ object Layouts extends QueryModule {
       "_" + ProcessHandle.current().pid()
   }
 
-  /** One-shot per JVM: delete `/tmp/graft_layout_*_<pid>` roots whose
-    * owning process is gone. The pid suffix is this JVM's own isolation
+  /** One-shot per JVM: delete `/tmp/graft_layout_*_<pid>` roots (and
+    * `/tmp/graft_ann_index_*_build_<pid>` half-built staging dirs — see
+    * [[Similarity.annIndex]]'s write-then-rename publish) whose owning
+    * process is gone. The pid suffix is this JVM's own isolation
     * key, so a dead pid's root can never be read again — reaping it is
     * always safe; a LIVE pid's root is never touched (no race with a
-    * concurrent suite/verify JVM). Failures are ignored: cleanup is
+    * concurrent suite/verify JVM). Published `graft_ann_index_*` roots
+    * WITHOUT a `_build_` segment are content-keyed shared artifacts —
+    * deliberately NOT reaped (cross-session reuse is their point).
+    * Failures are ignored: cleanup is
     * best-effort hygiene, never a correctness dependency. */
-  private lazy val reapStaleRoots: Unit = {
+  private[operators] lazy val reapStaleRoots: Unit = {
     val roots = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-    roots.filter(_.getName.startsWith("graft_layout_")).foreach { f =>
+    roots.filter(f => f.getName.startsWith("graft_layout_") ||
+      (f.getName.startsWith("graft_ann_index_") &&
+        f.getName.contains("_build_"))).foreach { f =>
       val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
       val dead = pid.toLongOption.exists(p =>
         p != ProcessHandle.current().pid() && ProcessHandle.of(p).isEmpty)
@@ -85,6 +92,19 @@ object Layouts extends QueryModule {
     s"/tmp/graft_layout_${layoutKey(dir)}"
   }
 
+  /** Cluster-real "is this artifact complete?" probe: resolves the
+    * path's [[org.apache.hadoop.fs.FileSystem]] from the session's
+    * Hadoop configuration and asks IT for `_SUCCESS`, so the guard
+    * answers identically for `file:`, `hdfs:` and `s3a:` roots. The
+    * previous `java.io.File` probe always said "missing" for any
+    * non-local URI — on a real cluster every session would silently
+    * retrain/rewrite the artifact it was supposed to reuse (r9 verdict
+    * item 2). */
+  private[graft] def artifactReady(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** On-disk location of the month-partitioned orders layout (test aid:
     * PlanShapeSpec counts pruned vs total partition directories). */
   private[graft] def monthsPath(dir: String): String =
@@ -95,7 +115,7 @@ object Layouts extends QueryModule {
   private[graft] def ordersByMonth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = monthsPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!artifactReady(s, path)) {
       Sinks.writePartitioned(
         Tables.load(s, dir, "orders")
           .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")),
@@ -184,7 +204,7 @@ object Layouts extends QueryModule {
   private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/docs_csv"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!artifactReady(s, path)) {
       Sinks.writeCsv(
         Tables.load(s, dir, "documents")
           .select($"doc_id", $"lang", $"source", $"n_chars"),
@@ -213,7 +233,7 @@ object Layouts extends QueryModule {
   private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/docs_jsonl"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!artifactReady(s, path)) {
       Sinks.writeJsonl(Tables.load(s, dir, "documents"), path)
     }
     s.read
@@ -239,7 +259,7 @@ object Layouts extends QueryModule {
   private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/docs_orc"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!artifactReady(s, path)) {
       Sinks.writeOrc(Tables.load(s, dir, "documents"), path)
     }
     s.read
@@ -272,12 +292,12 @@ object Layouts extends QueryModule {
   private[graft] def lineitemCompacted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (frag, compact) = (fragPath(dir), compactPath(dir))
-    if (!new java.io.File(s"$frag/_SUCCESS").exists()) {
+    if (!artifactReady(s, frag)) {
       Tables.load(s, dir, "lineitem")
         .repartition(64)
         .write.mode("overwrite").parquet(frag)
     }
-    if (!new java.io.File(s"$compact/_SUCCESS").exists()) {
+    if (!artifactReady(s, compact)) {
       s.read.parquet(frag)
         .repartitionByRange(4, $"l_orderkey", $"l_linenumber")
         .sortWithinPartitions($"l_orderkey", $"l_linenumber")
@@ -333,7 +353,7 @@ object Layouts extends QueryModule {
   private[graft] def ordersZordered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = zorderPath(dir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    if (!artifactReady(s, path)) {
       Tables.load(s, dir, "orders")
         .withColumn("x", $"o_custkey" % 65536L)
         .withColumn("yd",
@@ -388,7 +408,7 @@ object Layouts extends QueryModule {
   private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = evolutionPath(dir)
-    if (!new java.io.File(s"$root/v2/_SUCCESS").exists()) {
+    if (!artifactReady(s, s"$root/v2")) {
       val orders = Tables.load(s, dir, "orders")
       orders.filter($"o_orderkey" % 2 === 0)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")

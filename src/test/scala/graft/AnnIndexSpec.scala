@@ -33,7 +33,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("index artifact is written once and reused (_SUCCESS guard)") {
     SparkEntry.queries("q_ann_search_indexed")(spark, dir).count()
-    val root = new java.io.File(operators.Similarity.annIndexPath(dir))
+    val root = new java.io.File(operators.Similarity.annIndexPath(spark, dir))
     val parts = Seq("coarse", "cells", "pq", "codes")
     parts.foreach { p =>
       assert(new java.io.File(root, s"$p/_SUCCESS").exists(),
@@ -45,6 +45,43 @@ class AnnIndexSpec extends AnyFunSuite {
     val again = parts.map(p => new java.io.File(root, s"$p/_SUCCESS")
       .lastModified())
     assert(mtimes == again, "second run must NOT rebuild the index")
+  }
+
+  test("content-keyed root: a fresh session reuses the trained index") {
+    // r9 verdict #2: the old key (layout root = source mtime + JVM pid)
+    // made every new session/probe run silently retrain. The key is now
+    // a pure function of corpus content, so a SECOND SparkSession over
+    // the same corpus must resolve the SAME root, find it ready, and
+    // serve search without touching the training pipeline.
+    SparkEntry.queries("q_ann_search_indexed")(spark, dir).count()
+    val root = operators.Similarity.annIndexPath(spark, dir)
+    assert(!root.contains("graft_layout_"),
+      "index root must not live under the pid-keyed layout scratch root")
+    val mt = new java.io.File(root, "codes/_SUCCESS").lastModified()
+    val s2 = spark.newSession()
+    assert(operators.Similarity.annIndexPath(s2, dir) == root,
+      "key must be session-independent")
+    SparkEntry.queries("q_ann_search_indexed")(s2, dir).count()
+    assert(new java.io.File(root, "codes/_SUCCESS").lastModified() == mt,
+      "fresh session must reuse, not retrain")
+    // and no half-built staging dir may be left behind
+    val strays = Option(new java.io.File("/tmp").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_ann_index_") &&
+        f.getName.contains("_build_") && f.getName.endsWith(
+          "_" + ProcessHandle.current().pid()))
+    assert(strays.isEmpty, s"staging dirs left: ${strays.mkString(",")}")
+  }
+
+  test("artifact guard answers through the Hadoop FileSystem API") {
+    // the probe must resolve the path's FileSystem from the session's
+    // Hadoop conf (cluster-real: hdfs:/s3a: roots), not java.io.File
+    SparkEntry.queries("q_ann_search_indexed")(spark, dir).count()
+    val root = operators.Similarity.annIndexPath(spark, dir)
+    assert(operators.Layouts.artifactReady(spark, s"$root/codes"))
+    assert(operators.Layouts.artifactReady(spark, s"file:$root/codes"),
+      "guard must accept an explicit file: URI (FileSystem-resolved)")
+    assert(!operators.Layouts.artifactReady(spark, s"$root/nonexistent"))
   }
 
   test("search plan reads the index, never a training subtree") {
