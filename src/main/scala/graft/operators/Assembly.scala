@@ -98,20 +98,24 @@ object Assembly extends QueryModule {
     * has no block table; the derivation exercises the full null lattice:
     * odd line numbers carry numbering, every 3rd line is a table block,
     * half the table blocks have no caption). */
-  def blocksFromLineitem(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.sources.Tables.load(s, dir, "lineitem").select(
-      $"l_orderkey".as("doc_id"),
-      $"l_linenumber".as("ord"),
-      when($"l_linenumber" % 2 === 1,
-        concat($"l_linenumber".cast("string"), lit("."))).as("numbering"),
-      when($"l_linenumber" % 3 =!= 0,
-        concat(lit("p "), $"l_partkey".cast("string"))).as("para_text"),
-      when($"l_linenumber" % 3 === 0 && $"l_suppkey" % 2 === 1,
-        concat(lit("cap "), $"l_suppkey".cast("string"))).as("table_caption"),
-      when($"l_linenumber" % 3 === 0,
-        concat(lit("c "), $"l_quantity".cast("string"))).as("table_cells"))
-  }
+  def blocksFromLineitem(s: SparkSession, dir: String): DataFrame =
+    blocksFrom(graft.sources.Tables.load(s, dir, "lineitem"))
+
+  /** Same block derivation over an ALREADY-LOADED lineitem projection —
+    * the seam that lets q_reference_decisions share one lineitem scan
+    * between its block and bridge derivations ([[graft.Exec.sizedHub]]). */
+  def blocksFrom(li: DataFrame): DataFrame =
+    li.select(
+      col("l_orderkey").as("doc_id"),
+      col("l_linenumber").as("ord"),
+      when(col("l_linenumber") % 2 === 1,
+        concat(col("l_linenumber").cast("string"), lit("."))).as("numbering"),
+      when(col("l_linenumber") % 3 =!= 0,
+        concat(lit("p "), col("l_partkey").cast("string"))).as("para_text"),
+      when(col("l_linenumber") % 3 === 0 && col("l_suppkey") % 2 === 1,
+        concat(lit("cap "), col("l_suppkey").cast("string"))).as("table_caption"),
+      when(col("l_linenumber") % 3 === 0,
+        concat(lit("c "), col("l_quantity").cast("string"))).as("table_cells"))
 
   /** A3 q_doc_assembly — the end-to-end flagship slice (SURVEY.md §7.2). */
   def qDocAssembly(s: SparkSession, dir: String): DataFrame = {

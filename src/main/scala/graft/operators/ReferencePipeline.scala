@@ -35,13 +35,37 @@ object ReferencePipeline extends graft.QueryModule {
     *  decision(dec_id, symbol)
     *  decision_block_map(dec_id, block_id, ord)
     */
-  private def assembleDocs(parents: DataFrame, blocks: DataFrame): DataFrame = {
-    val pieces = blocks
-      .withColumn("piece", Assembly.piece(col("numbering"), col("para_text"),
-        col("table_caption"), col("table_cells")))
-      .select(col("doc_id"), col("ord"), col("piece"))
-    parents.join(Assembly.assemble(pieces), Seq("doc_id"), "inner")
-  }
+  /** Last-write-wins winners, computed BEFORE any text is assembled
+    * (r10: dedup-before-assembly). The output of either pipeline is one
+    * summary per symbol, keyed by the max-parent-id document — so the
+    * losers' doc_texts are never observable and need never be built.
+    * Winner = max doc_id per symbol among parents with ≥1 piece row
+    * (the inner assembly join's eligibility, preserved exactly: a
+    * blockless parent can't win). The eligibility probe consumes only
+    * the parents' and `hasBlocks`' KEY columns (semi join — Catalyst
+    * prunes every piece/text expression out of that subtree), and the
+    * winner relation is output-sized (≤ |symbols|), sealed so its three
+    * consumers don't recompute the probe. At 100 TB this is the
+    * dominant saving: assembly + dedup previously shuffled every
+    * document's full text to keep |symbols| of them; now only winners'
+    * blocks reach the string stage.
+    *
+    * `hasBlocks`: one column `doc_id`, one row per (not necessarily
+    * distinct) block-bearing parent id. */
+  private def lwwWinners(parents: DataFrame, hasBlocks: DataFrame): DataFrame =
+    graft.Exec.seal(
+      parents.join(hasBlocks, Seq("doc_id"), "left_semi")
+        .groupBy(col("symbol")).agg(max(col("doc_id")).as("doc_id")))
+
+  /** Assemble ONLY the winners' texts and key them: winners is
+    * output-sized, so it broadcasts into the piece source (Catalyst
+    * pushes the semi join below the piece projection — the string
+    * expressions never run for losers). */
+  private def assembleWinners(winners: DataFrame, pieces: DataFrame): DataFrame =
+    winners.join(
+      Assembly.assemble(pieces.join(broadcast(winners.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")),
+      Seq("doc_id"), "inner")
 
   /** Conclusions pipeline: returns (symbol, summary), one row per symbol. */
   def conclusionsSummaries(spark: SparkSession, docs: DataFrame,
@@ -50,11 +74,14 @@ object ReferencePipeline extends graft.QueryModule {
     val cost = spark.sparkContext.doubleAccumulator("llm_cost_conclusions")
     val parents = docs.filter(col("body_symbol").isin(bodies: _*))
       .select(col("doc_id"), col("symbol"))
-    val assembled = assembleDocs(parents, blocks)
-    // last-write-wins per symbol, deterministically: keep max doc_id
-    val w = Window.partitionBy(col("symbol")).orderBy(col("doc_id").desc)
-    val deduped = assembled.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // last-write-wins per symbol, deterministically: keep max doc_id —
+    // decided before assembly so losers' texts are never built
+    val winners = lwwWinners(parents, blocks.select(col("doc_id")))
+    val pieces = blocks
+      .withColumn("piece", Assembly.piece(col("numbering"), col("para_text"),
+        col("table_caption"), col("table_cells")))
+      .select(col("doc_id"), col("ord"), col("piece"))
+    val deduped = assembleWinners(winners, pieces)
       .select(col("doc_id").as("id"), col("symbol"), col("doc_text").as("text"))
     Llm.summarize(deduped, () => client, batchSize = 32, cost = cost,
         // `:110` prepends the symbol with a newline separator
@@ -70,6 +97,13 @@ object ReferencePipeline extends graft.QueryModule {
                          bridge: DataFrame, blocks: DataFrame,
                          client: Llm.SummarizerClient): DataFrame = {
     val cost = spark.sparkContext.doubleAccumulator("llm_cost_decisions")
+    val parents = decisions.select(col("dec_id").as("doc_id"), col("symbol"))
+    // eligibility: a decision has blocks iff some bridge row's block_id
+    // exists in blocks — key-column semi joins only, no text touched
+    val hasBlocks = bridge
+      .join(blocks.select(col("block_id")), Seq("block_id"), "left_semi")
+      .select(col("dec_id").as("doc_id"))
+    val winners = lwwWinners(parents, hasBlocks)
     // bridge ord overrides block-table ord: decision block order is the
     // map's order (generate_decisions_summaries.py:47)
     val pieces = bridge.alias("m")
@@ -77,11 +111,7 @@ object ReferencePipeline extends graft.QueryModule {
       .withColumn("piece", Assembly.piece(col("b.numbering"), col("b.para_text"),
         col("b.table_caption"), col("b.table_cells")))
       .select(col("m.dec_id").as("doc_id"), col("m.ord").as("ord"), col("piece"))
-    val assembled = decisions.select(col("dec_id").as("doc_id"), col("symbol"))
-      .join(Assembly.assemble(pieces), Seq("doc_id"), "inner")
-    val w = Window.partitionBy(col("symbol")).orderBy(col("doc_id").desc)
-    val deduped = assembled.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val deduped = assembleWinners(winners, pieces)
       .select(col("doc_id").as("id"), col("symbol"), col("doc_text").as("text"))
     Llm.summarize(deduped, () => client, batchSize = 32, cost = cost,
         mkPrompt = (_, txt) => txt) // the reference sends ONLY the text
@@ -116,16 +146,27 @@ object ReferencePipeline extends graft.QueryModule {
     conclusionsSummaries(s, docFromOrders(s, dir),
       Assembly.blocksFromLineitem(s, dir), new Llm.StubClient)
 
-  // NOTE: at fixture scale the bridge AND the blocks both derive from
-  // lineitem, so the declared plan scans it twice — an artifact of the
-  // derivation, not the pipeline: real deployments feed
-  // [[decisionsSummaries]] three distinct tables and each is scanned
-  // once (the bridge⋈block equi-join is the reference's actual shape
-  // and is what this query exists to exercise).
-  private def qReferenceDecisions(s: SparkSession, dir: String): DataFrame = {
-    val li = graft.sources.Tables.load(s, dir, "lineitem")
+  // The bridge AND the blocks both derive from lineitem (an artifact of
+  // the fixture derivation — real deployments feed [[decisionsSummaries]]
+  // three distinct tables), so the shared 5-column projection goes
+  // through [[graft.Exec.sizedHub]]: above the threshold it persists and
+  // lineitem is read ONCE per run at any scale; at fixture scale the two
+  // page-cached scans are cheaper than a fact-sized cache write. The
+  // bridge⋈block equi-join — the reference's actual shape and what this
+  // query exists to exercise — is unchanged on both routes.
+  /** The shared lineitem projection both fixture derivations consume. */
+  private[graft] def decisionsLineitemHub(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+
+  /** Fixture derivation + pipeline over an already-routed lineitem hub
+    * (test seam: ReferencePipelineSpec runs it over BOTH hub routes and
+    * pins the persist-route plan to a single lineitem read). */
+  private[graft] def referenceDecisionsFrom(s: SparkSession, dir: String,
+                                            li: DataFrame): DataFrame = {
     // blocks keyed by their own id; l_linenumber ≤ 7, so *8 is injective
-    val blocks = Assembly.blocksFromLineitem(s, dir)
+    val blocks = Assembly.blocksFrom(li)
       .withColumn("block_id", col("doc_id") * 8 + col("ord"))
       .drop("doc_id", "ord")
     // the bridge REVERSES the lineitem order (ord = 8 - linenumber), so
@@ -139,6 +180,13 @@ object ReferencePipeline extends graft.QueryModule {
       concat((col("o_custkey") % 199).cast("string"), lit("/CP.26"))
         .as("symbol"))
     decisionsSummaries(s, decisions, bridge, blocks, new Llm.StubClient)
+  }
+
+  private def qReferenceDecisions(s: SparkSession, dir: String): DataFrame = {
+    val (li, release) = graft.Exec.sizedHub(decisionsLineitemHub(s, dir),
+      graft.sources.Tables.rowCount(s, dir, "lineitem"))
+    try referenceDecisionsFrom(s, dir, li).transform(graft.Exec.seal)
+    finally release()
   }
 
   val queries: Map[String, Q] = Map(

@@ -62,4 +62,57 @@ class ReferencePipelineSpec extends AnyFunSuite {
     // bare-text prompt -> the stub summarizes from the first token on
     assert(out.head._2.startsWith("Tab 1\nc1 c2\n1.\tFirst"))
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decisions hub routes agree bit for bit (recompute vs persisted)") {
+    // Collect the RECOMPUTE route first — once the persisted hub exists,
+    // CacheManager would substitute InMemoryRelation into any matching
+    // subtree and make the recompute side vacuous (the ExecSpec lesson).
+    val plain = ReferencePipeline.referenceDecisionsFrom(spark, dir,
+      ReferencePipeline.decisionsLineitemHub(spark, dir)).collect().toSeq
+    val (hub, release) = Exec.sizedHub(
+      ReferencePipeline.decisionsLineitemHub(spark, dir),
+      factRows = Long.MaxValue)
+    try {
+      val cached = ReferencePipeline.referenceDecisionsFrom(spark, dir, hub)
+        .collect().toSeq
+      assert(plain == cached, "hub routes diverged")
+    } finally release()
+  }
+
+  test("persist route reads lineitem ONCE: consumers scan the cached hub") {
+    // The r9 verdict wart: blocks AND bridge both derive from lineitem,
+    // so the unpersisted fixture plan reads it twice. On the production
+    // (persist) route both derivations must consume InMemoryRelation —
+    // zero lineitem file scans outside the one cache materialization.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val (hub, release) = Exec.sizedHub(
+      ReferencePipeline.decisionsLineitemHub(spark, dir),
+      factRows = Long.MaxValue)
+    try {
+      hub.count() // materialize the single lineitem read
+      val df = ReferencePipeline.referenceDecisionsFrom(spark, dir, hub)
+      var (liScans, memScans) = (0, 0)
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+          case f: FileSourceScanExec =>
+            if (f.relation.location.rootPaths.exists(
+              _.getName == "lineitem.parquet")) liScans += 1
+          case m: InMemoryTableScanExec => memScans += 1
+          case _ =>
+        }
+        n.children.foreach(walk)
+        n.subqueries.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(liScans == 0,
+        s"persist route must not re-scan lineitem (saw $liScans)")
+      assert(memScans >= 2,
+        s"both derivations must read the cached hub (saw $memScans)")
+    } finally release()
+  }
 }
