@@ -66,18 +66,26 @@ object Governance extends QueryModule {
       "16, 10) AS BIGINT)") + lit(1L)).cast("double") /
       lit(4503599627370496.0)
 
-  /** q_dp_release — differentially-private count release (ε = 1):
-    * per-event-type counts perturbed with Laplace(1/ε) noise before
-    * publication — the mechanism a platform uses to publish usage
-    * statistics without exposing any individual's presence. The Laplace
-    * draw is the difference of two exponentials, −b·ln(u₁) + b·ln(u₂)
-    * with independent uniforms (no branch, no ln(0) edge); uniforms are
-    * md5-derived (deterministic release — a re-run publishes the same
-    * numbers, and the noise is still Laplace across group keys), and
-    * the noise is quantized to 1e-6 right after the two lns, so
-    * `released = n + noise` is exact integer-plus-quantum arithmetic in
-    * both engines. `n_true` is emitted for the oracle gate only; a
-    * production release ships the `released` column alone.
+  /** q_dp_release — Laplace-mechanism count release (the ε = 1 DP
+    * SHAPE): per-event-type counts perturbed with Laplace(1/ε) noise
+    * before publication. The Laplace draw is the difference of two
+    * exponentials, −b·ln(u₁) + b·ln(u₂) with independent uniforms (no
+    * branch, no ln(0) edge); uniforms are md5-derived and the noise is
+    * quantized to 1e-6 right after the two lns, so `released = n +
+    * noise` is exact integer-plus-quantum arithmetic in both engines.
+    * `n_true` is emitted for the oracle gate only; a production release
+    * ships the `released` column alone.
+    *
+    * PRIVACY CAVEAT (this instantiation is NOT formally DP): the
+    * uniforms are seeded from md5(event_type) — a deterministic
+    * function of the PUBLISHED group key — so anyone can recompute the
+    * noise and recover n_true exactly from `released`. Key-seeded
+    * determinism is deliberate here (oracle-checkable, republishable,
+    * engine-agnostic — the repo-wide content-hash stance) but it voids
+    * the differential-privacy guarantee entirely; a production release
+    * must draw the uniforms from a SECRET, non-republishable seed
+    * (e.g. a per-release random salt held by the curator), with
+    * everything else — the mechanism, scale, quantization — unchanged.
     *
     * Scale: one map-side-combined G-row aggregate; the noise is G
     * scalar expressions. Nothing else touches the fact. */
@@ -94,6 +102,57 @@ object Governance extends QueryModule {
       .select($"event_type", $"n_true", lit(1.0).as("epsilon"),
         ($"noise_q".cast("double") / lit(1000000.0)).as("noise"),
         ($"n_true".cast("double")
+          + $"noise_q".cast("double") / lit(1000000.0)).as("released"))
+      .orderBy($"event_type")
+  }
+
+  /** q_dp_release_sum — bounded-contribution Laplace SUM release (the
+    * real DP-SQL shape, widening [[qDpRelease]]'s count mechanism):
+    * each subject's (user's) total `value` contribution per event type
+    * is CLAMPED to ±C (C = 500.00), the clamped contributions are
+    * summed, and Laplace(C/ε) noise (ε = 1; sensitivity = C BY the
+    * clamp) perturbs the published sum. Counts have sensitivity 1 by
+    * construction; sums are unbounded until the per-subject clamp —
+    * the clamp IS the mechanism. `n_subjects`/`sum_true` are emitted
+    * for the oracle gate only; a production release ships `released`.
+    *
+    * Determinism: `value` carries 2 decimals, so per-user totals run
+    * in integer cents (the quantized-BIGINT sum discipline — order-
+    * independent and bit-identical in both engines); the clamp is
+    * integer; the Laplace draw is the same md5-seeded quantized
+    * difference-of-exponentials as [[qDpRelease]] and shares its
+    * PRIVACY CAVEAT (key-seeded determinism voids formal DP; a
+    * production release draws from a secret seed).
+    *
+    * Scale: two-level aggregate — the (event_type, user_id) partial is
+    * map-side-combined before its one fact-keyed shuffle; the second
+    * exchange carries |types|·|users-per-type| pre-combined rows and
+    * the output is |types|. The per-subject aggregation is inherent to
+    * bounded-contribution DP, not an implementation choice. */
+  private def qDpReleaseSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cCents = 50000L // clamp bound C = 500.00, in cents
+    val b = 500.0       // Laplace scale = C/ε = 500/1
+    Tables.load(s, dir, "events")
+      .select($"event_type", $"user_id",
+        floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"cents").as("user_cents"))
+      .select($"event_type",
+        greatest(least($"user_cents", lit(cCents)), lit(-cCents))
+          .as("clamped"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_subjects"),
+        sum($"clamped").as("sum_cents"))
+      .withColumn("noise_q",
+        floor((log(mdUniform("event_type", "|dps2"))
+          - log(mdUniform("event_type", "|dps1"))) * lit(b)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select($"event_type", $"n_subjects",
+        ($"sum_cents".cast("double") / lit(100.0)).as("sum_true"),
+        lit(1.0).as("epsilon"), lit(500.0).as("clamp_c"),
+        ($"noise_q".cast("double") / lit(1000000.0)).as("noise"),
+        ($"sum_cents".cast("double") / lit(100.0)
           + $"noise_q".cast("double") / lit(1000000.0)).as("released"))
       .orderBy($"event_type")
   }
@@ -120,7 +179,13 @@ object Governance extends QueryModule {
         .otherwise(lit("")))
   }
 
-  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  // The TLD dot is a character class, NOT `\.`: Spark's SQL-literal
+  // lexer (expr("regexp_count(…, '…\\.…')"), default
+  // escapedStringLiterals=false) unescapes `\.` to a bare any-char `.`,
+  // while the Column-function masking path and the DuckDB oracle see a
+  // literal `\.` — three subtly different regexes. `[.]` lexes
+  // identically everywhere.
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]{2,}"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   private val CardRe = "[0-9]{16}"
 
@@ -175,6 +240,7 @@ object Governance extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_kanonymity" -> (qKanonymity _),
     "q_dp_release" -> (qDpRelease _),
+    "q_dp_release_sum" -> (qDpReleaseSum _),
     "q_pii_detect" -> (qPiiDetect _))
 
   /** DuckDB replay of [[mdUniform]]'s 52-bit md5 numerator. */
@@ -233,6 +299,41 @@ object Governance extends QueryModule {
          SELECT event_type, n_true, 1.0 AS epsilon,
                 CAST(noise_q AS DOUBLE) / 1000000.0 AS noise,
                 CAST(n_true AS DOUBLE)
+                  + CAST(noise_q AS DOUBLE) / 1000000.0 AS released
+         FROM q ORDER BY event_type""",
+    "q_dp_release_sum" ->
+      s"""WITH pc AS (
+           SELECT event_type, user_id,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         pu AS (
+           SELECT event_type, user_id, SUM(cents) AS user_cents
+           FROM pc GROUP BY event_type, user_id),
+         cl AS (
+           SELECT event_type,
+                  greatest(least(user_cents, 50000), -50000) AS clamped
+           FROM pu),
+         g AS (
+           SELECT event_type, count(*) AS n_subjects,
+                  CAST(sum(clamped) AS BIGINT) AS sum_cents
+           FROM cl GROUP BY event_type),
+         u AS (
+           SELECT event_type, n_subjects, sum_cents,
+                  (CAST(${duckHash("event_type", "|dps2")} AS DOUBLE) + 1)
+                    / 4503599627370496.0 AS u2,
+                  (CAST(${duckHash("event_type", "|dps1")} AS DOUBLE) + 1)
+                    / 4503599627370496.0 AS u1
+           FROM g),
+         q AS (
+           SELECT event_type, n_subjects, sum_cents,
+                  CAST(floor((ln(u2) - ln(u1)) * 500.0 * 1000000.0 + 0.5)
+                       AS BIGINT) AS noise_q
+           FROM u)
+         SELECT event_type, n_subjects,
+                CAST(sum_cents AS DOUBLE) / 100.0 AS sum_true,
+                1.0 AS epsilon, 500.0 AS clamp_c,
+                CAST(noise_q AS DOUBLE) / 1000000.0 AS noise,
+                CAST(sum_cents AS DOUBLE) / 100.0
                   + CAST(noise_q AS DOUBLE) / 1000000.0 AS released
          FROM q ORDER BY event_type""",
     "q_pii_detect" ->

@@ -46,6 +46,49 @@ class GovernanceSpec extends AnyFunSuite {
     assert(run1.map(_._4).distinct.length > 1)
   }
 
+  test("dp sum release: clamp binds and bounds, released = sum_true + noise, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val run1 = SparkEntry.queries("q_dp_release_sum")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    val run2 = SparkEntry.queries("q_dp_release_sum")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(run1 == run2, "a deterministic release must republish the same numbers")
+    assert(run1.nonEmpty)
+    run1.foreach { case (_, nSubj, sumTrue, eps, c, noise, released) =>
+      assert(eps == 1.0 && c == 500.0 && nSubj >= 1L)
+      // the clamp bounds the true sum by ±C per subject — the
+      // sensitivity argument the mechanism rests on
+      assert(math.abs(sumTrue) <= c * nSubj + 1e-9)
+      assert(noise * 1e6 == math.rint(noise * 1e6))
+      assert(released == sumTrue + noise)
+      // Laplace(C/ε = 500) tail: P(|x| > 20·b) ≈ 2e-9
+      assert(math.abs(noise) < 20.0 * 500.0)
+    }
+    assert(run1.map(_._6).distinct.length > 1,
+      "draws must differ across group keys")
+    // the clamp must be LOAD-BEARING at this SF: some subject's raw
+    // total exceeds C (else the test would pass with no clamp at all)
+    val overC = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id",
+        floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"cents").as("uc"))
+      .filter($"uc" > 50000L).count()
+    assert(overC > 0, "fixture must exercise the clamp")
+    // and whenever it binds, the released sum is strictly below the raw
+    val rawCents = graft.sources.Tables.load(spark, dir, "events")
+      .select($"event_type",
+        floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy($"event_type").agg(sum($"cents").as("raw"))
+      .as[(String, Long)].collect().toMap
+    val clampedBelowRaw = run1.count { case (t, _, sumTrue, _, _, _, _) =>
+      sumTrue < rawCents(t) / 100.0 }
+    assert(clampedBelowRaw > 0)
+  }
+
   test("pii detect: counts match the planted key residues, masking only removes") {
     import spark.implicits._
     val got = SparkEntry.queries("q_pii_detect")(spark, dir)
