@@ -149,6 +149,55 @@ object StreamOps extends QueryModule {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class UserTtlUpdate(user_id: Long, n_total: Long, n_recent: Long)
+
+  /** ST6 run-artifact processor (exercised end-to-end by
+    * [[graft.streaming.StreamRun]] scenario C): TWO named `ValueState`
+    * handles on the same key — `totalCount` (TTLConfig.NONE; survives
+    * micro-batches AND query restarts through the RocksDB store) and
+    * `recentCount` (processing-time TTL — a per-user count that forgets
+    * users idle longer than the TTL, the state-GC pattern that keeps the
+    * store bounded by ACTIVE users at 100 TB/day volumes). Each input
+    * batch emits the post-update pair, so a replay with a restart gap
+    * longer than the TTL observes `n_total` persisting while `n_recent`
+    * resets — TTL semantics as data, not just API surface. */
+  class TtlUserCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserTtlUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var total: ValueState[Long] = _
+    @transient private var recent: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("totalCount",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getValueState[Long]("recentCount",
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[UserTtlUpdate] = {
+      val k = rows.size.toLong
+      val t = (if (total.exists()) total.get() else 0L) + k
+      val r = (if (recent.exists()) recent.get() else 0L) + k
+      total.update(t)
+      recent.update(r)
+      Iterator.single(UserTtlUpdate(user, t, r))
+    }
+  }
+
+  /** [[TtlUserCountProcessor]] as a readStream-ready transform. TTL
+    * requires processing-time mode (expiry is wall-clock from the last
+    * update). */
+  def ttlUserCounts(ttlMs: Long)(events: org.apache.spark.sql.Dataset[
+      (Long, Double)]): org.apache.spark.sql.Dataset[UserTtlUpdate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TtlUserCountProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Stream-stream interval join (attribution): each purchase joins the
     * same user's clicks from the preceding 30 minutes. Both sides carry
     * watermarks so the join state is GC-able — the state bound every

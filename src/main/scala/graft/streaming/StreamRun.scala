@@ -114,6 +114,95 @@ object StreamRun {
     val passB = got.length == ids.length && got.toSeq == ids.toSeq &&
       dedupHits == overlap
 
+    // ---- scenario C: transformWithState (ST6) — RocksDB StatefulProcessor
+    // with TWO named ValueState handles (totalCount: no TTL; recentCount:
+    // 2 s processing-time TTL) over the same landing-dir mechanism, run as
+    // two AvailableNow queries sharing one checkpoint with a >TTL gap
+    // between them. The restart proves cross-run state persistence
+    // (n_total accumulates) and REAL TTL expiry (n_recent resets to the
+    // second drop's count for every user seen in both drops) — the
+    // state-GC semantics as replayable data.
+    val ttlMs = 2000L
+    val gapMs = 3500L
+    val dirC = Files.createTempDirectory("graft_streamrun_tws").toString
+    val chkC = Files.createTempDirectory("graft_streamrun_tws_chk").toString
+    val pairs = events.select($"user_id", $"value")
+    val drop1 = pairs.filter($"user_id" % 2 === 0)
+    val drop2 = pairs // every drop-1 user recurs → all of them test expiry
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val c1 = drop1.groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val c2 = drop2.groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    // memory sinks refuse checkpoint recovery, and the restart IS the
+    // scenario — collect each run's emissions through foreachBatch (a
+    // recoverable sink). Processing-time mode keeps scheduling no-data
+    // batches (pending TTL/timers could still fire), so AvailableNow
+    // never self-terminates here: stop each run once its drop's rows
+    // have arrived, and report only the data-carrying batches.
+    val sinkBuf =
+      new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    def runTws(expectedUsers: Int): StreamingQuery = {
+      val q = StreamOps.ttlUserCounts(ttlMs)(
+          spark.readStream
+            .schema("user_id BIGINT, value DOUBLE")
+            .option("maxFilesPerTrigger", "1").parquet(dirC)
+            .as[(Long, Double)])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chkC)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamOps.UserTtlUpdate],
+           _: Long) =>
+            val rows = batch.collect().map(u =>
+              (u.user_id, u.n_total, u.n_recent))
+            sinkBuf.synchronized { sinkBuf ++= rows }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (sinkBuf.synchronized(sinkBuf.length) < expectedUsers &&
+          System.nanoTime() < deadline && q.isActive)
+        Thread.sleep(100)
+      q
+    }
+    def dataBatches(q: StreamingQuery): String = {
+      // progress is published asynchronously after the batch commits —
+      // poll briefly so the data batch's metrics make the artifact
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (!q.recentProgress.exists(_.numInputRows > 0) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.recentProgress.filter(_.numInputRows > 0).map { p =>
+        s"""{"batch":${p.batchId},"input_rows":${p.numInputRows},""" +
+          s""""state_rows":${p.stateOperators.map(_.numRowsTotal).sum}}"""
+      }.mkString("[", ",", "]")
+    }
+    drop1.coalesce(1).write.mode("append").parquet(dirC)
+    val qC1 = runTws(c1.size)
+    val batchesC1 = dataBatches(qC1)
+    qC1.stop()
+    val run1 = sinkBuf.synchronized { val r = sinkBuf.toArray
+      sinkBuf.clear(); r }
+    Thread.sleep(gapMs) // let recentCount's TTL lapse before the restart
+    drop2.coalesce(1).write.mode("append").parquet(dirC)
+    val qC2 = runTws(c2.size)
+    val batchesC2 = dataBatches(qC2)
+    qC2.stop()
+    val run2 = sinkBuf.synchronized { sinkBuf.toArray }
+    spark.conf.unset(provKey)
+    // run 1: fresh state — total == recent == drop-1 count
+    val pass1 = run1.length == c1.size && run1.forall { case (u, t, r) =>
+      t == c1(u) && r == c1(u) }
+    // run 2: totalCount persisted across the restart; recentCount expired
+    val recurringUsers = run2.count { case (u, _, _) => c1.contains(u) }
+    val totalPersisted = run2.length == c2.size &&
+      run2.forall { case (u, t, _) => t == c1.getOrElse(u, 0L) + c2(u) }
+    val recentExpired = run2.forall { case (u, _, r) => r == c2(u) }
+    val passC = pass1 && totalPersisted && recentExpired &&
+      recurringUsers > 0
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -124,13 +213,20 @@ object StreamRun {
          |"input_rows":$inputB,"unique_ids":${ids.length},
          |"emitted":${got.length},"dedup_hits":$dedupHits,
          |"expected_hits":$overlap,"pass":$passB},
-         |"pass":${passA && passB}}""".stripMargin.replace("\n", "")
+         |"scenario_tws_ttl":{"run1_batches":$batchesC1,
+         |"run2_batches":$batchesC2,"ttl_ms":$ttlMs,"restart_gap_ms":$gapMs,
+         |"run1_users":${run1.length},"run2_users":${run2.length},
+         |"recurring_users":$recurringUsers,
+         |"total_persisted_across_restart":$totalPersisted,
+         |"recent_expired_by_ttl":$recentExpired,"run1_fresh_state":$pass1,
+         |"pass":$passC},
+         |"pass":${passA && passB && passC}}""".stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
       Files.write(java.nio.file.Paths.get(f),
         json.getBytes("UTF-8"))
     }
     spark.stop()
-    if (!(passA && passB)) sys.exit(1)
+    if (!(passA && passB && passC)) sys.exit(1)
   }
 }

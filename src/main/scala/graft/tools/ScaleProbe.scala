@@ -33,7 +33,15 @@ object ScaleProbe {
     "q_reference_conclusions", "q_reference_decisions",
     "q_ann_search_indexed",
     "q_hits", "q_sssp_weighted", "q_kanonymity", "q_dp_release",
-    "q_pii_detect", "q_readability")
+    "q_dp_release_sum", "q_pii_detect", "q_readability")
+
+  /** Queries whose first invocation pays a one-off artifact build that a
+    * long-lived deployment amortizes away (the ANN index trains once and
+    * every later session searches against the published parquet). Probed
+    * TWICE per k: the first row is cold (build + use), the `_warm` row is
+    * the steady-state cost — possible since the index root became
+    * content-keyed, so the second call's `_SUCCESS` probe hits. */
+  private val twoPass = Set("q_ann_search_indexed")
 
   /** Optional comma-separated probe filter (SPARK_GRAFT_PROBES) so a
     * single operator's slope can be re-measured without the full sweep. */
@@ -88,6 +96,13 @@ object ScaleProbe {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"k":$k,"query":"$name","sec":$sec%.2f,"rows":$n}""")
+        if (twoPass(name)) {
+          val t1 = System.nanoTime()
+          val n1 = graft.SparkEntry.queries(name)(spark, dir).count()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          println(
+            f"""{"k":$k,"query":"${name}_warm","sec":$s1%.2f,"rows":$n1}""")
+        }
       }
 
       // IVF production regime: C ≈ √N (the q_ann_ivf query itself pins

@@ -106,4 +106,48 @@ class SkewStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ttlUserCounts: both named ValueStates accumulate across batches " +
+      "while the TTL has not lapsed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Double)]
+    // generous TTL: in-suite the point is the two-handle accumulation
+    // contract; REAL expiry (restart + lapsed TTL → recent resets while
+    // total persists) is exercised end-to-end by StreamRun scenario C
+    // and committed as STREAM_r10.json
+    val q = StreamOps.ttlUserCounts(ttlMs = 600000L)(mem.toDS())
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_counts").start()
+    // processing-time mode keeps scheduling no-data batches (pending
+    // TTL could still fire), so processAllAvailable never returns —
+    // poll the sink for the expected emission count instead
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("ttl_counts").count() < n &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      mem.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)))
+      awaitRows(2)
+      mem.addData(Seq((1L, 4.0), (3L, 9.0)))
+      awaitRows(4)
+      val rows = spark.table("ttl_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, 2L, 2L), (2L, 1L, 1L),   // batch 1: fresh on both handles
+        (1L, 3L, 3L), (3L, 1L, 1L)))  // batch 2: user 1 accumulated
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
