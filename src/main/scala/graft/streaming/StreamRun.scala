@@ -191,6 +191,16 @@ object StreamRun {
     val batchesC2 = dataBatches(qC2)
     qC2.stop()
     val run2 = sinkBuf.synchronized { sinkBuf.toArray }
+    // read the checkpoint's state BACK through the statestore source —
+    // the emissions above are the processor's view; this is the store's
+    val stTotal = StateInspect
+      .longValueState(spark, chkC, "totalCount")
+      .select($"key", $"value").as[(Long, Long)].collect().toMap
+    val stRecent = StateInspect
+      .longValueState(spark, chkC, "recentCount")
+      .select($"key", $"value").as[(Long, Long)].collect().toMap
+    val stateVars = StateInspect.stateMetadata(spark, chkC)
+      .select($"operatorProperties").as[String].head()
     spark.conf.unset(provKey)
     // run 1: fresh state — total == recent == drop-1 count
     val pass1 = run1.length == c1.size && run1.forall { case (u, t, r) =>
@@ -200,8 +210,14 @@ object StreamRun {
     val totalPersisted = run2.length == c2.size &&
       run2.forall { case (u, t, _) => t == c1.getOrElse(u, 0L) + c2(u) }
     val recentExpired = run2.forall { case (u, _, r) => r == c2(u) }
+    // store-side confirmation of the same facts, via the state reader
+    val stateMatches = stTotal.size == c2.size &&
+      c2.keys.forall(u => stTotal(u) == c1.getOrElse(u, 0L) + c2(u)) &&
+      c2.keys.forall(u => stRecent.get(u).contains(c2(u))) &&
+      stateVars.contains("\"stateName\":\"totalCount\"") &&
+      stateVars.contains("\"ttlEnabled\":true")
     val passC = pass1 && totalPersisted && recentExpired &&
-      recurringUsers > 0
+      stateMatches && recurringUsers > 0
 
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
@@ -219,6 +235,9 @@ object StreamRun {
          |"recurring_users":$recurringUsers,
          |"total_persisted_across_restart":$totalPersisted,
          |"recent_expired_by_ttl":$recentExpired,"run1_fresh_state":$pass1,
+         |"statestore_reader_rows":{"totalCount":${stTotal.size},
+         |"recentCount":${stRecent.size}},
+         |"statestore_reader_matches":$stateMatches,
          |"pass":$passC},
          |"pass":${passA && passB && passC}}""".stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
