@@ -57,6 +57,28 @@ object Relational extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** S1c q_dsv2_agg_pushdown — COMPLETE DSv2 aggregate pushdown
+    * (round 10): count/min/max/sum grouped by `lang` over two million
+    * generated rows, all absorbed by the connector
+    * (`SupportsPushDownAggregates`) after the `doc_id` range predicate
+    * narrows the range — Spark plans NO aggregate of its own
+    * (Dsv2Spec pins the plan); the source answers from the id-range
+    * closed forms without materializing a row. This is the store-side
+    * aggregation shape a warehouse connector pushes to its backend —
+    * at 100 TB the difference between shipping 5 rows and shipping the
+    * table. */
+  private def qDsv2AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", 2000000).option("slices", 8).load()
+      .filter($"doc_id" >= 1000L)
+      .groupBy($"lang")
+      .agg(count($"doc_id").as("n_docs"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+        sum($"doc_id").as("sum_id"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   // ------------------------------------------------- filters / projections
 
   /** P1 q_filter_or_eq — the reference's only WHERE: disjunctive equality
@@ -1229,6 +1251,7 @@ object Relational extends QueryModule {
     "q_regex_funcs" -> (qRegexFuncs _),
     "q_scan_project" -> (qScanProject _),
     "q_dsv2_scan" -> (qDsv2Scan _),
+    "q_dsv2_agg_pushdown" -> (qDsv2AggPushdown _),
     "q_filter_or_eq" -> (qFilterOrEq _),
     "q_project" -> (qProject _),
     "q_filter_pred" -> (qFilterPred _),
@@ -1525,6 +1548,14 @@ object Relational extends QueryModule {
          FROM generate_series(100, 3999) t(g)
          WHERE 50 + (g * 37) % 950 >= 500
          ORDER BY doc_id""",
+    "q_dsv2_agg_pushdown" ->
+      """SELECT CASE g % 5 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END AS lang,
+                count(g) AS n_docs, min(g) AS min_id, max(g) AS max_id,
+                CAST(sum(g) AS BIGINT) AS sum_id,
+                CAST(sum(50 + (g * 37) % 950) AS BIGINT) AS sum_chars
+         FROM generate_series(1000, 1999999) t(g)
+         GROUP BY 1 ORDER BY lang""",
     "q_filter_or_eq" ->
       """SELECT c_custkey, c_name, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey

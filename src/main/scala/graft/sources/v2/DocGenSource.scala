@@ -22,6 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     as residuals for Spark to evaluate),
   *   - `SupportsPushDownRequiredColumns`: the reader materializes only
   *     the projected fields,
+  *   - `SupportsPushDownLimit` (round 10): a `LIMIT n` narrows the
+  *     generated range itself — fully pushed, so Spark plans no limit
+  *     of its own,
+  *   - `SupportsPushDownAggregates` (round 10): COMPLETE pushdown of
+  *     count/count(col)/min/max/sum, optionally grouped by `lang` —
+  *     the generator's row function is closed-form, so every aggregate
+  *     is computed from the id-range arithmetic (per-class counts and
+  *     arithmetic series; the `n_chars` residue sequence is periodic
+  *     with period ≤190, so its sum/min/max cost a ≤190-step loop) and
+  *     a `groupBy(lang).count()` over a trillion virtual rows never
+  *     materializes a row. This is the DSv2 analog of a store-side
+  *     aggregate (the shape a warehouse connector pushes to its SQL
+  *     backend),
   *   - `planInputPartitions`: the range splits into `slices` independent
   *     partitions, so the source scales out like any file scan.
   *
@@ -67,12 +80,15 @@ class DocGenTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class DocGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var lo = 0L        // inclusive
   private var hi = rows      // exclusive
   private var pushed = Array.empty[Filter]
   private var required = DocGen.Schema
+  private var limited = false
+  private var agg: Option[(Boolean, Seq[DocGenAgg])] = None
 
   private def longOf(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -111,20 +127,80 @@ class DocGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new DocGenScan(math.min(lo, hi), hi, slices, required, pushed)
+  /** LIMIT n narrows the id range itself; fully pushed (the generator
+    * is ordered and the narrowed range yields exactly ≤n rows across
+    * all slices), so Spark drops its own limit. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.max(lo, 0L) + limit)
+    limited = true
+    true
+  }
+
+  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def colOf(e: Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private val NumCols = Set("doc_id", "n_chars")
+
+  /** The aggregations this source computes in closed form: grouped by
+    * nothing or by `lang`; count(*) / count(col) (no column is ever
+    * null) / min / max / sum over the two numeric fields. */
+  private def translate(a: Aggregation): Option[(Boolean, Seq[DocGenAgg])] = {
+    val byLang = a.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(e) if colOf(e).contains("lang") => Some(true)
+      case _ => None
+    }
+    val specs: Seq[Option[DocGenAgg]] = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(DocGenAgg("count", "*"))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column()).map(DocGenAgg("count", _))
+      case m: Min => colOf(m.column()).filter(NumCols)
+        .map(DocGenAgg("min", _))
+      case m: Max => colOf(m.column()).filter(NumCols)
+        .map(DocGenAgg("max", _))
+      case s: Sum if !s.isDistinct => colOf(s.column()).filter(NumCols)
+        .map(DocGenAgg("sum", _))
+      case _ => None
+    }
+    for (b <- byLang if specs.forall(_.isDefined)) yield (b, specs.flatten)
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translate(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    translate(a) match {
+      case Some(t) => agg = Some(t); true
+      case None => false
+    }
+
+  override def build(): Scan = agg match {
+    case Some((byLang, specs)) =>
+      new DocGenAggScan(math.min(lo, hi), hi, byLang, specs, pushed)
+    case None =>
+      new DocGenScan(math.min(lo, hi), hi, slices, required, pushed,
+        limited)
+  }
 }
 
 case class DocGenRange(lo: Long, hi: Long) extends InputPartition
 
 class DocGenScan(val lo: Long, val hi: Long, slices: Int,
-                 required: StructType, pushed: Array[Filter])
+                 required: StructType, pushed: Array[Filter],
+                 limited: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"DocGenScan range=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}]"
+    s"DocGenScan range=[$lo,$hi)${if (limited) " PushedLimit" else ""}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
 
   override def toBatch: Batch = this
 
@@ -159,6 +235,123 @@ class DocGenReaderFactory(required: StructType)
       override def next(): Boolean = { id += 1; id < r.hi }
       override def get(): InternalRow =
         new GenericInternalRow(getters.map(_(id)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** One pushed aggregate: op ∈ count|min|max|sum over a field ("*" for
+  * count(*)). */
+case class DocGenAgg(op: String, col: String)
+
+case class DocGenAggPartition(lo: Long, hi: Long, byLang: Boolean,
+                              specs: Seq[DocGenAgg]) extends InputPartition
+
+/** Complete-pushdown aggregate scan: one input partition whose reader
+  * computes every aggregate from the id-range arithmetic — O(1) in the
+  * row count (the `n_chars` residue walk is bounded by its ≤190-step
+  * period). */
+class DocGenAggScan(lo: Long, hi: Long, byLang: Boolean,
+                    specs: Seq[DocGenAgg], pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val groupCols =
+      if (byLang) Seq(StructField("lang", StringType, nullable = false))
+      else Seq.empty
+    // all aggregates here are long-typed: counts by definition, and
+    // min/max/sum over the two BIGINT fields (null only on empty input)
+    StructType(groupCols ++ specs.map(s =>
+      StructField(s"${s.op}(${s.col})", LongType, nullable = true)))
+  }
+
+  override def description(): String =
+    s"DocGenAggScan range=[$lo,$hi) PushedAggregation: " +
+      s"[${specs.map(s => s"${s.op}(${s.col})").mkString(", ")}]" +
+      s"${if (byLang) " groupBy: [lang]" else ""}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenAggPartition(lo, hi, byLang, specs))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenAggReaderFactory
+}
+
+class DocGenAggReaderFactory extends PartitionReaderFactory {
+
+  /** Closed-form stats of one lang class (ids ≡ r mod 5 in [lo, hi)). */
+  private case class ClassStats(cnt: Long, minId: Long, maxId: Long,
+      sumId: Long, minChars: Long, maxChars: Long, sumChars: Long)
+
+  private def classStats(lo: Long, hi: Long, r: Int): ClassStats = {
+    val r0 = lo + (((r - lo) % 5) + 5) % 5 // first id ≥ lo in the class
+    if (r0 >= hi) return ClassStats(0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    val cnt = (hi - 1 - r0) / 5 + 1
+    val maxId = r0 + 5L * (cnt - 1)
+    val sumId = cnt * r0 + 5L * (cnt * (cnt - 1) / 2)
+    // n_chars(id_t) = 50 + (c0 + 185·t) mod 950 for t in [0, cnt):
+    // gcd(185, 950) = 5 ⇒ the residue sequence has period 950/5 = 190
+    val c0 = ((37L * r0) % 950 + 950) % 950
+    val period = 190
+    var t = 0
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var cycleSum = 0L
+    var remSum = 0L
+    val rem = cnt % period
+    val walk = math.min(cnt, period.toLong).toInt
+    while (t < period) {
+      val v = (c0 + 185L * t) % 950
+      if (t < walk) { if (v < mn) mn = v; if (v > mx) mx = v }
+      if (t < rem) remSum += v
+      cycleSum += v
+      t += 1
+    }
+    val sumChars = 50L * cnt + (cnt / period) * cycleSum + remSum
+    ClassStats(cnt, r0, maxId, sumId, 50L + mn, 50L + mx, sumChars)
+  }
+
+  private def cell(s: ClassStats, a: DocGenAgg): Any = a match {
+    case DocGenAgg("count", _) => s.cnt
+    case DocGenAgg("min", "doc_id") => if (s.cnt == 0) null else s.minId
+    case DocGenAgg("max", "doc_id") => if (s.cnt == 0) null else s.maxId
+    case DocGenAgg("sum", "doc_id") => if (s.cnt == 0) null else s.sumId
+    case DocGenAgg("min", "n_chars") => if (s.cnt == 0) null else s.minChars
+    case DocGenAgg("max", "n_chars") => if (s.cnt == 0) null else s.maxChars
+    case DocGenAgg("sum", "n_chars") => if (s.cnt == 0) null else s.sumChars
+    case other =>
+      throw new IllegalStateException(s"unreachable pushed agg: $other")
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocGenAggPartition]
+    val perClass = (0 until 5).map(r => r -> classStats(p.lo, p.hi, r))
+    val rows: Seq[InternalRow] =
+      if (p.byLang)
+        perClass.filter(_._2.cnt > 0).map { case (r, s) =>
+          new GenericInternalRow(
+            (UTF8String.fromString(DocGen.Langs(r)) +:
+              p.specs.map(cell(s, _))).toArray[Any])
+        }
+      else {
+        val all = perClass.map(_._2).reduce { (a, b) =>
+          if (a.cnt == 0) b else if (b.cnt == 0) a
+          else ClassStats(a.cnt + b.cnt, math.min(a.minId, b.minId),
+            math.max(a.maxId, b.maxId), a.sumId + b.sumId,
+            math.min(a.minChars, b.minChars),
+            math.max(a.maxChars, b.maxChars), a.sumChars + b.sumChars)
+        }
+        Seq(new GenericInternalRow(p.specs.map(cell(all, _)).toArray[Any]))
+      }
+    new PartitionReader[InternalRow] {
+      private val it = rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext
+        if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
   }

@@ -78,4 +78,105 @@ class Dsv2Spec extends AnyFunSuite {
     assert(scan.readSchema().fieldNames.toSeq == Seq("doc_id", "n_chars"),
       "lang must be pruned from the reader schema")
   }
+
+  private def scanDesc(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    p.collectFirst { case b: BatchScanExec => b.scan.description() }.get
+  }
+
+  test("limit pushes into the scan and narrows the generated range") {
+    import spark.implicits._
+    val df = read().filter($"doc_id" >= 100L).limit(7)
+    assert(scanDesc(df).contains("PushedLimit"))
+    assert(scanDesc(df).contains("range=[100,107)"))
+    assert(df.as[(Long, String, Long)].collect().map(_._1).sorted.toSeq ==
+      (100L to 106L))
+  }
+
+  test("grouped aggregates push COMPLETELY: no Spark-side aggregate, closed form == row-by-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def aggOf(df: DataFrame) = df
+      .filter($"doc_id" >= 10L)
+      .groupBy($"lang")
+      .agg(count($"doc_id").as("n"), min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"), sum($"doc_id").as("sum_id"),
+        min($"n_chars").as("min_c"), max($"n_chars").as("max_c"),
+        sum($"n_chars").as("sum_c"))
+      .orderBy($"lang")
+    val pushed = aggOf(read(rows = 997))
+    assert(scanDesc(pushed).contains("PushedAggregation"),
+      scanDesc(pushed))
+    assert(!pushed.queryExecution.executedPlan.toString
+      .contains("HashAggregate"),
+      "complete pushdown must leave no Spark-side aggregate")
+    // the closed-form cells must equal a brute-force derivation
+    val brute = (10L until 997L)
+      .map(i => (graft.sources.v2.DocGen.lang(i), i,
+        graft.sources.v2.DocGen.nChars(i)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, rs) =>
+        (l, rs.size.toLong, rs.map(_._2).min, rs.map(_._2).max,
+          rs.map(_._2).sum, rs.map(_._3).min, rs.map(_._3).max,
+          rs.map(_._3).sum) }
+    val got = pushed
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == brute)
+    // ...and the whole point: a trillion virtual rows aggregate without
+    // materializing one (count per class = 2e11 exactly: 1e12 % 5 == 0)
+    val trillion = spark.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", 1000000000000L).option("slices", 8).load()
+      .groupBy($"lang").agg(count($"doc_id").as("n"))
+      .orderBy($"lang")
+    assert(trillion.as[(String, Long)].collect().toSeq ==
+      Seq("de", "en", "es", "fr", "zh").map((_, 200000000000L)))
+  }
+
+  test("global (ungrouped) aggregate pushes; empty range yields count 0 with null min/max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = read(rows = 997)
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("s"),
+        min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+    assert(scanDesc(df).contains("PushedAggregation"))
+    val want = (0L until 997L).map(graft.sources.v2.DocGen.nChars)
+    assert(df.as[(Long, Long, Long, Long)].head() ==
+      ((997L, want.sum, want.min, want.max)))
+    val empty = read(rows = 100).filter($"doc_id" >= 100L)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("mn"))
+    val row = empty.collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
+  test("avg pushes via Spark's sum/count decomposition; countDistinct falls back, still correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val brute = (0L until 997L)
+      .map(i => (graft.sources.v2.DocGen.lang(i),
+        graft.sources.v2.DocGen.nChars(i)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    // avg: Spark rewrites to sum/count, both of which this source
+    // pushes, so even avg aggregates store-side
+    val av = read(rows = 997).groupBy($"lang")
+      .agg(avg($"n_chars").as("a")).orderBy($"lang")
+    assert(scanDesc(av).contains("sum(n_chars)") &&
+      scanDesc(av).contains("count(n_chars)"), scanDesc(av))
+    av.as[(String, Double)].collect().toSeq.zip(brute).foreach {
+      case ((gl, ga), (bl, rs)) =>
+        assert(gl == bl &&
+          math.abs(ga - rs.map(_._2).sum.toDouble / rs.size) < 1e-9) }
+    // count(DISTINCT …): not translatable → the whole aggregation
+    // falls back to a Spark-side aggregate over the raw scan
+    val cd = read(rows = 997).groupBy($"lang")
+      .agg(countDistinct($"n_chars").as("d")).orderBy($"lang")
+    assert(!scanDesc(cd).contains("PushedAggregation"))
+    assert(cd.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(cd.as[(String, Long)].collect().toSeq ==
+      brute.map { case (l, rs) => (l, rs.map(_._2).distinct.size.toLong) })
+  }
 }
