@@ -273,6 +273,36 @@ object Layouts extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** q_dsv2_sink_roundtrip — the engine's OWN DataSource-V2 write path
+    * ([[graft.sources.v2.DirSinkSource]]: staged per-task files,
+    * manifest-atomic commit, abort cleanup — the task-commit protocol a
+    * ten-thousand-task write needs) proven faithful by the same
+    * position-sensitive rolling-hash gate as [[qJsonlRoundtrip]]: the
+    * full documents table (free text included) goes out through the
+    * connector's writer, comes back through its manifest-driven scan,
+    * and every text byte is checksummed against the ORIGINAL parquet by
+    * the oracle. A dropped row, a double-committed speculative attempt,
+    * or any codec drift fails the hash gate. Completes the sink matrix:
+    * parquet / CSV / JSONL / ORC formats + the V2 commit protocol. */
+  private def qDsv2SinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_dirsink"
+    if (graft.sources.v2.DirSink.readManifest(path).isEmpty) {
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.format("graft.sources.v2.DirSinkSource")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    s.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", path).load()
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(TextOps.rollingHash("text")).as("text_checksum"))
+      .orderBy($"lang", $"source")
+  }
+
   /** On-disk locations of the fragmented / compacted lineitem layouts
     * (test aid: CompactionSpec counts data files on both sides). */
   private[graft] def fragPath(dir: String): String =
@@ -435,7 +465,8 @@ object Layouts extends QueryModule {
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
-    "q_orc_roundtrip" -> (qOrcRoundtrip _))
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -504,6 +535,16 @@ object Layouts extends QueryModule {
                 CAST(sum(fp) AS BIGINT) AS text_checksum
          FROM f GROUP BY lang ORDER BY lang""",
     "q_jsonl_roundtrip" ->
+      s"""WITH f AS (
+           SELECT lang, source, n_chars,
+                  ${TextOps.ROLLING_HASH("text")} AS fp
+           FROM documents)
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(fp) AS BIGINT) AS text_checksum
+         FROM f GROUP BY lang, source
+         ORDER BY lang, source""",
+    "q_dsv2_sink_roundtrip" ->
       s"""WITH f AS (
            SELECT lang, source, n_chars,
                   ${TextOps.ROLLING_HASH("text")} AS fp

@@ -1,0 +1,122 @@
+package graft
+
+import graft.sources.v2.{DirSink, DirSinkBatchWrite, DirSinkCommitMessage, DirSinkWriterFactory}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 write path (sources.v2.DirSinkSource): manifest-atomic commit
+  * protocol — round trip, append generations, overwrite swap, loser
+  * attempts and aborts leave nothing visible. */
+class DirSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_dirsink").toString
+
+  private val fmt = "graft.sources.v2.DirSinkSource"
+
+  test("round trip: mixed types, nulls, and codec-hostile strings survive") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val rows = Seq(
+      (1L, Some("plain"), 1.5, true),
+      (2L, Some("tab\tand\nnewline"), -0.25, false),
+      (3L, Some("sep\u0001and\\backslash\\"), 0.0, true),
+      (4L, None, 99.0, false),
+      (5L, Some(""), 1.0, true),      // empty != null at the line tail
+      (6L, Some("\\0"), 2.0, false)) // literal backslash-zero != sentinel
+    val df = rows.toDF("id", "name", "score", "flag")
+    df.write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Option[String], Double, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    assert(back == rows)
+    // append a second generation: both visible, counts add up
+    df.write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() ==
+      2L * rows.size)
+  }
+
+  test("overwrite swaps the manifest; superseded files become invisible and are swept") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "old")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    Seq((2L, "new"), (3L, "new2")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Overwrite).save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((2L, "new"), (3L, "new2")))
+    // the old generation's data files were swept after the swap
+    val leftover = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(DirSink.ManifestName)
+        && !f.getName.startsWith(".")) // fs-internal checksum siblings
+    val manifest = DirSink.readManifest(dir).get._2.map(_._1).toSet
+    assert(leftover.map(_.getName).forall(manifest.contains),
+      s"non-manifest files left behind: ${leftover.mkString(", ")}")
+  }
+
+  test("stray files in the directory are invisible: readers resolve the manifest only") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "real")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    // plant an orphan that LOOKS like data (a crashed writer's remnant)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "p9-t999"),
+      "9\u0001ghost\n".getBytes("UTF-8"))
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+  }
+
+  test("commit protocol: only the winning attempt's file publishes; the loser and staging vanish") {
+    val dir = tmpDir()
+    val schema = StructType.fromDDL("id BIGINT, name STRING")
+    val queryId = "q-test-1"
+    val factory = new DirSinkWriterFactory(dir, schema, queryId)
+    def row(id: Long, s: String) =
+      new GenericInternalRow(Array[Any](id, UTF8String.fromString(s)))
+    // two attempts of partition 0 run concurrently (speculation)
+    val w0 = factory.createWriter(0, taskId = 10L)
+    val w0spec = factory.createWriter(0, taskId = 11L)
+    w0.write(row(1L, "winner"))
+    w0spec.write(row(1L, "winner")) // same data, different attempt
+    val m0 = w0.commit() // the coordinator lets exactly one commit...
+    w0spec.abort()       // ...and the loser aborts
+    val w1 = factory.createWriter(1, taskId = 12L)
+    w1.write(row(2L, "p1"))
+    val m1 = w1.commit()
+    new DirSinkBatchWrite(dir, schema, queryId, truncate = false)
+      .commit(Array(m0, m1))
+    import spark.implicits._
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, "winner"), (2L, "p1")))
+    assert(!new java.io.File(dir, "_staging").exists(),
+      "staging must be swept at commit")
+  }
+
+  test("job abort: committed task files are deleted, no manifest appears, a prior generation survives") {
+    val dir = tmpDir()
+    val schema = StructType.fromDDL("id BIGINT, name STRING")
+    import spark.implicits._
+    Seq((7L, "gen1")).toDF("id", "name").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    val queryId = "q-test-2"
+    val factory = new DirSinkWriterFactory(dir, schema, queryId)
+    val w = factory.createWriter(0, taskId = 20L)
+    w.write(new GenericInternalRow(
+      Array[Any](8L, UTF8String.fromString("doomed"))))
+    val m = w.commit().asInstanceOf[DirSinkCommitMessage]
+    new DirSinkBatchWrite(dir, schema, queryId, truncate = false)
+      .abort(Array(m))
+    assert(!new java.io.File(dir, m.stagedName).exists())
+    assert(!new java.io.File(dir, "_staging").exists() ||
+      new java.io.File(dir, "_staging").listFiles().isEmpty)
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq((7L, "gen1")), "the prior generation must survive")
+  }
+}
