@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,14 +27,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Spark's output-commit coordinator guarantees at most one
   *     attempt per partition commits,
   *   - driver `commit(messages)` renames exactly the committed files
-  *     into place, then publishes a MANIFEST (`_GRAFT_COMMIT`) by
-  *     atomic rename — readers resolve the file list from the manifest
-  *     alone, so a crash mid-commit leaves the previous generation
-  *     fully readable and a straggling speculative attempt's orphan
-  *     file is invisible,
+  *     into place under GLOBALLY UNIQUE final names
+  *     (`g<queryId>-p<partition>-t<taskId>` — task ids restart per
+  *     application, so the per-write queryId UUID is what keeps a later
+  *     application's append from colliding with an earlier generation's
+  *     file), throwing if any rename fails, then publishes a MANIFEST
+  *     (`_GRAFT_COMMIT`) by ATOMIC OVERWRITE rename
+  *     (`FileContext.rename(…, Options.Rename.OVERWRITE)`, atomic on
+  *     local FS and HDFS) — readers resolve the file list from the
+  *     manifest alone, so a crash mid-commit leaves the previous
+  *     generation fully readable with NO window in which the manifest
+  *     is absent, and a straggling speculative attempt's orphan file is
+  *     invisible,
   *   - `overwrite` (via `SupportsTruncate`) is a manifest swap: the new
   *     generation publishes atomically and superseded files are swept
   *     best-effort afterwards.
+  *
+  * CONSTRAINT — single writer per directory: append commits read the
+  * live manifest and republish it extended, so two jobs appending to
+  * the same path concurrently would race on the manifest and the loser
+  * commit's files would be orphaned (lost update). Serialize writers
+  * per directory (the standard Hive/Delta-without-a-log constraint); a
+  * deployment needing concurrent appends puts a lock/lease or a
+  * catalog compare-and-swap in front of the manifest publish.
   *
   * All file ops go through the Hadoop [[FileSystem]] resolved from the
   * session configuration (works on hdfs:/s3a: roots, same as the
@@ -52,8 +68,17 @@ import org.apache.spark.unsafe.types.UTF8String
 class DirSinkSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Readers take the schema from the manifest. A STREAMING write to a
+    * fresh directory has no manifest yet (Spark's streaming-sink path
+    * always infers — it never passes the query schema here), so the
+    * writer bootstraps it from a `schema` DDL option instead. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DirSink.readManifestSchema(options.get("path"))
+    DirSink.readManifest(options.get("path")).map(_._1)
+      .orElse(Option(options.get("schema")).map(StructType.fromDDL))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ${DirSink.ManifestName} manifest under ${options.get("path")} " +
+          "and no `schema` option — nothing was committed here; writers " +
+          "to a fresh directory pass .option(\"schema\", \"<ddl>\")"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -78,9 +103,37 @@ object DirSink {
     new Path(path).getFileSystem(
       new org.apache.hadoop.conf.Configuration())
 
+  /** Atomic manifest publish: rename tmp over the live manifest in ONE
+    * metadata operation (`Options.Rename.OVERWRITE` — atomic on local
+    * FS and HDFS), so there is never a window in which the manifest is
+    * missing and a racing reader sees an empty table. Object stores
+    * without a FileContext binding fall back to delete+rename with the
+    * (documented) gap — the same residual every manifest-less layout on
+    * such a store carries. */
+  private[v2] def publishManifest(path: String, tmp: Path): Unit = {
+    val root = new Path(path)
+    val live = new Path(root, ManifestName)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs(path).makeQualified(root).toUri, conf)
+      fc.rename(fs(path).makeQualified(tmp), fs(path).makeQualified(live),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val f = fs(path)
+        f.delete(live, false)
+        if (!f.rename(tmp, live))
+          throw new java.io.IOException(
+            s"failed to publish manifest $tmp -> $live")
+    }
+  }
+
   /** Manifest layout: line 1 = DDL schema; then one
-    * `<fileName>\t<rowCount>` per committed file. */
-  def readManifest(path: String): Option[(StructType, Seq[(String, Long)])] = {
+    * `<fileName>\t<rowCount>[\t<epochId>]` per committed file (the
+    * third field is present on streaming-committed lines only). */
+  def readManifestLines(path: String): Option[(StructType, Seq[String])] = {
     val f = fs(path)
     val m = new Path(path, ManifestName)
     if (!f.exists(m)) return None
@@ -88,12 +141,22 @@ object DirSink {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
-    val schema = StructType.fromDDL(lines.head)
-    val files = lines.tail.toSeq.map { l =>
-      val Array(n, c) = l.split("\t"); (n, c.toLong)
-    }
-    Some((schema, files))
+    Some((StructType.fromDDL(lines.head), lines.tail.toSeq))
   }
+
+  def readManifest(path: String): Option[(StructType, Seq[(String, Long)])] =
+    readManifestLines(path).map { case (schema, lines) =>
+      (schema, lines.map { l => val p = l.split("\t"); (p(0), p(1).toLong) })
+    }
+
+  /** Epochs already committed to this directory's manifest. The
+    * streaming commit checks membership here to make an epoch-retry
+    * after a crash a no-op — exactly-once by epoch id. */
+  def committedEpochs(path: String): Set[Long] =
+    readManifestLines(path).map(_._2.flatMap { l =>
+      val p = l.split("\t")
+      if (p.length >= 3) Some(p(2).toLong) else None
+    }.toSet).getOrElse(Set.empty)
 
   def readManifestSchema(path: String): StructType =
     readManifest(path).map(_._1).getOrElse(
@@ -165,7 +228,7 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(path, info.schema(), info.queryId())
@@ -183,6 +246,8 @@ class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(path, schema, queryId, doTruncate)
+    override def toStreaming: StreamingWrite =
+      new DirSinkStreamingWrite(path, schema, queryId, doTruncate)
   }
 }
 
@@ -203,25 +268,29 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val f = DirSink.fs(path)
     val root = new Path(path)
     f.mkdirs(root)
-    val previous: Seq[(String, Long)] =
+    // raw prior lines, preserved verbatim — a batch append after
+    // streaming commits must not strip their epoch fields
+    val previous: Seq[String] =
       if (truncate) Seq.empty
-      else DirSink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+      else DirSink.readManifestLines(path).map(_._2).getOrElse(Seq.empty)
     val committed = messages.toSeq.map {
       case DirSinkCommitMessage(staged, rows) =>
-        val fin = staged.stripPrefix(s"_staging/$queryId/")
-        f.rename(new Path(root, staged), new Path(root, fin))
+        // final name embeds the per-write queryId UUID: task ids restart
+        // per application, so a bare p<part>-t<task> could collide with
+        // (and silently clobber) a PREVIOUS application's committed file
+        val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
+        if (!f.rename(new Path(root, staged), new Path(root, fin)))
+          throw new java.io.IOException(
+            s"task-file publish failed: $staged -> $fin under $root")
         (fin, rows)
     }
     val manifest = (schema.toDDL +:
-      (previous ++ committed).map { case (n, c) => s"$n\t$c" })
+      (previous ++ committed.map { case (n, c) => s"$n\t$c" }))
       .mkString("\n")
     val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-$queryId")
     val out = f.create(tmp, true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    val live = new Path(root, DirSink.ManifestName)
-    f.delete(live, false) // rename-over target (posix rename is atomic;
-    f.rename(tmp, live)   // HDFS needs the delete — crash window is the
-                          // delete..rename gap, previous data files intact)
+    DirSink.publishManifest(path, tmp)
     // best-effort sweep: staging leftovers of THIS query (loser
     // speculative attempts) and, on truncate, the superseded generation
     f.delete(new Path(root, s"_staging/$queryId"), true)
@@ -263,16 +332,105 @@ class DirSinkWriterFactory(path: String, schema: StructType, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new DirSinkWriter(path, schema, queryId, partitionId, taskId)
+    new DirSinkWriter(path, schema, queryId, s"p$partitionId-t$taskId")
 }
 
-/** One task attempt's writer: a private staging file named by
-  * (partition, taskId) — attempt-unique, so speculation never
-  * collides. */
+/** STREAMING write (micro-batch): the same staging/manifest protocol,
+  * keyed by epoch — each epoch's staged files carry an `e<epoch>-`
+  * prefix, each manifest line a `\t<epochId>` third field, and the
+  * driver commit is IDEMPOTENT BY EPOCH ID: on restart-after-crash
+  * Spark replays the last epoch, the commit finds it already in the
+  * manifest ([[DirSink.committedEpochs]]) and drops the replayed files
+  * — exactly-once output by epoch. Micro-batch epochs are sequential
+  * per query, so the single-writer constraint holds by construction;
+  * `outputMode(complete)` routes through `truncate`, making each epoch
+  * a whole-table manifest swap. */
+class DirSinkStreamingWrite(path: String, schema: StructType,
+                            queryId: String, truncate: Boolean)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    DirSinkStreamingWriterFactory(path, schema, queryId)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val f = DirSink.fs(path)
+    val root = new Path(path)
+    f.mkdirs(root)
+    val staged = messages.collect {
+      case DirSinkCommitMessage(s, r) => (s, r)
+    }.toSeq
+    if (DirSink.committedEpochs(path).contains(epochId)) {
+      // epoch replay after crash recovery: the generation is already
+      // durable — make the retry a no-op and drop the replayed files
+      staged.foreach { case (s, _) => f.delete(new Path(root, s), false) }
+      return
+    }
+    val previous: Seq[String] =
+      if (truncate) Seq.empty
+      else DirSink.readManifestLines(path).map(_._2).getOrElse(Seq.empty)
+    val committed = staged.map { case (sName, rows) =>
+      val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
+      if (!f.rename(new Path(root, sName), new Path(root, fin)))
+        throw new java.io.IOException(
+          s"task-file publish failed: $sName -> $fin under $root")
+      (fin, rows)
+    }
+    val manifest = (schema.toDDL +:
+      (previous ++ committed.map { case (n, c) => s"$n\t$c\t$epochId" }))
+      .mkString("\n")
+    val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-$queryId-e$epochId")
+    val out = f.create(tmp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    DirSink.publishManifest(path, tmp)
+    // sweep THIS epoch's staging leftovers only (loser attempts);
+    // never the whole staging dir — a restart's new queryId owns its own
+    val stagingDir = new Path(root, s"_staging/$queryId")
+    if (f.exists(stagingDir))
+      f.listStatus(stagingDir).foreach { st =>
+        if (st.getPath.getName.startsWith(s"e$epochId-"))
+          f.delete(st.getPath, false)
+      }
+    if (truncate) {
+      val liveSet = committed.map(_._1).toSet
+      f.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
+          !n.startsWith(DirSink.ManifestName)) f.delete(st.getPath, false)
+      }
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val f = DirSink.fs(path)
+    messages.foreach {
+      case DirSinkCommitMessage(s, _) => f.delete(new Path(path, s), false)
+      case null => ()
+    }
+  }
+}
+
+/** Ships to executors: must be a self-contained serializable value
+  * (an anonymous factory would drag the non-serializable
+  * [[DirSinkStreamingWrite]] along as its outer reference). */
+case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
+                                         queryId: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DirSinkWriter(path, schema, queryId,
+      s"e$epochId-p$partitionId-t$taskId")
+}
+
+/** One task attempt's writer: a private staging file named by the
+  * attempt-unique suffix (`p<part>-t<task>`, epoch-prefixed for
+  * streaming) — speculation never collides. */
 class DirSinkWriter(path: String, schema: StructType, queryId: String,
-                    partitionId: Int, taskId: Long)
+                    attempt: String)
     extends DataWriter[InternalRow] {
-  private val stagedName = s"_staging/$queryId/p$partitionId-t$taskId"
+  private val stagedName = s"_staging/$queryId/$attempt"
   private val f = DirSink.execFs(path) // executor side: no active session
   private val out = f.create(new Path(path, stagedName), true)
   private var rows = 0L
@@ -301,10 +459,14 @@ case class DirSinkFilePartition(path: String, file: String, ddl: String)
     extends InputPartition
 
 /** Manifest-driven read: one input partition per committed file;
-  * orphans and staging files are invisible by construction. */
+  * orphans and staging files are invisible by construction. A missing
+  * manifest is an ERROR (nothing was ever committed here, or the
+  * caller's path is wrong) — mapping it to an empty table would turn a
+  * mid-publish crash or a typo into silent zero rows. */
 class DirSinkScan(path: String) extends Scan with Batch {
   private val (schema, files) = DirSink.readManifest(path).getOrElse(
-    (StructType(Nil), Seq.empty[(String, Long)]))
+    throw new IllegalArgumentException(
+      s"no ${DirSink.ManifestName} manifest under $path — nothing was committed"))
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this

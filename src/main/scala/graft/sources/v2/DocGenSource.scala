@@ -129,8 +129,17 @@ class DocGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
 
   /** LIMIT n narrows the id range itself; fully pushed (the generator
     * is ordered and the narrowed range yields exactly ≤n rows across
-    * all slices), so Spark drops its own limit. */
+    * all slices), so Spark drops its own limit.
+    *
+    * NOT when an aggregation was already pushed: Spark applies
+    * pushDownLimitAndOffset AFTER pushDownAggregates on the same
+    * builder, so narrowing the raw id range here would compute the
+    * (completely pushed) aggregates over only `limit` input rows —
+    * silently wrong group counts. A limit over an aggregate limits the
+    * aggregate's OUTPUT rows, so we decline and let Spark keep its own
+    * limit operator over the aggregated result. */
   override def pushLimit(limit: Int): Boolean = {
+    if (agg.isDefined) return false
     hi = math.min(hi, math.max(lo, 0L) + limit)
     limited = true
     true
@@ -168,7 +177,30 @@ class DocGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
         .map(DocGenAgg("sum", _))
       case _ => None
     }
-    for (b <- byLang if specs.forall(_.isDefined)) yield (b, specs.flatten)
+    for {
+      b <- byLang
+      if specs.forall(_.isDefined)
+      // SUM overflow guard: the closed-form series uses exact arithmetic
+      // (Math.multiplyExact/addExact, None on wrap); if any requested
+      // sum over the CURRENT [lo,hi) range would wrap a Long, refuse the
+      // pushdown so Spark aggregates the raw scan itself and applies its
+      // own (ANSI) overflow semantics instead of silently returning
+      // wrapped garbage. Filters push before aggregates, so [lo,hi) is
+      // final here.
+      if sumsFit(specs.flatten.filter(_.op == "sum").map(_.col))
+    } yield (b, specs.flatten)
+  }
+
+  private def sumsFit(sumCols: Seq[String]): Boolean = {
+    if (sumCols.isEmpty) return true
+    // per-class sums AND the ungrouped all-class merge must both fit
+    val perClass =
+      (0 until 5).map(DocGenClosedForm.classStats(math.min(lo, hi), hi, _))
+    val all = perClass.reduce(DocGenClosedForm.merge)
+    (perClass :+ all).forall(s => sumCols.forall {
+      case "doc_id" => s.sumId.isDefined
+      case "n_chars" => s.sumChars.isDefined
+    })
   }
 
   override def supportCompletePushDown(a: Aggregation): Boolean =
@@ -280,18 +312,37 @@ class DocGenAggScan(lo: Long, hi: Long, byLang: Boolean,
     new DocGenAggReaderFactory
 }
 
-class DocGenAggReaderFactory extends PartitionReaderFactory {
+/** Closed-form stats of one lang class (ids ≡ r mod 5 in [lo, hi)).
+  * The two SUM series are computed with EXACT arithmetic
+  * (Math.multiplyExact/addExact) and carried as Option — an overflow
+  * yields None instead of a wrapped Long. The builder's pre-push
+  * dry-run ([[DocGenScanBuilder.sumsFit]]) refuses a sum pushdown
+  * whose value is None, so the connector never returns a
+  * silently-wrapped sum for the advertised trillion-row ranges, while
+  * count/min/max (which never overflow) still push at any scale. */
+object DocGenClosedForm {
+  import java.lang.Math.{addExact, multiplyExact}
 
-  /** Closed-form stats of one lang class (ids ≡ r mod 5 in [lo, hi)). */
-  private case class ClassStats(cnt: Long, minId: Long, maxId: Long,
-      sumId: Long, minChars: Long, maxChars: Long, sumChars: Long)
+  case class ClassStats(cnt: Long, minId: Long, maxId: Long,
+      sumId: Option[Long], minChars: Long, maxChars: Long,
+      sumChars: Option[Long])
 
-  private def classStats(lo: Long, hi: Long, r: Int): ClassStats = {
+  private def exact(f: => Long): Option[Long] =
+    try Some(f) catch { case _: ArithmeticException => None }
+
+  def classStats(lo: Long, hi: Long, r: Int): ClassStats = {
     val r0 = lo + (((r - lo) % 5) + 5) % 5 // first id ≥ lo in the class
-    if (r0 >= hi) return ClassStats(0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    if (r0 >= hi)
+      return ClassStats(0L, 0L, 0L, Some(0L), 0L, 0L, Some(0L))
     val cnt = (hi - 1 - r0) / 5 + 1
-    val maxId = r0 + 5L * (cnt - 1)
-    val sumId = cnt * r0 + 5L * (cnt * (cnt - 1) / 2)
+    val maxId = r0 + 5L * (cnt - 1) // < hi by construction, never wraps
+    // cnt·(cnt-1)/2 without the intermediate cnt·(cnt-1) wrap: halve
+    // the even factor first, then multiply exactly
+    val sumId = exact {
+      val tri = if (cnt % 2 == 0) multiplyExact(cnt / 2, cnt - 1)
+                else multiplyExact(cnt, (cnt - 1) / 2)
+      addExact(multiplyExact(cnt, r0), multiplyExact(5L, tri))
+    }
     // n_chars(id_t) = 50 + (c0 + 185·t) mod 950 for t in [0, cnt):
     // gcd(185, 950) = 5 ⇒ the residue sequence has period 950/5 = 190
     val c0 = ((37L * r0) % 950 + 950) % 950
@@ -310,18 +361,39 @@ class DocGenAggReaderFactory extends PartitionReaderFactory {
       cycleSum += v
       t += 1
     }
-    val sumChars = 50L * cnt + (cnt / period) * cycleSum + remSum
+    val sumChars = exact(addExact(addExact(multiplyExact(50L, cnt),
+      multiplyExact(cnt / period, cycleSum)), remSum))
     ClassStats(cnt, r0, maxId, sumId, 50L + mn, 50L + mx, sumChars)
   }
+
+  private def addOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+    for (x <- a; y <- b; s <- exact(addExact(x, y))) yield s
+
+  def merge(a: ClassStats, b: ClassStats): ClassStats =
+    if (a.cnt == 0) b else if (b.cnt == 0) a
+    else ClassStats(a.cnt + b.cnt, math.min(a.minId, b.minId),
+      math.max(a.maxId, b.maxId), addOpt(a.sumId, b.sumId),
+      math.min(a.minChars, b.minChars),
+      math.max(a.maxChars, b.maxChars), addOpt(a.sumChars, b.sumChars))
+}
+
+class DocGenAggReaderFactory extends PartitionReaderFactory {
+  import DocGenClosedForm.{classStats, ClassStats}
 
   private def cell(s: ClassStats, a: DocGenAgg): Any = a match {
     case DocGenAgg("count", _) => s.cnt
     case DocGenAgg("min", "doc_id") => if (s.cnt == 0) null else s.minId
     case DocGenAgg("max", "doc_id") => if (s.cnt == 0) null else s.maxId
-    case DocGenAgg("sum", "doc_id") => if (s.cnt == 0) null else s.sumId
+    case DocGenAgg("sum", "doc_id") =>
+      if (s.cnt == 0) null
+      else s.sumId.getOrElse(throw new IllegalStateException(
+        "unreachable: an overflowing sum is refused at pushdown"))
     case DocGenAgg("min", "n_chars") => if (s.cnt == 0) null else s.minChars
     case DocGenAgg("max", "n_chars") => if (s.cnt == 0) null else s.maxChars
-    case DocGenAgg("sum", "n_chars") => if (s.cnt == 0) null else s.sumChars
+    case DocGenAgg("sum", "n_chars") =>
+      if (s.cnt == 0) null
+      else s.sumChars.getOrElse(throw new IllegalStateException(
+        "unreachable: an overflowing sum is refused at pushdown"))
     case other =>
       throw new IllegalStateException(s"unreachable pushed agg: $other")
   }
@@ -337,13 +409,7 @@ class DocGenAggReaderFactory extends PartitionReaderFactory {
               p.specs.map(cell(s, _))).toArray[Any])
         }
       else {
-        val all = perClass.map(_._2).reduce { (a, b) =>
-          if (a.cnt == 0) b else if (b.cnt == 0) a
-          else ClassStats(a.cnt + b.cnt, math.min(a.minId, b.minId),
-            math.max(a.maxId, b.maxId), a.sumId + b.sumId,
-            math.min(a.minChars, b.minChars),
-            math.max(a.maxChars, b.maxChars), a.sumChars + b.sumChars)
-        }
+        val all = perClass.map(_._2).reduce(DocGenClosedForm.merge)
         Seq(new GenericInternalRow(p.specs.map(cell(all, _)).toArray[Any]))
       }
     new PartitionReader[InternalRow] {

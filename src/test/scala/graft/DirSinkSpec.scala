@@ -98,6 +98,112 @@ class DirSinkSpec extends AnyFunSuite {
       "staging must be swept at commit")
   }
 
+  test("reading a directory with no manifest is an ERROR, not an empty table") {
+    val dir = tmpDir()
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir).load().count()
+    }
+    assert(e.getMessage.contains(DirSink.ManifestName) ||
+      Option(e.getCause).exists(_.getMessage.contains(DirSink.ManifestName)),
+      s"missing manifest must surface as an error naming it, got: $e")
+  }
+
+  test("appends from two applications reusing (partition, task) ids never collide") {
+    // task ids restart per application: both 'applications' commit a
+    // p0-t0 staging file; final names must embed the per-write queryId
+    // so the second commit cannot clobber (or double-list) the first
+    val dir = tmpDir()
+    val schema = StructType.fromDDL("id BIGINT, name STRING")
+    def row(id: Long, s: String) =
+      new GenericInternalRow(Array[Any](id, UTF8String.fromString(s)))
+    Seq("app-one", "app-two").zipWithIndex.foreach { case (qid, i) =>
+      val w = new DirSinkWriterFactory(dir, schema, qid)
+        .createWriter(0, taskId = 0L) // identical ids across applications
+      w.write(row(i.toLong, s"gen$i"))
+      val m = w.commit()
+      new DirSinkBatchWrite(dir, schema, qid, truncate = false)
+        .commit(Array(m))
+    }
+    import spark.implicits._
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((0L, "gen0"), (1L, "gen1")),
+      "both generations' rows must survive the name reuse")
+    val files = DirSink.readManifest(dir).get._2.map(_._1)
+    assert(files.distinct.size == files.size, "manifest must not list a name twice")
+  }
+
+  test("streaming commit: epoch-keyed manifest lines; an epoch RETRY is a no-op (exactly-once)") {
+    import graft.sources.v2.DirSinkStreamingWrite
+    val dir = tmpDir()
+    val schema = StructType.fromDDL("id BIGINT, name STRING")
+    def row(id: Long, s: String) =
+      new GenericInternalRow(Array[Any](id, UTF8String.fromString(s)))
+    def stage(qid: String, epoch: Long, id: Long, v: String) = {
+      val w = new DirSinkStreamingWrite(dir, schema, qid, truncate = false)
+        .createStreamingWriterFactory(null)
+        .createWriter(0, 0L, epoch)
+      w.write(row(id, v))
+      w.commit()
+    }
+    val sw1 = new DirSinkStreamingWrite(dir, schema, "run-1", truncate = false)
+    sw1.commit(0L, Array(stage("run-1", 0L, 1L, "e0")))
+    sw1.commit(1L, Array(stage("run-1", 1L, 2L, "e1")))
+    import spark.implicits._
+    def readBack() = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(readBack() == Seq((1L, "e0"), (2L, "e1")))
+    // crash-recovery replay: a NEW run (new queryId, as on restart)
+    // re-executes epoch 1 — the commit must be a no-op, not a duplicate
+    val sw2 = new DirSinkStreamingWrite(dir, schema, "run-2", truncate = false)
+    sw2.commit(1L, Array(stage("run-2", 1L, 2L, "e1")))
+    assert(readBack() == Seq((1L, "e0"), (2L, "e1")),
+      "an epoch retry must not duplicate rows")
+    assert(DirSink.committedEpochs(dir) == Set(0L, 1L))
+    // ...and the stream keeps going from epoch 2
+    sw2.commit(2L, Array(stage("run-2", 2L, 3L, "e2")))
+    assert(readBack() == Seq((1L, "e0"), (2L, "e1"), (3L, "e2")))
+    // a batch append on top preserves the epoch bookkeeping of old lines
+    Seq((9L, "batch")).toDF("id", "name").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    assert(DirSink.committedEpochs(dir) == Set(0L, 1L, 2L),
+      "batch appends must preserve prior streaming lines' epoch fields")
+    assert(readBack().size == 4)
+  }
+
+  test("end-to-end streaming write: a watermarked tumbling aggregate lands through the sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val cp = tmpDir()
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute"))
+      .agg(sum($"v").as("total"))
+      .select($"window.start".cast("string").as("ws"), $"total")
+    val q = agg.writeStream
+      .format(fmt)
+      .option("path", dir)
+      .option("schema", "ws STRING, total BIGINT")
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .start()
+    def ts(min: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    in.addData((ts(0, 5), 1L), (ts(0, 30), 2L), (ts(1, 10), 4L))
+    q.processAllAvailable()
+    in.addData((ts(3, 0), 8L)) // watermark passes minute 0 and 1
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq(("2026-01-01 10:00:00", 3L), ("2026-01-01 10:01:00", 4L)),
+      s"closed windows must land exactly once, got $back")
+  }
+
   test("job abort: committed task files are deleted, no manifest appears, a prior generation survives") {
     val dir = tmpDir()
     val schema = StructType.fromDDL("id BIGINT, name STRING")

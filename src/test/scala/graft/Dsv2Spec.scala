@@ -153,6 +153,51 @@ class Dsv2Spec extends AnyFunSuite {
     assert(row.getLong(0) == 0L && row.isNullAt(1))
   }
 
+  test("limit over a pushed aggregate limits OUTPUT rows, never the aggregate's input range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Spark pushes the limit AFTER the aggregation on the same builder;
+    // the source must decline it (JDBC-connector semantics) or the
+    // completely-pushed counts would be computed over only `limit` rows
+    val limited = read(rows = 1000).groupBy($"lang")
+      .agg(count(lit(1)).as("n")).limit(3)
+    assert(scanDesc(limited).contains("PushedAggregation"))
+    assert(!scanDesc(limited).contains("PushedLimit"),
+      "a limit over an aggregate must not narrow the generated range")
+    val got = limited.as[(String, Long)].collect()
+    assert(got.length == 3)
+    assert(got.forall(_._2 == 200L), // 1000 rows / 5 langs, full range
+      s"group counts must cover the FULL input range, got ${got.toSeq}")
+  }
+
+  test("sum pushdown refuses when the closed-form series would overflow Long") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4e9 ids: sum = n(n-1)/2 ≈ 8.0e18 < Long.Max — pushes, exact value
+    val n = 4000000000L
+    val ok = spark.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", n).option("slices", 4).load()
+      .agg(sum($"doc_id").as("s"))
+    assert(scanDesc(ok).contains("PushedAggregation"))
+    assert(ok.as[Long].head() ==
+      (BigInt(n) * (n - 1) / 2).toLong)
+    // 1e12 ids: sum ≈ 5e23 wraps Long — the source must refuse the
+    // pushdown (plan keeps Spark's own aggregate over the raw scan) so
+    // Spark's ANSI overflow semantics apply instead of silent garbage
+    val over = spark.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", 1000000000000L).option("slices", 8).load()
+      .agg(sum($"doc_id").as("s"))
+    assert(!scanDesc(over).contains("PushedAggregation"),
+      "an overflowing sum must not push down")
+    assert(over.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // count over the same trillion rows still pushes (count never wraps)
+    val cnt = spark.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", 1000000000000L).option("slices", 8).load()
+      .agg(count(lit(1)).as("n"))
+    assert(scanDesc(cnt).contains("PushedAggregation"))
+    assert(cnt.as[Long].head() == 1000000000000L)
+  }
+
   test("avg pushes via Spark's sum/count decomposition; countDistinct falls back, still correct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
