@@ -49,26 +49,43 @@ object Layouts extends QueryModule {
       "_" + ProcessHandle.current().pid()
   }
 
-  /** One-shot per JVM: delete `/tmp/graft_layout_*_<pid>` roots (and
-    * `/tmp/graft_ann_index_*_build_<pid>` half-built staging dirs — see
-    * [[Similarity.annIndex]]'s write-then-rename publish) whose owning
-    * process is gone. The pid suffix is this JVM's own isolation
-    * key, so a dead pid's root can never be read again — reaping it is
-    * always safe; a LIVE pid's root is never touched (no race with a
-    * concurrent suite/verify JVM). Published `graft_ann_index_*` roots
-    * WITHOUT a `_build_` segment are content-keyed shared artifacts —
-    * deliberately NOT reaped (cross-session reuse is their point).
-    * Failures are ignored: cleanup is
-    * best-effort hygiene, never a correctness dependency. */
+  /** One-shot per JVM: delete `/tmp/graft_layout_*_<pid>` roots, and
+    * under published `/tmp/graft_ann_index_*` roots the UNREFERENCED
+    * `gen-<pid>` generation dirs (crash-orphaned or race-loser builds —
+    * see [[graft.Artifacts.buildOnce]]) whose owning process is gone.
+    * The pid suffix is the owning JVM's isolation key, so a dead pid's
+    * dir can never be written again — reaping it is safe; a LIVE pid's
+    * dir is never touched, and the generation the pointer references is
+    * never touched regardless of pid (it IS the shared artifact —
+    * cross-session reuse is its point). Failures are ignored: cleanup
+    * is best-effort hygiene, never a correctness dependency. */
   private[operators] lazy val reapStaleRoots: Unit = {
-    val roots = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-    roots.filter(f => f.getName.startsWith("graft_layout_") ||
-      (f.getName.startsWith("graft_ann_index_") &&
-        f.getName.contains("_build_"))).foreach { f =>
-      val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
-      val dead = pid.toLongOption.exists(p =>
+    val tmpRoots = Option(new java.io.File("/tmp").listFiles())
+      .getOrElse(Array.empty)
+    def deadPidSuffix(name: String, sep: Char): Boolean = {
+      val pid = name.substring(name.lastIndexOf(sep) + 1)
+      pid.toLongOption.exists(p =>
         p != ProcessHandle.current().pid() && ProcessHandle.of(p).isEmpty)
-      if (dead) {
+    }
+    val staleLayouts = tmpRoots
+      .filter(f => f.getName.startsWith("graft_layout_") &&
+        deadPidSuffix(f.getName, '_'))
+    val staleGens = tmpRoots
+      .filter(_.getName.startsWith("graft_ann_index_"))
+      .flatMap { root =>
+        val live = try {
+          val ptr = new java.io.File(root, graft.Artifacts.Pointer)
+          if (ptr.isFile)
+            new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+              "UTF-8").trim
+          else ""
+        } catch { case scala.util.control.NonFatal(_) => "" }
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(g => g.isDirectory && g.getName.startsWith("gen-") &&
+            g.getName != live && deadPidSuffix(g.getName, '-'))
+      }
+    (staleLayouts ++ staleGens).foreach { f =>
+      {
         // NonFatal, not IOException: Files.walk consumption surfaces a
         // concurrent reaper's deletions as UncheckedIOException (a
         // RuntimeException) — two JVMs racing on the same dead root is
@@ -99,29 +116,35 @@ object Layouts extends QueryModule {
     * previous `java.io.File` probe always said "missing" for any
     * non-local URI — on a real cluster every session would silently
     * retrain/rewrite the artifact it was supposed to reuse (r9 verdict
-    * item 2). */
-  private[graft] def artifactReady(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+    * item 2). Delegates to the shared [[graft.Artifacts]] protocol. */
+  private[graft] def artifactReady(s: SparkSession, path: String): Boolean =
+    graft.Artifacts.partReady(s, path)
 
-  /** On-disk location of the month-partitioned orders layout (test aid:
-    * PlanShapeSpec counts pruned vs total partition directories). */
+  /** On-disk ROOT of the month-partitioned orders layout; the live
+    * generation under it is pointer-resolved ([[monthsLivePath]]). */
   private[graft] def monthsPath(dir: String): String =
     s"${layoutRoot(dir)}/orders_by_month"
 
+  /** The live generation dir of the months layout (test aid:
+    * PlanShapeSpec counts pruned vs total partition directories). */
+  private[graft] def monthsLivePath(s: SparkSession, dir: String): String =
+    graft.Artifacts.ready(s, monthsPath(dir)).getOrElse(
+      throw new IllegalStateException(
+        s"months layout not built yet under ${monthsPath(dir)}"))
+
   /** Month-partitioned orders: hive layout `o_month=yyyy-MM/part-*.parquet`.
-    * Written once per corpus; `_SUCCESS`-guarded so verify/bench reuse it. */
+    * Written once per corpus, published generation-dir + atomic pointer
+    * through [[graft.Artifacts.buildOnce]] (shared with the ANN index)
+    * so verify/bench reuse it and a crash mid-write is invisible. */
   private[graft] def ordersByMonth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = monthsPath(dir)
-    if (!artifactReady(s, path)) {
+    val live = graft.Artifacts.buildOnce(s, monthsPath(dir)) { gen =>
       Sinks.writePartitioned(
         Tables.load(s, dir, "orders")
           .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")),
-        path, Seq("o_month"))
+        gen, Seq("o_month"))
     }
-    s.read.parquet(path)
+    s.read.parquet(live)
   }
 
   /** q_partition_prune — dimension-driven DYNAMIC partition pruning over

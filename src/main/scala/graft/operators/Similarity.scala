@@ -533,7 +533,14 @@ object Similarity extends QueryModule {
         .sorted.mkString(",")
       catch { case _: java.io.FileNotFoundException => "absent" }
     val cnt = Tables.rowCount(s, dir, "embeddings")
-    val key = java.lang.Integer.toHexString(s"$dir:$cnt:$fp".hashCode)
+    // FULL md5 of the content string, not a 32-bit hashCode: in a
+    // multi-corpus deployment a 32-bit key collides at birthday scale
+    // (~2^16 corpora) and a collision silently serves one corpus's
+    // trained index for another — wrong neighbors with no error. 128
+    // bits makes that probability ignorable.
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:$cnt:$fp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     s"/tmp/graft_ann_index_$key"
   }
 
@@ -550,55 +557,43 @@ object Similarity extends QueryModule {
     * means), so the stored artifact is bit-identical to an in-memory
     * retrain and the DuckDB oracle can replay it from the raw embeddings.
     *
-    * Publish protocol: all four parts are written under a pid-suffixed
-    * `_build_` staging dir, then the COMPLETE dir is renamed into the
-    * content-keyed root — readers never observe a half-written index,
-    * and two concurrent builders resolve benignly (rename is atomic on
-    * local FS and HDFS; the loser deletes its staging copy, which is
-    * bit-identical to the winner's by training determinism). On S3A,
-    * where rename is copy-based and non-atomic, a deployment would swap
-    * in its committer/catalog pointer — the guard + staging structure
-    * carries over unchanged. Crash-orphaned staging dirs are reaped by
-    * [[Layouts.reapStaleRoots]] once their pid dies.
+    * Publish protocol ([[graft.Artifacts]], shared with the Layouts
+    * tables): all four parts are written under this process's private
+    * GENERATION dir `<root>/gen-<pid>`, then the one-line pointer file
+    * `_GRAFT_ARTIFACT` is swapped in by atomic-overwrite rename
+    * (`FileContext` — one metadata op on local FS and HDFS; on S3A the
+    * fallback replaces a single tiny pointer object rather than
+    * copying a directory). Readers resolve the pointer, so they never
+    * observe a half-written index; two concurrent builders resolve
+    * benignly (the loser drops its generation, which is bit-identical
+    * to the winner's by training determinism). Crash-orphaned
+    * generations are reaped by [[Layouts.reapStaleRoots]] once their
+    * pid dies — never the generation the pointer references.
     *
     * Returns (coarse (cid, ce), cells (vec_id, cell),
     * pqCent (m, cid, ce), codes (vec_id, m, code)). */
   private[graft] def annIndex(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val root = annIndexPath(s, dir)
-    // codes is the LAST part staged, so its _SUCCESS implies all four
-    if (!Layouts.artifactReady(s, s"$root/codes")) {
-      val stage = s"${root}_build_${ProcessHandle.current().pid()}"
+    val live = graft.Artifacts.buildOnce(s, annIndexPath(s, dir)) { gen =>
       val n = ivfVectors(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val coarse = kmeansCodebook(n, c = 8, iters = 1)
           .localCheckpoint(true) // train once, both consumers below
-        coarse.write.mode("overwrite").parquet(s"$stage/coarse")
+        coarse.write.mode("overwrite").parquet(s"$gen/coarse")
         assignCells(n, coarse)
-          .write.mode("overwrite").parquet(s"$stage/cells")
+          .write.mode("overwrite").parquet(s"$gen/cells")
         val nm = pqSubspaces(n)
         val pqCent = pqTrain(nm).localCheckpoint(true)
-        pqCent.write.mode("overwrite").parquet(s"$stage/pq")
+        pqCent.write.mode("overwrite").parquet(s"$gen/pq")
         pqAssign(nm, pqCent)
           .select($"vec_id", $"m", $"cell".as("code"))
-          .write.mode("overwrite").parquet(s"$stage/codes")
+          .write.mode("overwrite").parquet(s"$gen/codes")
       } finally n.unpersist(false)
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // re-probe right before publishing: Hadoop rename onto an EXISTING
-      // dir nests src inside it instead of failing, so a builder that
-      // lost the race must drop its staging copy (bit-identical to the
-      // winner's by training determinism) and read the winner's
-      if (Layouts.artifactReady(s, s"$root/codes") ||
-          !fs.rename(new org.apache.hadoop.fs.Path(stage),
-            new org.apache.hadoop.fs.Path(root))) {
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      }
     }
-    (s.read.parquet(s"$root/coarse"), s.read.parquet(s"$root/cells"),
-      s.read.parquet(s"$root/pq"), s.read.parquet(s"$root/codes"))
+    (s.read.parquet(s"$live/coarse"), s.read.parquet(s"$live/cells"),
+      s.read.parquet(s"$live/pq"), s.read.parquet(s"$live/codes"))
   }
 
   /** T3e q_ann_search_indexed — the SEARCH half of the train-once/

@@ -31,18 +31,22 @@ class AnnIndexSpec extends AnyFunSuite {
     buf.groupBy(identity).view.mapValues(_.size).toMap
   }
 
-  test("index artifact is written once and reused (_SUCCESS guard)") {
+  test("index artifact is written once and reused (pointer-published generation)") {
     SparkEntry.queries("q_ann_search_indexed")(spark, dir).count()
-    val root = new java.io.File(operators.Similarity.annIndexPath(spark, dir))
+    val root = operators.Similarity.annIndexPath(spark, dir)
+    val live = new java.io.File(Artifacts.ready(spark, root).getOrElse(
+      fail(s"no published generation under $root")))
+    assert(live.getName.startsWith("gen-"),
+      "parts must live under a pointer-referenced generation dir")
     val parts = Seq("coarse", "cells", "pq", "codes")
     parts.foreach { p =>
-      assert(new java.io.File(root, s"$p/_SUCCESS").exists(),
+      assert(new java.io.File(live, s"$p/_SUCCESS").exists(),
         s"index part $p missing")
     }
-    val mtimes = parts.map(p => new java.io.File(root, s"$p/_SUCCESS")
+    val mtimes = parts.map(p => new java.io.File(live, s"$p/_SUCCESS")
       .lastModified())
     SparkEntry.queries("q_ann_search_indexed")(spark, dir).count()
-    val again = parts.map(p => new java.io.File(root, s"$p/_SUCCESS")
+    val again = parts.map(p => new java.io.File(live, s"$p/_SUCCESS")
       .lastModified())
     assert(mtimes == again, "second run must NOT rebuild the index")
   }
@@ -57,20 +61,23 @@ class AnnIndexSpec extends AnyFunSuite {
     val root = operators.Similarity.annIndexPath(spark, dir)
     assert(!root.contains("graft_layout_"),
       "index root must not live under the pid-keyed layout scratch root")
-    val mt = new java.io.File(root, "codes/_SUCCESS").lastModified()
+    val live = Artifacts.ready(spark, root).get
+    val mt = new java.io.File(live, "codes/_SUCCESS").lastModified()
     val s2 = spark.newSession()
     assert(operators.Similarity.annIndexPath(s2, dir) == root,
       "key must be session-independent")
     SparkEntry.queries("q_ann_search_indexed")(s2, dir).count()
-    assert(new java.io.File(root, "codes/_SUCCESS").lastModified() == mt,
+    assert(Artifacts.ready(s2, root).contains(live),
+      "fresh session must resolve the SAME published generation")
+    assert(new java.io.File(live, "codes/_SUCCESS").lastModified() == mt,
       "fresh session must reuse, not retrain")
-    // and no half-built staging dir may be left behind
-    val strays = Option(new java.io.File("/tmp").listFiles())
+    // and no unpublished (race-loser / crash-orphan) generation of THIS
+    // process may be left behind next to the live one
+    val strays = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_ann_index_") &&
-        f.getName.contains("_build_") && f.getName.endsWith(
-          "_" + ProcessHandle.current().pid()))
-    assert(strays.isEmpty, s"staging dirs left: ${strays.mkString(",")}")
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-") &&
+        s"$root/${f.getName}" != live)
+    assert(strays.isEmpty, s"orphan generations left: ${strays.mkString(",")}")
   }
 
   test("artifact guard answers through the Hadoop FileSystem API") {
@@ -78,10 +85,13 @@ class AnnIndexSpec extends AnyFunSuite {
     // Hadoop conf (cluster-real: hdfs:/s3a: roots), not java.io.File
     SparkEntry.queries("q_ann_search_indexed")(spark, dir).count()
     val root = operators.Similarity.annIndexPath(spark, dir)
-    assert(operators.Layouts.artifactReady(spark, s"$root/codes"))
-    assert(operators.Layouts.artifactReady(spark, s"file:$root/codes"),
+    val live = Artifacts.ready(spark, root).get
+    assert(operators.Layouts.artifactReady(spark, s"$live/codes"))
+    assert(operators.Layouts.artifactReady(spark, s"file:$live/codes"),
       "guard must accept an explicit file: URI (FileSystem-resolved)")
-    assert(!operators.Layouts.artifactReady(spark, s"$root/nonexistent"))
+    assert(!operators.Layouts.artifactReady(spark, s"$live/nonexistent"))
+    assert(Artifacts.ready(spark, s"file:$root").isDefined,
+      "pointer resolution must accept an explicit file: URI too")
   }
 
   test("search plan reads the index, never a training subtree") {
@@ -96,6 +106,24 @@ class AnnIndexSpec extends AnyFunSuite {
     Seq("coarse", "cells", "pq", "codes").foreach { p =>
       assert(scans.getOrElse(p, 0) >= 1, s"index part $p not read: $scans")
     }
+  }
+
+  test("index key is a full 128-bit digest; distinct corpora resolve distinct roots") {
+    // r10 verdict #2: a 32-bit hashCode key collides at birthday scale
+    // in a multi-corpus deployment and a collision silently serves the
+    // WRONG corpus's trained index. The key must be the full md5 hex of
+    // the content string (32 hex chars), and the three fixture corpora
+    // — different dirs, counts, and file fingerprints — must all map to
+    // different roots.
+    val roots = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").map(operators.Similarity.annIndexPath(spark, _))
+    roots.foreach { r =>
+      val key = r.stripPrefix("/tmp/graft_ann_index_")
+      assert(key.length == 32 && key.forall("0123456789abcdef".contains(_)),
+        s"key must be a full md5 hex digest, got '$key'")
+    }
+    assert(roots.distinct.size == roots.size,
+      s"distinct corpora must resolve distinct index roots: $roots")
   }
 
   test("stored-index search ≡ retrain-per-run composition, bit-exact") {

@@ -223,7 +223,8 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter(_.toString.contains("orders_by_month"))
     assert(fact.nonEmpty, "no scan over the partitioned layout")
     val readFiles = fact.map(_.metrics("numFiles").value).sum
-    val totalParts = new java.io.File(operators.Layouts.monthsPath(dir))
+    val totalParts = new java.io.File(
+      operators.Layouts.monthsLivePath(spark, dir))
       .listFiles().count(_.getName.startsWith("o_month="))
     assert(readFiles < totalParts,
       s"no pruning: read $readFiles files over $totalParts partitions")
