@@ -79,6 +79,28 @@ object Relational extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** S1d q_dsv2_runtime_filter — DSv2 RUNTIME filtering
+    * (`SupportsRuntimeFiltering`, round 11): the nation dim's surviving
+    * keys are knowable only at execution time (`n_regionkey = 2`
+    * doesn't constant-fold into the fact), so Spark evaluates the dim
+    * first, reuses its broadcast, and hands the join keys to the
+    * connector as an `In` runtime filter BEFORE any input partition is
+    * planned — the generator produces only those ids out of 100 000.
+    * This is the DSv2 analog of q_partition_prune's dynamic partition
+    * pruning, completing the read contract (static filters, columns,
+    * limit, aggregates, runtime filters). At 100 TB: scan the keyed
+    * rows, not the table. Dsv2Spec pins the narrowed id count and the
+    * DynamicPruning subquery in the plan. */
+  private def qDsv2RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = s.read.format("graft.sources.v2.DocGenSource")
+      .option("rows", 100000).option("slices", 8).load()
+    val dim = t(s, dir, "nation").filter($"n_regionkey" === 2)
+    fact.join(dim, $"doc_id" === $"n_nationkey")
+      .select($"doc_id", $"lang", $"n_chars", $"n_name")
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------- filters / projections
 
   /** P1 q_filter_or_eq — the reference's only WHERE: disjunctive equality
@@ -1252,6 +1274,7 @@ object Relational extends QueryModule {
     "q_scan_project" -> (qScanProject _),
     "q_dsv2_scan" -> (qDsv2Scan _),
     "q_dsv2_agg_pushdown" -> (qDsv2AggPushdown _),
+    "q_dsv2_runtime_filter" -> (qDsv2RuntimeFilter _),
     "q_filter_or_eq" -> (qFilterOrEq _),
     "q_project" -> (qProject _),
     "q_filter_pred" -> (qFilterPred _),
@@ -1556,6 +1579,15 @@ object Relational extends QueryModule {
                 CAST(sum(50 + (g * 37) % 950) AS BIGINT) AS sum_chars
          FROM generate_series(1000, 1999999) t(g)
          GROUP BY 1 ORDER BY lang""",
+    "q_dsv2_runtime_filter" ->
+      """SELECT g AS doc_id,
+                CASE g % 5 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END AS lang,
+                50 + (g * 37) % 950 AS n_chars, n_name
+         FROM generate_series(0, 99999) t(g)
+         JOIN nation ON g = n_nationkey
+         WHERE n_regionkey = 2
+         ORDER BY doc_id""",
     "q_filter_or_eq" ->
       """SELECT c_custkey, c_name, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey

@@ -222,11 +222,41 @@ class DocGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
 }
 
 case class DocGenRange(lo: Long, hi: Long) extends InputPartition
+case class DocGenIdList(ids: Array[Long]) extends InputPartition
 
 class DocGenScan(val lo: Long, val hi: Long, slices: Int,
                  required: StructType, pushed: Array[Filter],
                  limited: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Runtime (execution-time) narrowing — the DSv2 analog of dynamic
+    * partition pruning: when this scan is the fact side of a join whose
+    * dim side carries a selective predicate, Spark evaluates the dim
+    * FIRST (reusing its broadcast) and hands the join keys here as an
+    * `In` filter before any input partition is planned. The generator
+    * then produces ONLY those ids — at a warehouse this is the
+    * difference between scanning the keyed rows and scanning the
+    * table. Non-translatable runtime filters are ignored, which is
+    * always safe: runtime filters are advisory (the join re-applies
+    * them). */
+  private var runtimeIds: Option[Array[Long]] = None
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) =>
+      val ids = vs.collect { case n: Number => n.longValue() }
+        .filter(x => x >= lo && x < hi).distinct.sorted
+      runtimeIds = Some(ids)
+    case _ => ()
+  }
+
+  /** Test aid: how many ids survived runtime filtering (None = no
+    * runtime filter arrived). */
+  private[graft] def runtimeNarrowedTo: Option[Int] = runtimeIds.map(_.length)
 
   override def readSchema(): StructType = required
 
@@ -236,14 +266,19 @@ class DocGenScan(val lo: Long, val hi: Long, slices: Int,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
-    if (n == 0) Array.empty
-    else (0 until slices).flatMap { i =>
-      val a = lo + i * n / slices
-      val b = lo + (i + 1) * n / slices
-      if (b > a) Some(DocGenRange(a, b)) else None
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = runtimeIds match {
+    case Some(ids) =>
+      if (ids.isEmpty) Array.empty
+      else ids.grouped(math.max(1, ((ids.length + slices - 1) / slices)))
+        .map(DocGenIdList(_): InputPartition).toArray
+    case None =>
+      val n = math.max(hi - lo, 0L)
+      if (n == 0) Array.empty
+      else (0 until slices).flatMap { i =>
+        val a = lo + i * n / slices
+        val b = lo + (i + 1) * n / slices
+        if (b > a) Some(DocGenRange(a, b)) else None
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -253,18 +288,26 @@ class DocGenScan(val lo: Long, val hi: Long, slices: Int,
 class DocGenReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[DocGenRange]
-    new PartitionReader[InternalRow] {
-      private var id = r.lo - 1
-      // column pruning happens HERE: only projected fields materialize
-      private val getters: Array[Long => Any] = required.fields.map {
-        _.name match {
-          case "doc_id" => (i: Long) => i
-          case "lang" => (i: Long) => UTF8String.fromString(DocGen.lang(i))
-          case "n_chars" => (i: Long) => DocGen.nChars(i)
-        }
+    // column pruning happens HERE: only projected fields materialize
+    val getters: Array[Long => Any] = required.fields.map {
+      _.name match {
+        case "doc_id" => (i: Long) => i
+        case "lang" => (i: Long) => UTF8String.fromString(DocGen.lang(i))
+        case "n_chars" => (i: Long) => DocGen.nChars(i)
       }
-      override def next(): Boolean = { id += 1; id < r.hi }
+    }
+    val ids: Iterator[Long] = partition match {
+      case DocGenRange(lo, hi) => new Iterator[Long] {
+        private var c = lo
+        override def hasNext: Boolean = c < hi
+        override def next(): Long = { val v = c; c += 1; v }
+      }
+      case DocGenIdList(list) => list.iterator
+    }
+    new PartitionReader[InternalRow] {
+      private var id = 0L
+      override def next(): Boolean = { val h = ids.hasNext
+        if (h) id = ids.next(); h }
       override def get(): InternalRow =
         new GenericInternalRow(getters.map(_(id)))
       override def close(): Unit = ()

@@ -219,6 +219,54 @@ object StreamRun {
     val passC = pass1 && totalPersisted && recentExpired &&
       stateMatches && recurringUsers > 0
 
+    // ---- scenario D (round 11): streaming write through the engine's
+    // OWN DSv2 sink (DirSinkSource STREAMING_WRITE) — the proven ST1
+    // tumbling aggregate lands in epoch-keyed manifest generations over
+    // the same landing-dir mechanism (one micro-batch per drop), and the
+    // read-back through the sink's batch scan must equal the batch
+    // derivation exactly once: the landing-zone shape a production
+    // pipeline actually deploys (read pushdowns + batch write + the
+    // streaming tail all through one connector).
+    val dirD = Files.createTempDirectory("graft_streamrun_sinkzone").toString
+    val outD = Files.createTempDirectory("graft_streamrun_sink").toString + "/t"
+    val chkD = Files.createTempDirectory("graft_streamrun_sink_chk").toString
+    events.filter($"event_id" % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(dirD)
+    Thread.sleep(1500)
+    events.filter($"event_id" % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(dirD)
+
+    val qD = StreamOps.tumblingCounts(
+        spark.readStream.schema(Tables.events)
+          .option("maxFilesPerTrigger", "1").parquet(dirD))
+      .select($"window_start".cast("string").as("ws"), $"event_type", $"n")
+      .writeStream.outputMode("append")
+      .format("graft.sources.v2.DirSinkSource")
+      .option("path", outD)
+      .option("schema", "ws STRING, event_type STRING, n BIGINT")
+      .option("checkpointLocation", chkD)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qD.awaitTermination(180000)
+    val batchesD = batchJson(qD)
+    qD.stop()
+    val backD = spark.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", outD).load()
+      .as[(String, String, Long)].collect().toSeq.sorted
+    // batch derivation of the same closed (window, type) cells (append
+    // mode emits every window strictly before the final watermark's
+    // hour — the same boundary scenario A verified)
+    val wantD = events
+      .filter(date_trunc("hour", $"ts") < lastHour)
+      .groupBy(date_trunc("hour", $"ts").cast("string").as("ws"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val epochsD = graft.sources.v2.DirSink.committedEpochs(outD)
+    val cellsD = backD.map(r => (r._1, r._2))
+    val passD = backD == wantD && cellsD.distinct.size == cellsD.size &&
+      epochsD.nonEmpty
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -239,13 +287,19 @@ object StreamRun {
          |"recentCount":${stRecent.size}},
          |"statestore_reader_matches":$stateMatches,
          |"pass":$passC},
-         |"pass":${passA && passB && passC}}""".stripMargin.replace("\n", "")
+         |"scenario_stream_sink":{"batches":$batchesD,
+         |"committed_epochs":${epochsD.size},
+         |"cells_emitted":${backD.size},"cells_expected":${wantD.size},
+         |"rows_match_batch_derivation":${backD == wantD},
+         |"pass":$passD},
+         |"pass":${passA && passB && passC && passD}}"""
+        .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
       Files.write(java.nio.file.Paths.get(f),
         json.getBytes("UTF-8"))
     }
     spark.stop()
-    if (!(passA && passB && passC)) sys.exit(1)
+    if (!(passA && passB && passC && passD)) sys.exit(1)
   }
 }

@@ -153,6 +153,43 @@ class Dsv2Spec extends AnyFunSuite {
     assert(row.getLong(0) == 0L && row.isNullAt(1))
   }
 
+  test("runtime filtering: a dim-driven join narrows the generated ids at execution (DSv2 DPP)") {
+    import spark.implicits._
+    // the dim's surviving keys are knowable only at runtime, so nothing
+    // constant-folds; the scan must receive them as an In runtime filter
+    // (broadcast reuse) and plan ONLY those ids — 5 of 100000
+    val fact = read(rows = 100000, slices = 8)
+    val dim = spark.range(0, 25).toDF("k")
+      .filter($"k" % 5 === 2)
+    val joined = fact.join(dim, fact("doc_id") === dim("k"))
+      .select($"doc_id", $"lang", $"n_chars")
+    val rows = joined.collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 7L, 12L, 17L, 22L))
+    assert(rows.forall(r => r.getString(1) ==
+      graft.sources.v2.DocGen.lang(r.getLong(0))))
+    val scan = scanOf(joined)
+    assert(scan.runtimeNarrowedTo.contains(5),
+      s"scan must generate only the 5 runtime-filtered ids, " +
+        s"got narrowing=${scan.runtimeNarrowedTo}")
+    // the runtime filter must be visible in the plan as dynamic pruning
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "join must plan a DynamicPruning runtime filter on the v2 scan")
+  }
+
+  test("q_dsv2_runtime_filter (declared): parquet-dim keys narrow the scan at runtime") {
+    val df = SparkEntry.queries("q_dsv2_runtime_filter")(spark, TestSession.sfDir)
+    // collect THIS df: count() would execute a separate plan with its
+    // own scan instance, leaving this one's runtime filter unapplied
+    val n = df.collect().length
+    assert(n > 0)
+    val scan = scanOf(df)
+    assert(scan.runtimeNarrowedTo.contains(n),
+      s"scan must narrow to exactly the ${n} surviving dim keys, " +
+        s"got ${scan.runtimeNarrowedTo}")
+  }
+
   test("limit over a pushed aggregate limits OUTPUT rows, never the aggregate's input range") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
