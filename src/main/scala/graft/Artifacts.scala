@@ -84,6 +84,24 @@ object Artifacts {
       }
     }
 
+  private val genSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Unconditional publish of a NEW generation (incremental maintenance:
+    * an index append, a layout compaction) — unlike [[buildOnce]] this
+    * never short-circuits on an existing generation; it builds under a
+    * fresh `gen-<pid>-<seq>` dir and atomically repoints. The previous
+    * generation stays on disk untouched (a reader that resolved it
+    * mid-flight keeps streaming valid files) until the reaper collects
+    * it after the owning pid dies. */
+  def publish(s: SparkSession, root: String)(build: String => Unit): String = {
+    val gen =
+      s"gen-${ProcessHandle.current().pid()}-${genSeq.incrementAndGet()}"
+    val genPath = new Path(root, gen)
+    build(genPath.toString)
+    publishPointer(s, root, gen)
+    genPath.toString
+  }
+
   /** Atomic pointer swap (see class doc for the S3A fallback). */
   private def publishPointer(s: SparkSession, root: String,
                              gen: String): Unit = {

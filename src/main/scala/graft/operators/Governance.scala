@@ -157,6 +157,57 @@ object Governance extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_dp_release_hist — bounded-contribution Laplace HISTOGRAM release
+    * (the census/DP-SQL shape beside [[qDpRelease]]'s count and
+    * [[qDpReleaseSum]]'s clamped sum, completing the DP release
+    * family): `value` buckets into fixed 50-unit bins (integer-cents
+    * arithmetic, so the bin edge is exact in both engines), each
+    * subject (user) contributes AT MOST ONCE per bin (distinct
+    * presence, L∞ = 1) and to AT MOST L0 = 3 bins (per-user rank by
+    * event count, deterministic tie-break — the contribution-bounding
+    * clamp), and each bin's subject count is perturbed with
+    * Laplace(L0·L∞/ε) = Laplace(3) noise before publication.
+    * Sensitivity IS the clamp product: one user's removal changes at
+    * most L0 bins by at most 1 each. `n_subjects` is emitted for the
+    * oracle gate only; a production release ships `released`.
+    *
+    * Shares [[qDpRelease]]'s PRIVACY CAVEAT verbatim: md5(bin)-seeded
+    * noise is deterministic in the published key, which voids the
+    * formal ε guarantee — a production release swaps in a secret
+    * per-release salt, mechanism unchanged.
+    *
+    * Scale: the (user, bin) distinct-presence aggregate map-side
+    * combines before its one fact-keyed shuffle; the L0 rank window
+    * partitions by user over ≤|bins| rows each (never event rows); the
+    * output is |bins|. */
+  private def qDpReleaseHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l0 = 3
+    val b = 3.0 // Laplace scale = L0·L∞/ε = 3·1/1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_ev".desc, $"bin")
+    Tables.load(s, dir, "events")
+      .select($"user_id",
+        (floor($"value" * lit(100.0) + lit(0.5)).cast("long") / lit(5000L))
+          .cast("long").as("bin"))
+      .groupBy($"user_id", $"bin")
+      .agg(count(lit(1)).as("n_ev"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= l0)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_subjects"))
+      .withColumn("noise_q",
+        floor((log(mdUniform("CAST(bin AS STRING)", "|dph2"))
+          - log(mdUniform("CAST(bin AS STRING)", "|dph1"))) * lit(b)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select($"bin", $"n_subjects", lit(1.0).as("epsilon"),
+        lit(3L).as("l0_bound"),
+        ($"noise_q".cast("double") / lit(1000000.0)).as("noise"),
+        ($"n_subjects".cast("double")
+          + $"noise_q".cast("double") / lit(1000000.0)).as("released"))
+      .orderBy($"bin")
+  }
+
   /** Synthetic per-customer profile string: name plus PII-shaped
     * contact fields planted on deterministic key residues (email on
     * custkey ≡ 0 mod 3, phone on ≡ 0 mod 2, a 16-digit PAN on ≡ 0
@@ -241,6 +292,7 @@ object Governance extends QueryModule {
     "q_kanonymity" -> (qKanonymity _),
     "q_dp_release" -> (qDpRelease _),
     "q_dp_release_sum" -> (qDpReleaseSum _),
+    "q_dp_release_hist" -> (qDpReleaseHist _),
     "q_pii_detect" -> (qPiiDetect _))
 
   /** DuckDB replay of [[mdUniform]]'s 52-bit md5 numerator. */
@@ -336,6 +388,40 @@ object Governance extends QueryModule {
                 CAST(sum_cents AS DOUBLE) / 100.0
                   + CAST(noise_q AS DOUBLE) / 1000000.0 AS released
          FROM q ORDER BY event_type""",
+    "q_dp_release_hist" ->
+      s"""WITH pb AS (
+           SELECT user_id,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 5000 AS bin
+           FROM events),
+         ub AS (
+           SELECT user_id, bin, count(*) AS n_ev
+           FROM pb GROUP BY user_id, bin),
+         rk AS (
+           SELECT user_id, bin,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY n_ev DESC, bin) AS rk
+           FROM ub),
+         g AS (
+           SELECT bin, count(*) AS n_subjects
+           FROM rk WHERE rk <= 3 GROUP BY bin),
+         u AS (
+           SELECT bin, n_subjects,
+                  (CAST(${duckHash("CAST(bin AS VARCHAR)", "|dph2")}
+                     AS DOUBLE) + 1) / 4503599627370496.0 AS u2,
+                  (CAST(${duckHash("CAST(bin AS VARCHAR)", "|dph1")}
+                     AS DOUBLE) + 1) / 4503599627370496.0 AS u1
+           FROM g),
+         q AS (
+           SELECT bin, n_subjects,
+                  CAST(floor((ln(u2) - ln(u1)) * 3.0 * 1000000.0 + 0.5)
+                       AS BIGINT) AS noise_q
+           FROM u)
+         SELECT bin, n_subjects, 1.0 AS epsilon,
+                CAST(3 AS BIGINT) AS l0_bound,
+                CAST(noise_q AS DOUBLE) / 1000000.0 AS noise,
+                CAST(n_subjects AS DOUBLE)
+                  + CAST(noise_q AS DOUBLE) / 1000000.0 AS released
+         FROM q ORDER BY bin""",
     "q_pii_detect" ->
       s"""WITH p AS (SELECT c_mktsegment AS segment,
                            $ProfileSql AS profile

@@ -81,8 +81,15 @@ object Layouts extends QueryModule {
           else ""
         } catch { case scala.util.control.NonFatal(_) => "" }
         Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(g => g.isDirectory && g.getName.startsWith("gen-") &&
-            g.getName != live && deadPidSuffix(g.getName, '-'))
+          .filter { g =>
+            // gen names: gen-<pid> (buildOnce) or gen-<pid>-<seq>
+            // (publish) — the pid is always the SECOND dash segment
+            val pid = g.getName.split('-').lift(1).flatMap(_.toLongOption)
+            g.isDirectory && g.getName.startsWith("gen-") &&
+              g.getName != live && pid.exists(p =>
+                p != ProcessHandle.current().pid() &&
+                  ProcessHandle.of(p).isEmpty)
+          }
       }
     (staleLayouts ++ staleGens).foreach { f =>
       {

@@ -216,7 +216,7 @@ object Similarity extends QueryModule {
     * csim is round6'd first, so the argmax can never flip on an ulp.
     * The N×C cosine runs as the fused native expression inside
     * whole-stage codegen — this loop is the training hot path. */
-  private def assignCells(n: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignCells(n: DataFrame, cent: DataFrame): DataFrame = {
     val s = n.sparkSession; import s.implicits._
     n.crossJoin(broadcast(cent))
       .withColumn("csim",
@@ -371,7 +371,7 @@ object Similarity extends QueryModule {
     * window key — one job tree instead of M independent ones, and the
     * stage count no longer grows with M. Per-m arithmetic is identical
     * to the unkeyed [[kmeansCodebook]], so the oracle replays unchanged. */
-  private def pqSubspaces(n: DataFrame): DataFrame = {
+  private[graft] def pqSubspaces(n: DataFrame): DataFrame = {
     val s = n.sparkSession; import s.implicits._
     n.select($"vec_id", posexplode(array((0 until 4).map(m =>
       slice($"e", m * 16 + 1, 16)): _*)).as(Seq("m", "e")))
@@ -380,7 +380,7 @@ object Similarity extends QueryModule {
   /** Per-subspace nearest-centroid assignment over a keyed subspace
     * relation: (m, vec_id, cell) — same argmax discipline as
     * [[assignCells]] with m as an extra key. */
-  private def pqAssign(nm: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def pqAssign(nm: DataFrame, cent: DataFrame): DataFrame = {
     val s = nm.sparkSession; import s.implicits._
     nm.join(broadcast(cent), Seq("m"))
       .withColumn("csim", graft.Det.round6(
@@ -574,9 +574,19 @@ object Similarity extends QueryModule {
     * pqCent (m, cid, ce), codes (vec_id, m, code)). */
   private[graft] def annIndex(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val live = annIndexBuild(s, annIndexPath(s, dir), ivfVectors(s, dir))
+    (s.read.parquet(s"$live/coarse"), s.read.parquet(s"$live/cells"),
+      s.read.parquet(s"$live/pq"), s.read.parquet(s"$live/codes"))
+  }
+
+  /** Train + publish one index generation over an arbitrary vector set
+    * (vec_id, e) — the build half of [[annIndex]], factored out so the
+    * append path and its spec can build base indexes over slices. */
+  private[graft] def annIndexBuild(s: SparkSession, root: String,
+                                   vectors: DataFrame): String = {
     import s.implicits._
-    val live = graft.Artifacts.buildOnce(s, annIndexPath(s, dir)) { gen =>
-      val n = ivfVectors(s, dir)
+    graft.Artifacts.buildOnce(s, root) { gen =>
+      val n = vectors
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val coarse = kmeansCodebook(n, c = 8, iters = 1)
@@ -592,8 +602,53 @@ object Similarity extends QueryModule {
           .write.mode("overwrite").parquet(s"$gen/codes")
       } finally n.unpersist(false)
     }
-    (s.read.parquet(s"$live/coarse"), s.read.parquet(s"$live/cells"),
-      s.read.parquet(s"$live/pq"), s.read.parquet(s"$live/codes"))
+  }
+
+  /** Incremental index maintenance: assign a DELTA of new vectors
+    * (vec_id, e) to the EXISTING codebooks and publish a new generation
+    * under the same root — a pure map (nearest-centroid argmax) plus a
+    * broadcast equi-join per subspace, NO retraining, so appending k
+    * vectors to an N-vector index costs O(k·C), not O(N). The new
+    * generation carries the base codebooks VERBATIM and its cells/codes
+    * are base ∪ delta; the pointer swap is atomic, and the previous
+    * generation stays readable for in-flight searches
+    * ([[graft.Artifacts.publish]]).
+    *
+    * HONESTY — the retrain trigger: frozen codebooks mean frozen cell
+    * boundaries. As appended data drifts from the training
+    * distribution, cells skew (recall degrades: true neighbors land in
+    * un-probed cells) even though every individual assignment is still
+    * the exact nearest centroid. A deployment re-trains when the delta
+    * fraction grows past a threshold (e.g. delta > 20% of base) or when
+    * the delta's mean nearest-centroid similarity falls measurably
+    * below the base's — both computable from the artifacts this module
+    * already stores. Re-training is [[annIndexBuild]] at a new
+    * content-keyed root; this method is the cheap path between
+    * retrains (the `q_incremental_dedup` precedent applied to the
+    * index). */
+  private[graft] def annIndexAppend(s: SparkSession, root: String,
+                                    delta: DataFrame): String = {
+    import s.implicits._
+    val base = graft.Artifacts.ready(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published index generation under $root — build before append"))
+    val coarse = s.read.parquet(s"$base/coarse")
+    val pqCent = s.read.parquet(s"$base/pq")
+    val d = delta
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.Artifacts.publish(s, root) { gen =>
+        coarse.write.parquet(s"$gen/coarse") // codebooks frozen, verbatim
+        pqCent.write.parquet(s"$gen/pq")
+        s.read.parquet(s"$base/cells")
+          .unionByName(assignCells(d, coarse))
+          .write.parquet(s"$gen/cells")
+        s.read.parquet(s"$base/codes")
+          .unionByName(pqAssign(pqSubspaces(d), pqCent)
+            .select($"vec_id", $"m", $"cell".as("code")))
+          .write.parquet(s"$gen/codes")
+      }
+    } finally d.unpersist(false)
   }
 
   /** T3e q_ann_search_indexed — the SEARCH half of the train-once/

@@ -126,6 +126,48 @@ class AnnIndexSpec extends AnyFunSuite {
       s"distinct corpora must resolve distinct index roots: $roots")
   }
 
+  test("annIndexAppend: frozen-codebook delta assignment ≡ full assignment; base generation survives") {
+    import spark.implicits._
+    import operators.Similarity
+    val vecs = Similarity.ivfVectors(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val baseVecs = vecs.filter($"vec_id" % 5 =!= 0)
+      val deltaVecs = vecs.filter($"vec_id" % 5 === 0)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_append").toString + "/idx"
+      val g1 = Similarity.annIndexBuild(spark, root, baseVecs)
+      val g2 = Similarity.annIndexAppend(spark, root, deltaVecs)
+      assert(g1 != g2 && Artifacts.ready(spark, root).contains(g2),
+        "append must publish a NEW generation and repoint")
+      // codebooks are carried over verbatim (no retraining)
+      def rows(p: String) = spark.read.parquet(p).collect().toSeq
+        .map(_.toSeq).sortBy(_.toString)
+      assert(rows(s"$g2/coarse") == rows(s"$g1/coarse"))
+      assert(rows(s"$g2/pq") == rows(s"$g1/pq"))
+      // (base + delta) assignments ≡ assigning ALL vectors against the
+      // SAME frozen codebooks — the append loses nothing vs a full
+      // re-assignment pass
+      val coarse = spark.read.parquet(s"$g1/coarse")
+      val pqCent = spark.read.parquet(s"$g1/pq")
+      val wantCells = Similarity.assignCells(vecs, coarse)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val gotCells = spark.read.parquet(s"$g2/cells")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(gotCells == wantCells)
+      val wantCodes = Similarity
+        .pqAssign(Similarity.pqSubspaces(vecs), pqCent)
+        .select($"vec_id", $"m", $"cell".as("code"))
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      val gotCodes = spark.read.parquet(s"$g2/codes")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(gotCodes == wantCodes)
+      // the superseded generation stays on disk for in-flight readers
+      assert(new java.io.File(g1, "codes/_SUCCESS").exists(),
+        "append must not destroy the previous generation")
+    } finally vecs.unpersist(false)
+  }
+
   test("stored-index search ≡ retrain-per-run composition, bit-exact") {
     val a = SparkEntry.queries("q_ann_search_indexed")(spark, dir)
       .collect().toSeq

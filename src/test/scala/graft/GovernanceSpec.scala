@@ -89,6 +89,41 @@ class GovernanceSpec extends AnyFunSuite {
     assert(clampedBelowRaw > 0)
   }
 
+  test("dp histogram release: L0 clamp binds, heights bounded by subjects, released = n + noise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val run1 = SparkEntry.queries("q_dp_release_hist")(spark, dir)
+      .as[(Long, Long, Double, Long, Double, Double)].collect().toSeq
+    val run2 = SparkEntry.queries("q_dp_release_hist")(spark, dir)
+      .as[(Long, Long, Double, Long, Double, Double)].collect().toSeq
+    assert(run1 == run2, "a deterministic release must republish the same numbers")
+    assert(run1.nonEmpty)
+    val nUsers = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id").distinct().count()
+    run1.foreach { case (bin, nSubj, eps, l0, noise, released) =>
+      assert(eps == 1.0 && l0 == 3L && bin >= 0L && nSubj >= 1L)
+      // L∞ = 1: a bin's height never exceeds the subject population
+      assert(nSubj <= nUsers)
+      assert(noise * 1e6 == math.rint(noise * 1e6))
+      assert(released == nSubj + noise)
+      // Laplace(L0/ε = 3) tail: P(|x| > 20·b) ≈ 2e-9
+      assert(math.abs(noise) < 20.0 * 3.0)
+    }
+    // L0 = 3: total contributions across bins ≤ 3 per subject —
+    // the sensitivity bound the mechanism rests on
+    assert(run1.map(_._2).sum <= 3L * nUsers)
+    // ...and the clamp must be LOAD-BEARING at this SF: some subject
+    // appears in MORE than 3 raw bins (else no-clamp would also pass)
+    val over = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id",
+        (floor($"value" * lit(100.0) + lit(0.5)).cast("long")
+          / lit(5000L)).cast("long").as("bin"))
+      .distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("nb"))
+      .filter($"nb" > 3L).count()
+    assert(over > 0, "fixture must exercise the L0 clamp")
+  }
+
   test("pii detect: counts match the planted key residues, masking only removes") {
     import spark.implicits._
     val got = SparkEntry.queries("q_pii_detect")(spark, dir)
