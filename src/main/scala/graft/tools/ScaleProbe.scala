@@ -33,7 +33,8 @@ object ScaleProbe {
     "q_reference_conclusions", "q_reference_decisions",
     "q_ann_search_indexed",
     "q_hits", "q_sssp_weighted", "q_kanonymity", "q_dp_release",
-    "q_dp_release_sum", "q_pii_detect", "q_readability")
+    "q_dp_release_sum", "q_pii_detect", "q_readability",
+    "q_dsv2_sink_roundtrip", "q_dp_release_hist", "q_dsv2_runtime_filter")
 
   /** Queries whose first invocation pays a one-off artifact build that a
     * long-lived deployment amortizes away (the ANN index trains once and
@@ -103,6 +104,30 @@ object ScaleProbe {
           println(
             f"""{"k":$k,"query":"${name}_warm","sec":$s1%.2f,"rows":$n1}""")
         }
+      }
+
+      // DSv2 COMPLETE aggregate pushdown at warehouse scale: the virtual
+      // input grows k×10¹¹ rows while the runtime must stay flat — the
+      // connector answers from id-range closed forms, zero rows
+      // materialized. sum(doc_id) is deliberately absent: at 10¹¹ rows
+      // its series overflows Long and the source (correctly) refuses
+      // that pushdown; sum(n_chars) (~5·10¹³) still fits and pushes.
+      if (sys.env.get("SPARK_GRAFT_PROBES")
+          .forall(_.split(",").map(_.trim).contains("q_dsv2_agg_pushdown"))) {
+        val vRows = k.toLong * 100000000000L
+        val t0 = System.nanoTime()
+        val n = spark.read.format("graft.sources.v2.DocGenSource")
+          .option("rows", vRows).option("slices", 8).load()
+          .filter(col("doc_id") >= 1000L)
+          .groupBy(col("lang"))
+          .agg(count(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"k":$k,"query":"q_dsv2_agg_pushdown_virtual",""" +
+          f""""sec":$sec%.2f,"rows":$n,"virtual_rows":$vRows}""")
       }
 
       // IVF production regime: C ≈ √N (the q_ann_ivf query itself pins
