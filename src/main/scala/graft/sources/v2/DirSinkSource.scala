@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -132,16 +133,42 @@ object DirSink {
 
   /** Manifest layout: line 1 = DDL schema; then one
     * `<fileName>\t<rowCount>[\t<epochId>]` per committed file (the
-    * third field is present on streaming-committed lines only). */
+    * third field is present on streaming-committed lines only).
+    *
+    * Reads retry on [[org.apache.hadoop.fs.ChecksumException]]: on the
+    * LOCAL filesystem the client-side `.crc` sidecar is a second file
+    * the atomic manifest rename can't cover, so a reader racing a
+    * publish can transiently see the new manifest against the old
+    * checksum. The window is one publish long — a bounded retry reads
+    * through it. HDFS/S3A checksum server-side (no sidecar), so the
+    * race doesn't exist there. */
   def readManifestLines(path: String): Option[(StructType, Seq[String])] = {
-    val f = fs(path)
-    val m = new Path(path, ManifestName)
-    if (!f.exists(m)) return None
-    val in = f.open(m)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.split("\n").filter(_.nonEmpty)
-    Some((StructType.fromDDL(lines.head), lines.tail.toSeq))
+    var attempt = 0
+    while (true) {
+      try {
+        val f = fs(path)
+        val m = new Path(path, ManifestName)
+        if (!f.exists(m)) return None
+        val in = f.open(m)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = text.split("\n").filter(_.nonEmpty)
+        return Some((StructType.fromDDL(lines.head), lines.tail.toSeq))
+      } catch {
+        // ChecksumException: new manifest against the old .crc sidecar.
+        // FileNotFoundException AFTER exists()==true: the local
+        // checksummed rename is internally delete-then-rename, so the
+        // live manifest vanishes for the length of one publish. Both
+        // are the same transient window — retry through it.
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 20 =>
+          attempt += 1
+          Thread.sleep(50)
+        case _: java.io.FileNotFoundException if attempt < 20 =>
+          attempt += 1
+          Thread.sleep(50)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def readManifest(path: String): Option[(StructType, Seq[(String, Long)])] =
@@ -228,14 +255,15 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(path, info.schema(), info.queryId())
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new DirSinkScan(path)
+      override def build(): Scan = new DirSinkScan(path, schema0)
     }
 }
 
@@ -458,43 +486,126 @@ class DirSinkWriter(path: String, schema: StructType, queryId: String,
 case class DirSinkFilePartition(path: String, file: String, ddl: String)
     extends InputPartition
 
+/** Executor-side file reader shared by the batch scan and the
+  * micro-batch stream: decode one committed file per partition. */
+class DirSinkReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DirSinkFilePartition]
+    val sch = StructType.fromDDL(p.ddl)
+    val in = DirSink.execFs(p.path).open(new Path(p.path, p.file))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.split("\n").filter(_.nonEmpty).iterator
+      finally in.close()
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = lines.hasNext
+        if (h) cur = DirSink.decode(lines.next(), sch); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
 /** Manifest-driven read: one input partition per committed file;
   * orphans and staging files are invisible by construction. A missing
-  * manifest is an ERROR (nothing was ever committed here, or the
-  * caller's path is wrong) — mapping it to an empty table would turn a
-  * mid-publish crash or a typo into silent zero rows. */
-class DirSinkScan(path: String) extends Scan with Batch {
-  private val (schema, files) = DirSink.readManifest(path).getOrElse(
-    throw new IllegalArgumentException(
-      s"no ${DirSink.ManifestName} manifest under $path — nothing was committed"))
-
+  * manifest is an ERROR on the batch path (nothing was ever committed
+  * here, or the caller's path is wrong) — mapping it to an empty table
+  * would turn a mid-publish crash or a typo into silent zero rows. */
+class DirSinkScan(path: String, schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"DirSinkScan($path, files=${files.size})"
+  override def description(): String = s"DirSinkScan($path)"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = DirSink.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${DirSink.ManifestName} manifest under $path — " +
+          "nothing was committed"))._2
     files.map { case (n, _) =>
       DirSinkFilePartition(path, n, schema.toDDL): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(
-          partition: InputPartition): PartitionReader[InternalRow] = {
-        val p = partition.asInstanceOf[DirSinkFilePartition]
-        val sch = StructType.fromDDL(p.ddl)
-        val in = DirSink.execFs(p.path).open(new Path(p.path, p.file))
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.split("\n").filter(_.nonEmpty).iterator
-          finally in.close()
-        new PartitionReader[InternalRow] {
-          private var cur: InternalRow = _
-          override def next(): Boolean = { val h = lines.hasNext
-            if (h) cur = DirSink.decode(lines.next(), sch); h }
-          override def get(): InternalRow = cur
-          override def close(): Unit = ()
-        }
-      }
+    new DirSinkReaderFactory
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new DirSinkMicroBatchStream(path, schema)
+}
+
+/** STREAMING READ — tail the landing zone: the manifest's file list is
+  * APPEND-ONLY under append/streaming commits, so "files committed so
+  * far" is a total order and the stream offset is simply the manifest
+  * line count. Each micro-batch reads exactly the files in
+  * (startOffset, endOffset] — one partition per file, the same
+  * executor-side reader as the batch scan — giving a downstream job
+  * exactly-once consumption of everything upstream commits (batch
+  * appends and streaming epochs alike), with crash recovery from the
+  * checkpointed offset.
+  *
+  * CONSTRAINT: tailing assumes append-only commits. An `overwrite`
+  * swap rewrites history out from under the offset; a shrinking
+  * manifest is detected and fails the stream (a same-length overwrite
+  * is indistinguishable from an append and stays on the reader — the
+  * documented cost of offsets-as-counts; a deployment that needs
+  * overwrite-under-tail moves to generation-id offsets, which the
+  * manifest's epoch field already carries). */
+case class DirSinkOffset(files: Int)
+    extends StreamOffset {
+  override def json(): String = files.toString
+}
+
+class DirSinkMicroBatchStream(path: String, schema: StructType)
+    extends MicroBatchStream {
+
+  private def fileList: Seq[(String, Long)] =
+    DirSink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+
+  /** Offsets must be MONOTONIC even though the manifest probe isn't:
+    * on the local filesystem the checksummed FileContext rename is
+    * internally delete-then-rename, so a probe racing a publish can
+    * transiently see NO manifest. Reporting that as offset 0 would
+    * regress below the committed offset and make Spark re-plan from
+    * the start — duplicate reads. The high-water mark rides through
+    * the window (one publish long); HDFS renames are atomic so the
+    * window doesn't exist there. */
+  private var maxSeen = 0
+
+  override def initialOffset(): StreamOffset = DirSinkOffset(0)
+  override def latestOffset(): StreamOffset = {
+    val n = fileList.size
+    if (n > maxSeen) maxSeen = n
+    DirSinkOffset(maxSeen)
+  }
+  override def deserializeOffset(json: String): StreamOffset =
+    DirSinkOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DirSinkOffset].files
+    val e = end.asInstanceOf[DirSinkOffset].files
+    // ride out an in-flight publish (the same transient window as
+    // above) before declaring the manifest truncated
+    var files = fileList
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (files.size < e && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      files = fileList
     }
+    if (files.size < e)
+      throw new IllegalStateException(
+        s"manifest under $path shrank (${files.size} < $e): streaming " +
+          "read requires append-only commits — no overwrite under a tail")
+    files.slice(s, e).map { case (n, _) =>
+      DirSinkFilePartition(path, n, schema.toDDL): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DirSinkReaderFactory
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }

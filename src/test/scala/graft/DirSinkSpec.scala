@@ -171,6 +171,41 @@ class DirSinkSpec extends AnyFunSuite {
     assert(readBack().size == 4)
   }
 
+  test("streaming READ tails the manifest: later commits arrive incrementally, exactly once") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("dirsink_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("dirsink_tail")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(got() == Seq((1L, "a"), (2L, "b")))
+      // a batch append lands while the tail is live: only the NEW
+      // generation's rows arrive (offset = manifest file count)
+      Seq((3L, "c")).toDF("id", "v").write.format(fmt)
+        .option("path", dir).mode(SaveMode.Append).save()
+      q.processAllAvailable()
+      assert(got() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "appended generation must arrive exactly once")
+      // ...and a streaming-write epoch is tail-visible the same way
+      // (the landing-zone handoff: stream in, stream out)
+      import graft.sources.v2.{DirSinkStreamingWrite, DirSinkCommitMessage}
+      val schema = StructType.fromDDL("id BIGINT, v STRING")
+      val sw = new DirSinkStreamingWrite(dir, schema, "tail-src",
+        truncate = false)
+      val w = sw.createStreamingWriterFactory(null).createWriter(0, 0L, 0L)
+      w.write(new GenericInternalRow(
+        Array[Any](4L, UTF8String.fromString("d"))))
+      sw.commit(0L, Array(w.commit()))
+      q.processAllAvailable()
+      assert(got() == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+  }
+
   test("end-to-end streaming write: a watermarked tumbling aggregate lands through the sink") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
