@@ -1,0 +1,178 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource-V2 [[TableCatalog]] over [[DirSinkSource]] tables — the
+  * catalog tier of the connector story (SURVEY.md §2.11): tables become
+  * SQL-addressable names instead of path options, so
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.graftcat = graft.sources.v2.GraftCatalog
+  *             spark.sql.catalog.graftcat.warehouse = /data/graft
+  * CREATE TABLE graftcat.db.docs (id BIGINT, text STRING)
+  * CREATE TABLE graftcat.db.top AS SELECT ...            -- CTAS
+  * INSERT INTO graftcat.db.docs ...                      -- V2 write path
+  * SELECT * FROM graftcat.db.docs                        -- manifest scan
+  * DROP TABLE graftcat.db.docs
+  * }}}
+  *
+  * all resolve through Spark's catalog plumbing into the SAME
+  * staged-write / manifest-atomic-commit machinery DirSinkSpec proves.
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>/` — one directory per
+  * table, identity the (namespace, name) path. A table EXISTS iff its
+  * directory holds a committed manifest (`_GRAFT_COMMIT`); CREATE
+  * TABLE writes a zero-file manifest carrying the schema (the same
+  * bootstrap a fresh streaming write uses), so create-then-insert and
+  * CTAS both land on the ordinary commit protocol. All metadata IS the
+  * manifest — no side state to drift, and the catalog works unchanged
+  * on `hdfs:`/`s3a:` warehouses because every probe goes through the
+  * Hadoop FileSystem. Concurrent CREATEs of the same name resolve at
+  * the manifest publish (last pointer wins, both schemas identical by
+  * the name); the single-writer-per-table append constraint is
+  * [[DirSinkSource]]'s, inherited.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = DirSink.fs(warehouse)
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(new Path(warehouse))(new Path(_, _)).toString
+
+  private def exists(ident: Identifier): Boolean =
+    DirSink.readManifest(dirOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    fs.listStatus(nsPath)
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, DirSink.ManifestName)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    val schema = DirSink.readManifest(dir).map(_._1).getOrElse(
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    new DirSinkTable(dir, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables are unpartitioned (bucket/partition layouts " +
+        "live in the Layouts tier)")
+    if (exists(ident))
+      throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    val dir = dirOf(ident)
+    val f = DirSink.fs(dir)
+    f.mkdirs(new Path(dir))
+    // a zero-file manifest IS the table: schema line, no data lines —
+    // published through the same atomic pointer swap as every commit
+    val tmp = new Path(dir, s"${DirSink.ManifestName}.tmp-create")
+    val out = f.create(tmp, true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    DirSink.publishManifest(dir, tmp)
+    new DirSinkTable(dir, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are schema-stable; write a new table")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!exists(ident)) return false
+    fs.delete(new Path(dirOf(ident)), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    if (!exists(oldIdent))
+      throw new NoSuchTableException((oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    if (exists(newIdent))
+      throw new TableAlreadyExistsException((newIdent.namespace() :+ newIdent.name()).toSeq)
+    val dst = new Path(dirOf(newIdent))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(new Path(dirOf(oldIdent)), dst))
+      throw new java.io.IOException(
+        s"rename failed: ${oldIdent} -> ${newIdent}")
+  }
+
+  // ---- namespaces: directories under the warehouse root
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val nsPath = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+      if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
+        (catalogName +: namespace).toSeq)
+      fs.listStatus(nsPath)
+        .filter(st => st.isDirectory &&
+          !fs.exists(new Path(st.getPath, DirSink.ManifestName)))
+        .map(st => namespace :+ st.getPath.getName)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    val nsPath = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val nsPath = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+    if (fs.exists(nsPath))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(catalogName +: namespace)
+    fs.mkdirs(nsPath)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is immutable")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val nsPath = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+    if (!fs.exists(nsPath)) return false
+    if (!cascade && fs.listStatus(nsPath).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(nsPath, true)
+  }
+}
