@@ -266,6 +266,38 @@ object Governance extends QueryModule {
       .orderBy($"qpct")
   }
 
+  /** q_pseudonymize — keyed pseudonymization (the GDPR Art. 4(5)
+    * technique beside [[Curation]]'s `q_gdpr_delete` erasure and
+    * [[qPiiDetect]]'s masking): direct identifiers are replaced by a
+    * keyed one-way token `substr(md5(user_id || salt), 1, 16)` so the
+    * released events remain JOINABLE on the pseudonym (longitudinal
+    * analysis still works) while the identifier itself never ships.
+    * The release carries per-pseudonym activity only; re-linking
+    * requires the salt.
+    *
+    * HONESTY — same stance as the DP family: the salt here is a pinned
+    * literal so the oracle can replay the tokens; a production release
+    * holds the salt SECRET (an HMAC key in the curator's KMS), with the
+    * token arithmetic unchanged. With a public salt the mapping is
+    * enumerable for small id spaces (it's exactly the k-anonymity
+    * linkage-attack surface [[qKanonymity]] audits).
+    *
+    * Scale: one scan, the token is a codegen'd projection, one
+    * map-side-combined aggregate keyed by the (uniform) token. */
+  private def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(
+        substring(md5(concat($"user_id".cast("string"),
+          lit("|graft-pseud-v1"))), 1, 16).as("pseudo_id"),
+        $"value", $"event_type")
+      .groupBy($"pseudo_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        graft.Det.sumd($"value").as("total_value"))
+      .orderBy($"pseudo_id")
+  }
+
   /** Synthetic per-customer profile string: name plus PII-shaped
     * contact fields planted on deterministic key residues (email on
     * custkey ≡ 0 mod 3, phone on ≡ 0 mod 2, a 16-digit PAN on ≡ 0
@@ -352,6 +384,7 @@ object Governance extends QueryModule {
     "q_dp_release_sum" -> (qDpReleaseSum _),
     "q_dp_release_hist" -> (qDpReleaseHist _),
     "q_dp_release_quantile" -> (qDpReleaseQuantile _),
+    "q_pseudonymize" -> (qPseudonymize _),
     "q_pii_detect" -> (qPiiDetect _))
 
   /** DuckDB replay of [[mdUniform]]'s 52-bit md5 numerator. */
@@ -522,6 +555,13 @@ object Governance extends QueryModule {
          FROM cum, t, qs
          WHERE cum_micro * 100 >= qpct * tot_micro
          GROUP BY qpct ORDER BY qpct""",
+    "q_pseudonymize" ->
+      s"""SELECT substr(md5(CAST(user_id AS VARCHAR) || '|graft-pseud-v1'),
+                 1, 16) AS pseudo_id,
+                count(*) AS n_events,
+                count(DISTINCT event_type) AS n_types,
+                ${graft.Det.SUMD("value")} AS total_value
+         FROM events GROUP BY 1 ORDER BY pseudo_id""",
     "q_pii_detect" ->
       s"""WITH p AS (SELECT c_mktsegment AS segment,
                            $ProfileSql AS profile

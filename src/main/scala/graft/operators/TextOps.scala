@@ -37,6 +37,53 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_dedup_url — URL-canonicalization dedup, the FIRST dedup stage of
+    * every web-corpus pipeline (before any content hash is computed,
+    * refetches of one page under host-case/www/tracking-param/trailing-
+    * slash variants collapse to one canonical URL and only the first
+    * fetch is kept). The synthetic `url` column derives deterministically
+    * from keys (the [[Governance]] profile-field idiom: honest stand-in
+    * haystack, real canonicalization machinery) so the fixture plants a
+    * MIX of variant classes:
+    *   - host case + `www.` prefix on doc_id ≡ 0 (mod 3),
+    *   - uppercase TLD on ≡ 1 (mod 3),
+    *   - `?utm_*` tracking suffix on even ids,
+    *   - trailing slash on ≡ 0 (mod 5).
+    * Canonicalization (in order): lowercase; strip the `?utm_…` query;
+    * strip `://www.`; strip one trailing slash. Docs sharing
+    * (source, doc_id mod 40) collapse; keep-first = min doc_id (the
+    * CCNet rule), n_variants counts the collapsed fetches.
+    *
+    * Scale: one scan; canonicalization is a codegen'd projection; the
+    * single exchange keys on the canonical URL (uniform by
+    * construction — a real crawl salts the rare mega-duplicated URL,
+    * the q_join_skew_salted pattern). */
+  private def qDedupUrl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(
+      lit("https://"),
+      when($"doc_id" % 3 === 0,
+        concat(lit("WWW."), $"source", lit(".Example.com")))
+        .when($"doc_id" % 3 === 1, concat($"source", lit(".example.COM")))
+        .otherwise(concat($"source", lit(".example.com"))),
+      lit("/docs/"), ($"doc_id" % 40).cast("string"),
+      when($"doc_id" % 5 === 0, lit("/")).otherwise(lit("")),
+      when($"doc_id" % 2 === 0,
+        concat(lit("?utm_source=feed&utm_page="),
+          ($"doc_id" % 4).cast("string"))).otherwise(lit("")))
+    val canonical =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "\\?utm_[^#]*", ""),
+          "://www\\.", "://"),
+        "/$", "")
+    docs(s, dir)
+      .select($"doc_id", canonical.as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("kept_doc"))
+      .orderBy($"canonical_url")
+  }
+
   /** q_incremental_dedup — the INCREMENTAL-ingest form of exact dedup
     * (the production shape: a new crawl snapshot arrives and must dedup
     * against everything already ingested, not just itself): the "new
@@ -1096,6 +1143,7 @@ object TextOps extends QueryModule {
     "q_chi2_select" -> (qChi2Select _),
     "q_mi_select" -> (qMiSelect _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_url" -> (qDedupUrl _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_text_tokenize_tf" -> (qTextTokenizeTf _),
     "q_tfidf" -> (qTfidf _),
@@ -1476,6 +1524,32 @@ object TextOps extends QueryModule {
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
          ORDER BY doc_id""",
+    "q_dedup_url" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  'https://'
+                  || CASE doc_id % 3
+                       WHEN 0 THEN 'WWW.' || source || '.Example.com'
+                       WHEN 1 THEN source || '.example.COM'
+                       ELSE source || '.example.com' END
+                  || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+                  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&utm_page='
+                            || CAST(doc_id % 4 AS VARCHAR)
+                       ELSE '' END AS url
+           FROM documents),
+         canon AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(lower(url), '\?utm_[^#]*', ''),
+                      '://www\.', '://'),
+                    '/$', '') AS canonical_url
+           FROM raw)
+         SELECT canonical_url, count(*) AS n_variants,
+                min(doc_id) AS kept_doc
+         FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
     "q_text_tokenize_tf" ->
       """SELECT t AS token, count(*) AS tf
          FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
