@@ -263,7 +263,8 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new DirSinkScan(path, schema0)
+      override def build(): Scan = new DirSinkScan(path, schema0,
+        Option(options.get("asOfOffset")).map(_.toInt))
     }
 }
 
@@ -511,17 +512,36 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
   * orphans and staging files are invisible by construction. A missing
   * manifest is an ERROR on the batch path (nothing was ever committed
   * here, or the caller's path is wrong) — mapping it to an empty table
-  * would turn a mid-publish crash or a typo into silent zero rows. */
-class DirSinkScan(path: String, schema: StructType) extends Scan with Batch {
+  * would turn a mid-publish crash or a typo into silent zero rows.
+  *
+  * SNAPSHOT READS (`option("asOfOffset", k)`): the manifest's file list
+  * is append-only, so its first k lines ARE the zone as a tail reader
+  * had consumed it at stream offset k — one offset vocabulary for both
+  * surfaces. Record `committedOffset` (= manifest line count) when a
+  * training run cuts its corpus, and any later batch read of that
+  * offset reproduces the exact snapshot regardless of subsequent
+  * appends. Reading past the current size is an error (an offset from
+  * a different zone), not a silent truncation. */
+class DirSinkScan(path: String, schema: StructType,
+                  asOfOffset: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"DirSinkScan($path)"
+  override def description(): String =
+    s"DirSinkScan($path${asOfOffset.map(k => s", asOf=$k").getOrElse("")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = DirSink.readManifest(path).getOrElse(
+    val all = DirSink.readManifest(path).getOrElse(
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
           "nothing was committed"))._2
+    val files = asOfOffset match {
+      case Some(k) =>
+        if (k > all.size) throw new IllegalArgumentException(
+          s"asOfOffset $k exceeds the zone's ${all.size} committed files " +
+            s"under $path — offsets name a PREFIX of this zone's history")
+        all.take(k)
+      case None => all
+    }
     files.map { case (n, _) =>
       DirSinkFilePartition(path, n, schema.toDDL): InputPartition
     }.toArray

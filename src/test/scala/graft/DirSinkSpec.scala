@@ -206,6 +206,35 @@ class DirSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfOffset snapshot read: the manifest prefix reproduces the zone at a recorded offset") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    // a training run cuts its corpus here and records the offset
+    val cut = DirSink.readManifest(dir).get._2.size
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    def read(asOf: Option[Int]) = {
+      val r = spark.read.format(fmt).option("path", dir)
+      asOf.foreach(k => r.option("asOfOffset", k))
+      r.load().as[(Long, String)].collect().toSeq.sorted
+    }
+    assert(read(None) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(read(Some(cut)) == Seq((1L, "a"), (2L, "b")),
+      "the recorded offset must reproduce the snapshot despite later appends")
+    assert(read(Some(1)) == Seq((1L, "a")))
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("asOfOffset", 99).load().count()
+    }
+    assert(e.getMessage.contains("asOfOffset") ||
+      Option(e.getCause).exists(_.getMessage.contains("asOfOffset")),
+      s"reading past the zone's history must error, got $e")
+  }
+
   test("end-to-end streaming write: a watermarked tumbling aggregate lands through the sink") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
