@@ -75,19 +75,46 @@ object Similarity extends QueryModule {
     * recall audit samples |Q| (this fixture's 1% modulus IS that
     * sample), so the brute side stays |sample|·N, not N².
     *
-    * HONESTY — the measured number: on the synthetic fixture the gate
-    * reads recall@5 ≈ 0.03. That is the TRUE recall of these toy index
-    * parameters on near-random vectors: the fixture embeddings carry
-    * almost no neighborhood structure, so top-5 margins are ulp-thin
-    * and a C=8 / nprobe=2 / 4×16-dim-PQ (64× compression) quantizer
-    * obliterates them. Real corpora have structure and real
-    * deployments tune C≈√N, nprobe, and PQ bits against exactly this
-    * gate — which is why the gate, not the toy number, is the
-    * deliverable. The oracle pins the measurement bit-exactly. */
+    * HONESTY — the measured numbers: on the synthetic fixture this
+    * gate reads recall@5 ≈ 0.03, and its IVF-FLAT twin
+    * ([[qAnnRecallIvf]]) reads ≈ 0.46. Those are the TRUE recalls of
+    * these toy index parameters on near-random vectors: the fixture
+    * embeddings carry almost no neighborhood structure, so top-5
+    * margins are ulp-thin; probe misses (C=8, nprobe=2) cost ~half the
+    * hits, and the 4×16-dim PQ (64× compression) obliterates the rest.
+    * The PAIR is the diagnostic: flat ≫ pq says the PQ-bits knob, not
+    * nprobe, is what a deployment of this corpus would turn. Real
+    * corpora have structure and real deployments tune C≈√N, nprobe,
+    * and PQ bits against exactly this gate — the gate, not the toy
+    * numbers, is the deliverable. The oracle pins both measurements
+    * bit-exactly. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
     val approx = qAnnSearchIndexed(s, dir)
+      .select($"qid".as("aqid"), $"cid".as("acid"))
+    exact
+      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count($"acid").as("n_hit"))
+      .select($"qid", $"n_hit",
+        graft.Det.round6($"n_hit".cast("double") / lit(5.0))
+          .as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
+  /** q_ann_recall_ivf — the same recall@5 gate over the IVF-FLAT path
+    * (exact distances within probed cells, no PQ): paired with
+    * [[qAnnRecall]] it makes the gate DISCRIMINATING — flat recall
+    * isolates probe misses (the nprobe/C lever) while the IVF-PQ number
+    * adds quantization distortion on top (the PQ-bits lever), so the
+    * two measured points tell a deployment WHICH knob to turn. Same
+    * query sample, same join/aggregate shape, same honest-fixture
+    * caveat as [[qAnnRecall]]. */
+  private def qAnnRecallIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
+    val approx = qAnnIvf(s, dir)
       .select($"qid".as("aqid"), $"cid".as("acid"))
     exact
       .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
@@ -1435,6 +1462,7 @@ object Similarity extends QueryModule {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_search_indexed" -> (qAnnSearchIndexed _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_semdedup" -> (qSemDedup _),
@@ -1959,6 +1987,18 @@ object Similarity extends QueryModule {
          WHERE levenshtein(a.p_name, b.p_name) <= 3
          ORDER BY name_a, name_b""",
     "q_similarity_topk" -> DUCK_TOPK,
+    "q_ann_recall_ivf" ->
+      s"""WITH approx AS ($DUCK_IVF),
+         exact AS ($DUCK_TOPK),
+         j AS (
+           SELECT e.qid, count(a.cid) AS n_hit
+           FROM exact e LEFT JOIN approx a
+             ON a.qid = e.qid AND a.cid = e.cid
+           GROUP BY e.qid)
+         SELECT qid, n_hit,
+                floor(CAST(n_hit AS DOUBLE) / 5.0 * 1000000.0 + 0.5)
+                  / 1000000.0 AS recall_at_5
+         FROM j ORDER BY qid""",
     "q_ann_recall" ->
       s"""WITH approx AS ($DUCK_IVFPQ),
          exact AS ($DUCK_TOPK),

@@ -520,6 +520,9 @@ class PlanShapeSpec extends AnyFunSuite {
     * and check the warm TimeQ cost when raising one. */
   private val scanMultiplicity: Map[String, Int] = Map(
     "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 8,
+    // q_ann_recall_ivf composes q_ann_ivf's lazy tree (14, sealed at
+    // runtime) with the brute exact side (2) — raw union, paid once
+    "q_ann_recall_ivf" -> 16,
     "q_conformal" -> 17,
     "q_curation_pipeline" -> 9, "q_graph_bfs" -> 36,
     "q_graph_jaccard" -> 96, "q_graph_modularity" -> 51,
