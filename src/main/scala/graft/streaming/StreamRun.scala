@@ -267,6 +267,44 @@ object StreamRun {
     val passD = backD == wantD && cellsD.distinct.size == cellsD.size &&
       epochsD.nonEmpty
 
+    // ---- scenario E (round 11): bronze → silver THROUGH the connector
+    // — the medallion hop a production pipeline deploys: upstream
+    // commits fill the bronze zone (two generations), a downstream job
+    // TAILS bronze with the connector's own streaming read (manifest-
+    // count offsets), aggregates per event type, and streaming-writes
+    // silver in complete mode (per-epoch manifest swap). Silver's batch
+    // read-back must equal the batch derivation over bronze — the
+    // stream-in/stream-out loop closed over one commit protocol.
+    val bronze = Files.createTempDirectory("graft_streamrun_bronze")
+      .toString + "/z"
+    val silver = Files.createTempDirectory("graft_streamrun_silver")
+      .toString + "/z"
+    val chkE = Files.createTempDirectory("graft_streamrun_med_chk").toString
+    val fmt = "graft.sources.v2.DirSinkSource"
+    val bronzeRows = events.select($"event_id", $"event_type")
+    bronzeRows.filter($"event_id" % 2 === 0).write.format(fmt)
+      .option("path", bronze).mode("append").save()
+    bronzeRows.filter($"event_id" % 2 === 1).write.format(fmt)
+      .option("path", bronze).mode("append").save()
+    val qE = spark.readStream.format(fmt).option("path", bronze).load()
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format(fmt)
+      .option("path", silver)
+      .option("schema", "event_type STRING, n BIGINT")
+      .option("checkpointLocation", chkE)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qE.awaitTermination(180000)
+    val batchesE = batchJson(qE)
+    qE.stop()
+    val silverBack = spark.read.format(fmt).option("path", silver).load()
+      .as[(String, Long)].collect().toSeq.sorted
+    val wantE = spark.read.format(fmt).option("path", bronze).load()
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq.sorted
+    val passE = silverBack.nonEmpty && silverBack == wantE
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -292,7 +330,11 @@ object StreamRun {
          |"cells_emitted":${backD.size},"cells_expected":${wantD.size},
          |"rows_match_batch_derivation":${backD == wantD},
          |"pass":$passD},
-         |"pass":${passA && passB && passC && passD}}"""
+         |"scenario_medallion":{"batches":$batchesE,
+         |"silver_rows":${silverBack.size},
+         |"silver_matches_bronze_derivation":${silverBack == wantE},
+         |"pass":$passE},
+         |"pass":${passA && passB && passC && passD && passE}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -300,6 +342,6 @@ object StreamRun {
         json.getBytes("UTF-8"))
     }
     spark.stop()
-    if (!(passA && passB && passC && passD)) sys.exit(1)
+    if (!(passA && passB && passC && passD && passE)) sys.exit(1)
   }
 }
