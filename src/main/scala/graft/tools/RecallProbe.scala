@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-tuning probe: the q_ann_recall gate USED the way a deployment
+  * uses it — sweep the IVF knobs (C, nprobe) and print measured
+  * recall@5 against the exact top-5 for each setting, one JSON line per
+  * grid point. The declared queries pin C=8/nprobe=2 for the oracle;
+  * this tool shows what the gate says when you actually turn the knobs
+  * (C≈√N, more probes), which is the production tuning loop.
+  * Usage: runMain graft.tools.RecallProbe [sfDir]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val n = graft.operators.Similarity.ivfVectors(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusN = n.count()
+    val exact = graft.SparkEntry.queries("q_similarity_topk")(spark, sfDir)
+      .select($"qid", $"cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQueries = exact.select($"qid").distinct().count()
+    val rootC = math.max(2, math.sqrt(corpusN.toDouble).round.toInt)
+
+    try {
+      for {
+        c <- Seq(8, rootC)
+        nprobe <- Seq(2, 4, math.max(1, c / 2))
+      } {
+        val t0 = System.nanoTime()
+        val approx = graft.operators.Similarity
+          .ivfRanked(spark, n, c = c, iters = 2, nprobe = nprobe)
+          .select($"qid".as("aqid"), $"cid".as("acid"))
+        val hits = exact
+          .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+          .agg(count($"acid")).as[Long].head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = hits.toDouble / (5.0 * nQueries)
+        println(f"""{"n":$corpusN,"c":$c,"nprobe":$nprobe,""" +
+          f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
+      }
+    } finally { n.unpersist(false); exact.unpersist(false) }
+    spark.stop()
+  }
+}
