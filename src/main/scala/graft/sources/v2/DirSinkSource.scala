@@ -523,11 +523,29 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
   * appends. Reading past the current size is an error (an offset from
   * a different zone), not a silent truncation. */
 class DirSinkScan(path: String, schema: StructType,
-                  asOfOffset: Option[Int] = None) extends Scan with Batch {
+                  asOfOffset: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"DirSinkScan($path${asOfOffset.map(k => s", asOf=$k").getOrElse("")})"
+
+  /** Exact statistics from the manifest (every commit records its row
+    * count): row count = the sum over the visible file list, size = a
+    * defaultSize-per-row estimate. Without this, Spark assumes a
+    * V2 relation is infinitely large and NEVER auto-broadcasts a small
+    * connector table in a join — at scale that's a sort-merge shuffle
+    * of a 100 TB fact against a KB dimension that should have shipped
+    * to the executors. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = DirSink.readManifest(path)
+      .map(_._2.take(asOfOffset.getOrElse(Int.MaxValue)).map(_._2).sum)
+      .getOrElse(0L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * schema.defaultSize)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = DirSink.readManifest(path).getOrElse(

@@ -227,7 +227,21 @@ case class DocGenIdList(ids: Array[Long]) extends InputPartition
 class DocGenScan(val lo: Long, val hi: Long, slices: Int,
                  required: StructType, pushed: Array[Filter],
                  limited: Boolean = false)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** Exact statistics — the generator knows its cardinality in closed
+    * form (post-pushdown range, or the runtime-filtered id count), so
+    * Spark's join planner can auto-broadcast a small generated slice
+    * instead of assuming a V2 relation is infinitely large. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long =
+      runtimeIds.map(_.length.toLong).getOrElse(math.max(hi - lo, 0L))
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * required.defaultSize)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   /** Runtime (execution-time) narrowing — the DSv2 analog of dynamic
     * partition pruning: when this scan is the fact side of a join whose

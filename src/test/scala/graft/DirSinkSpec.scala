@@ -206,6 +206,22 @@ class DirSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifest row counts surface as scan statistics and drive broadcast planning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = tmpDir()
+    Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val dim = spark.read.format(fmt).option("path", dir).load()
+    val fact = graft.sources.Tables.load(spark, TestSession.sfDir, "events")
+    val joined = fact.join(dim, fact("user_id") % 3 === dim("k"))
+      .groupBy($"v").agg(count(lit(1)).as("n"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "a 3-row manifest-counted sink table must broadcast")
+    assert(joined.collect().length == 3)
+  }
+
   test("asOfOffset snapshot read: the manifest prefix reproduces the zone at a recorded offset") {
     import spark.implicits._
     val dir = tmpDir()

@@ -190,6 +190,26 @@ class Dsv2Spec extends AnyFunSuite {
         s"got ${scan.runtimeNarrowedTo}")
   }
 
+  test("reported statistics drive join planning: a small generated slice auto-broadcasts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.count
+    // without SupportsReportStatistics Spark treats a V2 relation as
+    // infinitely large and sort-merges; with the closed-form row count
+    // the 25-row slice must broadcast against the parquet fact
+    val dim = read(rows = 5000).filter($"doc_id" < 25L)
+    val fact = graft.sources.Tables.load(spark, TestSession.sfDir, "events")
+    val joined = fact.join(dim, fact("user_id") === dim("doc_id"))
+      .groupBy($"lang").agg(count($"event_id").as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"25-row stats-reported dim must broadcast, plan:\n$plan")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+    // and the stats themselves are the post-pushdown closed form
+    val scan = scanOf(dim)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 25L)
+  }
+
   test("limit over a pushed aggregate limits OUTPUT rows, never the aggregate's input range") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
