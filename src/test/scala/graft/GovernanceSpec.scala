@@ -145,6 +145,36 @@ class GovernanceSpec extends AnyFunSuite {
     assert(n.count() > 0)
   }
 
+  test("DP mechanism law: the noise is a function of the released KEY only, never the data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the Laplace draws are seeded from the group key, so two corpora
+    // with DIFFERENT data but the same keys must draw IDENTICAL noise —
+    // the mechanism's data-independence (what makes the sensitivity
+    // analysis valid) made testable: a shadow corpus with every event
+    // doubled must double n_true in every group while reproducing the
+    // exact same noise per key.
+    val base = graft.sources.Tables.load(spark, dir, "events")
+    val shadow = java.nio.file.Files
+      .createTempDirectory("graft_dp_law").toString
+    base.unionByName(base.withColumn("event_id", $"event_id" + lit(1000000L)))
+      .write.parquet(s"$shadow/events.parquet")
+    def release(d: String): Map[String, (Long, Double)] =
+      SparkEntry.queries("q_dp_release")(spark, d)
+        .select($"event_type", $"n_true", $"noise")
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, z) => k -> (n, z) }.toMap
+    val a = release(dir)
+    val b = release(shadow)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (n, z)) =>
+      assert(b(k)._1 == 2 * n, s"$k: doubled corpus must double the count")
+      assert(b(k)._2 == z,
+        s"$k: the noise must depend on the key alone, never the data")
+    }
+    assert(a.values.map(_._2).toSet.size > 1, "draws differ across keys")
+  }
+
   test("pii detect: counts match the planted key residues, masking only removes") {
     import spark.implicits._
     val got = SparkEntry.queries("q_pii_detect")(spark, dir)

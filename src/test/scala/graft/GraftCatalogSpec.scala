@@ -79,6 +79,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(names == Set("b"))
   }
 
+  test("INSERT OVERWRITE swaps the table's contents through the truncate path") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
+    spark.sql("CREATE TABLE graftcat.db6.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcat.db6.t VALUES (1, 'old'), (2, 'old2')")
+    spark.sql("INSERT OVERWRITE graftcat.db6.t VALUES (9, 'new')")
+    val got = spark.sql("SELECT id, v FROM graftcat.db6.t")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((9L, "new")),
+      "overwrite must replace the previous generation atomically")
+  }
+
   test("a catalog table is tailable: readStream over the SQL name's directory") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db5")
