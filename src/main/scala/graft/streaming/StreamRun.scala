@@ -305,6 +305,58 @@ object StreamRun {
       .as[(String, Long)].collect().toSeq.sorted
     val passE = silverBack.nonEmpty && silverBack == wantE
 
+    // ---- scenario F (round 11): STREAMING INDEX MAINTENANCE — the
+    // annIndexAppend path driven by real micro-batches: an index trains
+    // once over the base corpus slice, then two embedding drops land in
+    // a zone and each micro-batch appends its vectors to the FROZEN
+    // codebooks (pure assignment, no retraining), publishing a new
+    // generation per epoch. The final live generation's cells/codes
+    // must equal a full frozen-codebook re-assignment of ALL vectors —
+    // the AnnIndexSpec equality, now proven ASSOCIATIVE across
+    // sequential streamed appends.
+    import graft.operators.Similarity
+    val vecsAll = Similarity.ivfVectors(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseVecs = vecsAll.filter($"vec_id" % 3 === 0)
+    val idxRoot = Files.createTempDirectory("graft_streamrun_idx")
+      .toString + "/idx"
+    val g0 = Similarity.annIndexBuild(spark, idxRoot, baseVecs)
+    val dirF = Files.createTempDirectory("graft_streamrun_veczone").toString
+    val chkF = Files.createTempDirectory("graft_streamrun_idx_chk").toString
+    vecsAll.filter($"vec_id" % 3 === 1).write.mode("append").parquet(dirF)
+    Thread.sleep(1200)
+    vecsAll.filter($"vec_id" % 3 === 2).write.mode("append").parquet(dirF)
+    val appendCounts = scala.collection.mutable.ArrayBuffer[Long]()
+    val qF = spark.readStream
+      .schema("vec_id BIGINT, e ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1").parquet(dirF)
+      .writeStream
+      .option("checkpointLocation", chkF)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        appendCounts += batch.count()
+        Similarity.annIndexAppend(spark, idxRoot, batch); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qF.awaitTermination(180000)
+    qF.stop()
+    val live = graft.Artifacts.ready(spark, idxRoot).get
+    val coarse0 = spark.read.parquet(s"$g0/coarse")
+    val pq0 = spark.read.parquet(s"$g0/pq")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val cellsMatch = sortedRows(spark.read.parquet(s"$live/cells")) ==
+      sortedRows(Similarity.assignCells(vecsAll, coarse0))
+    val codesMatch = sortedRows(spark.read.parquet(s"$live/codes")) ==
+      sortedRows(Similarity.pqAssign(Similarity.pqSubspaces(vecsAll), pq0)
+        .select($"vec_id", $"m", $"cell".as("code")))
+    val codebooksFrozen =
+      sortedRows(spark.read.parquet(s"$live/coarse")) == sortedRows(coarse0) &&
+        sortedRows(spark.read.parquet(s"$live/pq")) == sortedRows(pq0)
+    vecsAll.unpersist(false)
+    val passF = appendCounts.size == 2 && cellsMatch && codesMatch &&
+      codebooksFrozen && live != g0
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -334,7 +386,14 @@ object StreamRun {
          |"silver_rows":${silverBack.size},
          |"silver_matches_bronze_derivation":${silverBack == wantE},
          |"pass":$passE},
-         |"pass":${passA && passB && passC && passD && passE}}"""
+         |"scenario_index_maintenance":{
+         |"append_batches":${appendCounts.size},
+         |"appended_vectors":${appendCounts.sum},
+         |"codebooks_frozen":$codebooksFrozen,
+         |"cells_equal_full_assignment":$cellsMatch,
+         |"codes_equal_full_assignment":$codesMatch,
+         |"pass":$passF},
+         |"pass":${passA && passB && passC && passD && passE && passF}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -342,6 +401,6 @@ object StreamRun {
         json.getBytes("UTF-8"))
     }
     spark.stop()
-    if (!(passA && passB && passC && passD && passE)) sys.exit(1)
+    if (!(passA && passB && passC && passD && passE && passF)) sys.exit(1)
   }
 }
