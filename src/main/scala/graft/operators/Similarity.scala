@@ -76,8 +76,8 @@ object Similarity extends QueryModule {
     * sample), so the brute side stays |sample|·N, not N².
     *
     * HONESTY — the measured numbers: on the synthetic fixture this
-    * gate reads recall@5 ≈ 0.03, and its IVF-FLAT twin
-    * ([[qAnnRecallIvf]]) reads ≈ 0.46. Those are the TRUE recalls of
+    * gate reads recall@5 ≈ 0.03, its IVF-FLAT twin ([[qAnnRecallIvf]])
+    * ≈ 0.46, and the SimHash-LSH point ([[qAnnRecallLsh]]) 0.00. Those are the TRUE recalls of
     * these toy index parameters on near-random vectors: the fixture
     * embeddings carry almost no neighborhood structure, so top-5
     * margins are ulp-thin; probe misses (C=8, nprobe=2) cost ~half the
@@ -115,6 +115,29 @@ object Similarity extends QueryModule {
     import s.implicits._
     val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
     val approx = qAnnIvf(s, dir)
+      .select($"qid".as("aqid"), $"cid".as("acid"))
+    exact
+      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count($"acid").as("n_hit"))
+      .select($"qid", $"n_hit",
+        graft.Det.round6($"n_hit".cast("double") / lit(5.0))
+          .as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
+  /** q_ann_recall_lsh — the recall@5 gate over the SimHash-bucket LSH
+    * path, the third measured point beside [[qAnnRecall]] (IVF-PQ) and
+    * [[qAnnRecallIvf]] (IVF-flat): with all three index FAMILIES
+    * measured against the same exact baseline on the same query
+    * sample, the gate answers the index-selection question — which
+    * family, at which knob settings, earns its candidate-generation
+    * savings on THIS corpus. Same join/aggregate shape and honest
+    * near-random-fixture caveat as the other two. */
+  private def qAnnRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
+    val approx = qAnnLsh(s, dir)
       .select($"qid".as("aqid"), $"cid".as("acid"))
     exact
       .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
@@ -1463,6 +1486,7 @@ object Similarity extends QueryModule {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
+    "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_ann_search_indexed" -> (qAnnSearchIndexed _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_semdedup" -> (qSemDedup _),
@@ -1745,6 +1769,37 @@ object Similarity extends QueryModule {
   /** q_ann_ivfpq oracle: coarse codebook (c-suffixed CTEs — the
     * subspace blocks own the bare numeric suffixes) + the four replayed
     * PQ codebooks + the cell-filtered integer ADC sum. */
+  /** SimHash-bucket LSH top-5 SQL (the q_ann_lsh oracle) — also the
+    * `approx` side of the q_ann_recall_lsh oracle. */
+  private val DUCK_LSH =
+    """WITH signs AS (
+           SELECT j, list_transform(range(1, 65), i ->
+             CASE WHEN (instr('0123456789abcdef',
+                 substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))
+               - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END) sv
+           FROM range(0, 8) t(j)),
+         n0 AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         bk AS (
+           SELECT n0.vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(n0.e, s.sv) > 0
+                           THEN CAST(power(2, s.j) AS BIGINT) ELSE 0 END) AS BIGINT)
+                    bucket
+           FROM n0, signs s GROUP BY n0.vec_id),
+         n AS (SELECT n0.vec_id, n0.e, n0.nrm, bk.bucket
+               FROM n0 JOIN bk USING (vec_id)),
+         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.vec_id qid, q.bucket, c.vec_id cid,
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
+               FROM pairs)
+         SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   /** Exact brute-force top-5 SQL (the q_similarity_topk oracle) — also
     * the `exact` side of the q_ann_recall oracle. */
   private val DUCK_TOPK =
@@ -2026,34 +2081,19 @@ object Similarity extends QueryModule {
                FROM pairs)
          SELECT qid, qlabel, rn, cid, clabel, sim FROM r WHERE rn <= 5
          ORDER BY qid, rn""",
-    "q_ann_lsh" ->
-      """WITH signs AS (
-           SELECT j, list_transform(range(1, 65), i ->
-             CASE WHEN (instr('0123456789abcdef',
-                 substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))
-               - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END) sv
-           FROM range(0, 8) t(j)),
-         n0 AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) nrm
-           FROM embeddings),
-         bk AS (
-           SELECT n0.vec_id,
-                  CAST(sum(CASE WHEN list_dot_product(n0.e, s.sv) > 0
-                           THEN CAST(power(2, s.j) AS BIGINT) ELSE 0 END) AS BIGINT)
-                    bucket
-           FROM n0, signs s GROUP BY n0.vec_id),
-         n AS (SELECT n0.vec_id, n0.e, n0.nrm, bk.bucket
-               FROM n0 JOIN bk USING (vec_id)),
-         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
-         pairs AS (
-           SELECT q.vec_id qid, q.bucket, c.vec_id cid,
-                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0 + 0.5) / 1000000.0 sim
-           FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn
-               FROM pairs)
-         SELECT qid, bucket, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_ann_lsh" -> DUCK_LSH,
+    "q_ann_recall_lsh" ->
+      s"""WITH approx AS ($DUCK_LSH),
+         exact AS ($DUCK_TOPK),
+         j AS (
+           SELECT e.qid, count(a.cid) AS n_hit
+           FROM exact e LEFT JOIN approx a
+             ON a.qid = e.qid AND a.cid = e.cid
+           GROUP BY e.qid)
+         SELECT qid, n_hit,
+                floor(CAST(n_hit AS DOUBLE) / 5.0 * 1000000.0 + 0.5)
+                  / 1000000.0 AS recall_at_5
+         FROM j ORDER BY qid""",
     "q_ann_ivf" -> DUCK_IVF,
     "q_diverse_sample" -> DUCK_DIVERSE,
     "q_semdedup" -> DUCK_SEMDEDUP,
