@@ -224,8 +224,11 @@ object Governance extends QueryModule {
     * republishable but voids formal ε; production uses a secret salt).
     *
     * Scale: everything after the (user,bin) pre-combined aggregate is
-    * |bins|-sized (≤10 rows) — the cumulative triangle join and the
-    * quantile probe are broadcast joins over KB relations. */
+    * |bins|-sized (≤10 rows, a FIXED vocabulary) — the histogram packs
+    * into ONE sorted array row and the CDF inversion is an integer
+    * array fold (`aggregate` HOF) per quantile: no join, no extra
+    * exchange, three stages end to end. The pack is bounded by the bin
+    * vocabulary, never the data (the q_rfm sorted-collect discipline). */
   private def qDpReleaseQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l0 = 3
@@ -249,17 +252,24 @@ object Governance extends QueryModule {
       // exact integer micro-units: the CDF arithmetic never sees a float
       .select($"bin",
         ($"n_subjects" * lit(1000000L) + $"noise_q").as("rel_micro"))
-    val tot = hist.agg(sum($"rel_micro").as("tot_micro"))
-    val cum = hist.as("a")
-      .join(hist.select($"bin".as("b2"), $"rel_micro".as("m2")).as("c"),
-        $"b2" <= $"bin")
-      .groupBy($"bin").agg(sum($"m2").as("cum_micro"))
-    val qs = s.range(1).select(
-      explode(array(lit(25L), lit(50L), lit(90L))).as("qpct"))
-    cum.crossJoin(broadcast(tot)).join(broadcast(qs),
-        $"cum_micro" * lit(100L) >= $"qpct" * $"tot_micro")
-      .groupBy($"qpct")
-      .agg(min($"bin").as("bin"))
+    hist
+      .agg(sort_array(collect_list(struct($"bin", $"rel_micro"))).as("h"))
+      .select(explode(array(lit(25L), lit(50L), lit(90L))).as("qpct"), $"h")
+      .withColumn("tot",
+        expr("aggregate(h, 0L, (acc, x) -> acc + x.rel_micro)"))
+      // first bin whose cumulative micro-mass reaches qpct% of the
+      // total: one left-to-right integer fold over the ≤10-entry array
+      .withColumn("bin", expr(
+        """aggregate(h,
+             named_struct('cum', 0L, 'found', CAST(-1 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'cum', acc.cum + x.rel_micro,
+               'found', CASE
+                 WHEN acc.found >= 0 THEN acc.found
+                 WHEN (acc.cum + x.rel_micro) * 100 >= qpct * tot
+                   THEN x.bin
+                 ELSE CAST(-1 AS BIGINT) END),
+             acc -> acc.found)"""))
       .select($"qpct", $"bin",
         ($"bin".cast("double") * lit(50.0)).as("value_lo"),
         lit(1.0).as("epsilon"), lit(3L).as("l0_bound"))
