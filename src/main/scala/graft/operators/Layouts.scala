@@ -73,20 +73,33 @@ object Layouts extends QueryModule {
     val staleGens = tmpRoots
       .filter(_.getName.startsWith("graft_ann_index_"))
       .flatMap { root =>
-        val live = try {
-          val ptr = new java.io.File(root, graft.Artifacts.Pointer)
-          if (ptr.isFile)
-            new String(java.nio.file.Files.readAllBytes(ptr.toPath),
-              "UTF-8").trim
-          else ""
-        } catch { case scala.util.control.NonFatal(_) => "" }
+        def readLine(f: java.io.File): String =
+          try {
+            if (f.isFile)
+              new String(java.nio.file.Files.readAllBytes(f.toPath),
+                "UTF-8").trim
+            else ""
+          } catch { case scala.util.control.NonFatal(_) => "" }
+        // the live generation AND its whole _PARENT chain are the
+        // artifact (delta appends union the chain at read time) —
+        // protect every member, reap only dead-pid gens OUTSIDE it
+        val protectedGens = {
+          val out = scala.collection.mutable.Set[String]()
+          var cur = readLine(new java.io.File(root, graft.Artifacts.Pointer))
+          while (cur.nonEmpty && !out.contains(cur)) {
+            out += cur
+            cur = readLine(new java.io.File(new java.io.File(root, cur),
+              "_PARENT"))
+          }
+          out
+        }
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter { g =>
             // gen names: gen-<pid> (buildOnce) or gen-<pid>-<seq>
             // (publish) — the pid is always the SECOND dash segment
             val pid = g.getName.split('-').lift(1).flatMap(_.toLongOption)
             g.isDirectory && g.getName.startsWith("gen-") &&
-              g.getName != live && pid.exists(p =>
+              !protectedGens.contains(g.getName) && pid.exists(p =>
                 p != ProcessHandle.current().pid() &&
                   ProcessHandle.of(p).isEmpty)
           }

@@ -665,9 +665,9 @@ object Similarity extends QueryModule {
     * pqCent (m, cid, ce), codes (vec_id, m, code)). */
   private[graft] def annIndex(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val live = annIndexBuild(s, annIndexPath(s, dir), ivfVectors(s, dir))
-    (s.read.parquet(s"$live/coarse"), s.read.parquet(s"$live/cells"),
-      s.read.parquet(s"$live/pq"), s.read.parquet(s"$live/codes"))
+    val root = annIndexPath(s, dir)
+    annIndexBuild(s, root, ivfVectors(s, dir))
+    annIndexParts(s, root) // chain-aware read (base builds: chain = live)
   }
 
   /** Train + publish one index generation over an arbitrary vector set
@@ -696,14 +696,21 @@ object Similarity extends QueryModule {
   }
 
   /** Incremental index maintenance: assign a DELTA of new vectors
-    * (vec_id, e) to the EXISTING codebooks and publish a new generation
-    * under the same root — a pure map (nearest-centroid argmax) plus a
-    * broadcast equi-join per subspace, NO retraining, so appending k
-    * vectors to an N-vector index costs O(k·C), not O(N). The new
-    * generation carries the base codebooks VERBATIM and its cells/codes
-    * are base ∪ delta; the pointer swap is atomic, and the previous
-    * generation stays readable for in-flight searches
-    * ([[graft.Artifacts.publish]]).
+    * (vec_id, e) to the EXISTING codebooks and publish a new DELTA
+    * generation under the same root — a pure map (nearest-centroid
+    * argmax) plus a broadcast equi-join per subspace, NO retraining,
+    * and the generation stores ONLY the delta's assignments plus a
+    * `_PARENT` link to the previous generation, so appending k vectors
+    * to an N-vector index costs O(k·C) compute AND O(k) write — the
+    * log-structured shape (a base-∪-delta rewrite would be an O(N)
+    * parquet copy per append, which at 100 TB is the difference
+    * between appending and re-ingesting). Readers resolve the pointer
+    * and union the parent CHAIN's cells/codes dirs
+    * ([[annIndexParts]]); the chain length is bounded by the retrain
+    * trigger below, and codebooks are copied verbatim into every
+    * generation (KB-sized) so each generation is self-describing. The
+    * pointer swap is atomic and superseded generations stay on disk —
+    * they are the chain.
     *
     * HONESTY — the retrain trigger: frozen codebooks mean frozen cell
     * boundaries. As appended data drifts from the training
@@ -713,16 +720,17 @@ object Similarity extends QueryModule {
     * fraction grows past a threshold (e.g. delta > 20% of base) or when
     * the delta's mean nearest-centroid similarity falls measurably
     * below the base's — both computable from the artifacts this module
-    * already stores. Re-training is [[annIndexBuild]] at a new
-    * content-keyed root; this method is the cheap path between
-    * retrains (the `q_incremental_dedup` precedent applied to the
-    * index). */
+    * already stores; retraining also resets the chain length.
+    * Re-training is [[annIndexBuild]] at a new content-keyed root; this
+    * method is the cheap path between retrains (the
+    * `q_incremental_dedup` precedent applied to the index). */
   private[graft] def annIndexAppend(s: SparkSession, root: String,
                                     delta: DataFrame): String = {
     import s.implicits._
     val base = graft.Artifacts.ready(s, root).getOrElse(
       throw new IllegalStateException(
         s"no published index generation under $root — build before append"))
+    val baseName = new org.apache.hadoop.fs.Path(base).getName
     val coarse = s.read.parquet(s"$base/coarse")
     val pqCent = s.read.parquet(s"$base/pq")
     val d = delta
@@ -731,15 +739,53 @@ object Similarity extends QueryModule {
       graft.Artifacts.publish(s, root) { gen =>
         coarse.write.parquet(s"$gen/coarse") // codebooks frozen, verbatim
         pqCent.write.parquet(s"$gen/pq")
-        s.read.parquet(s"$base/cells")
-          .unionByName(assignCells(d, coarse))
-          .write.parquet(s"$gen/cells")
-        s.read.parquet(s"$base/codes")
-          .unionByName(pqAssign(pqSubspaces(d), pqCent)
-            .select($"vec_id", $"m", $"cell".as("code")))
+        assignCells(d, coarse).write.parquet(s"$gen/cells")
+        pqAssign(pqSubspaces(d), pqCent)
+          .select($"vec_id", $"m", $"cell".as("code"))
           .write.parquet(s"$gen/codes")
+        val p = new org.apache.hadoop.fs.Path(gen, "_PARENT")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(baseName.getBytes("UTF-8")) finally out.close()
       }
     } finally d.unpersist(false)
+  }
+
+  /** Resolve the live generation CHAIN of an index root and return its
+    * four relations — coarse/pq from the live generation (copied
+    * verbatim along the chain), cells/codes as the union of every
+    * generation's delta parquet dirs (live first, back to the base). */
+  private[graft] def annIndexParts(s: SparkSession, root: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val live = graft.Artifacts.ready(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published index generation under $root"))
+    val chain = annIndexChain(s, root, live)
+    (s.read.parquet(s"$live/coarse"),
+      s.read.parquet(chain.map(_ + "/cells"): _*),
+      s.read.parquet(s"$live/pq"),
+      s.read.parquet(chain.map(_ + "/codes"): _*))
+  }
+
+  /** The `_PARENT` walk, live generation first. */
+  private[graft] def annIndexChain(s: SparkSession, root: String,
+                                   live: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var cur = Option(live)
+    while (cur.isDefined) {
+      val g = cur.get
+      out += g
+      val p = new org.apache.hadoop.fs.Path(g, "_PARENT")
+      cur = if (fs.exists(p)) {
+        val in = fs.open(p)
+        val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        Some(new org.apache.hadoop.fs.Path(root, name).toString)
+      } else None
+    }
+    out.toList
   }
 
   /** T3e q_ann_search_indexed — the SEARCH half of the train-once/

@@ -343,19 +343,25 @@ object StreamRun {
     val live = graft.Artifacts.ready(spark, idxRoot).get
     val coarse0 = spark.read.parquet(s"$g0/coarse")
     val pq0 = spark.read.parquet(s"$g0/pq")
+    // chain-resolved read: each append published a DELTA generation
+    // linking its parent (O(k) write); the union must equal the full
+    // frozen-codebook assignment
+    val (coarseL, chainCells, pqL, chainCodes) =
+      Similarity.annIndexParts(spark, idxRoot)
     def sortedRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
-    val cellsMatch = sortedRows(spark.read.parquet(s"$live/cells")) ==
+    val cellsMatch = sortedRows(chainCells) ==
       sortedRows(Similarity.assignCells(vecsAll, coarse0))
-    val codesMatch = sortedRows(spark.read.parquet(s"$live/codes")) ==
+    val codesMatch = sortedRows(chainCodes) ==
       sortedRows(Similarity.pqAssign(Similarity.pqSubspaces(vecsAll), pq0)
         .select($"vec_id", $"m", $"cell".as("code")))
     val codebooksFrozen =
-      sortedRows(spark.read.parquet(s"$live/coarse")) == sortedRows(coarse0) &&
-        sortedRows(spark.read.parquet(s"$live/pq")) == sortedRows(pq0)
+      sortedRows(coarseL) == sortedRows(coarse0) &&
+        sortedRows(pqL) == sortedRows(pq0)
+    val chainLen = Similarity.annIndexChain(spark, idxRoot, live).size
     vecsAll.unpersist(false)
     val passF = appendCounts.size == 2 && cellsMatch && codesMatch &&
-      codebooksFrozen && live != g0
+      codebooksFrozen && live != g0 && chainLen == 3
 
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
@@ -389,6 +395,7 @@ object StreamRun {
          |"scenario_index_maintenance":{
          |"append_batches":${appendCounts.size},
          |"appended_vectors":${appendCounts.sum},
+         |"generation_chain_length":$chainLen,
          |"codebooks_frozen":$codebooksFrozen,
          |"cells_equal_full_assignment":$cellsMatch,
          |"codes_equal_full_assignment":$codesMatch,

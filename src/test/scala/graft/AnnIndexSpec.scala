@@ -145,24 +145,30 @@ class AnnIndexSpec extends AnyFunSuite {
         .map(_.toSeq).sortBy(_.toString)
       assert(rows(s"$g2/coarse") == rows(s"$g1/coarse"))
       assert(rows(s"$g2/pq") == rows(s"$g1/pq"))
-      // (base + delta) assignments ≡ assigning ALL vectors against the
-      // SAME frozen codebooks — the append loses nothing vs a full
-      // re-assignment pass
-      val coarse = spark.read.parquet(s"$g1/coarse")
-      val pqCent = spark.read.parquet(s"$g1/pq")
+      // the delta generation stores ONLY the delta's assignments (O(k)
+      // write, the log-structured shape) and links its parent
+      assert(spark.read.parquet(s"$g2/cells").count() == deltaVecs.count(),
+        "a delta generation must not rewrite the base assignments")
+      assert(Similarity.annIndexChain(spark, root, g2) == Seq(g2, g1),
+        "the parent chain must walk live -> base")
+      // chain-resolved (base + delta) assignments ≡ assigning ALL
+      // vectors against the SAME frozen codebooks — the append loses
+      // nothing vs a full re-assignment pass
+      val (coarse, chainCells, pqCent, chainCodes) =
+        Similarity.annIndexParts(spark, root)
       val wantCells = Similarity.assignCells(vecs, coarse)
         .as[(Long, Long)].collect().toSeq.sorted
-      val gotCells = spark.read.parquet(s"$g2/cells")
+      val gotCells = chainCells
         .as[(Long, Long)].collect().toSeq.sorted
       assert(gotCells == wantCells)
       val wantCodes = Similarity
         .pqAssign(Similarity.pqSubspaces(vecs), pqCent)
         .select($"vec_id", $"m", $"cell".as("code"))
         .as[(Long, Int, Long)].collect().toSeq.sorted
-      val gotCodes = spark.read.parquet(s"$g2/codes")
+      val gotCodes = chainCodes
         .as[(Long, Int, Long)].collect().toSeq.sorted
       assert(gotCodes == wantCodes)
-      // the superseded generation stays on disk for in-flight readers
+      // the superseded generation stays on disk — it IS the chain's base
       assert(new java.io.File(g1, "codes/_SUCCESS").exists(),
         "append must not destroy the previous generation")
     } finally vecs.unpersist(false)
