@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -264,7 +264,8 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new DirSinkScan(path, schema0,
-        Option(options.get("asOfOffset")).map(_.toInt))
+        Option(options.get("asOfOffset")).map(_.toInt),
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
     }
 }
 
@@ -523,7 +524,8 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
   * appends. Reading past the current size is an error (an offset from
   * a different zone), not a silent truncation. */
 class DirSinkScan(path: String, schema: StructType,
-                  asOfOffset: Option[Int] = None)
+                  asOfOffset: Option[Int] = None,
+                  maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -570,7 +572,7 @@ class DirSinkScan(path: String, schema: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new DirSinkMicroBatchStream(path, schema)
+    new DirSinkMicroBatchStream(path, schema, maxFilesPerTrigger)
 }
 
 /** STREAMING READ — tail the landing zone: the manifest's file list is
@@ -595,11 +597,35 @@ case class DirSinkOffset(files: Int)
   override def json(): String = files.toString
 }
 
-class DirSinkMicroBatchStream(path: String, schema: StructType)
-    extends MicroBatchStream {
+class DirSinkMicroBatchStream(path: String, schema: StructType,
+                              maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def fileList: Seq[(String, Long)] =
     DirSink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+
+  /** ADMISSION CONTROL (`option("maxFilesPerTrigger", k)`): without a
+    * read limit, a tail started against a zone with a deep backlog
+    * takes the ENTIRE history as one micro-batch — unbounded executor
+    * memory and a checkpoint that only advances if the whole backlog
+    * succeeds. The limit caps each batch at k committed files past the
+    * start offset, so catch-up proceeds in bounded, individually
+    * checkpointed steps (the FileStreamSource discipline). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(k => ReadLimit.maxFiles(k))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset,
+                            limit: ReadLimit): StreamOffset = {
+    val avail = latestOffset().asInstanceOf[DirSinkOffset].files
+    val s = start.asInstanceOf[DirSinkOffset].files
+    limit match {
+      case m: ReadMaxFiles => DirSinkOffset(math.min(avail, s + m.maxFiles()))
+      case _ => DirSinkOffset(avail)
+    }
+  }
+
+  override def reportLatestOffset(): StreamOffset = latestOffset()
 
   /** Offsets must be MONOTONIC even though the manifest probe isn't:
     * on the local filesystem the checksummed FileContext rename is

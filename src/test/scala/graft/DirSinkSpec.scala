@@ -222,6 +222,28 @@ class DirSinkSpec extends AnyFunSuite {
     assert(joined.collect().length == 3)
   }
 
+  test("admission control: maxFilesPerTrigger paces backlog catch-up in bounded batches") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // a 3-file backlog exists BEFORE the tail starts
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("maxFilesPerTrigger", 1).load()
+      .writeStream.format("memory").queryName("dirsink_paced")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dirsink_paced").count() == 3)
+      // the backlog must arrive as one-file batches, not a single gulp
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3 && batches.forall(_.numInputRows == 1),
+        s"expected 3 single-file batches, got ${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("asOfOffset snapshot read: the manifest prefix reproduces the zone at a recorded offset") {
     import spark.implicits._
     val dir = tmpDir()
