@@ -60,11 +60,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * deliberately trivial. Round-trip, retry, abort, and overwrite
   * semantics are pinned by DirSinkSpec.
   *
-  * Usage:
-  * `df.write.format("graft.sources.v2.DirSinkSource").option("path", p)
-  *   .mode("append" | "overwrite").save()` and
-  * `spark.read.format("graft.sources.v2.DirSinkSource")
-  *   .option("path", p).load()`.
+  * The full table-format surface (one commit protocol under all of it):
+  *
+  * {{{
+  * df.write.format(FMT).option("path", p)
+  *   .mode("append" | "overwrite").save()            // batch write
+  * spark.read.format(FMT).option("path", p).load()   // batch read
+  * spark.read.format(FMT).option("path", p)
+  *   .option("asOfOffset", k).load()                 // snapshot-as-of
+  * df.writeStream.format(FMT).option("path", p)
+  *   .option("schema", "<ddl>")                      // fresh-zone boot
+  *   .outputMode("append" | "complete").start()      // streaming write
+  * spark.readStream.format(FMT).option("path", p)
+  *   .option("maxFilesPerTrigger", k).load()         // tail the zone
+  * // and SQL names via the catalog (GraftCatalog):
+  * //   spark.sql.catalog.c = graft.sources.v2.GraftCatalog
+  * //   spark.sql.catalog.c.warehouse = <root>
+  * // CREATE/CTAS/INSERT [OVERWRITE]/SELECT/RENAME/DROP on c.db.t
+  * }}}
   */
 class DirSinkSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
