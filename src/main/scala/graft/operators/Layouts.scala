@@ -346,6 +346,42 @@ object Layouts extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** q_dsv2_skipping — FILE-LEVEL DATA SKIPPING through the engine's
+    * own table format: documents go out through the DirSink writer
+    * RANGE-CLUSTERED on doc_id (8 files, disjoint id ranges — the
+    * layout compaction or a time-ordered streaming ingest produces), so
+    * each committed file's manifest line carries tight min/max bounds
+    * ([[graft.sources.v2.DirSinkStats]]); the read-back under
+    * `doc_id <= 199` then PLANS ONLY THE FILES WHOSE RANGE OVERLAPS THE
+    * PREDICATE — at 100 TB the scan cost is proportional to the
+    * selected id range, not the table (the Delta/Iceberg
+    * min-max-skipping contract, here exercised end to end through the
+    * engine's own manifest). Every filter stays residual — Spark
+    * re-evaluates rows, skipping only removes provably-empty files —
+    * and the rolling-hash text checksum against the ORIGINAL parquet
+    * (DuckDB oracle) proves no in-range row was lost to pruning.
+    * DataSkippingSpec pins the planned-partition counts themselves. */
+  private def qDsv2Skipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_dirsink_rng"
+    if (graft.sources.v2.DirSink.readManifest(path).isEmpty) {
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .repartitionByRange(8, $"doc_id")
+        .write.format("graft.sources.v2.DirSinkSource")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    s.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", path).load()
+      .filter($"doc_id" <= 199L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(TextOps.rollingHash("text")).as("text_checksum"))
+      .orderBy($"lang")
+  }
+
   /** On-disk locations of the fragmented / compacted lineitem layouts
     * (test aid: CompactionSpec counts data files on both sides). */
   private[graft] def fragPath(dir: String): String =
@@ -509,7 +545,8 @@ object Layouts extends QueryModule {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
-    "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _))
+    "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _),
+    "q_dsv2_skipping" -> (qDsv2Skipping _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -596,5 +633,14 @@ object Layouts extends QueryModule {
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 CAST(sum(fp) AS BIGINT) AS text_checksum
          FROM f GROUP BY lang, source
-         ORDER BY lang, source""")
+         ORDER BY lang, source""",
+    "q_dsv2_skipping" ->
+      s"""WITH f AS (
+           SELECT lang, n_chars,
+                  ${TextOps.ROLLING_HASH("text")} AS fp
+           FROM documents WHERE doc_id <= 199)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(fp) AS BIGINT) AS text_checksum
+         FROM f GROUP BY lang ORDER BY lang""")
 }

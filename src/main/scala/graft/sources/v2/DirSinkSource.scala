@@ -145,8 +145,13 @@ object DirSink {
   }
 
   /** Manifest layout: line 1 = DDL schema; then one
-    * `<fileName>\t<rowCount>[\t<epochId>]` per committed file (the
-    * third field is present on streaming-committed lines only).
+    * `<fileName>\t<rowCount>[\t<epochId>][\t<statsField>]` per
+    * committed file — the epoch field (bare integer) is present on
+    * streaming-committed lines only; the stats field (`s=` prefix,
+    * [[DirSinkStats]] encoding) on lines written since data skipping
+    * landed. Field tags keep old and new lines co-parseable: anything
+    * at index ≥2 is an epoch if it parses as a bare long, stats if it
+    * starts with `s=`.
     *
     * Reads retry on [[org.apache.hadoop.fs.ChecksumException]]: on the
     * LOCAL filesystem the client-side `.crc` sidecar is a second file
@@ -189,22 +194,124 @@ object DirSink {
       (schema, lines.map { l => val p = l.split("\t"); (p(0), p(1).toLong) })
     }
 
+  /** One committed file's manifest entry, fully parsed. */
+  case class FileEntry(name: String, rows: Long, epoch: Option[Long],
+                       stats: Option[String])
+
+  def readManifestEntries(path: String): Option[(StructType, Seq[FileEntry])] =
+    readManifestLines(path).map { case (schema, lines) =>
+      (schema, lines.map { l =>
+        val p = l.split("\t")
+        var epoch: Option[Long] = None
+        var stats: Option[String] = None
+        p.drop(2).foreach { f =>
+          if (f.startsWith("s=")) stats = Some(f.drop(2))
+          else epoch = scala.util.Try(f.toLong).toOption.orElse(epoch)
+        }
+        FileEntry(p(0), p(1).toLong, epoch, stats)
+      })
+    }
+
   /** Epochs already committed to this directory's manifest. The
     * streaming commit checks membership here to make an epoch-retry
     * after a crash a no-op — exactly-once by epoch id. */
   def committedEpochs(path: String): Set[Long] =
-    readManifestLines(path).map(_._2.flatMap { l =>
-      val p = l.split("\t")
-      if (p.length >= 3) Some(p(2).toLong) else None
-    }.toSet).getOrElse(Set.empty)
+    readManifestEntries(path)
+      .map(_._2.flatMap(_.epoch).toSet).getOrElse(Set.empty)
 
   def readManifestSchema(path: String): StructType =
     readManifest(path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"no ${ManifestName} manifest under $path — nothing was committed"))
 
+  /** VACUUM — the retention sweep of the table format. Readers resolve
+    * the manifest alone, so orphans (a crashed job's renamed-but-never-
+    * published files, a dead writer's staging directory, a loser
+    * speculative attempt the abort path missed) are INVISIBLE but still
+    * occupy storage; at 100 TB with daily job retries that is real
+    * money. Deletes every root-level data file the live manifest does
+    * not reference, and every staged file, that is OLDER than
+    * `olderThanMs` — the age guard is what makes the sweep safe to run
+    * beside live writers: an in-flight job's staging files and its
+    * renamed-but-not-yet-published files are younger than any sane
+    * retention window (Delta's VACUUM RETAIN discipline; pass 0 only on
+    * a quiesced zone). The manifest itself, fs-internal dot-files, and
+    * everything the manifest references are never touched — snapshot
+    * reads (`asOfOffset`) only ever name manifest-prefix files, so no
+    * retained snapshot can lose a file to vacuum. `dryRun` lists
+    * without deleting. Returns the zone-relative paths swept. */
+  def vacuum(path: String, olderThanMs: Long,
+             dryRun: Boolean = false): Seq[String] = {
+    val f = fs(path)
+    val root = new Path(path)
+    if (!f.exists(root)) return Seq.empty
+    val live: Set[String] =
+      readManifest(path).map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val swept = scala.collection.mutable.ArrayBuffer[String]()
+
+    def sweepFile(st: org.apache.hadoop.fs.FileStatus, rel: String): Unit =
+      if (st.getModificationTime < cutoff) {
+        swept += rel
+        if (!dryRun) f.delete(st.getPath, false)
+      }
+
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n == "_staging") {
+        f.listStatus(st.getPath).foreach { qdir =>
+          if (qdir.isDirectory) {
+            f.listStatus(qdir.getPath).foreach { staged =>
+              sweepFile(staged, s"_staging/${qdir.getPath.getName}/" +
+                staged.getPath.getName)
+            }
+            if (!dryRun && f.listStatus(qdir.getPath).isEmpty)
+              f.delete(qdir.getPath, false)
+          }
+        }
+        if (!dryRun && f.listStatus(st.getPath).isEmpty)
+          f.delete(st.getPath, false)
+      } else if (!st.isDirectory && !n.startsWith(".") &&
+        !n.startsWith(ManifestName) && !live.contains(n)) {
+        sweepFile(st, n)
+      }
+    }
+    swept.toSeq
+  }
+
   // ---- the line codec: \u0001-separated fields; backslash escapes;
   // a lone \0 token is SQL NULL
+  /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
+    * rewrite the zone's committed files into `targetFiles` larger ones
+    * through the connector's own read + overwrite-write paths, so the
+    * result is ONE atomic manifest swap (readers see the old generation
+    * until the instant the new one publishes; a crash mid-compact
+    * leaves the old generation fully readable and the staging debris
+    * for [[vacuum]]). With `clusterBy` the rewrite RANGE-CLUSTERS and
+    * sorts on those columns — each output file covers a tight key
+    * range, so the per-file min/max stats ([[DirSinkStats]]) turn every
+    * later range predicate into file-level skipping: compaction is what
+    * MAKES data skipping effective on a zone built from thousands of
+    * unordered micro-batch appends (Delta `OPTIMIZE … ZORDER BY`'s
+    * one-dimensional core). At 100 TB the streaming landing zone runs
+    * this on a schedule; the single-writer-per-directory constraint
+    * applies (don't compact under a live appender), and `asOfOffset`
+    * snapshots are REWRITTEN HISTORY after a compact — record the
+    * compaction in the deployment's catalog the way any
+    * manifest-rewriting OPTIMIZE is. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
+    val fmt = classOf[DirSinkSource].getName
+    val df = spark.read.format(fmt).option("path", path).load()
+    val shaped =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
+          .sortWithinPartitions(clusterBy.map(df.col): _*)
+      else df.repartition(targetFiles)
+    shaped.write.format(fmt).option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+  }
+
   private def escape(s: String): String =
     s.flatMap {
       case '\\' => "\\\\"
@@ -244,13 +351,20 @@ object DirSink {
       }
     }.mkString("\u0001")
 
-  def decode(line: String, schema: StructType): InternalRow = {
+  def decode(line: String, schema: StructType): InternalRow =
+    decodeProjected(line, schema, schema.indices.toArray)
+
+  /** Column-pruned decode: parse ONLY the projected field positions
+    * (`idx`, positions in the FULL schema) — a 2-column projection over
+    * a wide zone converts 2 fields per line, not all of them. */
+  def decodeProjected(line: String, schema: StructType,
+                      idx: Array[Int]): InternalRow = {
     // limit -1: a trailing EMPTY string field must survive the split
     val parts = line.split(Sep.toString, -1)
-    new GenericInternalRow(schema.fields.zipWithIndex.map { case (f, i) =>
+    new GenericInternalRow(idx.map { i =>
       val p = parts(i)
       if (p == "\\0") null
-      else f.dataType match {
+      else schema(i).dataType match {
         case LongType => p.toLong
         case IntegerType => p.toInt
         case DoubleType => p.toDouble
@@ -275,12 +389,50 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
     new DirSinkWriteBuilder(path, info.schema(), info.queryId())
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new DirSinkScan(path, schema0,
-        Option(options.get("asOfOffset")).map(_.toInt),
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
-    }
+    new DirSinkScanBuilder(path, schema0,
+      Option(options.get("asOfOffset")).map(_.toInt),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
+
+/** Read-contract surface of the table format:
+  *
+  *   - `SupportsPushDownFilters` — DATA SKIPPING, not evaluation: every
+  *     filter is returned as residual (Spark re-applies them all, so
+  *     row-level semantics are Spark's own), but the shapes
+  *     [[DirSinkStats]] understands are remembered and used at
+  *     `planInputPartitions` to drop whole files whose manifest
+  *     min/max/null stats prove them empty under the predicate. The
+  *     remembered set is what `pushedFilters` reports — it shows in
+  *     `explain` as `PushedFilters`, which is exactly what it is: the
+  *     predicates the planner used against file-level metadata.
+  *   - `SupportsPushDownRequiredColumns` — the reader decodes only the
+  *     projected fields of each line; a 2-column projection over a
+  *     30-column zone parses 2 fields per row.
+  */
+class DirSinkScanBuilder(path: String, schema: StructType,
+                         asOfOffset: Option[Int],
+                         maxFilesPerTrigger: Option[Int])
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.Filter
+
+  private var skipFilters: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipFilters = filters.filter(f => DirSinkStats.supported(f, schema))
+    filters // ALL residual: skipping prunes files, Spark evaluates rows
+  }
+  override def pushedFilters(): Array[Filter] = skipFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new DirSinkScan(path, schema, required, skipFilters,
+      asOfOffset, maxFilesPerTrigger)
+}
+
 
 class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
@@ -294,7 +446,10 @@ class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String)
   }
 }
 
-case class DirSinkCommitMessage(stagedName: String, rows: Long)
+/** `stats` is the encoded [[DirSinkStats]] manifest field (with its
+  * `s=` prefix), or empty when the writer collected none. */
+case class DirSinkCommitMessage(stagedName: String, rows: Long,
+                                stats: String = "")
     extends WriterCommitMessage
 
 class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
@@ -317,7 +472,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
       if (truncate) Seq.empty
       else DirSink.readManifestLines(path).map(_._2).getOrElse(Seq.empty)
     val committed = messages.toSeq.map {
-      case DirSinkCommitMessage(staged, rows) =>
+      case DirSinkCommitMessage(staged, rows, stats) =>
         // final name embeds the per-write queryId UUID: task ids restart
         // per application, so a bare p<part>-t<task> could collide with
         // (and silently clobber) a PREVIOUS application's committed file
@@ -325,10 +480,11 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
         if (!f.rename(new Path(root, staged), new Path(root, fin)))
           throw new java.io.IOException(
             s"task-file publish failed: $staged -> $fin under $root")
-        (fin, rows)
+        (fin, rows, stats)
     }
     val manifest = (schema.toDDL +:
-      (previous ++ committed.map { case (n, c) => s"$n\t$c" }))
+      (previous ++ committed.map { case (n, c, st) =>
+        if (st.nonEmpty) s"$n\t$c\t$st" else s"$n\t$c" }))
       .mkString("\n")
     val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-$queryId")
     val out = f.create(tmp, true)
@@ -362,7 +518,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     messages.foreach {
-      case DirSinkCommitMessage(staged, _) =>
+      case DirSinkCommitMessage(staged, _, _) =>
         f.delete(new Path(path, staged), false)
       case null => () // task that never reached commit
     }
@@ -402,26 +558,27 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     val root = new Path(path)
     f.mkdirs(root)
     val staged = messages.collect {
-      case DirSinkCommitMessage(s, r) => (s, r)
+      case DirSinkCommitMessage(s, r, st) => (s, r, st)
     }.toSeq
     if (DirSink.committedEpochs(path).contains(epochId)) {
       // epoch replay after crash recovery: the generation is already
       // durable — make the retry a no-op and drop the replayed files
-      staged.foreach { case (s, _) => f.delete(new Path(root, s), false) }
+      staged.foreach { case (s, _, _) => f.delete(new Path(root, s), false) }
       return
     }
     val previous: Seq[String] =
       if (truncate) Seq.empty
       else DirSink.readManifestLines(path).map(_._2).getOrElse(Seq.empty)
-    val committed = staged.map { case (sName, rows) =>
+    val committed = staged.map { case (sName, rows, stats) =>
       val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
       if (!f.rename(new Path(root, sName), new Path(root, fin)))
         throw new java.io.IOException(
           s"task-file publish failed: $sName -> $fin under $root")
-      (fin, rows)
+      (fin, rows, stats)
     }
     val manifest = (schema.toDDL +:
-      (previous ++ committed.map { case (n, c) => s"$n\t$c\t$epochId" }))
+      (previous ++ committed.map { case (n, c, st) =>
+        if (st.nonEmpty) s"$n\t$c\t$epochId\t$st" else s"$n\t$c\t$epochId" }))
       .mkString("\n")
     val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-$queryId-e$epochId")
     val out = f.create(tmp, true)
@@ -449,7 +606,7 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
                      messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     messages.foreach {
-      case DirSinkCommitMessage(s, _) => f.delete(new Path(path, s), false)
+      case DirSinkCommitMessage(s, _, _) => f.delete(new Path(path, s), false)
       case null => ()
     }
   }
@@ -469,7 +626,10 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
 
 /** One task attempt's writer: a private staging file named by the
   * attempt-unique suffix (`p<part>-t<task>`, epoch-prefixed for
-  * streaming) — speculation never collides. */
+  * streaming) — speculation never collides. Collects per-column
+  * min/max/null stats in the same pass ([[DirSinkStats.Collector]]);
+  * the commit message carries them into the manifest line so the scan
+  * can data-skip whole files. */
 class DirSinkWriter(path: String, schema: StructType, queryId: String,
                     attempt: String)
     extends DataWriter[InternalRow] {
@@ -477,15 +637,17 @@ class DirSinkWriter(path: String, schema: StructType, queryId: String,
   private val f = DirSink.execFs(path) // executor side: no active session
   private val out = f.create(new Path(path, stagedName), true)
   private var rows = 0L
+  private val stats = new DirSinkStats.Collector(schema)
 
   override def write(record: InternalRow): Unit = {
     out.write((DirSink.encode(record, schema) + "\n").getBytes("UTF-8"))
+    stats.observe(record)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    DirSinkCommitMessage(stagedName, rows)
+    DirSinkCommitMessage(stagedName, rows, stats.encode())
   }
 
   override def abort(): Unit = {
@@ -498,11 +660,15 @@ class DirSinkWriter(path: String, schema: StructType, queryId: String,
 
 // ------------------------------------------------------- read-back scan
 
-case class DirSinkFilePartition(path: String, file: String, ddl: String)
+/** `ddl` is the FULL zone schema (field positions in the line codec);
+  * `requiredIdx` the projected positions the reader materializes. */
+case class DirSinkFilePartition(path: String, file: String, ddl: String,
+                                requiredIdx: Array[Int])
     extends InputPartition
 
 /** Executor-side file reader shared by the batch scan and the
-  * micro-batch stream: decode one committed file per partition. */
+  * micro-batch stream: decode one committed file per partition,
+  * materializing only the projected columns. */
 class DirSinkReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -515,7 +681,8 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = { val h = lines.hasNext
-        if (h) cur = DirSink.decode(lines.next(), sch); h }
+        if (h) cur = DirSink.decodeProjected(lines.next(), sch, p.requiredIdx)
+        h }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
@@ -537,37 +704,56 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
   * appends. Reading past the current size is an error (an offset from
   * a different zone), not a silent truncation. */
 class DirSinkScan(path: String, schema: StructType,
+                  required: StructType,
+                  skipFilters: Array[org.apache.spark.sql.sources.Filter] =
+                    Array.empty,
                   asOfOffset: Option[Int] = None,
                   maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = schema
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"DirSinkScan($path${asOfOffset.map(k => s", asOf=$k").getOrElse("")})"
+    s"DirSinkScan($path${asOfOffset.map(k => s", asOf=$k").getOrElse("")}" +
+      (if (skipFilters.nonEmpty)
+        s", skip=[${skipFilters.mkString(", ")}]" else "") + ")"
 
-  /** Exact statistics from the manifest (every commit records its row
-    * count): row count = the sum over the visible file list, size = a
-    * defaultSize-per-row estimate. Without this, Spark assumes a
-    * V2 relation is infinitely large and NEVER auto-broadcasts a small
-    * connector table in a join — at scale that's a sort-merge shuffle
-    * of a 100 TB fact against a KB dimension that should have shipped
-    * to the executors. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val rows: Long = DirSink.readManifest(path)
-      .map(_._2.take(asOfOffset.getOrElse(Int.MaxValue)).map(_._2).sum)
-      .getOrElse(0L)
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * schema.defaultSize)
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
-  }
+  private def requiredIdx: Array[Int] =
+    required.fieldNames.map(schema.fieldIndex)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val all = DirSink.readManifest(path).getOrElse(
+  /** RUNTIME file skipping — DPP for a manifest-driven table: when this
+    * zone is the fact side of a join whose dim side is selective, Spark
+    * evaluates the dim first and hands the join keys here as an `In`
+    * filter BEFORE input partitions are planned; the keys run through
+    * the same stats machinery as the static filters, so whole files
+    * whose min/max exclude every surviving key never open. Runtime
+    * filters are advisory (the join re-applies them) — keeping only the
+    * shapes [[DirSinkStats]] understands is always safe. */
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  // attributes must come from the PRUNED read schema: Spark resolves
+  // them against this scan's output, and a pruned-away column would
+  // fail resolution inside PartitionPruning
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DoubleType || f.dataType == BooleanType ||
+        f.dataType == StringType => Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters.filter(f => DirSinkStats.supported(f, schema))
+
+  /** The manifest's asOf-sliced entry list (one read per scan). */
+  private lazy val manifestEntries: Seq[DirSink.FileEntry] = {
+    val all = DirSink.readManifestEntries(path).getOrElse(
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
           "nothing was committed"))._2
-    val files = asOfOffset match {
+    asOfOffset match {
       case Some(k) =>
         if (k > all.size) throw new IllegalArgumentException(
           s"asOfOffset $k exceeds the zone's ${all.size} committed files " +
@@ -575,8 +761,52 @@ class DirSinkScan(path: String, schema: StructType,
         all.take(k)
       case None => all
     }
-    files.map { case (n, _) =>
-      DirSinkFilePartition(path, n, schema.toDDL): InputPartition
+  }
+
+  /** The asOf-sliced, stats-skipped file list — ONE definition feeding
+    * both partition planning and statistics, so the optimizer's row
+    * estimate reflects the skipping it is about to get. A `def` (not a
+    * lazy val): runtime filters arrive AFTER the optimizer has already
+    * asked for statistics, and partition planning must see them. */
+  private def visibleFiles: Seq[DirSink.FileEntry] = {
+    val active = skipFilters ++ runtimeFilters
+    if (active.isEmpty) manifestEntries
+    else manifestEntries.filter { e =>
+      e.stats match {
+        case None => true // pre-skipping manifest line: always read
+        case Some(field) =>
+          val st = DirSinkStats.parse(field, schema.length)
+          !active.exists(f => DirSinkStats.canSkip(f, schema, st))
+      }
+    }
+  }
+
+  /** Exact statistics from the manifest (every commit records its row
+    * count): row count = the sum over the visible — asOf-sliced AND
+    * data-skipped — file list, size = a defaultSize-per-row estimate
+    * over the PROJECTED schema. Without this, Spark assumes a
+    * V2 relation is infinitely large and NEVER auto-broadcasts a small
+    * connector table in a join — at scale that's a sort-merge shuffle
+    * of a 100 TB fact against a KB dimension that should have shipped
+    * to the executors. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = visibleFiles.map(_.rows).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(1, required.defaultSize))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  /** Test observable: file count planned at the last
+    * `planInputPartitions` call (after any runtime filters landed). */
+  @volatile private[graft] var lastPlannedFiles: Option[Int] = None
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = visibleFiles
+    lastPlannedFiles = Some(files.size)
+    files.map { e =>
+      DirSinkFilePartition(path, e.name, schema.toDDL,
+        requiredIdx): InputPartition
     }.toArray
   }
 
@@ -585,7 +815,7 @@ class DirSinkScan(path: String, schema: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new DirSinkMicroBatchStream(path, schema, maxFilesPerTrigger)
+    new DirSinkMicroBatchStream(path, schema, required, maxFilesPerTrigger)
 }
 
 /** STREAMING READ — tail the landing zone: the manifest's file list is
@@ -611,8 +841,12 @@ case class DirSinkOffset(files: Int)
 }
 
 class DirSinkMicroBatchStream(path: String, schema: StructType,
+                              required: StructType,
                               maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def requiredIdx: Array[Int] =
+    required.fieldNames.map(schema.fieldIndex)
 
   private def fileList: Seq[(String, Long)] =
     DirSink.readManifest(path).map(_._2).getOrElse(Seq.empty)
@@ -676,7 +910,8 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
         s"manifest under $path shrank (${files.size} < $e): streaming " +
           "read requires append-only commits — no overwrite under a tail")
     files.slice(s, e).map { case (n, _) =>
-      DirSinkFilePartition(path, n, schema.toDDL): InputPartition
+      DirSinkFilePartition(path, n, schema.toDDL,
+        requiredIdx): InputPartition
     }.toArray
   }
 

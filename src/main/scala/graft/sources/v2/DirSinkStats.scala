@@ -1,0 +1,248 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column statistics for the [[DirSinkSource]] table format —
+  * the DATA-SKIPPING half of the connector's read contract (the
+  * Delta/Iceberg `stats`/`lower_bounds`+`upper_bounds` idea): every
+  * committed file's manifest line carries min/max + null presence per
+  * column, and the scan prunes whole files whose stats PROVE no row can
+  * match the pushed filters — before a single byte of data is opened.
+  * At 100 TB this is the difference between "open every file and let
+  * the residual filter drop the rows" and "plan only the files whose
+  * range overlaps the predicate": on a layout clustered by the filter
+  * column (range-partitioned writes, compaction output, streaming
+  * time-ordered appends) the scan cost becomes proportional to the
+  * SELECTED range, not the table.
+  *
+  * Encoding (one field per manifest line, `s=` prefix; columns joined
+  * by `;` in schema order):
+  *   - `e`                      — file has zero rows (skip under any filter)
+  *   - `n`                      — all values null (IsNotNull and every
+  *                                comparison prune; IsNull does not)
+  *   - `*`                      — stats disabled for this column (a NaN
+  *                                was seen in a double column — NaN
+  *                                breaks ordered bounds, so the column
+  *                                opts out of skipping in this file)
+  *   - `_<b64min>,<b64max>`     — no nulls, inclusive bounds
+  *   - `n<b64min>,<b64max>`     — some nulls, inclusive bounds
+  * Bounds are base64 of the value's canonical string form (base64's
+  * alphabet contains none of the manifest separators). Old manifests
+  * without the field simply never skip — forward-compatible reads.
+  *
+  * PRUNING IS CONSERVATIVE BY CONSTRUCTION: `canSkip` returns true only
+  * when the stats prove emptiness under the filter's SQL semantics
+  * (comparisons and IN never match NULL rows; `And` skips if either
+  * side skips, `Or` only if both do); any unrecognized filter shape,
+  * type mismatch, or parse failure returns false and the file is read.
+  * String bounds compare with [[UTF8String]] binary order — the SAME
+  * comparator Spark's filter evaluation uses — so writer-side stats and
+  * scan-side pruning can never disagree on ordering.
+  */
+object DirSinkStats {
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One column's stats: bounds in canonical string form (None = no
+    * non-null value in the file), `disabled` = the `*` opt-out. */
+  case class ColStats(hasNull: Boolean, min: Option[String],
+                      max: Option[String], disabled: Boolean = false)
+
+  /** Mutable writer-side accumulator: one pass over the task's rows. */
+  final class Collector(schema: StructType) {
+    private val n = schema.length
+    private val hasNull = new Array[Boolean](n)
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private val disabled = new Array[Boolean](n)
+    private var rows = 0L
+
+    def observe(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      rows += 1
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i)) hasNull(i) = true
+        else if (!disabled(i)) {
+          val dt = schema(i).dataType
+          val v: Any = dt match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case DoubleType =>
+              val d = row.getDouble(i)
+              // NaN has no place in an ordered bound: opt the column out
+              if (java.lang.Double.isNaN(d)) { disabled(i) = true; null }
+              else d
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).clone()
+            case _ => disabled(i) = true; null
+          }
+          if (!disabled(i)) {
+            if (mins(i) == null || lt(dt, v, mins(i))) mins(i) = v
+            if (maxs(i) == null || lt(dt, maxs(i), v)) maxs(i) = v
+          }
+        }
+        i += 1
+      }
+    }
+
+    /** The manifest field (with its `s=` prefix). */
+    def encode(): String =
+      "s=" + schema.indices.map { i =>
+        if (disabled(i)) "*"
+        else if (rows == 0) "e"
+        else if (mins(i) == null) "n" // values existed but all were null
+        else (if (hasNull(i)) "n" else "_") +
+          b64(canonical(mins(i))) + "," + b64(canonical(maxs(i)))
+      }.mkString(";")
+  }
+
+  private def canonical(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case o => o.toString
+  }
+
+  private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+    case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) < 0
+    case _ => false
+  }
+
+  /** Parse a manifest stats field (without the `s=` prefix) back into
+    * per-column stats; any malformed column yields a never-skip entry. */
+  def parse(field: String, nCols: Int): Array[ColStats] = {
+    val parts = field.split(";", -1)
+    Array.tabulate(nCols) { i =>
+      if (i >= parts.length) ColStats(hasNull = true, None, None, disabled = true)
+      else parts(i) match {
+        case "*" => ColStats(hasNull = true, None, None, disabled = true)
+        case "e" => ColStats(hasNull = false, None, None)
+        case "n" => ColStats(hasNull = true, None, None)
+        case s if s.length > 1 && (s.head == '_' || s.head == 'n') &&
+          s.indexOf(',') > 0 =>
+          try {
+            val body = s.tail
+            val c = body.indexOf(',')
+            ColStats(s.head == 'n',
+              Some(unb64(body.substring(0, c))),
+              Some(unb64(body.substring(c + 1))))
+          } catch { case _: IllegalArgumentException =>
+            ColStats(hasNull = true, None, None, disabled = true)
+          }
+        case _ => ColStats(hasNull = true, None, None, disabled = true)
+      }
+    }
+  }
+
+  /** Is this filter shape one the skipper understands? (Gates what the
+    * scan reports as pushed; everything is residual either way.) */
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case And(l, r) => supported(l, schema) && supported(r, schema)
+    case Or(l, r) => supported(l, schema) && supported(r, schema)
+    case EqualTo(c, _) => comparable(c, schema)
+    case EqualNullSafe(c, _) => comparable(c, schema)
+    case GreaterThan(c, _) => comparable(c, schema)
+    case GreaterThanOrEqual(c, _) => comparable(c, schema)
+    case LessThan(c, _) => comparable(c, schema)
+    case LessThanOrEqual(c, _) => comparable(c, schema)
+    case In(c, _) => comparable(c, schema)
+    case IsNull(c) => schema.fieldNames.contains(c)
+    case IsNotNull(c) => schema.fieldNames.contains(c)
+    case _ => false
+  }
+
+  private def comparable(c: String, schema: StructType): Boolean =
+    schema.fields.find(_.name == c).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+      case _ => false
+    })
+
+  /** True only when the stats PROVE no row of the file can satisfy the
+    * filter. Unknown shapes / missing stats → false (read the file). */
+  def canSkip(f: Filter, schema: StructType, stats: Array[ColStats]): Boolean = {
+    def col(c: String): Option[(StructField, ColStats)] = {
+      val i = schema.fieldIndex(c)
+      if (i < stats.length && !stats(i).disabled) Some((schema(i), stats(i)))
+      else None
+    }
+    // comparisons and IN never match a NULL row: a file with no
+    // non-null value for the column cannot satisfy them
+    def noValues(st: ColStats): Boolean = st.min.isEmpty
+
+    // three-way compare of a canonical-string bound against the filter
+    // value; None = incomparable (never skip on it)
+    def cmp(fld: StructField, bound: String, v: Any): Option[Int] =
+      try fld.dataType match {
+        case LongType => v match {
+          case n: Long => Some(java.lang.Long.compare(bound.toLong, n))
+          case n: Int => Some(java.lang.Long.compare(bound.toLong, n.toLong))
+          case _ => None
+        }
+        case IntegerType => v match {
+          case n: Int => Some(java.lang.Integer.compare(bound.toInt, n))
+          case n: Long => Some(java.lang.Long.compare(bound.toInt.toLong, n))
+          case _ => None
+        }
+        case DoubleType => v match {
+          case d: Double =>
+            if (java.lang.Double.isNaN(d)) None
+            else Some(java.lang.Double.compare(bound.toDouble, d))
+          case _ => None
+        }
+        case BooleanType => v match {
+          case b: Boolean => Some(java.lang.Boolean.compare(bound.toBoolean, b))
+          case _ => None
+        }
+        case StringType => v match {
+          case s: String =>
+            Some(UTF8String.fromString(bound).compareTo(UTF8String.fromString(s)))
+          case u: UTF8String =>
+            Some(UTF8String.fromString(bound).compareTo(u))
+          case _ => None
+        }
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+
+    def outOfRange(c: String, v: Any): Boolean = col(c).exists {
+      case (fld, st) =>
+        noValues(st) || v == null || {
+          val below = cmp(fld, st.max.get, v).exists(_ < 0) // max < v
+          val above = cmp(fld, st.min.get, v).exists(_ > 0) // min > v
+          below || above
+        }
+    }
+
+    f match {
+      case And(l, r) =>
+        canSkip(l, schema, stats) || canSkip(r, schema, stats)
+      case Or(l, r) =>
+        canSkip(l, schema, stats) && canSkip(r, schema, stats)
+      case EqualTo(c, v) => outOfRange(c, v)
+      case EqualNullSafe(c, null) => // <=> NULL: matches only null rows
+        col(c).exists { case (_, st) => !st.hasNull }
+      case EqualNullSafe(c, v) => outOfRange(c, v)
+      case GreaterThan(c, v) => col(c).exists { case (fld, st) =>
+        noValues(st) || cmp(fld, st.max.get, v).exists(_ <= 0) } // max <= v
+      case GreaterThanOrEqual(c, v) => col(c).exists { case (fld, st) =>
+        noValues(st) || cmp(fld, st.max.get, v).exists(_ < 0) } // max < v
+      case LessThan(c, v) => col(c).exists { case (fld, st) =>
+        noValues(st) || cmp(fld, st.min.get, v).exists(_ >= 0) } // min >= v
+      case LessThanOrEqual(c, v) => col(c).exists { case (fld, st) =>
+        noValues(st) || cmp(fld, st.min.get, v).exists(_ > 0) } // min > v
+      case In(c, vs) =>
+        col(c).isDefined && (vs.isEmpty || vs.forall(v => outOfRange(c, v)))
+      case IsNull(c) => col(c).exists { case (_, st) => !st.hasNull }
+      case IsNotNull(c) => col(c).exists { case (_, st) =>
+        st.min.isEmpty } // no non-null value: all-null file or zero rows
+      case _ => false
+    }
+  }
+}
