@@ -149,6 +149,74 @@ object Similarity extends QueryModule {
       .orderBy($"qid")
   }
 
+  /** q_bitext_mine — margin-based parallel-pair mining (the
+    * LASER/CCMatrix training-data op, Artetxe & Schwenk 2019,
+    * arXiv:1811.01136: a translation pair is not "high cosine" but
+    * "high cosine RELATIVE to each side's neighborhood" — the ratio
+    * margin kills hub vectors that are near everything). The corpus
+    * splits into two sides (even/odd vec_id standing in for the two
+    * languages); candidate pairs are BLOCKED ON LABEL (the
+    * topic/domain key — never an unblocked |A|×|B| cross join, the
+    * same discipline as the dedup family); each pair scores
+    * margin = 2·cos(a,b) / (avgTop3cos(a,B) + avgTop3cos(b,A)), and a
+    * pair is MINED iff it is each side's mutual best by margin AND the
+    * margin clears 1.0 (above-neighborhood evidence).
+    *
+    * Determinism: cosines quantize to BIGINT micro-units before any
+    * sum, so the top-3 neighborhood sums are exact integers on both
+    * engines and the margin is ONE double division of exact integers
+    * (bit-identical by IEEE) — `Det.round6` only at the output edge.
+    *
+    * Scale: the label-blocked pair join shuffles on label (salt a hot
+    * label like any skewed key); the neighborhood aggregates are
+    * map-side-combined over the blocked pairs; mutual-best is two
+    * WindowGroupLimit rank cuts. At 100 TB the candidate generation
+    * routes through the ANN index family per side (CCMatrix mines from
+    * FAISS shards exactly this way) — same declared semantics, indexed
+    * candidates; the margin/mutual-best logic is unchanged. The pairs
+    * relation feeds three consumers (both neighborhood aggregates and
+    * the scoring join) — sealed, the q_rfm subtree-duplication
+    * lesson. */
+  private def qBitextMine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val n = Tables.load(s, dir, "embeddings")
+    val a = n.select($"vec_id".as("aid"), $"label", $"embedding".as("ae"))
+      .filter($"aid" % 2 === 0)
+    val b = n.select($"vec_id".as("bid"), $"label".as("blabel"),
+        $"embedding".as("be"))
+      .filter($"bid" % 2 === 1)
+    val pairs = graft.Exec.seal(
+      a.join(b, $"label" === $"blabel")
+        .withColumn("cos6",
+          floor(graft.functions.VectorFunctions.cosine($"ae", $"be") *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .select($"aid", $"bid", $"cos6"))
+    val wa = Window.partitionBy($"aid").orderBy($"cos6".desc, $"bid")
+    val fa = pairs.withColumn("rn", row_number().over(wa)).filter($"rn" <= 3)
+      .groupBy($"aid").agg(sum($"cos6").as("s_a"), count(lit(1)).as("c_a"))
+    val wb = Window.partitionBy($"bid").orderBy($"cos6".desc, $"aid")
+    val fb = pairs.withColumn("rn", row_number().over(wb)).filter($"rn" <= 3)
+      .groupBy($"bid").agg(sum($"cos6").as("s_b"), count(lit(1)).as("c_b"))
+      .withColumnRenamed("bid", "fbid")
+    val scored = pairs
+      .join(fa, "aid")
+      .join(fb, $"bid" === $"fbid")
+      .withColumn("margin_raw",
+        lit(2.0) * $"cos6" * $"c_a" * $"c_b" /
+          ($"s_a" * $"c_b" + $"s_b" * $"c_a"))
+    val fwd = Window.partitionBy($"aid").orderBy($"margin_raw".desc, $"bid")
+    val bwd = Window.partitionBy($"bid").orderBy($"margin_raw".desc, $"aid")
+    scored
+      .withColumn("fwd", row_number().over(fwd))
+      .withColumn("bwd", row_number().over(bwd))
+      .filter($"fwd" === 1 && $"bwd" === 1 && $"margin_raw" > 1.0)
+      .select($"aid", $"bid",
+        ($"cos6".cast("double") / lit(1000000.0)).as("cos_sim"),
+        graft.Det.round6($"margin_raw").as("margin"))
+      .orderBy($"aid")
+  }
+
   /** q_hard_negatives — hard-negative mining for contrastive training
     * (DPR, Karpukhin et al. 2020, arXiv:2004.04906; the step every
     * embedding-model pipeline runs after random in-batch negatives stop
@@ -1533,6 +1601,7 @@ object Similarity extends QueryModule {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
+    "q_bitext_mine" -> (qBitextMine _),
     "q_ann_search_indexed" -> (qAnnSearchIndexed _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_semdedup" -> (qSemDedup _),
@@ -2140,6 +2209,46 @@ object Similarity extends QueryModule {
                 floor(CAST(n_hit AS DOUBLE) / 5.0 * 1000000.0 + 0.5)
                   / 1000000.0 AS recall_at_5
          FROM j ORDER BY qid""",
+    "q_bitext_mine" ->
+      """WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         a AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+         b AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+         pairs AS (
+           SELECT a.vec_id aid, b.vec_id bid,
+                  CAST(floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                       * 1000000.0 + 0.5) AS BIGINT) cos6
+           FROM a JOIN b ON a.label = b.label),
+         fa AS (
+           SELECT aid, CAST(sum(cos6) AS BIGINT) s_a, count(*) c_a FROM (
+             SELECT aid, cos6, row_number() OVER (PARTITION BY aid
+                      ORDER BY cos6 DESC, bid) rn
+             FROM pairs) WHERE rn <= 3 GROUP BY aid),
+         fb AS (
+           SELECT bid, CAST(sum(cos6) AS BIGINT) s_b, count(*) c_b FROM (
+             SELECT bid, cos6, row_number() OVER (PARTITION BY bid
+                      ORDER BY cos6 DESC, aid) rn
+             FROM pairs) WHERE rn <= 3 GROUP BY bid),
+         scored AS (
+           SELECT p.aid, p.bid, p.cos6,
+                  2.0 * p.cos6 * fa.c_a * fb.c_b
+                    / (fa.s_a * fb.c_b + fb.s_b * fa.c_a) margin_raw
+           FROM pairs p JOIN fa ON p.aid = fa.aid JOIN fb ON p.bid = fb.bid),
+         ranked AS (
+           SELECT aid, bid, cos6, margin_raw,
+                  row_number() OVER (PARTITION BY aid
+                    ORDER BY margin_raw DESC, bid) fwd,
+                  row_number() OVER (PARTITION BY bid
+                    ORDER BY margin_raw DESC, aid) bwd
+           FROM scored)
+         SELECT aid, bid, CAST(cos6 AS DOUBLE) / 1000000.0 AS cos_sim,
+                floor(margin_raw * 1000000.0 + 0.5) / 1000000.0 AS margin
+         FROM ranked
+         WHERE fwd = 1 AND bwd = 1 AND margin_raw > 1.0
+         ORDER BY aid""",
     "q_ann_ivf" -> DUCK_IVF,
     "q_diverse_sample" -> DUCK_DIVERSE,
     "q_semdedup" -> DUCK_SEMDEDUP,
