@@ -218,6 +218,34 @@ object StreamOps extends QueryModule {
       .select($"p_id", $"c_id", $"p_user".as("user_id"), $"p_ts", $"c_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase lands in
+    * the output exactly once — attributed clicks attached, or emitted
+    * with NULL click columns once the watermark PROVES no qualifying
+    * click can still arrive. Outer emission is what makes the watermark
+    * load-bearing for CORRECTNESS here (an inner stream-stream join
+    * needs it only for state GC): the unmatched row is held in state
+    * until the click-side watermark passes the purchase's 30-minute
+    * lookback, then released in a later micro-batch. This is the
+    * "every order must appear in the attribution table, matched or
+    * not" production contract — the join a revenue pipeline actually
+    * ships. */
+  def purchaseAttributionLeft(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "40 minutes")
+    purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select($"p_id", $"c_id", $"p_user".as("user_id"), $"p_ts", $"c_ts")
+  }
+
   /** Stream-static enrichment: every micro-batch joins the static
     * dimension with a BROADCAST hash join — the standard "attach the
     * user/customer profile to the event stream" pattern. The static
@@ -330,6 +358,33 @@ object StreamOps extends QueryModule {
       .orderBy($"p_id", $"c_id")
   }
 
+  /** ST9 q_stream_left_join — batch equivalent of
+    * [[purchaseAttributionLeft]]: the same left-outer interval join,
+    * oracle-checked; the streaming form adds watermark-gated outer-row
+    * emission (StreamingSpec pins the null row arriving only after the
+    * click watermark clears the purchase's lookback). Unmatched click
+    * columns surface as `c_id = -1` / NULL `c_ts` — the -1 coalesce
+    * keeps the total ORDER BY engine-agnostic (Spark sorts NULLs first,
+    * DuckDB last; an order key must never be NULL, the §7.5.1
+    * discipline). */
+  private def qStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        $"ts".as("c_ts"))
+    p.join(c,
+        $"user_id" === $"c_user" &&
+          $"c_ts" <= $"p_ts" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "left")
+      .select($"p_id", coalesce($"c_id", lit(-1L)).as("c_id"),
+        $"user_id", $"p_ts", $"c_ts")
+      .orderBy($"p_id", $"c_id")
+  }
+
   /** q_funnel — ordered-sequence analytics (the event-analytics classic):
     * how many users progress click → view → purchase IN ORDER, each stage
     * strictly after the previous one's first occurrence. Three per-user
@@ -360,6 +415,7 @@ object StreamOps extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_funnel" -> (qFunnel _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sliding" -> (qStreamSliding _),
@@ -391,6 +447,16 @@ object StreamOps extends QueryModule {
                 p.ts AS p_ts, c.ts AS c_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         ORDER BY p_id, c_id""",
+    "q_stream_left_join" ->
+      """SELECT p.event_id AS p_id,
+                coalesce(c.event_id, -1) AS c_id, p.user_id,
+                p.ts AS p_ts, c.ts AS c_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts <= p.ts
           AND c.ts >= p.ts - INTERVAL 30 MINUTE

@@ -86,6 +86,30 @@ class StreamingSpec extends AnyFunSuite {
       s"expected purchase 4 attributed only to click 1, got ${pairs.toSeq}")
   }
 
+  test("ST9: stream-stream LEFT interval join emits unmatched purchases only after the watermark clears") {
+    val out = runStream("sslj", StreamOps.purchaseAttributionLeft,
+      OutputMode.Append())(Seq(
+      Seq(
+        Ev(1, t("10:00"), 7, "click", 1.0),     // within window of p@10:20
+        Ev(2, t("10:20"), 7, "purchase", 9.0),  // matched
+        Ev(3, t("10:25"), 8, "purchase", 5.0)), // user 8 never clicks
+      // flusher 1 advances BOTH sides (the global watermark is the MIN
+      // across the two watermark nodes — a click alone leaves the
+      // purchase watermark behind and nothing ever releases); its own
+      // pair matches inner-style
+      Seq(Ev(4, t("14:00"), 7, "click", 1.0),
+        Ev(5, t("14:10"), 7, "purchase", 1.0)),
+      // flusher 2: outer rows release in the batch AFTER the watermark
+      // advance is recorded
+      Seq(Ev(6, t("15:00"), 7, "click", 1.0),
+        Ev(7, t("15:10"), 7, "purchase", 1.0))))
+    val pairs = out.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((2L, 1L), (3L, -1L), (5L, 4L), (7L, 6L)),
+      s"expected matched (2,1)/(5,4)/(7,6) and watermark-released " +
+        s"unmatched (3,null), got ${pairs.toSeq}")
+  }
+
   test("ST8: streaming OHLC bars pick first/last across micro-batches, drop late rows") {
     val out = runStream("ohlc", StreamOps.ohlcBars, OutputMode.Append())(Seq(
       Seq(Ev(1, t("10:01"), 1, "trade", 5.0), Ev(2, t("10:05"), 1, "trade", 9.0)),
