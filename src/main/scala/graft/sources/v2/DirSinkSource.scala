@@ -224,6 +224,38 @@ object DirSink {
       throw new IllegalArgumentException(
         s"no ${ManifestName} manifest under $path — nothing was committed"))
 
+  /** Manifest schema lines are published ALL-NULLABLE: the line codec
+    * has a NULL token for every column, and schema evolution reads old
+    * files with NULL tails — so a writer's NOT NULL attribute (a
+    * literal INSERT, a non-null DataFrame) must never narrow the ZONE's
+    * contract. (Before this normalization an INSERT of literals flipped
+    * manifest columns to NOT NULL, and a post-evolution read of an old
+    * row's null tail surfaced as 0 through the non-nullable schema.) */
+  private[v2] def asNullable(schema: StructType): StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
+  /** SCHEMA EVOLUTION guard for appends: the only supported evolution
+    * is APPENDING NULLABLE COLUMNS — the previous schema must be a
+    * prefix of the new one (same names and types, in order). Old files
+    * then decode naturally (their lines are field-prefixes; missing
+    * tail positions read as NULL, [[decodeProjected]]), the manifest's
+    * single schema line advances to the widest schema, and old files'
+    * stats fields simply lack the new columns (parsed as never-skip —
+    * conservative). Renames, drops, reorders, and type changes are
+    * REJECTED: positional line codecs cannot re-map them, and silently
+    * misreading every old row is the failure mode this guard exists to
+    * prevent (the Hive/CSV schema-drift classic). */
+  private[v2] def checkEvolution(prev: StructType, next: StructType): Unit = {
+    val ok = prev.length <= next.length &&
+      prev.fields.zip(next.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType } &&
+      next.fields.drop(prev.length).forall(_.nullable)
+    if (!ok) throw new IllegalArgumentException(
+      "schema evolution on append supports only APPENDING nullable " +
+        s"columns: previous schema [${prev.toDDL}] is not a prefix of " +
+        s"[${next.toDDL}] with a nullable tail")
+  }
+
   /** VACUUM — the retention sweep of the table format. Readers resolve
     * the manifest alone, so orphans (a crashed job's renamed-but-never-
     * published files, a dead writer's staging directory, a loser
@@ -281,6 +313,29 @@ object DirSink {
 
   // ---- the line codec: \u0001-separated fields; backslash escapes;
   // a lone \0 token is SQL NULL
+  /** SCHEMA EVOLUTION — advance the zone's schema to `next` (which must
+    * pass [[checkEvolution]]: the current schema plus appended nullable
+    * columns) by republishing the manifest with the wider DDL line and
+    * the SAME file lines, through the usual atomic pointer swap. Old
+    * files are untouched: their lines are field-prefixes of the new
+    * schema and decode with NULL tails ([[decodeProjected]]). After the
+    * evolve, ordinary appends with the wider schema just work (the
+    * commit guard sees equal schemas), and the catalog surfaces this as
+    * `ALTER TABLE … ADD COLUMNS` ([[GraftCatalog.alterTable]]). */
+  def evolveSchema(path: String, next: StructType): Unit = {
+    val (prev, lines) = readManifestLines(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${ManifestName} manifest under $path — nothing was committed"))
+    if (prev.toDDL == next.toDDL) return
+    checkEvolution(prev, next)
+    val f = fs(path)
+    val tmp = new Path(path, s"${ManifestName}.tmp-evolve")
+    val out = f.create(tmp, true)
+    try out.write((next.toDDL +: lines).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    publishManifest(path, tmp)
+  }
+
   /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
     * rewrite the zone's committed files into `targetFiles` larger ones
     * through the connector's own read + overwrite-write paths, so the
@@ -356,13 +411,16 @@ object DirSink {
 
   /** Column-pruned decode: parse ONLY the projected field positions
     * (`idx`, positions in the FULL schema) — a 2-column projection over
-    * a wide zone converts 2 fields per line, not all of them. */
+    * a wide zone converts 2 fields per line, not all of them. A
+    * position past the line's field count decodes as NULL: that is a
+    * file committed BEFORE a schema-evolution append widened the zone
+    * (new columns append at the tail, so old lines are prefixes). */
   def decodeProjected(line: String, schema: StructType,
                       idx: Array[Int]): InternalRow = {
     // limit -1: a trailing EMPTY string field must survive the split
     val parts = line.split(Sep.toString, -1)
     new GenericInternalRow(idx.map { i =>
-      val p = parts(i)
+      val p = if (i < parts.length) parts(i) else "\\0"
       if (p == "\\0") null
       else schema(i).dataType match {
         case LongType => p.toLong
@@ -468,9 +526,13 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     f.mkdirs(root)
     // raw prior lines, preserved verbatim — a batch append after
     // streaming commits must not strip their epoch fields
-    val previous: Seq[String] =
-      if (truncate) Seq.empty
-      else DirSink.readManifestLines(path).map(_._2).getOrElse(Seq.empty)
+    val prior: Option[(StructType, Seq[String])] =
+      if (truncate) None else DirSink.readManifestLines(path)
+    prior.foreach { case (prevSchema, _) =>
+      if (prevSchema.toDDL != DirSink.asNullable(schema).toDDL)
+        DirSink.checkEvolution(prevSchema, schema)
+    }
+    val previous: Seq[String] = prior.map(_._2).getOrElse(Seq.empty)
     val committed = messages.toSeq.map {
       case DirSinkCommitMessage(staged, rows, stats) =>
         // final name embeds the per-write queryId UUID: task ids restart
@@ -482,7 +544,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
             s"task-file publish failed: $staged -> $fin under $root")
         (fin, rows, stats)
     }
-    val manifest = (schema.toDDL +:
+    val manifest = (DirSink.asNullable(schema).toDDL +:
       (previous ++ committed.map { case (n, c, st) =>
         if (st.nonEmpty) s"$n\t$c\t$st" else s"$n\t$c" }))
       .mkString("\n")
@@ -566,9 +628,13 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
       staged.foreach { case (s, _, _) => f.delete(new Path(root, s), false) }
       return
     }
-    val previous: Seq[String] =
-      if (truncate) Seq.empty
-      else DirSink.readManifestLines(path).map(_._2).getOrElse(Seq.empty)
+    val prior: Option[(StructType, Seq[String])] =
+      if (truncate) None else DirSink.readManifestLines(path)
+    prior.foreach { case (prevSchema, _) =>
+      if (prevSchema.toDDL != DirSink.asNullable(schema).toDDL)
+        DirSink.checkEvolution(prevSchema, schema)
+    }
+    val previous: Seq[String] = prior.map(_._2).getOrElse(Seq.empty)
     val committed = staged.map { case (sName, rows, stats) =>
       val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
       if (!f.rename(new Path(root, sName), new Path(root, fin)))
@@ -576,7 +642,7 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           s"task-file publish failed: $sName -> $fin under $root")
       (fin, rows, stats)
     }
-    val manifest = (schema.toDDL +:
+    val manifest = (DirSink.asNullable(schema).toDDL +:
       (previous ++ committed.map { case (n, c, st) =>
         if (st.nonEmpty) s"$n\t$c\t$epochId\t$st" else s"$n\t$c\t$epochId" }))
       .mkString("\n")

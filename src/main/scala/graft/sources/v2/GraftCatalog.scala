@@ -95,15 +95,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // published through the same atomic pointer swap as every commit
     val tmp = new Path(dir, s"${DirSink.ManifestName}.tmp-create")
     val out = f.create(tmp, true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    try out.write(DirSink.asNullable(schema).toDDL.getBytes("UTF-8"))
+    finally out.close()
     DirSink.publishManifest(dir, tmp)
     new DirSinkTable(dir, schema)
   }
 
+  /** The one supported alteration is the one the positional line codec
+    * can honor: `ALTER TABLE … ADD COLUMNS` (top-level, nullable,
+    * appended at the tail). It advances the manifest's schema line
+    * atomically ([[DirSink.evolveSchema]]); existing files decode with
+    * NULL tails, and subsequent INSERTs carry the wider schema through
+    * the ordinary commit path. Renames, drops, reorders, and type
+    * changes are rejected — a positional codec cannot re-map them. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are schema-stable; write a new table")
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val prev = DirSink.readManifest(dir).map(_._1).getOrElse(
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    val added = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
+        a.isNullable =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case c => throw new UnsupportedOperationException(
+        s"graft catalog supports only ADD COLUMNS of top-level nullable " +
+          s"columns (positional line codec); got $c")
+    }
+    val next = StructType(prev.fields ++ added)
+    DirSink.evolveSchema(dir, next)
+    new DirSinkTable(dir, next)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!exists(ident)) return false

@@ -59,6 +59,39 @@ class DirSinkSpec extends AnyFunSuite {
       s"non-manifest files left behind: ${leftover.mkString(", ")}")
   }
 
+  test("schema evolution: evolve advances the manifest schema; old rows read with NULL tails") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // a wider append WITHOUT evolving first is refused (Spark's append
+    // analysis or the commit guard — either way the zone is untouched)
+    intercept[Exception] {
+      Seq((9L, "x", 1L)).toDF("id", "v", "extra").coalesce(1)
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+    DirSink.evolveSchema(dir,
+      StructType.fromDDL("id BIGINT, v STRING, extra BIGINT"))
+    Seq((2L, "b", 20L)).toDF("id", "v", "extra").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(20L))))
+    // evolution is append-only: reorders and drops are rejected
+    intercept[IllegalArgumentException] {
+      DirSink.evolveSchema(dir,
+        StructType.fromDDL("v STRING, id BIGINT, extra BIGINT"))
+    }
+    intercept[IllegalArgumentException] {
+      DirSink.evolveSchema(dir, StructType.fromDDL("id BIGINT"))
+    }
+    // idempotent no-op on the same schema
+    DirSink.evolveSchema(dir,
+      StructType.fromDDL("id BIGINT, v STRING, extra BIGINT"))
+  }
+
   test("stray files in the directory are invisible: readers resolve the manifest only") {
     import spark.implicits._
     val dir = tmpDir()

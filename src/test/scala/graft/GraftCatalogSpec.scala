@@ -37,6 +37,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"manifest schema mismatch: ${m.map(_._1.toDDL)}")
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema; old rows read with NULL tails") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbev")
+    spark.sql("CREATE TABLE graftcat.dbev.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcat.dbev.t VALUES (1, 'old'), (2, 'older')")
+    spark.sql("ALTER TABLE graftcat.dbev.t ADD COLUMNS (extra BIGINT)")
+    spark.sql("INSERT INTO graftcat.dbev.t VALUES (3, 'new', 30)")
+    val got = spark.sql("SELECT id, v, extra FROM graftcat.dbev.t")
+      .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "old", None), (2L, "older", None),
+      (3L, "new", Some(30L))))
+    // filters over the evolved column behave (incl. null semantics on
+    // pre-evolution rows) and skipping never drops an old file for it
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.dbev.t WHERE extra IS NULL")
+      .head.getLong(0) == 2)
+    assert(spark.sql(
+      "SELECT id FROM graftcat.dbev.t WHERE extra = 30")
+      .head.getLong(0) == 3)
+  }
+
+  test("non-append schema changes are rejected (positional codec cannot re-map)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbev2")
+    spark.sql("CREATE TABLE graftcat.dbev2.t (id BIGINT, v STRING)")
+    for (ddl <- Seq(
+      "ALTER TABLE graftcat.dbev2.t DROP COLUMN v",
+      "ALTER TABLE graftcat.dbev2.t RENAME COLUMN v TO w",
+      "ALTER TABLE graftcat.dbev2.t ALTER COLUMN id TYPE STRING")) {
+      val e = intercept[Exception](spark.sql(ddl))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null &&
+        (m.contains("ADD COLUMNS") || m.contains("not supported") ||
+          m.contains("Unsupported"))), s"unexpected error for $ddl: $e")
+    }
+  }
+
   test("CTAS materializes a query as a named table") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db2")
