@@ -435,7 +435,8 @@ object DirSink {
 }
 
 class DirSinkTable(path: String, schema0: StructType) extends Table
-    with SupportsWrite with SupportsRead {
+    with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_dir_sink($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -445,6 +446,68 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(path, info.schema(), info.queryId())
+
+  /** FILE-ALIGNED DELETE (`DELETE FROM … WHERE …`) — Delta's
+    * metadata-delete shape: the predicate is accepted only when the
+    * per-file stats DECIDE every file — each is provably all-match
+    * ([[DirSinkStats.allMatch]]: drop it from the manifest, no bytes
+    * read), provably no-match ([[DirSinkStats.canSkip]]: keep it), or
+    * empty. On a zone clustered by the predicate column (compaction
+    * output), that is exactly "DELETE a key range" running as one
+    * manifest swap. A predicate that SPLITS any file is refused via
+    * `canDeleteWhere` — Spark reports it un-deletable rather than this
+    * table silently deleting half a file; the deployment answer is
+    * cluster-then-delete (or a copy-on-write rewrite, the documented
+    * non-goal of this metadata-only path). The filters array is a
+    * conjunction; an empty array (unfiltered DELETE) drops every file. */
+  private def deletePlan(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[(Seq[String], Seq[String])] = {
+    val (manifestSchema, lines) =
+      DirSink.readManifestLines(path).getOrElse(return Some((Seq.empty, Seq.empty)))
+    val entries = DirSink.readManifestEntries(path).get._2
+    val keep = scala.collection.mutable.ArrayBuffer[String]()
+    val drop = scala.collection.mutable.ArrayBuffer[String]()
+    entries.zip(lines).foreach { case (e, line) =>
+      if (e.rows == 0L) drop += e.name // vacuously all-match
+      else if (filters.isEmpty) drop += e.name // DELETE without WHERE
+      else e.stats match {
+        case None => return None // pre-stats file: undecidable
+        case Some(field) =>
+          val st = DirSinkStats.parse(field, manifestSchema.length)
+          if (filters.exists(f => DirSinkStats.canSkip(f, manifestSchema, st)))
+            keep += line // conjunction provably matches no row
+          else if (filters.forall(f =>
+            DirSinkStats.allMatch(f, manifestSchema, st)))
+            drop += e.name
+          else return None // the predicate splits this file
+      }
+    }
+    Some((keep.toSeq, drop.toSeq))
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deletePlan(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (keep, drop) = deletePlan(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE predicate ${filters.mkString(" AND ")} splits a file " +
+          s"under $path — file-aligned deletes only (cluster the zone " +
+          "on the predicate column, or rewrite)"))
+    val f = DirSink.fs(path)
+    val root = new Path(path)
+    val manifest = (DirSink.readManifestSchema(path).toDDL +: keep)
+      .mkString("\n")
+    val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-delete")
+    val out = f.create(tmp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    DirSink.publishManifest(path, tmp)
+    // sweep AFTER the new generation is live (crash leaves orphans for
+    // vacuum, never a manifest entry without a backing file)
+    drop.foreach(n => f.delete(new Path(root, n), false))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DirSinkScanBuilder(path, schema0,

@@ -245,4 +245,81 @@ object DirSinkStats {
       case _ => false
     }
   }
+
+  /** The dual of [[canSkip]]: true only when the stats PROVE that EVERY
+    * row of the file satisfies the filter — the file-aligned DELETE
+    * test (a provably-all-match file can be dropped from the manifest
+    * without reading it; Delta's metadata-delete shape). Conservative
+    * false on anything unprovable. NULL semantics matter here more than
+    * in skipping: a NULL row does NOT satisfy a comparison, so any
+    * null presence defeats all-match for comparison shapes. */
+  def allMatch(f: Filter, schema: StructType, stats: Array[ColStats]): Boolean = {
+    def col(c: String): Option[(StructField, ColStats)] = {
+      val i = schema.fieldIndex(c)
+      if (i < stats.length && !stats(i).disabled) Some((schema(i), stats(i)))
+      else None
+    }
+    def cmp(fld: StructField, bound: String, v: Any): Option[Int] =
+      try fld.dataType match {
+        case LongType => v match {
+          case n: Long => Some(java.lang.Long.compare(bound.toLong, n))
+          case n: Int => Some(java.lang.Long.compare(bound.toLong, n.toLong))
+          case _ => None
+        }
+        case IntegerType => v match {
+          case n: Int => Some(java.lang.Integer.compare(bound.toInt, n))
+          case n: Long => Some(java.lang.Long.compare(bound.toInt.toLong, n))
+          case _ => None
+        }
+        case DoubleType => v match {
+          case d: Double =>
+            if (java.lang.Double.isNaN(d)) None
+            else Some(java.lang.Double.compare(bound.toDouble, d))
+          case _ => None
+        }
+        case BooleanType => v match {
+          case b: Boolean => Some(java.lang.Boolean.compare(bound.toBoolean, b))
+          case _ => None
+        }
+        case StringType => v match {
+          case s: String =>
+            Some(UTF8String.fromString(bound).compareTo(UTF8String.fromString(s)))
+          case u: UTF8String => Some(UTF8String.fromString(bound).compareTo(u))
+          case _ => None
+        }
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+
+    // every row non-null for c, and bounds prove the comparison for all
+    def allRows(c: String, v: Any)(
+        proof: (StructField, ColStats) => Boolean): Boolean =
+      v != null && col(c).exists { case (fld, st) =>
+        !st.hasNull && st.min.isDefined && proof(fld, st)
+      }
+
+    f match {
+      case And(l, r) =>
+        allMatch(l, schema, stats) && allMatch(r, schema, stats)
+      case Or(l, r) =>
+        allMatch(l, schema, stats) || allMatch(r, schema, stats)
+      case EqualTo(c, v) => allRows(c, v) { (fld, st) =>
+        cmp(fld, st.min.get, v).contains(0) && cmp(fld, st.max.get, v).contains(0) }
+      case GreaterThan(c, v) => allRows(c, v) { (fld, st) =>
+        cmp(fld, st.min.get, v).exists(_ > 0) } // min > v
+      case GreaterThanOrEqual(c, v) => allRows(c, v) { (fld, st) =>
+        cmp(fld, st.min.get, v).exists(_ >= 0) }
+      case LessThan(c, v) => allRows(c, v) { (fld, st) =>
+        cmp(fld, st.max.get, v).exists(_ < 0) } // max < v
+      case LessThanOrEqual(c, v) => allRows(c, v) { (fld, st) =>
+        cmp(fld, st.max.get, v).exists(_ <= 0) }
+      case IsNull(c) => col(c).exists { case (_, st) =>
+        st.min.isEmpty && (st.hasNull || isEmpty(st)) }
+      case IsNotNull(c) => col(c).exists { case (_, st) => !st.hasNull }
+      case AlwaysTrue() => true
+      case _ => false
+    }
+  }
+
+  /** Zero-row marker ("e"): no values AND no nulls. */
+  private def isEmpty(st: ColStats): Boolean = !st.hasNull && st.min.isEmpty
 }

@@ -75,6 +75,64 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("file-aligned DELETE: aligned predicates swap the manifest; splitting predicates are refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbdel")
+    spark.sql("CREATE TABLE graftcat.dbdel.t (id BIGINT, v STRING)")
+    // three single-partition inserts = three files with disjoint id
+    // ranges (clustered zone — the layout file-aligned DELETE needs)
+    spark.sql("INSERT INTO graftcat.dbdel.t " +
+      "SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    spark.sql("INSERT INTO graftcat.dbdel.t " +
+      "SELECT id, concat('v', id) FROM range(10, 20, 1, 1)")
+    spark.sql("INSERT INTO graftcat.dbdel.t " +
+      "SELECT id, concat('v', id) FROM range(20, 30, 1, 1)")
+    val wh = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+    val dir = s"$wh/dbdel/t"
+    assert(graft.sources.v2.DirSink.readManifest(dir).get._2.size == 3)
+
+    // aligned: id < 10 is exactly the first file
+    spark.sql("DELETE FROM graftcat.dbdel.t WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
+      .head.getLong(0) == 20)
+    assert(graft.sources.v2.DirSink.readManifest(dir).get._2.size == 2)
+    // the dropped file's bytes were swept from the zone
+    val live = graft.sources.v2.DirSink.readManifest(dir).get._2.map(_._1).toSet
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith(graft.sources.v2.DirSink.ManifestName))
+    assert(files.map(_.getName).forall(live.contains))
+
+    // splitting: id < 15 cuts through the [10,19] file -> refused, zone intact
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM graftcat.dbdel.t WHERE id < 15"))
+    assert(e.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
+      .head.getLong(0) == 20)
+
+    // a NULL row never matches a comparison: a file containing one is
+    // not all-match for v-based deletes and must be refused, not dropped
+    // (coalesce(1) through the format guarantees both rows share a file)
+    {
+      import spark.implicits._
+      Seq((30L, Some("z")), (31L, None: Option[String])).toDF("id", "v")
+        .coalesce(1)
+        .write.format("graft.sources.v2.DirSinkSource")
+        .option("path", dir)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    intercept[Exception](
+      spark.sql("DELETE FROM graftcat.dbdel.t WHERE v >= 'a'"))
+    assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
+      .head.getLong(0) == 22)
+
+    // unfiltered DELETE drops every file, schema survives
+    spark.sql("DELETE FROM graftcat.dbdel.t")
+    assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
+      .head.getLong(0) == 0)
+    assert(graft.sources.v2.DirSink.readManifestSchema(dir)
+      .fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("CTAS materializes a query as a named table") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db2")
