@@ -972,10 +972,21 @@ case class DirSinkOffset(files: Int)
 class DirSinkMicroBatchStream(path: String, schema: StructType,
                               required: StructType,
                               maxFilesPerTrigger: Option[Int] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def requiredIdx: Array[Int] =
     required.fieldNames.map(schema.fieldIndex)
+
+  /** `Trigger.AvailableNow` support: capture the zone's size ONCE at
+    * query start; every later `latestOffset(start, limit)` caps at it.
+    * Without this, Spark wraps the stream and takes ALL available data
+    * as one micro-batch — ignoring `maxFilesPerTrigger`, so a deep-
+    * backlog catch-up replay loses its bounded-batch pacing exactly in
+    * the run-to-completion mode where it matters most. */
+  private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(fileList.size)
 
   private def fileList: Seq[(String, Long)] =
     DirSink.readManifest(path).map(_._2).getOrElse(Seq.empty)
@@ -993,7 +1004,8 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
 
   override def latestOffset(start: StreamOffset,
                             limit: ReadLimit): StreamOffset = {
-    val avail = latestOffset().asInstanceOf[DirSinkOffset].files
+    val current = latestOffset().asInstanceOf[DirSinkOffset].files
+    val avail = availableNowEnd.fold(current)(math.min(current, _))
     val s = start.asInstanceOf[DirSinkOffset].files
     limit match {
       case m: ReadMaxFiles => DirSinkOffset(math.min(avail, s + m.maxFiles()))

@@ -363,6 +363,63 @@ object StreamRun {
     val passF = appendCounts.size == 2 && cellsMatch && codesMatch &&
       codebooksFrozen && live != g0 && chainLen == 3
 
+    // ---- scenario G (round 11): MAINTENANCE UNDER A TAIL — the
+    // documented constraint, exercised: a zone is tailed with
+    // maxFilesPerTrigger=1; after the first micro-batch a COMPACTION
+    // rewrites the manifest (3 files -> 1). The tail's next planning
+    // call sees the manifest SHRINK below its consumed offset and FAILS
+    // FAST (offsets-as-counts cannot survive rewritten history) instead
+    // of silently rereading rewritten files as if they were new. The
+    // second half is the deployment answer: compaction BETWEEN tails —
+    // a fresh-checkpoint tail over the compacted zone reads every row
+    // exactly once.
+    val zoneG = Files.createTempDirectory("graft_streamrun_maint")
+      .toString + "/z"
+    val chkG1 = Files.createTempDirectory("graft_streamrun_maint_chk1").toString
+    val chkG2 = Files.createTempDirectory("graft_streamrun_maint_chk2").toString
+    val rowsG = events.select($"event_id", $"event_type")
+    (0 until 3).foreach { i =>
+      rowsG.filter($"event_id" % 3 === i).coalesce(1).write.format(fmt)
+        .option("path", zoneG).mode("append").save()
+    }
+    val totalG = spark.read.format(fmt).option("path", zoneG).load().count()
+    val seenG = scala.collection.mutable.ArrayBuffer[Long]()
+    val qG = spark.readStream.format(fmt).option("path", zoneG)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream
+      .option("checkpointLocation", chkG1)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        seenG += b.count()
+        // maintenance colliding with the live tail: compact after the
+        // first micro-batch lands
+        if (id == 0) graft.sources.v2.DirSink.compact(spark, zoneG, 1)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val errG = try { qG.awaitTermination(120000); None } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Seq.empty else t +: chain(t.getCause)
+        Some(chain(e).flatMap(c => Option(c.getMessage)).mkString(" | "))
+    } finally qG.stop()
+    val shrinkDetected = errG.exists(m =>
+      m.contains("shrank") && m.contains("append-only"))
+    // between-tails: a fresh tail over the compacted zone is clean
+    val seenG2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val qG2 = spark.readStream.format(fmt).option("path", zoneG).load()
+      .writeStream
+      .option("checkpointLocation", chkG2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seenG2 += b.count(); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qG2.awaitTermination(120000)
+    qG2.stop()
+    val passG = shrinkDetected && seenG.sum < totalG &&
+      seenG2.sum == totalG
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -400,7 +457,14 @@ object StreamRun {
          |"cells_equal_full_assignment":$cellsMatch,
          |"codes_equal_full_assignment":$codesMatch,
          |"pass":$passF},
-         |"pass":${passA && passB && passC && passD && passE && passF}}"""
+         |"scenario_maintenance_under_tail":{
+         |"committed_rows":$totalG,
+         |"rows_before_shrink":${seenG.sum},
+         |"shrink_detected_failfast":$shrinkDetected,
+         |"fresh_tail_rows_after_compact":${seenG2.sum},
+         |"pass":$passG},
+         |"pass":${passA && passB && passC && passD && passE && passF &&
+        passG}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -408,6 +472,7 @@ object StreamRun {
         json.getBytes("UTF-8"))
     }
     spark.stop()
-    if (!(passA && passB && passC && passD && passE && passF)) sys.exit(1)
+    if (!(passA && passB && passC && passD && passE && passF && passG))
+      sys.exit(1)
   }
 }

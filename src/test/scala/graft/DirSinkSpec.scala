@@ -277,6 +277,33 @@ class DirSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow honors maxFilesPerTrigger and stops at the captured end") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir()
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    // SupportsTriggerAvailableNow: without it Spark's wrapper takes the
+    // whole backlog as ONE batch, silently ignoring the admission limit
+    // in exactly the run-to-completion replay mode that needs pacing
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("maxFilesPerTrigger", 1).load()
+      .writeStream.format("memory").queryName("dirsink_avnow")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      assert(spark.table("dirsink_avnow").count() == 3)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3 && batches.forall(_.numInputRows == 1),
+        s"expected 3 single-file batches under AvailableNow, got " +
+          s"${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("asOfOffset snapshot read: the manifest prefix reproduces the zone at a recorded offset") {
     import spark.implicits._
     val dir = tmpDir()
