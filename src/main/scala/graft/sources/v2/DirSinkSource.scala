@@ -290,7 +290,14 @@ object DirSink {
 
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n == "_staging") {
+      if (st.isDirectory && n.startsWith("_rewrite-")) {
+        // a crashed copy-on-write DELETE's scratch zone: age-gate on the
+        // directory itself (its writer is gone if it is old)
+        if (st.getModificationTime < cutoff) {
+          swept += n
+          if (!dryRun) f.delete(st.getPath, true)
+        }
+      } else if (st.isDirectory && n == "_staging") {
         f.listStatus(st.getPath).foreach { qdir =>
           if (qdir.isDirectory) {
             f.listStatus(qdir.getPath).foreach { staged =>
@@ -447,58 +454,85 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(path, info.schema(), info.queryId())
 
-  /** FILE-ALIGNED DELETE (`DELETE FROM … WHERE …`) — Delta's
-    * metadata-delete shape: the predicate is accepted only when the
-    * per-file stats DECIDE every file — each is provably all-match
+  /** HYBRID DELETE (`DELETE FROM … WHERE …`): the metadata fast path
+    * first — per-file stats PROVE a file all-match
     * ([[DirSinkStats.allMatch]]: drop it from the manifest, no bytes
-    * read), provably no-match ([[DirSinkStats.canSkip]]: keep it), or
-    * empty. On a zone clustered by the predicate column (compaction
-    * output), that is exactly "DELETE a key range" running as one
-    * manifest swap. A predicate that SPLITS any file is refused via
-    * `canDeleteWhere` — Spark reports it un-deletable rather than this
-    * table silently deleting half a file; the deployment answer is
-    * cluster-then-delete (or a copy-on-write rewrite, the documented
-    * non-goal of this metadata-only path). The filters array is a
-    * conjunction; an empty array (unfiltered DELETE) drops every file. */
-  private def deletePlan(filters: Array[org.apache.spark.sql.sources.Filter])
-      : Option[(Seq[String], Seq[String])] = {
-    val (manifestSchema, lines) =
-      DirSink.readManifestLines(path).getOrElse(return Some((Seq.empty, Seq.empty)))
-    val entries = DirSink.readManifestEntries(path).get._2
-    val keep = scala.collection.mutable.ArrayBuffer[String]()
-    val drop = scala.collection.mutable.ArrayBuffer[String]()
-    entries.zip(lines).foreach { case (e, line) =>
-      if (e.rows == 0L) drop += e.name // vacuously all-match
-      else if (filters.isEmpty) drop += e.name // DELETE without WHERE
-      else e.stats match {
-        case None => return None // pre-stats file: undecidable
-        case Some(field) =>
-          val st = DirSinkStats.parse(field, manifestSchema.length)
-          if (filters.exists(f => DirSinkStats.canSkip(f, manifestSchema, st)))
-            keep += line // conjunction provably matches no row
-          else if (filters.forall(f =>
-            DirSinkStats.allMatch(f, manifestSchema, st)))
-            drop += e.name
-          else return None // the predicate splits this file
-      }
-    }
-    Some((keep.toSeq, drop.toSeq))
-  }
-
+    * read) or no-match ([[DirSinkStats.canSkip]]: keep its line
+    * verbatim) — and only the files the stats cannot decide are
+    * COPY-ON-WRITE rewritten: their surviving rows (¬predicate) are
+    * written through the ordinary staged-write machinery into a scratch
+    * zone, the new files move into place under their globally-unique
+    * names, and ONE atomic manifest publish swaps all three groups in
+    * together (kept lines + rewritten lines, dropped and split
+    * originals gone). On a zone clustered by the predicate column
+    * (compaction output) the rewrite set is empty and a key-range
+    * DELETE is pure metadata — the Delta OPTIMIZE+DELETE economics; on
+    * an unclustered zone correctness is identical and only the split
+    * files pay I/O. Crash safety is the usual shape: before the publish
+    * the zone reads exactly as before (scratch files and moved-but-
+    * unpublished files are manifest-invisible orphans for [[DirSink.vacuum]]);
+    * after it, the new generation is complete. `canDeleteWhere` is
+    * false only for filter shapes [[DirSinkStats.toColumn]] cannot
+    * translate (the rewrite predicate must reproduce the SQL semantics
+    * exactly). The filters array is a conjunction; an empty array
+    * (unfiltered DELETE) drops every file. */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    deletePlan(filters).isDefined
+    filters.forall(f => DirSinkStats.toColumn(f).isDefined)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val (keep, drop) = deletePlan(filters).getOrElse(
-      throw new IllegalArgumentException(
-        s"DELETE predicate ${filters.mkString(" AND ")} splits a file " +
-          s"under $path — file-aligned deletes only (cluster the zone " +
-          "on the predicate column, or rewrite)"))
+    val parsed = DirSink.readManifestLines(path)
+    if (parsed.isEmpty) return
+    val (manifestSchema, lines) = parsed.get
+    val entries = DirSink.readManifestEntries(path).get._2
+    val keep = scala.collection.mutable.ArrayBuffer[String]()
+    val drop = scala.collection.mutable.ArrayBuffer[String]()
+    val split = scala.collection.mutable.ArrayBuffer[String]()
+    entries.zip(lines).foreach { case (e, line) =>
+      if (e.rows == 0L || filters.isEmpty) drop += e.name
+      else e.stats.map(DirSinkStats.parse(_, manifestSchema.length)) match {
+        case Some(st) if filters.exists(f =>
+          DirSinkStats.canSkip(f, manifestSchema, st)) => keep += line
+        case Some(st) if filters.forall(f =>
+          DirSinkStats.allMatch(f, manifestSchema, st)) => drop += e.name
+        case _ => split += e.name // undecided (or pre-stats): rewrite
+      }
+    }
     val f = DirSink.fs(path)
     val root = new Path(path)
-    val manifest = (DirSink.readManifestSchema(path).toDDL +: keep)
+    val rewrittenLines: Seq[String] = if (split.isEmpty) Seq.empty else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cond = filters.flatMap(DirSinkStats.toColumn).reduceOption(_ && _)
+        .getOrElse(throw new IllegalArgumentException(
+          s"DELETE predicate ${filters.mkString(" AND ")} has an " +
+            "untranslatable shape — canDeleteWhere should have refused"))
+      val scratch = new Path(root, s"_rewrite-${java.util.UUID.randomUUID()}")
+      spark.read.format(classOf[DirSinkSource].getName)
+        .option("path", path)
+        .option("files", split.mkString(","))
+        .load()
+        // DELETE removes rows where the predicate is TRUE; a NULL
+        // predicate KEEPS the row — a bare !cond would be NULL there
+        // too and silently delete it with the matches
+        .filter(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(cond,
+            org.apache.spark.sql.functions.lit(false))))
+        .write.format(classOf[DirSinkSource].getName)
+        .option("path", scratch.toString)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      val moved = DirSink.readManifestLines(scratch.toString)
+        .map(_._2).getOrElse(Seq.empty)
+      moved.foreach { l =>
+        val name = l.split("\t")(0) // g<uuid>-… names: unique in the zone
+        if (!f.rename(new Path(scratch, name), new Path(root, name)))
+          throw new java.io.IOException(
+            s"rewrite publish failed: $name from $scratch into $root")
+      }
+      f.delete(scratch, true)
+      moved
+    }
+    val manifest = (manifestSchema.toDDL +: (keep.toSeq ++ rewrittenLines))
       .mkString("\n")
     val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-delete")
     val out = f.create(tmp, true)
@@ -506,13 +540,15 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
     DirSink.publishManifest(path, tmp)
     // sweep AFTER the new generation is live (crash leaves orphans for
     // vacuum, never a manifest entry without a backing file)
-    drop.foreach(n => f.delete(new Path(root, n), false))
+    (drop ++ split).foreach(n => f.delete(new Path(root, n), false))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DirSinkScanBuilder(path, schema0,
       Option(options.get("asOfOffset")).map(_.toInt),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("files"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 }
 
 /** Read-contract surface of the table format:
@@ -532,7 +568,8 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
   */
 class DirSinkScanBuilder(path: String, schema: StructType,
                          asOfOffset: Option[Int],
-                         maxFilesPerTrigger: Option[Int])
+                         maxFilesPerTrigger: Option[Int],
+                         onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
@@ -551,7 +588,7 @@ class DirSinkScanBuilder(path: String, schema: StructType,
 
   override def build(): Scan =
     new DirSinkScan(path, schema, required, skipFilters,
-      asOfOffset, maxFilesPerTrigger)
+      asOfOffset, maxFilesPerTrigger, onlyFiles)
 }
 
 
@@ -837,7 +874,8 @@ class DirSinkScan(path: String, schema: StructType,
                   skipFilters: Array[org.apache.spark.sql.sources.Filter] =
                     Array.empty,
                   asOfOffset: Option[Int] = None,
-                  maxFilesPerTrigger: Option[Int] = None)
+                  maxFilesPerTrigger: Option[Int] = None,
+                  onlyFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -882,7 +920,7 @@ class DirSinkScan(path: String, schema: StructType,
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
           "nothing was committed"))._2
-    asOfOffset match {
+    val sliced = asOfOffset match {
       case Some(k) =>
         if (k > all.size) throw new IllegalArgumentException(
           s"asOfOffset $k exceeds the zone's ${all.size} committed files " +
@@ -890,6 +928,9 @@ class DirSinkScan(path: String, schema: StructType,
         all.take(k)
       case None => all
     }
+    // `files` option (internal surface, used by the copy-on-write
+    // DELETE): restrict the scan to the named committed files
+    onlyFiles.fold(sliced)(names => sliced.filter(e => names(e.name)))
   }
 
   /** The asOf-sliced, stats-skipped file list — ONE definition feeding

@@ -322,4 +322,32 @@ object DirSinkStats {
 
   /** Zero-row marker ("e"): no values AND no nulls. */
   private def isEmpty(st: ColStats): Boolean = !st.hasNull && st.min.isEmpty
+
+  /** Translate a pushed filter back into a Column with IDENTICAL
+    * semantics — the copy-on-write DELETE's row predicate (files the
+    * stats cannot decide are rewritten keeping `!toColumn(f)`). None
+    * for shapes we don't translate; `canDeleteWhere` refuses those. */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c) => toColumn(c).map(!_)
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case _ => None
+    }
+  }
 }

@@ -102,28 +102,24 @@ class GraftCatalogSpec extends AnyFunSuite {
         !f.getName.startsWith(graft.sources.v2.DirSink.ManifestName))
     assert(files.map(_.getName).forall(live.contains))
 
-    // splitting: id < 15 cuts through the [10,19] file -> refused, zone intact
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM graftcat.dbdel.t WHERE id < 15"))
-    assert(e.getMessage != null)
+    // splitting: id < 15 cuts the [10,19] file — ONLY that file is
+    // copy-on-write rewritten; the [20,29] file survives as metadata
+    // (same manifest line, no bytes read)
+    val untouched = graft.sources.v2.DirSink.readManifest(dir).get._2
+      .map(_._1).toSet
+    val splitName = graft.sources.v2.DirSink.readManifestEntries(dir).get._2
+      .map(_.name)
+    spark.sql("DELETE FROM graftcat.dbdel.t WHERE id < 15")
     assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
-      .head.getLong(0) == 20)
-
-    // a NULL row never matches a comparison: a file containing one is
-    // not all-match for v-based deletes and must be refused, not dropped
-    // (coalesce(1) through the format guarantees both rows share a file)
-    {
-      import spark.implicits._
-      Seq((30L, Some("z")), (31L, None: Option[String])).toDF("id", "v")
-        .coalesce(1)
-        .write.format("graft.sources.v2.DirSinkSource")
-        .option("path", dir)
-        .mode(org.apache.spark.sql.SaveMode.Append).save()
-    }
-    intercept[Exception](
-      spark.sql("DELETE FROM graftcat.dbdel.t WHERE v >= 'a'"))
-    assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
-      .head.getLong(0) == 22)
+      .head.getLong(0) == 15)
+    assert(spark.sql("SELECT min(id), max(id) FROM graftcat.dbdel.t")
+      .head match { case r => r.getLong(0) == 15 && r.getLong(1) == 29 })
+    val after = graft.sources.v2.DirSink.readManifest(dir).get._2
+      .map(_._1).toSet
+    assert(after.size == 2)
+    assert((after intersect untouched).size == 1,
+      s"exactly the aligned file must keep its identity; " +
+        s"before=$splitName after=$after")
 
     // unfiltered DELETE drops every file, schema survives
     spark.sql("DELETE FROM graftcat.dbdel.t")
@@ -131,6 +127,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 0)
     assert(graft.sources.v2.DirSink.readManifestSchema(dir)
       .fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("DELETE keeps NULL-predicate rows through the copy-on-write rewrite") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbdel2")
+    spark.sql("CREATE TABLE graftcat.dbdel2.u (id BIGINT, v STRING)")
+    val wh = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+    val dir = s"$wh/dbdel2/u"
+    // one file holding a matching row AND a NULL row: stats cannot
+    // decide it, so the rewrite path runs — and SQL DELETE semantics
+    // say a NULL predicate KEEPS the row (a bare !cond would be NULL
+    // there too and delete it with the matches)
+    Seq((30L, Some("z")), (31L, None: Option[String])).toDF("id", "v")
+      .coalesce(1)
+      .write.format("graft.sources.v2.DirSinkSource")
+      .option("path", dir)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    spark.sql("DELETE FROM graftcat.dbdel2.u WHERE v >= 'a'")
+    val left = spark.sql("SELECT id, v FROM graftcat.dbdel2.u").collect()
+    assert(left.length == 1 && left(0).getLong(0) == 31L &&
+      left(0).isNullAt(1),
+      s"only the NULL-v row survives, got ${left.toSeq}")
   }
 
   test("CTAS materializes a query as a named table") {
