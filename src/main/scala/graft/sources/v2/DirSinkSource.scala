@@ -101,6 +101,82 @@ class DirSinkSource extends TableProvider {
 
 object DirSink {
   val ManifestName = "_GRAFT_COMMIT"
+  val LockName = "_GRAFT_LOCK"
+
+  /** How long a commit lock may sit untouched before another committer
+    * treats its holder as crashed and breaks it. Generous on purpose:
+    * the lock guards only the read-parent → render → publish critical
+    * section (milliseconds of metadata work, never the data rewrite),
+    * so a live holder can't legitimately stay inside for minutes. */
+  private val LockStaleMs = 10L * 60 * 1000
+  private val LockWaitMs = 120L * 1000
+
+  /** OPTIMISTIC-CONCURRENCY commit lock — the mutual exclusion that
+    * turns "single writer per directory" from a documented constraint
+    * into an enforced protocol: every manifest READ-MODIFY-WRITE
+    * (append commit, streaming epoch commit, DELETE publish, schema
+    * evolve, CREATE TABLE) runs under an exclusive lock file taken with
+    * `FileSystem.create(…, overwrite = false)` — atomic on HDFS and the
+    * local FS — so two jobs committing to the same zone SERIALIZE
+    * instead of both extending the same parent manifest and silently
+    * dropping the loser's files (the lost-update hazard). Paired with
+    * the manifest's `#gen` generation counter, slow paths that plan
+    * outside the lock (copy-on-write DELETE) re-verify the generation
+    * is still the one they planned against and fail loudly on conflict
+    * rather than clobber. A crashed holder's lock is broken after
+    * [[LockStaleMs]] (the holder only ever does milliseconds of
+    * metadata work inside). Object stores without atomic exclusive
+    * create keep the documented external-lease residual — the same one
+    * Delta-on-S3 carried before its commit coordinator. */
+  /** Same-JVM committers (concurrent write jobs on one driver, the test
+    * harness) serialize on a process-wide lock striped by qualified
+    * zone path: the LOCAL filesystem's `create(overwrite = false)` is
+    * check-then-create (not atomic), so the file lock alone has a race
+    * window there. Cross-process exclusion still rides on the file
+    * lock, which IS atomic on HDFS — the deployment that actually has
+    * multi-driver committers. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  private[v2] def withZoneLock[T](path: String)(body: => T): T = {
+    val f = fs(path)
+    val root = new Path(path)
+    f.mkdirs(root)
+    val key = f.makeQualified(root).toString
+    val jvmLock = jvmLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    jvmLock.lock()
+    try withZoneFileLock(f, root)(body)
+    finally jvmLock.unlock()
+  }
+
+  private def withZoneFileLock[T](f: FileSystem, root: Path)(body: => T): T = {
+    val lock = new Path(root, LockName)
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var held = false
+    while (!held) {
+      try {
+        val out = f.create(lock, false) // exclusive: fails if it exists
+        try out.write(s"pid=${ProcessHandle.current().pid()}".getBytes("UTF-8"))
+        finally out.close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          val age = try Some(System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+          if (age.exists(_ > LockStaleMs)) f.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"timed out after ${LockWaitMs}ms waiting for commit lock " +
+                s"$lock — a concurrent committer is live (or its host " +
+                "crashed less than the stale threshold ago)")
+          else Thread.sleep(50)
+      }
+    }
+    try body finally f.delete(lock, false)
+  }
   private val Sep = '\u0001'
 
   /** Driver side: the session's Hadoop configuration (credentials,
@@ -160,7 +236,27 @@ object DirSink {
     * checksum. The window is one publish long — a bounded retry reads
     * through it. HDFS/S3A checksum server-side (no sidecar), so the
     * race doesn't exist there. */
-  def readManifestLines(path: String): Option[(StructType, Seq[String])] = {
+  /** Parsed manifest: schema line, `#key=value` HEADER lines (zone-level
+    * metadata that must survive manifest rewrites), then file lines.
+    * Header fields:
+    *   - `gen`   — generation counter, +1 on every publish; the
+    *               optimistic-concurrency token slow committers verify
+    *   - `emax`  — committed-epoch high-water mark: survives compaction
+    *               and DELETE rewriting streaming-committed lines out of
+    *               the manifest, so a recovering streaming writer can
+    *               never re-commit (duplicate) an epoch that maintenance
+    *               erased the evidence of
+    *   - `remap` — compaction offset remaps (`old:new` pairs, comma
+    *               separated): lets a streaming tail that had consumed
+    *               exactly `old` files resume at `new` after a compact
+    * Unknown header keys round-trip untouched (forward compatible). */
+  private[v2] case class Manifest(schema: StructType,
+                                  header: Map[String, String],
+                                  lines: Seq[String]) {
+    def gen: Long = header.get("gen").map(_.toLong).getOrElse(0L)
+  }
+
+  private[v2] def readManifestRaw(path: String): Option[Manifest] = {
     var attempt = 0
     while (true) {
       try {
@@ -171,7 +267,14 @@ object DirSink {
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val lines = text.split("\n").filter(_.nonEmpty)
-        return Some((StructType.fromDDL(lines.head), lines.tail.toSeq))
+        val (hdr, files) = lines.tail.partition(_.startsWith("#"))
+        val header = hdr.map { h =>
+          val body = h.drop(1)
+          val eq = body.indexOf('=')
+          if (eq < 0) (body, "") else (body.substring(0, eq), body.substring(eq + 1))
+        }.toMap
+        return Some(Manifest(StructType.fromDDL(lines.head), header,
+          files.toSeq))
       } catch {
         // ChecksumException: new manifest against the old .crc sidecar.
         // FileNotFoundException AFTER exists()==true: the local
@@ -189,35 +292,91 @@ object DirSink {
     throw new IllegalStateException("unreachable")
   }
 
+  def readManifestLines(path: String): Option[(StructType, Seq[String])] =
+    readManifestRaw(path).map(m => (m.schema, m.lines))
+
+  /** Render a manifest for publish: schema line, sorted header lines,
+    * file lines — the ONE serializer every commit path goes through. */
+  private[v2] def renderManifest(schema: StructType,
+                                 header: Map[String, String],
+                                 lines: Seq[String]): String =
+    (schema.toDDL +: (header.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#$k=$v" } ++ lines)).mkString("\n")
+
+  private[v2] def writeAndPublish(path: String, tmpSuffix: String,
+                                  content: String): Unit = {
+    val f = fs(path)
+    val tmp = new Path(path, s"$ManifestName.tmp-$tmpSuffix")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    publishManifest(path, tmp)
+  }
+
+  /** The child generation's header: parent header carried forward
+    * (unknown keys included), `gen` bumped, `emax` advanced to the
+    * parent's full committed-epoch high-water mark (header ∪ line
+    * epochs — so a rewrite that DROPS streaming-committed lines still
+    * remembers their epochs) max any `newEpoch` being committed now. */
+  private[v2] def nextHeader(parent: Option[Manifest],
+                             newEpoch: Option[Long] = None): Map[String, String] = {
+    val base = parent.map(_.header).getOrElse(Map.empty[String, String])
+    val emax = (parent.flatMap(epochMaxOf) ++ newEpoch).reduceOption(_ max _)
+    base ++ Map("gen" -> parent.map(_.gen + 1).getOrElse(0L).toString) ++
+      emax.map(e => "emax" -> e.toString)
+  }
+
+  private[v2] def epochMaxOf(m: Manifest): Option[Long] =
+    (m.header.get("emax").flatMap(s => scala.util.Try(s.toLong).toOption) ++
+      m.lines.flatMap(l => parseEntry(l).epoch)).reduceOption(_ max _)
+
   def readManifest(path: String): Option[(StructType, Seq[(String, Long)])] =
     readManifestLines(path).map { case (schema, lines) =>
       (schema, lines.map { l => val p = l.split("\t"); (p(0), p(1).toLong) })
     }
 
-  /** One committed file's manifest entry, fully parsed. */
+  /** One committed file's manifest entry, fully parsed. `ts` is the
+    * commit's wall-clock timestamp (millis), present on lines written
+    * since timestamp time travel landed — `asOfTimestamp` resolution. */
   case class FileEntry(name: String, rows: Long, epoch: Option[Long],
-                       stats: Option[String])
+                       stats: Option[String], ts: Option[Long] = None)
+
+  /** Tag-based field parse of one file line: index 0 = name, 1 = row
+    * count; anything after is an epoch if it parses as a bare long,
+    * stats if `s=`-prefixed, a commit timestamp if `t=`-prefixed —
+    * old and new lines co-parse. */
+  private[v2] def parseEntry(line: String): FileEntry = {
+    val p = line.split("\t")
+    var epoch: Option[Long] = None
+    var stats: Option[String] = None
+    var ts: Option[Long] = None
+    p.drop(2).foreach { f =>
+      if (f.startsWith("s=")) stats = Some(f.drop(2))
+      else if (f.startsWith("t="))
+        ts = scala.util.Try(f.drop(2).toLong).toOption
+      else epoch = scala.util.Try(f.toLong).toOption.orElse(epoch)
+    }
+    FileEntry(p(0), p(1).toLong, epoch, stats, ts)
+  }
 
   def readManifestEntries(path: String): Option[(StructType, Seq[FileEntry])] =
     readManifestLines(path).map { case (schema, lines) =>
-      (schema, lines.map { l =>
-        val p = l.split("\t")
-        var epoch: Option[Long] = None
-        var stats: Option[String] = None
-        p.drop(2).foreach { f =>
-          if (f.startsWith("s=")) stats = Some(f.drop(2))
-          else epoch = scala.util.Try(f.toLong).toOption.orElse(epoch)
-        }
-        FileEntry(p(0), p(1).toLong, epoch, stats)
-      })
+      (schema, lines.map(parseEntry))
     }
 
-  /** Epochs already committed to this directory's manifest. The
-    * streaming commit checks membership here to make an epoch-retry
-    * after a crash a no-op — exactly-once by epoch id. */
+  /** Epochs whose lines are still IN the manifest (lineage view). */
   def committedEpochs(path: String): Set[Long] =
     readManifestEntries(path)
       .map(_._2.flatMap(_.epoch).toSet).getOrElse(Set.empty)
+
+  /** The committed-epoch HIGH-WATER MARK — header `emax` ∪ line epochs.
+    * This, not [[committedEpochs]] membership, is what the streaming
+    * commit consults: micro-batch epochs are monotonic per query, so
+    * `epochId <= emax` ⇒ already durable, and the mark SURVIVES
+    * maintenance (compact / DELETE) rewriting epoch-carrying lines out
+    * of the manifest — a recovering writer can never replay an epoch
+    * that a compaction erased the line-level evidence of. */
+  def committedEpochMax(path: String): Option[Long] =
+    readManifestRaw(path).flatMap(epochMaxOf)
 
   def readManifestSchema(path: String): StructType =
     readManifest(path).map(_._1).getOrElse(
@@ -249,7 +408,10 @@ object DirSink {
     val ok = prev.length <= next.length &&
       prev.fields.zip(next.fields).forall { case (a, b) =>
         a.name == b.name && a.dataType == b.dataType } &&
-      next.fields.drop(prev.length).forall(_.nullable)
+      next.fields.drop(prev.length).forall(_.nullable) &&
+      // duplicate field names resolve ambiguously forever after — reject
+      next.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+        .distinct.length == next.length
     if (!ok) throw new IllegalArgumentException(
       "schema evolution on append supports only APPENDING nullable " +
         s"columns: previous schema [${prev.toDDL}] is not a prefix of " +
@@ -310,8 +472,12 @@ object DirSink {
         }
         if (!dryRun && f.listStatus(st.getPath).isEmpty)
           f.delete(st.getPath, false)
+      } else if (!st.isDirectory && n.startsWith(ManifestName + ".tmp-")) {
+        // a crashed publish's unrenamed tmp manifest: age-gated sweep
+        // (the LIVE manifest itself is exempt by exact name below)
+        sweepFile(st, n)
       } else if (!st.isDirectory && !n.startsWith(".") &&
-        !n.startsWith(ManifestName) && !live.contains(n)) {
+        n != ManifestName && !live.contains(n)) {
         sweepFile(st, n)
       }
     }
@@ -329,19 +495,16 @@ object DirSink {
     * evolve, ordinary appends with the wider schema just work (the
     * commit guard sees equal schemas), and the catalog surfaces this as
     * `ALTER TABLE … ADD COLUMNS` ([[GraftCatalog.alterTable]]). */
-  def evolveSchema(path: String, next: StructType): Unit = {
-    val (prev, lines) = readManifestLines(path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no ${ManifestName} manifest under $path — nothing was committed"))
-    if (prev.toDDL == next.toDDL) return
-    checkEvolution(prev, next)
-    val f = fs(path)
-    val tmp = new Path(path, s"${ManifestName}.tmp-evolve")
-    val out = f.create(tmp, true)
-    try out.write((next.toDDL +: lines).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    publishManifest(path, tmp)
-  }
+  def evolveSchema(path: String, next: StructType): Unit =
+    withZoneLock(path) {
+      val m = readManifestRaw(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no ${ManifestName} manifest under $path — nothing was committed"))
+      if (m.schema.toDDL == next.toDDL) return
+      checkEvolution(m.schema, next)
+      writeAndPublish(path, "evolve",
+        renderManifest(next, nextHeader(Some(m)), m.lines))
+    }
 
   /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
     * rewrite the zone's committed files into `targetFiles` larger ones
@@ -364,6 +527,7 @@ object DirSink {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
     val fmt = classOf[DirSinkSource].getName
+    val before = readManifestRaw(path).map(_.lines.size).getOrElse(0)
     val df = spark.read.format(fmt).option("path", path).load()
     val shaped =
       if (clusterBy.nonEmpty)
@@ -372,7 +536,32 @@ object DirSink {
       else df.repartition(targetFiles)
     shaped.write.format(fmt).option("path", path)
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    // record the OFFSET REMAP (`before` files → `after` files) in the
+    // header: a streaming tail whose checkpoint had consumed EXACTLY
+    // the whole pre-compact zone resumes at the post-compact count —
+    // checkpoint migration across maintenance instead of scenario G's
+    // terminal fail-fast. (A tail stopped mid-history still fails: its
+    // unread suffix was rewritten, and exactly-once can't survive
+    // that; quiesce-then-compact is the documented recipe.)
+    withZoneLock(path) {
+      val m = readManifestRaw(path).getOrElse(
+        throw new IllegalStateException(s"compact of $path lost its manifest"))
+      val pair = s"$before:${m.lines.size}"
+      val remap = m.header.get("remap").fold(pair)(old => s"$old,$pair")
+      writeAndPublish(path, "remap", renderManifest(m.schema,
+        nextHeader(Some(m)) + ("remap" -> remap), m.lines))
+    }
   }
+
+  /** The compaction remap chain, oldest first: `old:new` offset pairs
+    * a resuming tail applies transitively ([[DirSinkMicroBatchStream]]). */
+  private[v2] def offsetRemaps(path: String): Seq[(Int, Int)] =
+    readManifestRaw(path).flatMap(_.header.get("remap")).toSeq
+      .flatMap(_.split(",").toSeq).flatMap { p =>
+        val c = p.indexOf(':')
+        scala.util.Try((p.substring(0, c).toInt,
+          p.substring(c + 1).toInt)).toOption
+      }
 
   private def escape(s: String): String =
     s.flatMap {
@@ -441,7 +630,12 @@ object DirSink {
   }
 }
 
-class DirSinkTable(path: String, schema0: StructType) extends Table
+/** `pinned` carries catalog-level TIME TRAVEL (`VERSION AS OF` /
+  * `TIMESTAMP AS OF` resolve through [[GraftCatalog.loadTable]] into
+  * `asOfOffset` / `asOfTimestamp`) into every scan of this table
+  * instance; per-read options still win for the path-addressed API. */
+class DirSinkTable(path: String, schema0: StructType,
+                   pinned: Map[String, String] = Map.empty) extends Table
     with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_dir_sink($path)"
@@ -482,14 +676,18 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val parsed = DirSink.readManifestLines(path)
+    // ONE manifest read: entries derive from the SAME raw lines that are
+    // kept verbatim, so a concurrent publish between two reads can never
+    // desync the decision from the text being republished
+    val parsed = DirSink.readManifestRaw(path)
     if (parsed.isEmpty) return
-    val (manifestSchema, lines) = parsed.get
-    val entries = DirSink.readManifestEntries(path).get._2
+    val parent = parsed.get
+    val manifestSchema = parent.schema
     val keep = scala.collection.mutable.ArrayBuffer[String]()
     val drop = scala.collection.mutable.ArrayBuffer[String]()
     val split = scala.collection.mutable.ArrayBuffer[String]()
-    entries.zip(lines).foreach { case (e, line) =>
+    parent.lines.foreach { line =>
+      val e = DirSink.parseEntry(line)
       if (e.rows == 0L || filters.isEmpty) drop += e.name
       else e.stats.map(DirSinkStats.parse(_, manifestSchema.length)) match {
         case Some(st) if filters.exists(f =>
@@ -532,23 +730,45 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
       f.delete(scratch, true)
       moved
     }
-    val manifest = (manifestSchema.toDDL +: (keep.toSeq ++ rewrittenLines))
-      .mkString("\n")
-    val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-delete")
-    val out = f.create(tmp, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    DirSink.publishManifest(path, tmp)
+    // publish under the commit lock, VERIFYING the generation is still
+    // the one the keep/drop/split plan was computed against — the
+    // rewrite above runs outside the lock (it can be minutes of I/O),
+    // so a concurrent append would otherwise be silently dropped from
+    // the rebuilt manifest; conflict fails loudly instead (retry the
+    // DELETE — optimistic concurrency, the Delta/Iceberg discipline)
+    DirSink.withZoneLock(path) {
+      val now = DirSink.readManifestRaw(path).getOrElse(
+        throw new IllegalStateException(s"manifest under $path vanished " +
+          "during DELETE"))
+      if (now.gen != parent.gen)
+        throw new java.util.ConcurrentModificationException(
+          s"zone $path advanced from generation ${parent.gen} to " +
+            s"${now.gen} during DELETE — another commit landed; retry " +
+            "the DELETE against the new state")
+      DirSink.writeAndPublish(path, "delete",
+        DirSink.renderManifest(manifestSchema,
+          DirSink.nextHeader(Some(parent)),
+          keep.toSeq ++ rewrittenLines))
+    }
     // sweep AFTER the new generation is live (crash leaves orphans for
     // vacuum, never a manifest entry without a backing file)
     (drop ++ split).foreach(n => f.delete(new Path(root, n), false))
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DirSinkScanBuilder(path, schema0,
-      Option(options.get("asOfOffset")).map(_.toInt),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("files"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(k: String): Option[String] =
+      Option(options.get(k)).orElse(pinned.get(k))
+    val asOfOffset = opt("asOfOffset").map(_.toInt)
+    val asOfTimestamp = opt("asOfTimestamp").map(_.toLong)
+    if (asOfOffset.isDefined && asOfTimestamp.isDefined)
+      throw new IllegalArgumentException(
+        "asOfOffset and asOfTimestamp are mutually exclusive — a snapshot " +
+          "read names ONE point in the zone's history")
+    new DirSinkScanBuilder(path, schema0, asOfOffset, asOfTimestamp,
+      opt("maxFilesPerTrigger").map(_.toInt),
+      opt("files")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+  }
 }
 
 /** Read-contract surface of the table format:
@@ -568,6 +788,7 @@ class DirSinkTable(path: String, schema0: StructType) extends Table
   */
 class DirSinkScanBuilder(path: String, schema: StructType,
                          asOfOffset: Option[Int],
+                         asOfTimestamp: Option[Long],
                          maxFilesPerTrigger: Option[Int],
                          onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder
@@ -588,7 +809,7 @@ class DirSinkScanBuilder(path: String, schema: StructType,
 
   override def build(): Scan =
     new DirSinkScan(path, schema, required, skipFilters,
-      asOfOffset, maxFilesPerTrigger, onlyFiles)
+      asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles)
 }
 
 
@@ -624,15 +845,9 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val f = DirSink.fs(path)
     val root = new Path(path)
     f.mkdirs(root)
-    // raw prior lines, preserved verbatim — a batch append after
-    // streaming commits must not strip their epoch fields
-    val prior: Option[(StructType, Seq[String])] =
-      if (truncate) None else DirSink.readManifestLines(path)
-    prior.foreach { case (prevSchema, _) =>
-      if (prevSchema.toDDL != DirSink.asNullable(schema).toDDL)
-        DirSink.checkEvolution(prevSchema, schema)
-    }
-    val previous: Seq[String] = prior.map(_._2).getOrElse(Seq.empty)
+    // renames happen OUTSIDE the commit lock: final names are globally
+    // unique (the queryId UUID), so concurrent committers cannot
+    // collide on them — only the manifest read-modify-write serializes
     val committed = messages.toSeq.map {
       case DirSinkCommitMessage(staged, rows, stats) =>
         // final name embeds the per-write queryId UUID: task ids restart
@@ -644,25 +859,47 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
             s"task-file publish failed: $staged -> $fin under $root")
         (fin, rows, stats)
     }
-    val manifest = (DirSink.asNullable(schema).toDDL +:
-      (previous ++ committed.map { case (n, c, st) =>
-        if (st.nonEmpty) s"$n\t$c\t$st" else s"$n\t$c" }))
-      .mkString("\n")
-    val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-$queryId")
-    val out = f.create(tmp, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    DirSink.publishManifest(path, tmp)
+    val now = System.currentTimeMillis()
+    DirSink.withZoneLock(path) {
+      // raw prior lines, preserved verbatim — a batch append after
+      // streaming commits must not strip their epoch fields; the header
+      // (generation counter, epoch high-water mark) carries forward even
+      // across TRUNCATE, so a table overwrite or compaction can never
+      // let a recovering streaming writer re-commit an erased epoch
+      val parent = DirSink.readManifestRaw(path)
+      if (!truncate) parent.foreach { m =>
+        if (m.schema.toDDL != DirSink.asNullable(schema).toDDL)
+          DirSink.checkEvolution(m.schema, schema)
+      }
+      val previous: Seq[String] =
+        if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
+      DirSink.writeAndPublish(path, queryId,
+        DirSink.renderManifest(DirSink.asNullable(schema),
+          DirSink.nextHeader(parent),
+          previous ++ committed.map { case (n, c, st) =>
+            s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") }))
+    }
     // best-effort sweep: staging leftovers of THIS query (loser
     // speculative attempts) and, on truncate, the superseded generation
     f.delete(new Path(root, s"_staging/$queryId"), true)
     dropStagingRootIfEmpty(f, root)
     if (truncate) {
-      val liveSet = committed.map(_._1).toSet
+      // sweep the superseded generation — against the manifest AS OF
+      // NOW, not just this commit's own files: a concurrent appender
+      // may have published between our publish and this sweep, and its
+      // files must survive. (TRUNCATE racing an append is semantically
+      // conflicting either way — one of them loses rows by definition —
+      // but the loser must lose CLEANLY, never a manifest line whose
+      // backing file was swept.)
+      val liveSet = committed.map(_._1).toSet ++
+        DirSink.readManifest(path).map(_._2.map(_._1).toSet)
+          .getOrElse(Set.empty)
       f.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         // dot-files are fs-internal (checksum siblings etc) — leave them
         if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-          !n.startsWith(DirSink.ManifestName)) f.delete(st.getPath, false)
+          !n.startsWith(DirSink.ManifestName) &&
+          n != DirSink.LockName) f.delete(st.getPath, false)
       }
     }
   }
@@ -700,12 +937,17 @@ class DirSinkWriterFactory(path: String, schema: StructType, queryId: String)
   * keyed by epoch — each epoch's staged files carry an `e<epoch>-`
   * prefix, each manifest line a `\t<epochId>` third field, and the
   * driver commit is IDEMPOTENT BY EPOCH ID: on restart-after-crash
-  * Spark replays the last epoch, the commit finds it already in the
-  * manifest ([[DirSink.committedEpochs]]) and drops the replayed files
-  * — exactly-once output by epoch. Micro-batch epochs are sequential
-  * per query, so the single-writer constraint holds by construction;
-  * `outputMode(complete)` routes through `truncate`, making each epoch
-  * a whole-table manifest swap. */
+  * Spark replays the last epoch, the commit finds it at or below the
+  * committed-epoch HIGH-WATER MARK ([[DirSink.committedEpochMax]] —
+  * header `#emax` ∪ line epochs, so the guard survives compaction and
+  * DELETE rewriting epoch-carrying lines out of the manifest) and
+  * drops the replayed files — exactly-once output by epoch.
+  * Micro-batch epochs are MONOTONIC per checkpoint, which is what makes
+  * the ≤-mark test sound; a second stream with a FRESH checkpoint
+  * restarting the epoch sequence against a used zone was never
+  * supported (its ids collide with history under membership testing
+  * too). `outputMode(complete)` routes through `truncate`, making each
+  * epoch a whole-table manifest swap. */
 class DirSinkStreamingWrite(path: String, schema: StructType,
                             queryId: String, truncate: Boolean)
     extends StreamingWrite {
@@ -722,19 +964,14 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     val staged = messages.collect {
       case DirSinkCommitMessage(s, r, st) => (s, r, st)
     }.toSeq
-    if (DirSink.committedEpochs(path).contains(epochId)) {
+    if (DirSink.committedEpochMax(path).exists(epochId <= _)) {
       // epoch replay after crash recovery: the generation is already
-      // durable — make the retry a no-op and drop the replayed files
+      // durable (the high-water mark survives even if maintenance
+      // rewrote the epoch's lines away) — make the retry a no-op and
+      // drop the replayed files
       staged.foreach { case (s, _, _) => f.delete(new Path(root, s), false) }
       return
     }
-    val prior: Option[(StructType, Seq[String])] =
-      if (truncate) None else DirSink.readManifestLines(path)
-    prior.foreach { case (prevSchema, _) =>
-      if (prevSchema.toDDL != DirSink.asNullable(schema).toDDL)
-        DirSink.checkEvolution(prevSchema, schema)
-    }
-    val previous: Seq[String] = prior.map(_._2).getOrElse(Seq.empty)
     val committed = staged.map { case (sName, rows, stats) =>
       val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
       if (!f.rename(new Path(root, sName), new Path(root, fin)))
@@ -742,14 +979,22 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           s"task-file publish failed: $sName -> $fin under $root")
       (fin, rows, stats)
     }
-    val manifest = (DirSink.asNullable(schema).toDDL +:
-      (previous ++ committed.map { case (n, c, st) =>
-        if (st.nonEmpty) s"$n\t$c\t$epochId\t$st" else s"$n\t$c\t$epochId" }))
-      .mkString("\n")
-    val tmp = new Path(root, s"${DirSink.ManifestName}.tmp-$queryId-e$epochId")
-    val out = f.create(tmp, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    DirSink.publishManifest(path, tmp)
+    val now = System.currentTimeMillis()
+    DirSink.withZoneLock(path) {
+      val parent = DirSink.readManifestRaw(path)
+      if (!truncate) parent.foreach { m =>
+        if (m.schema.toDDL != DirSink.asNullable(schema).toDDL)
+          DirSink.checkEvolution(m.schema, schema)
+      }
+      val previous: Seq[String] =
+        if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
+      DirSink.writeAndPublish(path, s"$queryId-e$epochId",
+        DirSink.renderManifest(DirSink.asNullable(schema),
+          DirSink.nextHeader(parent, newEpoch = Some(epochId)),
+          previous ++ committed.map { case (n, c, st) =>
+            s"$n\t$c\t$epochId\tt=$now" +
+              (if (st.nonEmpty) s"\t$st" else "") }))
+    }
     // sweep THIS epoch's staging leftovers only (loser attempts);
     // never the whole staging dir — a restart's new queryId owns its own
     val stagingDir = new Path(root, s"_staging/$queryId")
@@ -759,11 +1004,14 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           f.delete(st.getPath, false)
       }
     if (truncate) {
-      val liveSet = committed.map(_._1).toSet
+      val liveSet = committed.map(_._1).toSet ++
+        DirSink.readManifest(path).map(_._2.map(_._1).toSet)
+          .getOrElse(Set.empty)
       f.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-          !n.startsWith(DirSink.ManifestName)) f.delete(st.getPath, false)
+          !n.startsWith(DirSink.ManifestName) &&
+          n != DirSink.LockName) f.delete(st.getPath, false)
       }
     }
   }
@@ -874,6 +1122,7 @@ class DirSinkScan(path: String, schema: StructType,
                   skipFilters: Array[org.apache.spark.sql.sources.Filter] =
                     Array.empty,
                   asOfOffset: Option[Int] = None,
+                  asOfTimestamp: Option[Long] = None,
                   maxFilesPerTrigger: Option[Int] = None,
                   onlyFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -920,13 +1169,29 @@ class DirSinkScan(path: String, schema: StructType,
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
           "nothing was committed"))._2
-    val sliced = asOfOffset match {
-      case Some(k) =>
+    val sliced = (asOfOffset, asOfTimestamp) match {
+      case (Some(k), _) =>
         if (k > all.size) throw new IllegalArgumentException(
           s"asOfOffset $k exceeds the zone's ${all.size} committed files " +
             s"under $path — offsets name a PREFIX of this zone's history")
         all.take(k)
-      case None => all
+      case (None, Some(t)) =>
+        // TIMESTAMP TIME TRAVEL: commits are time-ordered and the
+        // manifest is append-only, so the snapshot as of wall-clock t is
+        // the longest prefix whose commit timestamps are all <= t.
+        // Lines without a `t=` field (committed before time travel
+        // landed) are conservatively IN every snapshot — they can only
+        // sit at the front of the history. A t that predates the zone's
+        // first commit is an error, mirroring asOfOffset's too-far
+        // guard — silently returning an empty corpus would make a
+        // mis-clocked training cut unfindable.
+        val prefix = all.takeWhile(e => e.ts.forall(_ <= t))
+        if (prefix.isEmpty && all.nonEmpty)
+          throw new IllegalArgumentException(
+            s"asOfTimestamp $t predates the zone's first commit " +
+              s"(${all.head.ts.getOrElse("unknown")}) under $path")
+        prefix
+      case (None, None) => all
     }
     // `files` option (internal surface, used by the copy-on-write
     // DELETE): restrict the scan to the named committed files
@@ -1005,9 +1270,29 @@ class DirSinkScan(path: String, schema: StructType,
   * documented cost of offsets-as-counts; a deployment that needs
   * overwrite-under-tail moves to generation-id offsets, which the
   * manifest's epoch field already carries). */
-case class DirSinkOffset(files: Int)
+/** `files` counts manifest lines consumed; `compactions` is the offset's
+  * COORDINATE EPOCH — how many of the zone's compaction remaps
+  * ([[DirSink.offsetRemaps]]) this offset has already been migrated
+  * through. The epoch is what keeps migration unambiguous: after a
+  * 6-file zone compacts to 2 and grows back to 6, a checkpointed `6`
+  * could mean either side of the compact — `6@0` (pre-compact, migrate)
+  * and `6@1` (post-compact, don't) cannot be confused. Serializes as
+  * the bare count while no compaction has ever happened, so existing
+  * checkpoints parse unchanged (their zones, by the old fail-fast rule,
+  * have never compacted under a tail — epoch 0 is exactly right). */
+case class DirSinkOffset(files: Int, compactions: Int = 0)
     extends StreamOffset {
-  override def json(): String = files.toString
+  override def json(): String =
+    if (compactions == 0) files.toString else s"$files@$compactions"
+}
+
+object DirSinkOffset {
+  def parse(json: String): DirSinkOffset = {
+    val at = json.indexOf('@')
+    if (at < 0) DirSinkOffset(json.trim.toInt)
+    else DirSinkOffset(json.substring(0, at).trim.toInt,
+      json.substring(at + 1).trim.toInt)
+  }
 }
 
 class DirSinkMicroBatchStream(path: String, schema: StructType,
@@ -1043,14 +1328,49 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     maxFilesPerTrigger.map(k => ReadLimit.maxFiles(k))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** CHECKPOINT MIGRATION across compaction: [[DirSink.compact]] records
+    * `old:new` manifest-count pairs in the manifest header; an offset at
+    * coordinate epoch `cc` replays the remap chain from entry `cc`
+    * onward. Each entry migrates ONLY the exactly-fully-consumed offset
+    * (`files == old` — the tail had read the whole pre-compact zone):
+    * that consumption is preserved verbatim by a row-preserving rewrite,
+    * so resuming at `new` is exactly-once by construction. An offset
+    * stopped MID-history fails loudly: its unread suffix was rewritten
+    * into files that also contain rows it already emitted, and no
+    * count-based offset can split those apart — the documented recipe
+    * is quiesce-the-tail (catch up or stop at a batch boundary equal to
+    * the zone size), compact, restart. */
+  private def migrated(o: DirSinkOffset,
+                       remaps: Seq[(Int, Int)]): DirSinkOffset = {
+    var files = o.files
+    var cc = math.min(o.compactions, remaps.size)
+    while (cc < remaps.size) {
+      val (old, nw) = remaps(cc)
+      if (files != old)
+        throw new IllegalStateException(
+          s"zone $path was compacted (manifest $old -> $nw files) under a " +
+            s"checkpoint stopped mid-history at $files/$old — a count " +
+            "offset cannot be migrated into rewritten history. Quiesce " +
+            "the tail to the zone boundary before compacting, or restart " +
+            "from a fresh checkpoint (accepting a re-read).")
+      files = nw
+      cc += 1
+    }
+    DirSinkOffset(files, cc)
+  }
+
+  private def currentRemaps: Seq[(Int, Int)] = DirSink.offsetRemaps(path)
+
   override def latestOffset(start: StreamOffset,
                             limit: ReadLimit): StreamOffset = {
+    val remaps = currentRemaps
     val current = latestOffset().asInstanceOf[DirSinkOffset].files
     val avail = availableNowEnd.fold(current)(math.min(current, _))
-    val s = start.asInstanceOf[DirSinkOffset].files
+    val s = migrated(start.asInstanceOf[DirSinkOffset], remaps).files
     limit match {
-      case m: ReadMaxFiles => DirSinkOffset(math.min(avail, s + m.maxFiles()))
-      case _ => DirSinkOffset(avail)
+      case m: ReadMaxFiles =>
+        DirSinkOffset(math.min(avail, s + m.maxFiles()), remaps.size)
+      case _ => DirSinkOffset(avail, remaps.size)
     }
   }
 
@@ -1066,19 +1386,28 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     * window doesn't exist there. */
   private var maxSeen = 0
 
-  override def initialOffset(): StreamOffset = DirSinkOffset(0)
+  /** A FRESH tail starts at the zone's CURRENT coordinate epoch: its
+    * zero is in post-compaction coordinates, so no remap entry recorded
+    * before it started can ever apply to it. */
+  override def initialOffset(): StreamOffset =
+    DirSinkOffset(0, currentRemaps.size)
   override def latestOffset(): StreamOffset = {
     val n = fileList.size
     if (n > maxSeen) maxSeen = n
-    DirSinkOffset(maxSeen)
+    DirSinkOffset(maxSeen, currentRemaps.size)
   }
   override def deserializeOffset(json: String): StreamOffset =
-    DirSinkOffset(json.trim.toInt)
+    DirSinkOffset.parse(json)
 
   override def planInputPartitions(start: StreamOffset,
                                    end: StreamOffset): Array[InputPartition] = {
-    val s = start.asInstanceOf[DirSinkOffset].files
-    val e = end.asInstanceOf[DirSinkOffset].files
+    val remaps = currentRemaps
+    val s = migrated(start.asInstanceOf[DirSinkOffset], remaps).files
+    // an end offset from a PRE-compaction WAL entry (crash between the
+    // offset write and the batch commit) migrates the same way the
+    // start does; max() guards against a degenerate inverted pair
+    val e = math.max(s,
+      migrated(end.asInstanceOf[DirSinkOffset], remaps).files)
     // ride out an in-flight publish (the same transient window as
     // above) before declaring the manifest truncated
     var files = fileList

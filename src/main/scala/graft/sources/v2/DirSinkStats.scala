@@ -76,6 +76,13 @@ object DirSinkStats {
               val d = row.getDouble(i)
               // NaN has no place in an ordered bound: opt the column out
               if (java.lang.Double.isNaN(d)) { disabled(i) = true; null }
+              // normalize -0.0 to 0.0 (Spark's NormalizeFloatingNumbers
+              // discipline): filter evaluation compares IEEE-equal-first
+              // (SQLOrderingUtil: -0.0 == 0.0), so a bound of "-0.0"
+              // must never sort strictly below a predicate value of 0.0
+              // — that ordering disagreement would wrongly prune a file
+              // whose only values are -0.0 under `d = 0.0` / `d >= 0.0`
+              else if (d == 0.0d) 0.0d
               else d
             case BooleanType => row.getBoolean(i)
             case StringType => row.getUTF8String(i).clone()
@@ -165,6 +172,50 @@ object DirSinkStats {
       case _ => false
     })
 
+  /** Three-way compare of a canonical-string bound against a filter
+    * value; None = incomparable (never prove anything on it). Shared by
+    * [[canSkip]] and [[allMatch]] so skip-proofs and match-proofs can
+    * never disagree on ordering. Doubles compare IEEE-EQUAL-FIRST
+    * (`b == d` before `Double.compare`) — the same discipline as
+    * Spark's `SQLOrderingUtil.compareDoubles`, so `-0.0` and `0.0` are
+    * EQUAL here exactly as they are in Spark's filter evaluation
+    * (plain `Double.compare` would order -0.0 < 0.0 and wrongly prune
+    * an all-`-0.0` file under `d = 0.0` / `d >= 0.0`). */
+  private def cmp(fld: StructField, bound: String, v: Any): Option[Int] =
+    try fld.dataType match {
+      case LongType => v match {
+        case n: Long => Some(java.lang.Long.compare(bound.toLong, n))
+        case n: Int => Some(java.lang.Long.compare(bound.toLong, n.toLong))
+        case _ => None
+      }
+      case IntegerType => v match {
+        case n: Int => Some(java.lang.Integer.compare(bound.toInt, n))
+        case n: Long => Some(java.lang.Long.compare(bound.toInt.toLong, n))
+        case _ => None
+      }
+      case DoubleType => v match {
+        case d: Double =>
+          if (java.lang.Double.isNaN(d)) None
+          else {
+            val b = bound.toDouble
+            if (b == d) Some(0) // IEEE: -0.0 == 0.0
+            else Some(java.lang.Double.compare(b, d))
+          }
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: Boolean => Some(java.lang.Boolean.compare(bound.toBoolean, b))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String =>
+          Some(UTF8String.fromString(bound).compareTo(UTF8String.fromString(s)))
+        case u: UTF8String => Some(UTF8String.fromString(bound).compareTo(u))
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
   /** True only when the stats PROVE no row of the file can satisfy the
     * filter. Unknown shapes / missing stats → false (read the file). */
   def canSkip(f: Filter, schema: StructType, stats: Array[ColStats]): Boolean = {
@@ -176,40 +227,6 @@ object DirSinkStats {
     // comparisons and IN never match a NULL row: a file with no
     // non-null value for the column cannot satisfy them
     def noValues(st: ColStats): Boolean = st.min.isEmpty
-
-    // three-way compare of a canonical-string bound against the filter
-    // value; None = incomparable (never skip on it)
-    def cmp(fld: StructField, bound: String, v: Any): Option[Int] =
-      try fld.dataType match {
-        case LongType => v match {
-          case n: Long => Some(java.lang.Long.compare(bound.toLong, n))
-          case n: Int => Some(java.lang.Long.compare(bound.toLong, n.toLong))
-          case _ => None
-        }
-        case IntegerType => v match {
-          case n: Int => Some(java.lang.Integer.compare(bound.toInt, n))
-          case n: Long => Some(java.lang.Long.compare(bound.toInt.toLong, n))
-          case _ => None
-        }
-        case DoubleType => v match {
-          case d: Double =>
-            if (java.lang.Double.isNaN(d)) None
-            else Some(java.lang.Double.compare(bound.toDouble, d))
-          case _ => None
-        }
-        case BooleanType => v match {
-          case b: Boolean => Some(java.lang.Boolean.compare(bound.toBoolean, b))
-          case _ => None
-        }
-        case StringType => v match {
-          case s: String =>
-            Some(UTF8String.fromString(bound).compareTo(UTF8String.fromString(s)))
-          case u: UTF8String =>
-            Some(UTF8String.fromString(bound).compareTo(u))
-          case _ => None
-        }
-        case _ => None
-      } catch { case _: NumberFormatException => None }
 
     def outOfRange(c: String, v: Any): Boolean = col(c).exists {
       case (fld, st) =>
@@ -259,36 +276,6 @@ object DirSinkStats {
       if (i < stats.length && !stats(i).disabled) Some((schema(i), stats(i)))
       else None
     }
-    def cmp(fld: StructField, bound: String, v: Any): Option[Int] =
-      try fld.dataType match {
-        case LongType => v match {
-          case n: Long => Some(java.lang.Long.compare(bound.toLong, n))
-          case n: Int => Some(java.lang.Long.compare(bound.toLong, n.toLong))
-          case _ => None
-        }
-        case IntegerType => v match {
-          case n: Int => Some(java.lang.Integer.compare(bound.toInt, n))
-          case n: Long => Some(java.lang.Long.compare(bound.toInt.toLong, n))
-          case _ => None
-        }
-        case DoubleType => v match {
-          case d: Double =>
-            if (java.lang.Double.isNaN(d)) None
-            else Some(java.lang.Double.compare(bound.toDouble, d))
-          case _ => None
-        }
-        case BooleanType => v match {
-          case b: Boolean => Some(java.lang.Boolean.compare(bound.toBoolean, b))
-          case _ => None
-        }
-        case StringType => v match {
-          case s: String =>
-            Some(UTF8String.fromString(bound).compareTo(UTF8String.fromString(s)))
-          case u: UTF8String => Some(UTF8String.fromString(bound).compareTo(u))
-          case _ => None
-        }
-        case _ => None
-      } catch { case _: NumberFormatException => None }
 
     // every row non-null for c, and bounds prove the comparison for all
     def allRows(c: String, v: Any)(

@@ -80,24 +80,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new DirSinkTable(dir, schema)
   }
 
+  /** SQL TIME TRAVEL — `SELECT … FROM cat.db.t VERSION AS OF k` pins the
+    * scan to the zone's first k committed files (the same offset
+    * vocabulary as `asOfOffset` and the streaming tail). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val schema = DirSink.readManifest(dir).map(_._1).getOrElse(
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    new DirSinkTable(dir, schema, Map("asOfOffset" -> version))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROSECONDS
+    * since the epoch; manifest commit timestamps are millis. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    val schema = DirSink.readManifest(dir).map(_._1).getOrElse(
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    new DirSinkTable(dir, schema,
+      Map("asOfTimestamp" -> (timestampMicros / 1000L).toString))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "graft catalog tables are unpartitioned (bucket/partition layouts " +
         "live in the Layouts tier)")
-    if (exists(ident))
-      throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     val dir = dirOf(ident)
-    val f = DirSink.fs(dir)
-    f.mkdirs(new Path(dir))
-    // a zero-file manifest IS the table: schema line, no data lines —
-    // published through the same atomic pointer swap as every commit
-    val tmp = new Path(dir, s"${DirSink.ManifestName}.tmp-create")
-    val out = f.create(tmp, true)
-    try out.write(DirSink.asNullable(schema).toDDL.getBytes("UTF-8"))
-    finally out.close()
-    DirSink.publishManifest(dir, tmp)
+    // existence check + zero-file-manifest publish under the zone's
+    // commit lock: two racing CREATEs serialize, and the loser gets
+    // TableAlreadyExists instead of silently re-pointing the manifest
+    DirSink.withZoneLock(dir) {
+      if (exists(ident))
+        throw new TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+      // a zero-file manifest IS the table: schema line, no data lines —
+      // published through the same atomic pointer swap as every commit
+      DirSink.writeAndPublish(dir, "create",
+        DirSink.renderManifest(DirSink.asNullable(schema),
+          Map("gen" -> "0"), Seq.empty))
+    }
     new DirSinkTable(dir, schema)
   }
 
@@ -116,11 +138,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val added = changes.map {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
         a.isNullable =>
+        // positions are rejected, not ignored: FIRST/AFTER would demand
+        // re-mapping every existing line's field order — honoring the
+        // request silently at the tail would misplace the column
+        if (a.position() != null) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames()(0)} FIRST/AFTER is not supported: " +
+            "the positional line codec appends new columns at the tail")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       case c => throw new UnsupportedOperationException(
         s"graft catalog supports only ADD COLUMNS of top-level nullable " +
           s"columns (positional line codec); got $c")
+    }
+    added.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, fs) if fs.size > 1 => n } ++
+      added.map(_.name).filter(n =>
+        prev.fieldNames.exists(_.equalsIgnoreCase(n))) match {
+      case dups if dups.nonEmpty => throw new IllegalArgumentException(
+        s"ADD COLUMNS would duplicate field name(s) ${dups.mkString(", ")} " +
+          "— ambiguous resolution; column names must be unique")
+      case _ => ()
     }
     val next = StructType(prev.fields ++ added)
     DirSink.evolveSchema(dir, next)

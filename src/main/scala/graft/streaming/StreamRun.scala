@@ -403,8 +403,13 @@ object StreamRun {
           if (t == null) Seq.empty else t +: chain(t.getCause)
         Some(chain(e).flatMap(c => Option(c.getMessage)).mkString(" | "))
     } finally qG.stop()
+    // round 12: a MID-HISTORY tail now fails with the migration error
+    // (the remap header migrates only boundary checkpoints); a zone
+    // without a remap still fails with the shrink message — both are
+    // the same fail-fast contract
     val shrinkDetected = errG.exists(m =>
-      m.contains("shrank") && m.contains("append-only"))
+      (m.contains("shrank") && m.contains("append-only")) ||
+        m.contains("mid-history"))
     // between-tails: a fresh tail over the compacted zone is clean
     val seenG2 = scala.collection.mutable.ArrayBuffer[Long]()
     val qG2 = spark.readStream.format(fmt).option("path", zoneG).load()

@@ -32,8 +32,12 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
       Option[Boolean]) = {
     def opt[T](v: => T): Option[T] = if (rnd.nextInt(5) == 0) None else Some(v)
     (opt(rnd.nextInt(20).toLong - 10),
-      opt(if (rnd.nextInt(10) == 0) Double.NaN
-        else (rnd.nextInt(40) - 20) / 4.0),
+      opt(rnd.nextInt(12) match {
+        case 0 => Double.NaN
+        case 1 => -0.0 // IEEE-equal to 0.0 in Spark — the bounds must agree
+        case 2 => 0.0
+        case _ => (rnd.nextInt(40) - 20) / 4.0
+      }),
       opt(Seq("", "a", "ab", "b", "ba", "zz", "tab\tx", "é")(rnd.nextInt(8))),
       opt(rnd.nextBoolean()))
   }
@@ -48,8 +52,12 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
 
   private def randomValue(col: String): Any = col match {
     case "a" => rnd.nextInt(24).toLong - 12
-    case "d" => if (rnd.nextInt(12) == 0) Double.NaN
-      else (rnd.nextInt(48) - 24) / 4.0
+    case "d" => rnd.nextInt(14) match {
+      case 0 => Double.NaN
+      case 1 => -0.0
+      case 2 => 0.0
+      case _ => (rnd.nextInt(48) - 24) / 4.0
+    }
     case "s" => Seq("", "a", "ab", "b", "ba", "zz", "m", "é")(rnd.nextInt(8))
     case "b" => rnd.nextBoolean()
   }
@@ -91,6 +99,9 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
       case (x: Double, y: Double) =>
         if (x.isNaN && y.isNaN) 0
         else if (x.isNaN) 1 else if (y.isNaN) -1
+        // IEEE-equal first (Spark's SQLOrderingUtil.compareDoubles):
+        // -0.0 == 0.0, unlike java.lang.Double.compare
+        else if (x == y) 0
         else java.lang.Double.compare(x, y)
       case (x: String, y: String) =>
         UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
@@ -144,6 +155,25 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
     // exercise both proofs
     assert(skips > 20, s"only $skips skip-proofs fired — space too weak")
     assert(matches > 5, s"only $matches match-proofs fired — space too weak")
+  }
+
+  test("signed zero: an all--0.0 file is never pruned under d = 0.0 / d >= 0.0") {
+    // the directed regression for the -0.0/0.0 ordering split: Spark's
+    // filter evaluation treats them IEEE-equal, so a file whose only
+    // values are -0.0 MUST survive equality/GE predicates on 0.0 (and
+    // allMatch must be allowed to prove `d = 0.0` over it)
+    val rows = Seq((Some(1L), Some(-0.0), Some("x"), Some(true)),
+      (Some(2L), Some(-0.0), Some("y"), Some(false)))
+    val collector = new DirSinkStats.Collector(schema)
+    rows.foreach(r => collector.observe(internal(r)))
+    val stats = DirSinkStats.parse(collector.encode().drop(2), schema.length)
+    assert(!DirSinkStats.canSkip(EqualTo("d", 0.0), schema, stats))
+    assert(!DirSinkStats.canSkip(GreaterThanOrEqual("d", 0.0), schema, stats))
+    assert(!DirSinkStats.canSkip(LessThanOrEqual("d", 0.0), schema, stats))
+    assert(DirSinkStats.allMatch(EqualTo("d", 0.0), schema, stats))
+    // and symmetrically: all-0.0 file under a -0.0 predicate value
+    assert(!DirSinkStats.canSkip(EqualTo("d", -0.0), schema, stats))
+    assert(DirSinkStats.allMatch(GreaterThanOrEqual("d", -0.0), schema, stats))
   }
 
   test("exclusion: a file both skippable and all-matching must be empty") {

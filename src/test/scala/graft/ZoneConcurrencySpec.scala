@@ -1,0 +1,156 @@
+package graft
+
+import graft.sources.v2.{DirSink, DirSinkStreamingWrite}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPTIMISTIC CONCURRENCY + maintenance durability of the DirSink table
+  * format (round 11 closed the protocol; this round makes its two
+  * documented hazards load-bearing):
+  *
+  *   1. CONCURRENT APPENDERS — the round-11 verdict's must-fix: two
+  *      jobs appending to the same zone used to race on the manifest
+  *      and silently drop the loser's files. Commits now serialize
+  *      under the zone lock; BOTH generations must be readable.
+  *   2. EPOCH HIGH-WATER MARK — compaction / DELETE / OVERWRITE rebuild
+  *      the manifest and used to erase streaming lines' epoch ids, so a
+  *      recovering streaming writer would re-commit (duplicate) an
+  *      already-durable epoch. The `#emax` header must survive every
+  *      rewrite.
+  *   3. Vacuum sweeps crashed publishes' manifest tmp files.
+  */
+class ZoneConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val fmt = "graft.sources.v2.DirSinkSource"
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_zone").toString
+
+  test("two interleaved appenders: both commits' files are readable afterwards") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // many small concurrent appends — each thread appends a distinct
+    // slice; without commit serialization the losers' manifest lines
+    // vanish (lost update) even though their data files landed
+    val slices = (0 until 8).toVector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writes = slices.map { i => Future {
+      Seq((i.toLong, s"writer-$i")).toDF("id", "v").coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .mode(SaveMode.Append).save()
+    }}
+    Await.result(Future.sequence(writes), 120.seconds)
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == slices.map(i => (i.toLong, s"writer-$i")),
+      s"every concurrent append must survive, got $back")
+    // manifest sanity: 8 distinct file lines, generation advanced 8×
+    val m = DirSink.readManifest(dir).get._2
+    assert(m.size == 8 && m.map(_._1).distinct.size == 8)
+  }
+
+  test("generation counter: every publish bumps #gen; no two commits share one") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def gen(): Long = {
+      val f = scala.io.Source.fromFile(s"$dir/${DirSink.ManifestName}")
+      try f.getLines().find(_.startsWith("#gen="))
+        .map(_.stripPrefix("#gen=").toLong).getOrElse(-1L)
+      finally f.close()
+    }
+    Seq((1L, "a")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    val g0 = gen()
+    Seq((2L, "b")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    assert(gen() == g0 + 1, "append must bump the generation")
+    Seq((3L, "c")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Overwrite).save()
+    assert(gen() == g0 + 2, "overwrite must bump the generation too")
+    DirSink.evolveSchema(dir, StructType.fromDDL("id BIGINT, v STRING, x BIGINT"))
+    assert(gen() == g0 + 3, "schema evolve must bump the generation")
+  }
+
+  private val streamSchema = StructType.fromDDL("id BIGINT, v STRING")
+  private def row(id: Long, s: String) =
+    new GenericInternalRow(Array[Any](id, UTF8String.fromString(s)))
+  private def streamCommit(dir: String, qid: String, epoch: Long,
+                           id: Long, v: String): Unit = {
+    val sw = new DirSinkStreamingWrite(dir, streamSchema, qid,
+      truncate = false)
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 0L, epoch)
+    w.write(row(id, v))
+    sw.commit(epoch, Array(w.commit()))
+  }
+
+  test("epoch high-water mark survives COMPACTION: a replayed epoch stays a no-op") {
+    import spark.implicits._
+    val dir = tmpDir()
+    streamCommit(dir, "run-1", 0L, 1L, "e0")
+    streamCommit(dir, "run-1", 1L, 2L, "e1")
+    assert(DirSink.committedEpochMax(dir).contains(1L))
+    // maintenance rewrites the manifest: the epoch-carrying lines are
+    // merged away, but the high-water mark must ride in the header
+    DirSink.compact(spark, dir, targetFiles = 1)
+    assert(DirSink.committedEpochs(dir).isEmpty,
+      "compacted lines carry no epochs (they are merged files)")
+    assert(DirSink.committedEpochMax(dir).contains(1L),
+      "the #emax header must survive the compaction rewrite")
+    // crash-recovery replay of epoch 1 AFTER the compaction: before the
+    // header existed this re-committed and duplicated rows 1 and 2
+    streamCommit(dir, "run-2", 1L, 2L, "e1")
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, "e0"), (2L, "e1")),
+      s"a post-compaction epoch replay must not duplicate rows, got $back")
+    // ...and the NEXT epoch still lands normally
+    streamCommit(dir, "run-2", 2L, 3L, "e2")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 3)
+  }
+
+  test("epoch high-water mark survives DELETE and batch OVERWRITE") {
+    import spark.implicits._
+    val dir = tmpDir()
+    streamCommit(dir, "run-1", 0L, 1L, "keep")
+    streamCommit(dir, "run-1", 1L, 2L, "doomed")
+    // file-aligned DELETE drops epoch-1's line entirely
+    val table = new graft.sources.v2.DirSinkTable(dir, streamSchema)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("id", 2L)))
+    assert(DirSink.committedEpochMax(dir).contains(1L),
+      "DELETE dropping an epoch-carrying line must preserve #emax")
+    streamCommit(dir, "run-2", 1L, 2L, "doomed") // replay: must be a no-op
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+    // batch OVERWRITE truncates the lines — the mark still survives
+    Seq((9L, "fresh")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Overwrite).save()
+    assert(DirSink.committedEpochMax(dir).contains(1L),
+      "truncate must carry the epoch mark forward")
+    streamCommit(dir, "run-3", 0L, 10L, "replay0")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1,
+      "epochs at or below the mark must stay no-ops after overwrite")
+  }
+
+  test("vacuum sweeps crashed publishes' manifest tmp files; the live manifest survives") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    // a crashed publish leaves its tmp manifest behind
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"${DirSink.ManifestName}.tmp-crashed"),
+      "junk".getBytes("UTF-8"))
+    val swept = DirSink.vacuum(dir, olderThanMs = 0L)
+    assert(swept.contains(s"${DirSink.ManifestName}.tmp-crashed"),
+      s"tmp manifest must be swept, got $swept")
+    assert(new java.io.File(dir, DirSink.ManifestName).exists(),
+      "the live manifest itself is exempt")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+  }
+}
