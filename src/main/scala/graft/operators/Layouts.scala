@@ -382,6 +382,61 @@ object Layouts extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** q_dsv2_dml — ROW-LEVEL DML through the engine's own table format,
+    * end to end and oracle-checked: the documents corpus lands in a
+    * catalog table ([[graft.sources.v2.GraftCatalog]]) range-clustered
+    * on doc_id, then a SQL `UPDATE … WHERE` re-tiers the short
+    * documents and a SQL `MERGE INTO` upserts a curated source (re-tier
+    * the first 100 docs, insert 50 synthetic ones). Both execute as
+    * GROUP-BASED copy-on-write ([[graft.sources.v2.DirSinkRowLevelOperation]]):
+    * per-file min/max stats prune the files the predicate provably
+    * cannot touch and runtime group filtering restricts the MERGE
+    * rewrite to the files holding matching keys — at 100 TB a keyed
+    * upsert rewrites the covering files, not the corpus. The DML pass
+    * is IDEMPOTENT (UPDATE then MERGE converges to the same state), so
+    * the declared query re-runs cleanly against its cached zone; the
+    * oracle recomputes the final state from the base parquet. */
+  private def qDsv2Dml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = layoutRoot(dir)
+    val cat = s"graftdml_${math.abs(root.hashCode)}"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/dml_wh")
+    }
+    val tbl = s"$cat.corpus.docs"
+    if (graft.sources.v2.DirSink
+        .readManifest(s"$root/dml_wh/corpus/docs").isEmpty) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars", lit("raw").as("tier"))
+        .repartitionByRange(8, $"doc_id")
+        .writeTo(tbl).create()
+    }
+    s.sql(s"UPDATE $tbl SET tier = 'short' WHERE n_chars < 500")
+    val docs = Tables.load(s, dir, "documents")
+    val srcView = s"dml_src_${math.abs(root.hashCode)}"
+    docs.filter($"doc_id" < 100)
+      .select($"doc_id", $"lang", $"n_chars", lit("merged").as("tier"))
+      .union(docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"lang", $"n_chars",
+          lit("inserted").as("tier")))
+      .createOrReplaceTempView(srcView)
+    s.sql(
+      s"""MERGE INTO $tbl t USING $srcView s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET t.tier = s.tier
+         |WHEN NOT MATCHED THEN
+         |  INSERT (doc_id, lang, n_chars, tier)
+         |  VALUES (s.doc_id, s.lang, s.n_chars, s.tier)
+         |""".stripMargin)
+    s.table(tbl)
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"))
+      .orderBy($"lang", $"tier")
+  }
+
   /** On-disk locations of the fragmented / compacted lineitem layouts
     * (test aid: CompactionSpec counts data files on both sides). */
   private[graft] def fragPath(dir: String): String =
@@ -546,7 +601,8 @@ object Layouts extends QueryModule {
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _),
-    "q_dsv2_skipping" -> (qDsv2Skipping _))
+    "q_dsv2_skipping" -> (qDsv2Skipping _),
+    "q_dsv2_dml" -> (qDsv2Dml _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -642,5 +698,22 @@ object Layouts extends QueryModule {
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 CAST(sum(fp) AS BIGINT) AS text_checksum
-         FROM f GROUP BY lang ORDER BY lang""")
+         FROM f GROUP BY lang ORDER BY lang""",
+    "q_dsv2_dml" ->
+      // the final state after UPDATE(tier=short where n_chars<500) then
+      // MERGE(doc_id<100 -> merged; +10M synthetics inserted), replayed
+      // over the base parquet
+      """WITH base AS (
+           SELECT lang, n_chars,
+                  CASE WHEN doc_id < 100 THEN 'merged'
+                       WHEN n_chars < 500 THEN 'short'
+                       ELSE 'raw' END AS tier
+           FROM documents),
+         ins AS (
+           SELECT lang, n_chars, 'inserted' AS tier
+           FROM documents WHERE doc_id < 50),
+         all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         SELECT lang, tier, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM all_rows GROUP BY lang, tier ORDER BY lang, tier""")
 }

@@ -1,0 +1,147 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GROUP-BASED (copy-on-write) row-level DML for the DirSink table
+  * format — `UPDATE … SET … WHERE` and `MERGE INTO` as plain SQL over
+  * catalog tables, reusing the machinery DELETE already proved:
+  *
+  *   - Spark's `RewriteUpdateTable` / `RewriteMergeIntoTable` rewrite
+  *     the command into a `ReplaceData` plan: read the affected GROUPS
+  *     (files), apply the modification as a projection (`CASE WHEN cond
+  *     THEN new ELSE old`), write everything back;
+  *   - `GroupBasedRowLevelOperationScanPlanning` pushes the command's
+  *     condition into [[DirSinkScanBuilder]], where the per-file
+  *     min/max/null stats PRUNE the files the predicate provably cannot
+  *     touch — those files' manifest lines survive VERBATIM, so an
+  *     UPDATE keyed on a clustered column rewrites only the covering
+  *     files (the stats-decided-files-untouched economics of the
+  *     round-11 DELETE, now on the whole DML surface). The scan never
+  *     filters ROWS (everything stays residual), which is exactly the
+  *     group contract: non-matching rows of touched files flow through
+  *     the CASE projection unchanged;
+  *   - the scan reports the (generation, group list) it planned through
+  *     `planListener`; [[DirSinkReplaceDataWrite.commit]] re-verifies
+  *     the generation under the zone commit lock and swaps EXACTLY the
+  *     scanned groups for the rewritten files in one atomic manifest
+  *     publish — a concurrent commit fails the operation loudly
+  *     (optimistic concurrency) instead of being silently dropped.
+  *
+  * MERGE reads every file when its ON condition references the source
+  * (no literal bounds to prune on) — a full-table rewrite, the same
+  * cost Delta pays without a source-side pruning pass; UPDATE/DELETE
+  * with literal predicates prune. DELETE additionally keeps its
+  * metadata-only fast path: `OptimizeMetadataOnlyDeleteFromTable`
+  * routes translatable predicates back to [[DirSinkTable.deleteWhere]]
+  * before a group rewrite is ever planned. */
+class DirSinkRowLevelOperation(path: String, schema: StructType,
+                               cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** (manifest generation, file names) the group scan planned — set by
+    * the scan's `planInputPartitions`, consumed by the write commit. */
+  @volatile private[v2] var plannedGroups: Option[(Long, Seq[String])] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"DirSinkRowLevel($cmd, $path)"
+
+  /** `_file` is the group identity: Spark threads it through the
+    * ReplaceData projections (and nulls it on modified rows), and the
+    * runtime group-filtering rule collects the distinct `_file` values
+    * the condition touches so [[DirSinkScan]] reads — and the commit
+    * replaces — only those files. */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(DirSink.FileNameCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DirSinkScanBuilder(path, schema, None, None, None, None,
+      planListener = Some((gen, files) =>
+        plannedGroups = Some((gen, files))),
+      fileFilterOnly = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new DirSinkReplaceDataWrite(path, info.schema(), info.queryId(),
+            DirSinkRowLevelOperation.this)
+      }
+    }
+}
+
+/** The ReplaceData commit: stage/rename like every batch write, then —
+  * under the zone lock, at the verified generation — republish the
+  * manifest with the SCANNED groups' lines replaced by the rewritten
+  * files' lines. Untouched (stats-pruned) files keep their lines, and
+  * therefore their epoch fields and stats, byte-for-byte. */
+class DirSinkReplaceDataWrite(path: String, schema: StructType,
+                              queryId: String,
+                              op: DirSinkRowLevelOperation)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new DirSinkWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = DirSink.fs(path)
+    val root = new Path(path)
+    val (plannedGen, scanned) = op.plannedGroups.getOrElse(
+      throw new IllegalStateException(
+        s"${op.description()}: the group scan never planned — cannot " +
+          "tell which files the rewrite replaces; refusing to guess"))
+    val scannedSet = scanned.toSet
+    // zero-row tasks (a rewrite whose every row was deleted, or an
+    // empty partition) contribute no file — publishing them would
+    // accrete empty manifest lines on every no-op DML
+    val committed = messages.toSeq.collect {
+      case DirSinkCommitMessage(staged, rows, stats) if rows > 0 =>
+        val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
+        if (!f.rename(new Path(root, staged), new Path(root, fin)))
+          throw new java.io.IOException(
+            s"task-file publish failed: $staged -> $fin under $root")
+        (fin, rows, stats)
+      case DirSinkCommitMessage(staged, 0L, _) =>
+        f.delete(new Path(root, staged), false)
+        null
+    }.filter(_ != null)
+    val now = System.currentTimeMillis()
+    DirSink.withZoneLock(path) {
+      val parent = DirSink.readManifestRaw(path).getOrElse(
+        throw new IllegalStateException(
+          s"manifest under $path vanished during ${op.command()}"))
+      if (parent.gen != plannedGen)
+        throw new java.util.ConcurrentModificationException(
+          s"zone $path advanced from generation $plannedGen to " +
+            s"${parent.gen} during ${op.command()} — another commit " +
+            "landed; retry the operation against the new state")
+      val kept = parent.lines.filterNot(l =>
+        scannedSet(DirSink.parseEntry(l).name))
+      DirSink.writeAndPublish(path, s"$queryId-rlo",
+        DirSink.renderManifest(parent.schema,
+          DirSink.nextHeader(Some(parent)),
+          kept ++ committed.map { case (n, c, st) =>
+            s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") }))
+    }
+    // sweep replaced groups and staging AFTER the generation is live
+    scanned.foreach(n => f.delete(new Path(root, n), false))
+    f.delete(new Path(root, s"_staging/$queryId"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = DirSink.fs(path)
+    messages.foreach {
+      case DirSinkCommitMessage(staged, _, _) =>
+        f.delete(new Path(path, staged), false)
+      case null => ()
+    }
+    f.delete(new Path(path, s"_staging/$queryId"), true)
+  }
+}

@@ -103,6 +103,17 @@ object DirSink {
   val ManifestName = "_GRAFT_COMMIT"
   val LockName = "_GRAFT_LOCK"
 
+  /** The `_file` METADATA COLUMN (SupportsMetadataColumns): the
+    * committed file a row came from. Row-level operations require it —
+    * it is the GROUP IDENTITY their rewrite replaces, Spark's
+    * `RewriteUpdateTable`/`RewriteMergeIntoTable` thread it through the
+    * ReplaceData projections (without at least one metadata attribute
+    * the writer would receive the raw plan rows, `__row_operation`
+    * column included), and `RowLevelOperationRuntimeGroupFiltering`
+    * runtime-filters on it so a MERGE rewrites only the files that
+    * actually contain matching keys. */
+  val FileNameCol = "_file"
+
   /** How long a commit lock may sit untouched before another committer
     * treats its holder as crashed and breaks it. Generous on purpose:
     * the lock guards only the read-parent → render → publish critical
@@ -603,19 +614,22 @@ object DirSink {
     }.mkString("\u0001")
 
   def decode(line: String, schema: StructType): InternalRow =
-    decodeProjected(line, schema, schema.indices.toArray)
+    decodeProjected(line, schema, schema.indices.toArray, null)
 
   /** Column-pruned decode: parse ONLY the projected field positions
     * (`idx`, positions in the FULL schema) — a 2-column projection over
     * a wide zone converts 2 fields per line, not all of them. A
     * position past the line's field count decodes as NULL: that is a
     * file committed BEFORE a schema-evolution append widened the zone
-    * (new columns append at the tail, so old lines are prefixes). */
+    * (new columns append at the tail, so old lines are prefixes).
+    * Position -1 is the [[FileNameCol]] metadata column — constant
+    * `fileName` per partition. */
   def decodeProjected(line: String, schema: StructType,
-                      idx: Array[Int]): InternalRow = {
+                      idx: Array[Int], fileName: String): InternalRow = {
     // limit -1: a trailing EMPTY string field must survive the split
     val parts = line.split(Sep.toString, -1)
     new GenericInternalRow(idx.map { i =>
+      if (i == -1) UTF8String.fromString(fileName): Any else {
       val p = if (i < parts.length) parts(i) else "\\0"
       if (p == "\\0") null
       else schema(i).dataType match {
@@ -626,7 +640,7 @@ object DirSink {
         case StringType => UTF8String.fromString(unescape(p))
         case dt => throw new IllegalArgumentException(s"unsupported $dt")
       }
-    }.toArray[Any])
+    }}.toArray[Any])
   }
 }
 
@@ -637,7 +651,29 @@ object DirSink {
 class DirSinkTable(path: String, schema0: StructType,
                    pinned: Map[String, String] = Map.empty) extends Table
     with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** UPDATE / MERGE / (group-rewrite) DELETE — see [[DirSinkRowLevelOperation]].
+    * DELETE predicates the stats can fully decide never reach here:
+    * Spark's `OptimizeMetadataOnlyDeleteFromTable` routes them to
+    * [[deleteWhere]] first (the hybrid metadata path). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new DirSinkRowLevelOperation(path, schema0, info.command())
+
+  /** `_file`: the committed-file group identity ([[DirSink.FileNameCol]]).
+    * Shadowed by a data column of the same name, per the Spark contract. */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema0.fieldNames.contains(DirSink.FileNameCol)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = DirSink.FileNameCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def comment(): String =
+        "manifest name of the committed file this row belongs to"
+    })
   override def name(): String = s"graft_dir_sink($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -790,7 +826,10 @@ class DirSinkScanBuilder(path: String, schema: StructType,
                          asOfOffset: Option[Int],
                          asOfTimestamp: Option[Long],
                          maxFilesPerTrigger: Option[Int],
-                         onlyFiles: Option[Set[String]] = None)
+                         onlyFiles: Option[Set[String]] = None,
+                         planListener: Option[(Long, Seq[String]) => Unit] =
+                           None,
+                         fileFilterOnly: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
@@ -809,7 +848,8 @@ class DirSinkScanBuilder(path: String, schema: StructType,
 
   override def build(): Scan =
     new DirSinkScan(path, schema, required, skipFilters,
-      asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles)
+      asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles,
+      planListener, fileFilterOnly)
 }
 
 
@@ -1095,7 +1135,8 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = { val h = lines.hasNext
-        if (h) cur = DirSink.decodeProjected(lines.next(), sch, p.requiredIdx)
+        if (h) cur = DirSink.decodeProjected(lines.next(), sch,
+          p.requiredIdx, p.file)
         h }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
@@ -1124,7 +1165,9 @@ class DirSinkScan(path: String, schema: StructType,
                   asOfOffset: Option[Int] = None,
                   asOfTimestamp: Option[Long] = None,
                   maxFilesPerTrigger: Option[Int] = None,
-                  onlyFiles: Option[Set[String]] = None)
+                  onlyFiles: Option[Set[String]] = None,
+                  planListener: Option[(Long, Seq[String]) => Unit] = None,
+                  fileFilterOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -1135,7 +1178,12 @@ class DirSinkScan(path: String, schema: StructType,
         s", skip=[${skipFilters.mkString(", ")}]" else "") + ")"
 
   private def requiredIdx: Array[Int] =
-    required.fieldNames.map(schema.fieldIndex)
+    required.fieldNames.map { n =>
+      if (schema.fieldNames.contains(n)) schema.fieldIndex(n)
+      else if (n == DirSink.FileNameCol) -1 // metadata column
+      else throw new IllegalArgumentException(
+        s"column $n is neither in the zone schema nor a metadata column")
+    }
 
   /** RUNTIME file skipping — DPP for a manifest-driven table: when this
     * zone is the fact side of a join whose dim side is selective, Spark
@@ -1152,23 +1200,57 @@ class DirSinkScan(path: String, schema: StructType,
 
   // attributes must come from the PRUNED read schema: Spark resolves
   // them against this scan's output, and a pruned-away column would
-  // fail resolution inside PartitionPruning
+  // fail resolution inside PartitionPruning. A row-level operation's
+  // group scan (`fileFilterOnly`) declares ONLY the `_file` metadata
+  // column: RowLevelOperationRuntimeGroupFiltering builds ONE in-filter
+  // over every declared attribute, so declaring the data columns there
+  // too would produce an untranslatable multi-column struct-IN and the
+  // group pruning would silently vanish.
   override def filterAttributes(): Array[NamedReference] =
-    required.fields.collect {
+    if (fileFilterOnly)
+      required.fields.collect {
+        case f if f.name == DirSink.FileNameCol &&
+          !schema.fieldNames.contains(f.name) => Expressions.column(f.name)
+      }
+    else required.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == DoubleType || f.dataType == BooleanType ||
         f.dataType == StringType => Expressions.column(f.name)
     }
 
-  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    runtimeFilters = filters.filter(f => DirSinkStats.supported(f, schema))
+  /** Runtime filters on the `_file` metadata column prune by FILE
+    * IDENTITY (the group-filtering scan of a row-level MERGE/UPDATE
+    * collects the distinct files its condition touches and hands them
+    * here as an In) — only those files are read and rewritten. */
+  private var fileIdentityFilters: Array[Set[String]] = Array.empty
 
-  /** The manifest's asOf-sliced entry list (one read per scan). */
-  private lazy val manifestEntries: Seq[DirSink.FileEntry] = {
-    val all = DirSink.readManifestEntries(path).getOrElse(
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val isMeta = !schema.fieldNames.contains(DirSink.FileNameCol)
+    fileIdentityFilters = filters.collect {
+      case In(c, vs) if isMeta && c == DirSink.FileNameCol =>
+        vs.collect { case s: String => s }.toSet
+      case EqualTo(c, v: String) if isMeta && c == DirSink.FileNameCol =>
+        Set(v)
+    }
+    runtimeFilters = filters.filter(f => DirSinkStats.supported(f, schema))
+  }
+
+  /** The manifest's asOf-sliced entry list (one read per scan), plus the
+    * GENERATION it was read at — the optimistic-concurrency token a
+    * row-level operation's commit verifies before swapping groups. */
+  private lazy val manifestParsed: (Long, Seq[DirSink.FileEntry]) = {
+    val raw = DirSink.readManifestRaw(path).getOrElse(
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
-          "nothing was committed"))._2
+          "nothing was committed"))
+    (raw.gen, raw.lines.map(DirSink.parseEntry))
+  }
+
+  private[graft] def manifestGen: Long = manifestParsed._1
+
+  private lazy val manifestEntries: Seq[DirSink.FileEntry] = {
+    val all = manifestParsed._2
     val sliced = (asOfOffset, asOfTimestamp) match {
       case (Some(k), _) =>
         if (k > all.size) throw new IllegalArgumentException(
@@ -1205,8 +1287,12 @@ class DirSinkScan(path: String, schema: StructType,
     * asked for statistics, and partition planning must see them. */
   private def visibleFiles: Seq[DirSink.FileEntry] = {
     val active = skipFilters ++ runtimeFilters
-    if (active.isEmpty) manifestEntries
-    else manifestEntries.filter { e =>
+    val byIdentity =
+      if (fileIdentityFilters.isEmpty) manifestEntries
+      else manifestEntries.filter(e =>
+        fileIdentityFilters.forall(_.contains(e.name)))
+    if (active.isEmpty) byIdentity
+    else byIdentity.filter { e =>
       e.stats match {
         case None => true // pre-skipping manifest line: always read
         case Some(field) =>
@@ -1239,6 +1325,9 @@ class DirSinkScan(path: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val files = visibleFiles
     lastPlannedFiles = Some(files.size)
+    // a row-level operation captures WHICH groups this scan covers (and
+    // at what generation) — its commit replaces exactly these files
+    planListener.foreach(_(manifestGen, files.map(_.name)))
     files.map { e =>
       DirSinkFilePartition(path, e.name, schema.toDDL,
         requiredIdx): InputPartition
