@@ -192,6 +192,17 @@ object Similarity extends QueryModule {
           floor(graft.functions.VectorFunctions.cosine($"ae", $"be") *
             lit(1000000.0) + lit(0.5)).cast("long"))
         .select($"aid", $"bid", $"cos6"))
+    bitextMargins(s, pairs)
+  }
+
+  /** The margin/mutual-best tail of bitext mining, shared by the three
+    * candidate generators (label-blocked [[qBitextMine]], index-cell
+    * [[qBitextMineIndexed]], dedup-then-mine [[qBitextPipeline]]):
+    * k=3 neighborhood sums per side, the Artetxe–Schwenk ratio margin
+    * in exact BIGINT micro-cosines, forward+backward rank-1 cut. Input
+    * pairs relation: (aid, bid, cos6) — already blocked and sealed. */
+  private def bitextMargins(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
     val wa = Window.partitionBy($"aid").orderBy($"cos6".desc, $"bid")
     val fa = pairs.withColumn("rn", row_number().over(wa)).filter($"rn" <= 3)
       .groupBy($"aid").agg(sum($"cos6").as("s_a"), count(lit(1)).as("c_a"))
@@ -215,6 +226,72 @@ object Similarity extends QueryModule {
         ($"cos6".cast("double") / lit(1000000.0)).as("cos_sim"),
         graft.Det.round6($"margin_raw").as("margin"))
       .orderBy($"aid")
+  }
+
+  /** q_bitext_mine_indexed — the same margin-based mining with
+    * candidates drawn from the STORED ANN INDEX's inverted lists
+    * instead of the label blocks: an (even, odd) pair is a candidate
+    * iff both sides share an IVF cell in the published index
+    * ([[annIndex]] — train-once, content-keyed, C=⌈√N⌉). This is the
+    * "at 100 TB candidate generation routes through the index family"
+    * scaladoc made a DECLARED, ORACLED query (the same move
+    * q_ann_search_indexed made for search): the candidate join is a
+    * cell equi-join against KB-sized broadcast codebook assignments,
+    * margin/mutual-best logic unchanged ([[bitextMargins]]). The
+    * oracle replays the 1-round codebook and the cell-blocked pairs
+    * from the raw embeddings. */
+  private def qBitextMineIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val (_, cells, _, _) = annIndex(s, dir)
+    val n = Tables.load(s, dir, "embeddings")
+      .join(cells.select($"vec_id", $"cell"), Seq("vec_id"))
+    val a = n.select($"vec_id".as("aid"), $"cell", $"embedding".as("ae"))
+      .filter($"aid" % 2 === 0)
+    val b = n.select($"vec_id".as("bid"), $"cell".as("bcell"),
+        $"embedding".as("be"))
+      .filter($"bid" % 2 === 1)
+    val pairs = graft.Exec.seal(
+      a.join(b, $"cell" === $"bcell")
+        .withColumn("cos6",
+          floor(graft.functions.VectorFunctions.cosine($"ae", $"be") *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .select($"aid", $"bid", $"cos6"))
+    bitextMargins(s, pairs)
+  }
+
+  /** q_bitext_pipeline — DEDUP-BEFORE-MINE, the composition CCMatrix
+    * documents and the ScaleProbe row measured the absence of: under
+    * exact-duplicate replication the mutual-best cut collapses (every
+    * duplicate ties for rank 1 on both sides and the forward/backward
+    * winners disagree — mined pairs → 0 at k=4), so production mining
+    * ALWAYS runs exact dedup upstream. Stage 1 is [[qDedupExact]]'s
+    * discipline on the embedding payload (group by content, keep the
+    * smallest vec_id — one exchange on the content key); stage 2 is
+    * the label-blocked margin mine over the survivors, logic unchanged.
+    * On a clean corpus the dedup is a no-op and this equals
+    * [[qBitextMine]] (the spec pins that); on a replicated corpus it
+    * restores the clean corpus's pairs — the ScaleProbe row now
+    * measures the FIX, not just the failure. */
+  private def qBitextPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val raw = Tables.load(s, dir, "embeddings")
+    val keep = raw.groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id")
+    val n = raw.join(keep, Seq("vec_id"))
+    val a = n.select($"vec_id".as("aid"), $"label", $"embedding".as("ae"))
+      .filter($"aid" % 2 === 0)
+    val b = n.select($"vec_id".as("bid"), $"label".as("blabel"),
+        $"embedding".as("be"))
+      .filter($"bid" % 2 === 1)
+    val pairs = graft.Exec.seal(
+      a.join(b, $"label" === $"blabel")
+        .withColumn("cos6",
+          floor(graft.functions.VectorFunctions.cosine($"ae", $"be") *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .select($"aid", $"bid", $"cos6"))
+    bitextMargins(s, pairs)
   }
 
   /** q_hard_negatives — hard-negative mining for contrastive training
@@ -1639,6 +1716,8 @@ object Similarity extends QueryModule {
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
     "q_bitext_mine" -> (qBitextMine _),
+    "q_bitext_mine_indexed" -> (qBitextMineIndexed _),
+    "q_bitext_pipeline" -> (qBitextPipeline _),
     "q_ann_search_indexed" -> (qAnnSearchIndexed _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_semdedup" -> (qSemDedup _),
@@ -2045,6 +2124,37 @@ object Similarity extends QueryModule {
        ORDER BY qid, rn"""
   }
 
+  /** The shared bitext margin/mutual-best tail (over a `pairs` CTE of
+    * (aid, bid, cos6)) — mirrors [[bitextMargins]] bit-for-bit. */
+  private val DUCK_BITEXT_TAIL =
+    """fa AS (
+           SELECT aid, CAST(sum(cos6) AS BIGINT) s_a, count(*) c_a FROM (
+             SELECT aid, cos6, row_number() OVER (PARTITION BY aid
+                      ORDER BY cos6 DESC, bid) rn
+             FROM pairs) WHERE rn <= 3 GROUP BY aid),
+         fb AS (
+           SELECT bid, CAST(sum(cos6) AS BIGINT) s_b, count(*) c_b FROM (
+             SELECT bid, cos6, row_number() OVER (PARTITION BY bid
+                      ORDER BY cos6 DESC, aid) rn
+             FROM pairs) WHERE rn <= 3 GROUP BY bid),
+         scored AS (
+           SELECT p.aid, p.bid, p.cos6,
+                  2.0 * p.cos6 * fa.c_a * fb.c_b
+                    / (fa.s_a * fb.c_b + fb.s_b * fa.c_a) margin_raw
+           FROM pairs p JOIN fa ON p.aid = fa.aid JOIN fb ON p.bid = fb.bid),
+         ranked AS (
+           SELECT aid, bid, cos6, margin_raw,
+                  row_number() OVER (PARTITION BY aid
+                    ORDER BY margin_raw DESC, bid) fwd,
+                  row_number() OVER (PARTITION BY bid
+                    ORDER BY margin_raw DESC, aid) bwd
+           FROM scored)
+         SELECT aid, bid, CAST(cos6 AS DOUBLE) / 1000000.0 AS cos_sim,
+                floor(margin_raw * 1000000.0 + 0.5) / 1000000.0 AS margin
+         FROM ranked
+         WHERE fwd = 1 AND bwd = 1 AND margin_raw > 1.0
+         ORDER BY aid"""
+
   /** MinHash+LSH confirmed-pairs SQL (no final ORDER BY) — used directly
     * by the q_dedup_minhash_lsh oracle and as a nested CTE by the
     * q_dedup_clusters oracle. */
@@ -2249,7 +2359,7 @@ object Similarity extends QueryModule {
                   / 1000000.0 AS recall_at_5
          FROM j ORDER BY qid""",
     "q_bitext_mine" ->
-      """WITH n AS (
+      s"""WITH n AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                         CAST(embedding AS DOUBLE[]))) nrm
@@ -2261,33 +2371,59 @@ object Similarity extends QueryModule {
                   CAST(floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
                        * 1000000.0 + 0.5) AS BIGINT) cos6
            FROM a JOIN b ON a.label = b.label),
-         fa AS (
-           SELECT aid, CAST(sum(cos6) AS BIGINT) s_a, count(*) c_a FROM (
-             SELECT aid, cos6, row_number() OVER (PARTITION BY aid
-                      ORDER BY cos6 DESC, bid) rn
-             FROM pairs) WHERE rn <= 3 GROUP BY aid),
-         fb AS (
-           SELECT bid, CAST(sum(cos6) AS BIGINT) s_b, count(*) c_b FROM (
-             SELECT bid, cos6, row_number() OVER (PARTITION BY bid
-                      ORDER BY cos6 DESC, aid) rn
-             FROM pairs) WHERE rn <= 3 GROUP BY bid),
-         scored AS (
-           SELECT p.aid, p.bid, p.cos6,
-                  2.0 * p.cos6 * fa.c_a * fb.c_b
-                    / (fa.s_a * fb.c_b + fb.s_b * fa.c_a) margin_raw
-           FROM pairs p JOIN fa ON p.aid = fa.aid JOIN fb ON p.bid = fb.bid),
-         ranked AS (
-           SELECT aid, bid, cos6, margin_raw,
-                  row_number() OVER (PARTITION BY aid
-                    ORDER BY margin_raw DESC, bid) fwd,
-                  row_number() OVER (PARTITION BY bid
-                    ORDER BY margin_raw DESC, aid) bwd
-           FROM scored)
-         SELECT aid, bid, CAST(cos6 AS DOUBLE) / 1000000.0 AS cos_sim,
-                floor(margin_raw * 1000000.0 + 0.5) / 1000000.0 AS margin
-         FROM ranked
-         WHERE fwd = 1 AND bwd = 1 AND margin_raw > 1.0
-         ORDER BY aid""",
+         $DUCK_BITEXT_TAIL""",
+    "q_bitext_mine_indexed" ->
+      s"""WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         $DUCK_IVF_PRM,
+         cent0 AS (
+           SELECT cid, e ce FROM
+             (SELECT vec_id, e,
+                     CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                             vec_id) AS BIGINT) cid
+              FROM n)
+           WHERE cid <= (SELECT c FROM prm)),
+         ${duckIvfIter(1)},
+         fcx AS (
+           SELECT n.vec_id, c.cid,
+                  floor(list_dot_product(n.e, c.ce)
+                        / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
+                        * 1000000.0 + 0.5) / 1000000.0 csim
+           FROM n, cent1 c),
+         cellsx AS (
+           SELECT vec_id, cid cell FROM
+             (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY csim DESC, cid) rn FROM fcx)
+           WHERE rn = 1),
+         a AS (SELECT n.*, cx.cell FROM n JOIN cellsx cx USING (vec_id)
+               WHERE n.vec_id % 2 = 0),
+         b AS (SELECT n.*, cx.cell FROM n JOIN cellsx cx USING (vec_id)
+               WHERE n.vec_id % 2 = 1),
+         pairs AS (
+           SELECT a.vec_id aid, b.vec_id bid,
+                  CAST(floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                       * 1000000.0 + 0.5) AS BIGINT) cos6
+           FROM a JOIN b ON a.cell = b.cell),
+         $DUCK_BITEXT_TAIL""",
+    "q_bitext_pipeline" ->
+      s"""WITH keep AS (
+           SELECT min(vec_id) vec_id FROM embeddings GROUP BY embedding),
+         n AS (
+           SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) nrm
+           FROM embeddings e JOIN keep USING (vec_id)),
+         a AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+         b AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+         pairs AS (
+           SELECT a.vec_id aid, b.vec_id bid,
+                  CAST(floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                       * 1000000.0 + 0.5) AS BIGINT) cos6
+           FROM a JOIN b ON a.label = b.label),
+         $DUCK_BITEXT_TAIL""",
     "q_ann_ivf" -> DUCK_IVF,
     "q_diverse_sample" -> DUCK_DIVERSE,
     "q_semdedup" -> DUCK_SEMDEDUP,

@@ -425,6 +425,54 @@ object StreamRun {
     val passG = shrinkDetected && seenG.sum < totalG &&
       seenG2.sum == totalG
 
+    // ---- scenario H (round 12): CHECKPOINT MIGRATION across
+    // compaction — scenario G's terminal fail-fast, solved for the
+    // quiesced case: a tail consumes the WHOLE zone and stops; the zone
+    // compacts (manifest 3 files -> 1, compact() records the offset
+    // remap in the header); the SAME checkpoint restarts against the
+    // compacted zone, new rows land, and the tail must emit EXACTLY the
+    // new rows — zero rereads of rewritten history, zero loss. The
+    // accounting is row-exact: run-1 rows + run-2 rows == zone rows.
+    val zoneH = Files.createTempDirectory("graft_streamrun_mig")
+      .toString + "/z"
+    val chkH = Files.createTempDirectory("graft_streamrun_mig_chk").toString
+    val rowsH = events.select($"event_id", $"event_type")
+    (0 until 3).foreach { i =>
+      rowsH.filter($"event_id" % 4 === i).coalesce(1).write.format(fmt)
+        .option("path", zoneH).mode("append").save()
+    }
+    val preH = spark.read.format(fmt).option("path", zoneH).load().count()
+    val seenH1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val qH1 = spark.readStream.format(fmt).option("path", zoneH).load()
+      .writeStream
+      .option("checkpointLocation", chkH)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seenH1 += b.count(); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qH1.awaitTermination(120000)
+    qH1.stop()
+    graft.sources.v2.DirSink.compact(spark, zoneH, 1) // quiesced: migrate
+    val filesAfterH = graft.sources.v2.DirSink
+      .readManifest(zoneH).map(_._2.size).getOrElse(-1)
+    rowsH.filter($"event_id" % 4 === 3).coalesce(1).write.format(fmt)
+      .option("path", zoneH).mode("append").save()
+    val totalH = spark.read.format(fmt).option("path", zoneH).load().count()
+    val seenH2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val qH2 = spark.readStream.format(fmt).option("path", zoneH).load()
+      .writeStream
+      .option("checkpointLocation", chkH) // SAME checkpoint across compact
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seenH2 += b.count(); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qH2.awaitTermination(120000)
+    qH2.stop()
+    val passH = seenH1.sum == preH && filesAfterH == 1 &&
+      seenH2.sum == totalH - preH
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -468,8 +516,15 @@ object StreamRun {
          |"shrink_detected_failfast":$shrinkDetected,
          |"fresh_tail_rows_after_compact":${seenG2.sum},
          |"pass":$passG},
+         |"scenario_checkpoint_migration":{
+         |"rows_before_compact":$preH,
+         |"run1_rows":${seenH1.sum},
+         |"files_after_compact":$filesAfterH,
+         |"rows_appended_after_compact":${totalH - preH},
+         |"run2_rows_after_migration":${seenH2.sum},
+         |"pass":$passH},
          |"pass":${passA && passB && passC && passD && passE && passF &&
-        passG}}"""
+        passG && passH}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -477,7 +532,8 @@ object StreamRun {
         json.getBytes("UTF-8"))
     }
     spark.stop()
-    if (!(passA && passB && passC && passD && passE && passF && passG))
+    if (!(passA && passB && passC && passD && passE && passF && passG &&
+      passH))
       sys.exit(1)
   }
 }

@@ -36,7 +36,7 @@ object ScaleProbe {
     "q_dp_release_sum", "q_pii_detect", "q_readability",
     "q_dsv2_sink_roundtrip", "q_dp_release_hist", "q_dsv2_runtime_filter",
     "q_dedup_url", "q_pseudonymize", "q_dsv2_skipping", "q_bitext_mine",
-    "q_stream_left_join")
+    "q_bitext_pipeline", "q_stream_left_join")
 
   /** Queries whose first invocation pays a one-off artifact build that a
     * long-lived deployment amortizes away (the ANN index trains once and

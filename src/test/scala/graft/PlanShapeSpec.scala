@@ -542,6 +542,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // sorted-collect boundary path (4 scans); the production histogram-
     // Selection path would legitimately read ~18 — update consciously if
     // the route threshold or fixture size changes.
+    // q_bitext_pipeline: the dedup stage (groupBy embedding + join-back)
+    // doubles the embeddings scan inside the pairs subtree (2 sides × 2
+    // scans), and the sealed pairs relation has 3 consumers — 12 in the
+    // raw lazy tree, ONE physical execution of the subtree via Exec.seal
+    "q_bitext_pipeline" -> 12,
     "q_recommend_cooccur" -> 5, "q_rfm" -> 4, "q_semdedup" -> 21,
     "q_dsir" -> 18,
     "q_sketch_intersect" -> 10, "q_triangles" -> 30, "q_winsorize" -> 9)
