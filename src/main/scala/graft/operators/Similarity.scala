@@ -84,10 +84,15 @@ object Similarity extends QueryModule {
     * near-random vectors: the fixture embeddings carry almost no
     * neighborhood structure, so recall tracks the scanned fraction and
     * the 4×16-dim PQ (64× compression) obliterates what probing finds.
-    * The PAIR is the diagnostic: flat ≫ pq says the PQ-bits knob, not
-    * nprobe, is what a deployment of this corpus would turn next. The
-    * gate, not the fixture numbers, is the deliverable; the oracle
-    * pins both measurements bit-exactly. */
+    * The PAIR is the diagnostic: flat ≫ pq says PQ distortion, not
+    * probing, binds — and the round-12 RecallProbe PQ-bits sweep then
+    * MEASURED that knob: k = 8→16→32→64 codes/subspace reads 0.04 →
+    * 0.06 → 0.07 → 0.11 at flat runtime, i.e. on structureless vectors
+    * even 6-bit ADC barely discriminates, so the 8× codebook growth is
+    * NOT taken ([[PqDefaultK]] stays 8, the compression-optimal point)
+    * — the same probe-then-pin discipline that re-pinned C/nprobe,
+    * landing on "don't" this time. The gate, not the fixture numbers,
+    * is the deliverable; the oracle pins both measurements bit-exactly. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
@@ -658,13 +663,19 @@ object Similarity extends QueryModule {
   /** One-Lloyd-round PQ codebook (m, cid, ce) over a keyed subspace
     * relation — md5-ordered seeds per subspace, exact quantized means
     * (the [[kmeansCodebook]] arithmetic with m as an extra group key). */
-  private def pqTrain(nmAll: DataFrame): DataFrame = {
+  /** Per-subspace PQ codebook size (codes per 16-dim subspace; log2 =
+    * the PQ "bits" knob). 8 codes = 3 bits — the compression-heaviest
+    * setting; the recall gates adjudicated it as the knob that binds
+    * next on the fixture, and [[tools.RecallProbe]] sweeps it. */
+  private[graft] val PqDefaultK = 8
+
+  private def pqTrain(nmAll: DataFrame, k: Int = PqDefaultK): DataFrame = {
     val s = nmAll.sparkSession; import s.implicits._
     val seeds = nmAll
       .withColumn("cid", row_number().over(
         Window.partitionBy($"m")
           .orderBy(md5($"vec_id".cast("string")), $"vec_id")).cast("long"))
-      .filter($"cid" <= 8)
+      .filter($"cid" <= k)
       .select($"m", $"cid", $"e".as("ce"))
     nmAll.join(pqAssign(nmAll, seeds), Seq("m", "vec_id"))
       .select($"m", $"cell", posexplode($"e"))
@@ -693,9 +704,10 @@ object Similarity extends QueryModule {
     * keyed subspace relation: (codes (vec_id, m, code),
     * lookups (qid, m, code, lq)). Shared by [[qAnnPq]] and
     * [[qAnnIvfPq]]; [[annIndex]] persists the same parts. */
-  private def pqCodesLookups(nmAll: DataFrame): (DataFrame, DataFrame) = {
+  private def pqCodesLookups(nmAll: DataFrame,
+                             k: Int = PqDefaultK): (DataFrame, DataFrame) = {
     val s = nmAll.sparkSession; import s.implicits._
-    val cent = pqTrain(nmAll)
+    val cent = pqTrain(nmAll, k)
     val codes = pqAssign(nmAll, cent)
       .select($"vec_id", $"m", $"cell".as("code"))
     val lookups = pqLookups(nmAll.filter($"vec_id" % 100 === 0), cent)
@@ -741,34 +753,44 @@ object Similarity extends QueryModule {
     * The oracle replays coarse + 4 subspace codebooks and the
     * cell-filtered integer ADC sum. */
   private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val n = ivfVectors(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cC = ivfDefaultC(n.count())
-      val coarse = kmeansCodebook(n, c = cC, iters = 1)
-      val asg = n.crossJoin(broadcast(coarse))
-        .withColumn("csim",
-          graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
-        .select($"vec_id", $"cid", $"csim")
-      val cells = asg
-        .groupBy($"vec_id")
-        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
-        .select($"vec_id", (-$"x.nc").as("cell"))
-      val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
-      val probes = asg.filter($"vec_id" % 100 === 0)
-        .withColumn("arn", row_number().over(wq))
-        .filter($"arn" <= ivfDefaultNprobe(cC))
-        .select($"vec_id".as("qid"), $"cid".as("cell"))
-      val pairs = cells.join(probes, Seq("cell"))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id")
-      val (codes, lookups) = pqCodesLookups(pqSubspaces(n))
-      adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
-        .join(pairs, Seq("qid", "vec_id"))
-        .groupBy($"qid", $"vec_id")
-        .agg(sum($"lq").as("sl")))
+      ivfPqRanked(s, n, cC, ivfDefaultNprobe(cC), PqDefaultK)
     } finally n.unpersist(false)
+  }
+
+  /** The IVF-PQ composition over a caller-persisted vector relation,
+    * all three knobs exposed (coarse cells, probes, PQ codebook size) —
+    * the declared query pins the defaults; [[tools.RecallProbe]] sweeps
+    * the PQ-bits knob through here. */
+  private[graft] def ivfPqRanked(s: SparkSession, n: DataFrame,
+                                 cC: Int, nprobe: Int,
+                                 pqK: Int): DataFrame = {
+    import s.implicits._
+    val coarse = kmeansCodebook(n, c = cC, iters = 1)
+    val asg = n.crossJoin(broadcast(coarse))
+      .withColumn("csim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
+      .select($"vec_id", $"cid", $"csim")
+    val cells = asg
+      .groupBy($"vec_id")
+      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("x"))
+      .select($"vec_id", (-$"x.nc").as("cell"))
+    val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val probes = asg.filter($"vec_id" % 100 === 0)
+      .withColumn("arn", row_number().over(wq))
+      .filter($"arn" <= nprobe)
+      .select($"vec_id".as("qid"), $"cid".as("cell"))
+    val pairs = cells.join(probes, Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+    val (codes, lookups) = pqCodesLookups(pqSubspaces(n), pqK)
+    adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
+      .join(pairs, Seq("qid", "vec_id"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"lq").as("sl")))
   }
 
   /** On-disk root of the trained IVF-PQ index artifact (test aid:

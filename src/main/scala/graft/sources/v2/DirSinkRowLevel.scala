@@ -113,22 +113,14 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
         null
     }.filter(_ != null)
     val now = System.currentTimeMillis()
-    DirSink.withZoneLock(path) {
-      val parent = DirSink.readManifestRaw(path).getOrElse(
-        throw new IllegalStateException(
-          s"manifest under $path vanished during ${op.command()}"))
-      if (parent.gen != plannedGen)
-        throw new java.util.ConcurrentModificationException(
-          s"zone $path advanced from generation $plannedGen to " +
-            s"${parent.gen} during ${op.command()} — another commit " +
-            "landed; retry the operation against the new state")
+    DirSink.publishAtGen(path, plannedGen, op.command().toString,
+      s"$queryId-rlo") { parent =>
       val kept = parent.lines.filterNot(l =>
         scannedSet(DirSink.parseEntry(l).name))
-      DirSink.writeAndPublish(path, s"$queryId-rlo",
-        DirSink.renderManifest(parent.schema,
-          DirSink.nextHeader(Some(parent)),
-          kept ++ committed.map { case (n, c, st) =>
-            s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") }))
+      DirSink.renderManifest(parent.schema,
+        DirSink.nextHeader(Some(parent)),
+        kept ++ committed.map { case (n, c, st) =>
+          s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") })
     }
     // sweep replaced groups and staging AFTER the generation is live
     scanned.foreach(n => f.delete(new Path(root, n), false))

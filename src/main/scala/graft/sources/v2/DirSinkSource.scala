@@ -323,6 +323,31 @@ object DirSink {
     publishManifest(path, tmp)
   }
 
+  /** Gen-verified publish — the OPTIMISTIC half of the concurrency
+    * story, shared by every committer that PLANS outside the lock
+    * (copy-on-write DELETE, row-level UPDATE/MERGE rewrites): re-read
+    * the live manifest under the zone lock, verify it is still the
+    * generation the plan was computed against, and only then publish
+    * the rebuilt manifest. A concurrent commit fails the operation
+    * loudly (retry against the new state — the Delta/Iceberg
+    * discipline) instead of being silently dropped from the rebuilt
+    * file list. `build` receives the verified live manifest (for
+    * header carry-forward). */
+  private[v2] def publishAtGen(path: String, plannedGen: Long,
+                               opName: String, tmpSuffix: String)
+                              (build: Manifest => String): Unit =
+    withZoneLock(path) {
+      val now = readManifestRaw(path).getOrElse(
+        throw new IllegalStateException(
+          s"manifest under $path vanished during $opName"))
+      if (now.gen != plannedGen)
+        throw new java.util.ConcurrentModificationException(
+          s"zone $path advanced from generation $plannedGen to " +
+            s"${now.gen} during $opName — another commit landed; retry " +
+            "the operation against the new state")
+      writeAndPublish(path, tmpSuffix, build(now))
+    }
+
   /** The child generation's header: parent header carried forward
     * (unknown keys included), `gen` bumped, `emax` advanced to the
     * parent's full committed-epoch high-water mark (header ∪ line
@@ -766,25 +791,13 @@ class DirSinkTable(path: String, schema0: StructType,
       f.delete(scratch, true)
       moved
     }
-    // publish under the commit lock, VERIFYING the generation is still
-    // the one the keep/drop/split plan was computed against — the
-    // rewrite above runs outside the lock (it can be minutes of I/O),
-    // so a concurrent append would otherwise be silently dropped from
-    // the rebuilt manifest; conflict fails loudly instead (retry the
-    // DELETE — optimistic concurrency, the Delta/Iceberg discipline)
-    DirSink.withZoneLock(path) {
-      val now = DirSink.readManifestRaw(path).getOrElse(
-        throw new IllegalStateException(s"manifest under $path vanished " +
-          "during DELETE"))
-      if (now.gen != parent.gen)
-        throw new java.util.ConcurrentModificationException(
-          s"zone $path advanced from generation ${parent.gen} to " +
-            s"${now.gen} during DELETE — another commit landed; retry " +
-            "the DELETE against the new state")
-      DirSink.writeAndPublish(path, "delete",
-        DirSink.renderManifest(manifestSchema,
-          DirSink.nextHeader(Some(parent)),
-          keep.toSeq ++ rewrittenLines))
+    // publish gen-verified: the rewrite above runs outside the lock (it
+    // can be minutes of I/O), so a concurrent append would otherwise be
+    // silently dropped from the rebuilt manifest
+    DirSink.publishAtGen(path, parent.gen, "DELETE", "delete") { now =>
+      DirSink.renderManifest(manifestSchema,
+        DirSink.nextHeader(Some(now)),
+        keep.toSeq ++ rewrittenLines)
     }
     // sweep AFTER the new generation is live (crash leaves orphans for
     // vacuum, never a manifest entry without a backing file)

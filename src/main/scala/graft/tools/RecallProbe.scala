@@ -50,6 +50,24 @@ object RecallProbe {
         println(f"""{"n":$corpusN,"c":$c,"nprobe":$nprobe,""" +
           f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
       }
+      // the PQ-BITS sweep (round 12): the gates adjudicated PQ
+      // distortion as the binding knob once probing was fixed — measure
+      // the full IVF-PQ composition's recall as the per-subspace
+      // codebook grows (3..6 bits), at the probe-backed coarse defaults
+      for (pqK <- Seq(8, 16, 32, 64)) {
+        val t0 = System.nanoTime()
+        val nprobe = math.max(1, rootC / 2)
+        val approx = graft.operators.Similarity
+          .ivfPqRanked(spark, n, rootC, nprobe, pqK)
+          .select($"qid".as("aqid"), $"cid".as("acid"))
+        val hits = exact
+          .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+          .agg(count($"acid")).as[Long].head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = hits.toDouble / (5.0 * nQueries)
+        println(f"""{"n":$corpusN,"c":$rootC,"nprobe":$nprobe,"pq_k":$pqK,""" +
+          f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
+      }
     } finally { n.unpersist(false); exact.unpersist(false) }
     spark.stop()
   }

@@ -137,6 +137,42 @@ class ZoneConcurrencySpec extends AnyFunSuite {
       "epochs at or below the mark must stay no-ops after overwrite")
   }
 
+  test("a row-level rewrite whose zone advanced mid-flight fails loudly, never clobbers") {
+    import spark.implicits._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val schema = StructType.fromDDL("id BIGINT, v STRING")
+    // plan a row-level operation's group scan at the current generation
+    val op = new graft.sources.v2.DirSinkRowLevelOperation(dir, schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    val scan = op.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    scan.toBatch.planInputPartitions() // captures (gen, groups)
+    // a concurrent append lands between the plan and the commit
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // the stale-generation commit must fail loudly — the alternative is
+    // the rebuilt manifest silently dropping the concurrent append
+    val write = new graft.sources.v2.DirSinkReplaceDataWrite(
+      dir, schema, "q-conflict", op)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      write.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("generation"))
+    // the zone is untouched: all three rows readable, gen intact
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 3)
+    // a RE-PLANNED operation at the new generation commits fine
+    val op2 = new graft.sources.v2.DirSinkRowLevelOperation(dir, schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    op2.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    new graft.sources.v2.DirSinkReplaceDataWrite(dir, schema, "q-retry", op2)
+      .commit(Array.empty) // rewrites all groups to nothing: full delete
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 0,
+      "an empty replace of all scanned groups empties the zone")
+  }
+
   test("vacuum sweeps crashed publishes' manifest tmp files; the live manifest survives") {
     import spark.implicits._
     val dir = tmpDir()
