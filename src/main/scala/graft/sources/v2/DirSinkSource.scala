@@ -735,7 +735,26 @@ class DirSinkTable(path: String, schema0: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => DirSinkStats.toColumn(f).isDefined)
 
+  /** A predicate DELETE is IDEMPOTENT, so a generation conflict (a
+    * concurrent commit landed between plan and publish) is safely
+    * retried against the new state — the bounded auto-retry Delta runs
+    * for non-conflicting commits. Row-level UPDATE/MERGE cannot
+    * auto-retry (Spark owns that plan's execution); they surface the
+    * ConcurrentModificationException for the caller to re-issue. */
   override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    var attempt = 0
+    while (true) {
+      try { deleteWhereOnce(filters); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
+    }
+  }
+
+  private def deleteWhereOnce(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     // ONE manifest read: entries derive from the SAME raw lines that are
     // kept verbatim, so a concurrent publish between two reads can never

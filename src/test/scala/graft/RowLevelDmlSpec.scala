@@ -125,6 +125,30 @@ class RowLevelDmlSpec extends AnyFunSuite {
         s"before=$before after=$after")
   }
 
+  test("_file metadata column: row provenance through SQL, shadowed by a data column") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dml")
+    spark.sql("CREATE TABLE graftcat.dml.prov (id BIGINT, v STRING)")
+    Seq(Seq(1L, 2L), Seq(11L, 12L)).foreach { ids =>
+      ids.map(i => (i, s"p$i")).toDF("id", "v").coalesce(1)
+        .writeTo("graftcat.dml.prov").append()
+    }
+    val dir = s"$wh/dml/prov"
+    val manifest = DirSink.readManifest(dir).get._2.map(_._1).toSet
+    // every row names its committed file; ids in one insert share one
+    val got = spark.sql("SELECT id, _file FROM graftcat.dml.prov")
+      .as[(Long, String)].collect().toMap
+    assert(got.values.toSet == manifest,
+      s"_file values ${got.values.toSet} must be the manifest names")
+    assert(got(1L) == got(2L) && got(11L) == got(12L) &&
+      got(1L) != got(11L), "per-insert file grouping must surface")
+    // a DATA column named _file shadows the metadata column (contract)
+    spark.sql("CREATE TABLE graftcat.dml.shadow (id BIGINT, _file STRING)")
+    spark.sql("INSERT INTO graftcat.dml.shadow VALUES (1, 'user-value')")
+    assert(spark.sql("SELECT _file FROM graftcat.dml.shadow")
+      .as[String].head() == "user-value")
+  }
+
   test("DELETE still routes translatable predicates through the metadata fast path") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dml")
