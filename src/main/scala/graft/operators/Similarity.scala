@@ -348,18 +348,29 @@ object Similarity extends QueryModule {
     })
   }
 
-  private def bucketExpr: Column = {
-    val terms = hyperplaneSigns.zipWithIndex.map { case (sv, j) =>
+  /** LSH hash width (hyperplanes = sign bits = log2 buckets). 8 is the
+    * declared default; [[tools.RecallProbe]] sweeps it — fewer bits =
+    * coarser buckets = more scanned per query = higher recall, the
+    * standard LSH recall/cost dial. */
+  private[graft] val LshDefaultBits = 8
+
+  private def bucketExpr(bits: Int = LshDefaultBits): Column = {
+    val terms = hyperplaneSigns.take(bits).zipWithIndex.map { case (sv, j) =>
       when(dot(col("embedding"), typedlit(sv)) > 0, lit(1L << j))
         .otherwise(lit(0L))
     }
     terms.reduce(_ + _)
   }
 
-  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    lshRanked(s, dir, LshDefaultBits)
+
+  private[graft] def lshRanked(s: SparkSession, dir: String,
+                               bits: Int): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    val v = Tables.load(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    val v = Tables.load(s, dir, "embeddings")
+      .withColumn("bucket", bucketExpr(bits))
     val cand = v.select($"vec_id".as("cid"), $"embedding".as("ce"),
       $"bucket".as("cb"))
     val qs = v.filter($"vec_id" % 100 === 0)

@@ -1160,18 +1160,27 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DirSinkFilePartition]
     val sch = StructType.fromDDL(p.ddl)
-    val in = DirSink.execFs(p.path).open(new Path(p.path, p.file))
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString.split("\n").filter(_.nonEmpty).iterator
-      finally in.close()
+    // STREAM the file line by line — never materialize it: a committed
+    // file can be GBs (one compacted range of a 100 TB zone), and the
+    // previous whole-file mkString would hold every byte of it on the
+    // executor heap at once. One buffered line in flight is the
+    // text-source contract (the same shape Spark's own text reader has).
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      DirSink.execFs(p.path).open(new Path(p.path, p.file)), "UTF-8"),
+      1 << 16)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean = { val h = lines.hasNext
-        if (h) cur = DirSink.decodeProjected(lines.next(), sch,
-          p.requiredIdx, p.file)
-        h }
+      override def next(): Boolean = {
+        var line = in.readLine()
+        while (line != null && line.isEmpty) line = in.readLine()
+        if (line == null) false
+        else {
+          cur = DirSink.decodeProjected(line, sch, p.requiredIdx, p.file)
+          true
+        }
+      }
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = in.close()
     }
   }
 }

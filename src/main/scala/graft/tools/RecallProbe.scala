@@ -68,6 +68,22 @@ object RecallProbe {
         println(f"""{"n":$corpusN,"c":$rootC,"nprobe":$nprobe,"pq_k":$pqK,""" +
           f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
       }
+      // the LSH-BITS sweep (round 12): fewer sign bits = coarser
+      // buckets = a larger scanned fraction — the third family's
+      // recall/cost dial, measured against the same exact baseline
+      for (bits <- Seq(4, 5, 6, 8)) {
+        val t0 = System.nanoTime()
+        val approx = graft.operators.Similarity
+          .lshRanked(spark, sfDir, bits)
+          .select($"qid".as("aqid"), $"cid".as("acid"))
+        val hits = exact
+          .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+          .agg(count($"acid")).as[Long].head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = hits.toDouble / (5.0 * nQueries)
+        println(f"""{"n":$corpusN,"lsh_bits":$bits,""" +
+          f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
+      }
     } finally { n.unpersist(false); exact.unpersist(false) }
     spark.stop()
   }
