@@ -353,11 +353,19 @@ object DirSink {
     * parent's full committed-epoch high-water mark (header ∪ line
     * epochs — so a rewrite that DROPS streaming-committed lines still
     * remembers their epochs) max any `newEpoch` being committed now. */
+  /** `truncate = true` additionally DROPS the compaction remap chain:
+    * an overwrite rewrites history, so pre-overwrite offset remaps are
+    * meaningless — keeping them could silently migrate a stale
+    * checkpoint that coincidentally sits on an old compaction boundary
+    * into the unrelated new history. Without the remap the stale tail
+    * falls back to the shrink fail-fast (the epoch mark still carries). */
   private[v2] def nextHeader(parent: Option[Manifest],
-                             newEpoch: Option[Long] = None): Map[String, String] = {
+                             newEpoch: Option[Long] = None,
+                             truncate: Boolean = false): Map[String, String] = {
     val base = parent.map(_.header).getOrElse(Map.empty[String, String])
     val emax = (parent.flatMap(epochMaxOf) ++ newEpoch).reduceOption(_ max _)
-    base ++ Map("gen" -> parent.map(_.gen + 1).getOrElse(0L).toString) ++
+    (if (truncate) base - "remap" else base) ++
+      Map("gen" -> parent.map(_.gen + 1).getOrElse(0L).toString) ++
       emax.map(e => "emax" -> e.toString)
   }
 
@@ -563,7 +571,13 @@ object DirSink {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
     val fmt = classOf[DirSinkSource].getName
-    val before = readManifestRaw(path).map(_.lines.size).getOrElse(0)
+    val parent0 = readManifestRaw(path)
+    val before = parent0.map(_.lines.size).getOrElse(0)
+    // the overwrite below goes through the truncate path, which DROPS
+    // the remap header (user overwrites rewrite history); a compaction
+    // is row-preserving, so ITS chain must survive — captured here and
+    // restored in the remap publish
+    val priorChain = parent0.flatMap(_.header.get("remap"))
     val df = spark.read.format(fmt).option("path", path).load()
     val shaped =
       if (clusterBy.nonEmpty)
@@ -583,7 +597,7 @@ object DirSink {
       val m = readManifestRaw(path).getOrElse(
         throw new IllegalStateException(s"compact of $path lost its manifest"))
       val pair = s"$before:${m.lines.size}"
-      val remap = m.header.get("remap").fold(pair)(old => s"$old,$pair")
+      val remap = priorChain.fold(pair)(old => s"$old,$pair")
       writeAndPublish(path, "remap", renderManifest(m.schema,
         nextHeader(Some(m)) + ("remap" -> remap), m.lines))
     }
@@ -591,7 +605,7 @@ object DirSink {
 
   /** The compaction remap chain, oldest first: `old:new` offset pairs
     * a resuming tail applies transitively ([[DirSinkMicroBatchStream]]). */
-  private[v2] def offsetRemaps(path: String): Seq[(Int, Int)] =
+  private[graft] def offsetRemaps(path: String): Seq[(Int, Int)] =
     readManifestRaw(path).flatMap(_.header.get("remap")).toSeq
       .flatMap(_.split(",").toSeq).flatMap { p =>
         val c = p.indexOf(':')
@@ -947,7 +961,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
       DirSink.writeAndPublish(path, queryId,
         DirSink.renderManifest(DirSink.asNullable(schema),
-          DirSink.nextHeader(parent),
+          DirSink.nextHeader(parent, truncate = truncate),
           previous ++ committed.map { case (n, c, st) =>
             s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") }))
     }
@@ -1062,7 +1076,8 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
       DirSink.writeAndPublish(path, s"$queryId-e$epochId",
         DirSink.renderManifest(DirSink.asNullable(schema),
-          DirSink.nextHeader(parent, newEpoch = Some(epochId)),
+          DirSink.nextHeader(parent, newEpoch = Some(epochId),
+            truncate = truncate),
           previous ++ committed.map { case (n, c, st) =>
             s"$n\t$c\t$epochId\tt=$now" +
               (if (st.nonEmpty) s"\t$st" else "") }))

@@ -102,4 +102,24 @@ class TailMigrationSpec extends AnyFunSuite {
     assert(DirSinkOffset(1, 2).json() == "1@2")
     assert(DirSinkOffset.parse("1@2") == DirSinkOffset(1, 2))
   }
+
+  test("OVERWRITE clears the remap chain: rewritten history never mis-migrates a stale checkpoint") {
+    import spark.implicits._
+    val in = tmpDir()
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format(fmt).option("path", in).mode(SaveMode.Append).save()
+    }
+    DirSink.compact(spark, in, targetFiles = 1) // remap 3 -> 1 recorded
+    assert(DirSink.offsetRemaps(in) == Seq((3, 1)))
+    // a USER overwrite rewrites history: the chain must not survive —
+    // otherwise a stale pre-overwrite checkpoint at the old boundary
+    // (3) would silently "migrate" into the unrelated new zone
+    Seq((9L, "new")).toDF("id", "v").write.format(fmt)
+      .option("path", in).mode(SaveMode.Overwrite).save()
+    assert(DirSink.offsetRemaps(in).isEmpty,
+      "overwrite must drop pre-overwrite compaction remaps")
+    // ...while compaction's own internal overwrite preserves the chain
+    // across repeated compactions (pinned by the chained test above)
+  }
 }
