@@ -1317,6 +1317,12 @@ class DirSinkScan(path: String, schema: StructType,
         // TIMESTAMP TIME TRAVEL: commits are time-ordered and the
         // manifest is append-only, so the snapshot as of wall-clock t is
         // the longest prefix whose commit timestamps are all <= t.
+        // History-REWRITING operations (compact, DELETE, row-level
+        // UPDATE/MERGE) replace lines in place, so snapshots that
+        // predate the rewrite are REWRITTEN HISTORY afterwards — the
+        // same caveat every manifest-rewriting table format carries;
+        // record cut offsets/timestamps in the deployment's catalog
+        // before maintenance, as with asOfOffset.
         // Lines without a `t=` field (committed before time travel
         // landed) are conservatively IN every snapshot — they can only
         // sit at the front of the history. A t that predates the zone's

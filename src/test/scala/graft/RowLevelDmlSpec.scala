@@ -125,6 +125,36 @@ class RowLevelDmlSpec extends AnyFunSuite {
         s"before=$before after=$after")
   }
 
+  test("UPDATE and MERGE compose with schema evolution: null tails rewrite correctly") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dml")
+    spark.sql("CREATE TABLE graftcat.dml.ev (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcat.dml.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graftcat.dml.ev ADD COLUMNS (score BIGINT)")
+    spark.sql("INSERT INTO graftcat.dml.ev VALUES (3, 'c', 30)")
+    // UPDATE touches a pre-evolution row: its null tail must survive
+    // the copy-on-write rewrite as a REAL null, and the evolved column
+    // is assignable on post-evolution rows
+    spark.sql("UPDATE graftcat.dml.ev SET score = 99 WHERE id = 3")
+    spark.sql("UPDATE graftcat.dml.ev SET v = 'A' WHERE id = 1")
+    val got = spark.sql("SELECT id, v, score FROM graftcat.dml.ev")
+      .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "A", None), (2L, "b", None), (3L, "c", Some(99L))),
+      s"got $got")
+    // MERGE inserts through the evolved schema
+    Seq((2L, "B2", 20L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("dml_ev_src")
+    spark.sql(
+      """MERGE INTO graftcat.dml.ev t USING dml_ev_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.score = s.score
+        |WHEN NOT MATCHED THEN INSERT (id, v, score) VALUES (s.id, s.v, s.score)
+        |""".stripMargin)
+    val got2 = spark.sql("SELECT id, v, score FROM graftcat.dml.ev")
+      .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got2 == Seq((1L, "A", None), (2L, "B2", Some(20L)),
+      (3L, "c", Some(99L)), (4L, "d", Some(40L))), s"got $got2")
+  }
+
   test("_file metadata column: row provenance through SQL, shadowed by a data column") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dml")
