@@ -647,8 +647,14 @@ object DirSink {
         case DoubleType => row.getDouble(i).toString
         case BooleanType => row.getBoolean(i).toString
         case StringType => escape(row.getUTF8String(i).toString)
+        // temporal types ride their internal integer encodings (micros
+        // since epoch / days since epoch) — absolute, timezone-free,
+        // and ORDERED, so the same bounds machinery skips on them
+        case TimestampType => row.getLong(i).toString
+        case DateType => row.getInt(i).toString
         case dt => throw new IllegalArgumentException(
-          s"DirSink supports long/int/double/boolean/string, got $dt")
+          s"DirSink supports long/int/double/boolean/string/timestamp/" +
+            s"date, got $dt")
       }
     }.mkString("\u0001")
 
@@ -677,6 +683,8 @@ object DirSink {
         case DoubleType => p.toDouble
         case BooleanType => p.toBoolean
         case StringType => UTF8String.fromString(unescape(p))
+        case TimestampType => p.toLong // micros since epoch
+        case DateType => p.toInt // days since epoch
         case dt => throw new IllegalArgumentException(s"unsupported $dt")
       }
     }}.toArray[Any])

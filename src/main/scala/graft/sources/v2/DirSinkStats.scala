@@ -70,8 +70,8 @@ object DirSinkStats {
         else if (!disabled(i)) {
           val dt = schema(i).dataType
           val v: Any = dt match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i)
+            case LongType | TimestampType => row.getLong(i)
+            case IntegerType | DateType => row.getInt(i)
             case DoubleType =>
               val d = row.getDouble(i)
               // NaN has no place in an ordered bound: opt the column out
@@ -114,8 +114,8 @@ object DirSinkStats {
   }
 
   private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
-    case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-    case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case LongType | TimestampType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
     case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
     case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
     case StringType =>
@@ -168,7 +168,8 @@ object DirSinkStats {
 
   private def comparable(c: String, schema: StructType): Boolean =
     schema.fields.find(_.name == c).exists(_.dataType match {
-      case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+      case LongType | IntegerType | DoubleType | BooleanType | StringType |
+           TimestampType | DateType => true
       case _ => false
     })
 
@@ -213,8 +214,35 @@ object DirSinkStats {
         case u: UTF8String => Some(UTF8String.fromString(bound).compareTo(u))
         case _ => None
       }
+      // pushed temporal filter values arrive as EXTERNAL types
+      // (java.sql / java.time); bounds are the internal integer
+      // encodings — convert the value, compare as integers
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          // getTime already carries the millis of the nanos field; add
+          // only the sub-millisecond remainder
+          val micros = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+          Some(java.lang.Long.compare(bound.toLong, micros))
+        case t: java.time.Instant =>
+          val micros = math.addExact(
+            math.multiplyExact(t.getEpochSecond, 1000000L),
+            (t.getNano / 1000).toLong)
+          Some(java.lang.Long.compare(bound.toLong, micros))
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date =>
+          Some(java.lang.Long.compare(bound.toInt.toLong,
+            d.toLocalDate.toEpochDay))
+        case d: java.time.LocalDate =>
+          Some(java.lang.Long.compare(bound.toInt.toLong, d.toEpochDay))
+        case _ => None
+      }
       case _ => None
-    } catch { case _: NumberFormatException => None }
+    } catch {
+      case _: NumberFormatException => None
+      case _: ArithmeticException => None // overflowed temporal conversion
+    }
 
   /** True only when the stats PROVE no row of the file can satisfy the
     * filter. Unknown shapes / missing stats → false (read the file). */
