@@ -437,6 +437,41 @@ object Layouts extends QueryModule {
       .orderBy($"lang", $"tier")
   }
 
+  /** q_dsv2_time_slice — TEMPORAL data skipping through the engine's
+    * own table format (round 12): the events stream lands in a DirSink
+    * zone RANGE-CLUSTERED on event time (8 files, disjoint ts ranges —
+    * exactly what a time-ordered streaming ingest plus clusterBy
+    * compaction produces), every manifest line carries micros-encoded
+    * min/max ts bounds, and a mid-month slice predicate PLANS ONLY THE
+    * FILES WHOSE TIME RANGE OVERLAPS THE WINDOW — at 100 TB the
+    * dominant access pattern ("last week's crawl") reads days, not
+    * years. Pushed temporal filter values arrive as java.sql/java.time
+    * externals and convert at the stats comparator
+    * ([[graft.sources.v2.DirSinkStats]]); value sums are quantized to
+    * BIGINT for cross-engine exactness. TemporalCodecSpec pins the
+    * planned-file counts; this query pins the end-to-end answer. */
+  private def qDsv2TimeSlice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/events_dirsink_time"
+    if (graft.sources.v2.DirSink.readManifest(path).isEmpty) {
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .repartitionByRange(8, $"ts")
+        .write.format("graft.sources.v2.DirSinkSource")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    s.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", path).load()
+      .filter($"ts" >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        $"ts" < to_timestamp(lit("2024-01-20 00:00:00")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 10000.0 + 0.5).cast("long")).as("value_q"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
   /** On-disk locations of the fragmented / compacted lineitem layouts
     * (test aid: CompactionSpec counts data files on both sides). */
   private[graft] def fragPath(dir: String): String =
@@ -602,7 +637,8 @@ object Layouts extends QueryModule {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _),
     "q_dsv2_skipping" -> (qDsv2Skipping _),
-    "q_dsv2_dml" -> (qDsv2Dml _))
+    "q_dsv2_dml" -> (qDsv2Dml _),
+    "q_dsv2_time_slice" -> (qDsv2TimeSlice _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -715,5 +751,14 @@ object Layouts extends QueryModule {
          all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
          SELECT lang, tier, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
-         FROM all_rows GROUP BY lang, tier ORDER BY lang, tier""")
+         FROM all_rows GROUP BY lang, tier ORDER BY lang, tier""",
+    "q_dsv2_time_slice" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS value_q,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY event_type ORDER BY event_type""")
 }
