@@ -161,6 +161,8 @@ object DirSinkStats {
     case LessThan(c, _) => comparable(c, schema)
     case LessThanOrEqual(c, _) => comparable(c, schema)
     case In(c, _) => comparable(c, schema)
+    case StringStartsWith(c, _) =>
+      schema.fields.find(_.name == c).exists(_.dataType == StringType)
     case IsNull(c) => schema.fieldNames.contains(c)
     case IsNotNull(c) => schema.fieldNames.contains(c)
     case _ => false
@@ -244,6 +246,26 @@ object DirSinkStats {
       case _: ArithmeticException => None // overflowed temporal conversion
     }
 
+  /** Unsigned lexicographic compare of `s`'s UTF-8 bytes TRUNCATED to
+    * the prefix's length against the prefix bytes — the binary order
+    * [[UTF8String]] uses, so "does any v-prefixed string fit between
+    * these bounds" is answered without ever synthesizing a successor
+    * string (whose byte increment could be invalid UTF-8). A value
+    * shorter than the prefix compares over its own length, then shorter
+    * sorts first (standard lexicographic). */
+  private def cmpPrefixBytes(s: String, prefix: String): Int = {
+    val a = s.getBytes("UTF-8")
+    val b = prefix.getBytes("UTF-8")
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    if (a.length >= b.length) 0 else -1 // s's prefix-window vs prefix
+  }
+
   /** True only when the stats PROVE no row of the file can satisfy the
     * filter. Unknown shapes / missing stats → false (read the file). */
   def canSkip(f: Filter, schema: StructType, stats: Array[ColStats]): Boolean = {
@@ -284,6 +306,18 @@ object DirSinkStats {
         noValues(st) || cmp(fld, st.min.get, v).exists(_ > 0) } // min > v
       case In(c, vs) =>
         col(c).isDefined && (vs.isEmpty || vs.forall(v => outOfRange(c, v)))
+      // prefix predicates (URL-clustered corpora: `url LIKE 'x%'`):
+      // v-prefixed strings occupy the byte interval [v, v-successor);
+      // the file skips iff its bounds miss that interval — max < v
+      // (full compare: any v-prefixed s satisfies s >= v), or min's
+      // prefix-window already sorts ABOVE v (every row >= min > all
+      // v-prefixed strings)
+      case StringStartsWith(c, v) if v != null =>
+        col(c).exists { case (fld, st) =>
+          fld.dataType == StringType && (st.min.isEmpty ||
+            cmp(fld, st.max.get, v).exists(_ < 0) ||
+            cmpPrefixBytes(st.min.get, v) > 0)
+        }
       case IsNull(c) => col(c).exists { case (_, st) => !st.hasNull }
       case IsNotNull(c) => col(c).exists { case (_, st) =>
         st.min.isEmpty } // no non-null value: all-null file or zero rows
@@ -327,6 +361,21 @@ object DirSinkStats {
         cmp(fld, st.max.get, v).exists(_ < 0) } // max < v
       case LessThanOrEqual(c, v) => allRows(c, v) { (fld, st) =>
         cmp(fld, st.max.get, v).exists(_ <= 0) }
+      // every row starts with v iff BOTH bounds do (binary order makes
+      // the v-prefixed region an interval, so bounds inside ⇒ all
+      // inside) and no row is NULL — this is what turns
+      // `DELETE … WHERE url LIKE 'host/%'` on a URL-clustered zone into
+      // a pure metadata operation
+      case StringStartsWith(c, v) if v != null => col(c).exists {
+        case (fld, st) =>
+          fld.dataType == StringType && !st.hasNull && st.min.isDefined &&
+            cmpPrefixBytes(st.min.get, v) == 0 &&
+            st.min.get.getBytes("UTF-8").length >=
+              v.getBytes("UTF-8").length &&
+            cmpPrefixBytes(st.max.get, v) == 0 &&
+            st.max.get.getBytes("UTF-8").length >=
+              v.getBytes("UTF-8").length
+      }
       case IsNull(c) => col(c).exists { case (_, st) =>
         st.min.isEmpty && (st.hasNull || isEmpty(st)) }
       case IsNotNull(c) => col(c).exists { case (_, st) => !st.hasNull }

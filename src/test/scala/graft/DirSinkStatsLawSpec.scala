@@ -67,7 +67,7 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
     if (depth > 0 && rnd.nextInt(3) == 0) {
       if (rnd.nextBoolean()) And(randomFilter(depth - 1), randomFilter(depth - 1))
       else Or(randomFilter(depth - 1), randomFilter(depth - 1))
-    } else rnd.nextInt(9) match {
+    } else rnd.nextInt(10) match {
       case 0 => EqualTo(col, randomValue(col))
       case 1 => GreaterThan(col, randomValue(col))
       case 2 => GreaterThanOrEqual(col, randomValue(col))
@@ -78,6 +78,7 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
       case 7 => IsNotNull(col)
       case 8 => EqualNullSafe(col,
         if (rnd.nextInt(4) == 0) null else randomValue(col))
+      case 9 => StringStartsWith("s", randomValue("s").asInstanceOf[String])
     }
   }
 
@@ -121,6 +122,8 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
         v != null && cmp(x, v) == 0))
       case IsNull(c) => value(c).isEmpty
       case IsNotNull(c) => value(c).isDefined
+      case StringStartsWith(c, v) =>
+        value(c).exists(_.asInstanceOf[String].startsWith(v))
       case _ => fail(s"reference evaluator missing shape $f")
     }
   }
@@ -174,6 +177,33 @@ class DirSinkStatsLawSpec extends AnyFunSuite {
     // and symmetrically: all-0.0 file under a -0.0 predicate value
     assert(!DirSinkStats.canSkip(EqualTo("d", -0.0), schema, stats))
     assert(DirSinkStats.allMatch(GreaterThanOrEqual("d", -0.0), schema, stats))
+  }
+
+  test("prefix predicates: skip misses the prefix interval, allMatch needs both bounds inside") {
+    // a URL-clustered file: every value under one host prefix
+    val rows = Seq(
+      (Some(1L), Some(1.0), Some("host-a/p1"), Some(true)),
+      (Some(2L), Some(2.0), Some("host-a/p2"), Some(false)))
+    val c = new DirSinkStats.Collector(schema)
+    rows.foreach(r => c.observe(internal(r)))
+    val st = DirSinkStats.parse(c.encode().drop(2), schema.length)
+    // prefix above the range / below the range: provably empty
+    assert(DirSinkStats.canSkip(StringStartsWith("s", "host-b/"), schema, st))
+    assert(DirSinkStats.canSkip(StringStartsWith("s", "aaa"), schema, st))
+    // overlapping prefix: must read
+    assert(!DirSinkStats.canSkip(StringStartsWith("s", "host-a/"), schema, st))
+    // both bounds inside the prefix region and no nulls: ALL match —
+    // the metadata fast path for `DELETE ... WHERE url LIKE 'host-a/%'`
+    assert(DirSinkStats.allMatch(StringStartsWith("s", "host-a/"), schema, st))
+    assert(!DirSinkStats.allMatch(StringStartsWith("s", "host-a/p1"), schema, st))
+    // a NULL row defeats all-match but not skipping semantics
+    val c2 = new DirSinkStats.Collector(schema)
+    (rows :+ ((Some(3L), Some(3.0), None, Some(true)))
+      : Seq[(Option[Long], Option[Double], Option[String], Option[Boolean])])
+      .foreach(r => c2.observe(internal(r)))
+    val st2 = DirSinkStats.parse(c2.encode().drop(2), schema.length)
+    assert(!DirSinkStats.allMatch(StringStartsWith("s", "host-a/"), schema, st2))
+    assert(DirSinkStats.canSkip(StringStartsWith("s", "host-b/"), schema, st2))
   }
 
   test("exclusion: a file both skippable and all-matching must be empty") {
