@@ -125,6 +125,29 @@ class RowLevelDmlSpec extends AnyFunSuite {
         s"before=$before after=$after")
   }
 
+  test("DELETE WHERE url LIKE 'host/%' is metadata-only on a URL-clustered zone") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dml")
+    spark.sql("CREATE TABLE graftcat.dml.urls (id BIGINT, url STRING)")
+    // three host-disjoint files (what clusterBy(url) compaction yields)
+    Seq("host-a", "host-b", "host-c").zipWithIndex.foreach { case (h, i) =>
+      Seq((i.toLong * 2, s"$h/page1"), (i.toLong * 2 + 1, s"$h/page2"))
+        .toDF("id", "url").coalesce(1)
+        .writeTo("graftcat.dml.urls").append()
+    }
+    val dir = s"$wh/dml/urls"
+    val before = DirSink.readManifest(dir).get._2.map(_._1)
+    spark.sql("DELETE FROM graftcat.dml.urls WHERE url LIKE 'host-b/%'")
+    val after = DirSink.readManifest(dir).get._2.map(_._1)
+    // the all-match proof drops host-b's file from the manifest and the
+    // skip proofs keep the other two lines VERBATIM — zero bytes read
+    assert(after.size == 2 && after.forall(before.contains),
+      s"prefix DELETE must be pure metadata: before=$before after=$after")
+    val left = spark.sql("SELECT url FROM graftcat.dml.urls")
+      .as[String].collect().toSeq
+    assert(left.size == 4 && left.forall(u => !u.startsWith("host-b/")))
+  }
+
   test("UPDATE and MERGE compose with schema evolution: null tails rewrite correctly") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dml")
