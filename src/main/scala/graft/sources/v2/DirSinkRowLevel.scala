@@ -98,23 +98,28 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
         s"${op.description()}: the group scan never planned — cannot " +
           "tell which files the rewrite replaces; refusing to guess"))
     val scannedSet = scanned.toSet
-    // zero-row tasks (a rewrite whose every row was deleted, or an
-    // empty partition) contribute no file — publishing them would
-    // accrete empty manifest lines on every no-op DML
-    val committed = messages.toSeq.collect {
-      case DirSinkCommitMessage(staged, rows, stats) if rows > 0 =>
-        val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
-        if (!f.rename(new Path(root, staged), new Path(root, fin)))
-          throw new java.io.IOException(
-            s"task-file publish failed: $staged -> $fin under $root")
-        (fin, rows, stats)
-      case DirSinkCommitMessage(staged, 0L, _) =>
-        f.delete(new Path(root, staged), false)
-        null
-    }.filter(_ != null)
     val now = System.currentTimeMillis()
+    // staged→final renames happen INSIDE the gen-verified locked publish:
+    // renamed-but-unpublished files in the zone root would be
+    // indistinguishable from garbage to a concurrent TRUNCATE's sweep,
+    // and on a generation conflict nothing has moved yet — the staged
+    // files stay where abort()/vacuum can account for them
     DirSink.publishAtGen(path, plannedGen, op.command().toString,
       s"$queryId-rlo") { parent =>
+      // zero-row tasks (a rewrite whose every row was deleted, or an
+      // empty partition) contribute no file — publishing them would
+      // accrete empty manifest lines on every no-op DML
+      val committed = messages.toSeq.collect {
+        case DirSinkCommitMessage(staged, rows, stats) if rows > 0 =>
+          val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
+          if (!f.rename(new Path(root, staged), new Path(root, fin)))
+            throw new java.io.IOException(
+              s"task-file publish failed: $staged -> $fin under $root")
+          (fin, rows, stats)
+        case DirSinkCommitMessage(staged, 0L, _) =>
+          f.delete(new Path(root, staged), false)
+          null
+      }.filter(_ != null)
       val kept = parent.lines.filterNot(l =>
         scannedSet(DirSink.parseEntry(l).name))
       DirSink.renderManifest(parent.schema,

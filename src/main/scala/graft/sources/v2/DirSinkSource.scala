@@ -177,7 +177,23 @@ object DirSink {
           val age = try Some(System.currentTimeMillis() -
             f.getFileStatus(lock).getModificationTime)
           catch { case _: java.io.FileNotFoundException => None }
-          if (age.exists(_ > LockStaleMs)) f.delete(lock, false)
+          if (age.exists(_ > LockStaleMs)) {
+            // ATOMIC stale-lock break: rename the stale lock to a unique
+            // tombstone — exactly ONE breaker wins the rename (rename of
+            // a missing source fails), so two waiters can never both
+            // "break" and both acquire. A plain delete here would be
+            // check-then-delete: waiter B could delete the FRESH lock
+            // waiter A just created after A's own break, putting two
+            // committers inside the manifest critical section — the
+            // lost-update hazard the lock exists to prevent. Never
+            // plain-delete a lock file this process did not create; a
+            // breaker that crashes between rename and tombstone delete
+            // leaves only `.broken-*` debris for [[vacuum]].
+            val tomb = new Path(root,
+              s"$LockName.broken-${java.util.UUID.randomUUID()}")
+            if (f.rename(lock, tomb)) f.delete(tomb, false)
+            // loop back to contend on create()
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new java.io.IOException(
               s"timed out after ${LockWaitMs}ms waiting for commit lock " +
@@ -305,6 +321,10 @@ object DirSink {
 
   def readManifestLines(path: String): Option[(StructType, Seq[String])] =
     readManifestRaw(path).map(m => (m.schema, m.lines))
+
+  /** The zone's current generation counter (test/introspection hook). */
+  private[graft] def currentGen(path: String): Option[Long] =
+    readManifestRaw(path).map(_.gen)
 
   /** Render a manifest for publish: schema line, sorted header lines,
     * file lines — the ONE serializer every commit path goes through. */
@@ -520,6 +540,14 @@ object DirSink {
         // a crashed publish's unrenamed tmp manifest: age-gated sweep
         // (the LIVE manifest itself is exempt by exact name below)
         sweepFile(st, n)
+      } else if (!st.isDirectory && n == LockName) {
+        // NEVER sweep a lock another committer may legitimately hold: a
+        // vacuum with olderThanMs below the stale threshold would void
+        // mutual exclusion mid-commit. Only a lock past LockStaleMs is
+        // provably abandoned (the same rule committers break it by) —
+        // and it still honors the caller's cutoff.
+        if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs)
+          sweepFile(st, n)
       } else if (!st.isDirectory && !n.startsWith(".") &&
         n != ManifestName && !live.contains(n)) {
         sweepFile(st, n)
@@ -584,23 +612,22 @@ object DirSink {
         df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
           .sortWithinPartitions(clusterBy.map(df.col): _*)
       else df.repartition(targetFiles)
+    // the OFFSET REMAP (`before` files → `after` files) publishes IN the
+    // overwrite commit itself (one atomic manifest swap — see the
+    // truncate path of [[DirSinkBatchWrite.commit]]): the new side is
+    // the commit's OWN output file count, so a concurrent append landing
+    // after the overwrite can never inflate it and silently migrate a
+    // boundary checkpoint past the appended files. A streaming tail
+    // whose checkpoint had consumed EXACTLY the whole pre-compact zone
+    // resumes at the post-compact count — checkpoint migration across
+    // maintenance instead of scenario G's terminal fail-fast. (A tail
+    // stopped mid-history still fails: its unread suffix was rewritten,
+    // and exactly-once can't survive that; quiesce-then-compact is the
+    // documented recipe.)
     shaped.write.format(fmt).option("path", path)
+      .option("compactRemapFrom", before.toString)
+      .option("compactRemapChain", priorChain.getOrElse(""))
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
-    // record the OFFSET REMAP (`before` files → `after` files) in the
-    // header: a streaming tail whose checkpoint had consumed EXACTLY
-    // the whole pre-compact zone resumes at the post-compact count —
-    // checkpoint migration across maintenance instead of scenario G's
-    // terminal fail-fast. (A tail stopped mid-history still fails: its
-    // unread suffix was rewritten, and exactly-once can't survive
-    // that; quiesce-then-compact is the documented recipe.)
-    withZoneLock(path) {
-      val m = readManifestRaw(path).getOrElse(
-        throw new IllegalStateException(s"compact of $path lost its manifest"))
-      val pair = s"$before:${m.lines.size}"
-      val remap = priorChain.fold(pair)(old => s"$old,$pair")
-      writeAndPublish(path, "remap", renderManifest(m.schema,
-        nextHeader(Some(m)) + ("remap" -> remap), m.lines))
-    }
   }
 
   /** The compaction remap chain, oldest first: `old:new` offset pairs
@@ -729,7 +756,9 @@ class DirSinkTable(path: String, schema0: StructType,
       TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DirSinkWriteBuilder(path, info.schema(), info.queryId())
+    new DirSinkWriteBuilder(path, info.schema(), info.queryId(),
+      Option(info.options.get("compactRemapFrom")).map(_.toInt),
+      Option(info.options.get("compactRemapChain")).filter(_.nonEmpty))
 
   /** HYBRID DELETE (`DELETE FROM … WHERE …`): the metadata fast path
     * first — per-file stats PROVE a file all-match
@@ -801,6 +830,7 @@ class DirSinkTable(path: String, schema0: StructType,
     }
     val f = DirSink.fs(path)
     val root = new Path(path)
+    var scratchDir: Option[Path] = None
     val rewrittenLines: Seq[String] = if (split.isEmpty) Seq.empty else {
       val spark = org.apache.spark.sql.SparkSession.active
       val cond = filters.flatMap(DirSinkStats.toColumn).reduceOption(_ && _)
@@ -821,25 +851,32 @@ class DirSinkTable(path: String, schema0: StructType,
         .write.format(classOf[DirSinkSource].getName)
         .option("path", scratch.toString)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
-      val moved = DirSink.readManifestLines(scratch.toString)
+      scratchDir = Some(scratch)
+      DirSink.readManifestLines(scratch.toString)
         .map(_._2).getOrElse(Seq.empty)
-      moved.foreach { l =>
-        val name = l.split("\t")(0) // g<uuid>-… names: unique in the zone
-        if (!f.rename(new Path(scratch, name), new Path(root, name)))
-          throw new java.io.IOException(
-            s"rewrite publish failed: $name from $scratch into $root")
-      }
-      f.delete(scratch, true)
-      moved
     }
     // publish gen-verified: the rewrite above runs outside the lock (it
     // can be minutes of I/O), so a concurrent append would otherwise be
-    // silently dropped from the rebuilt manifest
+    // silently dropped from the rebuilt manifest. The scratch-file MOVES
+    // happen inside the locked build (after the gen check): moved-but-
+    // unpublished files in the zone root would be indistinguishable from
+    // garbage to a concurrent TRUNCATE's sweep — and on a gen conflict
+    // nothing has moved yet, so the retry re-plans against a clean root
+    // (the whole scratch zone is vacuum-able debris either way).
     DirSink.publishAtGen(path, parent.gen, "DELETE", "delete") { now =>
+      scratchDir.foreach { scratch =>
+        rewrittenLines.foreach { l =>
+          val name = l.split("\t")(0) // g<uuid>-… names: unique in the zone
+          if (!f.rename(new Path(scratch, name), new Path(root, name)))
+            throw new java.io.IOException(
+              s"rewrite publish failed: $name from $scratch into $root")
+        }
+      }
       DirSink.renderManifest(manifestSchema,
         DirSink.nextHeader(Some(now)),
         keep.toSeq ++ rewrittenLines)
     }
+    scratchDir.foreach(s => f.delete(s, true))
     // sweep AFTER the new generation is live (crash leaves orphans for
     // vacuum, never a manifest entry without a backing file)
     (drop ++ split).foreach(n => f.delete(new Path(root, n), false))
@@ -907,13 +944,20 @@ class DirSinkScanBuilder(path: String, schema: StructType,
 }
 
 
-class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String)
+/** `remapFrom`/`remapChain` are [[DirSink.compact]]'s internal options:
+  * a compaction's overwrite publishes its offset-remap header IN THE
+  * SAME atomic manifest swap as the rewritten file list (see the
+  * truncate path of [[DirSinkBatchWrite.commit]]). */
+class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String,
+                          remapFrom: Option[Int] = None,
+                          remapChain: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DirSinkBatchWrite(path, schema, queryId, doTruncate)
+      new DirSinkBatchWrite(path, schema, queryId, doTruncate,
+        remapFrom, remapChain)
     override def toStreaming: StreamingWrite =
       new DirSinkStreamingWrite(path, schema, queryId, doTruncate)
   }
@@ -926,35 +970,43 @@ case class DirSinkCommitMessage(stagedName: String, rows: Long,
     extends WriterCommitMessage
 
 class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
-                        truncate: Boolean) extends BatchWrite {
+                        truncate: Boolean,
+                        remapFrom: Option[Int] = None,
+                        remapChain: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new DirSinkWriterFactory(path, schema, queryId)
 
   /** Publish: rename exactly the committed staging files into place,
-    * then swap the manifest in atomically; sweep superseded/orphaned
-    * files only AFTER the new generation is live. */
+    * swap the manifest in atomically, and (on truncate) sweep the
+    * superseded generation — ALL inside the zone lock. Renames and the
+    * truncate sweep both sit inside the locked section deliberately:
+    * a concurrent appender's renamed-but-not-yet-published task files
+    * are indistinguishable from superseded garbage to the sweep, so
+    * sweep-vs-rename must serialize — otherwise the sweep deletes them
+    * and the appender then publishes manifest lines whose backing files
+    * are gone (a dangling-entry corruption, worse than the clean
+    * row-loss a TRUNCATE-vs-append race is allowed to produce). The
+    * critical section stays metadata-only (renames + deletes), well
+    * inside [[DirSink.LockStaleMs]]. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     val root = new Path(path)
     f.mkdirs(root)
-    // renames happen OUTSIDE the commit lock: final names are globally
-    // unique (the queryId UUID), so concurrent committers cannot
-    // collide on them — only the manifest read-modify-write serializes
-    val committed = messages.toSeq.map {
-      case DirSinkCommitMessage(staged, rows, stats) =>
-        // final name embeds the per-write queryId UUID: task ids restart
-        // per application, so a bare p<part>-t<task> could collide with
-        // (and silently clobber) a PREVIOUS application's committed file
-        val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
-        if (!f.rename(new Path(root, staged), new Path(root, fin)))
-          throw new java.io.IOException(
-            s"task-file publish failed: $staged -> $fin under $root")
-        (fin, rows, stats)
-    }
     val now = System.currentTimeMillis()
     DirSink.withZoneLock(path) {
+      val committed = messages.toSeq.map {
+        case DirSinkCommitMessage(staged, rows, stats) =>
+          // final name embeds the per-write queryId UUID: task ids restart
+          // per application, so a bare p<part>-t<task> could collide with
+          // (and silently clobber) a PREVIOUS application's committed file
+          val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
+          if (!f.rename(new Path(root, staged), new Path(root, fin)))
+            throw new java.io.IOException(
+              s"task-file publish failed: $staged -> $fin under $root")
+          (fin, rows, stats)
+      }
       // raw prior lines, preserved verbatim — a batch append after
       // streaming commits must not strip their epoch fields; the header
       // (generation counter, epoch high-water mark) carries forward even
@@ -967,33 +1019,40 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
       }
       val previous: Seq[String] =
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
+      // a COMPACTION's overwrite records its offset remap (`old:new`,
+      // appended to the surviving chain) in the SAME atomic publish as
+      // the rewritten file list: the new side is THIS commit's own
+      // output file count, never a post-hoc manifest line count a
+      // concurrent append could inflate (which would migrate a boundary
+      // checkpoint past the appended files — an exactly-once violation)
+      val header = DirSink.nextHeader(parent, truncate = truncate) ++
+        remapFrom.map { from =>
+          val pair = s"$from:${committed.size}"
+          "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
+        }
       DirSink.writeAndPublish(path, queryId,
-        DirSink.renderManifest(DirSink.asNullable(schema),
-          DirSink.nextHeader(parent, truncate = truncate),
+        DirSink.renderManifest(DirSink.asNullable(schema), header,
           previous ++ committed.map { case (n, c, st) =>
             s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") }))
-    }
-    // best-effort sweep: staging leftovers of THIS query (loser
-    // speculative attempts) and, on truncate, the superseded generation
-    f.delete(new Path(root, s"_staging/$queryId"), true)
-    dropStagingRootIfEmpty(f, root)
-    if (truncate) {
-      // sweep the superseded generation — against the manifest AS OF
-      // NOW, not just this commit's own files: a concurrent appender
-      // may have published between our publish and this sweep, and its
-      // files must survive. (TRUNCATE racing an append is semantically
-      // conflicting either way — one of them loses rows by definition —
-      // but the loser must lose CLEANLY, never a manifest line whose
-      // backing file was swept.)
-      val liveSet = committed.map(_._1).toSet ++
-        DirSink.readManifest(path).map(_._2.map(_._1).toSet)
-          .getOrElse(Set.empty)
-      f.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        // dot-files are fs-internal (checksum siblings etc) — leave them
-        if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-          !n.startsWith(DirSink.ManifestName) &&
-          n != DirSink.LockName) f.delete(st.getPath, false)
+      // staging leftovers of THIS query (loser speculative attempts)
+      f.delete(new Path(root, s"_staging/$queryId"), true)
+      dropStagingRootIfEmpty(f, root)
+      if (truncate) {
+        // sweep the superseded generation. Still inside the lock: no
+        // concurrent committer can be mid-rename here, so everything
+        // unreferenced is provably garbage (a published competitor's
+        // files are in the manifest just read; an unpublished one's are
+        // still in _staging, which the sweep never enters).
+        val liveSet = committed.map(_._1).toSet ++
+          DirSink.readManifest(path).map(_._2.map(_._1).toSet)
+            .getOrElse(Set.empty)
+        f.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          // dot-files are fs-internal (checksum siblings etc) — leave them
+          if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
+            !n.startsWith(DirSink.ManifestName) &&
+            n != DirSink.LockName) f.delete(st.getPath, false)
+        }
       }
     }
   }
@@ -1066,15 +1125,17 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
       staged.foreach { case (s, _, _) => f.delete(new Path(root, s), false) }
       return
     }
-    val committed = staged.map { case (sName, rows, stats) =>
-      val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
-      if (!f.rename(new Path(root, sName), new Path(root, fin)))
-        throw new java.io.IOException(
-          s"task-file publish failed: $sName -> $fin under $root")
-      (fin, rows, stats)
-    }
     val now = System.currentTimeMillis()
+    // renames, publish, and (complete-mode) sweep all inside the zone
+    // lock — the same sweep-vs-rename serialization as the batch commit
     DirSink.withZoneLock(path) {
+      val committed = staged.map { case (sName, rows, stats) =>
+        val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
+        if (!f.rename(new Path(root, sName), new Path(root, fin)))
+          throw new java.io.IOException(
+            s"task-file publish failed: $sName -> $fin under $root")
+        (fin, rows, stats)
+      }
       val parent = DirSink.readManifestRaw(path)
       if (!truncate) parent.foreach { m =>
         if (m.schema.toDDL != DirSink.asNullable(schema).toDDL)
@@ -1089,24 +1150,24 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           previous ++ committed.map { case (n, c, st) =>
             s"$n\t$c\t$epochId\tt=$now" +
               (if (st.nonEmpty) s"\t$st" else "") }))
-    }
-    // sweep THIS epoch's staging leftovers only (loser attempts);
-    // never the whole staging dir — a restart's new queryId owns its own
-    val stagingDir = new Path(root, s"_staging/$queryId")
-    if (f.exists(stagingDir))
-      f.listStatus(stagingDir).foreach { st =>
-        if (st.getPath.getName.startsWith(s"e$epochId-"))
-          f.delete(st.getPath, false)
-      }
-    if (truncate) {
-      val liveSet = committed.map(_._1).toSet ++
-        DirSink.readManifest(path).map(_._2.map(_._1).toSet)
-          .getOrElse(Set.empty)
-      f.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-          !n.startsWith(DirSink.ManifestName) &&
-          n != DirSink.LockName) f.delete(st.getPath, false)
+      // sweep THIS epoch's staging leftovers only (loser attempts);
+      // never the whole staging dir — a restart's new queryId owns its own
+      val stagingDir = new Path(root, s"_staging/$queryId")
+      if (f.exists(stagingDir))
+        f.listStatus(stagingDir).foreach { st =>
+          if (st.getPath.getName.startsWith(s"e$epochId-"))
+            f.delete(st.getPath, false)
+        }
+      if (truncate) {
+        val liveSet = committed.map(_._1).toSet ++
+          DirSink.readManifest(path).map(_._2.map(_._1).toSet)
+            .getOrElse(Set.empty)
+        f.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
+            !n.startsWith(DirSink.ManifestName) &&
+            n != DirSink.LockName) f.delete(st.getPath, false)
+        }
       }
     }
   }
@@ -1502,7 +1563,19 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
   private def migrated(o: DirSinkOffset,
                        remaps: Seq[(Int, Int)]): DirSinkOffset = {
     var files = o.files
-    var cc = math.min(o.compactions, remaps.size)
+    // an offset AHEAD of the zone's remap chain proves the chain was
+    // dropped out from under the checkpoint (a user overwrite rewrote
+    // history — truncate drops the remap header). Clamping it down
+    // would silently resume by count inside the rewritten history and
+    // emit unrelated rows; fail fast instead.
+    if (o.compactions > remaps.size)
+      throw new IllegalStateException(
+        s"checkpoint offset ${o.json()} is at coordinate epoch " +
+          s"${o.compactions} but zone $path records only ${remaps.size} " +
+          "compaction remaps — the zone's history was rewritten (an " +
+          "overwrite dropped the remap chain) under this checkpoint; " +
+          "restart from a fresh checkpoint (accepting a re-read)")
+    var cc = o.compactions
     while (cc < remaps.size) {
       val (old, nw) = remaps(cc)
       if (files != old)

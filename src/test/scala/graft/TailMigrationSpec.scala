@@ -122,4 +122,47 @@ class TailMigrationSpec extends AnyFunSuite {
     // ...while compaction's own internal overwrite preserves the chain
     // across repeated compactions (pinned by the chained test above)
   }
+
+  test("an offset AHEAD of the remap chain fails fast (history was rewritten)") {
+    import spark.implicits._
+    val in = tmpDir()
+    (1 to 2).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format(fmt).option("path", in).mode(SaveMode.Append).save()
+    }
+    // a checkpoint that had migrated through a compaction (epoch 1)
+    // whose remap a user OVERWRITE then dropped: the zone now records
+    // ZERO remaps, so coordinate epoch 1 proves rewritten history —
+    // clamping it down would resume by count inside unrelated files
+    val stream = new graft.sources.v2.DirSinkMicroBatchStream(
+      in, org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v STRING"),
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+    val stale = DirSinkOffset(1, 1)
+    val e = intercept[IllegalStateException] {
+      stream.latestOffset(stale,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("coordinate epoch"),
+      s"must name the rewritten-history cause, got: ${e.getMessage}")
+  }
+
+  test("compaction publishes its remap ATOMICALLY with the overwrite (one generation)") {
+    import spark.implicits._
+    val in = tmpDir()
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format(fmt).option("path", in).mode(SaveMode.Append).save()
+    }
+    val genBefore = DirSink.currentGen(in).get
+    DirSink.compact(spark, in, targetFiles = 2)
+    val genAfter = DirSink.currentGen(in).get
+    // ONE publish carries both the rewritten file list and the remap —
+    // there is no post-overwrite window in which a concurrent append
+    // could inflate the remap's new side (the exactly-once hazard)
+    assert(genAfter == genBefore + 1,
+      s"compact must publish exactly once, gen $genBefore -> $genAfter")
+    assert(DirSink.offsetRemaps(in) == Seq((4, 2)))
+    assert(spark.read.format(fmt).option("path", in).load().count() == 4)
+  }
 }

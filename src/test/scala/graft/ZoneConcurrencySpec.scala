@@ -189,4 +189,43 @@ class ZoneConcurrencySpec extends AnyFunSuite {
       "the live manifest itself is exempt")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
   }
+
+  test("a stale lock breaks atomically (rename-to-tombstone) and the commit proceeds") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    // a crashed committer's lock, older than the stale threshold
+    val lock = java.nio.file.Paths.get(dir, DirSink.LockName)
+    java.nio.file.Files.write(lock, "pid=dead".getBytes("UTF-8"))
+    val old = System.currentTimeMillis() - 11L * 60 * 1000
+    lock.toFile.setLastModified(old)
+    // the next committer must break it (never block to timeout) …
+    Seq((2L, "b")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 2)
+    // … and leave neither the stale lock nor tombstone debris behind
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(DirSink.LockName))
+    assert(left.isEmpty, s"lock/tombstone debris left behind: ${left.toSeq}")
+  }
+
+  test("vacuum never sweeps a LIVE lock; an abandoned one goes") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "v").write.format(fmt)
+      .option("path", dir).mode(SaveMode.Append).save()
+    val lock = java.nio.file.Paths.get(dir, DirSink.LockName)
+    java.nio.file.Files.write(lock, "pid=live".getBytes("UTF-8"))
+    // an aggressive retention sweep must not void mutual exclusion: the
+    // lock is fresh — its holder is (or may be) mid-commit
+    val swept = DirSink.vacuum(dir, olderThanMs = 0L)
+    assert(!swept.contains(DirSink.LockName) && lock.toFile.exists(),
+      s"vacuum(0) must exempt a live lock, swept $swept")
+    // …but an abandoned lock (past the stale threshold) is debris
+    lock.toFile.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000)
+    val swept2 = DirSink.vacuum(dir, olderThanMs = 0L)
+    assert(swept2.contains(DirSink.LockName) && !lock.toFile.exists(),
+      s"vacuum must sweep an abandoned lock, swept $swept2")
+  }
 }
