@@ -330,7 +330,10 @@ object Layouts extends QueryModule {
   private def qDsv2SinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/docs_dirsink"
-    if (graft.sources.v2.DirSink.readManifest(path).isEmpty) {
+    if (!graft.sources.v2.DirSink.zoneFormat(path)
+        .contains(graft.sources.v2.DirSink.FormatParquet)) {
+      // (re)build: missing, or committed before the parquet data
+      // plane landed — the overwrite upgrades the zone in place
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .write.format("graft.sources.v2.DirSinkSource")
@@ -364,7 +367,10 @@ object Layouts extends QueryModule {
   private def qDsv2Skipping(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/docs_dirsink_rng"
-    if (graft.sources.v2.DirSink.readManifest(path).isEmpty) {
+    if (!graft.sources.v2.DirSink.zoneFormat(path)
+        .contains(graft.sources.v2.DirSink.FormatParquet)) {
+      // (re)build: missing, or committed before the parquet data
+      // plane landed — the overwrite upgrades the zone in place
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .repartitionByRange(8, $"doc_id")
@@ -406,8 +412,12 @@ object Layouts extends QueryModule {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/dml_wh")
     }
     val tbl = s"$cat.corpus.docs"
-    if (graft.sources.v2.DirSink
-        .readManifest(s"$root/dml_wh/corpus/docs").isEmpty) {
+    val zonePath = s"$root/dml_wh/corpus/docs"
+    val zoneFmt = graft.sources.v2.DirSink.zoneFormat(zonePath)
+    if (!zoneFmt.contains(graft.sources.v2.DirSink.FormatParquet)) {
+      // (re)create: missing, or a pre-parquet-plane zone — DML must
+      // exercise the current default data plane
+      if (zoneFmt.isDefined) s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang", $"n_chars", lit("raw").as("tier"))
@@ -453,7 +463,10 @@ object Layouts extends QueryModule {
   private def qDsv2TimeSlice(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/events_dirsink_time"
-    if (graft.sources.v2.DirSink.readManifest(path).isEmpty) {
+    if (!graft.sources.v2.DirSink.zoneFormat(path)
+        .contains(graft.sources.v2.DirSink.FormatParquet)) {
+      // (re)build: missing, or committed before the parquet data
+      // plane landed — the overwrite upgrades the zone in place
       Tables.load(s, dir, "events")
         .select($"event_id", $"ts", $"event_type", $"value")
         .repartitionByRange(8, $"ts")
@@ -470,6 +483,55 @@ object Layouts extends QueryModule {
         sum(floor($"value" * 10000.0 + 0.5).cast("long")).as("value_q"),
         min($"event_id").as("min_id"), max($"event_id").as("max_id"))
       .orderBy($"event_type")
+  }
+
+  /** q_dsv2_embed_store — EMBEDDINGS LIVING IN THE ENGINE'S OWN TABLE
+    * FORMAT (round 13, the parquet data plane's type-surface proof):
+    * the embeddings corpus — `vec_id BIGINT, embedding ARRAY<FLOAT>,
+    * label INT` — is CTAS'd into a DirSink zone (the scalar-only text
+    * codec could never hold it; the parquet plane stores the array
+    * column natively under the same manifest/commit/stats machinery),
+    * and the brute-force cosine top-3 search then runs OVER THE ZONE
+    * READ-BACK: every float of every vector must survive the round
+    * trip bit-exactly or the similarity ranking diverges from the
+    * oracle, which computes the identical search over the ORIGINAL
+    * parquet. This is the north-star storage story closed: a training
+    * pipeline can keep its vector store in the governed, time-traveled,
+    * DML-capable zone format instead of loose parquet beside it.
+    *
+    * Scale: query set broadcasts (1/50 sample), candidates stream from
+    * the zone's splittable parquet scan; stats collection opts out of
+    * the unordered array column ([[graft.sources.v2.DirSinkStats]]'s
+    * type gate) while vec_id/label still skip. */
+  private def qDsv2EmbedStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val path = s"${layoutRoot(dir)}/embed_dirsink"
+    if (!graft.sources.v2.DirSink.zoneFormat(path)
+        .contains(graft.sources.v2.DirSink.FormatParquet)) {
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+        .write.format("graft.sources.v2.DirSinkSource")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    val zone = s.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", path).load()
+    val cand = zone.select($"vec_id".as("cid"), $"embedding".as("ce"),
+      $"label".as("clabel"))
+    val qs = zone.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val pairs = cand.join(broadcast(qs), $"cid" =!= $"qid")
+      .withColumn("sim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"qid", $"rn", $"cid", $"clabel".cast("long").as("clabel"),
+        $"sim")
+      .orderBy($"qid", $"rn")
   }
 
   /** On-disk locations of the fragmented / compacted lineitem layouts
@@ -638,7 +700,8 @@ object Layouts extends QueryModule {
     "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _),
     "q_dsv2_skipping" -> (qDsv2Skipping _),
     "q_dsv2_dml" -> (qDsv2Dml _),
-    "q_dsv2_time_slice" -> (qDsv2TimeSlice _))
+    "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
+    "q_dsv2_embed_store" -> (qDsv2EmbedStore _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -760,5 +823,25 @@ object Layouts extends QueryModule {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts <  TIMESTAMP '2024-01-20 00:00:00'
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+    // the oracle searches the ORIGINAL embeddings parquet; the declared
+    // query searches the DirSink-zone copy — any float the zone round
+    // trip disturbs diverges the ranking and fails the hash gate
+    "q_dsv2_embed_store" ->
+      """WITH n AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) nrm
+           FROM embeddings),
+         q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         pairs AS (
+           SELECT q.vec_id qid, c.vec_id cid, c.label clabel,
+                  floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                        * 1000000.0 + 0.5) / 1000000.0 sim
+           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY qid ORDER BY sim DESC, cid) rn
+               FROM pairs)
+         SELECT qid, rn, cid, CAST(clabel AS BIGINT) AS clabel, sim
+         FROM r WHERE rn <= 3 ORDER BY qid, rn""")
 }

@@ -86,9 +86,12 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
                               op: DirSinkRowLevelOperation)
     extends BatchWrite {
 
+  /** The rewrite inherits the ZONE's committed data-plane format — a
+    * row-level DML must never mix planes under one manifest. */
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new DirSinkWriterFactory(path, schema, queryId)
+    DirSinkWriterFactory(path, schema, queryId,
+      DirSink.zoneFormat(path).getOrElse(DirSink.FormatText))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
@@ -110,13 +113,13 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
       // empty partition) contribute no file — publishing them would
       // accrete empty manifest lines on every no-op DML
       val committed = messages.toSeq.collect {
-        case DirSinkCommitMessage(staged, rows, stats) if rows > 0 =>
+        case DirSinkCommitMessage(staged, rows, stats, bytes) if rows > 0 =>
           val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
           if (!f.rename(new Path(root, staged), new Path(root, fin)))
             throw new java.io.IOException(
               s"task-file publish failed: $staged -> $fin under $root")
-          (fin, rows, stats)
-        case DirSinkCommitMessage(staged, 0L, _) =>
+          (fin, rows, stats, bytes)
+        case DirSinkCommitMessage(staged, 0L, _, _) =>
           f.delete(new Path(root, staged), false)
           null
       }.filter(_ != null)
@@ -124,8 +127,9 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
         scannedSet(DirSink.parseEntry(l).name))
       DirSink.renderManifest(parent.schema,
         DirSink.nextHeader(Some(parent)),
-        kept ++ committed.map { case (n, c, st) =>
-          s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") })
+        kept ++ committed.map { case (n, c, st, b) =>
+          s"$n\t$c\tt=$now\tb=$b" +
+            (if (st.nonEmpty) s"\t$st" else "") })
     }
     // sweep replaced groups and staging AFTER the generation is live
     scanned.foreach(n => f.delete(new Path(root, n), false))
@@ -135,7 +139,7 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     messages.foreach {
-      case DirSinkCommitMessage(staged, _, _) =>
+      case DirSinkCommitMessage(staged, _, _, _) =>
         f.delete(new Path(path, staged), false)
       case null => ()
     }

@@ -103,6 +103,48 @@ object DirSink {
   val ManifestName = "_GRAFT_COMMIT"
   val LockName = "_GRAFT_LOCK"
 
+  /** Zone data-plane formats (`#format=` manifest header). PARQUET is
+    * the default for new zones — columnar, compressed, splittable
+    * ([[DirSinkParquet]]); TEXT is the original line codec, kept for
+    * zones that predate the parquet plane (a manifest with no `#format`
+    * header reads as text — full backward compatibility) and for specs
+    * that pin the codec itself. The format is a ZONE property: every
+    * file under one manifest shares it, so maintenance rewrites
+    * (compact, DELETE, row-level DML) inherit it and never mix planes
+    * within a zone. */
+  val FormatKey = "format"
+  val FormatParquet = "parquet"
+  val FormatText = "text"
+
+  /** The zone's committed data-plane format; None = no zone yet. */
+  def zoneFormat(path: String): Option[String] =
+    readManifestRaw(path).map(_.header.getOrElse(FormatKey, FormatText))
+
+  /** Format for a write: an existing zone's format is LAW for appends
+    * (a mismatched option is an error, not a silent mixed zone);
+    * TRUNCATE may re-format (it replaces every file anyway); a fresh
+    * zone takes the option, defaulting to parquet. */
+  private[v2] def resolveWriteFormat(path: String, option: Option[String],
+                                     truncate: Boolean): String = {
+    option.foreach { o =>
+      if (o != FormatParquet && o != FormatText)
+        throw new IllegalArgumentException(
+          s"unknown DirSink format '$o' — supported: " +
+            s"$FormatParquet (default), $FormatText")
+    }
+    zoneFormat(path) match {
+      case Some(existing) if !truncate =>
+        option.filter(_ != existing).foreach { o =>
+          throw new IllegalArgumentException(
+            s"zone $path is committed as format=$existing; appending " +
+              s"format=$o would mix data planes under one manifest — " +
+              "overwrite the zone to re-format it")
+        }
+        existing
+      case existing => option.orElse(existing).getOrElse(FormatParquet)
+    }
+  }
+
   /** The `_file` METADATA COLUMN (SupportsMetadataColumns): the
     * committed file a row came from. Row-level operations require it —
     * it is the GROUP IDENTITY their rewrite replaces, Spark's
@@ -400,26 +442,33 @@ object DirSink {
 
   /** One committed file's manifest entry, fully parsed. `ts` is the
     * commit's wall-clock timestamp (millis), present on lines written
-    * since timestamp time travel landed — `asOfTimestamp` resolution. */
+    * since timestamp time travel landed — `asOfTimestamp` resolution.
+    * `bytes` is the committed file's size, present since the parquet
+    * data plane landed — byte-range split planning without a
+    * per-file stat call. */
   case class FileEntry(name: String, rows: Long, epoch: Option[Long],
-                       stats: Option[String], ts: Option[Long] = None)
+                       stats: Option[String], ts: Option[Long] = None,
+                       bytes: Option[Long] = None)
 
   /** Tag-based field parse of one file line: index 0 = name, 1 = row
     * count; anything after is an epoch if it parses as a bare long,
-    * stats if `s=`-prefixed, a commit timestamp if `t=`-prefixed —
-    * old and new lines co-parse. */
+    * stats if `s=`-prefixed, a commit timestamp if `t=`-prefixed, a
+    * file byte size if `b=`-prefixed — old and new lines co-parse. */
   private[v2] def parseEntry(line: String): FileEntry = {
     val p = line.split("\t")
     var epoch: Option[Long] = None
     var stats: Option[String] = None
     var ts: Option[Long] = None
+    var bytes: Option[Long] = None
     p.drop(2).foreach { f =>
       if (f.startsWith("s=")) stats = Some(f.drop(2))
       else if (f.startsWith("t="))
         ts = scala.util.Try(f.drop(2).toLong).toOption
+      else if (f.startsWith("b="))
+        bytes = scala.util.Try(f.drop(2).toLong).toOption
       else epoch = scala.util.Try(f.toLong).toOption.orElse(epoch)
     }
-    FileEntry(p(0), p(1).toLong, epoch, stats, ts)
+    FileEntry(p(0), p(1).toLong, epoch, stats, ts, bytes)
   }
 
   def readManifestEntries(path: String): Option[(StructType, Seq[FileEntry])] =
@@ -455,7 +504,23 @@ object DirSink {
     * manifest columns to NOT NULL, and a post-evolution read of an old
     * row's null tail surfaced as 0 through the non-nullable schema.) */
   private[v2] def asNullable(schema: StructType): StructType =
-    StructType(schema.fields.map(_.copy(nullable = true)))
+    StructType(schema.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+
+  /** Nullable-normalize NESTED types too: DDL round-trips lose
+    * `containsNull=false` / `valueContainsNull=false` (the manifest
+    * schema line parses back all-nullable), so a writer whose array
+    * column carries non-null elements must not fail the equal-schema
+    * check — or the evolution guard — against its own zone's manifest. */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case a: ArrayType => a.copy(elementType = deepNullable(a.elementType),
+      containsNull = true)
+    case m: MapType => m.copy(keyType = deepNullable(m.keyType),
+      valueType = deepNullable(m.valueType), valueContainsNull = true)
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case o => o
+  }
 
   /** SCHEMA EVOLUTION guard for appends: the only supported evolution
     * is APPENDING NULLABLE COLUMNS — the previous schema must be a
@@ -572,10 +637,11 @@ object DirSink {
       val m = readManifestRaw(path).getOrElse(
         throw new IllegalArgumentException(
           s"no ${ManifestName} manifest under $path — nothing was committed"))
-      if (m.schema.toDDL == next.toDDL) return
-      checkEvolution(m.schema, next)
+      val nx = asNullable(next)
+      if (m.schema.toDDL == nx.toDDL) return
+      checkEvolution(m.schema, nx)
       writeAndPublish(path, "evolve",
-        renderManifest(next, nextHeader(Some(m)), m.lines))
+        renderManifest(nx, nextHeader(Some(m)), m.lines))
     }
 
   /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
@@ -758,7 +824,8 @@ class DirSinkTable(path: String, schema0: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(path, info.schema(), info.queryId(),
       Option(info.options.get("compactRemapFrom")).map(_.toInt),
-      Option(info.options.get("compactRemapChain")).filter(_.nonEmpty))
+      Option(info.options.get("compactRemapChain")).filter(_.nonEmpty),
+      Option(info.options.get(DirSink.FormatKey)))
 
   /** HYBRID DELETE (`DELETE FROM … WHERE …`): the metadata fast path
     * first — per-file stats PROVE a file all-match
@@ -850,6 +917,10 @@ class DirSinkTable(path: String, schema0: StructType,
             org.apache.spark.sql.functions.lit(false))))
         .write.format(classOf[DirSinkSource].getName)
         .option("path", scratch.toString)
+        // the rewrite inherits the parent zone's data plane: its files
+        // MOVE into the parent manifest, which must stay single-format
+        .option(DirSink.FormatKey, parent.header.getOrElse(
+          DirSink.FormatKey, DirSink.FormatText))
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
       scratchDir = Some(scratch)
       DirSink.readManifestLines(scratch.toString)
@@ -950,33 +1021,41 @@ class DirSinkScanBuilder(path: String, schema: StructType,
   * truncate path of [[DirSinkBatchWrite.commit]]). */
 class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String,
                           remapFrom: Option[Int] = None,
-                          remapChain: Option[String] = None)
+                          remapChain: Option[String] = None,
+                          formatOption: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
+    // the data-plane format is resolved ONCE, on the driver, before any
+    // task runs: appends inherit the zone's committed format, truncate
+    // may re-format, fresh zones default to parquet
+    private val fmt = DirSink.resolveWriteFormat(path, formatOption, doTruncate)
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(path, schema, queryId, doTruncate,
-        remapFrom, remapChain)
+        remapFrom, remapChain, fmt)
     override def toStreaming: StreamingWrite =
-      new DirSinkStreamingWrite(path, schema, queryId, doTruncate)
+      new DirSinkStreamingWrite(path, schema, queryId, doTruncate, fmt)
   }
 }
 
 /** `stats` is the encoded [[DirSinkStats]] manifest field (with its
-  * `s=` prefix), or empty when the writer collected none. */
+  * `s=` prefix), or empty when the writer collected none. `bytes` is
+  * the staged file's size — published as the manifest line's `b=`
+  * field so split planning never stats files. */
 case class DirSinkCommitMessage(stagedName: String, rows: Long,
-                                stats: String = "")
+                                stats: String = "", bytes: Long = 0L)
     extends WriterCommitMessage
 
 class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
                         truncate: Boolean,
                         remapFrom: Option[Int] = None,
-                        remapChain: Option[String] = None) extends BatchWrite {
+                        remapChain: Option[String] = None,
+                        format: String = DirSink.FormatText) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new DirSinkWriterFactory(path, schema, queryId)
+    DirSinkWriterFactory(path, schema, queryId, format)
 
   /** Publish: rename exactly the committed staging files into place,
     * swap the manifest in atomically, and (on truncate) sweep the
@@ -997,7 +1076,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val now = System.currentTimeMillis()
     DirSink.withZoneLock(path) {
       val committed = messages.toSeq.map {
-        case DirSinkCommitMessage(staged, rows, stats) =>
+        case DirSinkCommitMessage(staged, rows, stats, bytes) =>
           // final name embeds the per-write queryId UUID: task ids restart
           // per application, so a bare p<part>-t<task> could collide with
           // (and silently clobber) a PREVIOUS application's committed file
@@ -1005,7 +1084,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
           if (!f.rename(new Path(root, staged), new Path(root, fin)))
             throw new java.io.IOException(
               s"task-file publish failed: $staged -> $fin under $root")
-          (fin, rows, stats)
+          (fin, rows, stats, bytes)
       }
       // raw prior lines, preserved verbatim — a batch append after
       // streaming commits must not strip their epoch fields; the header
@@ -1029,11 +1108,12 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
         remapFrom.map { from =>
           val pair = s"$from:${committed.size}"
           "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
-        }
+        } + (DirSink.FormatKey -> format)
       DirSink.writeAndPublish(path, queryId,
         DirSink.renderManifest(DirSink.asNullable(schema), header,
-          previous ++ committed.map { case (n, c, st) =>
-            s"$n\t$c\tt=$now" + (if (st.nonEmpty) s"\t$st" else "") }))
+          previous ++ committed.map { case (n, c, st, b) =>
+            s"$n\t$c\tt=$now\tb=$b" +
+              (if (st.nonEmpty) s"\t$st" else "") }))
       // staging leftovers of THIS query (loser speculative attempts)
       f.delete(new Path(root, s"_staging/$queryId"), true)
       dropStagingRootIfEmpty(f, root)
@@ -1070,7 +1150,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     messages.foreach {
-      case DirSinkCommitMessage(staged, _, _) =>
+      case DirSinkCommitMessage(staged, _, _, _) =>
         f.delete(new Path(path, staged), false)
       case null => () // task that never reached commit
     }
@@ -1079,11 +1159,35 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
   }
 }
 
-class DirSinkWriterFactory(path: String, schema: StructType, queryId: String)
+/** Ships to executors; `parquet` carries the driver-prepared Parquet
+  * writer factory + configuration when the zone's data plane is
+  * parquet (None = the text line codec). Built via the companion so
+  * every batch/row-level write path resolves the plane identically. */
+case class DirSinkWriterFactory(
+    path: String, schema: StructType, queryId: String,
+    format: String,
+    parquet: Option[(org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      DirSinkParquet.SerializableConf)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new DirSinkWriter(path, schema, queryId, s"p$partitionId-t$taskId")
+    parquet match {
+      case Some((owf, conf)) =>
+        new DirSinkParquetWriter(path, schema, queryId,
+          s"p$partitionId-t$taskId", owf, conf, partitionId, taskId)
+      case None =>
+        new DirSinkWriter(path, schema, queryId, s"p$partitionId-t$taskId")
+    }
+}
+
+object DirSinkWriterFactory {
+  /** Driver side: prepare the Parquet machinery once per write job. */
+  def apply(path: String, schema: StructType, queryId: String,
+            format: String): DirSinkWriterFactory =
+    DirSinkWriterFactory(path, schema, queryId, format,
+      if (format == DirSink.FormatParquet)
+        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema)))
+      else None)
 }
 
 /** STREAMING write (micro-batch): the same staging/manifest protocol,
@@ -1102,12 +1206,16 @@ class DirSinkWriterFactory(path: String, schema: StructType, queryId: String)
   * too). `outputMode(complete)` routes through `truncate`, making each
   * epoch a whole-table manifest swap. */
 class DirSinkStreamingWrite(path: String, schema: StructType,
-                            queryId: String, truncate: Boolean)
+                            queryId: String, truncate: Boolean,
+                            format: String = DirSink.FormatText)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    DirSinkStreamingWriterFactory(path, schema, queryId)
+    DirSinkStreamingWriterFactory(path, schema, queryId, format,
+      if (format == DirSink.FormatParquet)
+        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema)))
+      else None)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -1115,26 +1223,26 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     val root = new Path(path)
     f.mkdirs(root)
     val staged = messages.collect {
-      case DirSinkCommitMessage(s, r, st) => (s, r, st)
+      case DirSinkCommitMessage(s, r, st, b) => (s, r, st, b)
     }.toSeq
     if (DirSink.committedEpochMax(path).exists(epochId <= _)) {
       // epoch replay after crash recovery: the generation is already
       // durable (the high-water mark survives even if maintenance
       // rewrote the epoch's lines away) — make the retry a no-op and
       // drop the replayed files
-      staged.foreach { case (s, _, _) => f.delete(new Path(root, s), false) }
+      staged.foreach { case (s, _, _, _) => f.delete(new Path(root, s), false) }
       return
     }
     val now = System.currentTimeMillis()
     // renames, publish, and (complete-mode) sweep all inside the zone
     // lock — the same sweep-vs-rename serialization as the batch commit
     DirSink.withZoneLock(path) {
-      val committed = staged.map { case (sName, rows, stats) =>
+      val committed = staged.map { case (sName, rows, stats, bytes) =>
         val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
         if (!f.rename(new Path(root, sName), new Path(root, fin)))
           throw new java.io.IOException(
             s"task-file publish failed: $sName -> $fin under $root")
-        (fin, rows, stats)
+        (fin, rows, stats, bytes)
       }
       val parent = DirSink.readManifestRaw(path)
       if (!truncate) parent.foreach { m =>
@@ -1146,9 +1254,9 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
       DirSink.writeAndPublish(path, s"$queryId-e$epochId",
         DirSink.renderManifest(DirSink.asNullable(schema),
           DirSink.nextHeader(parent, newEpoch = Some(epochId),
-            truncate = truncate),
-          previous ++ committed.map { case (n, c, st) =>
-            s"$n\t$c\t$epochId\tt=$now" +
+            truncate = truncate) + (DirSink.FormatKey -> format),
+          previous ++ committed.map { case (n, c, st, b) =>
+            s"$n\t$c\t$epochId\tt=$now\tb=$b" +
               (if (st.nonEmpty) s"\t$st" else "") }))
       // sweep THIS epoch's staging leftovers only (loser attempts);
       // never the whole staging dir — a restart's new queryId owns its own
@@ -1176,7 +1284,7 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
                      messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     messages.foreach {
-      case DirSinkCommitMessage(s, _, _) => f.delete(new Path(path, s), false)
+      case DirSinkCommitMessage(s, _, _, _) => f.delete(new Path(path, s), false)
       case null => ()
     }
   }
@@ -1186,12 +1294,24 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
   * (an anonymous factory would drag the non-serializable
   * [[DirSinkStreamingWrite]] along as its outer reference). */
 case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
-                                         queryId: String)
+                                         queryId: String,
+                                         format: String = DirSink.FormatText,
+                                         parquet: Option[(
+                                           org.apache.spark.sql.execution
+                                             .datasources.OutputWriterFactory,
+                                           DirSinkParquet.SerializableConf)] =
+                                           None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new DirSinkWriter(path, schema, queryId,
-      s"e$epochId-p$partitionId-t$taskId")
+    parquet match {
+      case Some((owf, conf)) =>
+        new DirSinkParquetWriter(path, schema, queryId,
+          s"e$epochId-p$partitionId-t$taskId", owf, conf, partitionId, taskId)
+      case None =>
+        new DirSinkWriter(path, schema, queryId,
+          s"e$epochId-p$partitionId-t$taskId")
+    }
 }
 
 /** One task attempt's writer: a private staging file named by the
@@ -1217,7 +1337,8 @@ class DirSinkWriter(path: String, schema: StructType, queryId: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    DirSinkCommitMessage(stagedName, rows, stats.encode())
+    val len = f.getFileStatus(new Path(path, stagedName)).getLen
+    DirSinkCommitMessage(stagedName, rows, stats.encode(), len)
   }
 
   override def abort(): Unit = {
@@ -1228,12 +1349,62 @@ class DirSinkWriter(path: String, schema: StructType, queryId: String,
   override def close(): Unit = ()
 }
 
+/** One task attempt's PARQUET writer — the same private-staging /
+  * commit-message protocol as [[DirSinkWriter]], with the payload
+  * written by Spark's own Parquet [[org.apache.spark.sql.execution
+  * .datasources.OutputWriter]] (driver-prepared factory, executor-side
+  * instantiation — see [[DirSinkParquet]]). Stats are collected from
+  * the SAME row stream the file is written from, so manifest stats and
+  * footer stats can never disagree; unordered types (arrays, binary,
+  * maps) opt out per [[DirSinkStats.Collector]]'s type gate, exactly
+  * like NaN does for doubles. */
+class DirSinkParquetWriter(path: String, schema: StructType, queryId: String,
+                           attempt: String,
+                           owf: org.apache.spark.sql.execution.datasources
+                             .OutputWriterFactory,
+                           conf: DirSinkParquet.SerializableConf,
+                           partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val stagedName = s"_staging/$queryId/$attempt"
+  private val f = DirSink.execFs(path)
+  private val writer = DirSinkParquet.openWriter(owf, conf,
+    DirSink.asNullable(schema), new Path(path, stagedName).toString,
+    partitionId, taskId)
+  private var rows = 0L
+  private val stats = new DirSinkStats.Collector(schema)
+
+  override def write(record: InternalRow): Unit = {
+    writer.write(record)
+    stats.observe(record)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val len = f.getFileStatus(new Path(path, stagedName)).getLen
+    DirSinkCommitMessage(stagedName, rows, stats.encode(), len)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    f.delete(new Path(path, stagedName), false)
+  }
+
+  override def close(): Unit = ()
+}
+
 // ------------------------------------------------------- read-back scan
 
 /** `ddl` is the FULL zone schema (field positions in the line codec);
-  * `requiredIdx` the projected positions the reader materializes. */
+  * `requiredIdx` the projected positions the reader materializes.
+  * `start`/`length` are the byte-range SLICE of the file this partition
+  * covers (parquet zones split large files so scan parallelism tracks
+  * data volume, not file count; text zones always read whole files —
+  * start 0, length = fileLen); `fileLen` is the full committed size. */
 case class DirSinkFilePartition(path: String, file: String, ddl: String,
-                                requiredIdx: Array[Int])
+                                requiredIdx: Array[Int],
+                                start: Long = 0L, length: Long = Long.MaxValue,
+                                fileLen: Long = -1L)
     extends InputPartition
 
 /** Executor-side file reader shared by the batch scan and the
@@ -1363,16 +1534,19 @@ class DirSinkScan(path: String, schema: StructType,
 
   /** The manifest's asOf-sliced entry list (one read per scan), plus the
     * GENERATION it was read at — the optimistic-concurrency token a
-    * row-level operation's commit verifies before swapping groups. */
-  private lazy val manifestParsed: (Long, Seq[DirSink.FileEntry]) = {
+    * row-level operation's commit verifies before swapping groups —
+    * and the zone's data-plane FORMAT. */
+  private lazy val manifestParsed: (Long, Seq[DirSink.FileEntry], String) = {
     val raw = DirSink.readManifestRaw(path).getOrElse(
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
           "nothing was committed"))
-    (raw.gen, raw.lines.map(DirSink.parseEntry))
+    (raw.gen, raw.lines.map(DirSink.parseEntry),
+      raw.header.getOrElse(DirSink.FormatKey, DirSink.FormatText))
   }
 
   private[graft] def manifestGen: Long = manifestParsed._1
+  private def zoneFmt: String = manifestParsed._3
 
   private lazy val manifestEntries: Seq[DirSink.FileEntry] = {
     val all = manifestParsed._2
@@ -1459,18 +1633,101 @@ class DirSinkScan(path: String, schema: StructType,
     // a row-level operation captures WHICH groups this scan covers (and
     // at what generation) — its commit replaces exactly these files
     planListener.foreach(_(manifestGen, files.map(_.name)))
-    files.map { e =>
-      DirSinkFilePartition(path, e.name, schema.toDDL,
-        requiredIdx): InputPartition
+    val ddl = schema.toDDL
+    if (zoneFmt == DirSink.FormatParquet) {
+      // SPLIT large files into byte ranges (Parquet assigns a row group
+      // to the split containing its midpoint) so parallelism is sized
+      // by data volume, not file count — a zone compacted to 4 files
+      // still fans out across the cluster
+      val maxSplit = org.apache.spark.sql.SparkSession.active
+        .sessionState.conf.filesMaxPartitionBytes
+      files.flatMap { e =>
+        val len = e.bytes.getOrElse(
+          DirSink.fs(path).getFileStatus(new Path(path, e.name)).getLen)
+        DirSinkParquet.splitRanges(len, maxSplit).map { case (s, l) =>
+          DirSinkFilePartition(path, e.name, ddl, requiredIdx,
+            s, l, len): InputPartition
+        }
+      }.toArray
+    } else files.map { e =>
+      DirSinkFilePartition(path, e.name, ddl, requiredIdx): InputPartition
     }.toArray
   }
 
+  /** Parquet zones read through Spark's own Parquet machinery (driver-
+    * built, executor-shipped closure): columnar pruning to the
+    * projected DATA columns (the `_file` metadata column is appended as
+    * a per-partition constant), plus the scan's stats-supported filters
+    * handed down for row-group/page pruning. Text zones keep the line
+    * codec reader. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new DirSinkReaderFactory
+    if (zoneFmt == DirSink.FormatParquet) {
+      val data = StructType(required.fields.filter(f =>
+        schema.fieldNames.contains(f.name)))
+      val closure = DirSinkParquet.readerClosure(
+        DirSink.asNullable(schema), DirSink.asNullable(data),
+        (skipFilters ++ runtimeFilters).toSeq)
+      DirSinkParquetReaderFactory(closure, required.toDDL,
+        DirSink.asNullable(data).toDDL)
+    } else new DirSinkReaderFactory
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new DirSinkMicroBatchStream(path, schema, required, maxFilesPerTrigger)
+}
+
+/** Executor-side PARQUET partition reader: run the driver-built read
+  * closure over this partition's byte range, flatten vectorized
+  * batches to rows, and (for row-level operations) append the `_file`
+  * group-identity constant through an [[org.apache.spark.sql.catalyst
+  * .expressions.UnsafeProjection]] — which also COPIES, so downstream
+  * holds no reference into a recycled column batch. */
+case class DirSinkParquetReaderFactory(
+    read: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[InternalRow],
+    requiredDdl: String, dataDdl: String)
+    extends PartitionReaderFactory {
+
+  // an empty projection (count(*)) serializes to an empty DDL string,
+  // which fromDDL rejects — it means the zero-column schema
+  private def ddlSchema(s: String): StructType =
+    if (s.trim.isEmpty) StructType(Nil) else StructType.fromDDL(s)
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DirSinkFilePartition]
+    val required = ddlSchema(requiredDdl)
+    val data = ddlSchema(dataDdl)
+    val abs = new Path(p.path, p.file)
+    val len = if (p.fileLen >= 0) p.fileLen
+      else DirSink.execFs(p.path).getFileStatus(abs).getLen
+    val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+      InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPath(abs),
+      p.start, math.min(p.length, math.max(0L, len - p.start)),
+      Array.empty, 0L, len)
+    val base = DirSinkParquet.rowIterator(read(pf))
+    val it: Iterator[InternalRow] =
+      if (required.fieldNames.sameElements(data.fieldNames)) base
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+        val exprs = required.fields.toIndexedSeq.map { f =>
+          if (data.fieldNames.contains(f.name))
+            BoundReference(data.fieldIndex(f.name), f.dataType,
+              nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+          else Literal(UTF8String.fromString(p.file), StringType)
+        }
+        val proj = UnsafeProjection.create(exprs)
+        base.map(proj)
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = () // the closure's task listener closes
+    }
+  }
 }
 
 /** STREAMING READ — tail the landing zone: the manifest's file list is
@@ -1658,8 +1915,17 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     }.toArray
   }
 
+  /** Streaming batches keep ONE partition per committed file (offsets
+    * are file counts; landing-zone files are micro-batch-sized), but
+    * the READER still dispatches on the zone's data plane. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new DirSinkReaderFactory
+    if (DirSink.zoneFormat(path).contains(DirSink.FormatParquet)) {
+      val data = DirSink.asNullable(required)
+      DirSinkParquetReaderFactory(
+        DirSinkParquet.readerClosure(DirSink.asNullable(schema), data,
+          Seq.empty),
+        data.toDDL, data.toDDL)
+    } else new DirSinkReaderFactory
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()

@@ -115,10 +115,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toSeq)
       // a zero-file manifest IS the table: schema line, no data lines —
-      // published through the same atomic pointer swap as every commit
+      // published through the same atomic pointer swap as every commit.
+      // The data-plane format is a CREATE-time table property
+      // (`'format' = 'text'` opts into the legacy line codec); parquet
+      // is the default, and every later INSERT inherits it.
+      val fmt = Option(properties.get(DirSink.FormatKey))
+        .getOrElse(DirSink.FormatParquet)
+      if (fmt != DirSink.FormatParquet && fmt != DirSink.FormatText)
+        throw new IllegalArgumentException(
+          s"unknown table format '$fmt' — supported: " +
+            s"${DirSink.FormatParquet} (default), ${DirSink.FormatText}")
       DirSink.writeAndPublish(dir, "create",
         DirSink.renderManifest(DirSink.asNullable(schema),
-          Map("gen" -> "0"), Seq.empty))
+          Map("gen" -> "0", DirSink.FormatKey -> fmt), Seq.empty))
     }
     new DirSinkTable(dir, schema)
   }

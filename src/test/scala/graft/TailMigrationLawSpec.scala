@@ -32,7 +32,9 @@ class TailMigrationLawSpec extends AnyFunSuite {
     val end = stream.latestOffset(from, ReadLimit.allAvailable())
       .asInstanceOf[DirSinkOffset]
     val parts = stream.planInputPartitions(from, end)
-    val factory = new DirSinkReaderFactory
+    // the stream's own factory dispatches on the zone's data plane
+    // (parquet by default since round 13)
+    val factory = stream.createReaderFactory()
     val ids = parts.flatMap { p =>
       val r = factory.createReader(p.asInstanceOf[DirSinkFilePartition])
       val buf = scala.collection.mutable.ArrayBuffer[Long]()
