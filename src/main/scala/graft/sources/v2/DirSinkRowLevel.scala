@@ -126,7 +126,8 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
       val kept = parent.lines.filterNot(l =>
         scannedSet(DirSink.parseEntry(l).name))
       DirSink.renderManifest(parent.schema,
-        DirSink.nextHeader(Some(parent)),
+        DirSink.withHistory(DirSink.nextHeader(Some(parent)),
+          op.command().toString, kept.size + committed.size),
         kept ++ committed.map { case (n, c, st, b) =>
           s"$n\t$c\tt=$now\tb=$b" +
             (if (st.nonEmpty) s"\t$st" else "") })

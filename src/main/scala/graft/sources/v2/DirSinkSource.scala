@@ -431,6 +431,87 @@ object DirSink {
       emax.map(e => "emax" -> e.toString)
   }
 
+  /** ZONE HISTORY — `DESCRIBE HISTORY` for the table format: every
+    * publish appends a `gen:tsMillis:op:files` record to the `#hist`
+    * header (`|`-separated, newest last, capped at [[HistoryCap]] —
+    * the manifest is rewritten whole each publish, so an unbounded log
+    * would grow every commit's write cost linearly with age). This
+    * makes time-travel targets DISCOVERABLE: a history row's `n_files`
+    * is exactly the `VERSION AS OF` offset (manifest-prefix count) and
+    * its timestamp the `TIMESTAMP AS OF` target — no more reading
+    * `_GRAFT_COMMIT` by hand. Surfaced as [[DirSink.history]] and as
+    * the catalog's `<table>$history` metadata table
+    * ([[GraftCatalog.loadTable]]). */
+  private val HistoryCap = 64
+
+  case class HistoryEntry(gen: Long, tsMillis: Long, op: String,
+                          nFiles: Long)
+
+  /** Header with this publish recorded. `op` is sanitized so the
+    * record's field/entry separators survive round-trip. */
+  private[v2] def withHistory(header: Map[String, String], op: String,
+                              nFiles: Long): Map[String, String] = {
+    val clean = op.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[:|\\s]+", "-")
+    val gen = header.getOrElse("gen", "0")
+    val entry = s"$gen:${System.currentTimeMillis()}:$clean:$nFiles"
+    val prior = header.get("hist").toSeq.flatMap(_.split("\\|").toSeq)
+    header + ("hist" -> (prior :+ entry).takeRight(HistoryCap)
+      .mkString("|"))
+  }
+
+  /** The zone's recorded publish history, oldest first. Zones committed
+    * before history landed surface only the publishes since (the cap
+    * bounds it regardless). */
+  def history(path: String): Seq[HistoryEntry] =
+    readManifestRaw(path).toSeq.flatMap(_.header.get("hist").toSeq)
+      .flatMap(_.split("\\|").toSeq).flatMap { e =>
+        val p = e.split(":")
+        scala.util.Try(HistoryEntry(p(0).toLong, p(1).toLong, p(2),
+          p(3).toLong)).toOption
+      }
+
+  /** CALLER-SIDE bounded retry for row-level DML (`UPDATE`/`MERGE`
+    * through the catalog): Spark owns a ReplaceData plan's execution,
+    * so unlike [[DirSinkTable.deleteWhere]] the connector cannot
+    * auto-retry a generation conflict internally — the statement must
+    * be RE-ISSUED so the group scan re-plans against the new
+    * generation. This wrapper is that recipe, packaged: re-run `body`
+    * (which must build its plan inside — e.g. `spark.sql(mergeStmt)`)
+    * when the failure's cause chain carries the
+    * [[java.util.ConcurrentModificationException]] the gen-verified
+    * publish throws, up to `attempts` total tries. Row-level DML is
+    * idempotent under re-execution against the new state (the same
+    * argument as DELETE's auto-retry: the predicate/ON condition
+    * re-evaluates over the CURRENT rows), which is what makes blind
+    * re-issue sound. Anything else propagates untouched. */
+  def withDmlRetry[T](attempts: Int = 3)(body: => T): T = {
+    require(attempts >= 1, "withDmlRetry needs at least one attempt")
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if n + 1 < attempts && isConcurrentConflict(e) =>
+          n += 1 // re-plan against the advanced generation
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Spark wraps connector commit exceptions (SparkException layers);
+    * walk the cause chain for the optimistic-concurrency signal. */
+  private def isConcurrentConflict(e: Throwable): Boolean = {
+    var c = e
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.util.ConcurrentModificationException])
+        return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
   private[v2] def epochMaxOf(m: Manifest): Option[Long] =
     (m.header.get("emax").flatMap(s => scala.util.Try(s.toLong).toOption) ++
       m.lines.flatMap(l => parseEntry(l).epoch)).reduceOption(_ max _)
@@ -641,7 +722,8 @@ object DirSink {
       if (m.schema.toDDL == nx.toDDL) return
       checkEvolution(m.schema, nx)
       writeAndPublish(path, "evolve",
-        renderManifest(nx, nextHeader(Some(m)), m.lines))
+        renderManifest(nx, withHistory(nextHeader(Some(m)), "evolve",
+          m.lines.size), m.lines))
     }
 
   /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
@@ -944,7 +1026,8 @@ class DirSinkTable(path: String, schema0: StructType,
         }
       }
       DirSink.renderManifest(manifestSchema,
-        DirSink.nextHeader(Some(now)),
+        DirSink.withHistory(DirSink.nextHeader(Some(now)), "delete",
+          keep.size + rewrittenLines.size),
         keep.toSeq ++ rewrittenLines)
     }
     scratchDir.foreach(s => f.delete(s, true))
@@ -1104,11 +1187,15 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
       // output file count, never a post-hoc manifest line count a
       // concurrent append could inflate (which would migrate a boundary
       // checkpoint past the appended files — an exactly-once violation)
-      val header = DirSink.nextHeader(parent, truncate = truncate) ++
-        remapFrom.map { from =>
-          val pair = s"$from:${committed.size}"
-          "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
-        } + (DirSink.FormatKey -> format)
+      val header = DirSink.withHistory(
+        DirSink.nextHeader(parent, truncate = truncate) ++
+          remapFrom.map { from =>
+            val pair = s"$from:${committed.size}"
+            "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
+          } + (DirSink.FormatKey -> format),
+        if (!truncate) "append"
+        else if (remapFrom.isDefined) "compact" else "overwrite",
+        previous.size + committed.size)
       DirSink.writeAndPublish(path, queryId,
         DirSink.renderManifest(DirSink.asNullable(schema), header,
           previous ++ committed.map { case (n, c, st, b) =>
@@ -1253,8 +1340,10 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
       DirSink.writeAndPublish(path, s"$queryId-e$epochId",
         DirSink.renderManifest(DirSink.asNullable(schema),
-          DirSink.nextHeader(parent, newEpoch = Some(epochId),
-            truncate = truncate) + (DirSink.FormatKey -> format),
+          DirSink.withHistory(
+            DirSink.nextHeader(parent, newEpoch = Some(epochId),
+              truncate = truncate) + (DirSink.FormatKey -> format),
+            s"epoch-$epochId", previous.size + committed.size),
           previous ++ committed.map { case (n, c, st, b) =>
             s"$n\t$c\t$epochId\tt=$now\tb=$b" +
               (if (st.nonEmpty) s"\t$st" else "") }))

@@ -74,6 +74,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `<table>$history` — the DESCRIBE-HISTORY metadata table (Delta's
+    // naming, backtick-quoted in SQL): one row per recorded publish,
+    // making time-travel targets discoverable — `n_files` IS the
+    // `VERSION AS OF` offset and `ts` the `TIMESTAMP AS OF` target.
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      val dir = dirOf(base)
+      if (DirSink.readManifest(dir).isEmpty)
+        throw new NoSuchTableException(
+          (ident.namespace() :+ ident.name()).toSeq)
+      return new DirSinkHistoryTable(dir)
+    }
     val dir = dirOf(ident)
     val schema = DirSink.readManifest(dir).map(_._1).getOrElse(
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
@@ -127,7 +140,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"${DirSink.FormatParquet} (default), ${DirSink.FormatText}")
       DirSink.writeAndPublish(dir, "create",
         DirSink.renderManifest(DirSink.asNullable(schema),
-          Map("gen" -> "0", DirSink.FormatKey -> fmt), Seq.empty))
+          DirSink.withHistory(
+            Map("gen" -> "0", DirSink.FormatKey -> fmt), "create", 0),
+          Seq.empty))
     }
     new DirSinkTable(dir, schema)
   }
@@ -244,3 +259,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.delete(nsPath, true)
   }
 }
+
+/** The `<table>$history` metadata table: the zone's recorded publish
+  * log ([[DirSink.history]] — `#hist` manifest header, newest-last,
+  * capped) as a read-only DSv2 relation. Driver reads the manifest
+  * once at planning; the single partition ships the parsed entries.
+  *
+  * {{{
+  * SELECT * FROM cat.db.`docs$history` ORDER BY version
+  * -- version | ts | operation | n_files
+  * SELECT * FROM cat.db.docs VERSION AS OF <n_files of a history row>
+  * }}}
+  */
+class DirSinkHistoryTable(path: String) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  private val sch = StructType.fromDDL(
+    "version BIGINT, ts TIMESTAMP, operation STRING, n_files BIGINT")
+
+  override def name(): String = s"graft_dir_sink_history($path)"
+  override def schema(): StructType = sch
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = sch
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(DirSinkHistoryPartition(DirSink.history(path).map(h =>
+          (h.gen, h.tsMillis, h.op, h.nFiles))))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+            val it = p.asInstanceOf[DirSinkHistoryPartition].entries.iterator
+            new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+              private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+              override def next(): Boolean =
+                if (!it.hasNext) false else {
+                  val (g, ts, op, n) = it.next()
+                  cur = new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(Array[Any](g, ts * 1000L,
+                      org.apache.spark.unsafe.types.UTF8String
+                        .fromString(op), n))
+                  true
+                }
+              override def get()
+                  : org.apache.spark.sql.catalyst.InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class DirSinkHistoryPartition(
+    entries: Seq[(Long, Long, String, Long)])
+    extends org.apache.spark.sql.connector.read.InputPartition

@@ -205,6 +205,49 @@ class GraftCatalogSpec extends AnyFunSuite {
       "overwrite must replace the previous generation atomically")
   }
 
+  test("$history metadata table: publishes listed, versions drive time travel") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbh")
+    spark.sql("CREATE TABLE graftcat.dbh.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcat.dbh.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graftcat.dbh.t VALUES (2, 'b')")
+    // a history row's n_files IS the VERSION AS OF target (valid while
+    // the history since that row is append-only): the state after the
+    // FIRST append is discoverable from the listing and readable
+    val hist0 = spark.sql(
+      """SELECT version, operation, n_files
+        |FROM graftcat.dbh.`t$history` ORDER BY version""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    val asOf = hist0.find(h => h._2 == "append" && h._3 == 1L).get._3
+    val back = spark.sql(
+      s"SELECT id, v FROM graftcat.dbh.t VERSION AS OF $asOf")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, "a")),
+      s"VERSION AS OF a listed history offset must reproduce it, got $back")
+    // maintenance publishes keep appending history rows (DELETE is a
+    // history-REWRITING op — offsets before it become rewritten
+    // history, the documented caveat; the LOG still shows it happened)
+    spark.sql("DELETE FROM graftcat.dbh.t WHERE id = 1")
+    val hist = spark.sql(
+      """SELECT version, operation, n_files
+        |FROM graftcat.dbh.`t$history` ORDER BY version""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(hist.map(_._2) == Seq("create", "append", "append", "delete"),
+      s"history must record every publish in order, got $hist")
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L, 3L), s"generations: $hist")
+    assert(hist.map(_._3) == Seq(0L, 1L, 2L, 1L),
+      s"file counts per generation: $hist")
+    // timestamps are monotone non-decreasing and TIMESTAMP-typed
+    val ts = spark.sql(
+      """SELECT ts FROM graftcat.dbh.`t$history` ORDER BY version""")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts == ts.sorted, s"history timestamps must be ordered: $ts")
+    // history of a missing table is unresolvable
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM graftcat.dbh.`nope$history`").collect()
+    }
+  }
+
   test("a catalog table is tailable: readStream over the SQL name's directory") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db5")

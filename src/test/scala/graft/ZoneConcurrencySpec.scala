@@ -173,6 +173,43 @@ class ZoneConcurrencySpec extends AnyFunSuite {
       "an empty replace of all scanned groups empties the zone")
   }
 
+  test("withDmlRetry: a retried rewrite commits without losing the concurrent append") {
+    import spark.implicits._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val schema = StructType.fromDDL("id BIGINT, v STRING")
+    // the deterministic conflict: attempt 1 plans, then a concurrent
+    // append advances the generation BEFORE the commit — exactly the
+    // window catalog-SQL UPDATE/MERGE has; attempt 2 re-plans (the
+    // wrapper's contract: the body builds its plan inside) and commits
+    var attempts = 0
+    DirSink.withDmlRetry() {
+      attempts += 1
+      val op = new graft.sources.v2.DirSinkRowLevelOperation(dir, schema,
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+      op.newScanBuilder(CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions()
+      if (attempts == 1)
+        Seq((3L, "mid-flight")).toDF("id", "v").coalesce(1)
+          .write.format(fmt).option("path", dir)
+          .mode(SaveMode.Append).save()
+      new graft.sources.v2.DirSinkReplaceDataWrite(
+        dir, schema, s"q-dmlretry-$attempts", op).commit(Array.empty)
+    }
+    assert(attempts == 2, s"one conflict, one clean retry; ran $attempts")
+    // attempt 2's scan covered ALL THREE files (append included) and
+    // replaced them with nothing: the append was SEEN, never dropped
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 0)
+    // …and a non-concurrency failure propagates untouched, unretried
+    var ran = 0
+    intercept[IllegalArgumentException] {
+      DirSink.withDmlRetry() { ran += 1; throw new IllegalArgumentException("x") }
+    }
+    assert(ran == 1)
+  }
+
   test("vacuum sweeps crashed publishes' manifest tmp files; the live manifest survives") {
     import spark.implicits._
     val dir = tmpDir()
