@@ -366,11 +366,17 @@ object Similarity extends QueryModule {
     lshRanked(s, dir, LshDefaultBits)
 
   private[graft] def lshRanked(s: SparkSession, dir: String,
-                               bits: Int): DataFrame = {
+                               bits: Int): DataFrame =
+    lshRankedOn(s, Tables.load(s, dir, "embeddings"), bits)
+
+  /** Same LSH search over ANY (vec_id, embedding) relation — the probe
+    * surface that lets [[graft.tools.PlantedFixture]] corpora exercise
+    * the PRODUCTION bucketer/search path (not a parallel one). */
+  private[graft] def lshRankedOn(s: SparkSession, vin: DataFrame,
+                                 bits: Int): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    val v = Tables.load(s, dir, "embeddings")
-      .withColumn("bucket", bucketExpr(bits))
+    val v = vin.withColumn("bucket", bucketExpr(bits))
     val cand = v.select($"vec_id".as("cid"), $"embedding".as("ce"),
       $"bucket".as("cb"))
     val qs = v.filter($"vec_id" % 100 === 0)

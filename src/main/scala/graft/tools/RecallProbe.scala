@@ -85,6 +85,45 @@ object RecallProbe {
           f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
       }
     } finally { n.unpersist(false); exact.unpersist(false) }
+
+    // ---- PLANTED-CLUSTER fixture (round 13): the sweeps above run on
+    // near-random vectors, where PQ/LSH recall can only track scanned
+    // fraction. Re-run every family on a corpus with REAL neighborhood
+    // structure (PlantedFixture: K separated means + small noise) so
+    // the knobs show their true separation. Same production code paths.
+    val planted = PlantedFixture.vectors(spark, n = 4000, k = 50)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pN = planted.count()
+    val pExact = PlantedFixture.bruteTop5(planted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pExact.count()
+    val pRootC = math.max(2, math.sqrt(pN.toDouble).round.toInt)
+    val pNprobe = math.max(1, pRootC / 2)
+    try {
+      for ((c, np) <- Seq((8, 2), (pRootC, 2), (pRootC, pNprobe))) {
+        val t0 = System.nanoTime()
+        val r = PlantedFixture.recallAt5(pExact, graft.operators.Similarity
+          .ivfRanked(spark, planted.select($"vec_id", $"e"), c, 2, np))
+        println(f"""{"fixture":"planted","n":$pN,"c":$c,"nprobe":$np,""" +
+          f""""recall_at_5":$r%.4f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      for (pqK <- Seq(8, 16, 32, 64)) {
+        val t0 = System.nanoTime()
+        val r = PlantedFixture.recallAt5(pExact, graft.operators.Similarity
+          .ivfPqRanked(spark, planted.select($"vec_id", $"e"),
+            pRootC, pNprobe, pqK))
+        println(f"""{"fixture":"planted","n":$pN,"c":$pRootC,""" +
+          f""""nprobe":$pNprobe,"pq_k":$pqK,"recall_at_5":$r%.4f,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      for (bits <- Seq(4, 5, 6, 8)) {
+        val t0 = System.nanoTime()
+        val r = PlantedFixture.recallAt5(pExact, graft.operators.Similarity
+          .lshRankedOn(spark, planted.select($"vec_id", $"embedding"), bits))
+        println(f"""{"fixture":"planted","n":$pN,"lsh_bits":$bits,""" +
+          f""""recall_at_5":$r%.4f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+    } finally { planted.unpersist(false); pExact.unpersist(false) }
     spark.stop()
   }
 }
