@@ -460,7 +460,9 @@ object Layouts extends QueryModule {
     * ([[graft.sources.v2.DirSinkStats]]); value sums are quantized to
     * BIGINT for cross-engine exactness. TemporalCodecSpec pins the
     * planned-file counts; this query pins the end-to-end answer. */
-  private def qDsv2TimeSlice(s: SparkSession, dir: String): DataFrame = {
+  /** The ts-range-clustered events zone (bootstrapped once per corpus;
+    * shared by [[qDsv2TimeSlice]] and [[qDsv2AggMeta]]). */
+  private def eventsZone(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = s"${layoutRoot(dir)}/events_dirsink_time"
     if (!graft.sources.v2.DirSink.zoneFormat(path)
@@ -474,8 +476,13 @@ object Layouts extends QueryModule {
         .option("path", path)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
     }
+    path
+  }
+
+  private def qDsv2TimeSlice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     s.read.format("graft.sources.v2.DirSinkSource")
-      .option("path", path).load()
+      .option("path", eventsZone(s, dir)).load()
       .filter($"ts" >= to_timestamp(lit("2024-01-10 00:00:00")) &&
         $"ts" < to_timestamp(lit("2024-01-20 00:00:00")))
       .groupBy($"event_type")
@@ -483,6 +490,31 @@ object Layouts extends QueryModule {
         sum(floor($"value" * 10000.0 + 0.5).cast("long")).as("value_q"),
         min($"event_id").as("min_id"), max($"event_id").as("max_id"))
       .orderBy($"event_type")
+  }
+
+  /** q_dsv2_agg_meta — METADATA-ONLY AGGREGATES through the engine's
+    * own table format (round 13): `count(*) / min / max` over the
+    * ts-clustered events zone answered FROM THE MANIFEST — per-commit
+    * row counts and the write-path-exact per-file bounds — via
+    * `SupportsPushDownAggregates` complete pushdown; not one data file
+    * opens (MetadataAggSpec proves it literally, with the files
+    * deleted). At 100 TB this turns the pipeline's most common sanity
+    * probes — "how many rows landed, what time range does the zone
+    * cover" — into a catalog lookup instead of a full scan: the
+    * Delta/Iceberg metadata-only-query economics on the same stats
+    * that already power file skipping. The oracle computes the
+    * identical aggregate over the ORIGINAL events parquet, so the
+    * manifest-answered values are held to the data, not to
+    * themselves. */
+  private def qDsv2AggMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", eventsZone(s, dir)).load()
+      .agg(count(lit(1)).as("n_events"),
+        count($"event_id").as("n_ids"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+        min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+        min($"event_type").as("min_type"), max($"event_type").as("max_type"))
   }
 
   /** q_dsv2_embed_store — EMBEDDINGS LIVING IN THE ENGINE'S OWN TABLE
@@ -701,7 +733,8 @@ object Layouts extends QueryModule {
     "q_dsv2_skipping" -> (qDsv2Skipping _),
     "q_dsv2_dml" -> (qDsv2Dml _),
     "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
-    "q_dsv2_embed_store" -> (qDsv2EmbedStore _))
+    "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
+    "q_dsv2_agg_meta" -> (qDsv2AggMeta _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -843,5 +876,15 @@ object Layouts extends QueryModule {
                  (PARTITION BY qid ORDER BY sim DESC, cid) rn
                FROM pairs)
          SELECT qid, rn, cid, CAST(clabel AS BIGINT) AS clabel, sim
-         FROM r WHERE rn <= 3 ORDER BY qid, rn""")
+         FROM r WHERE rn <= 3 ORDER BY qid, rn""",
+    // the declared query answers these from the zone MANIFEST (complete
+    // aggregate pushdown, no data file opened); the oracle scans the
+    // original parquet — the metadata answers are held to the data
+    "q_dsv2_agg_meta" ->
+      """SELECT count(*) AS n_events,
+                count(event_id) AS n_ids,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                min(ts) AS min_ts, max(ts) AS max_ts,
+                min(event_type) AS min_type, max(event_type) AS max_type
+         FROM events""")
 }

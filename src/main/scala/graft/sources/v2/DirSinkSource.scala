@@ -557,6 +557,50 @@ object DirSink {
       (schema, lines.map(parseEntry))
     }
 
+  /** The asOf/onlyFiles slice of a zone's entry list — ONE definition
+    * shared by the batch scan and the aggregate-pushdown decision.
+    *
+    * `asOfOffset` k: the manifest's file list is append-only, so its
+    * first k lines ARE the zone as a tail reader had consumed it at
+    * stream offset k. Reading past the current size is an error (an
+    * offset from a different zone), not a silent truncation.
+    *
+    * `asOfTimestamp` t (TIMESTAMP TIME TRAVEL): commits are time-ordered
+    * and the manifest append-only, so the snapshot as of wall-clock t
+    * is the longest prefix whose commit timestamps are all <= t.
+    * History-REWRITING operations (compact, DELETE, row-level
+    * UPDATE/MERGE) replace lines in place, so snapshots that predate
+    * the rewrite are REWRITTEN HISTORY afterwards — the caveat every
+    * manifest-rewriting table format carries. Lines without a `t=`
+    * field (pre-time-travel commits) are conservatively IN every
+    * snapshot — they can only sit at the front of the history. A t
+    * predating the zone's first commit is an error, mirroring the
+    * offset guard — silently returning an empty corpus would make a
+    * mis-clocked training cut unfindable. */
+  private[v2] def sliceEntries(path: String, all: Seq[FileEntry],
+                               asOfOffset: Option[Int],
+                               asOfTimestamp: Option[Long],
+                               onlyFiles: Option[Set[String]]): Seq[FileEntry] = {
+    val sliced = (asOfOffset, asOfTimestamp) match {
+      case (Some(k), _) =>
+        if (k > all.size) throw new IllegalArgumentException(
+          s"asOfOffset $k exceeds the zone's ${all.size} committed files " +
+            s"under $path — offsets name a PREFIX of this zone's history")
+        all.take(k)
+      case (None, Some(t)) =>
+        val prefix = all.takeWhile(e => e.ts.forall(_ <= t))
+        if (prefix.isEmpty && all.nonEmpty)
+          throw new IllegalArgumentException(
+            s"asOfTimestamp $t predates the zone's first commit " +
+              s"(${all.head.ts.getOrElse("unknown")}) under $path")
+        prefix
+      case (None, None) => all
+    }
+    // `files` option (internal surface, used by the copy-on-write
+    // DELETE): restrict the scan to the named committed files
+    onlyFiles.fold(sliced)(names => sliced.filter(e => names(e.name)))
+  }
+
   /** Epochs whose lines are still IN the manifest (lineage view). */
   def committedEpochs(path: String): Set[Long] =
     readManifestEntries(path)
@@ -1076,7 +1120,8 @@ class DirSinkScanBuilder(path: String, schema: StructType,
                            None,
                          fileFilterOnly: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
 
   private var skipFilters: Array[Filter] = Array.empty
@@ -1091,11 +1136,193 @@ class DirSinkScanBuilder(path: String, schema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new DirSinkScan(path, schema, required, skipFilters,
-      asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles,
-      planListener, fileFilterOnly)
+  // ---- METADATA-ONLY AGGREGATES: `SELECT count(*) / min(c) / max(c)
+  // FROM zone` answered from the MANIFEST — row counts are recorded
+  // per commit and the per-file min/max bounds are collected EXACTLY
+  // at write time (the same pass that wrote the rows), so the global
+  // fold over file bounds IS the true aggregate. At 100 TB this is
+  // the difference between a catalog lookup and a full table scan —
+  // the Delta/Iceberg "metadata-only query" economics, on the same
+  // stats that already power file skipping. Complete pushdown only:
+  // one input partition carrying the ONE pre-computed row. Refused
+  // (conservatively, Spark then aggregates the ordinary scan) when any
+  // visible file predates stats, a column's stats are disabled
+  // (NaN/unsupported type), a grouping is requested, any filter is
+  // present (the scan keeps every filter residual, so a filtered
+  // aggregate never reaches complete pushdown anyway), or this is a
+  // row-level operation's group scan.
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private var aggPushed: Option[(StructType, Seq[Option[String]], String)] =
+    None
+
+  private def aggColOf(
+      e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+      if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Try to answer the aggregation from the manifest; the row's values
+    * travel as canonical strings (None = SQL NULL) and decode by the
+    * result schema in the reader. */
+  private def computeAgg(a: Aggregation):
+      Option[(StructType, Seq[Option[String]], String)] = {
+    if (planListener.isDefined || fileFilterOnly) return None
+    if (skipFilters.nonEmpty || a.groupByExpressions().nonEmpty) return None
+    val (mschema, allEntries) =
+      DirSink.readManifestEntries(path).getOrElse(return None)
+    val entries = DirSink.sliceEntries(path, allEntries, asOfOffset,
+      asOfTimestamp, onlyFiles)
+    lazy val parsed: Seq[(DirSink.FileEntry, Option[Array[DirSinkStats.ColStats]])] =
+      entries.map(e => (e,
+        e.stats.map(DirSinkStats.parse(_, mschema.length))))
+
+    def colIdx(c: String): Option[Int] =
+      mschema.fieldNames.indexOf(c) match { case -1 => None; case i => Some(i) }
+
+    // exact per-file bounds for column i across every data-carrying
+    // file, or None if any such file cannot prove its bounds
+    def bounds(i: Int): Option[Seq[(String, String)]] = {
+      val perFile = parsed.map {
+        case (e, _) if e.rows == 0L => Some(Nil) // empty file: no values
+        case (_, None) => None                   // pre-stats line: refuse
+        case (_, Some(st)) =>
+          val c = st(i)
+          if (c.disabled) None                   // NaN/unsupported: refuse
+          else if (c.min.isEmpty) Some(Nil)      // all-null: contributes none
+          else Some(Seq((c.min.get, c.max.get)))
+      }
+      if (perFile.exists(_.isEmpty)) None
+      else Some(perFile.flatMap(_.get))
+    }
+
+    def fold(i: Int, wantMin: Boolean): Option[Option[String]] =
+      bounds(i).map { bs =>
+        val side = bs.map(b => if (wantMin) b._1 else b._2)
+        if (side.isEmpty) None // no non-null value anywhere: SQL NULL
+        else Some(side.reduce { (x, y) =>
+          val dt = mschema(i).dataType
+          val takeX = if (wantMin) !DirSinkStats.boundLt(dt, y, x)
+                      else !DirSinkStats.boundLt(dt, x, y)
+          if (takeX) x else y
+        })
+      }
+
+    val results = a.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          Some(entries.map(_.rows).sum.toString)))
+      case c: Count if !c.isDistinct =>
+        // count(col) = count(*) only when stats PROVE no file has a
+        // null in the column (hasNull false everywhere; null counts
+        // are not tracked, so anything weaker refuses)
+        aggColOf(c.column()).flatMap(colIdx).flatMap { i =>
+          val noNulls = parsed.forall {
+            case (e, _) if e.rows == 0L => true
+            case (_, Some(st)) => !st(i).disabled && !st(i).hasNull
+            case _ => false
+          }
+          if (noNulls) Some((
+            StructField(s"count(${mschema(i).name})", LongType,
+              nullable = false),
+            Some(entries.map(_.rows).sum.toString)))
+          else None
+        }
+      case m: Min =>
+        aggColOf(m.column()).flatMap(colIdx).flatMap { i =>
+          fold(i, wantMin = true).map(v =>
+            (StructField(s"min(${mschema(i).name})", mschema(i).dataType,
+              nullable = true), v))
+        }
+      case m: Max =>
+        aggColOf(m.column()).flatMap(colIdx).flatMap { i =>
+          fold(i, wantMin = false).map(v =>
+            (StructField(s"max(${mschema(i).name})", mschema(i).dataType,
+              nullable = true), v))
+        }
+      case _ => None // sum/avg need per-file sums the manifest lacks
+    }
+    // an EMPTY aggregation list (Spark probes one for count-only
+    // rewrites) must refuse too — a zero-column one-row scan is not a
+    // meaningful answer to anything
+    if (results.isEmpty || results.exists(_.isEmpty)) None
+    else Some((StructType(results.flatten.map(_._1)),
+      results.flatten.map(_._2),
+      results.flatten.map(_._1.name).mkString(", ")))
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = {
+    aggPushed = computeAgg(a)
+    aggPushed.isDefined
+  }
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    if (aggPushed.isEmpty) aggPushed = computeAgg(a)
+    aggPushed.isDefined
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((aggSchema, values, desc)) =>
+      new DirSinkAggScan(path, aggSchema, values, desc)
+    case None =>
+      new DirSinkScan(path, schema, required, skipFilters,
+        asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles,
+        planListener, fileFilterOnly)
+  }
 }
+
+/** The one-row result of a manifest-answered aggregate: no data file
+  * is ever opened — `planInputPartitions` ships the pre-computed row
+  * (canonical strings, decoded by type in the reader). */
+class DirSinkAggScan(path: String, aggSchema: StructType,
+                     values: Seq[Option[String]], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DirSinkAggScan($path) PushedAggregation: [$desc] (metadata-only)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DirSinkAggPartition(aggSchema.toDDL, values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[DirSinkAggPartition]
+        val sch = StructType.fromDDL(part.ddl)
+        val row = new GenericInternalRow(
+          part.values.zipWithIndex.map { case (v, i) =>
+            v.fold(null: Any) { s =>
+              sch(i).dataType match {
+                case LongType => s.toLong
+                case IntegerType => s.toInt
+                case DoubleType => s.toDouble
+                case BooleanType => s.toBoolean
+                case StringType => UTF8String.fromString(s)
+                case TimestampType => s.toLong
+                case DateType => s.toInt
+                case dt => throw new IllegalStateException(
+                  s"unreachable agg type $dt — computeAgg only accepts " +
+                    "stats-comparable columns")
+              }
+            }
+          }.toArray)
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class DirSinkAggPartition(ddl: String, values: Seq[Option[String]])
+    extends InputPartition
 
 
 /** `remapFrom`/`remapChain` are [[DirSink.compact]]'s internal options:
@@ -1637,42 +1864,9 @@ class DirSinkScan(path: String, schema: StructType,
   private[graft] def manifestGen: Long = manifestParsed._1
   private def zoneFmt: String = manifestParsed._3
 
-  private lazy val manifestEntries: Seq[DirSink.FileEntry] = {
-    val all = manifestParsed._2
-    val sliced = (asOfOffset, asOfTimestamp) match {
-      case (Some(k), _) =>
-        if (k > all.size) throw new IllegalArgumentException(
-          s"asOfOffset $k exceeds the zone's ${all.size} committed files " +
-            s"under $path — offsets name a PREFIX of this zone's history")
-        all.take(k)
-      case (None, Some(t)) =>
-        // TIMESTAMP TIME TRAVEL: commits are time-ordered and the
-        // manifest is append-only, so the snapshot as of wall-clock t is
-        // the longest prefix whose commit timestamps are all <= t.
-        // History-REWRITING operations (compact, DELETE, row-level
-        // UPDATE/MERGE) replace lines in place, so snapshots that
-        // predate the rewrite are REWRITTEN HISTORY afterwards — the
-        // same caveat every manifest-rewriting table format carries;
-        // record cut offsets/timestamps in the deployment's catalog
-        // before maintenance, as with asOfOffset.
-        // Lines without a `t=` field (committed before time travel
-        // landed) are conservatively IN every snapshot — they can only
-        // sit at the front of the history. A t that predates the zone's
-        // first commit is an error, mirroring asOfOffset's too-far
-        // guard — silently returning an empty corpus would make a
-        // mis-clocked training cut unfindable.
-        val prefix = all.takeWhile(e => e.ts.forall(_ <= t))
-        if (prefix.isEmpty && all.nonEmpty)
-          throw new IllegalArgumentException(
-            s"asOfTimestamp $t predates the zone's first commit " +
-              s"(${all.head.ts.getOrElse("unknown")}) under $path")
-        prefix
-      case (None, None) => all
-    }
-    // `files` option (internal surface, used by the copy-on-write
-    // DELETE): restrict the scan to the named committed files
-    onlyFiles.fold(sliced)(names => sliced.filter(e => names(e.name)))
-  }
+  private lazy val manifestEntries: Seq[DirSink.FileEntry] =
+    DirSink.sliceEntries(path, manifestParsed._2, asOfOffset,
+      asOfTimestamp, onlyFiles)
 
   /** The asOf-sliced, stats-skipped file list — ONE definition feeding
     * both partition planning and statistics, so the optimizer's row

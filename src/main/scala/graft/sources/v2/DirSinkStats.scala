@@ -113,6 +113,21 @@ object DirSinkStats {
     case o => o.toString
   }
 
+  /** Order two CANONICAL-STRING bounds by column type — the exact
+    * writer-side collector order, reused by the metadata-only
+    * aggregate fold so min/max answers can never disagree with the
+    * bounds the skipper trusts. */
+  private[v2] def boundLt(dt: DataType, a: String, b: String): Boolean =
+    dt match {
+      case LongType | TimestampType => a.toLong < b.toLong
+      case IntegerType | DateType => a.toInt < b.toInt
+      case DoubleType => a.toDouble < b.toDouble
+      case BooleanType => !a.toBoolean && b.toBoolean
+      case StringType =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+      case _ => false
+    }
+
   private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
     case LongType | TimestampType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
     case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]

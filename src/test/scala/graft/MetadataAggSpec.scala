@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.v2.DirSink
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** METADATA-ONLY AGGREGATES over DirSink zones (round 13): `count(*)`,
+  * `count(col)` (no-nulls proven), `min(col)`, `max(col)` answered
+  * from the manifest — commit row counts plus the write-path-exact
+  * per-file bounds — through `SupportsPushDownAggregates` COMPLETE
+  * pushdown. The proof of "no data file is opened" is literal: the
+  * zone's data files are DELETED from disk and the aggregates still
+  * answer correctly; any fallback to a real scan would throw.
+  * Anything the manifest cannot prove (filters, grouping, sums, a
+  * nullable count, a pre-stats file, a NaN-disabled column) refuses
+  * pushdown and Spark aggregates the ordinary scan — correctness
+  * never rides on the fast path being available. */
+class MetadataAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val fmt = "graft.sources.v2.DirSinkSource"
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_magg").toString
+
+  private def deleteDataFiles(dir: String): Unit =
+    DirSink.readManifest(dir).get._2.map(_._1).foreach { n =>
+      assert(new java.io.File(dir, n).delete(), s"fixture: $n must exist")
+    }
+
+  test("count/min/max answer from the manifest alone (data files deleted)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 4).foreach { k =>
+      (1 to 25).map(i => (k * 25L + i, s"v${k * 25 + i}",
+        java.sql.Timestamp.valueOf(f"2024-02-0${k + 1} 00:00:00")))
+        .toDF("id", "v", "ts").coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .mode(SaveMode.Append).save()
+    }
+    deleteDataFiles(dir)
+    val agg = spark.read.format(fmt).option("path", dir).load()
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"id").as("lo"), max($"id").as("hi"),
+        min($"ts").as("t0"), max($"ts").as("t1"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "the plan must show the pushed aggregation")
+    val r = agg.head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 100L)
+    assert(r.getTimestamp(4).toString == "2024-02-01 00:00:00.0" &&
+      r.getTimestamp(5).toString == "2024-02-04 00:00:00.0")
+    // snapshot-sliced metadata aggregate: the first 2 committed files
+    val r2 = spark.read.format(fmt).option("path", dir)
+      .option("asOfOffset", 2).load()
+      .agg(count(lit(1)), max($"id")).head
+    assert(r2.getLong(0) == 50L && r2.getLong(1) == 50L)
+    // string bounds fold in UTF8 binary order, same as the skipper
+    val r3 = spark.read.format(fmt).option("path", dir).load()
+      .agg(min($"v"), max($"v")).head
+    assert(r3.getString(0) == "v1" && r3.getString(1) == "v99")
+  }
+
+  test("an all-null column folds to SQL NULL; a nullable count refuses pushdown") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, Option.empty[String]), (2L, None), (3L, None))
+      .toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    deleteDataFiles(dir)
+    val r = spark.read.format(fmt).option("path", dir).load()
+      .agg(count(lit(1)), min($"s"), max($"s")).head
+    assert(r.getLong(0) == 3L && r.isNullAt(1) && r.isNullAt(2))
+    // count(s) needs the no-nulls proof the stats cannot give here:
+    // pushdown refuses, Spark scans — and the files are gone, so the
+    // refusal is OBSERVABLE as a read failure rather than a wrong 3
+    intercept[Exception] {
+      spark.read.format(fmt).option("path", dir).load()
+        .agg(count($"s")).head
+    }
+  }
+
+  test("filters, grouping, and sums keep the ordinary scan (correct, not pushed)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1 to 50).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+      .repartition(2)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val zone = spark.read.format(fmt).option("path", dir).load()
+    val f = zone.filter($"id" > 40).agg(count(lit(1)), min($"id")).head
+    assert(f.getLong(0) == 10L && f.getLong(1) == 41L)
+    val g = zone.groupBy($"g").agg(count(lit(1)).as("n"))
+      .orderBy($"g").as[(String, Long)].collect().toSeq
+    assert(g == Seq(("g0", 16L), ("g1", 17L), ("g2", 17L)))
+    assert(zone.agg(sum($"id")).head.getLong(0) == 50L * 51 / 2)
+  }
+}
