@@ -1300,6 +1300,9 @@ class DirSinkAggScan(path: String, aggSchema: StructType,
                 case LongType => s.toLong
                 case IntegerType => s.toInt
                 case DoubleType => s.toDouble
+                case FloatType => s.toFloat
+                case d: DecimalType => org.apache.spark.sql.types.Decimal(
+                  BigDecimal(s), d.precision, d.scale)
                 case BooleanType => s.toBoolean
                 case StringType => UTF8String.fromString(s)
                 case TimestampType => s.toLong

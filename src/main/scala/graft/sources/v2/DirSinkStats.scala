@@ -84,6 +84,14 @@ object DirSinkStats {
               // whose only values are -0.0 under `d = 0.0` / `d >= 0.0`
               else if (d == 0.0d) 0.0d
               else d
+            case FloatType =>
+              // same IEEE discipline as double (parquet-plane type)
+              val fl = row.getFloat(i)
+              if (java.lang.Float.isNaN(fl)) { disabled(i) = true; null }
+              else if (fl == 0.0f) 0.0f
+              else fl
+            case d: DecimalType =>
+              row.getDecimal(i, d.precision, d.scale)
             case BooleanType => row.getBoolean(i)
             case StringType => row.getUTF8String(i).clone()
             case _ => disabled(i) = true; null
@@ -110,6 +118,8 @@ object DirSinkStats {
 
   private def canonical(v: Any): String = v match {
     case u: UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toJavaBigDecimal.toPlainString
     case o => o.toString
   }
 
@@ -122,6 +132,9 @@ object DirSinkStats {
       case LongType | TimestampType => a.toLong < b.toLong
       case IntegerType | DateType => a.toInt < b.toInt
       case DoubleType => a.toDouble < b.toDouble
+      case FloatType => a.toFloat < b.toFloat
+      case _: DecimalType =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
       case BooleanType => !a.toBoolean && b.toBoolean
       case StringType =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
@@ -132,6 +145,10 @@ object DirSinkStats {
     case LongType | TimestampType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
     case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
     case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case FloatType => a.asInstanceOf[Float] < b.asInstanceOf[Float]
+    case _: DecimalType =>
+      a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal]) < 0
     case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
     case StringType =>
       a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) < 0
@@ -185,8 +202,9 @@ object DirSinkStats {
 
   private def comparable(c: String, schema: StructType): Boolean =
     schema.fields.find(_.name == c).exists(_.dataType match {
-      case LongType | IntegerType | DoubleType | BooleanType | StringType |
-           TimestampType | DateType => true
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType | TimestampType | DateType => true
+      case _: DecimalType => true
       case _ => false
     })
 
@@ -219,6 +237,31 @@ object DirSinkStats {
             if (b == d) Some(0) // IEEE: -0.0 == 0.0
             else Some(java.lang.Double.compare(b, d))
           }
+        case _ => None
+      }
+      case FloatType => v match {
+        // a float widens to double EXACTLY, so the IEEE-equal-first
+        // double compare is sound for both Float and Double values
+        case f: Float =>
+          if (java.lang.Float.isNaN(f)) None
+          else {
+            val b = bound.toDouble
+            if (b == f.toDouble) Some(0)
+            else Some(java.lang.Double.compare(b, f.toDouble))
+          }
+        case d: Double =>
+          if (java.lang.Double.isNaN(d)) None
+          else {
+            val b = bound.toDouble
+            if (b == d) Some(0) else Some(java.lang.Double.compare(b, d))
+          }
+        case _ => None
+      }
+      case _: DecimalType => v match {
+        case d: java.math.BigDecimal =>
+          Some(new java.math.BigDecimal(bound).compareTo(d))
+        case d: BigDecimal =>
+          Some(new java.math.BigDecimal(bound).compareTo(d.bigDecimal))
         case _ => None
       }
       case BooleanType => v match {

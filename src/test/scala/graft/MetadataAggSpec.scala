@@ -80,6 +80,22 @@ class MetadataAggSpec extends AnyFunSuite {
     }
   }
 
+  test("float and decimal bounds answer from the manifest (parquet-plane types)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1 to 40).map(i => (i.toLong, i / 4.0f, BigDecimal(i * 25, 2)))
+      .toDF("id", "score", "price")
+      .withColumn("price", $"price".cast("decimal(10,2)"))
+      .repartitionByRange(4, $"id")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    deleteDataFiles(dir)
+    val r = spark.read.format(fmt).option("path", dir).load()
+      .agg(min($"score"), max($"score"), min($"price"), max($"price")).head
+    assert(r.getFloat(0) == 0.25f && r.getFloat(1) == 10.0f)
+    assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("0.25")) == 0 &&
+      r.getDecimal(3).compareTo(new java.math.BigDecimal("10.00")) == 0)
+  }
+
   test("filters, grouping, and sums keep the ordinary scan (correct, not pushed)") {
     import spark.implicits._
     val dir = tmpDir()
