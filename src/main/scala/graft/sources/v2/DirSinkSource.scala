@@ -942,6 +942,20 @@ class DirSinkTable(path: String, schema0: StructType,
     })
   override def name(): String = s"graft_dir_sink($path)"
   override def schema(): StructType = schema0
+
+  /** Zone metadata for `DESCRIBE TABLE EXTENDED`: data-plane format,
+    * current generation, committed file count — read fresh from the
+    * manifest so the description never goes stale. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    DirSink.readManifestRaw(path).foreach { raw =>
+      m.put(DirSink.FormatKey,
+        raw.header.getOrElse(DirSink.FormatKey, DirSink.FormatText))
+      m.put("generation", raw.gen.toString)
+      m.put("files", raw.lines.size.toString)
+    }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,

@@ -205,6 +205,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       "overwrite must replace the previous generation atomically")
   }
 
+  test("DESCRIBE EXTENDED surfaces zone format, generation, and file count") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbd")
+    spark.sql("CREATE TABLE graftcat.dbd.t (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.dbd.t VALUES (1), (2)")
+    val props = spark.sql("DESCRIBE TABLE EXTENDED graftcat.dbd.t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val info = props.getOrElse("Table Properties", "")
+    assert(info.contains("format=parquet") && info.contains("files=2") &&
+      info.contains("generation=1"),
+      s"zone metadata must surface in DESCRIBE, got: $info")
+  }
+
   test("$history metadata table: publishes listed, versions drive time travel") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbh")
