@@ -63,6 +63,9 @@ object Bench {
       // default true (the 100 TB posture); toggle for overhead A/B runs
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // storage-partitioned joins over bucketed DirSink zones
+      // (q_dsv2_spj must bench the shuffle-free plan, not the fallback)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // storage-partitioned joins over bucketed DirSink zones: scans
+      // reporting KeyGroupedPartitioning(bucket(n, col)) join without a
+      // shuffle when both sides share the layout
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -38,6 +42,7 @@ object Sessions {
     "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
     "spark.sql.files.maxPartitionBytes" -> (256 * 1024 * 1024).toString,
     "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.shuffle.compress" -> "true",

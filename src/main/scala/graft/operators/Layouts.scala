@@ -720,6 +720,59 @@ object Layouts extends QueryModule {
       .orderBy($"status")
   }
 
+  /** q_dsv2_spj — STORAGE-PARTITIONED JOIN through the engine's own
+    * table format (round 13): customer and orders land in DirSink
+    * zones BUCKETED on their customer key (`PARTITIONED BY
+    * (bucket(16, custkey))` — every committed file pure in one bucket
+    * of [[graft.sources.v2.DirSink.bucketId]], manifest `k=` tags),
+    * and the join then runs ZONE-TO-ZONE: both scans report
+    * `KeyGroupedPartitioning(bucket(16, key))`, the transforms bind to
+    * the catalog's one `graft.bucket` V2 function, and Spark's SPJ
+    * machinery (`spark.sql.sources.v2.bucketing.enabled`, on in
+    * [[graft.Sessions]]) plans the join WITHOUT SHUFFLING EITHER SIDE
+    * — matching buckets co-locate by construction. At 100 TB this is
+    * the canonical layout lever for a repeated fact-to-fact join
+    * (orders×customer, clicks×users, docs×scores): pay the bucketed
+    * write once, delete the exchange from every join after —
+    * exactly Hive/Iceberg bucketing economics, carried here by the
+    * zone manifest. DirSinkBucketSpec pins the zero-exchange plan
+    * shape; this query pins the end-to-end answer against the oracle's
+    * plain join over the raw parquet. */
+  private def qDsv2Spj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = layoutRoot(dir)
+    val cat = s"graftspj_${math.abs(root.hashCode)}"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/spj_wh")
+    }
+    def zone(name: String, build: => DataFrame, key: String): String = {
+      val tbl = s"$cat.spj.$name"
+      val path = s"$root/spj_wh/spj/$name"
+      if (!graft.sources.v2.DirSink.zoneBucket(path)
+          .contains(graft.sources.v2.DirSink.BucketSpec(key, 16))) {
+        if (graft.sources.v2.DirSink.readManifest(path).isDefined)
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.spj")
+        build.writeTo(tbl)
+          .partitionedBy(org.apache.spark.sql.functions.bucket(16, col(key)))
+          .create()
+      }
+      tbl
+    }
+    val custTbl = zone("cust", Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment"), "c_custkey")
+    val ordTbl = zone("ords", Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice"), "o_custkey")
+    s.table(custTbl)
+      .join(s.table(ordTbl), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.sumd($"o_totalprice").as("total_price"),
+        sum($"o_orderkey").as("key_checksum"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact_files" -> (qCompactFiles _),
@@ -734,7 +787,8 @@ object Layouts extends QueryModule {
     "q_dsv2_dml" -> (qDsv2Dml _),
     "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
     "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
-    "q_dsv2_agg_meta" -> (qDsv2AggMeta _))
+    "q_dsv2_agg_meta" -> (qDsv2AggMeta _),
+    "q_dsv2_spj" -> (qDsv2Spj _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -886,5 +940,15 @@ object Layouts extends QueryModule {
                 min(event_id) AS min_id, max(event_id) AS max_id,
                 min(ts) AS min_ts, max(ts) AS max_ts,
                 min(event_type) AS min_type, max(event_type) AS max_type
-         FROM events""")
+         FROM events""",
+    // the declared query joins two BUCKETED DirSink zones without a
+    // shuffle (storage-partitioned join); the oracle recomputes the
+    // identical join over the raw parquet — the layout must never
+    // change the answer
+    "q_dsv2_spj" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+                ${graft.Det.SUMD("o_totalprice")} AS total_price,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 }

@@ -86,12 +86,16 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
                               op: DirSinkRowLevelOperation)
     extends BatchWrite {
 
-  /** The rewrite inherits the ZONE's committed data-plane format — a
-    * row-level DML must never mix planes under one manifest. */
+  /** The rewrite inherits the ZONE's committed data-plane format and
+    * bucket layout — a row-level DML must never mix planes or break
+    * bucket purity under one manifest (an UPDATE may even move a row's
+    * bucket column; the router re-hashes per row, so the rewritten
+    * files stay pure). */
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     DirSinkWriterFactory(path, schema, queryId,
-      DirSink.zoneFormat(path).getOrElse(DirSink.FormatText))
+      DirSink.zoneFormat(path).getOrElse(DirSink.FormatText),
+      DirSink.zoneBucket(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
@@ -112,25 +116,28 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
       // zero-row tasks (a rewrite whose every row was deleted, or an
       // empty partition) contribute no file — publishing them would
       // accrete empty manifest lines on every no-op DML
-      val committed = messages.toSeq.collect {
-        case DirSinkCommitMessage(staged, rows, stats, bytes) if rows > 0 =>
-          val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
-          if (!f.rename(new Path(root, staged), new Path(root, fin)))
+      val committed = DirSink.flattenMsgs(messages).flatMap {
+        case m if m.rows > 0 =>
+          val fin = s"g$queryId-" +
+            m.stagedName.stripPrefix(s"_staging/$queryId/")
+          if (!f.rename(new Path(root, m.stagedName), new Path(root, fin)))
             throw new java.io.IOException(
-              s"task-file publish failed: $staged -> $fin under $root")
-          (fin, rows, stats, bytes)
-        case DirSinkCommitMessage(staged, 0L, _, _) =>
-          f.delete(new Path(root, staged), false)
-          null
-      }.filter(_ != null)
+              s"task-file publish failed: ${m.stagedName} -> $fin " +
+                s"under $root")
+          Some(m.copy(stagedName = fin))
+        case m =>
+          f.delete(new Path(root, m.stagedName), false)
+          None
+      }
       val kept = parent.lines.filterNot(l =>
         scannedSet(DirSink.parseEntry(l).name))
       DirSink.renderManifest(parent.schema,
         DirSink.withHistory(DirSink.nextHeader(Some(parent)),
           op.command().toString, kept.size + committed.size),
-        kept ++ committed.map { case (n, c, st, b) =>
-          s"$n\t$c\tt=$now\tb=$b" +
-            (if (st.nonEmpty) s"\t$st" else "") })
+        kept ++ committed.map { m =>
+          s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
+            DirSink.bucketTag(m.bucket) +
+            (if (m.stats.nonEmpty) s"\t${m.stats}" else "") })
     }
     // sweep replaced groups and staging AFTER the generation is live
     scanned.foreach(n => f.delete(new Path(root, n), false))
@@ -139,11 +146,8 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
-    messages.foreach {
-      case DirSinkCommitMessage(staged, _, _, _) =>
-        f.delete(new Path(path, staged), false)
-      case null => ()
-    }
+    DirSink.flattenMsgs(messages).foreach(m =>
+      f.delete(new Path(path, m.stagedName), false))
     f.delete(new Path(path, s"_staging/$queryId"), true)
   }
 }

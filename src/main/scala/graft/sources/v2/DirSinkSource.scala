@@ -120,6 +120,117 @@ object DirSink {
   def zoneFormat(path: String): Option[String] =
     readManifestRaw(path).map(_.header.getOrElse(FormatKey, FormatText))
 
+  /** BUCKETED ZONES (`#bucket=<col>:<n>` manifest header) — the
+    * co-location tier of the table format: every committed file is PURE
+    * in one bucket of a deterministic hash of the bucket column
+    * ([[bucketId]]), recorded per-line as a `k=<id>` tag. Two zones
+    * bucketed on their join key with the same bucket count join WITHOUT
+    * A SHUFFLE: the scan reports the layout as a DSv2
+    * `KeyGroupedPartitioning(bucket(n, col))` and Spark's
+    * storage-partitioned-join machinery co-locates matching buckets —
+    * at 100 TB this deletes the dominant exchange of every
+    * fact-to-fact join on a pre-bucketed key (the Hive-bucketing
+    * economics, carried by the manifest instead of a metastore).
+    * Equality predicates on the bucket column additionally prune to the
+    * matching bucket's files at plan time, clustered or not.
+    *
+    * Like the data-plane format, bucketing is a ZONE property: appends
+    * inherit it (a mismatched `bucket` option is an error), maintenance
+    * rewrites (compact, DELETE copy-on-write, row-level DML) re-route
+    * rows through the same bucket function so purity survives every
+    * rewrite, and TRUNCATE may re-bucket (`bucket=none` drops it). The
+    * bucket count is the layout's PARALLELISM UNIT — grouped scans read
+    * one task per bucket — so size it like Hive buckets: hundreds-to-
+    * thousands at warehouse scale, never single digits. */
+  val BucketKey = "bucket"
+  val BucketNone = "none"
+
+  case class BucketSpec(col: String, n: Int) {
+    require(n > 0, s"bucket count must be positive, got $n")
+    def render: String = s"$col:$n"
+  }
+
+  private[graft] def parseBucketSpec(s: String): BucketSpec = {
+    val i = s.lastIndexOf(':')
+    if (i <= 0 || i == s.length - 1)
+      throw new IllegalArgumentException(
+        s"bucket spec '$s' is not <column>:<numBuckets>")
+    BucketSpec(s.substring(0, i), s.substring(i + 1).toInt)
+  }
+
+  private[v2] def bucketOf(header: Map[String, String]): Option[BucketSpec] =
+    header.get(BucketKey).map(parseBucketSpec)
+
+  /** The zone's committed bucket layout; None = unbucketed (or no zone). */
+  def zoneBucket(path: String): Option[BucketSpec] =
+    readManifestRaw(path).flatMap(m => bucketOf(m.header))
+
+  /** Bucket types: integral and string keys — the shapes join keys
+    * actually take. Guarded here so a typo'd column or an unbucketable
+    * type fails the WRITE loudly instead of producing a zone whose
+    * reported partitioning lies. */
+  private[v2] def checkBucketable(schema: StructType, spec: BucketSpec): Unit = {
+    val f = schema.fields.find(_.name == spec.col).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucket column ${spec.col} is not in the schema " +
+          s"${schema.fieldNames.mkString(", ")}"))
+    f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"bucket column ${spec.col} has unsupported type ${dt.sql} — " +
+          "bucketing supports integral and string keys")
+    }
+  }
+
+  /** THE bucket function — one definition shared by the writer router,
+    * the scan's file pruning, and the catalog's V2 `bucket` function
+    * (which is how Spark's storage-partitioned join verifies both sides
+    * agree). Integral keys canonicalize to long before the modulus so
+    * INT and BIGINT columns of equal value land in the same bucket;
+    * string keys hash via [[UTF8String]]'s byte-deterministic hash.
+    * NULL keys land in bucket 0 (they never match an equi-join anyway). */
+  def bucketId(v: Any, n: Int): Int = v match {
+    case null => 0
+    case l: Long => (((l % n) + n) % n).toInt
+    case i: Int => bucketId(i.toLong, n)
+    case s: Short => bucketId(s.toLong, n)
+    case b: Byte => bucketId(b.toLong, n)
+    case u: UTF8String => ((u.hashCode % n) + n) % n
+    case s: String => bucketId(UTF8String.fromString(s), n)
+    case other => throw new IllegalArgumentException(
+      s"unbucketable key $other (${other.getClass.getName})")
+  }
+
+  /** Bucket layout for a write — the same law as [[resolveWriteFormat]]:
+    * an existing zone's layout binds appends (mismatch = error, never a
+    * silently half-bucketed zone); TRUNCATE may re-bucket or drop
+    * (`bucket=none`); a fresh zone takes the option. */
+  private[v2] def resolveWriteBucket(path: String, option: Option[String],
+                                     truncate: Boolean): Option[BucketSpec] = {
+    val opt = option.map(o =>
+      if (o == BucketNone) None else Some(parseBucketSpec(o)))
+    zoneBucket(path) match {
+      case existing @ Some(b) if !truncate =>
+        opt.filter(_ != existing).foreach { o =>
+          throw new IllegalArgumentException(
+            s"zone $path is committed as bucket=${b.render}; appending " +
+              s"with bucket=${o.fold(BucketNone)(_.render)} would break " +
+              "bucket purity — overwrite the zone to re-bucket it")
+        }
+        existing
+      case None if !truncate =>
+        opt.flatten.foreach { o =>
+          if (readManifestRaw(path).isDefined)
+            throw new IllegalArgumentException(
+              s"zone $path is committed unbucketed; appending with " +
+                s"bucket=${o.render} would break bucket purity — " +
+                "overwrite the zone to bucket it")
+        }
+        opt.flatten
+      case existing => opt.getOrElse(existing)
+    }
+  }
+
   /** Format for a write: an existing zone's format is LAW for appends
     * (a mismatched option is an error, not a silent mixed zone);
     * TRUNCATE may re-format (it replaces every file anyway); a fresh
@@ -529,28 +640,47 @@ object DirSink {
     * per-file stat call. */
   case class FileEntry(name: String, rows: Long, epoch: Option[Long],
                        stats: Option[String], ts: Option[Long] = None,
-                       bytes: Option[Long] = None)
+                       bytes: Option[Long] = None,
+                       bucket: Option[Int] = None)
 
   /** Tag-based field parse of one file line: index 0 = name, 1 = row
     * count; anything after is an epoch if it parses as a bare long,
     * stats if `s=`-prefixed, a commit timestamp if `t=`-prefixed, a
-    * file byte size if `b=`-prefixed — old and new lines co-parse. */
+    * file byte size if `b=`-prefixed, a bucket id if `k=`-prefixed —
+    * old and new lines co-parse. */
   private[v2] def parseEntry(line: String): FileEntry = {
     val p = line.split("\t")
     var epoch: Option[Long] = None
     var stats: Option[String] = None
     var ts: Option[Long] = None
     var bytes: Option[Long] = None
+    var bucket: Option[Int] = None
     p.drop(2).foreach { f =>
       if (f.startsWith("s=")) stats = Some(f.drop(2))
       else if (f.startsWith("t="))
         ts = scala.util.Try(f.drop(2).toLong).toOption
       else if (f.startsWith("b="))
         bytes = scala.util.Try(f.drop(2).toLong).toOption
+      else if (f.startsWith("k="))
+        bucket = scala.util.Try(f.drop(2).toInt).toOption
       else epoch = scala.util.Try(f.toLong).toOption.orElse(epoch)
     }
-    FileEntry(p(0), p(1).toLong, epoch, stats, ts, bytes)
+    FileEntry(p(0), p(1).toLong, epoch, stats, ts, bytes, bucket)
   }
+
+  /** Manifest-line tag for a file's bucket id ([[FileEntry.bucket]]). */
+  private[v2] def bucketTag(b: Option[Int]): String =
+    b.fold("")(i => s"\tk=$i")
+
+  /** Flatten driver-side commit messages: plain single-file messages and
+    * the bucket router's multi-file bundles co-arrive in one `commit`. */
+  private[v2] def flattenMsgs(
+      messages: Iterable[WriterCommitMessage]): Seq[DirSinkCommitMessage] =
+    messages.toSeq.flatMap {
+      case m: DirSinkCommitMessage => Seq(m)
+      case DirSinkBucketedCommitMessage(parts) => parts
+      case null => Seq.empty // task that never reached commit
+    }
 
   def readManifestEntries(path: String): Option[(StructType, Seq[FileEntry])] =
     readManifestLines(path).map { case (schema, lines) =>
@@ -943,6 +1073,15 @@ class DirSinkTable(path: String, schema0: StructType,
   override def name(): String = s"graft_dir_sink($path)"
   override def schema(): StructType = schema0
 
+  /** A bucketed zone reports its layout as the `bucket(n, col)`
+    * transform — `DESCRIBE` shows it and Spark's SPJ planning sees a
+    * partitioned table (the executable half is the scan's
+    * [[DirSinkScan.outputPartitioning]] report). */
+  override def partitioning(): Array[Transform] =
+    DirSink.zoneBucket(path).map(b =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(b.n, b.col): Transform).toArray
+
   /** Zone metadata for `DESCRIBE TABLE EXTENDED`: data-plane format,
     * current generation, committed file count — read fresh from the
     * manifest so the description never goes stale. */
@@ -953,6 +1092,8 @@ class DirSinkTable(path: String, schema0: StructType,
         raw.header.getOrElse(DirSink.FormatKey, DirSink.FormatText))
       m.put("generation", raw.gen.toString)
       m.put("files", raw.lines.size.toString)
+      raw.header.get(DirSink.BucketKey).foreach(b =>
+        m.put(DirSink.BucketKey, b))
     }
     m
   }
@@ -965,7 +1106,9 @@ class DirSinkTable(path: String, schema0: StructType,
     new DirSinkWriteBuilder(path, info.schema(), info.queryId(),
       Option(info.options.get("compactRemapFrom")).map(_.toInt),
       Option(info.options.get("compactRemapChain")).filter(_.nonEmpty),
-      Option(info.options.get(DirSink.FormatKey)))
+      Option(info.options.get(DirSink.FormatKey)),
+      Option(info.options.get(DirSink.BucketKey)).orElse(
+        pinned.get(DirSink.BucketKey)))
 
   /** HYBRID DELETE (`DELETE FROM … WHERE …`): the metadata fast path
     * first — per-file stats PROVE a file all-match
@@ -1057,10 +1200,13 @@ class DirSinkTable(path: String, schema0: StructType,
             org.apache.spark.sql.functions.lit(false))))
         .write.format(classOf[DirSinkSource].getName)
         .option("path", scratch.toString)
-        // the rewrite inherits the parent zone's data plane: its files
-        // MOVE into the parent manifest, which must stay single-format
+        // the rewrite inherits the parent zone's data plane AND bucket
+        // layout: its files MOVE into the parent manifest, which must
+        // stay single-format and bucket-pure
         .option(DirSink.FormatKey, parent.header.getOrElse(
           DirSink.FormatKey, DirSink.FormatText))
+        .option(DirSink.BucketKey, parent.header.getOrElse(
+          DirSink.BucketKey, DirSink.BucketNone))
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
       scratchDir = Some(scratch)
       DirSink.readManifestLines(scratch.toString)
@@ -1349,40 +1495,54 @@ case class DirSinkAggPartition(ddl: String, values: Seq[Option[String]])
 class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String,
                           remapFrom: Option[Int] = None,
                           remapChain: Option[String] = None,
-                          formatOption: Option[String] = None)
+                          formatOption: Option[String] = None,
+                          bucketOption: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    // the data-plane format is resolved ONCE, on the driver, before any
-    // task runs: appends inherit the zone's committed format, truncate
-    // may re-format, fresh zones default to parquet
+    // the data-plane format and bucket layout are resolved ONCE, on the
+    // driver, before any task runs: appends inherit the zone's committed
+    // values, truncate may re-format/re-bucket, fresh zones default to
+    // parquet/unbucketed
     private val fmt = DirSink.resolveWriteFormat(path, formatOption, doTruncate)
+    private val bkt = DirSink.resolveWriteBucket(path, bucketOption, doTruncate)
+    bkt.foreach(DirSink.checkBucketable(schema, _))
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(path, schema, queryId, doTruncate,
-        remapFrom, remapChain, fmt)
+        remapFrom, remapChain, fmt, bkt)
     override def toStreaming: StreamingWrite =
-      new DirSinkStreamingWrite(path, schema, queryId, doTruncate, fmt)
+      new DirSinkStreamingWrite(path, schema, queryId, doTruncate, fmt, bkt)
   }
 }
 
 /** `stats` is the encoded [[DirSinkStats]] manifest field (with its
   * `s=` prefix), or empty when the writer collected none. `bytes` is
   * the staged file's size — published as the manifest line's `b=`
-  * field so split planning never stats files. */
+  * field so split planning never stats files. `bucket` is the file's
+  * bucket id when the zone is bucketed (every row in it hashes there). */
 case class DirSinkCommitMessage(stagedName: String, rows: Long,
-                                stats: String = "", bytes: Long = 0L)
+                                stats: String = "", bytes: Long = 0L,
+                                bucket: Option[Int] = None)
+    extends WriterCommitMessage
+
+/** One task's commit under a BUCKETED zone: the router writes one
+  * staged file per non-empty bucket, so its task-level message bundles
+  * the per-file messages ([[DirSink.flattenMsgs]] unpacks driver-side). */
+case class DirSinkBucketedCommitMessage(parts: Seq[DirSinkCommitMessage])
     extends WriterCommitMessage
 
 class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
                         truncate: Boolean,
                         remapFrom: Option[Int] = None,
                         remapChain: Option[String] = None,
-                        format: String = DirSink.FormatText) extends BatchWrite {
+                        format: String = DirSink.FormatText,
+                        bucket: Option[DirSink.BucketSpec] = None)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    DirSinkWriterFactory(path, schema, queryId, format)
+    DirSinkWriterFactory(path, schema, queryId, format, bucket)
 
   /** Publish: rename exactly the committed staging files into place,
     * swap the manifest in atomically, and (on truncate) sweep the
@@ -1402,16 +1562,16 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     f.mkdirs(root)
     val now = System.currentTimeMillis()
     DirSink.withZoneLock(path) {
-      val committed = messages.toSeq.map {
-        case DirSinkCommitMessage(staged, rows, stats, bytes) =>
-          // final name embeds the per-write queryId UUID: task ids restart
-          // per application, so a bare p<part>-t<task> could collide with
-          // (and silently clobber) a PREVIOUS application's committed file
-          val fin = s"g$queryId-" + staged.stripPrefix(s"_staging/$queryId/")
-          if (!f.rename(new Path(root, staged), new Path(root, fin)))
-            throw new java.io.IOException(
-              s"task-file publish failed: $staged -> $fin under $root")
-          (fin, rows, stats, bytes)
+      val committed = DirSink.flattenMsgs(messages).map { m =>
+        // final name embeds the per-write queryId UUID: task ids restart
+        // per application, so a bare p<part>-t<task> could collide with
+        // (and silently clobber) a PREVIOUS application's committed file
+        val fin = s"g$queryId-" +
+          m.stagedName.stripPrefix(s"_staging/$queryId/")
+        if (!f.rename(new Path(root, m.stagedName), new Path(root, fin)))
+          throw new java.io.IOException(
+            s"task-file publish failed: ${m.stagedName} -> $fin under $root")
+        m.copy(stagedName = fin)
       }
       // raw prior lines, preserved verbatim — a batch append after
       // streaming commits must not strip their epoch fields; the header
@@ -1431,20 +1591,24 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
       // output file count, never a post-hoc manifest line count a
       // concurrent append could inflate (which would migrate a boundary
       // checkpoint past the appended files — an exactly-once violation)
+      val header0 = DirSink.nextHeader(parent, truncate = truncate) ++
+        remapFrom.map { from =>
+          val pair = s"$from:${committed.size}"
+          "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
+        } + (DirSink.FormatKey -> format) ++
+        bucket.map(b => DirSink.BucketKey -> b.render)
       val header = DirSink.withHistory(
-        DirSink.nextHeader(parent, truncate = truncate) ++
-          remapFrom.map { from =>
-            val pair = s"$from:${committed.size}"
-            "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
-          } + (DirSink.FormatKey -> format),
+        // a truncate that drops bucketing must drop the inherited header
+        if (bucket.isEmpty) header0 - DirSink.BucketKey else header0,
         if (!truncate) "append"
         else if (remapFrom.isDefined) "compact" else "overwrite",
         previous.size + committed.size)
       DirSink.writeAndPublish(path, queryId,
         DirSink.renderManifest(DirSink.asNullable(schema), header,
-          previous ++ committed.map { case (n, c, st, b) =>
-            s"$n\t$c\tt=$now\tb=$b" +
-              (if (st.nonEmpty) s"\t$st" else "") }))
+          previous ++ committed.map { m =>
+            s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
+              DirSink.bucketTag(m.bucket) +
+              (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }))
       // staging leftovers of THIS query (loser speculative attempts)
       f.delete(new Path(root, s"_staging/$queryId"), true)
       dropStagingRootIfEmpty(f, root)
@@ -1454,7 +1618,7 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
         // unreferenced is provably garbage (a published competitor's
         // files are in the manifest just read; an unpublished one's are
         // still in _staging, which the sweep never enters).
-        val liveSet = committed.map(_._1).toSet ++
+        val liveSet = committed.map(_.stagedName).toSet ++
           DirSink.readManifest(path).map(_._2.map(_._1).toSet)
             .getOrElse(Set.empty)
         f.listStatus(root).foreach { st =>
@@ -1480,11 +1644,8 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     * running tasks clean their own staging through DataWriter.abort. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
-    messages.foreach {
-      case DirSinkCommitMessage(staged, _, _, _) =>
-        f.delete(new Path(path, staged), false)
-      case null => () // task that never reached commit
-    }
+    DirSink.flattenMsgs(messages).foreach(m =>
+      f.delete(new Path(path, m.stagedName), false))
     f.delete(new Path(path, s"_staging/$queryId"), true)
     dropStagingRootIfEmpty(f, new Path(path))
   }
@@ -1498,27 +1659,75 @@ case class DirSinkWriterFactory(
     path: String, schema: StructType, queryId: String,
     format: String,
     parquet: Option[(org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-      DirSinkParquet.SerializableConf)])
+      DirSinkParquet.SerializableConf)],
+    bucket: Option[DirSink.BucketSpec])
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int,
-                            taskId: Long): DataWriter[InternalRow] =
+
+  private def plain(attempt: String, partitionId: Int,
+                    taskId: Long): DataWriter[InternalRow] =
     parquet match {
       case Some((owf, conf)) =>
         new DirSinkParquetWriter(path, schema, queryId,
-          s"p$partitionId-t$taskId", owf, conf, partitionId, taskId)
+          attempt, owf, conf, partitionId, taskId)
       case None =>
-        new DirSinkWriter(path, schema, queryId, s"p$partitionId-t$taskId")
+        new DirSinkWriter(path, schema, queryId, attempt)
     }
+
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] = {
+    val attempt = s"p$partitionId-t$taskId"
+    bucket match {
+      case Some(spec) => new DirSinkBucketRouter(schema, spec,
+        b => plain(s"$attempt-b$b", partitionId, taskId))
+      case None => plain(attempt, partitionId, taskId)
+    }
+  }
 }
 
 object DirSinkWriterFactory {
   /** Driver side: prepare the Parquet machinery once per write job. */
   def apply(path: String, schema: StructType, queryId: String,
-            format: String): DirSinkWriterFactory =
+            format: String,
+            bucket: Option[DirSink.BucketSpec] = None): DirSinkWriterFactory =
     DirSinkWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
         Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema)))
-      else None)
+      else None,
+      bucket)
+}
+
+/** One task attempt's writer under a BUCKETED zone: routes each row to
+  * a per-bucket inner writer ([[DirSink.bucketId]] of the bucket
+  * column), created lazily — a task touching 3 of 512 buckets opens 3
+  * files. Commit bundles the inner per-file messages tagged with their
+  * bucket ids; purity is by construction (a file only ever receives
+  * rows that hashed to its bucket), so maintenance rewrites and DML
+  * that re-route through this writer preserve the layout for free. */
+class DirSinkBucketRouter(schema: StructType, spec: DirSink.BucketSpec,
+                          mk: Int => DataWriter[InternalRow])
+    extends DataWriter[InternalRow] {
+  private val colIdx = schema.fieldIndex(spec.col)
+  private val dt = schema(colIdx).dataType
+  private val inner = new Array[DataWriter[InternalRow]](spec.n)
+
+  override def write(record: InternalRow): Unit = {
+    val key = if (record.isNullAt(colIdx)) null else record.get(colIdx, dt)
+    val b = DirSink.bucketId(key, spec.n)
+    if (inner(b) == null) inner(b) = mk(b)
+    inner(b).write(record)
+  }
+
+  override def commit(): WriterCommitMessage =
+    DirSinkBucketedCommitMessage(inner.toSeq.zipWithIndex.collect {
+      case (w, b) if w != null =>
+        w.commit().asInstanceOf[DirSinkCommitMessage].copy(bucket = Some(b))
+    })
+
+  override def abort(): Unit =
+    inner.foreach(w => if (w != null) w.abort())
+
+  override def close(): Unit =
+    inner.foreach(w => if (w != null) w.close())
 }
 
 /** STREAMING write (micro-batch): the same staging/manifest protocol,
@@ -1538,7 +1747,8 @@ object DirSinkWriterFactory {
   * epoch a whole-table manifest swap. */
 class DirSinkStreamingWrite(path: String, schema: StructType,
                             queryId: String, truncate: Boolean,
-                            format: String = DirSink.FormatText)
+                            format: String = DirSink.FormatText,
+                            bucket: Option[DirSink.BucketSpec] = None)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1546,34 +1756,34 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     DirSinkStreamingWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
         Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema)))
-      else None)
+      else None,
+      bucket)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
     val root = new Path(path)
     f.mkdirs(root)
-    val staged = messages.collect {
-      case DirSinkCommitMessage(s, r, st, b) => (s, r, st, b)
-    }.toSeq
+    val staged = DirSink.flattenMsgs(messages)
     if (DirSink.committedEpochMax(path).exists(epochId <= _)) {
       // epoch replay after crash recovery: the generation is already
       // durable (the high-water mark survives even if maintenance
       // rewrote the epoch's lines away) — make the retry a no-op and
       // drop the replayed files
-      staged.foreach { case (s, _, _, _) => f.delete(new Path(root, s), false) }
+      staged.foreach(m => f.delete(new Path(root, m.stagedName), false))
       return
     }
     val now = System.currentTimeMillis()
     // renames, publish, and (complete-mode) sweep all inside the zone
     // lock — the same sweep-vs-rename serialization as the batch commit
     DirSink.withZoneLock(path) {
-      val committed = staged.map { case (sName, rows, stats, bytes) =>
-        val fin = s"g$queryId-" + sName.stripPrefix(s"_staging/$queryId/")
-        if (!f.rename(new Path(root, sName), new Path(root, fin)))
+      val committed = staged.map { m =>
+        val fin = s"g$queryId-" +
+          m.stagedName.stripPrefix(s"_staging/$queryId/")
+        if (!f.rename(new Path(root, m.stagedName), new Path(root, fin)))
           throw new java.io.IOException(
-            s"task-file publish failed: $sName -> $fin under $root")
-        (fin, rows, stats, bytes)
+            s"task-file publish failed: ${m.stagedName} -> $fin under $root")
+        m.copy(stagedName = fin)
       }
       val parent = DirSink.readManifestRaw(path)
       if (!truncate) parent.foreach { m =>
@@ -1582,15 +1792,18 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
       }
       val previous: Seq[String] =
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
+      val header0 = DirSink.nextHeader(parent, newEpoch = Some(epochId),
+        truncate = truncate) + (DirSink.FormatKey -> format) ++
+        bucket.map(b => DirSink.BucketKey -> b.render)
       DirSink.writeAndPublish(path, s"$queryId-e$epochId",
         DirSink.renderManifest(DirSink.asNullable(schema),
           DirSink.withHistory(
-            DirSink.nextHeader(parent, newEpoch = Some(epochId),
-              truncate = truncate) + (DirSink.FormatKey -> format),
+            if (bucket.isEmpty) header0 - DirSink.BucketKey else header0,
             s"epoch-$epochId", previous.size + committed.size),
-          previous ++ committed.map { case (n, c, st, b) =>
-            s"$n\t$c\t$epochId\tt=$now\tb=$b" +
-              (if (st.nonEmpty) s"\t$st" else "") }))
+          previous ++ committed.map { m =>
+            s"${m.stagedName}\t${m.rows}\t$epochId\tt=$now\tb=${m.bytes}" +
+              DirSink.bucketTag(m.bucket) +
+              (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }))
       // sweep THIS epoch's staging leftovers only (loser attempts);
       // never the whole staging dir — a restart's new queryId owns its own
       val stagingDir = new Path(root, s"_staging/$queryId")
@@ -1600,7 +1813,7 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
             f.delete(st.getPath, false)
         }
       if (truncate) {
-        val liveSet = committed.map(_._1).toSet ++
+        val liveSet = committed.map(_.stagedName).toSet ++
           DirSink.readManifest(path).map(_._2.map(_._1).toSet)
             .getOrElse(Set.empty)
         f.listStatus(root).foreach { st =>
@@ -1616,10 +1829,8 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val f = DirSink.fs(path)
-    messages.foreach {
-      case DirSinkCommitMessage(s, _, _, _) => f.delete(new Path(path, s), false)
-      case null => ()
-    }
+    DirSink.flattenMsgs(messages).foreach(m =>
+      f.delete(new Path(path, m.stagedName), false))
   }
 }
 
@@ -1633,18 +1844,30 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
                                            org.apache.spark.sql.execution
                                              .datasources.OutputWriterFactory,
                                            DirSinkParquet.SerializableConf)] =
+                                           None,
+                                         bucket: Option[DirSink.BucketSpec] =
                                            None)
     extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
+
+  private def plain(attempt: String, partitionId: Int,
+                    taskId: Long): DataWriter[InternalRow] =
     parquet match {
       case Some((owf, conf)) =>
         new DirSinkParquetWriter(path, schema, queryId,
-          s"e$epochId-p$partitionId-t$taskId", owf, conf, partitionId, taskId)
+          attempt, owf, conf, partitionId, taskId)
       case None =>
-        new DirSinkWriter(path, schema, queryId,
-          s"e$epochId-p$partitionId-t$taskId")
+        new DirSinkWriter(path, schema, queryId, attempt)
     }
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val attempt = s"e$epochId-p$partitionId-t$taskId"
+    bucket match {
+      case Some(spec) => new DirSinkBucketRouter(schema, spec,
+        b => plain(s"$attempt-b$b", partitionId, taskId))
+      case None => plain(attempt, partitionId, taskId)
+    }
+  }
 }
 
 /** One task attempt's writer: a private staging file named by the
@@ -1740,13 +1963,34 @@ case class DirSinkFilePartition(path: String, file: String, ddl: String,
                                 fileLen: Long = -1L)
     extends InputPartition
 
+/** A file partition of a BUCKETED zone: carries its bucket id as the
+  * DSv2 partition KEY — Spark's storage-partitioned-join machinery
+  * groups equal-key partitions into one task and aligns both join
+  * sides' groups, which is what makes the reported
+  * `KeyGroupedPartitioning` executable. */
+case class DirSinkBucketedFilePartition(base: DirSinkFilePartition,
+                                        bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+private[v2] object DirSinkFilePartition {
+  /** Unwrap the optional bucket-key layer (readers are key-agnostic). */
+  def of(p: InputPartition): DirSinkFilePartition = p match {
+    case b: DirSinkBucketedFilePartition => b.base
+    case f: DirSinkFilePartition => f
+  }
+}
+
 /** Executor-side file reader shared by the batch scan and the
   * micro-batch stream: decode one committed file per partition,
   * materializing only the projected columns. */
 class DirSinkReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DirSinkFilePartition]
+    val p = DirSinkFilePartition.of(partition)
     val sch = StructType.fromDDL(p.ddl)
     // STREAM the file line by line — never materialize it: a committed
     // file can be GBs (one compacted range of a 100 TB zone), and the
@@ -1798,7 +2042,8 @@ class DirSinkScan(path: String, schema: StructType,
                   planListener: Option[(Long, Seq[String]) => Unit] = None,
                   fileFilterOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -1868,18 +2113,21 @@ class DirSinkScan(path: String, schema: StructType,
   /** The manifest's asOf-sliced entry list (one read per scan), plus the
     * GENERATION it was read at — the optimistic-concurrency token a
     * row-level operation's commit verifies before swapping groups —
-    * and the zone's data-plane FORMAT. */
-  private lazy val manifestParsed: (Long, Seq[DirSink.FileEntry], String) = {
+    * the zone's data-plane FORMAT, and its BUCKET layout. */
+  private lazy val manifestParsed: (Long, Seq[DirSink.FileEntry], String,
+      Option[DirSink.BucketSpec]) = {
     val raw = DirSink.readManifestRaw(path).getOrElse(
       throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under $path — " +
           "nothing was committed"))
     (raw.gen, raw.lines.map(DirSink.parseEntry),
-      raw.header.getOrElse(DirSink.FormatKey, DirSink.FormatText))
+      raw.header.getOrElse(DirSink.FormatKey, DirSink.FormatText),
+      DirSink.bucketOf(raw.header))
   }
 
   private[graft] def manifestGen: Long = manifestParsed._1
   private def zoneFmt: String = manifestParsed._3
+  private def zoneBucketSpec: Option[DirSink.BucketSpec] = manifestParsed._4
 
   private lazy val manifestEntries: Seq[DirSink.FileEntry] =
     DirSink.sliceEntries(path, manifestParsed._2, asOfOffset,
@@ -1896,8 +2144,20 @@ class DirSinkScan(path: String, schema: StructType,
       if (fileIdentityFilters.isEmpty) manifestEntries
       else manifestEntries.filter(e =>
         fileIdentityFilters.forall(_.contains(e.name)))
-    if (active.isEmpty) byIdentity
-    else byIdentity.filter { e =>
+    // BUCKET PRUNING: equality/IN predicates on the bucket column keep
+    // only the matching buckets' files — 1/n of the zone on a point
+    // lookup, clustered or not (min/max stats need clustering to bite;
+    // the bucket tag never does). Files without a bucket tag (none
+    // exist in a properly-bucketed zone, but be sound) always survive.
+    val byBucket = zoneBucketSpec match {
+      case Some(spec) if active.nonEmpty =>
+        val allowed = DirSinkStats.bucketCandidates(active, spec)
+        allowed.fold(byIdentity)(ok =>
+          byIdentity.filter(e => e.bucket.forall(ok.contains)))
+      case _ => byIdentity
+    }
+    if (active.isEmpty) byBucket
+    else byBucket.filter { e =>
       e.stats match {
         case None => true // pre-skipping manifest line: always read
         case Some(field) =>
@@ -1927,6 +2187,35 @@ class DirSinkScan(path: String, schema: StructType,
     * `planInputPartitions` call (after any runtime filters landed). */
   @volatile private[graft] var lastPlannedFiles: Option[Int] = None
 
+  /** STORAGE-PARTITIONED LAYOUT REPORT: a bucketed zone's scan declares
+    * `KeyGroupedPartitioning(bucket(n, col))` — Spark's SPJ machinery
+    * (`spark.sql.sources.v2.bucketing.enabled`, on in [[graft.Sessions]])
+    * groups the planned partitions by bucket id and, when BOTH join
+    * sides report the same `graft.bucket` transform on their join keys
+    * with equal counts, plans the join WITHOUT A SHUFFLE — the
+    * co-located-join economics bucketing exists for. The transform
+    * resolves through [[GraftCatalog]]'s V2 `bucket` function, so the
+    * report is live on catalog-resolved tables (path reads fall back to
+    * unknown partitioning — Spark has no function catalog to bind
+    * against there, and simply shuffles as before). Sound only if every
+    * visible file carries a bucket tag; a zone with any untagged file
+    * reports unknown. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    zoneBucketSpec match {
+      case Some(spec) if manifestEntries.nonEmpty &&
+        manifestEntries.forall(_.bucket.isDefined) &&
+        required.fieldNames.contains(spec.col) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(spec.n, spec.col)),
+            manifestEntries.flatMap(_.bucket).distinct.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val files = visibleFiles
     lastPlannedFiles = Some(files.size)
@@ -1934,6 +2223,17 @@ class DirSinkScan(path: String, schema: StructType,
     // at what generation) — its commit replaces exactly these files
     planListener.foreach(_(manifestGen, files.map(_.name)))
     val ddl = schema.toDDL
+    // under a reported key-grouped layout every partition must carry its
+    // bucket id as the partition KEY (Spark groups same-key partitions
+    // into one co-located task)
+    val keyed = zoneBucketSpec.isDefined &&
+      manifestEntries.nonEmpty && manifestEntries.forall(_.bucket.isDefined)
+    def part(e: DirSink.FileEntry, s: Long, l: Long,
+             len: Long): InputPartition = {
+      val base = DirSinkFilePartition(path, e.name, ddl, requiredIdx,
+        s, l, len)
+      if (keyed) DirSinkBucketedFilePartition(base, e.bucket.get) else base
+    }
     if (zoneFmt == DirSink.FormatParquet) {
       // SPLIT large files into byte ranges (Parquet assigns a row group
       // to the split containing its midpoint) so parallelism is sized
@@ -1945,13 +2245,11 @@ class DirSinkScan(path: String, schema: StructType,
         val len = e.bytes.getOrElse(
           DirSink.fs(path).getFileStatus(new Path(path, e.name)).getLen)
         DirSinkParquet.splitRanges(len, maxSplit).map { case (s, l) =>
-          DirSinkFilePartition(path, e.name, ddl, requiredIdx,
-            s, l, len): InputPartition
+          part(e, s, l, len)
         }
       }.toArray
-    } else files.map { e =>
-      DirSinkFilePartition(path, e.name, ddl, requiredIdx): InputPartition
-    }.toArray
+    } else files.map(e =>
+      part(e, 0L, Long.MaxValue, -1L)).toArray
   }
 
   /** Parquet zones read through Spark's own Parquet machinery (driver-
@@ -1995,7 +2293,7 @@ case class DirSinkParquetReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DirSinkFilePartition]
+    val p = DirSinkFilePartition.of(partition)
     val required = ddlSchema(requiredDdl)
     val data = ddlSchema(dataDdl)
     val abs = new Path(p.path, p.file)

@@ -472,4 +472,32 @@ object DirSinkStats {
       case _ => None
     }
   }
+
+  /** BUCKET PRUNING — the buckets a conjunction of pushed filters can
+    * possibly touch on a bucketed zone ([[DirSink.BucketSpec]]): an
+    * equality/IN on the bucket column pins its key set, and each key
+    * hashes to exactly one bucket, so only those buckets' files can
+    * hold matching rows. Conjuncts INTERSECT; a disjunction contributes
+    * only if BOTH arms constrain the column (union of arms). None =
+    * unconstrained (read every bucket) — never wrong, just unpruned.
+    * IsNull pins bucket 0 (where [[DirSink.bucketId]] sends NULL keys). */
+  def bucketCandidates(filters: Seq[Filter],
+                       spec: DirSink.BucketSpec): Option[Set[Int]] = {
+    def ofOne(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(c, v) if c == spec.col && v != null =>
+        Some(Set(DirSink.bucketId(v, spec.n)))
+      case EqualNullSafe(c, v) if c == spec.col =>
+        Some(Set(DirSink.bucketId(v, spec.n)))
+      case In(c, vs) if c == spec.col =>
+        Some(vs.toSet[Any].map(v => DirSink.bucketId(v, spec.n)))
+      case IsNull(c) if c == spec.col => Some(Set(DirSink.bucketId(null, spec.n)))
+      case And(l, r) => (ofOne(l), ofOne(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for (a <- ofOne(l); b <- ofOne(r)) yield a union b
+      case _ => None
+    }
+    filters.flatMap(ofOne(_)).reduceOption(_ intersect _)
+  }
 }

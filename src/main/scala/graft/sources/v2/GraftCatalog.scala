@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the name); the single-writer-per-table append constraint is
   * [[DirSinkSource]]'s, inherited.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -113,12 +114,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Map("asOfTimestamp" -> (timestampMicros / 1000L).toString))
   }
 
+  /** The one supported layout transform: `PARTITIONED BY (bucket(n,
+    * col))` — recorded as the zone's `#bucket` header at creation, so
+    * every INSERT routes rows through the bucket writer and every scan
+    * reports the key-grouped layout ([[DirSinkScan.outputPartitioning]]).
+    * Identity/temporal partitioning stays rejected: the manifest's
+    * per-file stats + clustering already give pruning, and a
+    * directory-per-value layout would fragment the commit protocol. */
+  private def bucketOf(ident: Identifier,
+                       partitions: Array[Transform]): Option[DirSink.BucketSpec] =
+    partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        val (nums, refs) = t.arguments.toSeq.partition(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]])
+        (nums, refs) match {
+          case (Seq(n: org.apache.spark.sql.connector.expressions.Literal[_]),
+                Seq(r: org.apache.spark.sql.connector.expressions.NamedReference))
+            if r.fieldNames.length == 1 =>
+            Some(DirSink.BucketSpec(r.fieldNames.head,
+              n.value.asInstanceOf[Number].intValue()))
+          case _ => throw new UnsupportedOperationException(
+            s"unsupported bucket transform $t for table $ident — " +
+              "expected bucket(<numBuckets>, <top-level column>)")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog tables support at most one bucket(n, col) " +
+          s"transform; got ${other.mkString(", ")}")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables are unpartitioned (bucket/partition layouts " +
-        "live in the Layouts tier)")
+    val bucket = bucketOf(ident, partitions)
+    bucket.foreach(DirSink.checkBucketable(schema, _))
     val dir = dirOf(ident)
     // existence check + zero-file-manifest publish under the zone's
     // commit lock: two racing CREATEs serialize, and the loser gets
@@ -141,11 +170,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       DirSink.writeAndPublish(dir, "create",
         DirSink.renderManifest(DirSink.asNullable(schema),
           DirSink.withHistory(
-            Map("gen" -> "0", DirSink.FormatKey -> fmt), "create", 0),
+            Map("gen" -> "0", DirSink.FormatKey -> fmt) ++
+              bucket.map(b => DirSink.BucketKey -> b.render),
+            "create", 0),
           Seq.empty))
     }
     new DirSinkTable(dir, schema)
   }
+
+  // ---- V2 functions: the bucket transform both planner sides bind
+
+  private val bucketIdent = Identifier.of(Array.empty, "bucket")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(bucketIdent)
+    else { loadNamespaceMetadata(namespace); Array.empty }
+
+  /** `bucket(n, key)` — the V2 function Spark's storage-partitioned
+    * join resolves a scan's reported `bucket` transform against
+    * (`V2ExpressionUtils` looks it up by name in the table's catalog).
+    * Both join sides binding the SAME canonical function with equal
+    * bucket counts is what licenses the shuffle-free plan. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** The one supported alteration is the one the positional line codec
     * can honor: `ALTER TABLE … ADD COLUMNS` (top-level, nullable,
@@ -320,3 +371,48 @@ class DirSinkHistoryTable(path: String) extends Table
 case class DirSinkHistoryPartition(
     entries: Seq[(Long, Long, String, Long)])
     extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The catalog's `bucket(n, key)` V2 function — the SAME computation as
+  * [[DirSink.bucketId]] (one definition shared by the write router, the
+  * scan's bucket pruning, and this binding): integral keys mod n after
+  * canonicalizing to long, string keys via UTF8String's
+  * byte-deterministic hash, NULL to bucket 0. Spark binds it when
+  * resolving a scan's reported `bucket` transform; equality of
+  * `canonicalName` across both join sides is the storage-partitioned
+  * join's compatibility test. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, key): deterministic bucket id of a zone's " +
+      "bucket column — integral keys mod n, string keys hashed"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 2)
+      throw new UnsupportedOperationException(
+        s"bucket expects (numBuckets, key); got ${inputType.length} args")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => ()
+      case dt => throw new UnsupportedOperationException(
+        s"bucket key type ${dt.sql} unsupported (integral or string)")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        val key = if (input.isNullAt(1)) null else input.get(1, keyType)
+        Integer.valueOf(DirSink.bucketId(key, n))
+      }
+    }
+  }
+}
