@@ -900,6 +900,59 @@ object DirSink {
           m.lines.size), m.lines))
     }
 
+  /** DROP COLUMN — schema evolution's other direction, PARQUET ZONES
+    * ONLY: republish the manifest with the column removed from the
+    * schema line and its entry excised from every per-file stats field
+    * (without the excision a middle drop would shift every later
+    * column's bounds one slot left — the skipper and the DELETE
+    * metadata fast path would then prune files against the WRONG
+    * column's min/max, a silent-wrong-answer class, not a perf bug).
+    * Data files are untouched: Parquet resolves columns BY NAME, so old
+    * files simply stop projecting the dropped chunk — which is exactly
+    * why the positional text codec cannot support this (field i's
+    * removal shifts every later field's position in every line).
+    * Refused for the bucket column (the layout hashes it) and for the
+    * last remaining column. Like every manifest rewrite, snapshots that
+    * predate the drop see the NEW schema — rewritten history, the
+    * caveat `evolveSchema` already carries. */
+  def dropColumn(path: String, colName: String): Unit = withZoneLock(path) {
+    val m = readManifestRaw(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${ManifestName} manifest under $path — nothing was committed"))
+    val fmt = m.header.getOrElse(FormatKey, FormatText)
+    if (fmt != FormatParquet) throw new UnsupportedOperationException(
+      s"DROP COLUMN requires the parquet data plane; zone $path is " +
+        s"format=$fmt (the text codec decodes fields positionally — " +
+        "removing one shifts every later field in every committed line)")
+    if (!m.schema.fieldNames.contains(colName))
+      throw new IllegalArgumentException(
+        s"column $colName is not in the zone schema " +
+          s"[${m.schema.fieldNames.mkString(", ")}]")
+    if (m.schema.length == 1) throw new IllegalArgumentException(
+      s"cannot drop $colName — it is the zone's only column")
+    bucketOf(m.header).filter(_.col == colName).foreach { b =>
+      throw new IllegalArgumentException(
+        s"cannot drop $colName — the zone is bucketed on it " +
+          s"(bucket=${b.render}); re-bucket via overwrite first")
+    }
+    val idx = m.schema.fieldIndex(colName)
+    val next = StructType(m.schema.fields.patch(idx, Nil, 1))
+    val lines = m.lines.map { line =>
+      line.split("\t").map { f =>
+        if (f.startsWith("s=")) {
+          val entries = f.drop(2).split(";", -1)
+          if (idx < entries.length)
+            "s=" + entries.patch(idx, Nil, 1).mkString(";")
+          else f
+        } else f
+      }.mkString("\t")
+    }
+    writeAndPublish(path, "dropcol",
+      renderManifest(asNullable(next),
+        withHistory(nextHeader(Some(m)), s"drop-$colName", lines.size),
+        lines))
+  }
+
   /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
     * rewrite the zone's committed files into `targetFiles` larger ones
     * through the connector's own read + overwrite-write paths, so the

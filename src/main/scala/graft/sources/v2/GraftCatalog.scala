@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[DirSinkSource]]'s, inherited.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -178,6 +178,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new DirSinkTable(dir, schema)
   }
 
+  // ---- atomic CTAS / RTAS (StagingTableCatalog): see GraftStagedTable
+
+  /** Common staging path: resolve the staged definition's data-plane
+    * format (`format` property, default parquet) and bucket layout
+    * (`PARTITIONED BY (bucket(n, col))`), and hand a [[GraftStagedTable]]
+    * whose `commitStagedChanges` publishes the whole table in one
+    * manifest swap. `mustExist`: Some(false) = CREATE (fails on
+    * conflict AT PUBLISH, under the zone lock), Some(true) = REPLACE
+    * (fails if dropped meanwhile), None = CREATE OR REPLACE. */
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    mustExist: Option[Boolean]): StagedTable = {
+    val fmt = Option(properties.get(DirSink.FormatKey))
+      .getOrElse(DirSink.FormatParquet)
+    if (fmt != DirSink.FormatParquet && fmt != DirSink.FormatText)
+      throw new IllegalArgumentException(
+        s"unknown table format '$fmt' — supported: " +
+          s"${DirSink.FormatParquet} (default), ${DirSink.FormatText}")
+    new GraftStagedTable(ident, dirOf(ident), schema, fmt,
+      bucketOf(ident, partitions), mustExist)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (exists(ident)) throw new TableAlreadyExistsException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    stage(ident, schema, partitions, properties, Some(false))
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!exists(ident)) throw new NoSuchTableException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    stage(ident, schema, partitions, properties, Some(true))
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, None)
+
   // ---- V2 functions: the bucket transform both planner sides bind
 
   private val bucketIdent = Identifier.of(Array.empty, "bucket")
@@ -198,18 +242,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
-  /** The one supported alteration is the one the positional line codec
-    * can honor: `ALTER TABLE … ADD COLUMNS` (top-level, nullable,
-    * appended at the tail). It advances the manifest's schema line
-    * atomically ([[DirSink.evolveSchema]]); existing files decode with
-    * NULL tails, and subsequent INSERTs carry the wider schema through
-    * the ordinary commit path. Renames, drops, reorders, and type
-    * changes are rejected — a positional codec cannot re-map them. */
+  /** Supported alterations: `ALTER TABLE … ADD COLUMNS` (top-level,
+    * nullable, appended at the tail — existing files decode with NULL
+    * tails) on every zone, and `ALTER TABLE … DROP COLUMN` on PARQUET
+    * zones ([[DirSink.dropColumn]] — name-based resolution lets old
+    * files simply stop projecting the chunk; the manifest rewrite
+    * excises the column's per-file stats entry so skipping stays
+    * aligned). Renames, reorders, and type changes are rejected: the
+    * text codec cannot re-map positions, and a parquet rename would
+    * orphan the old files' column names without Delta-style column
+    * mapping. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val dir = dirOf(ident)
     val prev = DirSink.readManifest(dir).map(_._1).getOrElse(
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    changes.toSeq match {
+      case Seq(d: TableChange.DeleteColumn) if d.fieldNames().length == 1 =>
+        val name = d.fieldNames()(0)
+        if (d.ifExists() && !prev.fieldNames.contains(name))
+          return new DirSinkTable(dir, prev)
+        DirSink.dropColumn(dir, name)
+        return new DirSinkTable(dir, DirSink.readManifestSchema(dir))
+      case _ => () // fall through to the ADD COLUMNS path
+    }
     val added = changes.map {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
         a.isNullable =>
@@ -222,8 +278,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       case c => throw new UnsupportedOperationException(
-        s"graft catalog supports only ADD COLUMNS of top-level nullable " +
-          s"columns (positional line codec); got $c")
+        s"graft catalog supports ADD COLUMNS (top-level nullable) and " +
+          s"DROP COLUMN (parquet zones); got $c")
     }
     added.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
       .collect { case (n, fs) if fs.size > 1 => n } ++
