@@ -73,12 +73,26 @@ object DirSinkParquet {
     * it needs on executors — `prepareWrite` sets the write-support
     * class, the Catalyst schema, compression, timestamp encoding, and
     * rebase markers from the session's SQL conf, exactly like a native
-    * parquet write. */
-  def writerFactory(schema: StructType): (OutputWriterFactory, SerializableConf) = {
+    * parquet write.
+    *
+    * `bloomCols` (the zone's `#bloomfor` columns) turn on PARQUET'S OWN
+    * per-column bloom filters in every written file: point lookups on a
+    * high-cardinality column that clustering doesn't serve (doc ids,
+    * url hashes) then prune ROW GROUPS inside the scan — Spark's
+    * parquet reader consumes the filters automatically through the
+    * pushed predicates, so the read side costs nothing to wire. This is
+    * the scale-correct home for bloom indexes: sized per row group by
+    * the parquet writer, never bloating the manifest (a manifest-level
+    * bloom sized for a 100M-row file would be megabytes per line). */
+  def writerFactory(schema: StructType, bloomCols: Seq[String] = Seq.empty)
+      : (OutputWriterFactory, SerializableConf) = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val factory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, schema)
+    bloomCols.foreach { c =>
+      job.getConfiguration.setBoolean(s"parquet.bloom.filter.enabled#$c", true)
+    }
     (factory, new SerializableConf(job.getConfiguration))
   }
 

@@ -93,7 +93,7 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
     * files stay pure). */
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    DirSinkWriterFactory(path, schema, queryId,
+    DirSinkWriterFactory.resolved(path, schema, queryId,
       DirSink.zoneFormat(path).getOrElse(DirSink.FormatText),
       DirSink.zoneBucket(path))
 

@@ -201,6 +201,46 @@ object DirSink {
       s"unbucketable key $other (${other.getClass.getName})")
   }
 
+  /** PER-COLUMN PARQUET BLOOM FILTERS (`#bloomfor=<c1,c2>` header):
+    * point-lookup row-group pruning on high-cardinality columns that
+    * clustering cannot serve (doc ids, url hashes — min/max bounds on
+    * an unclustered column span everything; a bloom filter still
+    * answers "definitely not in this row group"). The filters are
+    * parquet's own, written per row group by Spark's writer machinery
+    * ([[DirSinkParquet.writerFactory]]) and consumed by its reader
+    * through the pushed predicates — the manifest only records WHICH
+    * columns carry them, never the filter bytes (a manifest-level bloom
+    * sized for a 100M-row file would be megabytes per line). A zone
+    * property with the same law as the data-plane format: appends
+    * inherit, a mismatched option errors, TRUNCATE may re-set,
+    * `bloomfor=none` drops. Parquet zones only. */
+  val BloomKey = "bloomfor"
+
+  /** The zone's bloom-filtered columns; empty = none (or no zone). */
+  def zoneBloom(path: String): Seq[String] =
+    readManifestRaw(path).toSeq.flatMap(_.header.get(BloomKey))
+      .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+
+  private[v2] def resolveWriteBloom(path: String, option: Option[String],
+                                    truncate: Boolean): Seq[String] = {
+    def parse(o: String): Seq[String] =
+      if (o == BucketNone) Seq.empty
+      else o.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val existing = zoneBloom(path)
+    val zoneExists = readManifestRaw(path).isDefined
+    option.map(parse) match {
+      case Some(req) if zoneExists && !truncate && req != existing =>
+        throw new IllegalArgumentException(
+          s"zone $path is committed with bloomfor=" +
+            s"${existing.mkString(",")}; appending with bloomfor=" +
+            s"${req.mkString(",")} would mix filter coverage — " +
+            "overwrite the zone to change it")
+      case Some(req) if !zoneExists || truncate => req
+      case Some(req) => req // equal to existing
+      case None => existing
+    }
+  }
+
   /** Bucket layout for a write — the same law as [[resolveWriteFormat]]:
     * an existing zone's layout binds appends (mismatch = error, never a
     * silently half-bucketed zone); TRUNCATE may re-bucket or drop
@@ -900,6 +940,26 @@ object DirSink {
           m.lines.size), m.lines))
     }
 
+  /** Republish the manifest with the CHECK-constraint set transformed
+    * by `f` ([[DirSinkChecks]]) — same lines, bumped generation, one
+    * atomic swap under the zone lock. Validation (existing-row scan,
+    * binding) is the caller's job; this is just the header commit. */
+  def alterChecks(path: String,
+                  f: Seq[(String, String)] => Seq[(String, String)]): Unit =
+    withZoneLock(path) {
+      val m = readManifestRaw(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no ${ManifestName} manifest under $path — nothing was committed"))
+      val next = f(DirSinkChecks.parseHeader(m.header)).sortBy(_._1)
+      val header0 = nextHeader(Some(m))
+      val header =
+        if (next.isEmpty) header0 - DirSinkChecks.Key
+        else header0 + (DirSinkChecks.Key -> DirSinkChecks.render(next))
+      writeAndPublish(path, "checks",
+        renderManifest(m.schema,
+          withHistory(header, "alter-check", m.lines.size), m.lines))
+    }
+
   /** DROP COLUMN — schema evolution's other direction, PARQUET ZONES
     * ONLY: republish the manifest with the column removed from the
     * schema line and its entry excised from every per-file stats field
@@ -937,6 +997,16 @@ object DirSink {
     }
     val idx = m.schema.fieldIndex(colName)
     val next = StructType(m.schema.fields.patch(idx, Nil, 1))
+    // a CHECK constraint referencing the column would dangle: every
+    // later write's bind would fail. Refuse the drop, name the culprit.
+    DirSinkChecks.parseHeader(m.header).foreach { case (n, sql) =>
+      try DirSinkChecks.bind(next, n, sql)
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot drop $colName — CHECK constraint $n ($sql) " +
+            "references it; drop the constraint first")
+      }
+    }
     val lines = m.lines.map { line =>
       line.split("\t").map { f =>
         if (f.startsWith("s=")) {
@@ -1126,6 +1196,10 @@ class DirSinkTable(path: String, schema0: StructType,
   override def name(): String = s"graft_dir_sink($path)"
   override def schema(): StructType = schema0
 
+  /** The zone directory behind this table (maintenance SQL resolves
+    * OPTIMIZE/VACUUM targets through it). */
+  private[graft] def zonePath: String = path
+
   /** A bucketed zone reports its layout as the `bucket(n, col)`
     * transform — `DESCRIBE` shows it and Spark's SPJ planning sees a
     * partitioned table (the executable half is the scan's
@@ -1147,6 +1221,11 @@ class DirSinkTable(path: String, schema0: StructType,
       m.put("files", raw.lines.size.toString)
       raw.header.get(DirSink.BucketKey).foreach(b =>
         m.put(DirSink.BucketKey, b))
+      raw.header.get(DirSink.BloomKey).foreach(b =>
+        m.put(DirSink.BloomKey, b))
+      DirSinkChecks.parseHeader(raw.header).foreach { case (n, sql) =>
+        m.put(DirSinkChecks.PropPrefix + n, sql)
+      }
     }
     m
   }
@@ -1161,7 +1240,9 @@ class DirSinkTable(path: String, schema0: StructType,
       Option(info.options.get("compactRemapChain")).filter(_.nonEmpty),
       Option(info.options.get(DirSink.FormatKey)),
       Option(info.options.get(DirSink.BucketKey)).orElse(
-        pinned.get(DirSink.BucketKey)))
+        pinned.get(DirSink.BucketKey)),
+      Option(info.options.get(DirSink.BloomKey)).orElse(
+        pinned.get(DirSink.BloomKey)))
 
   /** HYBRID DELETE (`DELETE FROM … WHERE …`): the metadata fast path
     * first — per-file stats PROVE a file all-match
@@ -1260,6 +1341,8 @@ class DirSinkTable(path: String, schema0: StructType,
           DirSink.FormatKey, DirSink.FormatText))
         .option(DirSink.BucketKey, parent.header.getOrElse(
           DirSink.BucketKey, DirSink.BucketNone))
+        .option(DirSink.BloomKey, parent.header.getOrElse(
+          DirSink.BloomKey, DirSink.BucketNone))
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
       scratchDir = Some(scratch)
       DirSink.readManifestLines(scratch.toString)
@@ -1549,23 +1632,35 @@ class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String,
                           remapFrom: Option[Int] = None,
                           remapChain: Option[String] = None,
                           formatOption: Option[String] = None,
-                          bucketOption: Option[String] = None)
+                          bucketOption: Option[String] = None,
+                          bloomOption: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    // the data-plane format and bucket layout are resolved ONCE, on the
-    // driver, before any task runs: appends inherit the zone's committed
-    // values, truncate may re-format/re-bucket, fresh zones default to
-    // parquet/unbucketed
+    // the data-plane format, bucket layout, and bloom coverage are
+    // resolved ONCE, on the driver, before any task runs: appends
+    // inherit the zone's committed values, truncate may re-set them,
+    // fresh zones default to parquet/unbucketed/unfiltered
     private val fmt = DirSink.resolveWriteFormat(path, formatOption, doTruncate)
     private val bkt = DirSink.resolveWriteBucket(path, bucketOption, doTruncate)
+    private val blm = DirSink.resolveWriteBloom(path, bloomOption, doTruncate)
     bkt.foreach(DirSink.checkBucketable(schema, _))
+    if (blm.nonEmpty && fmt != DirSink.FormatParquet)
+      throw new IllegalArgumentException(
+        s"bloomfor=${blm.mkString(",")} requires the parquet data plane")
+    blm.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"bloomfor column $c is not in the schema " +
+            s"${schema.fieldNames.mkString(", ")}")
+    }
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(path, schema, queryId, doTruncate,
-        remapFrom, remapChain, fmt, bkt)
+        remapFrom, remapChain, fmt, bkt, blm)
     override def toStreaming: StreamingWrite =
-      new DirSinkStreamingWrite(path, schema, queryId, doTruncate, fmt, bkt)
+      new DirSinkStreamingWrite(path, schema, queryId, doTruncate, fmt, bkt,
+        blm)
   }
 }
 
@@ -1590,12 +1685,14 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
                         remapFrom: Option[Int] = None,
                         remapChain: Option[String] = None,
                         format: String = DirSink.FormatText,
-                        bucket: Option[DirSink.BucketSpec] = None)
+                        bucket: Option[DirSink.BucketSpec] = None,
+                        bloom: Seq[String] = Seq.empty)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    DirSinkWriterFactory(path, schema, queryId, format, bucket)
+    DirSinkWriterFactory.resolved(path, schema, queryId, format, bucket,
+      bloom = bloom)
 
   /** Publish: rename exactly the committed staging files into place,
     * swap the manifest in atomically, and (on truncate) sweep the
@@ -1649,10 +1746,14 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
           val pair = s"$from:${committed.size}"
           "remap" -> remapChain.fold(pair)(old => s"$old,$pair")
         } + (DirSink.FormatKey -> format) ++
-        bucket.map(b => DirSink.BucketKey -> b.render)
+        bucket.map(b => DirSink.BucketKey -> b.render) ++
+        (if (bloom.nonEmpty) Some(DirSink.BloomKey -> bloom.mkString(","))
+         else None)
+      // a truncate that drops a layout property must drop its header
+      val header1 = if (bucket.isEmpty) header0 - DirSink.BucketKey
+        else header0
       val header = DirSink.withHistory(
-        // a truncate that drops bucketing must drop the inherited header
-        if (bucket.isEmpty) header0 - DirSink.BucketKey else header0,
+        if (bloom.isEmpty) header1 - DirSink.BloomKey else header1,
         if (!truncate) "append"
         else if (remapFrom.isDefined) "compact" else "overwrite",
         previous.size + committed.size)
@@ -1713,7 +1814,8 @@ case class DirSinkWriterFactory(
     format: String,
     parquet: Option[(org.apache.spark.sql.execution.datasources.OutputWriterFactory,
       DirSinkParquet.SerializableConf)],
-    bucket: Option[DirSink.BucketSpec])
+    bucket: Option[DirSink.BucketSpec],
+    checks: Seq[DirSinkChecks.Bound])
     extends DataWriterFactory {
 
   private def plain(attempt: String, partitionId: Int,
@@ -1729,24 +1831,34 @@ case class DirSinkWriterFactory(
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] = {
     val attempt = s"p$partitionId-t$taskId"
-    bucket match {
+    val inner: DataWriter[InternalRow] = bucket match {
       case Some(spec) => new DirSinkBucketRouter(schema, spec,
         b => plain(s"$attempt-b$b", partitionId, taskId))
       case None => plain(attempt, partitionId, taskId)
     }
+    if (checks.isEmpty) inner
+    else new DirSinkChecks.CheckedWriter(inner, checks)
   }
 }
 
 object DirSinkWriterFactory {
-  /** Driver side: prepare the Parquet machinery once per write job. */
-  def apply(path: String, schema: StructType, queryId: String,
-            format: String,
-            bucket: Option[DirSink.BucketSpec] = None): DirSinkWriterFactory =
+  /** Driver side: prepare the Parquet machinery once per write job and
+    * bind the zone's CHECK constraints against the write schema.
+    * (Named `resolved`, not `apply` — an `apply` overload would erase
+    * identically to the case-class constructor.) */
+  def resolved(path: String, schema: StructType, queryId: String,
+               format: String,
+               bucket: Option[DirSink.BucketSpec] = None,
+               checks: Option[Seq[(String, String)]] = None,
+               bloom: Seq[String] = null): DirSinkWriterFactory =
     DirSinkWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
-        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema)))
+        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema),
+          Option(bloom).getOrElse(DirSink.zoneBloom(path))))
       else None,
-      bucket)
+      bucket,
+      DirSinkChecks.bindAll(schema,
+        checks.getOrElse(DirSinkChecks.zoneChecks(path))))
 }
 
 /** One task attempt's writer under a BUCKETED zone: routes each row to
@@ -1801,16 +1913,26 @@ class DirSinkBucketRouter(schema: StructType, spec: DirSink.BucketSpec,
 class DirSinkStreamingWrite(path: String, schema: StructType,
                             queryId: String, truncate: Boolean,
                             format: String = DirSink.FormatText,
-                            bucket: Option[DirSink.BucketSpec] = None)
+                            bucket: Option[DirSink.BucketSpec] = None,
+                            bloom: Seq[String] = Seq.empty)
     extends StreamingWrite {
+
+  // a directly-constructed streaming write (no builder) must still
+  // inherit the zone's layout properties — an epoch commit that
+  // silently dropped the bucket/bloom header would break the layout law
+  private val bucketSpec = bucket.orElse(DirSink.zoneBucket(path))
+  private val bloomCols =
+    if (bloom.nonEmpty) bloom else DirSink.zoneBloom(path)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     DirSinkStreamingWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
-        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema)))
+        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema),
+          bloomCols))
       else None,
-      bucket)
+      bucketSpec,
+      DirSinkChecks.bindAll(schema, DirSinkChecks.zoneChecks(path)))
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -1847,11 +1969,15 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
       val header0 = DirSink.nextHeader(parent, newEpoch = Some(epochId),
         truncate = truncate) + (DirSink.FormatKey -> format) ++
-        bucket.map(b => DirSink.BucketKey -> b.render)
+        bucketSpec.map(b => DirSink.BucketKey -> b.render) ++
+        (if (bloomCols.nonEmpty)
+          Some(DirSink.BloomKey -> bloomCols.mkString(",")) else None)
+      val header1 = if (bucketSpec.isEmpty) header0 - DirSink.BucketKey
+        else header0
       DirSink.writeAndPublish(path, s"$queryId-e$epochId",
         DirSink.renderManifest(DirSink.asNullable(schema),
           DirSink.withHistory(
-            if (bucket.isEmpty) header0 - DirSink.BucketKey else header0,
+            if (bloomCols.isEmpty) header1 - DirSink.BloomKey else header1,
             s"epoch-$epochId", previous.size + committed.size),
           previous ++ committed.map { m =>
             s"${m.stagedName}\t${m.rows}\t$epochId\tt=$now\tb=${m.bytes}" +
@@ -1899,7 +2025,9 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
                                            DirSinkParquet.SerializableConf)] =
                                            None,
                                          bucket: Option[DirSink.BucketSpec] =
-                                           None)
+                                           None,
+                                         checks: Seq[DirSinkChecks.Bound] =
+                                           Seq.empty)
     extends StreamingDataWriterFactory {
 
   private def plain(attempt: String, partitionId: Int,
@@ -1915,11 +2043,13 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val attempt = s"e$epochId-p$partitionId-t$taskId"
-    bucket match {
+    val inner: DataWriter[InternalRow] = bucket match {
       case Some(spec) => new DirSinkBucketRouter(schema, spec,
         b => plain(s"$attempt-b$b", partitionId, taskId))
       case None => plain(attempt, partitionId, taskId)
     }
+    if (checks.isEmpty) inner
+    else new DirSinkChecks.CheckedWriter(inner, checks)
   }
 }
 

@@ -171,11 +171,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         DirSink.renderManifest(DirSink.asNullable(schema),
           DirSink.withHistory(
             Map("gen" -> "0", DirSink.FormatKey -> fmt) ++
-              bucket.map(b => DirSink.BucketKey -> b.render),
+              bucket.map(b => DirSink.BucketKey -> b.render) ++
+              checksHeader(schema, properties) ++
+              {
+                val bl = bloomOf(schema, properties)
+                if (bl.isEmpty) None
+                else Some(DirSink.BloomKey -> bl.mkString(","))
+              },
             "create", 0),
           Seq.empty))
     }
     new DirSinkTable(dir, schema)
+  }
+
+  /** CHECK-constraint table properties (`check.<name> = '<predicate>'`)
+    * → the `#check` manifest header. Validated by BINDING against the
+    * schema right here, so a typo'd column or a non-boolean predicate
+    * fails the DDL, not the first INSERT. */
+  private def checksHeader(schema: StructType,
+                           properties: util.Map[String, String])
+      : Option[(String, String)] = {
+    val checks = checksOf(properties)
+    if (checks.isEmpty) None
+    else {
+      DirSinkChecks.bindAll(schema, checks)
+      Some(DirSinkChecks.Key -> DirSinkChecks.render(checks))
+    }
+  }
+
+  private def checksOf(
+      properties: util.Map[String, String]): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith(DirSinkChecks.PropPrefix) =>
+        val name = k.stripPrefix(DirSinkChecks.PropPrefix)
+        DirSinkChecks.checkName(name)
+        (name, v)
+    }.sortBy(_._1)
   }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog): see GraftStagedTable
@@ -198,7 +230,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"unknown table format '$fmt' — supported: " +
           s"${DirSink.FormatParquet} (default), ${DirSink.FormatText}")
     new GraftStagedTable(ident, dirOf(ident), schema, fmt,
-      bucketOf(ident, partitions), mustExist)
+      bucketOf(ident, partitions), mustExist, checksOf(properties),
+      bloomOf(schema, properties))
+  }
+
+  /** `'bloomfor' = 'c1,c2'` table property -> parquet bloom columns. */
+  private def bloomOf(schema: StructType,
+                      properties: util.Map[String, String]): Seq[String] = {
+    val cols = Option(properties.get(DirSink.BloomKey)).toSeq
+      .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+    cols.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"bloomfor column $c is not in the schema " +
+            s"${schema.fieldNames.mkString(", ")}")
+    }
+    cols
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -264,6 +311,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return new DirSinkTable(dir, prev)
         DirSink.dropColumn(dir, name)
         return new DirSinkTable(dir, DirSink.readManifestSchema(dir))
+      // CHECK-constraint management: SET TBLPROPERTIES ('check.n'='…')
+      // validates the EXISTING zone before accepting (one scan; a
+      // violating row refuses the constraint — Delta's ADD CONSTRAINT
+      // discipline); UNSET drops it. All-or-nothing per statement.
+      case props if props.nonEmpty && props.forall {
+        case s: TableChange.SetProperty =>
+          s.property().startsWith(DirSinkChecks.PropPrefix)
+        case r: TableChange.RemoveProperty =>
+          r.property().startsWith(DirSinkChecks.PropPrefix)
+        case _ => false
+      } =>
+        props.foreach {
+          case s: TableChange.SetProperty =>
+            val name = s.property().stripPrefix(DirSinkChecks.PropPrefix)
+            DirSinkChecks.checkName(name)
+            val bound = DirSinkChecks.bind(prev, name, s.value())
+            val spark = org.apache.spark.sql.SparkSession.active
+            val violations = spark.read
+              .format(classOf[DirSinkSource].getName)
+              .option("path", dir).load()
+              .filter(!org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(s.value()),
+                org.apache.spark.sql.functions.lit(true)))
+              .count()
+            if (violations > 0) throw new IllegalArgumentException(
+              s"cannot add CHECK constraint $name (${s.value()}): " +
+                s"$violations committed rows violate it")
+            DirSink.alterChecks(dir, _.filterNot(_._1 == name) :+
+              (name -> bound.sql))
+          case r: TableChange.RemoveProperty =>
+            val name = r.property().stripPrefix(DirSinkChecks.PropPrefix)
+            DirSink.alterChecks(dir, _.filterNot(_._1 == name))
+          case _ => ()
+        }
+        return new DirSinkTable(dir, prev)
       case _ => () // fall through to the ADD COLUMNS path
     }
     val added = changes.map {

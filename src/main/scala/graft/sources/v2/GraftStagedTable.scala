@@ -40,10 +40,22 @@ import org.apache.spark.sql.types.StructType
   * all come from the staged definition, not the old zone. */
 class GraftStagedTable(ident: Identifier, dir: String, schema0: StructType,
                        fmt: String, bucket: Option[DirSink.BucketSpec],
-                       mustExist: Option[Boolean])
+                       mustExist: Option[Boolean],
+                       checks: Seq[(String, String)] = Seq.empty,
+                       bloom: Seq[String] = Seq.empty)
     extends StagedTable with SupportsWrite {
 
   bucket.foreach(DirSink.checkBucketable(schema0, _))
+  DirSinkChecks.bindAll(schema0, checks) // validate at DDL time
+  bloom.foreach { c =>
+    if (!schema0.fieldNames.contains(c))
+      throw new IllegalArgumentException(
+        s"bloomfor column $c is not in the schema " +
+          s"${schema0.fieldNames.mkString(", ")}")
+  }
+  if (bloom.nonEmpty && fmt != DirSink.FormatParquet)
+    throw new IllegalArgumentException(
+      s"bloomfor=${bloom.mkString(",")} requires the parquet data plane")
 
   /** Deferred publish state: the staged write's committed task-file
     * messages, with names still under `_staging/<queryId>/` — sweeps
@@ -72,8 +84,8 @@ class GraftStagedTable(ident: Identifier, dir: String, schema0: StructType,
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               phys: PhysicalWriteInfo): DataWriterFactory =
-            DirSinkWriterFactory(dir, info.schema(), info.queryId(),
-              fmt, bucket)
+            DirSinkWriterFactory.resolved(dir, info.schema(),
+              info.queryId(), fmt, bucket, Some(checks), bloom)
 
           /** Park the committed task files — STILL IN STAGING. All
             * renames happen inside `commitStagedChanges`'s locked
@@ -126,9 +138,18 @@ class GraftStagedTable(ident: Identifier, dir: String, schema0: StructType,
               s"under $root")
         m.copy(stagedName = fin)
       }
-      val header0 = DirSink.nextHeader(parent, truncate = true) +
+      // the staged definition wins WHOLESALE: its checks replace the
+      // old table's (an atomic REPLACE is a new table at the old name)
+      val header2 = DirSink.nextHeader(parent, truncate = true) +
         (DirSink.FormatKey -> fmt) ++
-        bucket.map(b => DirSink.BucketKey -> b.render)
+        bucket.map(b => DirSink.BucketKey -> b.render) ++
+        (if (bloom.nonEmpty) Some(DirSink.BloomKey -> bloom.mkString(","))
+         else None)
+      val header1 =
+        if (bloom.isEmpty) header2 - DirSink.BloomKey else header2
+      val header0 =
+        if (checks.isEmpty) header1 - DirSinkChecks.Key
+        else header1 + (DirSinkChecks.Key -> DirSinkChecks.render(checks))
       val op = if (parent.isDefined) "replace" else "create"
       DirSink.writeAndPublish(dir, qid,
         DirSink.renderManifest(DirSink.asNullable(schema0),
