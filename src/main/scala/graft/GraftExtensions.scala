@@ -14,6 +14,9 @@ import graft.functions.{BloomKeysAgg, BloomMightContain, BpeTokens, CmsEstimate,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+    // OPTIMIZE / VACUUM maintenance statements for DirSink zones
+    // (graft.plans.GraftSqlParser); everything else delegates verbatim
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     e.injectFunction((
       FunctionIdentifier(VectorFunctions.COSINE),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

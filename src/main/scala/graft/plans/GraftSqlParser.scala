@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.Row
+
+/** MAINTENANCE SQL for the table format — the `OPTIMIZE` / `VACUUM`
+  * statements every governed format grows (Delta's surface), injected
+  * through `SparkSessionExtensions.injectParser` so they work in any
+  * session carrying `spark.sql.extensions=graft.GraftExtensions`:
+  *
+  * {{{
+  * OPTIMIZE cat.db.t                          -- compact to one file per core
+  * OPTIMIZE cat.db.t CLUSTER BY (ts) TARGET 8 FILES
+  * VACUUM cat.db.t RETAIN 168 HOURS           -- sweep unreferenced orphans
+  * VACUUM cat.db.t RETAIN 0 HOURS DRY RUN     -- list, don't delete
+  * }}}
+  *
+  * Both resolve the table through the session's catalog manager and
+  * require a [[graft.sources.v2.DirSinkTable]] (the statements are
+  * format maintenance — they have no meaning on foreign tables, so a
+  * non-graft name is a loud error, not a no-op). Everything that is
+  * not one of these two statements delegates verbatim to Spark's
+  * parser — zero behavior change for the rest of SQL. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?(?:TARGET\s+(\d+)\s+FILES\s*)?;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+([\w.`$]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(name, cluster, target) =>
+      OptimizeZoneCommand(delegate.parseMultipartIdentifier(name),
+        Option(cluster).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+        Option(target).map(_.toInt))
+    case Vacuum(name, hours, dry) =>
+      VacuumZoneCommand(delegate.parseMultipartIdentifier(name),
+        Option(hours).map(_.toLong).getOrElse(168L),
+        dryRun = dry != null)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[plans] object ZoneResolve {
+  /** Resolve a multipart name through the session catalog manager to
+    * the DirSink zone path behind it. */
+  def zonePath(spark: SparkSession, name: Seq[String]): String = {
+    val cm = spark.sessionState.catalogManager
+    val (catalog, ident) = name match {
+      case Seq(one) =>
+        (cm.currentCatalog, Identifier.of(cm.currentNamespace, one))
+      case head +: rest if cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), Identifier.of(rest.init.toArray, rest.last))
+      case _ =>
+        (cm.currentCatalog, Identifier.of(name.init.toArray, name.last))
+    }
+    catalog match {
+      case tc: TableCatalog => tc.loadTable(ident) match {
+        case t: graft.sources.v2.DirSinkTable => t.zonePath
+        case other => throw new IllegalArgumentException(
+          s"${name.mkString(".")} is not a graft zone " +
+            s"(${other.getClass.getSimpleName}) — OPTIMIZE/VACUUM are " +
+            "table-format maintenance statements")
+      }
+      case c => throw new IllegalArgumentException(
+        s"catalog ${c.name()} is not a table catalog")
+    }
+  }
+}
+
+/** `OPTIMIZE` — [[graft.sources.v2.DirSink.compact]] as SQL: rewrite
+  * the zone's committed files into `targetFiles` larger ones (default
+  * one per session core), range-clustered + sorted on `clusterBy` so
+  * per-file min/max stats turn later range predicates into file-level
+  * skipping. Returns (files_before, files_after, rows). */
+case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
+                               targetFiles: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = ZoneResolve.zonePath(spark, name)
+    def zoneState: (Long, Long) =
+      graft.sources.v2.DirSink.readManifestEntries(path)
+        .map { case (_, es) => (es.size.toLong, es.map(_.rows).sum) }
+        .getOrElse((0L, 0L))
+    val (before, rows) = zoneState
+    val target = targetFiles.getOrElse(
+      math.max(1, spark.sparkContext.defaultParallelism))
+    graft.sources.v2.DirSink.compact(spark, path, target, clusterBy)
+    val (after, rowsAfter) = zoneState
+    assert(rowsAfter == rows,
+      s"OPTIMIZE must be row-preserving: $rows -> $rowsAfter")
+    Seq(Row(before, after, rows))
+  }
+}
+
+/** `VACUUM` — [[graft.sources.v2.DirSink.vacuum]] as SQL: sweep files
+  * the live manifest does not reference and that are older than the
+  * retention window (default 168 hours — Delta's). `DRY RUN` lists
+  * without deleting. One row per swept (or would-sweep) file. */
+case class VacuumZoneCommand(name: Seq[String], retainHours: Long,
+                             dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("swept", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = ZoneResolve.zonePath(spark, name)
+    graft.sources.v2.DirSink
+      .vacuum(path, retainHours * 3600L * 1000L, dryRun = dryRun)
+      .map(Row(_))
+  }
+}

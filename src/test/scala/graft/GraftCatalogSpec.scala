@@ -58,11 +58,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 3)
   }
 
-  test("non-append schema changes are rejected (positional codec cannot re-map)") {
+  test("unsupported schema changes are rejected; DROP COLUMN is parquet-plane-only") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbev2")
     spark.sql("CREATE TABLE graftcat.dbev2.t (id BIGINT, v STRING)")
+    // renames and type changes stay rejected on every plane (the text
+    // codec cannot re-map positions; a parquet rename would orphan the
+    // old files' column names without Delta-style column mapping)
     for (ddl <- Seq(
-      "ALTER TABLE graftcat.dbev2.t DROP COLUMN v",
       "ALTER TABLE graftcat.dbev2.t RENAME COLUMN v TO w",
       "ALTER TABLE graftcat.dbev2.t ALTER COLUMN id TYPE STRING")) {
       val e = intercept[Exception](spark.sql(ddl))
@@ -73,6 +75,18 @@ class GraftCatalogSpec extends AnyFunSuite {
         (m.contains("ADD COLUMNS") || m.contains("not supported") ||
           m.contains("Unsupported"))), s"unexpected error for $ddl: $e")
     }
+    // DROP COLUMN succeeds on the (default) parquet plane — round 13,
+    // DropColumnSpec owns the deep coverage — and stays rejected on a
+    // text zone, where the positional codec cannot re-map
+    spark.sql("ALTER TABLE graftcat.dbev2.t DROP COLUMN v")
+    assert(spark.table("graftcat.dbev2.t").columns.toSeq == Seq("id"))
+    spark.sql("CREATE TABLE graftcat.dbev2.txt (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('format' = 'text')")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.dbev2.txt DROP COLUMN v"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("parquet")))
   }
 
   test("file-aligned DELETE: aligned predicates swap the manifest; splitting predicates are refused") {

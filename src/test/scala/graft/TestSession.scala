@@ -11,6 +11,10 @@ object TestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the production extension set (Sessions.local carries the same):
+      // native SQL functions, the range-bin join rule, and the
+      // OPTIMIZE/VACUUM maintenance statements
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
