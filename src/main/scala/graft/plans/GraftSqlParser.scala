@@ -31,16 +31,19 @@ import org.apache.spark.sql.Row
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?(?:TARGET\s+(\d+)\s+FILES\s*)?;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\)\s*)?(?:TARGET\s+(\d+)\s+FILES\s*)?;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`$]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(name, cluster, target) =>
+    case Optimize(name, kind, cols, target) =>
+      val colList = Option(cols).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
       OptimizeZoneCommand(delegate.parseMultipartIdentifier(name),
-        Option(cluster).toSeq.flatMap(_.split(",").toSeq)
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
-        Option(target).map(_.toInt))
+        if (zorder) Nil else colList,
+        Option(target).map(_.toInt),
+        if (zorder) colList else Nil)
     case Vacuum(name, hours, dry) =>
       VacuumZoneCommand(delegate.parseMultipartIdentifier(name),
         Option(hours).map(_.toLong).getOrElse(168L),
@@ -95,11 +98,15 @@ private[plans] object ZoneResolve {
 
 /** `OPTIMIZE` — [[graft.sources.v2.DirSink.compact]] as SQL: rewrite
   * the zone's committed files into `targetFiles` larger ones (default
-  * one per session core), range-clustered + sorted on `clusterBy` so
-  * per-file min/max stats turn later range predicates into file-level
-  * skipping. Returns (files_before, files_after, rows). */
+  * one per session core), range-clustered + sorted on `clusterBy` —
+  * or, with `ZORDER BY (a, b[, c])`, clustered on the Morton
+  * interleave of the dims so every output file covers a tight
+  * hyper-rectangle and per-file stats skip on predicates over ANY of
+  * the dimensions (Delta's OPTIMIZE ZORDER). Returns (files_before,
+  * files_after, rows). */
 case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
-                               targetFiles: Option[Int])
+                               targetFiles: Option[Int],
+                               zorderBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
@@ -115,7 +122,8 @@ case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
     val (before, rows) = zoneState
     val target = targetFiles.getOrElse(
       math.max(1, spark.sparkContext.defaultParallelism))
-    graft.sources.v2.DirSink.compact(spark, path, target, clusterBy)
+    graft.sources.v2.DirSink.compact(spark, path, target, clusterBy,
+      zorderBy)
     val (after, rowsAfter) = zoneState
     assert(rowsAfter == rows,
       s"OPTIMIZE must be row-preserving: $rows -> $rowsAfter")

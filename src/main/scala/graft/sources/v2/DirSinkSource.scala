@@ -1041,8 +1041,25 @@ object DirSink {
     * snapshots are REWRITTEN HISTORY after a compact — record the
     * compaction in the deployment's catalog the way any
     * manifest-rewriting OPTIMIZE is. */
+  /** N-dimensional Morton interleave as PURE integer SQL arithmetic
+    * (the 2-D form Layouts proved, generalized): each dim contributes
+    * bit i at position `dims·i + j`. `bits·dims ≤ 62` keeps the z-value
+    * in a BIGINT. Inputs must already be scaled to `[0, 2^bits)`. */
+  private[graft] def mortonN(dims: Seq[String], bits: Int = 16): String = {
+    require(dims.size * bits <= 62,
+      s"${dims.size} dims × $bits bits overflow a BIGINT z-value")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        s"((($d) div ${1L << i}) % 2) * ${1L << (dims.size * i + j)}"
+      }
+    }.mkString("(", " + ", ")")
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
+              targetFiles: Int, clusterBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil): Unit = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "compact takes clusterBy OR zorderBy, not both")
     val fmt = classOf[DirSinkSource].getName
     val parent0 = readManifestRaw(path)
     val before = parent0.map(_.lines.size).getOrElse(0)
@@ -1052,8 +1069,58 @@ object DirSink {
     // restored in the remap publish
     val priorChain = parent0.flatMap(_.header.get("remap"))
     val df = spark.read.format(fmt).option("path", path).load()
+    // MULTI-DIMENSIONAL clustering (Delta's OPTIMIZE ZORDER): scale each
+    // dimension linearly to 16 bits against its global bounds (one agg
+    // pass), interleave to a z-value, range-partition AND sort on it —
+    // every output file covers a tight HYPER-RECTANGLE, so the per-file
+    // min/max stats skip on predicates over ANY of the dimensions, not
+    // just a 1-D sort's leading column. Linear scaling (not rank) is
+    // the standard trade: heavy skew dilutes the grid but never breaks
+    // correctness — the stats stay exact bounds of whatever landed.
+    val zCol = "__graft_z"
     val shaped =
-      if (clusterBy.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        require(zorderBy.size >= 2 && zorderBy.size <= 3,
+          s"zorderBy takes 2 or 3 columns, got ${zorderBy.size}")
+        import org.apache.spark.sql.functions.{col => c, expr, max => fmax, min => fmin}
+        def asNum(name: String): org.apache.spark.sql.Column = {
+          df.schema(name).dataType match {
+            case _: NumericType => c(name).cast("double")
+            case DateType | TimestampType =>
+              c(name).cast("timestamp").cast("double")
+            case dt => throw new IllegalArgumentException(
+              s"zorderBy column $name has unorderable-for-scaling type " +
+                s"${dt.sql} — numeric, date, and timestamp dims supported")
+          }
+        }
+        val bounds = df.agg(
+          zorderBy.flatMap(n => Seq(fmin(asNum(n)), fmax(asNum(n)))).head,
+          zorderBy.flatMap(n => Seq(fmin(asNum(n)), fmax(asNum(n)))).tail: _*
+        ).head()
+        val scaled = zorderBy.zipWithIndex.map { case (n, i) =>
+          // an all-NULL dimension (or an empty zone) has no bounds:
+          // it contributes a constant and the other dims still order
+          val (mn, mx) =
+            if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))
+              (0.0, 0.0)
+            else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+          val span = mx - mn
+          if (span <= 0) "CAST(0 AS BIGINT)"
+          else {
+            val numSql = df.schema(n).dataType match {
+              case DateType | TimestampType =>
+                s"CAST(CAST(`$n` AS TIMESTAMP) AS DOUBLE)"
+              case _ => s"CAST(`$n` AS DOUBLE)"
+            }
+            s"CAST(floor(coalesce((($numSql) - $mn) / $span, 0.0) " +
+              "* 65535.0) AS BIGINT)"
+          }
+        }
+        df.withColumn(zCol, expr(mortonN(scaled)))
+          .repartitionByRange(targetFiles, c(zCol))
+          .sortWithinPartitions(c(zCol))
+          .drop(zCol)
+      } else if (clusterBy.nonEmpty)
         df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
           .sortWithinPartitions(clusterBy.map(df.col): _*)
       else df.repartition(targetFiles)
