@@ -773,6 +773,45 @@ object Layouts extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** q_dsv2_zbox — OPTIMIZE ZORDER BY through the engine's own table
+    * format, end to end and oracle-checked (round 13): the events
+    * stream lands UNORDERED in a DirSink zone (8 interleaved appends —
+    * the micro-batch reality where nothing skips), then `OPTIMIZE …
+    * ZORDER BY (ts, user_id)` rewrites it into 16 files each covering
+    * a tight (time × user) rectangle, and the declared query answers
+    * the canonical two-filter access path — a mid-month window AND a
+    * user band — from the z-layout. Per-file min/max stats prune in
+    * BOTH dimensions (ZoneZorderSpec pins the planned-file counts;
+    * this query pins the answer): at 100 TB this is "last week's
+    * events for this cohort" reading file counts proportional to the
+    * BOX, not to either band. The oracle replays the identical slice
+    * over the raw parquet — the layout must never change the answer. */
+  private def qDsv2Zbox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/events_dirsink_zbox"
+    val fmtName = "graft.sources.v2.DirSinkSource"
+    val zordered = graft.sources.v2.DirSink.history(path)
+      .exists(_.op == "compact")
+    if (!zordered) {
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      ev.repartition(8).write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      graft.sources.v2.DirSink.compact(s, path, targetFiles = 16,
+        zorderBy = Seq("ts", "user_id"))
+    }
+    s.read.format(fmtName).option("path", path).load()
+      .filter($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-18 00:00:00").cast("timestamp") &&
+        $"user_id".between(3, 9))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 10000.0 + 0.5).cast("long")).cast("long")
+          .as("value_q"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact_files" -> (qCompactFiles _),
@@ -788,7 +827,8 @@ object Layouts extends QueryModule {
     "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
     "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
     "q_dsv2_agg_meta" -> (qDsv2AggMeta _),
-    "q_dsv2_spj" -> (qDsv2Spj _))
+    "q_dsv2_spj" -> (qDsv2Spj _),
+    "q_dsv2_zbox" -> (qDsv2Zbox _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -950,5 +990,18 @@ object Layouts extends QueryModule {
                 ${graft.Det.SUMD("o_totalprice")} AS total_price,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM customer JOIN orders ON c_custkey = o_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the declared query reads the box slice from the ZORDER-compacted
+    // zone (both-dimension file skipping); the oracle replays the
+    // identical slice over the raw parquet
+    "q_dsv2_zbox" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS value_q,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+           AND user_id BETWEEN 3 AND 9
+         GROUP BY event_type ORDER BY event_type""")
 }
