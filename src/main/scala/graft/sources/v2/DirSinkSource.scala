@@ -1007,6 +1007,17 @@ object DirSink {
             "references it; drop the constraint first")
       }
     }
+    // bloom coverage of the dropped column, by contrast, is ADVISORY —
+    // silently narrowing it is correct (old files keep their filters;
+    // they just stop being declared), while LEAVING it would fail every
+    // later append's bloomfor-vs-schema validation
+    val bloomLeft = m.header.get(BloomKey).toSeq
+      .flatMap(_.split(",").toSeq).map(_.trim)
+      .filter(c => c.nonEmpty && c != colName)
+    val header0 = nextHeader(Some(m))
+    val header =
+      if (bloomLeft.isEmpty) header0 - BloomKey
+      else header0 + (BloomKey -> bloomLeft.mkString(","))
     val lines = m.lines.map { line =>
       line.split("\t").map { f =>
         if (f.startsWith("s=")) {
@@ -1019,7 +1030,7 @@ object DirSink {
     }
     writeAndPublish(path, "dropcol",
       renderManifest(asNullable(next),
-        withHistory(nextHeader(Some(m)), s"drop-$colName", lines.size),
+        withHistory(header, s"drop-$colName", lines.size),
         lines))
   }
 

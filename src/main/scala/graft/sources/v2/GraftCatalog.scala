@@ -315,6 +315,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // validates the EXISTING zone before accepting (one scan; a
       // violating row refuses the constraint — Delta's ADD CONSTRAINT
       // discipline); UNSET drops it. All-or-nothing per statement.
+      // RESIDUAL WINDOW (documented, same as Delta without a commit
+      // coordinator): a write whose builder bound the check set BEFORE
+      // this constraint landed commits unvalidated rows after the
+      // validation scan — quiesce writers around ADD CONSTRAINT, the
+      // same discipline compaction already requires.
       case props if props.nonEmpty && props.forall {
         case s: TableChange.SetProperty =>
           s.property().startsWith(DirSinkChecks.PropPrefix)

@@ -101,6 +101,25 @@ class DropColumnSpec extends AnyFunSuite {
     assert(DirSink.history(s"$wh/db/t").map(_.op).contains("drop-junk"))
   }
 
+  test("dropping a bloomfor column narrows the coverage instead of poisoning later appends") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def df = spark.range(50).select($"id".as("a"), ($"id" * 3).as("b"),
+      ($"id" * 7).as("c"))
+    df.write.format(fmt).option("path", dir)
+      .option("bloomfor", "a,b").mode(SaveMode.Append).save()
+    DirSink.dropColumn(dir, "b")
+    assert(DirSink.zoneBloom(dir) == Seq("a"),
+      "the dropped column must leave the bloom coverage")
+    // the append that a stale bloomfor header would have failed
+    spark.range(50, 80).select($"id".as("a"), ($"id" * 7).as("c"))
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(read(dir).count() == 80)
+    // dropping the LAST bloom column clears the header entirely
+    DirSink.dropColumn(dir, "a")
+    assert(DirSink.zoneBloom(dir).isEmpty)
+  }
+
   test("refusals: text zone, bucket column, only column, missing column") {
     import spark.implicits._
     val txt = tmpDir()
