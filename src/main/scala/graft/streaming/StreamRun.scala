@@ -473,6 +473,75 @@ object StreamRun {
     val passH = seenH1.sum == preH && filesAfterH == 1 &&
       seenH2.sum == totalH - preH
 
+    // ---- scenario I (round 13): GOVERNED LANDING ZONE — the streaming
+    // write path under the round-13 zone properties, end to end: the
+    // landing table is BUCKETED (bucket(4, user_id) — every committed
+    // file pure in one bucket) and CONSTRAINED (CHECK n >= 0, enforced
+    // per row in front of the epoch writer). A clean run lands every
+    // row with the layout intact; a poisoned drop FAILS THE QUERY at
+    // the writer, before its epoch commits — the zone holds exactly the
+    // valid rows, generation unchanged. This is the production promise
+    // of the governed format: a poisoned pipeline stops at write time,
+    // not in the training run that consumes the zone.
+    val whI = Files.createTempDirectory("graft_streamrun_gov").toString
+    spark.conf.set("spark.sql.catalog.streamgov",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.streamgov.warehouse", whI)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS streamgov.db")
+    spark.sql("CREATE TABLE streamgov.db.land (user_id BIGINT, n BIGINT) " +
+      "PARTITIONED BY (bucket(4, user_id)) " +
+      "TBLPROPERTIES ('check.nonneg' = 'n >= 0')")
+    val zoneI = s"$whI/db/land"
+    val dropsI = Files.createTempDirectory("graft_streamrun_gov_src").toString
+    val chkI = Files.createTempDirectory("graft_streamrun_gov_chk").toString
+    events.select($"user_id", $"event_id".as("n"))
+      .coalesce(1).write.mode("append").parquet(dropsI)
+    val qI = spark.readStream.schema("user_id BIGINT, n BIGINT")
+      .parquet(dropsI)
+      .writeStream.outputMode("append")
+      .format("graft.sources.v2.DirSinkSource")
+      .option("path", zoneI)
+      .option("checkpointLocation", chkI)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qI.awaitTermination(120000)
+    qI.stop()
+    val validI = events.count()
+    val landedI = spark.table("streamgov.db.land").count()
+    // layout intact: every committed file carries its bucket tag and
+    // every row hashes to its file's bucket
+    val entriesI = graft.sources.v2.DirSink
+      .readManifestEntries(zoneI).get._2
+    val taggedI = entriesI.nonEmpty && entriesI.forall(_.bucket.isDefined)
+    val byFileI = entriesI.map(e => e.name -> e.bucket.getOrElse(-1)).toMap
+    val pureI = spark.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", zoneI).load()
+      .select($"_file", $"user_id").collect().forall { r =>
+        graft.sources.v2.DirSink.bucketId(r.get(1), 4) ==
+          byFileI(r.getString(0))
+      }
+    val genBeforePoison = graft.sources.v2.DirSink.currentGen(zoneI).get
+    // the poisoned drop: one negative n among fresh rows
+    spark.range(5).select(($"id" + 900000L).as("user_id"),
+      (lit(-1L) * $"id" - 1L).as("n"))
+      .coalesce(1).write.mode("append").parquet(dropsI)
+    val qI2 = spark.readStream.schema("user_id BIGINT, n BIGINT")
+      .parquet(dropsI)
+      .writeStream.outputMode("append")
+      .format("graft.sources.v2.DirSinkSource")
+      .option("path", zoneI)
+      .option("checkpointLocation", chkI)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val poisonedFailed = scala.util.Try {
+      qI2.awaitTermination(120000)
+    }.isFailure || scala.util.Try(qI2.stop()).isFailure ||
+      qI2.exception.isDefined
+    val afterPoisonRows = spark.table("streamgov.db.land").count()
+    val genAfterPoison = graft.sources.v2.DirSink.currentGen(zoneI).get
+    val passI = landedI == validI && taggedI && pureI && poisonedFailed &&
+      afterPoisonRows == validI && genAfterPoison == genBeforePoison
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -523,8 +592,16 @@ object StreamRun {
          |"rows_appended_after_compact":${totalH - preH},
          |"run2_rows_after_migration":${seenH2.sum},
          |"pass":$passH},
+         |"scenario_governed_zone":{
+         |"valid_rows_landed":$landedI,
+         |"bucket_tags_complete":$taggedI,
+         |"bucket_purity":$pureI,
+         |"poisoned_epoch_failed":$poisonedFailed,
+         |"rows_after_poison":$afterPoisonRows,
+         |"generation_unchanged":${genAfterPoison == genBeforePoison},
+         |"pass":$passI},
          |"pass":${passA && passB && passC && passD && passE && passF &&
-        passG && passH}}"""
+        passG && passH && passI}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -533,7 +610,7 @@ object StreamRun {
     }
     spark.stop()
     if (!(passA && passB && passC && passD && passE && passF && passG &&
-      passH))
+      passH && passI))
       sys.exit(1)
   }
 }
