@@ -64,6 +64,18 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       "vacuum never touches manifest-referenced files")
   }
 
+  test("TRUNCATE TABLE empties the zone through the metadata DELETE path") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.tr AS SELECT id FROM range(100)")
+    spark.sql(s"TRUNCATE TABLE $cat.db.tr")
+    assert(spark.table(s"$cat.db.tr").count() == 0)
+    assert(DirSink.readManifest(s"$wh/db/tr").get._2.isEmpty,
+      "truncate must drop every manifest line")
+    // the zone stays writable at the next generation
+    spark.sql(s"INSERT INTO $cat.db.tr SELECT id FROM range(7)")
+    assert(spark.table(s"$cat.db.tr").count() == 7)
+  }
+
   test("defaults and guards: bare OPTIMIZE targets core count; non-graft tables refuse; other SQL delegates") {
     val (cat, _) = freshCat()
     spark.sql(s"CREATE TABLE $cat.db.d AS SELECT id FROM range(100)")
