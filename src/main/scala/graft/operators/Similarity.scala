@@ -784,7 +784,15 @@ object Similarity extends QueryModule {
     * the PQ-bits knob through here. */
   private[graft] def ivfPqRanked(s: SparkSession, n: DataFrame,
                                  cC: Int, nprobe: Int,
-                                 pqK: Int): DataFrame = {
+                                 pqK: Int): DataFrame =
+    adcRank(ivfPqEstimates(s, n, cC, nprobe, pqK))
+
+  /** The IVF-PQ ADC estimate relation (qid, vec_id, sl) — everything up
+    * to (not including) the final ranking cut, shared by the pure-ADC
+    * ranking ([[ivfPqRanked]]) and the exact-re-rank tail
+    * ([[ivfPqRerankRanked]]). */
+  private def ivfPqEstimates(s: SparkSession, n: DataFrame,
+                             cC: Int, nprobe: Int, pqK: Int): DataFrame = {
     import s.implicits._
     val coarse = kmeansCodebook(n, c = cC, iters = 1)
     val asg = n.crossJoin(broadcast(coarse))
@@ -804,10 +812,70 @@ object Similarity extends QueryModule {
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
     val (codes, lookups) = pqCodesLookups(pqSubspaces(n), pqK)
-    adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
+    codes.join(broadcast(lookups), Seq("m", "code"))
       .join(pairs, Seq("qid", "vec_id"))
       .groupBy($"qid", $"vec_id")
-      .agg(sum($"lq").as("sl")))
+      .agg(sum($"lq").as("sl"))
+  }
+
+  /** ADC candidate width of the re-rank stage: the top-r ADC estimates
+    * per query that get exact re-scoring. MEASURED, not folklore
+    * (RecallFixtureSpec sweep on the planted corpus): r must exceed the
+    * size of the densest true neighborhood, because inside it ADC
+    * ordering is ~random — r=50 against ~80-member planted clusters
+    * reads recall 0.605 (≈ the hypergeometric 50/80 of a random cut),
+    * r=100 reads 1.000, and larger r buys nothing. 100 = 20× the final
+    * k; raw-vector reads stay bounded by r·|Q| at any corpus size. */
+  private[graft] val RerankR = 100
+
+  /** IVF-PQ with EXACT RE-RANK — the production refinement stage the
+    * round-13 verdict asked for: PQ's ADC ranking tops out at 0.19
+    * planted-fixture recall because quantization distortion is the
+    * FINAL answer; re-scoring the top-r ADC candidates against the raw
+    * vectors recovers near-flat recall at a bounded extra read (the
+    * candidates are already generated — the re-rank joins exactly
+    * r·|Q| raw vectors by id, never re-scanning the corpus). Candidate
+    * generation is unchanged ([[ivfPqEstimates]]: cell equi-joins,
+    * broadcast codebooks, integer ADC); the tail is two id-equi-joins
+    * against the vector relation plus one |Q|-partitioned rank window.
+    * RecallFixtureSpec pins the lift: ≥0.9 on the planted corpus where
+    * pure ADC at the same knobs reads ≈0.02. */
+  private[graft] def ivfPqRerankRanked(s: SparkSession, n: DataFrame,
+                                       cC: Int, nprobe: Int, pqK: Int,
+                                       r: Int): DataFrame = {
+    import s.implicits._
+    val est = ivfPqEstimates(s, n, cC, nprobe, pqK)
+    val wAdc = Window.partitionBy($"qid").orderBy($"sl".desc, $"vec_id")
+    val cand = est
+      .withColumn("arn", row_number().over(wAdc))
+      .filter($"arn" <= r)
+      .select($"qid", $"vec_id".as("cid"))
+    val scored = cand
+      .join(n.select($"vec_id".as("qid"), $"e".as("qe")), Seq("qid"))
+      .join(n.select($"vec_id".as("cid"), $"e".as("ke")), Seq("cid"))
+      .withColumn("sim",
+        graft.Det.round6(graft.functions.VectorFunctions.cosine($"qe", $"ke")))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"qid", $"rn", $"cid", $"sim")
+      .orderBy($"qid", $"rn")
+      .transform(graft.Exec.seal)
+  }
+
+  /** T3f q_ann_rerank — the declared exact-re-rank query at the pinned
+    * defaults (C=⌈√N⌉, nprobe=C/2, k=8 codes/subspace, r=[[RerankR]]):
+    * ADC top-r per query → exact cosine over the raw vectors → top-5.
+    * The oracle replays the identical training + ADC prefix as
+    * q_ann_ivfpq and the identical re-rank tail. */
+  private def qAnnRerank(s: SparkSession, dir: String): DataFrame = {
+    val n = ivfVectors(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cC = ivfDefaultC(n.count())
+      ivfPqRerankRanked(s, n, cC, ivfDefaultNprobe(cC), PqDefaultK, RerankR)
+    } finally n.unpersist(false)
   }
 
   /** On-disk root of the trained IVF-PQ index artifact (test aid:
@@ -1751,6 +1819,7 @@ object Similarity extends QueryModule {
     "q_diverse_sample" -> (qDiverseSample _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_rerank" -> (qAnnRerank _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_lsh" -> (qAnnRecallLsh _),
@@ -2088,7 +2157,10 @@ object Similarity extends QueryModule {
              FROM pairs)
        SELECT qid, rn, cid, sim FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
-  private val DUCK_IVFPQ = {
+  /** Shared prefix of the q_ann_ivfpq / q_ann_rerank oracles: training,
+    * cell assignment, probes, the four subspace codebooks, and the ADC
+    * estimate CTE `est (qid, cand, sl)` — mirrors [[ivfPqEstimates]]. */
+  private val DUCK_IVFPQ_PREFIX = {
     val csim =
       s"""floor(list_dot_product(n.e, c.ce)
                 / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
@@ -2153,7 +2225,11 @@ object Similarity extends QueryModule {
          JOIN cells cl ON cl.cand_id = c.vec_id
          JOIN probes p ON p.qid = l.qid AND p.cell = cl.cell
          WHERE c.vec_id <> l.qid
-         GROUP BY l.qid, c.vec_id),
+         GROUP BY l.qid, c.vec_id)"""
+  }
+
+  private val DUCK_IVFPQ =
+    s"""$DUCK_IVFPQ_PREFIX,
        r AS (SELECT qid, cand, sl,
                     row_number() OVER (PARTITION BY qid
                                        ORDER BY sl DESC, cand) rn
@@ -2161,7 +2237,32 @@ object Similarity extends QueryModule {
        SELECT qid, rn, cand AS cid, CAST(sl AS DOUBLE) / 1000000.0 AS score
        FROM r WHERE rn <= 5
        ORDER BY qid, rn"""
-  }
+
+  /** q_ann_rerank oracle: the identical IVF-PQ prefix, then the ADC
+    * top-r per query re-scored EXACTLY against the raw vectors and cut
+    * to top-5 — mirrors [[ivfPqRerankRanked]]'s tail bit-for-bit (same
+    * round6 quantization, same tie-breaks, same r = [[RerankR]]). */
+  private val DUCK_IVFPQ_RERANK =
+    s"""$DUCK_IVFPQ_PREFIX,
+       adc AS (SELECT qid, cand,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY sl DESC, cand) arn
+               FROM est),
+       candr AS (SELECT qid, cand FROM adc WHERE arn <= $RerankR),
+       ex AS (SELECT c.qid, c.cand,
+                     floor(list_dot_product(nq.e, nc.e)
+                           / (nq.nrm * nc.nrm) * 1000000.0 + 0.5)
+                       / 1000000.0 sim
+              FROM candr c
+              JOIN n nq ON nq.vec_id = c.qid
+              JOIN n nc ON nc.vec_id = c.cand),
+       rr AS (SELECT qid, cand, sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, cand) rn
+              FROM ex)
+       SELECT qid, rn, cand AS cid, sim
+       FROM rr WHERE rn <= 5
+       ORDER BY qid, rn"""
 
   /** The shared bitext margin/mutual-best tail (over a `pairs` CTE of
     * (aid, bid, cos6)) — mirrors [[bitextMargins]] bit-for-bit. */
@@ -2468,6 +2569,7 @@ object Similarity extends QueryModule {
     "q_semdedup" -> DUCK_SEMDEDUP,
     "q_ann_pq" -> DUCK_PQ,
     "q_ann_ivfpq" -> DUCK_IVFPQ,
+    "q_ann_rerank" -> DUCK_IVFPQ_RERANK,
     // the search-indexed split produces bit-identical output to
     // q_ann_ivfpq by construction (deterministic training persisted to
     // parquet, doubles round-trip exactly) — the shared oracle replays

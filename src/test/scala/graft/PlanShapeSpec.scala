@@ -520,6 +520,10 @@ class PlanShapeSpec extends AnyFunSuite {
     * and check the warm TimeQ cost when raising one. */
   private val scanMultiplicity: Map[String, Int] = Map(
     "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 8,
+    // q_ann_rerank = the q_ann_ivfpq tree (16) + the exact-re-rank
+    // tail's two id-equi-joins against the PERSISTED vector relation —
+    // runtime reads the cache, the raw lazy tree counts the two refs
+    "q_ann_rerank" -> 18,
     // q_ann_recall_ivf composes q_ann_ivf's lazy tree (14, sealed at
     // runtime) with the brute exact side (2) — raw union, paid once
     "q_ann_recall_ivf" -> 16,

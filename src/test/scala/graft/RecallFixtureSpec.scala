@@ -85,4 +85,33 @@ class RecallFixtureSpec extends AnyFunSuite {
       f"tiny-codebook ADC stays far below flat even on structure " +
         f"(distortion binds): $pq64%.3f")
   }
+
+  test("exact re-rank of the ADC top-r recovers near-flat recall (the production refinement)") {
+    import spark.implicits._
+    val rootC = math.sqrt(4000.0).round.toInt
+    val np = math.max(1, rootC / 2)
+    val adc = PlantedFixture.recallAt5(exact,
+      graft.operators.Similarity.ivfPqRanked(spark,
+        planted.select($"vec_id", $"e"), rootC, np, 8))
+    // below the knee: r=50 against ~80-member clusters reads ≈ the
+    // hypergeometric 50/80 of a random within-cluster cut — evidence
+    // that r must exceed the densest neighborhood ADC cannot order
+    val below = PlantedFixture.recallAt5(exact,
+      graft.operators.Similarity.ivfPqRerankRanked(spark,
+        planted.select($"vec_id", $"e"), rootC, np, 8, 50))
+    val rr = PlantedFixture.recallAt5(exact,
+      graft.operators.Similarity.ivfPqRerankRanked(spark,
+        planted.select($"vec_id", $"e"), rootC, np, 8,
+        graft.operators.Similarity.RerankR))
+    info(f"planted recall@5: adc-only=$adc%.3f rerank(r=50)=$below%.3f " +
+      f"rerank(r=${graft.operators.Similarity.RerankR})=$rr%.3f")
+    assert(rr >= 0.9,
+      f"ADC top-r + exact re-rank on planted clusters: $rr%.3f")
+    assert(rr >= adc + 0.5,
+      f"the re-rank stage must recover what ADC distortion loses: " +
+        f"adc=$adc%.3f rerank=$rr%.3f")
+    assert(rr >= below + 0.2,
+      f"r is a measured lever: below-knee r=50 must visibly trail the " +
+        f"pinned default: $below%.3f vs $rr%.3f")
+  }
 }
