@@ -129,18 +129,20 @@ class DirSinkReplaceDataWrite(path: String, schema: StructType,
           f.delete(new Path(root, m.stagedName), false)
           None
       }
-      val kept = parent.lines.filterNot(l =>
-        scannedSet(DirSink.parseEntry(l).name))
-      DirSink.renderManifest(parent.schema,
-        DirSink.withHistory(DirSink.nextHeader(Some(parent)),
-          op.command().toString, kept.size + committed.size),
-        kept ++ committed.map { m =>
+      val kept = parent.lines.count(l =>
+        !scannedSet(DirSink.parseEntry(l).name))
+      // an O(delta) segment: exactly the scanned groups leave, the
+      // rewritten files arrive; stats-pruned files' lines never
+      // re-serialize. Replaced groups stay on disk for the retained
+      // log (pre-DML snapshots keep reading them) until vacuum.
+      (DirSink.withHistory(DirSink.nextHeader(Some(parent)),
+        op.command().toString, kept + committed.size),
+        DirSinkLog.DeltaCommit(committed.map { m =>
           s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
             DirSink.bucketTag(m.bucket) +
-            (if (m.stats.nonEmpty) s"\t${m.stats}" else "") })
+            (if (m.stats.nonEmpty) s"\t${m.stats}" else "") },
+          scanned))
     }
-    // sweep replaced groups and staging AFTER the generation is live
-    scanned.foreach(n => f.delete(new Path(root, n), false))
     f.delete(new Path(root, s"_staging/$queryId"), true)
   }
 

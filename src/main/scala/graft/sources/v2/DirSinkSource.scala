@@ -413,32 +413,17 @@ object DirSink {
     new Path(path).getFileSystem(
       new org.apache.hadoop.conf.Configuration())
 
-  /** Atomic manifest publish: rename tmp over the live manifest in ONE
-    * metadata operation (`Options.Rename.OVERWRITE` — atomic on local
-    * FS and HDFS), so there is never a window in which the manifest is
-    * missing and a racing reader sees an empty table. Object stores
-    * without a FileContext binding fall back to delete+rename with the
-    * (documented) gap — the same residual every manifest-less layout on
-    * such a store carries. */
-  private[v2] def publishManifest(path: String, tmp: Path): Unit = {
-    val root = new Path(path)
-    val live = new Path(root, ManifestName)
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs(path).makeQualified(root).toUri, conf)
-      fc.rename(fs(path).makeQualified(tmp), fs(path).makeQualified(live),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        val f = fs(path)
-        f.delete(live, false)
-        if (!f.rename(tmp, live))
-          throw new java.io.IOException(
-            s"failed to publish manifest $tmp -> $live")
-    }
-  }
+  /** Commit publish — one SMALL log segment per publish
+    * ([[DirSinkLog.publish]]): O(delta) bytes inside the zone lock for
+    * appends/deletes, a full snapshot segment only when the operation
+    * replaces history anyway (overwrite/compact/DROP COLUMN). The
+    * publish is a fresh-name rename: atomic, never a window without a
+    * readable state, and a duplicate generation claim fails loudly. */
+  private[v2] def publishCommit(path: String, schema: StructType,
+                                header: Map[String, String],
+                                body: DirSinkLog.CommitBody,
+                                tmpSuffix: String): Unit =
+    DirSinkLog.publish(path, asNullable(schema), header, body, tmpSuffix)
 
   /** Manifest layout: line 1 = DDL schema; then one
     * `<fileName>\t<rowCount>[\t<epochId>][\t<statsField>]` per
@@ -476,7 +461,17 @@ object DirSink {
     def gen: Long = header.get("gen").map(_.toLong).getOrElse(0L)
   }
 
-  private[v2] def readManifestRaw(path: String): Option[Manifest] = {
+  /** The zone's current state: the COMMIT LOG when one exists
+    * ([[DirSinkLog.head]] — replay of the newest checkpoint + deltas,
+    * fingerprint-cached), else the legacy single-file manifest. Every
+    * metadata probe in the connector funnels through here. */
+  private[v2] def readManifestRaw(path: String): Option[Manifest] =
+    DirSinkLog.head(path).orElse(legacyManifest(path))
+
+  /** Pre-log zones: parse `_GRAFT_COMMIT` directly. Still the read
+    * path for any zone never committed to since the log landed; also
+    * the migration source ([[DirSinkLog.publish]]). */
+  private[v2] def legacyManifest(path: String): Option[Manifest] = {
     var attempt = 0
     while (true) {
       try {
@@ -512,6 +507,12 @@ object DirSink {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Is there a committed zone (log-based or legacy) at this path? */
+  def zoneExists(path: String): Boolean = {
+    val f = fs(path)
+    DirSinkLog.hasLog(f, path) || f.exists(new Path(path, ManifestName))
+  }
+
   def readManifestLines(path: String): Option[(StructType, Seq[String])] =
     readManifestRaw(path).map(m => (m.schema, m.lines))
 
@@ -527,28 +528,21 @@ object DirSink {
     (schema.toDDL +: (header.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#$k=$v" } ++ lines)).mkString("\n")
 
-  private[v2] def writeAndPublish(path: String, tmpSuffix: String,
-                                  content: String): Unit = {
-    val f = fs(path)
-    val tmp = new Path(path, s"$ManifestName.tmp-$tmpSuffix")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    publishManifest(path, tmp)
-  }
-
   /** Gen-verified publish — the OPTIMISTIC half of the concurrency
     * story, shared by every committer that PLANS outside the lock
     * (copy-on-write DELETE, row-level UPDATE/MERGE rewrites): re-read
     * the live manifest under the zone lock, verify it is still the
     * generation the plan was computed against, and only then publish
-    * the rebuilt manifest. A concurrent commit fails the operation
-    * loudly (retry against the new state — the Delta/Iceberg
-    * discipline) instead of being silently dropped from the rebuilt
-    * file list. `build` receives the verified live manifest (for
-    * header carry-forward). */
+    * the commit. A concurrent commit fails the operation loudly (retry
+    * against the new state — the Delta/Iceberg discipline) instead of
+    * being silently dropped. `build` receives the verified live
+    * manifest (for header carry-forward) and returns the commit's
+    * (header, body). */
   private[v2] def publishAtGen(path: String, plannedGen: Long,
                                opName: String, tmpSuffix: String)
-                              (build: Manifest => String): Unit =
+                              (build: Manifest =>
+                                (Map[String, String],
+                                  DirSinkLog.CommitBody)): Unit =
     withZoneLock(path) {
       val now = readManifestRaw(path).getOrElse(
         throw new IllegalStateException(
@@ -558,7 +552,8 @@ object DirSink {
           s"zone $path advanced from generation $plannedGen to " +
             s"${now.gen} during $opName — another commit landed; retry " +
             "the operation against the new state")
-      writeAndPublish(path, tmpSuffix, build(now))
+      val (header, body) = build(now)
+      publishCommit(path, now.schema, header, body, tmpSuffix)
     }
 
   /** The child generation's header: parent header carried forward
@@ -747,6 +742,47 @@ object DirSink {
     * predating the zone's first commit is an error, mirroring the
     * offset guard — silently returning an empty corpus would make a
     * mis-clocked training cut unfindable. */
+  /** Snapshot resolution for a scan — ONE definition shared by the
+    * batch scan and the aggregate-pushdown decision. Three vocabularies:
+    *
+    *   - `asOfVersion` g (GENERATION time travel): the state at commit
+    *     log generation g, replayed via [[DirSinkLog.at]] — survives
+    *     history-rewriting maintenance while retention keeps g;
+    *   - `asOfTimestamp` t: resolved to the newest generation committed
+    *     at or before t when the zone has a log (so it, too, survives
+    *     rewrites); legacy zones fall back to the manifest-prefix rule
+    *     ([[sliceEntries]]);
+    *   - `asOfOffset` k: the file-prefix rule — the streaming tail's
+    *     offset vocabulary, unchanged.
+    *
+    * Returns the resolved manifest (schema/header AT the snapshot — a
+    * pre-evolution snapshot reads with its own columns and data plane)
+    * plus the visible entry list. */
+  private[v2] def resolveState(path: String, asOfOffset: Option[Int],
+                               asOfTimestamp: Option[Long],
+                               asOfVersion: Option[Long],
+                               onlyFiles: Option[Set[String]])
+      : (Manifest, Seq[FileEntry]) = {
+    val (m, residualOffset, residualTs) = asOfVersion match {
+      case Some(g) => (DirSinkLog.at(path, g), None, None)
+      case None => asOfTimestamp match {
+        case Some(t) => DirSinkLog.genAsOfTimestamp(path, t) match {
+          case Some(g) => (DirSinkLog.at(path, g), None, None)
+          case None => (currentOrThrow(path), None, Some(t)) // legacy zone
+        }
+        case None => (currentOrThrow(path), asOfOffset, None)
+      }
+    }
+    (m, sliceEntries(path, m.lines.map(parseEntry), residualOffset,
+      residualTs, onlyFiles))
+  }
+
+  private def currentOrThrow(path: String): Manifest =
+    readManifestRaw(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${ManifestName} manifest or commit log under $path — " +
+          "nothing was committed"))
+
   private[v2] def sliceEntries(path: String, all: Seq[FileEntry],
                                asOfOffset: Option[Int],
                                asOfTimestamp: Option[Long],
@@ -842,30 +878,47 @@ object DirSink {
         s"[${next.toDDL}] with a nullable tail")
   }
 
-  /** VACUUM — the retention sweep of the table format. Readers resolve
-    * the manifest alone, so orphans (a crashed job's renamed-but-never-
-    * published files, a dead writer's staging directory, a loser
-    * speculative attempt the abort path missed) are INVISIBLE but still
-    * occupy storage; at 100 TB with daily job retries that is real
-    * money. Deletes every root-level data file the live manifest does
-    * not reference, and every staged file, that is OLDER than
-    * `olderThanMs` — the age guard is what makes the sweep safe to run
-    * beside live writers: an in-flight job's staging files and its
-    * renamed-but-not-yet-published files are younger than any sane
-    * retention window (Delta's VACUUM RETAIN discipline; pass 0 only on
-    * a quiesced zone). The manifest itself, fs-internal dot-files, and
-    * everything the manifest references are never touched — snapshot
-    * reads (`asOfOffset`) only ever name manifest-prefix files, so no
-    * retained snapshot can lose a file to vacuum. `dryRun` lists
-    * without deleting. Returns the zone-relative paths swept. */
+  /** VACUUM — the retention sweep of the table format, now governing
+    * BOTH planes:
+    *
+    *   - the COMMIT LOG: segments older than the cutoff drop once they
+    *     fall behind a base (checkpoint/snapshot), bounding how far
+    *     back `VERSION AS OF` can reach ([[DirSinkLog.vacuumLog]]) —
+    *     the head's reconstruction spine always survives;
+    *   - DATA FILES: a file is swept only when it is older than the
+    *     cutoff AND no RETAINED generation references it (current
+    *     manifest ∪ every line of every surviving log segment) — so no
+    *     reconstructible snapshot can lose a file to vacuum, which is
+    *     what makes OPTIMIZE/DELETE/overwrite safe under a pinned
+    *     training-corpus `VERSION AS OF` read: superseded generations'
+    *     files stay until their segments age out.
+    *
+    * Orphans (a crashed job's renamed-but-never-published files, dead
+    * staging, loser speculative attempts) were never referenced by any
+    * segment and sweep as before. The age guard is what makes the
+    * sweep safe beside live writers: an in-flight job's staging files
+    * and renamed-but-not-yet-published files are younger than any sane
+    * retention window (Delta's VACUUM RETAIN discipline; pass 0 only
+    * on a quiesced zone). `dryRun` lists without deleting. Returns the
+    * zone-relative paths swept. */
   def vacuum(path: String, olderThanMs: Long,
              dryRun: Boolean = false): Seq[String] = {
     val f = fs(path)
     val root = new Path(path)
     if (!f.exists(root)) return Seq.empty
-    val live: Set[String] =
-      readManifest(path).map(_._2.map(_._1).toSet).getOrElse(Set.empty)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // log retention FIRST: what survives it defines the retained
+    // generations, whose union of references is the data-plane live set
+    val logSwept = DirSinkLog.vacuumLog(f, path, cutoff, dryRun)
+    // dry runs did not actually drop segments — exclude them from the
+    // live-set so the listing matches what a real run would sweep
+    val excluded =
+      if (dryRun) logSwept.map(_.stripPrefix(DirSinkLog.LogDirName + "/"))
+        .toSet
+      else Set.empty[String]
+    val live: Set[String] =
+      DirSinkLog.retainedLiveSet(f, path, excluded) ++
+        readManifest(path).map(_._2.map(_._1).toSet).getOrElse(Set.empty)
     val swept = scala.collection.mutable.ArrayBuffer[String]()
 
     def sweepFile(st: org.apache.hadoop.fs.FileStatus, rel: String): Unit =
@@ -913,7 +966,7 @@ object DirSink {
         sweepFile(st, n)
       }
     }
-    swept.toSeq
+    logSwept ++ swept.toSeq
   }
 
   // ---- the line codec: \u0001-separated fields; backslash escapes;
@@ -935,9 +988,11 @@ object DirSink {
       val nx = asNullable(next)
       if (m.schema.toDDL == nx.toDDL) return
       checkEvolution(m.schema, nx)
-      writeAndPublish(path, "evolve",
-        renderManifest(nx, withHistory(nextHeader(Some(m)), "evolve",
-          m.lines.size), m.lines))
+      // a pure metadata commit: wider schema line, same files — an
+      // EMPTY delta segment, O(1) bytes regardless of zone size
+      publishCommit(path, nx,
+        withHistory(nextHeader(Some(m)), "evolve", m.lines.size),
+        DirSinkLog.DeltaCommit(Nil, Nil), "evolve")
     }
 
   /** Republish the manifest with the CHECK-constraint set transformed
@@ -955,9 +1010,9 @@ object DirSink {
       val header =
         if (next.isEmpty) header0 - DirSinkChecks.Key
         else header0 + (DirSinkChecks.Key -> DirSinkChecks.render(next))
-      writeAndPublish(path, "checks",
-        renderManifest(m.schema,
-          withHistory(header, "alter-check", m.lines.size), m.lines))
+      publishCommit(path, m.schema,
+        withHistory(header, "alter-check", m.lines.size),
+        DirSinkLog.DeltaCommit(Nil, Nil), "checks")
     }
 
   /** DROP COLUMN — schema evolution's other direction, PARQUET ZONES
@@ -1028,10 +1083,10 @@ object DirSink {
         } else f
       }.mkString("\t")
     }
-    writeAndPublish(path, "dropcol",
-      renderManifest(asNullable(next),
-        withHistory(header, s"drop-$colName", lines.size),
-        lines))
+    // every line's stats field changes — inherently a snapshot commit
+    publishCommit(path, next,
+      withHistory(header, s"drop-$colName", lines.size),
+      DirSinkLog.SnapshotCommit(lines), "dropcol")
   }
 
   /** COMPACT (OPTIMIZE) — the small-files sweep of the table format:
@@ -1443,15 +1498,15 @@ class DirSinkTable(path: String, schema0: StructType,
               s"rewrite publish failed: $name from $scratch into $root")
         }
       }
-      DirSink.renderManifest(manifestSchema,
-        DirSink.withHistory(DirSink.nextHeader(Some(now)), "delete",
-          keep.size + rewrittenLines.size),
-        keep.toSeq ++ rewrittenLines)
+      // an O(delta) segment: dropped + split files leave, rewritten
+      // files arrive; kept lines never re-serialize. The dropped/split
+      // files themselves STAY on disk — pre-delete generations remain
+      // reconstructible until vacuum retention ages their segments out.
+      (DirSink.withHistory(DirSink.nextHeader(Some(now)), "delete",
+        keep.size + rewrittenLines.size),
+        DirSinkLog.DeltaCommit(rewrittenLines, (drop ++ split).toSeq))
     }
     scratchDir.foreach(s => f.delete(s, true))
-    // sweep AFTER the new generation is live (crash leaves orphans for
-    // vacuum, never a manifest entry without a backing file)
-    (drop ++ split).foreach(n => f.delete(new Path(root, n), false))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1459,14 +1514,17 @@ class DirSinkTable(path: String, schema0: StructType,
       Option(options.get(k)).orElse(pinned.get(k))
     val asOfOffset = opt("asOfOffset").map(_.toInt)
     val asOfTimestamp = opt("asOfTimestamp").map(_.toLong)
-    if (asOfOffset.isDefined && asOfTimestamp.isDefined)
+    val asOfVersion = opt("asOfVersion").map(_.toLong)
+    if (Seq(asOfOffset, asOfTimestamp, asOfVersion).count(_.isDefined) > 1)
       throw new IllegalArgumentException(
-        "asOfOffset and asOfTimestamp are mutually exclusive — a snapshot " +
-          "read names ONE point in the zone's history")
+        "asOfOffset, asOfTimestamp, and asOfVersion are mutually " +
+          "exclusive — a snapshot read names ONE point in the zone's " +
+          "history")
     new DirSinkScanBuilder(path, schema0, asOfOffset, asOfTimestamp,
       opt("maxFilesPerTrigger").map(_.toInt),
       opt("files")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      asOfVersion = asOfVersion)
   }
 }
 
@@ -1492,7 +1550,8 @@ class DirSinkScanBuilder(path: String, schema: StructType,
                          onlyFiles: Option[Set[String]] = None,
                          planListener: Option[(Long, Seq[String]) => Unit] =
                            None,
-                         fileFilterOnly: Boolean = false)
+                         fileFilterOnly: Boolean = false,
+                         asOfVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -1545,10 +1604,11 @@ class DirSinkScanBuilder(path: String, schema: StructType,
       Option[(StructType, Seq[Option[String]], String)] = {
     if (planListener.isDefined || fileFilterOnly) return None
     if (skipFilters.nonEmpty || a.groupByExpressions().nonEmpty) return None
-    val (mschema, allEntries) =
-      DirSink.readManifestEntries(path).getOrElse(return None)
-    val entries = DirSink.sliceEntries(path, allEntries, asOfOffset,
-      asOfTimestamp, onlyFiles)
+    val (m, entries) =
+      try DirSink.resolveState(path, asOfOffset, asOfTimestamp,
+        asOfVersion, onlyFiles)
+      catch { case _: IllegalArgumentException => return None }
+    val mschema = m.schema
     lazy val parsed: Seq[(DirSink.FileEntry, Option[Array[DirSinkStats.ColStats]])] =
       entries.map(e => (e,
         e.stats.map(DirSinkStats.parse(_, mschema.length))))
@@ -1643,7 +1703,7 @@ class DirSinkScanBuilder(path: String, schema: StructType,
     case None =>
       new DirSinkScan(path, schema, required, skipFilters,
         asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles,
-        planListener, fileFilterOnly)
+        planListener, fileFilterOnly, asOfVersion)
   }
 }
 
@@ -1835,32 +1895,21 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
         if (!truncate) "append"
         else if (remapFrom.isDefined) "compact" else "overwrite",
         previous.size + committed.size)
-      DirSink.writeAndPublish(path, queryId,
-        DirSink.renderManifest(DirSink.asNullable(schema), header,
-          previous ++ committed.map { m =>
-            s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
-              DirSink.bucketTag(m.bucket) +
-              (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }))
+      val lines = committed.map { m =>
+        s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
+          DirSink.bucketTag(m.bucket) +
+          (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }
+      // append = an O(delta) segment; truncate (overwrite/compact) =
+      // a snapshot segment. Superseded generations are NOT swept here
+      // anymore: their files stay referenced by the retained log, so
+      // `VERSION AS OF` survives the rewrite — reclamation is vacuum's
+      // job (retention-governed), the Delta discipline.
+      DirSink.publishCommit(path, schema, header,
+        if (truncate) DirSinkLog.SnapshotCommit(lines)
+        else DirSinkLog.DeltaCommit(lines, Nil), queryId)
       // staging leftovers of THIS query (loser speculative attempts)
       f.delete(new Path(root, s"_staging/$queryId"), true)
       dropStagingRootIfEmpty(f, root)
-      if (truncate) {
-        // sweep the superseded generation. Still inside the lock: no
-        // concurrent committer can be mid-rename here, so everything
-        // unreferenced is provably garbage (a published competitor's
-        // files are in the manifest just read; an unpublished one's are
-        // still in _staging, which the sweep never enters).
-        val liveSet = committed.map(_.stagedName).toSet ++
-          DirSink.readManifest(path).map(_._2.map(_._1).toSet)
-            .getOrElse(Set.empty)
-        f.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          // dot-files are fs-internal (checksum siblings etc) — leave them
-          if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-            !n.startsWith(DirSink.ManifestName) &&
-            n != DirSink.LockName) f.delete(st.getPath, false)
-        }
-      }
     }
   }
 
@@ -2052,15 +2101,22 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           Some(DirSink.BloomKey -> bloomCols.mkString(",")) else None)
       val header1 = if (bucketSpec.isEmpty) header0 - DirSink.BucketKey
         else header0
-      DirSink.writeAndPublish(path, s"$queryId-e$epochId",
-        DirSink.renderManifest(DirSink.asNullable(schema),
-          DirSink.withHistory(
-            if (bloomCols.isEmpty) header1 - DirSink.BloomKey else header1,
-            s"epoch-$epochId", previous.size + committed.size),
-          previous ++ committed.map { m =>
-            s"${m.stagedName}\t${m.rows}\t$epochId\tt=$now\tb=${m.bytes}" +
-              DirSink.bucketTag(m.bucket) +
-              (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }))
+      val lines = committed.map { m =>
+        s"${m.stagedName}\t${m.rows}\t$epochId\tt=$now\tb=${m.bytes}" +
+          DirSink.bucketTag(m.bucket) +
+          (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }
+      // append epochs are O(delta) segments; complete-mode epochs are
+      // snapshot segments. Superseded generations stay for the retained
+      // log (vacuum reclaims them) — complete-mode zones therefore
+      // NEED a scheduled vacuum, the same discipline as Delta's
+      // complete-output tables.
+      DirSink.publishCommit(path, schema,
+        DirSink.withHistory(
+          if (bloomCols.isEmpty) header1 - DirSink.BloomKey else header1,
+          s"epoch-$epochId", previous.size + committed.size),
+        if (truncate) DirSinkLog.SnapshotCommit(lines)
+        else DirSinkLog.DeltaCommit(lines, Nil),
+        s"$queryId-e$epochId")
       // sweep THIS epoch's staging leftovers only (loser attempts);
       // never the whole staging dir — a restart's new queryId owns its own
       val stagingDir = new Path(root, s"_staging/$queryId")
@@ -2069,17 +2125,6 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           if (st.getPath.getName.startsWith(s"e$epochId-"))
             f.delete(st.getPath, false)
         }
-      if (truncate) {
-        val liveSet = committed.map(_.stagedName).toSet ++
-          DirSink.readManifest(path).map(_._2.map(_._1).toSet)
-            .getOrElse(Set.empty)
-        f.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-            !n.startsWith(DirSink.ManifestName) &&
-            n != DirSink.LockName) f.delete(st.getPath, false)
-        }
-      }
     }
   }
 
@@ -2301,7 +2346,8 @@ class DirSinkScan(path: String, schema: StructType,
                   maxFilesPerTrigger: Option[Int] = None,
                   onlyFiles: Option[Set[String]] = None,
                   planListener: Option[(Long, Seq[String]) => Unit] = None,
-                  fileFilterOnly: Boolean = false)
+                  fileFilterOnly: Boolean = false,
+                  asOfVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -2371,28 +2417,24 @@ class DirSinkScan(path: String, schema: StructType,
     runtimeFilters = filters.filter(f => DirSinkStats.supported(f, schema))
   }
 
-  /** The manifest's asOf-sliced entry list (one read per scan), plus the
-    * GENERATION it was read at — the optimistic-concurrency token a
-    * row-level operation's commit verifies before swapping groups —
-    * the zone's data-plane FORMAT, and its BUCKET layout. */
-  private lazy val manifestParsed: (Long, Seq[DirSink.FileEntry], String,
-      Option[DirSink.BucketSpec]) = {
-    val raw = DirSink.readManifestRaw(path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no ${DirSink.ManifestName} manifest under $path — " +
-          "nothing was committed"))
-    (raw.gen, raw.lines.map(DirSink.parseEntry),
-      raw.header.getOrElse(DirSink.FormatKey, DirSink.FormatText),
-      DirSink.bucketOf(raw.header))
-  }
+  /** The snapshot-resolved state (one read per scan): the manifest AT
+    * the requested point in history ([[DirSink.resolveState]] — the
+    * current head, a generation, a timestamp-resolved generation, or a
+    * prefix), whose GENERATION is the optimistic-concurrency token a
+    * row-level operation's commit verifies, and whose header carries
+    * the data-plane FORMAT and BUCKET layout the snapshot was written
+    * under. */
+  private lazy val resolved: (DirSink.Manifest, Seq[DirSink.FileEntry]) =
+    DirSink.resolveState(path, asOfOffset, asOfTimestamp, asOfVersion,
+      onlyFiles)
 
-  private[graft] def manifestGen: Long = manifestParsed._1
-  private def zoneFmt: String = manifestParsed._3
-  private def zoneBucketSpec: Option[DirSink.BucketSpec] = manifestParsed._4
+  private[graft] def manifestGen: Long = resolved._1.gen
+  private def zoneFmt: String =
+    resolved._1.header.getOrElse(DirSink.FormatKey, DirSink.FormatText)
+  private def zoneBucketSpec: Option[DirSink.BucketSpec] =
+    DirSink.bucketOf(resolved._1.header)
 
-  private lazy val manifestEntries: Seq[DirSink.FileEntry] =
-    DirSink.sliceEntries(path, manifestParsed._2, asOfOffset,
-      asOfTimestamp, onlyFiles)
+  private lazy val manifestEntries: Seq[DirSink.FileEntry] = resolved._2
 
   /** The asOf-sliced, stats-skipped file list — ONE definition feeding
     * both partition planning and statistics, so the optimizer's row

@@ -151,25 +151,19 @@ class GraftStagedTable(ident: Identifier, dir: String, schema0: StructType,
         if (checks.isEmpty) header1 - DirSinkChecks.Key
         else header1 + (DirSinkChecks.Key -> DirSinkChecks.render(checks))
       val op = if (parent.isDefined) "replace" else "create"
-      DirSink.writeAndPublish(dir, qid,
-        DirSink.renderManifest(DirSink.asNullable(schema0),
-          DirSink.withHistory(
-            if (bucket.isEmpty) header0 - DirSink.BucketKey else header0,
-            op, committed.size),
-          committed.map { m =>
-            s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
-              DirSink.bucketTag(m.bucket) +
-              (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }))
+      // a REPLACE is history-replacing by definition: one snapshot
+      // segment. The superseded generation's files stay for the
+      // retained log (the pre-replace table remains time-travelable)
+      // until vacuum retention ages its segments out.
+      DirSink.publishCommit(dir, schema0,
+        DirSink.withHistory(
+          if (bucket.isEmpty) header0 - DirSink.BucketKey else header0,
+          op, committed.size),
+        DirSinkLog.SnapshotCommit(committed.map { m =>
+          s"${m.stagedName}\t${m.rows}\tt=$now\tb=${m.bytes}" +
+            DirSink.bucketTag(m.bucket) +
+            (if (m.stats.nonEmpty) s"\t${m.stats}" else "") }), qid)
       f.delete(new Path(root, s"_staging/$qid"), true)
-      // sweep the superseded generation (inside the lock — no renamer
-      // can be mid-flight, so unreferenced files are provably garbage)
-      val liveSet = committed.map(_.stagedName).toSet
-      f.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (!st.isDirectory && !n.startsWith(".") && !liveSet.contains(n) &&
-          !n.startsWith(DirSink.ManifestName) &&
-          n != DirSink.LockName) f.delete(st.getPath, false)
-      }
     }
   }
 

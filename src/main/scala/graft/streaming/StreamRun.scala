@@ -542,6 +542,52 @@ object StreamRun {
     val passI = landedI == validI && taggedI && pureI && poisonedFailed &&
       afterPoisonRows == validI && genAfterPoison == genBeforePoison
 
+    // ---- scenario J (round 14): CHANGE-FEED TAIL — an incremental
+    // dedup consumer driven by the zone's own generations: per tick it
+    // reads ChangeFeed.read(last+1, head), applies inserts/deletes to
+    // its history, and NEVER re-reads the zone. The load-bearing claim
+    // is the row counts: a DELETE that copy-on-write-rewrites a file
+    // carrying surviving rows surfaces ONLY the deleted rows (the
+    // carried remainder cancels in the feed's exceptAll), so the
+    // consumer's work is proportional to the change, not the rewrite.
+    val zoneJ = Files.createTempDirectory("graft_streamrun_cdf").toString
+    import org.apache.spark.sql.SaveMode
+    spark.range(0, 10).select($"id", ($"id" * 7L).as("v")).coalesce(1)
+      .write.format(fmt).option("path", zoneJ).mode(SaveMode.Append).save()
+    spark.range(10, 20).select($"id", ($"id" * 7L).as("v")).coalesce(1)
+      .write.format(fmt).option("path", zoneJ).mode(SaveMode.Append).save()
+    val historyJ = scala.collection.mutable.Set[Long]()
+    val processedJ = scala.collection.mutable.ArrayBuffer[Long]()
+    var lastGenJ = -1L
+    def tickJ(): Unit = {
+      val head = graft.sources.v2.DirSink.currentGen(zoneJ).get
+      if (head > lastGenJ) {
+        val changes = graft.sources.v2.ChangeFeed
+          .read(spark, zoneJ, lastGenJ + 1, Some(head))
+          .select($"id", col(graft.sources.v2.ChangeFeed.ChangeTypeCol))
+          .collect()
+        processedJ += changes.length.toLong
+        changes.foreach { r =>
+          if (r.getString(1) == "insert") historyJ += r.getLong(0)
+          else historyJ -= r.getLong(0)
+        }
+        lastGenJ = head
+      }
+    }
+    tickJ() // tick 1: both appends -> 20 inserts
+    val afterAppendsJ = processedJ.lastOption.getOrElse(-1L)
+    // a rewrite: DELETE id < 5 splits gen 0's file (5 rows carried)
+    new graft.sources.v2.DirSinkTable(zoneJ,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan("id", 5L)))
+    tickJ() // tick 2: exactly the 5 deleted rows
+    val afterDeleteJ = processedJ.lastOption.getOrElse(-1L)
+    val zoneIdsJ = spark.read.format(fmt).option("path", zoneJ).load()
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val passJ = afterAppendsJ == 20L && afterDeleteJ == 5L &&
+      historyJ.toSet == zoneIdsJ && zoneIdsJ.size == 15
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -600,8 +646,14 @@ object StreamRun {
          |"rows_after_poison":$afterPoisonRows,
          |"generation_unchanged":${genAfterPoison == genBeforePoison},
          |"pass":$passI},
+         |"scenario_change_feed_tail":{
+         |"rows_processed_after_appends":$afterAppendsJ,
+         |"rows_processed_after_delete":$afterDeleteJ,
+         |"carried_rows_stayed_silent":${afterDeleteJ == 5L},
+         |"consumer_state_matches_zone":${historyJ.toSet == zoneIdsJ},
+         |"pass":$passJ},
          |"pass":${passA && passB && passC && passD && passE && passF &&
-        passG && passH && passI}}"""
+        passG && passH && passI && passJ}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -610,7 +662,7 @@ object StreamRun {
     }
     spark.stop()
     if (!(passA && passB && passC && passD && passE && passF && passG &&
-      passH && passI))
+      passH && passI && passJ))
       sys.exit(1)
   }
 }

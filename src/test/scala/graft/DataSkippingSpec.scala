@@ -151,16 +151,25 @@ class DataSkippingSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = tmpDir()
     writeClustered(dir)
-    // strip the stats fields, simulating a manifest written before
-    // data skipping existed
-    val m = java.nio.file.Paths.get(dir, DirSink.ManifestName)
-    val stripped = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
-      .split("\n").map(_.split("\t").filterNot(_.startsWith("s=")).mkString("\t"))
-      .mkString("\n")
-    java.nio.file.Files.write(m, stripped.getBytes("UTF-8"))
-    // crc sidecar is now stale — remove it (manual edit, not a commit)
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, "." + DirSink.ManifestName + ".crc"))
+    // strip the stats fields from every commit-log segment, simulating
+    // a zone written before data skipping existed
+    val logDir = java.nio.file.Paths.get(dir,
+      graft.sources.v2.DirSinkLog.LogDirName)
+    java.nio.file.Files.list(logDir).toArray.map(
+      _.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".commit") ||
+        p.getFileName.toString.endsWith(".checkpoint"))
+      .foreach { m =>
+        val stripped = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+          .split("\n")
+          .map(_.split("\t").filterNot(_.startsWith("s=")).mkString("\t"))
+          .mkString("\n")
+        java.nio.file.Files.write(m, stripped.getBytes("UTF-8"))
+        // crc sidecar is now stale — remove it (manual edit, not a commit)
+        java.nio.file.Files.deleteIfExists(
+          m.getParent.resolve("." + m.getFileName.toString + ".crc"))
+      }
+    graft.sources.v2.DirSinkLog.invalidate(dir)
     val q = read(dir).filter(col("id") < 100)
     assert(plannedFiles(q) == 8, "no stats -> no skipping, never an error")
     assert(q.count() == 100)
@@ -255,7 +264,20 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(plannedFiles(narrow) == 1,
       "after clusterBy-compaction a range predicate prunes to one file")
     assert(narrow.count() == 100)
-    // old generation's files were swept by the overwrite commit
+    // the superseded generation is RETAINED by the commit log —
+    // OPTIMIZE no longer orphans a pinned snapshot: the pre-compact
+    // state (generation 5 = the sixth append) still reads exactly
+    val pre = spark.read.format(fmt).option("path", dir)
+      .option("asOfVersion", 5).load()
+    assert(pre.count() == 1000 && plannedFiles(pre) == 6,
+      "the pre-compact snapshot must survive OPTIMIZE via the log")
+    // vacuum(0) on the quiesced zone then truncates the log to the
+    // compact's snapshot segment and reclaims the superseded files
+    DirSink.vacuum(dir, olderThanMs = 0L)
+    intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("asOfVersion", 5).load().count()
+    }
     val live = DirSink.readManifest(dir).get._2.map(_._1).toSet
     val leftover = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && !f.getName.startsWith(DirSink.ManifestName)

@@ -116,16 +116,19 @@ class DirSinkParquetSpec extends AnyFunSuite {
     assert(new String(bytes, "UTF-8").contains(""),
       "text zone files must be the line codec, not parquet")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 2)
-    // a LEGACY manifest (no #format header) reads as text too
-    val m = java.nio.file.Paths.get(dir, DirSink.ManifestName)
-    val stripped = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
-      .linesIterator.filterNot(_.startsWith("#format=")).mkString("\n")
-    java.nio.file.Files.write(m, stripped.getBytes("UTF-8"))
-    // the raw rewrite bypassed Hadoop's local-fs checksum sidecar
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, s".${DirSink.ManifestName}.crc"))
-    assert(DirSink.zoneFormat(dir).contains(DirSink.FormatText))
-    assert(spark.read.format(fmt).option("path", dir).load().count() == 2)
+    // a LEGACY zone (pre-log `_GRAFT_COMMIT`, no #format header) reads
+    // as text too: hand-build one from this zone's committed file
+    val legacyDir = tmpDir()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, name),
+      java.nio.file.Paths.get(legacyDir, name))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacyDir, DirSink.ManifestName),
+      s"id BIGINT,v STRING\n#gen=0\n$name\t2".getBytes("UTF-8"))
+    assert(DirSink.zoneFormat(legacyDir).contains(DirSink.FormatText),
+      "a manifest without #format reads as the text plane")
+    assert(spark.read.format(fmt).option("path", legacyDir).load()
+      .count() == 2)
   }
 
   test("appending a mismatched format to a committed zone is refused") {

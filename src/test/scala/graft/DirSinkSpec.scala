@@ -50,7 +50,15 @@ class DirSinkSpec extends AnyFunSuite {
     val back = spark.read.format(fmt).option("path", dir).load()
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(back == Seq((2L, "new"), (3L, "new2")))
-    // the old generation's data files were swept after the swap
+    // the old generation's files are RETAINED by the commit log (the
+    // pre-overwrite snapshot stays readable — generation time travel),
+    // and reclaimed by vacuum once its segments age out of retention
+    val preOverwrite = spark.read.format(fmt).option("path", dir)
+      .option("asOfVersion", 0).load()
+      .as[(Long, String)].collect().toSeq
+    assert(preOverwrite == Seq((1L, "old")),
+      "the pre-overwrite generation must stay readable via the log")
+    DirSink.vacuum(dir, olderThanMs = 0L)
     val leftover = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && !f.getName.startsWith(DirSink.ManifestName)
         && !f.getName.startsWith(".")) // fs-internal checksum siblings

@@ -109,7 +109,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graftcat.dbdel.t")
       .head.getLong(0) == 20)
     assert(graft.sources.v2.DirSink.readManifest(dir).get._2.size == 2)
-    // the dropped file's bytes were swept from the zone
+    // the dropped file's bytes are RETAINED for the log's pre-delete
+    // generations (time travel), and reclaimed by vacuum once its
+    // segments age out of retention
+    graft.sources.v2.DirSink.vacuum(dir, olderThanMs = 0L)
     val live = graft.sources.v2.DirSink.readManifest(dir).get._2.map(_._1).toSet
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && !f.getName.startsWith(".") &&

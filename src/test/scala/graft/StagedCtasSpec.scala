@@ -61,14 +61,22 @@ class StagedCtasSpec extends AnyFunSuite {
       "failed RTAS must not publish a generation")
 
     // a successful replace swaps wholesale: new schema, new data, one
-    // 'replace' history record, superseded files swept
+    // 'replace' history record; the superseded generation is RETAINED
+    // by the commit log (time-travelable) until vacuum ages it out
     spark.sql(s"CREATE OR REPLACE TABLE $cat.db.t AS " +
       "SELECT id AS a, id % 3 AS b FROM range(30)")
     val t = spark.table(s"$cat.db.t")
     assert(t.columns.toSeq == Seq("a", "b") && t.count() == 30)
     val hist = DirSink.history(s"$wh/db/t").map(_.op)
     assert(hist == Seq("create", "replace"), s"got $hist")
-    // every file on disk is manifest-referenced (sweep worked)
+    // the pre-replace table is still readable at its generation —
+    // WITH its own schema, not the replacement's
+    val pre = spark.sql(
+      s"SELECT * FROM $cat.db.t VERSION AS OF $genBefore")
+    assert(pre.columns.toSeq == Seq("k", "s") && pre.count() == 50,
+      "the replaced definition must stay time-travelable")
+    // vacuum(0) then truncates the log to the replace and sweeps
+    DirSink.vacuum(s"$wh/db/t", olderThanMs = 0L)
     val live = DirSink.readManifest(s"$wh/db/t").get._2.map(_._1).toSet
     val onDisk = new java.io.File(s"$wh/db/t").listFiles()
       .filter(f => f.isFile && !f.getName.startsWith("_GRAFT") &&

@@ -69,13 +69,19 @@ class VacuumSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "gdead-p0-t9")))
   }
 
-  test("vacuum(0) after append generations touches nothing committed; snapshots intact") {
+  test("vacuum(0) after append generations touches no committed DATA; snapshots intact") {
     import spark.implicits._
     val dir = tmpDir()
     write(dir)
     Seq((3L, "gen2")).toDF("id", "v").coalesce(1)
       .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
-    assert(DirSink.vacuum(dir, olderThanMs = 0).isEmpty)
+    // aggressive retention may truncate the LOG (old segments fold
+    // into a checkpoint) but every committed data file is referenced
+    // by the head and must survive
+    val swept = DirSink.vacuum(dir, olderThanMs = 0)
+    assert(swept.forall(_.startsWith(
+      graft.sources.v2.DirSinkLog.LogDirName + "/")),
+      s"vacuum(0) on an append-only zone may only touch the log: $swept")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 3)
     // the asOf snapshot still resolves its prefix file
     assert(spark.read.format(fmt).option("path", dir)

@@ -58,12 +58,7 @@ class ZoneConcurrencySpec extends AnyFunSuite {
   test("generation counter: every publish bumps #gen; no two commits share one") {
     import spark.implicits._
     val dir = tmpDir()
-    def gen(): Long = {
-      val f = scala.io.Source.fromFile(s"$dir/${DirSink.ManifestName}")
-      try f.getLines().find(_.startsWith("#gen="))
-        .map(_.stripPrefix("#gen=").toLong).getOrElse(-1L)
-      finally f.close()
-    }
+    def gen(): Long = DirSink.currentGen(dir).getOrElse(-1L)
     Seq((1L, "a")).toDF("id", "v").write.format(fmt)
       .option("path", dir).mode(SaveMode.Append).save()
     val g0 = gen()
@@ -210,20 +205,26 @@ class ZoneConcurrencySpec extends AnyFunSuite {
     assert(ran == 1)
   }
 
-  test("vacuum sweeps crashed publishes' manifest tmp files; the live manifest survives") {
+  test("vacuum sweeps crashed publishes' tmp debris; the live log survives") {
     import spark.implicits._
     val dir = tmpDir()
     Seq((1L, "a")).toDF("id", "v").write.format(fmt)
       .option("path", dir).mode(SaveMode.Append).save()
-    // a crashed publish leaves its tmp manifest behind
+    // a crashed LEGACY publish's tmp manifest, and a crashed log
+    // publish's tmp segment — both age-gated vacuum debris
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, s"${DirSink.ManifestName}.tmp-crashed"),
+      "junk".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.sources.v2.DirSinkLog.LogDirName,
+        "00000000000000000009.commit.tmp-crashed"),
       "junk".getBytes("UTF-8"))
     val swept = DirSink.vacuum(dir, olderThanMs = 0L)
     assert(swept.contains(s"${DirSink.ManifestName}.tmp-crashed"),
       s"tmp manifest must be swept, got $swept")
-    assert(new java.io.File(dir, DirSink.ManifestName).exists(),
-      "the live manifest itself is exempt")
+    assert(swept.exists(_.endsWith(".commit.tmp-crashed")),
+      s"tmp log segment must be swept, got $swept")
+    // the live commit log itself is exempt — the zone stays readable
     assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
   }
 
