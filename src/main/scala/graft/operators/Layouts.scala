@@ -812,6 +812,46 @@ object Layouts extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_dsv2_cdf — the CHANGE DATA FEED end to end and oracle-checked
+    * (round 14): the documents corpus lands in a DirSink zone (one
+    * append generation), a `DELETE WHERE lang = 'de'` copy-on-write
+    * rewrite follows, and the declared query reads the zone's change
+    * feed from generation 0 ([[graft.sources.v2.ChangeFeed]]): every
+    * document as an insert at generation 0 plus exactly the deleted
+    * documents as deletes at generation 1 — the rows CARRIED by the
+    * rewrite (non-'de' documents sharing a rewritten file) cancel in
+    * the feed's multiset diff and never appear. The oracle derives the
+    * identical feed from the raw parquet, which is only possible
+    * because the feed is exactly-the-changes: a feed that leaked
+    * carried rows would depend on the zone's private file layout and
+    * hash-mismatch. Zone build is generation-pinned (head gen 1), so
+    * re-runs reuse the committed history. */
+  private def qDsv2Cdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_dirsink_cdf"
+    val fmtName = "graft.sources.v2.DirSinkSource"
+    if (!graft.sources.v2.DirSink.currentGen(path).contains(1L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .repartitionByRange(4, $"doc_id")
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+      new graft.sources.v2.DirSinkTable(path,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("lang", "de")))
+    }
+    graft.sources.v2.ChangeFeed.read(s, path, startingVersion = 0)
+      .select($"doc_id", $"lang", $"n_chars",
+        col(graft.sources.v2.ChangeFeed.ChangeTypeCol).as("change_type"),
+        col(graft.sources.v2.ChangeFeed.CommitVersionCol)
+          .as("commit_version"))
+      .orderBy($"commit_version", $"change_type", $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact_files" -> (qCompactFiles _),
@@ -828,7 +868,8 @@ object Layouts extends QueryModule {
     "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
     "q_dsv2_agg_meta" -> (qDsv2AggMeta _),
     "q_dsv2_spj" -> (qDsv2Spj _),
-    "q_dsv2_zbox" -> (qDsv2Zbox _))
+    "q_dsv2_zbox" -> (qDsv2Zbox _),
+    "q_dsv2_cdf" -> (qDsv2Cdf _))
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -1003,5 +1044,19 @@ object Layouts extends QueryModule {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <  TIMESTAMP '2024-01-18 00:00:00'
            AND user_id BETWEEN 3 AND 9
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+    // the feed IS derivable from the raw corpus precisely because it
+    // carries exactly the changes: inserts at generation 0 (the
+    // append), deletes at generation 1 (the DELETE's matching rows) —
+    // carried rows would leak the zone's private file layout and break
+    // this equality
+    "q_dsv2_cdf" ->
+      """SELECT doc_id, lang, n_chars,
+                'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+         FROM documents
+         UNION ALL
+         SELECT doc_id, lang, n_chars,
+                'delete' AS change_type, CAST(1 AS BIGINT) AS commit_version
+         FROM documents WHERE lang = 'de'
+         ORDER BY commit_version, change_type, doc_id""")
 }
