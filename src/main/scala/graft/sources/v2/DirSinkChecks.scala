@@ -1,11 +1,13 @@
 package graft.sources.v2
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, Coalesce, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, Coalesce, Expression, GenericInternalRow, Literal, Predicate}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** CHECK CONSTRAINTS for DirSink zones — the write-path enforcement
   * that makes the table format GOVERNED, not just transactional
@@ -132,4 +134,198 @@ object DirSinkChecks {
     override def abort(): Unit = inner.abort()
     override def close(): Unit = inner.close()
   }
+
+  // ------------------------------------------------- dead-letter routing
+
+  /** Write option `checks.deadletter=<zone path>`: instead of failing
+    * the job on the first violating row, ROUTE violators to a
+    * quarantine zone and publish the clean remainder. The default
+    * (no option) stays all-or-nothing — the invariant posture; the
+    * dead-letter option is the usability complement for lossy upstream
+    * feeds where one poisoned record must not stall the pipeline.
+    *
+    * The quarantine is an ordinary DirSink zone whose schema is the
+    * write schema plus a trailing `_check STRING` column naming the
+    * violated constraint — so quarantined rows stay queryable,
+    * time-travelable, and CDF-tailable like any other zone. Its
+    * publish is a separate commit under ITS zone lock, BEFORE the
+    * clean zone's commit: a crash between the two can duplicate
+    * quarantine rows on retry (batch) but can never lose them, and
+    * for streaming epochs the quarantine commit is idempotent by the
+    * zone's own `#emax` high-water mark, so replay-after-crash stays
+    * exactly-once on BOTH zones (quarantine first: a replayed epoch
+    * drops its quarantine files at the mark, then the clean zone
+    * publishes — or drops too if it had already committed). */
+  val DeadLetterKey = "checks.deadletter"
+
+  /** The quarantine column appended to the write schema. */
+  val DeadLetterCol = "_check"
+
+  /** Driver-resolved quarantine target: schema, data-plane format, and
+    * (parquet) the prepared writer factory — a self-contained
+    * serializable value the task writers build their side writer from. */
+  case class DeadLetter(
+      qpath: String, qschema: StructType, format: String,
+      parquet: Option[(org.apache.spark.sql.execution.datasources
+        .OutputWriterFactory, DirSinkParquet.SerializableConf)])
+    extends Serializable
+
+  /** DRIVER side, at write-plan time: validate and resolve the
+    * quarantine target. Refusals are deliberate invariants:
+    * a bucketed quarantine would receive unrouted files (layout-law
+    * violation), a CHECKed quarantine could itself reject its input
+    * (turtles all the way down), and a `_check` column in the write
+    * schema would collide with the routing column. */
+  def resolveDeadLetter(path: String, option: Option[String],
+                        schema: StructType,
+                        checks: Seq[(String, String)]): Option[DeadLetter] =
+    option.filter(_ => checks.nonEmpty).map { qpath =>
+      if (new Path(qpath) == new Path(path))
+        throw new IllegalArgumentException(
+          s"$DeadLetterKey must name a DIFFERENT zone than the write target")
+      if (schema.fieldNames.contains(DeadLetterCol))
+        throw new IllegalArgumentException(
+          s"$DeadLetterKey: write schema already has a '$DeadLetterCol' " +
+            "column — the quarantine routing column would collide")
+      if (DirSink.zoneBucket(qpath).isDefined)
+        throw new IllegalArgumentException(
+          s"$DeadLetterKey: quarantine zone $qpath is bucketed — " +
+            "dead-letter writers are unrouted, which would break its layout")
+      if (zoneChecks(qpath).nonEmpty)
+        throw new IllegalArgumentException(
+          s"$DeadLetterKey: quarantine zone $qpath declares its own CHECK " +
+            "constraints — a quarantine must accept everything routed to it")
+      val qschema = StructType(DirSink.asNullable(schema).fields :+
+        StructField(DeadLetterCol, StringType, nullable = true))
+      val fmt = DirSink.resolveWriteFormat(qpath, None, truncate = false)
+      DeadLetter(qpath, qschema, fmt,
+        if (fmt == DirSink.FormatParquet)
+          Some(DirSinkParquet.writerFactory(qschema, Seq.empty))
+        else None)
+    }
+
+  /** EXECUTOR side: the routing writer. Clean rows flow to `inner`;
+    * the first FALSE constraint routes the row (plus the constraint's
+    * name) to a lazily-opened quarantine writer — a task with no
+    * violations never stages a quarantine file. */
+  class DeadLetterWriter(inner: DataWriter[InternalRow], bound: Seq[Bound],
+                         dl: DeadLetter, queryId: String, attempt: String,
+                         partitionId: Int, taskId: Long)
+      extends DataWriter[InternalRow] {
+    private val preds = bound.map(b => (b, Predicate.create(b.expr)))
+    private val n = dl.qschema.length - 1
+    private val types = dl.qschema.fields.take(n).map(_.dataType)
+    private var qw: DataWriter[InternalRow] = _
+
+    private def quarantine(record: InternalRow, check: String): Unit = {
+      if (qw == null) qw = dl.parquet match {
+        case Some((owf, conf)) => new DirSinkParquetWriter(dl.qpath,
+          dl.qschema, queryId, attempt, owf, conf, partitionId, taskId)
+        case None => new DirSinkWriter(dl.qpath, dl.qschema, queryId, attempt)
+      }
+      val vals = new Array[Any](n + 1)
+      var i = 0
+      while (i < n) {
+        vals(i) = if (record.isNullAt(i)) null else record.get(i, types(i))
+        i += 1
+      }
+      vals(n) = UTF8String.fromString(check)
+      qw.write(new GenericInternalRow(vals))
+    }
+
+    override def write(record: InternalRow): Unit =
+      preds.find { case (_, p) => !p.eval(record) } match {
+        case Some((b, _)) => quarantine(record, b.name)
+        case None => inner.write(record)
+      }
+
+    override def commit(): WriterCommitMessage =
+      DirSinkDeadLetterCommitMessage(inner.commit(),
+        Option(qw).map(_.commit().asInstanceOf[DirSinkCommitMessage]))
+
+    override def abort(): Unit = {
+      inner.abort()
+      if (qw != null) qw.abort()
+    }
+
+    override def close(): Unit = {
+      inner.close()
+      if (qw != null) qw.close()
+    }
+  }
+
+  /** DRIVER side: publish one write's quarantined files into the
+    * quarantine zone — an ordinary delta commit under ITS zone lock,
+    * always BEFORE the clean zone's commit (duplicates-over-loss; see
+    * [[DeadLetterKey]]). `epoch` makes streaming publishes idempotent
+    * against the quarantine zone's own committed-epoch high-water
+    * mark — sound for the supported one-stream-per-quarantine shape,
+    * the same monotonic-epoch argument as the clean zone's guard. */
+  def publishQuarantine(dl: DeadLetter, msgs: Seq[DirSinkCommitMessage],
+                        queryId: String, epoch: Option[Long]): Unit = {
+    if (msgs.isEmpty) return
+    val f = DirSink.fs(dl.qpath)
+    val root = new Path(dl.qpath)
+    f.mkdirs(root)
+    if (epoch.exists(e =>
+        DirSink.committedEpochMax(dl.qpath).exists(e <= _))) {
+      // replayed epoch: the quarantine generation is already durable
+      msgs.foreach(m => f.delete(new Path(root, m.stagedName), false))
+      return
+    }
+    val now = System.currentTimeMillis()
+    DirSink.withZoneLock(dl.qpath) {
+      val committed = msgs.map { m =>
+        val fin = s"g$queryId-" +
+          m.stagedName.stripPrefix(s"_staging/$queryId/")
+        if (!f.rename(new Path(root, m.stagedName), new Path(root, fin)))
+          throw new java.io.IOException(
+            s"quarantine publish failed: ${m.stagedName} -> $fin under $root")
+        m.copy(stagedName = fin)
+      }
+      val parent = DirSink.readManifestRaw(dl.qpath)
+      parent.foreach { m =>
+        if (m.schema.toDDL != DirSink.asNullable(dl.qschema).toDDL)
+          DirSink.checkEvolution(m.schema, dl.qschema)
+      }
+      val previous = parent.map(_.lines).getOrElse(Seq.empty)
+      val header = DirSink.nextHeader(parent, newEpoch = epoch) +
+        (DirSink.FormatKey -> dl.format)
+      val lines = committed.map { m =>
+        s"${m.stagedName}\t${m.rows}" +
+          epoch.fold("")(e => s"\t$e") + s"\tt=$now\tb=${m.bytes}" +
+          (if (m.stats.nonEmpty) s"\t${m.stats}" else "")
+      }
+      DirSink.publishCommit(dl.qpath, dl.qschema,
+        DirSink.withHistory(header, "deadletter",
+          previous.size + committed.size),
+        DirSinkLog.DeltaCommit(lines, Nil),
+        epoch.fold(s"$queryId-dl")(e => s"$queryId-dl-e$e"))
+      val stagingDir = new Path(root, s"_staging/$queryId")
+      if (f.exists(stagingDir)) epoch match {
+        case Some(e) =>
+          f.listStatus(stagingDir).foreach { st =>
+            if (st.getPath.getName.startsWith(s"e$e-"))
+              f.delete(st.getPath, false)
+          }
+        case None => f.delete(stagingDir, true)
+      }
+    }
+  }
+
+  /** Abort/replay cleanup: delete a write's staged quarantine files. */
+  def dropQuarantineStaging(dl: DeadLetter,
+                            msgs: Seq[DirSinkCommitMessage]): Unit = {
+    val f = DirSink.fs(dl.qpath)
+    msgs.foreach(m => f.delete(new Path(dl.qpath, m.stagedName), false))
+  }
 }
+
+/** One task's commit under dead-letter routing: the clean writer's
+  * message (possibly a bucketed bundle) plus the quarantine file's, if
+  * the task saw any violation. [[DirSink.flattenMsgs]] unwraps the
+  * clean side; [[DirSink.quarantinedMsgs]] collects the other. */
+case class DirSinkDeadLetterCommitMessage(
+    clean: WriterCommitMessage,
+    quarantined: Option[DirSinkCommitMessage])
+  extends WriterCommitMessage

@@ -708,13 +708,23 @@ object DirSink {
     b.fold("")(i => s"\tk=$i")
 
   /** Flatten driver-side commit messages: plain single-file messages and
-    * the bucket router's multi-file bundles co-arrive in one `commit`. */
+    * the bucket router's multi-file bundles co-arrive in one `commit`;
+    * dead-letter wrappers contribute their CLEAN side here. */
   private[v2] def flattenMsgs(
       messages: Iterable[WriterCommitMessage]): Seq[DirSinkCommitMessage] =
     messages.toSeq.flatMap {
       case m: DirSinkCommitMessage => Seq(m)
       case DirSinkBucketedCommitMessage(parts) => parts
+      case d: DirSinkDeadLetterCommitMessage => flattenMsgs(Seq(d.clean))
       case null => Seq.empty // task that never reached commit
+    }
+
+  /** The QUARANTINED side of a dead-letter write's commit messages. */
+  private[v2] def quarantinedMsgs(
+      messages: Iterable[WriterCommitMessage]): Seq[DirSinkCommitMessage] =
+    messages.toSeq.flatMap {
+      case d: DirSinkDeadLetterCommitMessage => d.quarantined.toSeq
+      case _ => Seq.empty
     }
 
   def readManifestEntries(path: String): Option[(StructType, Seq[FileEntry])] =
@@ -1375,7 +1385,9 @@ class DirSinkTable(path: String, schema0: StructType,
       Option(info.options.get(DirSink.BucketKey)).orElse(
         pinned.get(DirSink.BucketKey)),
       Option(info.options.get(DirSink.BloomKey)).orElse(
-        pinned.get(DirSink.BloomKey)))
+        pinned.get(DirSink.BloomKey)),
+      Option(info.options.get(DirSinkChecks.DeadLetterKey)).orElse(
+        pinned.get(DirSinkChecks.DeadLetterKey)))
 
   /** HYBRID DELETE (`DELETE FROM … WHERE …`): the metadata fast path
     * first — per-file stats PROVE a file all-match
@@ -1771,7 +1783,8 @@ class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String,
                           remapChain: Option[String] = None,
                           formatOption: Option[String] = None,
                           bucketOption: Option[String] = None,
-                          bloomOption: Option[String] = None)
+                          bloomOption: Option[String] = None,
+                          deadLetterOption: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1793,12 +1806,16 @@ class DirSinkWriteBuilder(path: String, schema: StructType, queryId: String,
           s"bloomfor column $c is not in the schema " +
             s"${schema.fieldNames.mkString(", ")}")
     }
+    // dead-letter routing resolves at plan time against the zone's
+    // DECLARED checks — no checks, no routing (the option is inert)
+    private val dl = DirSinkChecks.resolveDeadLetter(path, deadLetterOption,
+      schema, DirSinkChecks.zoneChecks(path))
     override def toBatch: BatchWrite =
       new DirSinkBatchWrite(path, schema, queryId, doTruncate,
-        remapFrom, remapChain, fmt, bkt, blm)
+        remapFrom, remapChain, fmt, bkt, blm, dl)
     override def toStreaming: StreamingWrite =
       new DirSinkStreamingWrite(path, schema, queryId, doTruncate, fmt, bkt,
-        blm)
+        blm, dl)
   }
 }
 
@@ -1824,13 +1841,14 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
                         remapChain: Option[String] = None,
                         format: String = DirSink.FormatText,
                         bucket: Option[DirSink.BucketSpec] = None,
-                        bloom: Seq[String] = Seq.empty)
+                        bloom: Seq[String] = Seq.empty,
+                        deadletter: Option[DirSinkChecks.DeadLetter] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     DirSinkWriterFactory.resolved(path, schema, queryId, format, bucket,
-      bloom = bloom)
+      bloom = bloom, deadletter = deadletter)
 
   /** Publish: rename exactly the committed staging files into place,
     * swap the manifest in atomically, and (on truncate) sweep the
@@ -1848,6 +1866,11 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val f = DirSink.fs(path)
     val root = new Path(path)
     f.mkdirs(root)
+    // quarantine publishes FIRST (its own zone, its own lock): a crash
+    // between the two commits re-runs the batch — duplicate quarantine
+    // rows are possible, lost ones are not (documented at DeadLetterKey)
+    deadletter.foreach(dl => DirSinkChecks.publishQuarantine(dl,
+      DirSink.quarantinedMsgs(messages), queryId, epoch = None))
     val now = System.currentTimeMillis()
     DirSink.withZoneLock(path) {
       val committed = DirSink.flattenMsgs(messages).map { m =>
@@ -1927,6 +1950,8 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val f = DirSink.fs(path)
     DirSink.flattenMsgs(messages).foreach(m =>
       f.delete(new Path(path, m.stagedName), false))
+    deadletter.foreach(dl => DirSinkChecks.dropQuarantineStaging(dl,
+      DirSink.quarantinedMsgs(messages)))
     f.delete(new Path(path, s"_staging/$queryId"), true)
     dropStagingRootIfEmpty(f, new Path(path))
   }
@@ -1942,7 +1967,8 @@ case class DirSinkWriterFactory(
     parquet: Option[(org.apache.spark.sql.execution.datasources.OutputWriterFactory,
       DirSinkParquet.SerializableConf)],
     bucket: Option[DirSink.BucketSpec],
-    checks: Seq[DirSinkChecks.Bound])
+    checks: Seq[DirSinkChecks.Bound],
+    deadletter: Option[DirSinkChecks.DeadLetter] = None)
     extends DataWriterFactory {
 
   private def plain(attempt: String, partitionId: Int,
@@ -1964,7 +1990,11 @@ case class DirSinkWriterFactory(
       case None => plain(attempt, partitionId, taskId)
     }
     if (checks.isEmpty) inner
-    else new DirSinkChecks.CheckedWriter(inner, checks)
+    else deadletter match {
+      case Some(dl) => new DirSinkChecks.DeadLetterWriter(inner, checks,
+        dl, queryId, attempt, partitionId, taskId)
+      case None => new DirSinkChecks.CheckedWriter(inner, checks)
+    }
   }
 }
 
@@ -1977,7 +2007,9 @@ object DirSinkWriterFactory {
                format: String,
                bucket: Option[DirSink.BucketSpec] = None,
                checks: Option[Seq[(String, String)]] = None,
-               bloom: Seq[String] = null): DirSinkWriterFactory =
+               bloom: Seq[String] = null,
+               deadletter: Option[DirSinkChecks.DeadLetter] = None)
+      : DirSinkWriterFactory =
     DirSinkWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
         Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema),
@@ -1985,7 +2017,8 @@ object DirSinkWriterFactory {
       else None,
       bucket,
       DirSinkChecks.bindAll(schema,
-        checks.getOrElse(DirSinkChecks.zoneChecks(path))))
+        checks.getOrElse(DirSinkChecks.zoneChecks(path))),
+      deadletter)
 }
 
 /** One task attempt's writer under a BUCKETED zone: routes each row to
@@ -2041,7 +2074,9 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
                             queryId: String, truncate: Boolean,
                             format: String = DirSink.FormatText,
                             bucket: Option[DirSink.BucketSpec] = None,
-                            bloom: Seq[String] = Seq.empty)
+                            bloom: Seq[String] = Seq.empty,
+                            deadletter: Option[DirSinkChecks.DeadLetter] =
+                              None)
     extends StreamingWrite {
 
   // a directly-constructed streaming write (no builder) must still
@@ -2059,7 +2094,8 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
           bloomCols))
       else None,
       bucketSpec,
-      DirSinkChecks.bindAll(schema, DirSinkChecks.zoneChecks(path)))
+      DirSinkChecks.bindAll(schema, DirSinkChecks.zoneChecks(path)),
+      deadletter)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -2071,10 +2107,21 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
       // epoch replay after crash recovery: the generation is already
       // durable (the high-water mark survives even if maintenance
       // rewrote the epoch's lines away) — make the retry a no-op and
-      // drop the replayed files
+      // drop the replayed files (the quarantine zone's replayed files
+      // too: if the crash hit between the two publishes the quarantine
+      // side already committed — its own emax guard below makes its
+      // publish idempotent, so dropping the REPLAYED staging is right
+      // in both orders)
       staged.foreach(m => f.delete(new Path(root, m.stagedName), false))
+      deadletter.foreach(dl => DirSinkChecks.dropQuarantineStaging(dl,
+        DirSink.quarantinedMsgs(messages)))
       return
     }
+    // quarantine publishes FIRST, idempotent by the quarantine zone's
+    // own #emax — exactly-once on both zones across replay (see
+    // DirSinkChecks.DeadLetterKey for the crash-order argument)
+    deadletter.foreach(dl => DirSinkChecks.publishQuarantine(dl,
+      DirSink.quarantinedMsgs(messages), queryId, epoch = Some(epochId)))
     val now = System.currentTimeMillis()
     // renames, publish, and (complete-mode) sweep all inside the zone
     // lock — the same sweep-vs-rename serialization as the batch commit
@@ -2133,6 +2180,8 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     val f = DirSink.fs(path)
     DirSink.flattenMsgs(messages).foreach(m =>
       f.delete(new Path(path, m.stagedName), false))
+    deadletter.foreach(dl => DirSinkChecks.dropQuarantineStaging(dl,
+      DirSink.quarantinedMsgs(messages)))
   }
 }
 
@@ -2150,7 +2199,9 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
                                          bucket: Option[DirSink.BucketSpec] =
                                            None,
                                          checks: Seq[DirSinkChecks.Bound] =
-                                           Seq.empty)
+                                           Seq.empty,
+                                         deadletter: Option[
+                                           DirSinkChecks.DeadLetter] = None)
     extends StreamingDataWriterFactory {
 
   private def plain(attempt: String, partitionId: Int,
@@ -2172,7 +2223,11 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
       case None => plain(attempt, partitionId, taskId)
     }
     if (checks.isEmpty) inner
-    else new DirSinkChecks.CheckedWriter(inner, checks)
+    else deadletter match {
+      case Some(dl) => new DirSinkChecks.DeadLetterWriter(inner, checks,
+        dl, queryId, attempt, partitionId, taskId)
+      case None => new DirSinkChecks.CheckedWriter(inner, checks)
+    }
   }
 }
 

@@ -588,6 +588,62 @@ object StreamRun {
     val passJ = afterAppendsJ == 20L && afterDeleteJ == 5L &&
       historyJ.toSet == zoneIdsJ && zoneIdsJ.size == 15
 
+    // ---- scenario K (round 14): DEAD-LETTER LANDING ZONE — scenario
+    // I's poisoned-drop stop, solved for lossy upstream feeds: the
+    // same constrained landing zone written WITH `checks.deadletter`
+    // routes violators to a quarantine zone and KEEPS THE STREAM
+    // ALIVE. The promise under test: the poisoned epoch publishes its
+    // clean rows, the quarantine holds exactly the violators (each
+    // naming its constraint), counts reconcile, and the clean zone's
+    // invariant still holds — lossless triage instead of a stalled
+    // pipeline, with the all-or-nothing default untouched (scenario I
+    // still proves that posture).
+    val zoneK = Files.createTempDirectory("graft_streamrun_dlq").toString +
+      "/land"
+    val quarK = Files.createTempDirectory("graft_streamrun_dlq_q")
+      .toString + "/quarantine"
+    spark.range(1).select(lit(0L).as("user_id"), lit(0L).as("n"))
+      .coalesce(1).write.format(fmt).option("path", zoneK)
+      .mode(SaveMode.Overwrite).save()
+    graft.sources.v2.DirSink.alterChecks(zoneK, _ :+ ("nonneg" -> "n >= 0"))
+    val dropsK = Files.createTempDirectory("graft_streamrun_dlq_src").toString
+    val chkK = Files.createTempDirectory("graft_streamrun_dlq_chk").toString
+    def runK(): Boolean = {
+      val q = spark.readStream.schema("user_id BIGINT, n BIGINT")
+        .parquet(dropsK)
+        .writeStream.outputMode("append")
+        .format("graft.sources.v2.DirSinkSource")
+        .option("path", zoneK)
+        .option(graft.sources.v2.DirSinkChecks.DeadLetterKey, quarK)
+        .option("checkpointLocation", chkK)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val ok = scala.util.Try(q.awaitTermination(120000)).isSuccess
+      scala.util.Try(q.stop())
+      ok && q.exception.isEmpty
+    }
+    events.select($"user_id", $"event_id".as("n"))
+      .coalesce(1).write.mode("append").parquet(dropsK)
+    val cleanRunOkK = runK()
+    val validK = events.count()
+    val landedK = spark.read.format(fmt).option("path", zoneK).load()
+      .count() - 1 // minus the seed row
+    // the poisoned drop: 8 rows, ids ≡ 0 (mod 3) carry a negative n
+    spark.range(8).select(($"id" + 900000L).as("user_id"),
+      when($"id" % 3 === 0, -$"id" - 1L).otherwise($"id").as("n"))
+      .coalesce(1).write.mode("append").parquet(dropsK)
+    val poisonRunOkK = runK()
+    val afterPoisonK = spark.read.format(fmt).option("path", zoneK).load()
+    val cleanLandedK =
+      afterPoisonK.count() - 1 - landedK // the 5 clean poisoned-drop rows
+    val quarDfK = spark.read.format(fmt).option("path", quarK).load()
+    val quarRowsK = quarDfK.count()
+    val namedK = quarRowsK > 0 &&
+      quarDfK.filter($"_check" =!= "nonneg").count() == 0
+    val invariantK = afterPoisonK.filter($"n" < 0).count() == 0
+    val passK = cleanRunOkK && poisonRunOkK && landedK == validK &&
+      cleanLandedK == 5L && quarRowsK == 3L && namedK && invariantK
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -652,8 +708,16 @@ object StreamRun {
          |"carried_rows_stayed_silent":${afterDeleteJ == 5L},
          |"consumer_state_matches_zone":${historyJ.toSet == zoneIdsJ},
          |"pass":$passJ},
+         |"scenario_deadletter_zone":{
+         |"valid_rows_landed":$landedK,
+         |"poisoned_epoch_clean_rows_published":$cleanLandedK,
+         |"quarantined_rows":$quarRowsK,
+         |"quarantine_names_constraint":$namedK,
+         |"stream_survived_poison":$poisonRunOkK,
+         |"zone_invariant_holds":$invariantK,
+         |"pass":$passK},
          |"pass":${passA && passB && passC && passD && passE && passF &&
-        passG && passH && passI && passJ}}"""
+        passG && passH && passI && passJ && passK}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -662,7 +726,7 @@ object StreamRun {
     }
     spark.stop()
     if (!(passA && passB && passC && passD && passE && passF && passG &&
-      passH && passI && passJ))
+      passH && passI && passJ && passK))
       sys.exit(1)
   }
 }
