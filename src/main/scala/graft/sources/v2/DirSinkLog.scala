@@ -210,6 +210,12 @@ object DirSinkLog {
         val p = parseSegment(readText(f, b.status.getPath), ckpt = true)
         (p.schema, p.header, p.lines)
       }
+    // distributed-prune bookkeeping: which CHECKPOINT (with its
+    // columnar sidecar) this state derives from, and what was added
+    // by delta segments since — a snapshot segment replaces the state
+    // the sidecar describes, so it clears the base
+    var ckptBase: Option[Long] = base.map(_.gen)
+    var recentAdds = Set.empty[String]
     var expect = base.map(_.gen + 1).getOrElse(
       commits.headOption.map(_.gen).getOrElse(0L))
     commits.foreach { c =>
@@ -227,6 +233,9 @@ object DirSinkLog {
             "dropped the base)")
       val lines = applySeg(state.map(_._3).getOrElse(Seq.empty), p)
       state = Some((p.schema, p.header, lines))
+      if (p.snap) { ckptBase = None; recentAdds = Set.empty }
+      else recentAdds = recentAdds -- p.removes ++
+        p.lines.map(l => DirSink.parseEntry(l).name)
       expect = c.gen + 1
     }
     lastReplaySegments = reads
@@ -234,7 +243,7 @@ object DirSinkLog {
       throw new IllegalArgumentException(
         s"generation $tgt of zone $path is no longer reconstructible " +
           "(no retained base at or below it)"))
-    DirSink.Manifest(schema, header, lines)
+    DirSink.Manifest(schema, header, lines, ckptBase, recentAdds)
   }
 
   /** The zone's current state from the log, cached by fingerprint;

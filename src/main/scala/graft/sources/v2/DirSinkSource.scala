@@ -455,9 +455,18 @@ object DirSink {
     *               separated): lets a streaming tail that had consumed
     *               exactly `old` files resume at `new` after a compact
     * Unknown header keys round-trip untouched (forward compatible). */
+  /** `ckptBase`/`recentAdds` locate the distributed-prune inputs when
+    * this state was replayed from the commit log: the generation of
+    * the CHECKPOINT base (whose columnar sidecar covers every line
+    * not in `recentAdds`) and the names added by delta segments since
+    * it (≤ [[DirSinkLog.CheckpointInterval]]-1 commits' worth). None/
+    * empty for legacy zones or states whose base is a snapshot
+    * segment — [[DirSinkPrune]] then uses the driver loop. */
   private[v2] case class Manifest(schema: StructType,
                                   header: Map[String, String],
-                                  lines: Seq[String]) {
+                                  lines: Seq[String],
+                                  ckptBase: Option[Long] = None,
+                                  recentAdds: Set[String] = Set.empty) {
     def gen: Long = header.get("gen").map(_.toLong).getOrElse(0L)
   }
 
@@ -2515,15 +2524,28 @@ class DirSinkScan(path: String, schema: StructType,
       case _ => byIdentity
     }
     if (active.isEmpty) byBucket
-    else byBucket.filter { e =>
-      e.stats match {
-        case None => true // pre-skipping manifest line: always read
-        case Some(field) =>
-          val st = DirSinkStats.parse(field, schema.length)
-          !active.exists(f => DirSinkStats.canSkip(f, schema, st))
+    else {
+      // stats evaluation delegates to DirSinkPrune: a driver loop at
+      // ordinary file counts, a Spark job over the columnar checkpoint
+      // sidecar above the threshold (metadata as data — the 10^6-file
+      // plan path). Memoized per active-filter set: estimateStatistics
+      // and planInputPartitions both land here, and a metadata job
+      // should run once per plan, not once per probe.
+      val key = (active.toSeq, fileIdentityFilters.toSeq)
+      pruneMemo match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = DirSinkPrune.prune(path, resolved._1, byBucket, schema,
+            active.toSeq)
+          pruneMemo = Some((key, v))
+          v
       }
     }
   }
+
+  @volatile private var pruneMemo:
+    Option[((Seq[org.apache.spark.sql.sources.Filter], Seq[Set[String]]),
+      Seq[DirSink.FileEntry])] = None
 
   /** Exact statistics from the manifest (every commit records its row
     * count): row count = the sum over the visible — asOf-sliced AND
