@@ -1,0 +1,274 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING CHANGE-DATA-FEED READ — the Delta `readChangeFeed`
+  * surface over a DirSink zone:
+  *
+  * {{{
+  * spark.readStream.format("graft.sources.v2.DirSinkSource")
+  *   .option("path", zone)
+  *   .option("readChangeFeed", "true")
+  *   .option("startingVersion", 3)   // optional; default = changes
+  *   .load()                          //   committed AFTER stream start
+  * // zone columns + _change_type + _commit_version
+  * }}}
+  *
+  * Offsets are GENERATIONS (the commit log's ordinals), so a
+  * micro-batch is a contiguous generation range and replay-after-crash
+  * re-derives the identical change set from the retained log —
+  * exactly-once without any per-row bookkeeping. Two planning shapes,
+  * chosen per generation ([[DirSinkLog.changesBetween]]):
+  *
+  *   - APPEND generations (the overwhelming majority in a landing
+  *     zone) plan their added files directly as file partitions —
+  *     executor-side reads, full scan-out, ZERO driver materialization;
+  *     the reader appends the two CDF columns as constants.
+  *   - REWRITE generations (DELETE/UPDATE/MERGE/compact/overwrite)
+  *     run the [[ChangeFeed]] multiset diff AS A SPARK JOB at planning
+  *     time and collect only the NET changed rows (carried rows cancel
+  *     in exceptAll — a compaction is an empty change set), encoded
+  *     through the zone line codec into a rows partition. Driver
+  *     memory is bounded by the rewrite's actual row-level change,
+  *     never the rewritten files, and never the zone.
+  *
+  * Retention and schema discipline are [[ChangeFeed]]'s: a range
+  * behind vacuum retention fails loudly; a schema change inside one
+  * micro-batch's range is refused (restart the consumer from the
+  * evolve generation). `Trigger.AvailableNow` caps at the head
+  * captured at query start, the same pacing discipline as the row
+  * tail. */
+object DirSinkCdf {
+  val OptionKey = "readChangeFeed"
+  val StartKey = "startingVersion"
+
+  def cdfSchema(zone: StructType): StructType =
+    StructType(DirSink.asNullable(zone).fields ++ Seq(
+      StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false),
+      StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false)))
+}
+
+/** The CDF table surface: schema = zone schema + the two feed columns;
+  * micro-batch read only (batch feeds are [[ChangeFeed.read]]). */
+class DirSinkCdfTable(path: String, zoneSchema: StructType,
+                      startingVersion: Option[Long]) extends Table
+    with SupportsRead {
+  override def name(): String = s"dirsink-cdf:$path"
+  override def schema(): StructType = DirSinkCdf.cdfSchema(zoneSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      private val maxGens =
+        Option(options.get("maxGensPerTrigger")).map(_.toInt)
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = DirSinkCdf.cdfSchema(zoneSchema)
+        override def description(): String =
+          s"DirSinkCdfScan($path, startingVersion=$startingVersion)"
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new DirSinkCdfStream(path, zoneSchema, startingVersion, maxGens)
+      }
+    }
+}
+
+/** Generation offset: the last CONSUMED generation; a batch covers
+  * `(start, end]`. */
+case class DirSinkCdfOffset(gen: Long) extends StreamOffset {
+  override def json(): String = s"""{"gen":$gen}"""
+}
+
+/** One rewrite generation's collected net changes: `lines` are
+  * zone-codec-encoded rows, all sharing one change type + version. */
+case class DirSinkCdfRowsPartition(lines: Seq[String], ddl: String,
+                                   changeType: String, gen: Long)
+    extends InputPartition
+
+/** One appended file of an append generation, read executor-side. */
+case class DirSinkCdfFilePartition(base: DirSinkFilePartition,
+                                   changeType: String, gen: Long)
+    extends InputPartition
+
+class DirSinkCdfStream(path: String, zoneSchema: StructType,
+                       startingVersion: Option[Long],
+                       maxGensPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  /** ADMISSION CONTROL (`option("maxGensPerTrigger", k)`): a tail
+    * started deep in a zone's history replays it in bounded,
+    * individually checkpointed generation ranges instead of one
+    * catch-up mega-batch — the same pacing discipline as the row
+    * tail's maxFilesPerTrigger (ReadMaxFiles reused: a "file" here is
+    * a generation). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxGensPerTrigger.map(k => ReadLimit.maxFiles(k))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset,
+                            limit: ReadLimit): StreamOffset = {
+    val h = head
+    if (h > maxSeen) maxSeen = h
+    val avail = availableNowEnd.fold(maxSeen)(math.min(maxSeen, _))
+    val s = start.asInstanceOf[DirSinkCdfOffset].gen
+    val e = limit match {
+      case m: ReadMaxFiles => math.min(avail, s + m.maxFiles())
+      case _ => avail
+    }
+    DirSinkCdfOffset(math.max(s, e))
+  }
+
+  override def reportLatestOffset(): StreamOffset = latestOffset()
+
+  private def head: Long = DirSink.currentGen(path).getOrElse(
+    throw new IllegalArgumentException(
+      s"no committed zone under $path — no change feed to tail"))
+
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(head)
+
+  // monotonic high-water mark, same discipline as the row tail: a
+  // probe racing a publish must never report a regressed offset
+  private var maxSeen = Long.MinValue
+
+  /** Default start = the head AT STREAM START: the feed delivers
+    * changes committed after the consumer subscribed (Delta's
+    * semantics without startingVersion). `startingVersion = g` replays
+    * history from generation g inclusive — as far back as retention
+    * keeps the log. */
+  override def initialOffset(): StreamOffset =
+    DirSinkCdfOffset(startingVersion.map(_ - 1).getOrElse(head))
+
+  override def latestOffset(): StreamOffset = {
+    val h = head
+    if (h > maxSeen) maxSeen = h
+    DirSinkCdfOffset(availableNowEnd.fold(maxSeen)(math.min(maxSeen, _)))
+  }
+
+  override def deserializeOffset(json: String): StreamOffset =
+    DirSinkCdfOffset(
+      json.replaceAll("[^0-9-]", "") match {
+        case "" => throw new IllegalArgumentException(
+          s"malformed CDF offset: $json")
+        case s => s.toLong
+      })
+
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DirSinkCdfOffset].gen
+    val e = end.asInstanceOf[DirSinkCdfOffset].gen
+    if (e <= s) return Array.empty
+    val changes = DirSinkLog.changesBetween(path, s, e)
+    val ddls = changes.map(_.schemaDdl).distinct
+    if (ddls.size > 1) throw new UnsupportedOperationException(
+      s"zone $path changed schema inside one micro-batch's range " +
+        s"($s, $e] — restart the consumer from the evolve generation")
+    val spark = SparkSession.active
+    val fmtName = classOf[DirSinkSource].getName
+    val allIdx = zoneSchema.indices.toArray
+
+    def encodedDiff(aGen: Long, aFiles: Seq[String],
+                    bGen: Long, bFiles: Seq[String]): Seq[String] = {
+      // a exceptAll b, encoded through the zone line codec on the
+      // EXECUTORS; the driver holds only the net changed rows
+      def rd(g: Long, fs: Seq[String]) =
+        if (fs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            DirSink.asNullable(zoneSchema))
+        else spark.read.format(fmtName).option("path", path)
+          .option("asOfVersion", g).option("files", fs.mkString(","))
+          .load()
+      val sch = DirSink.asNullable(zoneSchema)
+      rd(aGen, aFiles).exceptAll(rd(bGen, bFiles))
+        .queryExecution.toRdd
+        .mapPartitions(it => it.map(r => DirSink.encode(r, sch)))
+        .collect().toSeq
+    }
+
+    changes.flatMap { c =>
+      (c.addNames, c.removeNames) match {
+        case (Nil, Nil) => Nil // metadata-only commit
+        case (adds, Nil) =>
+          adds.map(f => DirSinkCdfFilePartition(
+            DirSinkFilePartition(path, f, c.schemaDdl, allIdx),
+            "insert", c.gen): InputPartition)
+        case (adds, removes) =>
+          val ins = encodedDiff(c.gen, adds, c.gen - 1, removes)
+          val del = encodedDiff(c.gen - 1, removes, c.gen, adds)
+          Seq(
+            DirSinkCdfRowsPartition(ins, c.schemaDdl, "insert", c.gen),
+            DirSinkCdfRowsPartition(del, c.schemaDdl, "delete", c.gen))
+            .filter(_.lines.nonEmpty).map(p => p: InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DirSinkCdfReaderFactory(
+      DirSink.zoneFormat(path).contains(DirSink.FormatParquet),
+      DirSink.asNullable(zoneSchema).toDDL)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Executor side: decode the partition's rows (file via the zone's
+  * data plane, collected diffs via the line codec) and append the two
+  * CDF columns as constants. */
+case class DirSinkCdfReaderFactory(parquetPlane: Boolean, ddl: String)
+    extends PartitionReaderFactory {
+
+  private def suffixed(inner: PartitionReader[InternalRow],
+                       changeType: String,
+                       gen: Long): PartitionReader[InternalRow] = {
+    val suffix = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(changeType), gen))
+    val joined = new JoinedRow
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), suffix)
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case DirSinkCdfRowsPartition(lines, pddl, tpe, gen) =>
+        val sch = StructType.fromDDL(pddl)
+        val it = lines.iterator
+        suffixed(new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!it.hasNext) false
+            else { cur = DirSink.decode(it.next(), sch); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }, tpe, gen)
+      case DirSinkCdfFilePartition(base, tpe, gen) =>
+        val inner =
+          if (parquetPlane) {
+            val data = StructType.fromDDL(ddl)
+            DirSinkParquetReaderFactory(
+              DirSinkParquet.readerClosure(data, data, Seq.empty),
+              ddl, ddl).createReader(base)
+          } else new DirSinkReaderFactory().createReader(base)
+        suffixed(inner, tpe, gen)
+      case p => throw new IllegalStateException(s"unexpected partition $p")
+    }
+}

@@ -86,17 +86,29 @@ class DirSinkSource extends TableProvider {
     * fresh directory has no manifest yet (Spark's streaming-sink path
     * always infers — it never passes the query schema here), so the
     * writer bootstraps it from a `schema` DDL option instead. */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DirSink.readManifest(options.get("path")).map(_._1)
+  private def wantsCdf(get: String => String): Boolean =
+    Option(get(DirSinkCdf.OptionKey)).exists(_.equalsIgnoreCase("true"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val zone = DirSink.readManifest(options.get("path")).map(_._1)
       .orElse(Option(options.get("schema")).map(StructType.fromDDL))
       .getOrElse(throw new IllegalArgumentException(
         s"no ${DirSink.ManifestName} manifest under ${options.get("path")} " +
           "and no `schema` option — nothing was committed here; writers " +
           "to a fresh directory pass .option(\"schema\", \"<ddl>\")"))
+    if (wantsCdf(options.get)) DirSinkCdf.cdfSchema(zone) else zone
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new DirSinkTable(properties.get("path"), schema)
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    if (wantsCdf(properties.get))
+      // the CDF surface: zone schema re-read from the manifest (the
+      // passed schema is the feed schema, zone + 2 CDF columns)
+      new DirSinkCdfTable(path, DirSink.readManifestSchema(path),
+        Option(properties.get(DirSinkCdf.StartKey)).map(_.toLong))
+    else new DirSinkTable(path, schema)
+  }
 }
 
 object DirSink {

@@ -644,6 +644,52 @@ object StreamRun {
     val passK = cleanRunOkK && poisonRunOkK && landedK == validK &&
       cleanLandedK == 5L && quarRowsK == 3L && namedK && invariantK
 
+    // ---- scenario L (round 14): CDF THROUGH readStream — scenario
+    // J's consumer, re-driven through the REAL streaming surface
+    // (`readChangeFeed=true`, generation offsets, durable checkpoint):
+    // run 1 replays history from gen 0 as inserts; a DELETE rewrites a
+    // file copy-on-write; run 2 RESUMES from the checkpoint and emits
+    // ONLY the net deleted rows; run 3 emits nothing (no re-reads).
+    val zoneL = Files.createTempDirectory("graft_streamrun_cdfs").toString
+    val chkL = Files.createTempDirectory("graft_streamrun_cdfs_chk").toString
+    spark.range(0, 10).select($"id", ($"id" * 7L).as("v")).coalesce(1)
+      .write.format(fmt).option("path", zoneL).mode(SaveMode.Append).save()
+    spark.range(10, 20).select($"id", ($"id" * 7L).as("v")).coalesce(1)
+      .write.format(fmt).option("path", zoneL).mode(SaveMode.Append).save()
+    val gotL = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def drainL(opts: Map[String, String]): Long = {
+      val n0 = gotL.size
+      val rdr = spark.readStream.format(fmt).option("path", zoneL)
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => rdr.option(k, v) }
+      val q = rdr.load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          gotL.synchronized {
+            gotL ++= df.select($"id",
+              col(graft.sources.v2.ChangeFeed.ChangeTypeCol)).collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", chkL)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      (gotL.size - n0).toLong
+    }
+    val run1L = drainL(Map("startingVersion" -> "0"))
+    new graft.sources.v2.DirSinkTable(zoneL,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan("id", 5L)))
+    val run2L = drainL(Map.empty)
+    val deletesL = gotL.takeRight(run2L.toInt)
+    val run3L = drainL(Map.empty)
+    val passL = run1L == 20L &&
+      gotL.take(20).forall(_._2 == "insert") &&
+      run2L == 5L && deletesL.forall(_._2 == "delete") &&
+      deletesL.map(_._1).sorted == Seq(0L, 1L, 2L, 3L, 4L) &&
+      run3L == 0L
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -716,8 +762,13 @@ object StreamRun {
          |"stream_survived_poison":$poisonRunOkK,
          |"zone_invariant_holds":$invariantK,
          |"pass":$passK},
+         |"scenario_cdf_readstream":{
+         |"history_replay_inserts":$run1L,
+         |"resumed_net_deletes":$run2L,
+         |"idle_drain_rows":$run3L,
+         |"pass":$passL},
          |"pass":${passA && passB && passC && passD && passE && passF &&
-        passG && passH && passI && passJ && passK}}"""
+        passG && passH && passI && passJ && passK && passL}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>
@@ -726,7 +777,7 @@ object StreamRun {
     }
     spark.stop()
     if (!(passA && passB && passC && passD && passE && passF && passG &&
-      passH && passI && passJ && passK))
+      passH && passI && passJ && passK && passL))
       sys.exit(1)
   }
 }
