@@ -63,8 +63,13 @@ object ChangeFeed {
         s"no committed zone under $path"))
     val end = endingVersion.getOrElse(head)
     val changes = DirSinkLog.changesBetween(path, startingVersion - 1, end)
-    val ddls = changes.map(_.schemaDdl).distinct
-    if (ddls.size > 1) throw new UnsupportedOperationException(
+    // a RENAME inside the range is positionally harmless (the feed
+    // emits under the head's names); only an arity/type change makes
+    // the rows incomparable and refuses
+    val shapes = changes.map(_.schemaDdl).distinct.map(d =>
+      org.apache.spark.sql.types.StructType.fromDDL(d)
+        .fields.map(_.dataType).toSeq).distinct
+    if (shapes.size > 1) throw new UnsupportedOperationException(
       s"zone $path changed schema inside the requested feed range " +
         s"[$startingVersion, $end] — read up to the evolve generation, " +
         "then restart the consumer from it")
@@ -75,6 +80,9 @@ object ChangeFeed {
         .option("asOfVersion", gen)
         .option("files", files.mkString(","))
         .load()
+        // normalize era names to the HEAD's (positional — a rename
+        // never reorders)
+        .toDF(schema.fieldNames.toSeq: _*)
 
     def tagged(df: DataFrame, tpe: String, gen: Long): DataFrame =
       df.withColumn(ChangeTypeCol, lit(tpe))

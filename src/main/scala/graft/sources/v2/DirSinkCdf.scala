@@ -173,8 +173,11 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
     val e = end.asInstanceOf[DirSinkCdfOffset].gen
     if (e <= s) return Array.empty
     val changes = DirSinkLog.changesBetween(path, s, e)
-    val ddls = changes.map(_.schemaDdl).distinct
-    if (ddls.size > 1) throw new UnsupportedOperationException(
+    // a RENAME inside the range is positionally harmless (physical
+    // file names never change); only arity/type changes refuse
+    val shapes = changes.map(_.schemaDdl).distinct.map(d =>
+      StructType.fromDDL(d).fields.map(_.dataType).toSeq).distinct
+    if (shapes.size > 1) throw new UnsupportedOperationException(
       s"zone $path changed schema inside one micro-batch's range " +
         s"($s, $e] — restart the consumer from the evolve generation")
     val spark = SparkSession.active
@@ -219,9 +222,13 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // a column-mapped zone's parquet files resolve by PHYSICAL names;
+    // the row layout is positional, so the feed's output names are
+    // whatever the consumer's schema says regardless
     DirSinkCdfReaderFactory(
       DirSink.zoneFormat(path).contains(DirSink.FormatParquet),
-      DirSink.asNullable(zoneSchema).toDDL)
+      DirSink.toPhysical(DirSink.asNullable(zoneSchema),
+        DirSink.zoneColMap(path)).toDDL)
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()

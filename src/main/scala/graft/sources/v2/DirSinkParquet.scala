@@ -107,6 +107,40 @@ object DirSinkParquet {
       new TaskAttemptContextImpl(new Configuration(conf.value), attempt))
   }
 
+  /** Rewrite a pushed filter's attribute names logical→physical for a
+    * column-mapped zone ([[DirSink.ColMapKey]]). Unknown shapes DROP
+    * (None) — pushdown is an optimization; the scan returns every
+    * filter as residual, so dropping is always sound. */
+  private[v2] def mapFilter(f: Filter,
+                            m: Map[String, String]): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    def a(n: String): String = m.getOrElse(n, n)
+    f match {
+      case EqualTo(c, v) => Some(EqualTo(a(c), v))
+      case EqualNullSafe(c, v) => Some(EqualNullSafe(a(c), v))
+      case GreaterThan(c, v) => Some(GreaterThan(a(c), v))
+      case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(a(c), v))
+      case LessThan(c, v) => Some(LessThan(a(c), v))
+      case LessThanOrEqual(c, v) => Some(LessThanOrEqual(a(c), v))
+      case In(c, vs) => Some(In(a(c), vs))
+      case IsNull(c) => Some(IsNull(a(c)))
+      case IsNotNull(c) => Some(IsNotNull(a(c)))
+      case StringStartsWith(c, v) => Some(StringStartsWith(a(c), v))
+      case StringEndsWith(c, v) => Some(StringEndsWith(a(c), v))
+      case StringContains(c, v) => Some(StringContains(a(c), v))
+      case And(l, r) => for { lm <- mapFilter(l, m); rm <- mapFilter(r, m) }
+        yield And(lm, rm)
+      case Or(l, r) => for { lm <- mapFilter(l, m); rm <- mapFilter(r, m) }
+        yield Or(lm, rm)
+      case Not(c) => mapFilter(c, m).map(Not)
+      case _ => None
+    }
+  }
+
+  private[v2] def mapFilters(fs: Seq[Filter],
+                             m: Map[String, String]): Seq[Filter] =
+    if (m.isEmpty) fs else fs.flatMap(mapFilter(_, m))
+
   /** Driver side: the executor-shippable read closure.
     *
     * `filters` are the scan's stats-supported shapes, handed down for

@@ -593,7 +593,9 @@ object DirSink {
                              truncate: Boolean = false): Map[String, String] = {
     val base = parent.map(_.header).getOrElse(Map.empty[String, String])
     val emax = (parent.flatMap(epochMaxOf) ++ newEpoch).reduceOption(_ max _)
-    (if (truncate) base - "remap" else base) ++
+    // an overwrite's fresh schema speaks physical == logical again:
+    // the column mapping (like the remap chain) describes REPLACED data
+    (if (truncate) base - "remap" - ColMapKey else base) ++
       Map("gen" -> parent.map(_.gen + 1).getOrElse(0L).toString) ++
       emax.map(e => "emax" -> e.toString)
   }
@@ -1019,6 +1021,19 @@ object DirSink {
       val nx = asNullable(next)
       if (m.schema.toDDL == nx.toDDL) return
       checkEvolution(m.schema, nx)
+      // an appended column may collide with neither an existing
+      // LOGICAL name (ambiguous resolution) nor, on a renamed zone, an
+      // existing PHYSICAL name — old files would resolve two fields
+      // from one parquet chunk
+      val colmap = parseColMap(m.header)
+      val taken = m.schema.fieldNames.toSeq ++
+        m.schema.fieldNames.toSeq.map(c => colmap.getOrElse(c, c))
+      nx.fields.drop(m.schema.length).map(_.name).foreach { n =>
+        if (taken.exists(_.equalsIgnoreCase(n)))
+          throw new IllegalArgumentException(
+            s"cannot add column $n — it collides with an existing " +
+              "column's logical or physical (file-level) name")
+      }
       // a pure metadata commit: wider schema line, same files — an
       // EMPTY delta segment, O(1) bytes regardless of zone size
       publishCommit(path, nx,
@@ -1044,6 +1059,122 @@ object DirSink {
       publishCommit(path, m.schema,
         withHistory(header, "alter-check", m.lines.size),
         DirSinkLog.DeltaCommit(Nil, Nil), "checks")
+    }
+
+  // ---- COLUMN MAPPING (`#colmap` header): logical name -> physical
+  // parquet-file name, recorded only for RENAMED columns (absent =
+  // identical). Parquet resolves columns BY NAME inside files, so a
+  // rename without rewriting every file needs the read/write paths to
+  // speak the PHYSICAL name at the file boundary while the schema,
+  // stats (positional), checks, and SQL stay logical — Delta's
+  // column-mapping discipline. Text zones need no mapping at all
+  // (the line codec is positional; names live only in the DDL line).
+
+  val ColMapKey = "colmap"
+
+  private def cb64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def cunb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private[v2] def renderColMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (l, p) => cb64(l) + ":" + cb64(p) }
+      .mkString(",")
+
+  private[v2] def parseColMap(header: Map[String, String])
+      : Map[String, String] =
+    header.get(ColMapKey).toSeq.filter(_.nonEmpty)
+      .flatMap(_.split(",").toSeq).map { e =>
+        val i = e.indexOf(':')
+        (cunb64(e.substring(0, i)), cunb64(e.substring(i + 1)))
+      }.toMap
+
+  /** The zone's live logical→physical map; empty = no renames. */
+  def zoneColMap(path: String): Map[String, String] =
+    readManifestRaw(path).map(m => parseColMap(m.header))
+      .getOrElse(Map.empty)
+
+  /** A schema with every field renamed to its PHYSICAL name — what the
+    * parquet writer writes and the parquet reader resolves against.
+    * Identity when the map is empty (the overwhelmingly common case). */
+  private[v2] def toPhysical(schema: StructType,
+                             colmap: Map[String, String]): StructType =
+    if (colmap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      colmap.get(f.name).fold(f)(p => f.copy(name = p))))
+
+  /** RENAME COLUMN — the remaining ALTER direction: republish the
+    * manifest with the field renamed in the schema line and, on
+    * parquet zones, the logical→physical mapping recorded in the
+    * `#colmap` header so every committed file keeps resolving by its
+    * write-time (physical) name — zero data rewritten, the Delta
+    * column-mapping shape. Text zones rename for free (positional
+    * codec). Stats are positional, so bounds stay aligned with no
+    * rewrite — the property DROP COLUMN had to excise for. Refused
+    * when a CHECK constraint references the column (its stored SQL
+    * would dangle), when the target name collides with another
+    * column's LOGICAL name (ambiguous resolution) or, on parquet,
+    * another column's PHYSICAL name (two fields would resolve to one
+    * file chunk). The bucket layout and bloom coverage follow the
+    * rename (their headers speak logical names; the writer maps). */
+  def renameColumn(path: String, from: String, to: String): Unit =
+    withZoneLock(path) {
+      val m = readManifestRaw(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no ${ManifestName} manifest under $path — nothing was committed"))
+      if (!m.schema.fieldNames.contains(from))
+        throw new IllegalArgumentException(
+          s"column $from is not in the zone schema " +
+            s"[${m.schema.fieldNames.mkString(", ")}]")
+      if (from == to) return
+      if (m.schema.fieldNames.exists(n =>
+          n != from && n.equalsIgnoreCase(to)))
+        throw new IllegalArgumentException(
+          s"cannot rename $from to $to — the zone already has a column " +
+            "with that name")
+      val fmt = m.header.getOrElse(FormatKey, FormatText)
+      val colmap = parseColMap(m.header)
+      val nmap: Map[String, String] =
+        if (fmt != FormatParquet) Map.empty // positional codec: free
+        else {
+          val othersPhysical = m.schema.fieldNames.filterNot(_ == from)
+            .map(c => colmap.getOrElse(c, c))
+          if (othersPhysical.exists(_.equalsIgnoreCase(to)))
+            throw new IllegalArgumentException(
+              s"cannot rename $from to $to — another column's PHYSICAL " +
+                s"(file-level) name is $to; two fields would resolve to " +
+                "one parquet chunk")
+          val physical = colmap.getOrElse(from, from)
+          val base = colmap - from
+          if (physical == to) base else base + (to -> physical)
+        }
+      val idx = m.schema.fieldIndex(from)
+      val next = StructType(m.schema.fields.updated(idx,
+        m.schema.fields(idx).copy(name = to)))
+      // a CHECK constraint referencing the column would dangle under
+      // the new schema: refuse, name the culprit (DROP's discipline)
+      DirSinkChecks.parseHeader(m.header).foreach { case (n, sql) =>
+        try DirSinkChecks.bind(next, n, sql)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"cannot rename $from — CHECK constraint $n ($sql) " +
+              "references it; drop the constraint first")
+        }
+      }
+      val header0 = nextHeader(Some(m))
+      val header1 = bucketOf(m.header).filter(_.col == from)
+        .fold(header0)(b =>
+          header0 + (BucketKey -> b.copy(col = to).render))
+      val header2 = m.header.get(BloomKey).fold(header1) { bl =>
+        header1 + (BloomKey -> bl.split(",").toSeq
+          .map(c => if (c == from) to else c).mkString(","))
+      }
+      val header =
+        if (nmap.isEmpty) header2 - ColMapKey
+        else header2 + (ColMapKey -> renderColMap(nmap))
+      publishCommit(path, next,
+        withHistory(header, "rename-column", m.lines.size),
+        DirSinkLog.DeltaCommit(Nil, Nil), "rename")
     }
 
   /** DROP COLUMN — schema evolution's other direction, PARQUET ZONES
@@ -1101,9 +1232,14 @@ object DirSink {
       .flatMap(_.split(",").toSeq).map(_.trim)
       .filter(c => c.nonEmpty && c != colName)
     val header0 = nextHeader(Some(m))
-    val header =
+    val header1 =
       if (bloomLeft.isEmpty) header0 - BloomKey
       else header0 + (BloomKey -> bloomLeft.mkString(","))
+    // the dropped column's rename mapping (if any) goes with it
+    val mapLeft = parseColMap(m.header) - colName
+    val header =
+      if (mapLeft.isEmpty) header1 - ColMapKey
+      else header1 + (ColMapKey -> renderColMap(mapLeft))
     val lines = m.lines.map { line =>
       line.split("\t").map { f =>
         if (f.startsWith("s=")) {
@@ -1488,7 +1624,15 @@ class DirSinkTable(path: String, schema0: StructType,
           s"DELETE predicate ${filters.mkString(" AND ")} has an " +
             "untranslatable shape — canDeleteWhere should have refused"))
       val scratch = new Path(root, s"_rewrite-${java.util.UUID.randomUUID()}")
-      spark.read.format(classOf[DirSinkSource].getName)
+      // the rewrite inherits the parent zone's COLUMN MAPPING by
+      // writing the scratch files under PHYSICAL names (the scratch is
+      // its own unmapped zone, but its files MOVE into the mapped
+      // parent manifest, where readers resolve physically); bucket and
+      // bloom option names follow into physical space for the same
+      // reason — stats and rows are positional throughout
+      val cmap = DirSink.parseColMap(parent.header)
+      def phys(c: String): String = cmap.getOrElse(c, c)
+      val surviving = spark.read.format(classOf[DirSinkSource].getName)
         .option("path", path)
         .option("files", split.mkString(","))
         .load()
@@ -1498,6 +1642,8 @@ class DirSinkTable(path: String, schema0: StructType,
         .filter(org.apache.spark.sql.functions.not(
           org.apache.spark.sql.functions.coalesce(cond,
             org.apache.spark.sql.functions.lit(false))))
+      (if (cmap.isEmpty) surviving
+       else surviving.toDF(manifestSchema.fieldNames.map(phys).toSeq: _*))
         .write.format(classOf[DirSinkSource].getName)
         .option("path", scratch.toString)
         // the rewrite inherits the parent zone's data plane AND bucket
@@ -1505,10 +1651,11 @@ class DirSinkTable(path: String, schema0: StructType,
         // stay single-format and bucket-pure
         .option(DirSink.FormatKey, parent.header.getOrElse(
           DirSink.FormatKey, DirSink.FormatText))
-        .option(DirSink.BucketKey, parent.header.getOrElse(
-          DirSink.BucketKey, DirSink.BucketNone))
-        .option(DirSink.BloomKey, parent.header.getOrElse(
-          DirSink.BloomKey, DirSink.BucketNone))
+        .option(DirSink.BucketKey, DirSink.bucketOf(parent.header)
+          .fold(DirSink.BucketNone)(b => b.copy(col = phys(b.col)).render))
+        .option(DirSink.BloomKey, parent.header.get(DirSink.BloomKey)
+          .fold(DirSink.BucketNone)(_.split(",").toSeq.map(phys)
+            .mkString(",")))
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
       scratchDir = Some(scratch)
       DirSink.readManifestLines(scratch.toString)
@@ -1869,7 +2016,8 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     DirSinkWriterFactory.resolved(path, schema, queryId, format, bucket,
-      bloom = bloom, deadletter = deadletter)
+      bloom = bloom, deadletter = deadletter,
+      colmap = if (truncate) Map.empty else null)
 
   /** Publish: rename exactly the committed staging files into place,
     * swap the manifest in atomically, and (on truncate) sweep the
@@ -1989,14 +2137,17 @@ case class DirSinkWriterFactory(
       DirSinkParquet.SerializableConf)],
     bucket: Option[DirSink.BucketSpec],
     checks: Seq[DirSinkChecks.Bound],
-    deadletter: Option[DirSinkChecks.DeadLetter] = None)
+    deadletter: Option[DirSinkChecks.DeadLetter] = None,
+    colmap: Map[String, String] = Map.empty)
     extends DataWriterFactory {
 
   private def plain(attempt: String, partitionId: Int,
                     taskId: Long): DataWriter[InternalRow] =
     parquet match {
       case Some((owf, conf)) =>
-        new DirSinkParquetWriter(path, schema, queryId,
+        // a column-mapped zone's files are written under PHYSICAL names
+        new DirSinkParquetWriter(path,
+          DirSink.toPhysical(schema, colmap), queryId,
           attempt, owf, conf, partitionId, taskId)
       case None =>
         new DirSinkWriter(path, schema, queryId, attempt)
@@ -2029,17 +2180,25 @@ object DirSinkWriterFactory {
                bucket: Option[DirSink.BucketSpec] = None,
                checks: Option[Seq[(String, String)]] = None,
                bloom: Seq[String] = null,
-               deadletter: Option[DirSinkChecks.DeadLetter] = None)
-      : DirSinkWriterFactory =
+               deadletter: Option[DirSinkChecks.DeadLetter] = None,
+               colmap: Map[String, String] = null): DirSinkWriterFactory = {
+    // null = inherit the zone's live mapping (appends, rewrites, DML);
+    // an overwrite passes Map.empty explicitly — its fresh schema
+    // speaks physical == logical again
+    val cmap = Option(colmap).getOrElse(DirSink.zoneColMap(path))
     DirSinkWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
-        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema),
-          Option(bloom).getOrElse(DirSink.zoneBloom(path))))
+        Some(DirSinkParquet.writerFactory(
+          DirSink.toPhysical(DirSink.asNullable(schema), cmap),
+          Option(bloom).getOrElse(DirSink.zoneBloom(path))
+            .map(c => cmap.getOrElse(c, c))))
       else None,
       bucket,
       DirSinkChecks.bindAll(schema,
         checks.getOrElse(DirSinkChecks.zoneChecks(path))),
-      deadletter)
+      deadletter,
+      cmap)
+  }
 }
 
 /** One task attempt's writer under a BUCKETED zone: routes each row to
@@ -2108,15 +2267,19 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     if (bloom.nonEmpty) bloom else DirSink.zoneBloom(path)
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val colmap =
+      if (truncate) Map.empty[String, String] else DirSink.zoneColMap(path)
     DirSinkStreamingWriterFactory(path, schema, queryId, format,
       if (format == DirSink.FormatParquet)
-        Some(DirSinkParquet.writerFactory(DirSink.asNullable(schema),
-          bloomCols))
+        Some(DirSinkParquet.writerFactory(
+          DirSink.toPhysical(DirSink.asNullable(schema), colmap),
+          bloomCols.map(c => colmap.getOrElse(c, c))))
       else None,
       bucketSpec,
       DirSinkChecks.bindAll(schema, DirSinkChecks.zoneChecks(path)),
-      deadletter)
+      deadletter, colmap)
+  }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -2222,14 +2385,17 @@ case class DirSinkStreamingWriterFactory(path: String, schema: StructType,
                                          checks: Seq[DirSinkChecks.Bound] =
                                            Seq.empty,
                                          deadletter: Option[
-                                           DirSinkChecks.DeadLetter] = None)
+                                           DirSinkChecks.DeadLetter] = None,
+                                         colmap: Map[String, String] =
+                                           Map.empty)
     extends StreamingDataWriterFactory {
 
   private def plain(attempt: String, partitionId: Int,
                     taskId: Long): DataWriter[InternalRow] =
     parquet match {
       case Some((owf, conf)) =>
-        new DirSinkParquetWriter(path, schema, queryId,
+        new DirSinkParquetWriter(path,
+          DirSink.toPhysical(schema, colmap), queryId,
           attempt, owf, conf, partitionId, taskId)
       case None =>
         new DirSinkWriter(path, schema, queryId, attempt)
@@ -2654,9 +2820,17 @@ class DirSinkScan(path: String, schema: StructType,
     if (zoneFmt == DirSink.FormatParquet) {
       val data = StructType(required.fields.filter(f =>
         schema.fieldNames.contains(f.name)))
+      // a column-mapped (renamed) zone's files resolve by PHYSICAL
+      // names. The HEAD's mapping applies to every era: physical names
+      // are stable for a file's whole life, and schema changes are not
+      // travel-versioned (the documented evolve/drop caveat — a
+      // snapshot read speaks the head's logical names)
+      val colmap = DirSink.zoneColMap(path)
       val closure = DirSinkParquet.readerClosure(
-        DirSink.asNullable(schema), DirSink.asNullable(data),
-        (skipFilters ++ runtimeFilters).toSeq)
+        DirSink.toPhysical(DirSink.asNullable(schema), colmap),
+        DirSink.toPhysical(DirSink.asNullable(data), colmap),
+        DirSinkParquet.mapFilters(
+          (skipFilters ++ runtimeFilters).toSeq, colmap))
       DirSinkParquetReaderFactory(closure, required.toDDL,
         DirSink.asNullable(data).toDDL)
     } else new DirSinkReaderFactory
@@ -2911,9 +3085,11 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     if (DirSink.zoneFormat(path).contains(DirSink.FormatParquet)) {
       val data = DirSink.asNullable(required)
+      val colmap = DirSink.zoneColMap(path)
       DirSinkParquetReaderFactory(
-        DirSinkParquet.readerClosure(DirSink.asNullable(schema), data,
-          Seq.empty),
+        DirSinkParquet.readerClosure(
+          DirSink.toPhysical(DirSink.asNullable(schema), colmap),
+          DirSink.toPhysical(data, colmap), Seq.empty),
         data.toDDL, data.toDDL)
     } else new DirSinkReaderFactory
 

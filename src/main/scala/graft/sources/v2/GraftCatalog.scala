@@ -301,14 +301,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Supported alterations: `ALTER TABLE … ADD COLUMNS` (top-level,
     * nullable, appended at the tail — existing files decode with NULL
-    * tails) on every zone, and `ALTER TABLE … DROP COLUMN` on PARQUET
+    * tails) on every zone; `ALTER TABLE … DROP COLUMN` on PARQUET
     * zones ([[DirSink.dropColumn]] — name-based resolution lets old
     * files simply stop projecting the chunk; the manifest rewrite
     * excises the column's per-file stats entry so skipping stays
-    * aligned). Renames, reorders, and type changes are rejected: the
-    * text codec cannot re-map positions, and a parquet rename would
-    * orphan the old files' column names without Delta-style column
-    * mapping. */
+    * aligned); and `ALTER TABLE … RENAME COLUMN` everywhere
+    * ([[DirSink.renameColumn]] — text zones are positional so the
+    * rename is a pure schema rewrite, parquet zones record the
+    * Delta-style logical→physical column mapping so old files keep
+    * resolving by their write-time names with zero data rewritten).
+    * Reorders and type changes stay rejected: the positional codec
+    * cannot re-map them. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -320,6 +323,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (d.ifExists() && !prev.fieldNames.contains(name))
           return new DirSinkTable(dir, prev)
         DirSink.dropColumn(dir, name)
+        return new DirSinkTable(dir, DirSink.readManifestSchema(dir))
+      // RENAME COLUMN: zero data rewritten — parquet zones record the
+      // logical→physical mapping ([[DirSink.ColMapKey]]), text zones
+      // rename for free (positional codec)
+      case Seq(r: TableChange.RenameColumn) if r.fieldNames().length == 1 =>
+        DirSink.renameColumn(dir, r.fieldNames()(0), r.newName())
         return new DirSinkTable(dir, DirSink.readManifestSchema(dir))
       // CHECK-constraint management: SET TBLPROPERTIES ('check.n'='…')
       // validates the EXISTING zone before accepting (one scan; a
@@ -375,8 +384,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       case c => throw new UnsupportedOperationException(
-        s"graft catalog supports ADD COLUMNS (top-level nullable) and " +
-          s"DROP COLUMN (parquet zones); got $c")
+        s"graft catalog supports ADD COLUMNS (top-level nullable), " +
+          s"DROP COLUMN (parquet zones), and RENAME COLUMN; got $c")
     }
     added.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
       .collect { case (n, fs) if fs.size > 1 => n } ++

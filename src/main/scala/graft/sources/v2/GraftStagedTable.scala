@@ -85,7 +85,8 @@ class GraftStagedTable(ident: Identifier, dir: String, schema0: StructType,
           override def createBatchWriterFactory(
               phys: PhysicalWriteInfo): DataWriterFactory =
             DirSinkWriterFactory.resolved(dir, info.schema(),
-              info.queryId(), fmt, bucket, Some(checks), bloom)
+              info.queryId(), fmt, bucket, Some(checks), bloom,
+              colmap = Map.empty) // a (re)placed definition starts unmapped
 
           /** Park the committed task files — STILL IN STAGING. All
             * renames happen inside `commitStagedChanges`'s locked

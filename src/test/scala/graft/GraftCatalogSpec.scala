@@ -61,11 +61,10 @@ class GraftCatalogSpec extends AnyFunSuite {
   test("unsupported schema changes are rejected; DROP COLUMN is parquet-plane-only") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbev2")
     spark.sql("CREATE TABLE graftcat.dbev2.t (id BIGINT, v STRING)")
-    // renames and type changes stay rejected on every plane (the text
-    // codec cannot re-map positions; a parquet rename would orphan the
-    // old files' column names without Delta-style column mapping)
+    // type changes stay rejected on every plane (the positional codec
+    // cannot re-map them); RENAME COLUMN became supported in round 14
+    // via Delta-style column mapping — RenameColumnSpec owns it
     for (ddl <- Seq(
-      "ALTER TABLE graftcat.dbev2.t RENAME COLUMN v TO w",
       "ALTER TABLE graftcat.dbev2.t ALTER COLUMN id TYPE STRING")) {
       val e = intercept[Exception](spark.sql(ddl))
       def msgs(t: Throwable): Seq[String] =
