@@ -447,6 +447,55 @@ object Layouts extends QueryModule {
       .orderBy($"lang", $"tier")
   }
 
+  /** q_dsv2_colmap — RENAME COLUMN via column mapping, end to end and
+    * oracle-checked: a documents slice lands in a zone (parquet plane),
+    * BOTH data columns are renamed ([[graft.sources.v2.DirSink.renameColumn]]
+    * — the `#colmap` header maps logical→physical, zero files
+    * rewritten), a post-rename append writes under the new logical
+    * names (physically the originals, so old and new files stay
+    * uniform), and a DELETE copy-on-write-rewrites across the mapping.
+    * The final read filters and aggregates ON THE RENAMED COLUMNS —
+    * the silent failure mode without mapping is all-NULL values from
+    * every pre-rename file, which the oracle's exact sums would
+    * expose at the first row. Idempotent: re-runs see the committed
+    * post-DML state and converge. */
+  private def qDsv2ColMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = layoutRoot(dir)
+    val path = s"$root/colmap_zone"
+    val fmtName = "graft.sources.v2.DirSinkSource"
+    val ready = graft.sources.v2.DirSink.zoneFormat(path)
+      .contains(graft.sources.v2.DirSink.FormatParquet) &&
+      scala.util.Try(graft.sources.v2.DirSink.zoneColMap(path))
+        .toOption.exists(_.nonEmpty)
+    if (!ready) {
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter($"doc_id" < 300)
+        .select($"doc_id", $"lang", $"n_chars")
+        .repartitionByRange(4, $"doc_id")
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      graft.sources.v2.DirSink.renameColumn(path, "lang", "language")
+      graft.sources.v2.DirSink.renameColumn(path, "n_chars", "length")
+      docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+        .select($"doc_id", $"lang".as("language"), $"n_chars".as("length"))
+        .coalesce(1)
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+      new graft.sources.v2.DirSinkTable(path,
+        org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id BIGINT, language STRING, length BIGINT"))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.LessThan("doc_id", 50L)))
+    }
+    s.read.format(fmtName).option("path", path).load()
+      .filter($"length" >= 300)
+      .groupBy($"language")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"length").cast("long").as("total_length"))
+      .orderBy($"language")
+  }
+
   /** q_dsv2_time_slice — TEMPORAL data skipping through the engine's
     * own table format (round 12): the events stream lands in a DirSink
     * zone RANGE-CLUSTERED on event time (8 files, disjoint ts ranges —
@@ -864,6 +913,7 @@ object Layouts extends QueryModule {
     "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _),
     "q_dsv2_skipping" -> (qDsv2Skipping _),
     "q_dsv2_dml" -> (qDsv2Dml _),
+    "q_dsv2_colmap" -> (qDsv2ColMap _),
     "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
     "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
     "q_dsv2_agg_meta" -> (qDsv2AggMeta _),
@@ -983,6 +1033,18 @@ object Layouts extends QueryModule {
          SELECT lang, tier, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM all_rows GROUP BY lang, tier ORDER BY lang, tier""",
+    "q_dsv2_colmap" ->
+      // the zone's final state: docs < 300 landed pre-rename, 300–399
+      // appended post-rename, doc_id < 50 deleted — read back through
+      // the RENAMED columns (language, length); exact sums expose any
+      // pre-rename file reading NULL through a broken mapping
+      """WITH z AS (
+           SELECT doc_id, lang AS language, n_chars AS length
+           FROM documents WHERE doc_id >= 50 AND doc_id < 400)
+         SELECT language, count(*) AS n_docs,
+                CAST(sum(length) AS BIGINT) AS total_length
+         FROM z WHERE length >= 300
+         GROUP BY language ORDER BY language""",
     "q_dsv2_time_slice" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
