@@ -31,19 +31,34 @@ import org.apache.spark.sql.Row
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\)\s*)?(?:TARGET\s+(\d+)\s+FILES\s*)?;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\)\s*)?(?:TARGET\s+(\d+)\s+FILES\s*)?(?:SMALLER\s+THAN\s+(\d+)\s*(B|KB|MB|GB)?\s*)?;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`$]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(name, kind, cols, target) =>
+    case Optimize(name, kind, cols, target, small, unit) =>
       val colList = Option(cols).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       val zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))
+      val smallerThan = Option(small).map { n =>
+        n.toLong * (Option(unit).map(_.toUpperCase) match {
+          case Some("KB") => 1L << 10
+          case Some("MB") => 1L << 20
+          case Some("GB") => 1L << 30
+          case _ => 1L
+        })
+      }
+      if (smallerThan.isDefined && (zorder || target != null))
+        throw new IllegalArgumentException(
+          "OPTIMIZE … SMALLER THAN is incremental bin-packing: output " +
+            "sizing derives from the threshold; it composes with " +
+            "CLUSTER BY but not TARGET/ZORDER (those are whole-zone " +
+            "rewrites)")
       OptimizeZoneCommand(delegate.parseMultipartIdentifier(name),
         if (zorder) Nil else colList,
         Option(target).map(_.toInt),
-        if (zorder) colList else Nil)
+        if (zorder) colList else Nil,
+        smallerThan)
     case Vacuum(name, hours, dry) =>
       VacuumZoneCommand(delegate.parseMultipartIdentifier(name),
         Option(hours).map(_.toLong).getOrElse(168L),
@@ -106,7 +121,8 @@ private[plans] object ZoneResolve {
   * files_after, rows). */
 case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
                                targetFiles: Option[Int],
-                               zorderBy: Seq[String] = Nil)
+                               zorderBy: Seq[String] = Nil,
+                               smallerThan: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
@@ -120,10 +136,17 @@ case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
         .map { case (_, es) => (es.size.toLong, es.map(_.rows).sum) }
         .getOrElse((0L, 0L))
     val (before, rows) = zoneState
-    val target = targetFiles.getOrElse(
-      math.max(1, spark.sparkContext.defaultParallelism))
-    graft.sources.v2.DirSink.compact(spark, path, target, clusterBy,
-      zorderBy)
+    smallerThan match {
+      case Some(minBytes) =>
+        // incremental bin-packing: O(small files), not O(zone)
+        graft.sources.v2.DirSink.compactSmall(spark, path, minBytes,
+          clusterBy)
+      case None =>
+        val target = targetFiles.getOrElse(
+          math.max(1, spark.sparkContext.defaultParallelism))
+        graft.sources.v2.DirSink.compact(spark, path, target, clusterBy,
+          zorderBy)
+    }
     val (after, rowsAfter) = zoneState
     assert(rowsAfter == rows,
       s"OPTIMIZE must be row-preserving: $rows -> $rowsAfter")

@@ -1375,6 +1375,87 @@ object DirSink {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
   }
 
+  /** INCREMENTAL OPTIMIZE (bin-packing) — rewrite ONLY the committed
+    * files smaller than `minFileBytes` into ~`minFileBytes`-sized
+    * outputs, leaving every right-sized file's manifest line VERBATIM.
+    * This is the maintenance shape a 100 TB zone actually schedules:
+    * a streaming landing zone accretes micro-batch-sized files
+    * continuously, and nightly OPTIMIZE must cost O(new data), not
+    * O(zone) — a full [[compact]] rewrite of a 100 TB zone to fix 50 GB
+    * of fresh small files is the wrong asymptotic, which is exactly
+    * why Delta's OPTIMIZE bin-packs below a size threshold by default.
+    *
+    * Mechanics mirror the CoW DELETE's rewrite: the small files read
+    * through the connector (optionally range-clustered on `clusterBy`
+    * so the packed tail gains skippable bounds), write to a scratch
+    * zone inheriting the parent's data plane / bucket layout / bloom
+    * coverage / column mapping, move in under their globally-unique
+    * names, and ONE gen-verified delta commit swaps small-out /
+    * packed-in — big files' lines (and their stats) never re-serialize,
+    * and pre-optimize generations stay time-travelable through the
+    * retained log. Files without a recorded size (pre-`b=` lines) count
+    * as small — rewriting them records their size. A tail's
+    * checkpoint: the same rewritten-history rule as DELETE (quiesce or
+    * restart; no remap is recorded — only whole-zone compaction has
+    * the exactly-consumed-boundary migration argument).
+    *
+    * Returns (files rewritten, files created). */
+  def compactSmall(spark: org.apache.spark.sql.SparkSession, path: String,
+                   minFileBytes: Long,
+                   clusterBy: Seq[String] = Nil): (Int, Int) = {
+    require(minFileBytes > 0, "minFileBytes must be positive")
+    val fmt = classOf[DirSinkSource].getName
+    val parent = readManifestRaw(path).getOrElse(return (0, 0))
+    val entries = parent.lines.map(parseEntry)
+    val small = entries.filter(_.bytes.forall(_ < minFileBytes))
+    if (small.size <= 1) return (0, 0) // nothing to pack
+    val smallBytes = math.max(1L, small.flatMap(_.bytes).sum)
+    // FLOOR, not ceil: outputs average >= minFileBytes, so repeated
+    // packing under one threshold CONVERGES (at most one undersized
+    // remainder file survives, and a single small file is a no-op) —
+    // ceil could emit two sub-threshold files forever
+    val outFiles = math.max(1,
+      math.floor(smallBytes.toDouble / minFileBytes).toInt)
+    val f = fs(path)
+    val root = new Path(path)
+    val cmap = parseColMap(parent.header)
+    def phys(c: String): String = cmap.getOrElse(c, c)
+    val scratch = new Path(root, s"_rewrite-${java.util.UUID.randomUUID()}")
+    val df0 = spark.read.format(fmt).option("path", path)
+      .option("files", small.map(_.name).mkString(","))
+      .load()
+    val shaped =
+      if (clusterBy.nonEmpty)
+        df0.repartitionByRange(outFiles, clusterBy.map(df0.col): _*)
+          .sortWithinPartitions(clusterBy.map(df0.col): _*)
+      else df0.repartition(outFiles)
+    (if (cmap.isEmpty) shaped
+     else shaped.toDF(parent.schema.fieldNames.map(phys).toSeq: _*))
+      .write.format(fmt)
+      .option("path", scratch.toString)
+      .option(FormatKey, parent.header.getOrElse(FormatKey, FormatText))
+      .option(BucketKey, bucketOf(parent.header)
+        .fold(BucketNone)(b => b.copy(col = phys(b.col)).render))
+      .option(BloomKey, parent.header.get(BloomKey)
+        .fold(BucketNone)(_.split(",").toSeq.map(phys).mkString(",")))
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    val rewrittenLines = readManifestRaw(scratch.toString)
+      .map(_.lines).getOrElse(Seq.empty)
+    publishAtGen(path, parent.gen, "OPTIMIZE-SMALL", "optsmall") { now =>
+      rewrittenLines.foreach { l =>
+        val name = l.split("\t")(0)
+        if (!f.rename(new Path(scratch, name), new Path(root, name)))
+          throw new java.io.IOException(
+            s"optimize publish failed: $name from $scratch into $root")
+      }
+      (withHistory(nextHeader(Some(now)), "optimize-small",
+        now.lines.size - small.size + rewrittenLines.size),
+        DirSinkLog.DeltaCommit(rewrittenLines, small.map(_.name)))
+    }
+    f.delete(scratch, true)
+    (small.size, rewrittenLines.size)
+  }
+
   /** The compaction remap chain, oldest first: `old:new` offset pairs
     * a resuming tail applies transitively ([[DirSinkMicroBatchStream]]). */
   private[graft] def offsetRemaps(path: String): Seq[(Int, Int)] =
