@@ -175,6 +175,29 @@ class DeadLetterSpec extends AnyFunSuite {
       Some(tmp("graft_dl_q2")), schema, Seq.empty).isEmpty)
   }
 
+  test("the quarantine is an ordinary zone: historied and CDF-tailable") {
+    val dir = zoneWithCheck()
+    val q = tmp("graft_dl_q") + "/quarantine"
+    import spark.implicits._
+    def poison(ks: Seq[Long]): Unit =
+      ks.map(k => (k, 9.9)).toDF("k", "score")
+        .write.format(fmt).option("path", dir)
+        .option(DirSinkChecks.DeadLetterKey, q)
+        .mode(SaveMode.Append).save()
+    poison(Seq(101L, 102L))
+    poison(Seq(103L))
+    // an incremental consumer tails the quarantine through the CDF
+    val feed = graft.sources.v2.ChangeFeed.read(spark, q, 0)
+    assert(feed.count() == 3 &&
+      feed.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(feed.select("k").as[Long].collect().toSet ==
+      Set(101L, 102L, 103L))
+    // and the zone records its publishes as history
+    val hist = DirSink.history(q)
+    assert(hist.count(_.op == "deadletter") == 2,
+      s"each routed write publishes one quarantine generation: $hist")
+  }
+
   test("the default (no option) stays all-or-nothing") {
     val dir = zoneWithCheck()
     import spark.implicits._
