@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE / VACUUM maintenance statements for DirSink zones
     // (graft.plans.GraftSqlParser); everything else delegates verbatim
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // table_changes('t', from[, to]) — the change data feed as SQL
+    e.injectTableFunction((
+      FunctionIdentifier(graft.plans.TableChanges.Name),
+      new ExpressionInfo(graft.plans.TableChanges.getClass.getName,
+        graft.plans.TableChanges.Name),
+      (exprs: Seq[Expression]) => graft.plans.TableChanges.plan(exprs)))
     e.injectFunction((
       FunctionIdentifier(VectorFunctions.COSINE),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

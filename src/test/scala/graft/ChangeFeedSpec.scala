@@ -130,4 +130,33 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("schema"))
   }
+
+  test("table_changes TVF: the feed as SQL, path and catalog forms, composable") {
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.range(0, 10).select($"id", ($"id" * 7).as("v")).coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    spark.range(10, 15).select($"id", ($"id" * 7).as("v")).coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // path form, full range
+    assert(spark.sql(s"SELECT * FROM table_changes('$dir', 0)")
+      .count() == 15)
+    // ending version bounds the range; the TVF composes with SQL
+    assert(spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+          FROM table_changes('$dir', 0, 0) GROUP BY 1""")
+      .as[(String, Long)].collect().toSeq == Seq(("insert", 10L)))
+    // catalog-name form resolves through the session catalog manager
+    val wh = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    val cat = s"tvfcat_${math.abs(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t AS SELECT id FROM range(5)")
+    val feedRows = spark.sql(
+      s"SELECT * FROM table_changes('$cat.db.t', 0)").count()
+    assert(feedRows == 5)
+    // other TVFs are untouched by the rule
+    assert(spark.sql("SELECT count(*) FROM range(7)").head.getLong(0) == 7)
+  }
 }
