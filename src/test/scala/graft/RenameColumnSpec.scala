@@ -175,6 +175,31 @@ class RenameColumnSpec extends AnyFunSuite {
     assert(load(tdir).agg(sum("succ")).head.getLong(0) == 15L)
   }
 
+  test("a streaming row tail reads a renamed zone's values (not NULLs)") {
+    val dir = freshZone(12)
+    DirSink.renameColumn(dir, "v", "weight")
+    spark.range(12, 15).select(col("id"), (col("id") * 7).as("weight"))
+      .coalesce(1).write.format(fmt).option("path", dir)
+      .mode(SaveMode.Append).save()
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_ren_chk").toString
+    val sums = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sums.synchronized {
+          sums += df.agg(coalesce(sum("weight"), lit(0L))).head.getLong(0)
+        }
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(sums.sum == (0L until 15L).map(_ * 7).sum,
+      "the tail must decode both eras' files through the mapping")
+  }
+
   test("a CDF read across the rename speaks the current names") {
     val dir = freshZone(10)
     DirSink.renameColumn(dir, "v", "weight")
