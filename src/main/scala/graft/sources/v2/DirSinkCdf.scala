@@ -184,23 +184,43 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
     val fmtName = classOf[DirSinkSource].getName
     val allIdx = zoneSchema.indices.toArray
 
+    // the stream's OWN schema (fixed at subscription) is the encode
+    // AND decode schema for collected diff rows — a generation's era
+    // DDL may be narrower (the rewrite predates a later evolve inside
+    // the replayed history) and decoding with it would mis-shape the
+    // rows the head-width consumer expects
+    val streamSchema = DirSink.asNullable(zoneSchema)
+    val streamDdl = streamSchema.toDDL
+
     def encodedDiff(aGen: Long, aFiles: Seq[String],
-                    bGen: Long, bFiles: Seq[String]): Seq[String] = {
-      // a exceptAll b, encoded through the zone line codec on the
-      // EXECUTORS; the driver holds only the net changed rows
-      def rd(g: Long, fs: Seq[String]) =
-        if (fs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            DirSink.asNullable(zoneSchema))
-        else spark.read.format(fmtName).option("path", path)
-          .option("asOfVersion", g).option("files", fs.mkString(","))
-          .load()
-      val sch = DirSink.asNullable(zoneSchema)
-      rd(aGen, aFiles).exceptAll(rd(bGen, bFiles))
-        .queryExecution.toRdd
-        .mapPartitions(it => it.map(r => DirSink.encode(r, sch)))
-        .collect().toSeq
+                    bGen: Long, bFiles: Seq[String]): (Seq[String], Seq[String]) = {
+      // a\b and b\a from ONE pair of cached inputs (each side read
+      // once, not once per direction), encoded through the zone line
+      // codec on the EXECUTORS; the driver holds only net changed rows
+      def rd(g: Long, fs: Seq[String]) = {
+        val df =
+          if (fs.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              streamSchema)
+          else spark.read.format(fmtName).option("path", path)
+            .option("asOfVersion", g).option("files", fs.mkString(","))
+            .load()
+        // pin to the stream's column positions: the zone head may have
+        // evolved WIDER since subscription; the feed speaks the
+        // subscription schema
+        df.select(df.columns.take(streamSchema.length)
+          .map(org.apache.spark.sql.functions.col).toSeq: _*)
+      }
+      val a = rd(aGen, aFiles).persist()
+      val b = rd(bGen, bFiles).persist()
+      try {
+        def enc(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.queryExecution.toRdd
+            .mapPartitions(it => it.map(r => DirSink.encode(r, streamSchema)))
+            .collect().toSeq
+        (enc(a.exceptAll(b)), enc(b.exceptAll(a)))
+      } finally { a.unpersist(); b.unpersist() }
     }
 
     changes.flatMap { c =>
@@ -211,11 +231,10 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
             DirSinkFilePartition(path, f, c.schemaDdl, allIdx),
             "insert", c.gen): InputPartition)
         case (adds, removes) =>
-          val ins = encodedDiff(c.gen, adds, c.gen - 1, removes)
-          val del = encodedDiff(c.gen - 1, removes, c.gen, adds)
+          val (ins, del) = encodedDiff(c.gen, adds, c.gen - 1, removes)
           Seq(
-            DirSinkCdfRowsPartition(ins, c.schemaDdl, "insert", c.gen),
-            DirSinkCdfRowsPartition(del, c.schemaDdl, "delete", c.gen))
+            DirSinkCdfRowsPartition(ins, streamDdl, "insert", c.gen),
+            DirSinkCdfRowsPartition(del, streamDdl, "delete", c.gen))
             .filter(_.lines.nonEmpty).map(p => p: InputPartition)
       }
     }.toArray

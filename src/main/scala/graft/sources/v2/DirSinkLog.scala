@@ -194,7 +194,15 @@ object DirSinkLog {
     * generation is not (or no longer) reconstructible. */
   private def replay(f: FileSystem, path: String, segs: Seq[Seg],
                      target: Option[Long]): DirSink.Manifest = {
-    val headGen = segs.filter(!_.ckpt).map(_.gen).max
+    // a CHECKPOINT-ONLY log is valid: the legacy-migration publish
+    // writes the checkpoint, deletes the legacy manifest, THEN renames
+    // the commit segment in — a reader in that window (or after a
+    // crash in it) must replay the bare checkpoint, not die on an
+    // empty .max
+    val headGen = {
+      val commits = segs.filter(!_.ckpt).map(_.gen)
+      if (commits.nonEmpty) commits.max else segs.map(_.gen).max
+    }
     val tgt = target.getOrElse(headGen)
     if (tgt > headGen) throw new IllegalArgumentException(
       s"generation $tgt exceeds zone $path's head generation $headGen")
@@ -291,23 +299,37 @@ object DirSinkLog {
     replay(f, path, segs, Some(gen))
   }
 
-  /** Resolve `TIMESTAMP AS OF t` to a GENERATION: the newest commit
-    * whose stamp is <= t (segment stamps are monotone — commits are
-    * wall-clock-ordered under the zone lock). Scans segments newest
-    * first with early exit, so a recent t reads O(1) segments. Returns
-    * None if the zone has no log (caller falls back to prefix
-    * resolution); throws if t predates the zone's first commit. */
-  private[v2] def genAsOfTimestamp(path: String, t: Long): Option[Long] = {
+  /** Resolve `TIMESTAMP AS OF t` to a GENERATION plus an optional
+    * RESIDUAL line-level timestamp: normally the newest commit whose
+    * stamp is <= t (segment stamps are monotone — commits are
+    * wall-clock-ordered under the zone lock), scanned newest first
+    * with early exit so a recent t reads O(1) segments. When t
+    * PREDATES every commit segment but a checkpoint base sits below
+    * them (a MIGRATED LEGACY zone: its pre-log history has per-file
+    * `t=` stamps but no segments), resolve to that base and hand t
+    * back for the line-level prefix rule — the pre-log resolution a
+    * working query relied on must survive the migration. Returns None
+    * if the zone has no log at all; throws only when no base can
+    * serve t (the line-level slice then owns the predates-first-commit
+    * error). */
+  private[v2] def genAsOfTimestamp(path: String,
+                                   t: Long): Option[(Long, Option[Long])] = {
     val f = DirSink.fs(path)
-    val commits = listSegs(f, path).filter(!_.ckpt)
-    if (commits.isEmpty) return None
+    val segs = listSegs(f, path)
+    val commits = segs.filter(!_.ckpt)
+    if (segs.isEmpty) return None
     commits.reverseIterator.foreach { c =>
       val ts = parseSegment(readText(f, c.status.getPath), ckpt = false)
         .header.get(TsKey).flatMap(s => scala.util.Try(s.toLong).toOption)
-      if (ts.forall(_ <= t)) return Some(c.gen)
+      if (ts.forall(_ <= t)) return Some((c.gen, None))
     }
-    throw new IllegalArgumentException(
-      s"asOfTimestamp $t predates the zone's first commit under $path")
+    val base = segs.filter(s => s.ckpt &&
+      commits.headOption.forall(s.gen < _.gen)).map(_.gen).sorted.headOption
+    base match {
+      case Some(g) => Some((g, Some(t))) // legacy history: line-level slice
+      case None => throw new IllegalArgumentException(
+        s"asOfTimestamp $t predates the zone's first commit under $path")
+    }
   }
 
   /** Publish one commit segment — MUST run under the zone lock. The
@@ -458,11 +480,16 @@ object DirSinkLog {
     }.getOrElse(0L)
     if (cut > 0 && !dryRun &&
       !segs.exists(s => s.ckpt && s.gen == cut)) {
-      // anchor the surviving suffix: checkpoint the cut generation
+      // anchor the surviving suffix: checkpoint the cut generation —
+      // WITH its columnar sidecar, or the distributed-prune job path
+      // would silently degrade to the driver loop until the next
+      // periodic checkpoint (the state is already in memory; the
+      // sidecar write is failure-tolerant like the periodic one)
       val m = replay(f, path, segs, Some(cut))
       try writeSeg(f, logPath(path), segName(cut, ckpt = true), "vac",
         DirSink.renderManifest(m.schema, m.header, m.lines))
       catch { case _: java.io.IOException => return Seq.empty }
+      writeParquetCheckpoint(path, cut, m.schema, m.lines)
     }
     val doomed = segs.filter(_.gen < cut)
     val swept = scala.collection.mutable.ArrayBuffer[String]()
@@ -533,6 +560,19 @@ object DirSinkLog {
       else at(path, fromExclusive).lines.map(l => DirSink.parseEntry(l).name)
     val commits = segs.filter(s => !s.ckpt && s.gen > fromExclusive &&
       s.gen <= toInclusive)
+    // a feed FROM THE BIRTH (fromExclusive < 0) needs generation 0's
+    // commit segment itself: if vacuum retention truncated it, the
+    // checkpoint-anchored suffix could only yield the changes SINCE
+    // the anchor — silently missing every row that survived into it.
+    // Fail loudly instead (the scaladoc's promise); legacy-migrated
+    // zones hit this too (their pre-log history has no segments).
+    if (fromExclusive < 0 && commits.headOption.forall(_.gen != 0L))
+      throw new IllegalArgumentException(
+        s"change feed from generation 0 of zone $path is not " +
+          s"reconstructible: the oldest retained commit segment is " +
+          s"${commits.headOption.map(_.gen).getOrElse(-1L)} (vacuum " +
+          "retention or a legacy migration truncated the birth) — " +
+          "start the consumer from a retained generation instead")
     commits.map { c =>
       val p = parseSegment(readText(f, c.status.getPath), ckpt = false)
       val ts = p.header.get(TsKey).flatMap(s =>

@@ -101,12 +101,17 @@ class DirSinkSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
-    if (wantsCdf(properties.get))
+    // the properties map here is CASE-PRESERVING (Spark hands back the
+    // user's original option casing) while inferSchema saw a
+    // CaseInsensitiveStringMap — wrap so the two surfaces can never
+    // disagree on whether an option was set
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    if (wantsCdf(opts.get))
       // the CDF surface: zone schema re-read from the manifest (the
       // passed schema is the feed schema, zone + 2 CDF columns)
       new DirSinkCdfTable(path, DirSink.readManifestSchema(path),
-        Option(properties.get(DirSinkCdf.StartKey)).map(_.toLong))
+        Option(opts.get(DirSinkCdf.StartKey)).map(_.toLong))
     else new DirSinkTable(path, schema)
   }
 }
@@ -800,7 +805,10 @@ object DirSink {
       case Some(g) => (DirSinkLog.at(path, g), None, None)
       case None => asOfTimestamp match {
         case Some(t) => DirSinkLog.genAsOfTimestamp(path, t) match {
-          case Some(g) => (DirSinkLog.at(path, g), None, None)
+          // residual = t predates every commit SEGMENT but a migrated
+          // legacy checkpoint holds line-stamped pre-log history — the
+          // line-level prefix rule finishes the resolution there
+          case Some((g, residual)) => (DirSinkLog.at(path, g), None, residual)
           case None => (currentOrThrow(path), None, Some(t)) // legacy zone
         }
         case None => (currentOrThrow(path), asOfOffset, None)
@@ -2794,8 +2802,14 @@ class DirSinkScan(path: String, schema: StructType,
       pruneMemo match {
         case Some((k, v)) if k == key => v
         case _ =>
-          val v = DirSinkPrune.prune(path, resolved._1, byBucket, schema,
-            active.toSeq)
+          // prune against the RESOLVED state's schema, not the head's:
+          // a time travel to before a DROP COLUMN carries era stats
+          // lines whose positions align with the era schema — pruning
+          // them against the head schema would test the wrong column's
+          // bounds (a silent-wrong-answer class). Filters naming
+          // head-only columns resolve to no-skip in canSkip.
+          val v = DirSinkPrune.prune(path, resolved._1, byBucket,
+            resolved._1.schema, active.toSeq)
           pruneMemo = Some((key, v))
           v
       }

@@ -327,11 +327,16 @@ object DirSinkStats {
   /** True only when the stats PROVE no row of the file can satisfy the
     * filter. Unknown shapes / missing stats → false (read the file). */
   def canSkip(f: Filter, schema: StructType, stats: Array[ColStats]): Boolean = {
-    def col(c: String): Option[(StructField, ColStats)] = {
-      val i = schema.fieldIndex(c)
-      if (i < stats.length && !stats(i).disabled) Some((schema(i), stats(i)))
-      else None
-    }
+    // a column the (possibly era-) schema does not carry resolves to
+    // None -> conservative no-skip, never a fieldIndex throw: time
+    // travel can evaluate a head-schema filter against an older schema
+    def col(c: String): Option[(StructField, ColStats)] =
+      schema.fieldNames.indexOf(c) match {
+        case -1 => None
+        case i if i < stats.length && !stats(i).disabled =>
+          Some((schema(i), stats(i)))
+        case _ => None
+      }
     // comparisons and IN never match a NULL row: a file with no
     // non-null value for the column cannot satisfy them
     def noValues(st: ColStats): Boolean = st.min.isEmpty
@@ -391,11 +396,15 @@ object DirSinkStats {
     * in skipping: a NULL row does NOT satisfy a comparison, so any
     * null presence defeats all-match for comparison shapes. */
   def allMatch(f: Filter, schema: StructType, stats: Array[ColStats]): Boolean = {
-    def col(c: String): Option[(StructField, ColStats)] = {
-      val i = schema.fieldIndex(c)
-      if (i < stats.length && !stats(i).disabled) Some((schema(i), stats(i)))
-      else None
-    }
+    // missing column -> None -> all-match unprovable (same discipline
+    // as canSkip's safe lookup)
+    def col(c: String): Option[(StructField, ColStats)] =
+      schema.fieldNames.indexOf(c) match {
+        case -1 => None
+        case i if i < stats.length && !stats(i).disabled =>
+          Some((schema(i), stats(i)))
+        case _ => None
+      }
 
     // every row non-null for c, and bounds prove the comparison for all
     def allRows(c: String, v: Any)(
