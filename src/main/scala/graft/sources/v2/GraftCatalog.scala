@@ -88,6 +88,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (ident.namespace() :+ ident.name()).toSeq)
       return new DirSinkHistoryTable(dir)
     }
+    // `<table>$files` — the per-file inventory (Delta's DESCRIBE
+    // DETAIL / files-view shape): one row per committed file with its
+    // manifest facts, the ops surface for "is this zone compacted /
+    // skewed / stats-covered" questions without touching data bytes.
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      val dir = dirOf(base)
+      if (DirSink.readManifest(dir).isEmpty)
+        throw new NoSuchTableException(
+          (ident.namespace() :+ ident.name()).toSeq)
+      return new DirSinkFilesTable(dir)
+    }
     val dir = dirOf(ident)
     val schema = DirSink.readManifest(dir).map(_._1).getOrElse(
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
@@ -532,6 +545,76 @@ class DirSinkHistoryTable(path: String) extends Table
 
 case class DirSinkHistoryPartition(
     entries: Seq[(Long, Long, String, Long)])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The `<table>$files` metadata table: one row per committed file with
+  * its manifest facts — name, rows, bytes, bucket id, streaming epoch,
+  * commit timestamp, stats coverage. The ops companion to
+  * `` t$history ``: "is the zone compacted, skewed, stats-covered,
+  * bucket-pure?" answered from metadata alone.
+  *
+  * {{{
+  * SELECT count(*), sum(bytes), min(rows) FROM cat.db.`docs$files`
+  * SELECT bucket, count(*) FROM cat.db.`docs$files` GROUP BY bucket
+  * }}}
+  */
+class DirSinkFilesTable(path: String) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+
+  private val sch = StructType.fromDDL(
+    "file STRING, rows BIGINT, bytes BIGINT, bucket INT, epoch BIGINT, " +
+      "committed_ts TIMESTAMP, has_stats BOOLEAN")
+
+  override def name(): String = s"graft_dir_sink_files($path)"
+  override def schema(): StructType = sch
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = sch
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(DirSinkFilesPartition(
+          DirSink.readManifestEntries(path).map(_._2).getOrElse(Seq.empty)
+            .map(e => (e.name, e.rows, e.bytes.getOrElse(-1L),
+              e.bucket.getOrElse(-1), e.epoch.getOrElse(-1L),
+              e.ts.getOrElse(-1L), e.stats.isDefined))))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+            val it = p.asInstanceOf[DirSinkFilesPartition].entries.iterator
+            new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+              private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+              override def next(): Boolean =
+                if (!it.hasNext) false else {
+                  val (n, r, b, k, ep, ts, st) = it.next()
+                  cur = new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(Array[Any](
+                      org.apache.spark.unsafe.types.UTF8String.fromString(n),
+                      r,
+                      if (b < 0) null else b,
+                      if (k < 0) null else k,
+                      if (ep < 0) null else ep,
+                      if (ts < 0) null else ts * 1000L,
+                      st))
+                  true
+                }
+              override def get()
+                  : org.apache.spark.sql.catalyst.InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+case class DirSinkFilesPartition(
+    entries: Seq[(String, Long, Long, Int, Long, Long, Boolean)])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The catalog's `bucket(n, key)` V2 function — the SAME computation as

@@ -294,4 +294,36 @@ class GraftCatalogSpec extends AnyFunSuite {
         .collect().toSeq.sorted == Seq((1L, "x"), (2L, "y")))
     } finally q.stop()
   }
+
+  test("the `t$files` metadata table inventories committed files from metadata alone") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbfiles")
+    spark.sql("CREATE TABLE graftcat.dbfiles.inv (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftcat.dbfiles.inv " +
+      "SELECT id, id * 3 FROM range(200)")
+    spark.sql("INSERT INTO graftcat.dbfiles.inv " +
+      "SELECT id, id * 3 FROM range(200, 300)")
+    val files = spark.table("graftcat.dbfiles.`inv$files`")
+    assert(files.columns.toSeq == Seq("file", "rows", "bytes", "bucket",
+      "epoch", "committed_ts", "has_stats"))
+    val nFiles = graft.sources.v2.DirSink
+      .readManifestEntries(spark.conf
+        .get("spark.sql.catalog.graftcat.warehouse") + "/dbfiles/inv")
+      .get._2.size
+    assert(files.count() == nFiles)
+    // the inventory's facts reconcile with the data without reading it
+    assert(files.agg(org.apache.spark.sql.functions.sum("rows"))
+      .head.getLong(0) == 300L)
+    assert(files.filter("bytes IS NULL OR bytes <= 0").count() == 0,
+      "every parquet file records its committed size")
+    assert(files.filter("bucket IS NULL").count() == 0 &&
+      files.filter("bucket < 0 OR bucket >= 4").count() == 0,
+      "a bucketed zone's inventory is fully tagged")
+    assert(files.filter("NOT has_stats").count() == 0)
+    // composes with SQL like any relation
+    val perBucket = spark.sql(
+      "SELECT bucket, count(*) AS n FROM graftcat.dbfiles.`inv$files` " +
+        "GROUP BY bucket").count()
+    assert(perBucket >= 1 && perBucket <= 4)
+  }
 }
