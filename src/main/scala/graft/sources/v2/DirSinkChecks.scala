@@ -267,14 +267,29 @@ object DirSinkChecks {
     val f = DirSink.fs(dl.qpath)
     val root = new Path(dl.qpath)
     f.mkdirs(root)
-    if (epoch.exists(e =>
-        DirSink.committedEpochMax(dl.qpath).exists(e <= _))) {
-      // replayed epoch: the quarantine generation is already durable
-      msgs.foreach(m => f.delete(new Path(root, m.stagedName), false))
-      return
-    }
     val now = System.currentTimeMillis()
     DirSink.withZoneLock(dl.qpath) {
+      // replayed-epoch idempotency, checked INSIDE the quarantine
+      // zone's lock: two streams sharing one quarantine (or one stream
+      // racing its own replay) serialize on the lock, so the emax read
+      // and the publish below are one atomic step — the
+      // one-stream-per-quarantine doc assumption is no longer the only
+      // thing standing between a race and a double-published epoch
+      val replayed = epoch.exists(e =>
+        DirSink.committedEpochMax(dl.qpath).exists(e <= _))
+      if (replayed) {
+        // replayed epoch: the quarantine generation is already durable
+        msgs.foreach(m => f.delete(new Path(root, m.stagedName), false))
+      } else publishQuarantineLocked(dl, msgs, queryId, epoch, f, root, now)
+    }
+  }
+
+  /** The publish body proper — runs under the quarantine zone's lock. */
+  private def publishQuarantineLocked(dl: DeadLetter,
+                                      msgs: Seq[DirSinkCommitMessage],
+                                      queryId: String, epoch: Option[Long],
+                                      f: org.apache.hadoop.fs.FileSystem,
+                                      root: Path, now: Long): Unit = {
       val committed = msgs.map { m =>
         val fin = s"g$queryId-" +
           m.stagedName.stripPrefix(s"_staging/$queryId/")
@@ -310,7 +325,6 @@ object DirSinkChecks {
           }
         case None => f.delete(stagingDir, true)
       }
-    }
   }
 
   /** Abort/replay cleanup: delete a write's staged quarantine files. */

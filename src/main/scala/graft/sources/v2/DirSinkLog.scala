@@ -396,6 +396,21 @@ object DirSinkLog {
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val fin = new Path(dir, name)
+    // The fresh-name-rename backstop assumes rename FAILS when the
+    // destination exists — true on HDFS, but RawLocalFileSystem
+    // delegates to POSIX rename(2), which silently OVERWRITES. Probe
+    // existence first so the loud-failure guarantee holds on local FS
+    // too (the zone lock makes the probe→rename window unreachable for
+    // well-behaved writers; a misbehaving one now fails loudly instead
+    // of replacing a committed segment).
+    if (f.exists(fin)) {
+      f.delete(tmp, false)
+      if (name.endsWith(".commit"))
+        throw new java.util.ConcurrentModificationException(
+          s"generation segment $name already exists under $dir — a " +
+            "concurrent commit claimed it; retry against the new state")
+      return // an identical checkpoint landed concurrently — benign
+    }
     if (!f.rename(tmp, fin)) {
       f.delete(tmp, false)
       if (f.exists(fin) && name.endsWith(".commit"))
@@ -437,7 +452,10 @@ object DirSinkLog {
         f.rename(p, new Path(logPath(path), parquetCheckpointName(gen)))
       }
       f.delete(tmp, true)
-    } catch { case _: Throwable => () }
+      // accelerator, not a correctness carrier: a failed sidecar only
+      // widens the prune job's fallback window — but FATAL throwables
+      // (OOM, interrupts, linkage errors) must still propagate
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Names referenced by ANY reconstructible generation of the
     * retained log — the vacuum live-set. Union of every retained
@@ -471,7 +489,6 @@ object DirSinkLog {
                             dryRun: Boolean): Seq[String] = {
     val segs = listSegs(f, path)
     if (segs.isEmpty) return sweptTmp(f, path, cutoffMs, dryRun)
-    val headGen = segs.filter(!_.ckpt).map(_.gen).max
     // the newest generation whose whole strict prefix is older than
     // the cutoff (segment mtimes are commit-ordered)
     val cut = segs.map(_.gen).distinct.sorted.reverse.find { g =>
@@ -549,7 +566,13 @@ object DirSinkLog {
     val segs = listSegs(f, path)
     if (segs.isEmpty) throw new IllegalArgumentException(
       s"zone $path has no commit log — no change feed to read")
-    val headGen = segs.filter(!_.ckpt).map(_.gen).max
+    // a checkpoint-only log (crashed-migration window, which replay()
+    // explicitly supports) has no commit segments — fall back to the
+    // checkpoint generation instead of dying on empty.max
+    val headGen = {
+      val commits = segs.filter(!_.ckpt).map(_.gen)
+      if (commits.nonEmpty) commits.max else segs.map(_.gen).max
+    }
     if (toInclusive > headGen) throw new IllegalArgumentException(
       s"endingVersion $toInclusive exceeds zone $path's head " +
         s"generation $headGen")
