@@ -419,7 +419,14 @@ object Similarity extends QueryModule {
     val n = ivfVectors(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val c = ivfDefaultC(n.count()) // cached: the count feeds training too
+      // Lifecycle (shared by every ANN builder here): the count below
+      // materializes the cache, EVERY heavy pass — Lloyd rounds,
+      // assignment, candidate joins — executes inside this try at the
+      // eager Exec.seal, and only THEN does the finally unpersist run;
+      // the returned frame is an already-materialized LogicalRDD, so
+      // the caller's action replays nothing. AnnCacheLifecycleSpec
+      // counts executed embeddings scans end-to-end (<= 2) to pin this.
+      val c = ivfDefaultC(n.count())
       ivfRanked(s, n, c, iters = 2, nprobe = ivfDefaultNprobe(c))
         .transform(graft.Exec.seal)
     } finally n.unpersist(false)
