@@ -79,6 +79,10 @@ object ChangeFeed {
       spark.read.format(fmt).option("path", path)
         .option("asOfVersion", gen)
         .option("files", files.mkString(","))
+        // a feed row speaks ONE schema across the range: decode era
+        // files through the HEAD schema (era-schema travel would hand
+        // back era arities, which can be narrower than the head's)
+        .option(DirSinkSource.EraSchemaKey, "false")
         .load()
         // normalize era names to the HEAD's (positional — a rename
         // never reorders)

@@ -205,6 +205,9 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
               streamSchema)
           else spark.read.format(fmtName).option("path", path)
             .option("asOfVersion", g).option("files", fs.mkString(","))
+            // the stream's subscription schema is the decode schema —
+            // era-schema travel would mis-shape rows (round-14 fix #7)
+            .option(DirSinkSource.EraSchemaKey, "false")
             .load()
         // pin to the stream's column positions: the zone head may have
         // evolved WIDER since subscription; the feed speaks the

@@ -90,13 +90,15 @@ class DirSinkSource extends TableProvider {
     Option(get(DirSinkCdf.OptionKey)).exists(_.equalsIgnoreCase("true"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val zone = DirSink.readManifest(options.get("path")).map(_._1)
+    val path = options.get("path")
+    val zone = DirSink.readManifest(path).map(_._1)
       .orElse(Option(options.get("schema")).map(StructType.fromDDL))
       .getOrElse(throw new IllegalArgumentException(
-        s"no ${DirSink.ManifestName} manifest under ${options.get("path")} " +
+        s"no ${DirSink.ManifestName} manifest under $path " +
           "and no `schema` option — nothing was committed here; writers " +
           "to a fresh directory pass .option(\"schema\", \"<ddl>\")"))
-    if (wantsCdf(options.get)) DirSinkCdf.cdfSchema(zone) else zone
+    if (wantsCdf(options.get)) DirSinkCdf.cdfSchema(zone)
+    else DirSinkSource.eraSchemaOf(options, path).getOrElse(zone)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -114,6 +116,37 @@ class DirSinkSource extends TableProvider {
         Option(opts.get(DirSinkCdf.StartKey)).map(_.toLong))
     else new DirSinkTable(path, schema)
   }
+}
+
+object DirSinkSource {
+  /** Internal read option: `eraSchema=false` decodes a snapshot read's
+    * era FILES through the caller's (head/subscription) schema — the
+    * change-feed surfaces need this, because a feed row speaks ONE
+    * schema across a generation range regardless of the eras inside it.
+    * Public snapshot reads never set it. */
+  private[v2] val EraSchemaKey = "eraSchema"
+
+  private[v2] def headDecode(get: String => String): Boolean =
+    Option(get(EraSchemaKey)).exists(_.equalsIgnoreCase("false"))
+
+  /** ERA-SCHEMA TIME TRAVEL (round-15 verdict task 3): a snapshot read
+    * speaks its own generation's schema — a pre-evolve snapshot has no
+    * post-evolve NULL-tail columns, a pre-rename snapshot reads under
+    * the old names, a pre-DROP snapshot surfaces the dropped column
+    * (the parquet plane resolves by physical name, so the bytes are
+    * still there). The era's `#colmap` travels with it
+    * ([[DirSinkScan.createReaderFactory]] resolves the mapping from the
+    * SAME resolved manifest, closing the double-rename all-NULL window
+    * the round-14 advisor flagged). None = not a time-travel read (or
+    * the caller opted into head-schema decode). */
+  private[v2] def eraSchemaOf(options: CaseInsensitiveStringMap,
+                              path: String): Option[StructType] =
+    if (headDecode(options.get)) None
+    else Option(options.get("asOfVersion"))
+      .map(g => DirSinkLog.at(path, g.toLong).schema)
+      .orElse(Option(options.get("asOfTimestamp")).flatMap(t =>
+        DirSinkLog.genAsOfTimestamp(path, t.toLong)
+          .map { case (g, _) => DirSinkLog.at(path, g).schema }))
 }
 
 object DirSink {
@@ -1793,7 +1826,8 @@ class DirSinkTable(path: String, schema0: StructType,
       opt("maxFilesPerTrigger").map(_.toInt),
       opt("files")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
-      asOfVersion = asOfVersion)
+      asOfVersion = asOfVersion,
+      headDecode = DirSinkSource.headDecode(k => opt(k).orNull))
   }
 }
 
@@ -1820,7 +1854,8 @@ class DirSinkScanBuilder(path: String, schema: StructType,
                          planListener: Option[(Long, Seq[String]) => Unit] =
                            None,
                          fileFilterOnly: Boolean = false,
-                         asOfVersion: Option[Long] = None)
+                         asOfVersion: Option[Long] = None,
+                         headDecode: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -1972,7 +2007,7 @@ class DirSinkScanBuilder(path: String, schema: StructType,
     case None =>
       new DirSinkScan(path, schema, required, skipFilters,
         asOfOffset, asOfTimestamp, maxFilesPerTrigger, onlyFiles,
-        planListener, fileFilterOnly, asOfVersion)
+        planListener, fileFilterOnly, asOfVersion, headDecode)
   }
 }
 
@@ -2678,7 +2713,8 @@ class DirSinkScan(path: String, schema: StructType,
                   onlyFiles: Option[Set[String]] = None,
                   planListener: Option[(Long, Seq[String]) => Unit] = None,
                   fileFilterOnly: Boolean = false,
-                  asOfVersion: Option[Long] = None)
+                  asOfVersion: Option[Long] = None,
+                  headDecode: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -2916,11 +2952,18 @@ class DirSinkScan(path: String, schema: StructType,
       val data = StructType(required.fields.filter(f =>
         schema.fieldNames.contains(f.name)))
       // a column-mapped (renamed) zone's files resolve by PHYSICAL
-      // names. The HEAD's mapping applies to every era: physical names
-      // are stable for a file's whole life, and schema changes are not
-      // travel-versioned (the documented evolve/drop caveat — a
-      // snapshot read speaks the head's logical names)
-      val colmap = DirSink.zoneColMap(path)
+      // names. The mapping must come from the SAME manifest the scan's
+      // logical schema came from: a snapshot read speaks ITS era's
+      // logical names, so it resolves through ITS era's #colmap (the
+      // head's map is keyed by head names — under a double rename
+      // a→b→c, an era-b read through the head map would miss and
+      // silently go all-NULL: the round-14 advisor's finding). The
+      // `eraSchema=false` surfaces (change feed) decode era files
+      // through the HEAD's logical schema, so they map through the
+      // head's colmap — physical names are stable for a file's life.
+      val colmap =
+        if (headDecode) DirSink.zoneColMap(path)
+        else DirSink.parseColMap(resolved._1.header)
       val closure = DirSinkParquet.readerClosure(
         DirSink.toPhysical(DirSink.asNullable(schema), colmap),
         DirSink.toPhysical(DirSink.asNullable(data), colmap),

@@ -129,13 +129,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROSECONDS
-    * since the epoch; manifest commit timestamps are millis. */
+    * since the epoch; manifest commit timestamps are millis. The schema
+    * is resolved AT the generation t lands on (same era discipline as
+    * `VERSION AS OF`); a legacy zone with no commit log — or a t inside
+    * a migrated zone's pre-log line-level history — keeps the head
+    * schema, which IS that history's schema (pre-log zones never
+    * evolved through the log). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = dirOf(ident)
-    val schema = DirSink.readManifest(dir).map(_._1).getOrElse(
+    val headSchema = DirSink.readManifest(dir).map(_._1).getOrElse(
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
-    new DirSinkTable(dir, schema,
-      Map("asOfTimestamp" -> (timestampMicros / 1000L).toString))
+    val t = timestampMicros / 1000L
+    val schema = DirSinkLog.genAsOfTimestamp(dir, t)
+      .map { case (g, _) => DirSinkLog.at(dir, g).schema }
+      .getOrElse(headSchema)
+    new DirSinkTable(dir, schema, Map("asOfTimestamp" -> t.toString))
   }
 
   /** The one supported layout transform: `PARTITIONED BY (bucket(n,

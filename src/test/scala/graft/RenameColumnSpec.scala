@@ -87,19 +87,20 @@ class RenameColumnSpec extends AnyFunSuite {
     assert(after.agg(min("doc_id")).head.getLong(0) == 50L)
   }
 
-  test("time travel before the rename keeps its VALUES under the head's names; rename-back drops the mapping") {
+  test("time travel before the rename keeps its VALUES under the ERA's names; rename-back drops the mapping") {
     val dir = freshZone()
     val preGen = DirSink.currentGen(dir).get
     DirSink.renameColumn(dir, "v", "weight")
-    // schema changes are not travel-versioned (the documented
-    // evolve/drop caveat): the snapshot speaks the HEAD's names — what
-    // matters is that the era's VALUES come back, not NULLs
+    // round-15: schema changes ARE travel-versioned — the snapshot
+    // speaks its own era's names and resolves through its own era's
+    // column mapping (EraSchemaTravelSpec covers the double-rename
+    // window the head-mapping resolution silently NULLed)
     val old = spark.read.format(fmt).option("path", dir)
       .option("asOfVersion", preGen).load()
-    assert(old.columns.toSeq == Seq("id", "weight"))
-    assert(old.agg(sum("weight")).head.getLong(0) ==
+    assert(old.columns.toSeq == Seq("id", "v"))
+    assert(old.agg(sum("v")).head.getLong(0) ==
       (0L until 20L).map(_ * 7).sum,
-      "pre-rename files must yield their data under the head mapping")
+      "pre-rename files must yield their data under the era mapping")
     DirSink.renameColumn(dir, "weight", "v")
     assert(DirSink.zoneColMap(dir).isEmpty,
       "renaming back to the physical name needs no mapping")
