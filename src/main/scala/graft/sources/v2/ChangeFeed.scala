@@ -53,6 +53,12 @@ object ChangeFeed {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Wall-clock commit stamp of the generation that changed the row —
+    * the segment's `t=` header surfaced as a column (Delta CDF parity:
+    * `_commit_timestamp`). Constant per generation; NULL only for
+    * segments written before stamps existed. */
+  val CommitTsCol = "_commit_timestamp"
+
   /** The feed in [startingVersion, endingVersion] (inclusive both ends,
     * Delta's vocabulary); endingVersion defaults to the zone's head. */
   def read(spark: SparkSession, path: String, startingVersion: Long,
@@ -88,15 +94,19 @@ object ChangeFeed {
         // never reorders)
         .toDF(schema.fieldNames.toSeq: _*)
 
-    def tagged(df: DataFrame, tpe: String, gen: Long): DataFrame =
+    def tagged(df: DataFrame, tpe: String, gen: Long,
+               ts: Option[Long]): DataFrame =
       df.withColumn(ChangeTypeCol, lit(tpe))
         .withColumn(CommitVersionCol, lit(gen))
+        .withColumn(CommitTsCol, ts.fold(
+          lit(null).cast(org.apache.spark.sql.types.TimestampType))(m =>
+          org.apache.spark.sql.functions.timestamp_millis(lit(m))))
 
     val parts = changes.flatMap { c =>
       (c.addNames, c.removeNames) match {
         case (Nil, Nil) => Nil // metadata-only commit (evolve/checks)
         case (adds, Nil) =>
-          Seq(tagged(readFiles(c.gen, adds), "insert", c.gen))
+          Seq(tagged(readFiles(c.gen, adds), "insert", c.gen, c.ts))
         case (adds, removes) =>
           val oldRows = readFiles(c.gen - 1, removes)
           val newRows =
@@ -104,8 +114,8 @@ object ChangeFeed {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               oldRows.schema)
             else readFiles(c.gen, adds)
-          Seq(tagged(newRows.exceptAll(oldRows), "insert", c.gen),
-            tagged(oldRows.exceptAll(newRows), "delete", c.gen))
+          Seq(tagged(newRows.exceptAll(oldRows), "insert", c.gen, c.ts),
+            tagged(oldRows.exceptAll(newRows), "delete", c.gen, c.ts))
       }
     }
     val empty = spark.createDataFrame(
@@ -114,9 +124,11 @@ object ChangeFeed {
         org.apache.spark.sql.types.StructField(ChangeTypeCol,
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField(CommitVersionCol,
-          org.apache.spark.sql.types.LongType, nullable = false))))
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(CommitTsCol,
+          org.apache.spark.sql.types.TimestampType, nullable = true))))
     parts.foldLeft(empty)(_ unionAll _)
       .select(schema.fieldNames.map(col).toSeq :+
-        col(ChangeTypeCol) :+ col(CommitVersionCol): _*)
+        col(ChangeTypeCol) :+ col(CommitVersionCol) :+ col(CommitTsCol): _*)
   }
 }

@@ -34,14 +34,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - APPEND generations (the overwhelming majority in a landing
   *     zone) plan their added files directly as file partitions —
   *     executor-side reads, full scan-out, ZERO driver materialization;
-  *     the reader appends the two CDF columns as constants.
+  *     the reader appends the three CDF columns as constants.
   *   - REWRITE generations (DELETE/UPDATE/MERGE/compact/overwrite)
   *     run the [[ChangeFeed]] multiset diff AS A SPARK JOB at planning
-  *     time and collect only the NET changed rows (carried rows cancel
-  *     in exceptAll — a compaction is an empty change set), encoded
-  *     through the zone line codec into a rows partition. Driver
-  *     memory is bounded by the rewrite's actual row-level change,
-  *     never the rewritten files, and never the zone.
+  *     time and STAGE the net changed rows (carried rows cancel in
+  *     exceptAll — a compaction is an empty change set) as line-codec
+  *     files under the zone's `_cdf-scratch/<query scope>/`, planned
+  *     as staged-file partitions read back on EXECUTORS. No row data
+  *     ever materializes on the driver — a MERGE that nets 1 TB of
+  *     change streams through the scratch files exactly like an append
+  *     streams through its committed files (round-15 verdict task 1;
+  *     Delta gets the same property by writing CDC files at commit
+  *     time). The scratch is per-query-scope and per-generation,
+  *     overwritten on replay (deterministic re-derivation from the
+  *     log), swept eagerly when the batch COMMITS and age-swept by
+  *     vacuum as a crash backstop.
   *
   * Retention and schema discipline are [[ChangeFeed]]'s: a range
   * behind vacuum retention fails loudly; a schema change inside one
@@ -53,10 +60,16 @@ object DirSinkCdf {
   val OptionKey = "readChangeFeed"
   val StartKey = "startingVersion"
 
+  /** Zone-root scratch dir for staged rewrite diffs (a reader-owned
+    * sibling of the CoW writer's `_rewrite-*`). */
+  val ScratchDirName = "_cdf-scratch"
+
   def cdfSchema(zone: StructType): StructType =
     StructType(DirSink.asNullable(zone).fields ++ Seq(
       StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false),
-      StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false)))
+      StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false),
+      StructField(ChangeFeed.CommitTsCol,
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
 }
 
 /** The CDF table surface: schema = zone schema + the two feed columns;
@@ -79,7 +92,8 @@ class DirSinkCdfTable(path: String, zoneSchema: StructType,
           s"DirSinkCdfScan($path, startingVersion=$startingVersion)"
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new DirSinkCdfStream(path, zoneSchema, startingVersion, maxGens)
+          new DirSinkCdfStream(path, zoneSchema, startingVersion, maxGens,
+            checkpointLocation)
       }
     }
 }
@@ -90,20 +104,24 @@ case class DirSinkCdfOffset(gen: Long) extends StreamOffset {
   override def json(): String = s"""{"gen":$gen}"""
 }
 
-/** One rewrite generation's collected net changes: `lines` are
-  * zone-codec-encoded rows, all sharing one change type + version. */
-case class DirSinkCdfRowsPartition(lines: Seq[String], ddl: String,
-                                   changeType: String, gen: Long)
+/** One staged diff file of a rewrite generation: line-codec-encoded
+  * net-change rows under the zone's `_cdf-scratch`, read back (and
+  * decoded) executor-side — the driver only ever holds the file NAME. */
+case class DirSinkCdfStagedPartition(file: String, ddl: String,
+                                     changeType: String, gen: Long,
+                                     tsMs: Option[Long])
     extends InputPartition
 
 /** One appended file of an append generation, read executor-side. */
 case class DirSinkCdfFilePartition(base: DirSinkFilePartition,
-                                   changeType: String, gen: Long)
+                                   changeType: String, gen: Long,
+                                   tsMs: Option[Long])
     extends InputPartition
 
 class DirSinkCdfStream(path: String, zoneSchema: StructType,
                        startingVersion: Option[Long],
-                       maxGensPerTrigger: Option[Int] = None)
+                       maxGensPerTrigger: Option[Int] = None,
+                       checkpointLocation: String = "")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
@@ -192,11 +210,12 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
     val streamSchema = DirSink.asNullable(zoneSchema)
     val streamDdl = streamSchema.toDDL
 
-    def encodedDiff(aGen: Long, aFiles: Seq[String],
-                    bGen: Long, bFiles: Seq[String]): (Seq[String], Seq[String]) = {
-      // a\b and b\a from ONE pair of cached inputs (each side read
-      // once, not once per direction), encoded through the zone line
-      // codec on the EXECUTORS; the driver holds only net changed rows
+    // a\b and b\a from ONE pair of cached inputs (each side read once,
+    // not once per direction), encoded through the zone line codec and
+    // WRITTEN as scratch files — both jobs run entirely on executors;
+    // the driver handles only surviving file NAMES (round-15: the old
+    // shape collect()ed the net rows, which a 1%-of-100TB MERGE kills)
+    def stagedDiff(c: DirSinkLog.GenChange): Seq[InputPartition] = {
       def rd(g: Long, fs: Seq[String]) = {
         val df =
           if (fs.isEmpty)
@@ -215,15 +234,25 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
         df.select(df.columns.take(streamSchema.length)
           .map(org.apache.spark.sql.functions.col).toSeq: _*)
       }
-      val a = rd(aGen, aFiles).persist()
-      val b = rd(bGen, bFiles).persist()
-      try {
-        def enc(df: org.apache.spark.sql.DataFrame): Seq[String] =
-          df.queryExecution.toRdd
-            .mapPartitions(it => it.map(r => DirSink.encode(r, streamSchema)))
-            .collect().toSeq
-        (enc(a.exceptAll(b)), enc(b.exceptAll(a)))
-      } finally { a.unpersist(); b.unpersist() }
+      def stage(df: org.apache.spark.sql.DataFrame, tag: String,
+                tpe: String): Seq[InputPartition] = {
+        val dir = new Path(scratchScope, s"g${c.gen}-$tag")
+        val f = DirSink.fs(path)
+        if (f.exists(dir)) f.delete(dir, true) // replayed batch: re-derive
+        df.queryExecution.toRdd
+          .mapPartitions(it => it.map(r => DirSink.encode(r, streamSchema)))
+          .saveAsTextFile(dir.toString)
+        f.listStatus(dir).toSeq
+          .filter(st => st.getPath.getName.startsWith("part-") &&
+            st.getLen > 0)
+          .map(st => DirSinkCdfStagedPartition(st.getPath.toString,
+            streamDdl, tpe, c.gen, c.ts): InputPartition)
+      }
+      val a = rd(c.gen, c.addNames).persist()
+      val b = rd(c.gen - 1, c.removeNames).persist()
+      try stage(a.exceptAll(b), "ins", "insert") ++
+        stage(b.exceptAll(a), "del", "delete")
+      finally { a.unpersist(); b.unpersist() }
     }
 
     changes.flatMap { c =>
@@ -232,15 +261,20 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
         case (adds, Nil) =>
           adds.map(f => DirSinkCdfFilePartition(
             DirSinkFilePartition(path, f, c.schemaDdl, allIdx),
-            "insert", c.gen): InputPartition)
-        case (adds, removes) =>
-          val (ins, del) = encodedDiff(c.gen, adds, c.gen - 1, removes)
-          Seq(
-            DirSinkCdfRowsPartition(ins, streamDdl, "insert", c.gen),
-            DirSinkCdfRowsPartition(del, streamDdl, "delete", c.gen))
-            .filter(_.lines.nonEmpty).map(p => p: InputPartition)
+            "insert", c.gen, c.ts): InputPartition)
+        case _ => stagedDiff(c)
       }
     }.toArray
+  }
+
+  /** This query's scratch subtree: scoped by the checkpoint location so
+    * concurrent tailers of one zone never collide, stable across
+    * restarts so a replayed batch overwrites its own debris. */
+  private lazy val scratchScope: Path = {
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointLocation.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    new Path(new Path(path, DirSinkCdf.ScratchDirName), s"q$scope")
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -252,21 +286,29 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
       DirSink.toPhysical(DirSink.asNullable(zoneSchema),
         DirSink.zoneColMap(path)).toDDL)
 
-  override def commit(end: StreamOffset): Unit = ()
+  /** The batch up to `end` is durably committed — its staged diff
+    * files can never be re-read (a restart replays only LATER ranges),
+    * so this query's scratch subtree sweeps eagerly. Vacuum age-sweeps
+    * whole `_cdf-scratch` scopes as the crash backstop. */
+  override def commit(end: StreamOffset): Unit = {
+    val f = DirSink.fs(path)
+    if (f.exists(scratchScope)) f.delete(scratchScope, true)
+  }
   override def stop(): Unit = ()
 }
 
-/** Executor side: decode the partition's rows (file via the zone's
-  * data plane, collected diffs via the line codec) and append the two
-  * CDF columns as constants. */
+/** Executor side: decode the partition's rows (committed file via the
+  * zone's data plane, staged diff file via the line codec) and append
+  * the three CDF columns as constants. */
 case class DirSinkCdfReaderFactory(parquetPlane: Boolean, ddl: String)
     extends PartitionReaderFactory {
 
   private def suffixed(inner: PartitionReader[InternalRow],
-                       changeType: String,
-                       gen: Long): PartitionReader[InternalRow] = {
+                       changeType: String, gen: Long,
+                       tsMs: Option[Long]): PartitionReader[InternalRow] = {
     val suffix = new GenericInternalRow(
-      Array[Any](UTF8String.fromString(changeType), gen))
+      Array[Any](UTF8String.fromString(changeType), gen,
+        tsMs.map(m => m * 1000L: java.lang.Long).orNull)) // micros
     val joined = new JoinedRow
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
@@ -278,18 +320,23 @@ case class DirSinkCdfReaderFactory(parquetPlane: Boolean, ddl: String)
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case DirSinkCdfRowsPartition(lines, pddl, tpe, gen) =>
+      case DirSinkCdfStagedPartition(file, pddl, tpe, gen, ts) =>
         val sch = StructType.fromDDL(pddl)
-        val it = lines.iterator
+        val p = new Path(file)
+        val in = DirSink.execFs(file).open(p)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
         suffixed(new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
-          override def next(): Boolean =
-            if (!it.hasNext) false
-            else { cur = DirSink.decode(it.next(), sch); true }
+          override def next(): Boolean = {
+            val line = reader.readLine()
+            if (line == null) false
+            else { cur = DirSink.decode(line, sch); true }
+          }
           override def get(): InternalRow = cur
-          override def close(): Unit = ()
-        }, tpe, gen)
-      case DirSinkCdfFilePartition(base, tpe, gen) =>
+          override def close(): Unit = reader.close()
+        }, tpe, gen, ts)
+      case DirSinkCdfFilePartition(base, tpe, gen, ts) =>
         val inner =
           if (parquetPlane) {
             val data = StructType.fromDDL(ddl)
@@ -297,7 +344,7 @@ case class DirSinkCdfReaderFactory(parquetPlane: Boolean, ddl: String)
               DirSinkParquet.readerClosure(data, data, Seq.empty),
               ddl, ddl).createReader(base)
           } else new DirSinkReaderFactory().createReader(base)
-        suffixed(inner, tpe, gen)
+        suffixed(inner, tpe, gen, ts)
       case p => throw new IllegalStateException(s"unexpected partition $p")
     }
 }

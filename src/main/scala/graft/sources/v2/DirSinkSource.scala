@@ -1010,6 +1010,19 @@ object DirSink {
           swept += n
           if (!dryRun) f.delete(st.getPath, true)
         }
+      } else if (st.isDirectory && n == DirSinkCdf.ScratchDirName) {
+        // a crashed CDF tailer's staged diff files: its scope dir stops
+        // being touched the moment the query dies — age-gate per scope
+        // (a LIVE tailer keeps re-staging into its scope every rewrite
+        // batch, refreshing the mtime)
+        f.listStatus(st.getPath).foreach { scope =>
+          if (scope.getModificationTime < cutoff) {
+            swept += s"$n/${scope.getPath.getName}"
+            if (!dryRun) f.delete(scope.getPath, true)
+          }
+        }
+        if (!dryRun && f.listStatus(st.getPath).isEmpty)
+          f.delete(st.getPath, false)
       } else if (st.isDirectory && n == "_staging") {
         f.listStatus(st.getPath).foreach { qdir =>
           if (qdir.isDirectory) {

@@ -115,6 +115,93 @@ class CdfStreamSpec extends AnyFunSuite {
       s"net change must be the two modified rows, twice: $got")
   }
 
+  test("rewrite diffs stage as EXECUTOR-read files — zero driver row materialization; commit sweeps the scratch") {
+    val dir = Files.createTempDirectory("graft_cdfx").toString
+    append(dir, 0, 10)  // gen 0
+    append(dir, 10, 20) // gen 1
+    deleteWhere(dir, org.apache.spark.sql.sources.LessThan("id", 5L)) // gen 2
+    val head = DirSink.currentGen(dir).get
+    val stream = new graft.sources.v2.DirSinkCdfStream(dir,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+      Some(0L), None, Files.createTempDirectory("graft_cdfx_chk").toString)
+    val parts = stream.planInputPartitions(
+      graft.sources.v2.DirSinkCdfOffset(head - 1),
+      graft.sources.v2.DirSinkCdfOffset(head))
+    // round-15 verdict task 1: the ONLY partition shapes are
+    // file-backed — committed zone files (appends) and staged scratch
+    // files (rewrite diffs); no partition type carries row data, so
+    // the driver's plan is O(files), never O(changed rows)
+    assert(parts.nonEmpty && parts.forall(p =>
+      p.isInstanceOf[graft.sources.v2.DirSinkCdfStagedPartition] ||
+        p.isInstanceOf[graft.sources.v2.DirSinkCdfFilePartition]),
+      s"unexpected partition shapes: ${parts.map(_.getClass.getName).toSeq}")
+    val staged = parts.collect {
+      case p: graft.sources.v2.DirSinkCdfStagedPartition => p }
+    assert(staged.nonEmpty &&
+      staged.forall(_.file.contains(graft.sources.v2.DirSinkCdf.ScratchDirName)),
+      "the rewrite diff must stage under the zone's _cdf-scratch")
+    // the staged files decode back to exactly the net change
+    val rf = stream.createReaderFactory()
+    val got = staged.flatMap { p =>
+      val r = rf.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      while (r.next()) { val row = r.get(); buf += ((row.getLong(0),
+        row.getUTF8String(2).toString)) }
+      r.close()
+      buf
+    }
+    assert(got.map(_._1).sorted.toSeq == (0L until 5L).toSeq &&
+      got.forall(_._2 == "delete"),
+      s"staged diff must be the net deleted rows, got $got")
+    // commit sweeps this query's scope
+    stream.commit(graft.sources.v2.DirSinkCdfOffset(head))
+    val scratch = new java.io.File(dir,
+      graft.sources.v2.DirSinkCdf.ScratchDirName)
+    assert(!scratch.exists() ||
+      scratch.listFiles().forall(_ => false),
+      "the committed batch's staged files must be swept")
+  }
+
+  test("_commit_timestamp: the segment stamp as a column, constant per generation, on batch and stream") {
+    val dir = Files.createTempDirectory("graft_cdft").toString
+    val chk = Files.createTempDirectory("graft_cdft_chk").toString
+    append(dir, 0, 10)
+    append(dir, 10, 20)
+    deleteWhere(dir, org.apache.spark.sql.sources.LessThan("id", 3L))
+    val feed = ChangeFeed.read(spark, dir, 0)
+    assert(feed.columns.last == ChangeFeed.CommitTsCol)
+    val perGen = feed.groupBy(col(ChangeFeed.CommitVersionCol))
+      .agg(countDistinct(col(ChangeFeed.CommitTsCol)).as("n"),
+        sum(when(col(ChangeFeed.CommitTsCol).isNull, 1).otherwise(0))
+          .as("nulls"))
+      .collect()
+    assert(perGen.nonEmpty && perGen.forall(r =>
+      r.getLong(1) == 1L && r.getLong(2) == 0L),
+      s"one non-null stamp per generation: ${perGen.mkString(", ")}")
+    // the streaming surface carries the same column (append + rewrite)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Any)]()
+    val q = spark.readStream.format(fmt)
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= df.select(col(ChangeFeed.ChangeTypeCol),
+            col(ChangeFeed.CommitTsCol)).collect()
+            .map(r => (r.getString(0), r.get(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(out.nonEmpty && out.forall(_._2 != null),
+      "every streamed change row carries its generation's commit stamp")
+    assert(out.exists(_._1 == "delete") && out.exists(_._1 == "insert"))
+  }
+
   test("maxGensPerTrigger paces catch-up one generation per batch") {
     val dir = Files.createTempDirectory("graft_cdfp").toString
     val chk = Files.createTempDirectory("graft_cdfp_chk").toString

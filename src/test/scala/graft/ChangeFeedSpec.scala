@@ -22,7 +22,12 @@ class ChangeFeedSpec extends AnyFunSuite {
   private def feed(dir: String, from: Long,
                    to: Option[Long] = None): Seq[(Long, String, String, Long)] = {
     import spark.implicits._
+    // project the identity columns: _commit_timestamp (round 15) is
+    // wall-clock and has its own CdfStreamSpec law
     ChangeFeed.read(spark, dir, from, to)
+      .select($"id", $"v",
+        org.apache.spark.sql.functions.col(ChangeFeed.ChangeTypeCol),
+        org.apache.spark.sql.functions.col(ChangeFeed.CommitVersionCol))
       .as[(Long, String, String, Long)].collect().toSeq
       .sortBy(t => (t._4, t._3, t._1))
   }
