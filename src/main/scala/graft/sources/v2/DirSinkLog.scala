@@ -218,12 +218,14 @@ object DirSinkLog {
         val p = parseSegment(readText(f, b.status.getPath), ckpt = true)
         (p.schema, p.header, p.lines)
       }
-    // distributed-prune bookkeeping: which CHECKPOINT (with its
-    // columnar sidecar) this state derives from, and what was added
-    // by delta segments since — a snapshot segment replaces the state
-    // the sidecar describes, so it clears the base
+    // distributed prune/aggregate bookkeeping: which CHECKPOINT (with
+    // its columnar sidecar) this state derives from, what was added by
+    // delta segments since, and what was REMOVED since (so a sidecar
+    // job can anti-join stale rows out) — a snapshot segment replaces
+    // the state the sidecar describes, so it clears the base
     var ckptBase: Option[Long] = base.map(_.gen)
     var recentAdds = Set.empty[String]
+    var recentRemoves = Set.empty[String]
     var expect = base.map(_.gen + 1).getOrElse(
       commits.headOption.map(_.gen).getOrElse(0L))
     commits.foreach { c =>
@@ -241,9 +243,15 @@ object DirSinkLog {
             "dropped the base)")
       val lines = applySeg(state.map(_._3).getOrElse(Seq.empty), p)
       state = Some((p.schema, p.header, lines))
-      if (p.snap) { ckptBase = None; recentAdds = Set.empty }
-      else recentAdds = recentAdds -- p.removes ++
-        p.lines.map(l => DirSink.parseEntry(l).name)
+      if (p.snap) {
+        ckptBase = None; recentAdds = Set.empty; recentRemoves = Set.empty
+      } else {
+        val added = p.lines.map(l => DirSink.parseEntry(l).name)
+        recentAdds = recentAdds -- p.removes ++ added
+        // names are globally unique (staged UUIDs), so a removed name
+        // never returns — the -- added is pure defensiveness
+        recentRemoves = recentRemoves ++ p.removes -- added
+      }
       expect = c.gen + 1
     }
     lastReplaySegments = reads
@@ -251,7 +259,8 @@ object DirSinkLog {
       throw new IllegalArgumentException(
         s"generation $tgt of zone $path is no longer reconstructible " +
           "(no retained base at or below it)"))
-    DirSink.Manifest(schema, header, lines, ckptBase, recentAdds)
+    DirSink.Manifest(schema, header, lines, ckptBase, recentAdds,
+      recentRemoves)
   }
 
   /** The zone's current state from the log, cached by fingerprint;

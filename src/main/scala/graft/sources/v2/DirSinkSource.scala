@@ -516,7 +516,8 @@ object DirSink {
                                   header: Map[String, String],
                                   lines: Seq[String],
                                   ckptBase: Option[Long] = None,
-                                  recentAdds: Set[String] = Set.empty) {
+                                  recentAdds: Set[String] = Set.empty,
+                                  recentRemoves: Set[String] = Set.empty) {
     def gen: Long = header.get("gen").map(_.toLong).getOrElse(0L)
   }
 
@@ -1926,79 +1927,68 @@ class DirSinkScanBuilder(path: String, schema: StructType,
         asOfVersion, onlyFiles)
       catch { case _: IllegalArgumentException => return None }
     val mschema = m.schema
-    lazy val parsed: Seq[(DirSink.FileEntry, Option[Array[DirSinkStats.ColStats]])] =
-      entries.map(e => (e,
-        e.stats.map(DirSinkStats.parse(_, mschema.length))))
 
     def colIdx(c: String): Option[Int] =
       mschema.fieldNames.indexOf(c) match { case -1 => None; case i => Some(i) }
 
-    // exact per-file bounds for column i across every data-carrying
-    // file, or None if any such file cannot prove its bounds
-    def bounds(i: Int): Option[Seq[(String, String)]] = {
-      val perFile = parsed.map {
-        case (e, _) if e.rows == 0L => Some(Nil) // empty file: no values
-        case (_, None) => None                   // pre-stats line: refuse
-        case (_, Some(st)) =>
-          val c = st(i)
-          if (c.disabled) None                   // NaN/unsupported: refuse
-          else if (c.min.isEmpty) Some(Nil)      // all-null: contributes none
-          else Some(Seq((c.min.get, c.max.get)))
-      }
-      if (perFile.exists(_.isEmpty)) None
-      else Some(perFile.flatMap(_.get))
-    }
-
-    def fold(i: Int, wantMin: Boolean): Option[Option[String]] =
-      bounds(i).map { bs =>
-        val side = bs.map(b => if (wantMin) b._1 else b._2)
-        if (side.isEmpty) None // no non-null value anywhere: SQL NULL
-        else Some(side.reduce { (x, y) =>
-          val dt = mschema(i).dataType
-          val takeX = if (wantMin) !DirSinkStats.boundLt(dt, y, x)
-                      else !DirSinkStats.boundLt(dt, x, y)
-          if (takeX) x else y
-        })
-      }
-
-    val results = a.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          Some(entries.map(_.rows).sum.toString)))
+    // which aggregate shapes are answerable at all, and over which
+    // columns — resolved BEFORE any per-file work so an unanswerable
+    // aggregation never pays a fold (let alone a job)
+    sealed trait Want
+    case object WantCountStar extends Want
+    case class WantCount(i: Int) extends Want
+    case class WantMin(i: Int) extends Want
+    case class WantMax(i: Int) extends Want
+    val wants: Seq[Option[Want]] = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(WantCountStar)
       case c: Count if !c.isDistinct =>
-        // count(col) = count(*) only when stats PROVE no file has a
-        // null in the column (hasNull false everywhere; null counts
-        // are not tracked, so anything weaker refuses)
-        aggColOf(c.column()).flatMap(colIdx).flatMap { i =>
-          val noNulls = parsed.forall {
-            case (e, _) if e.rows == 0L => true
-            case (_, Some(st)) => !st(i).disabled && !st(i).hasNull
-            case _ => false
-          }
-          if (noNulls) Some((
-            StructField(s"count(${mschema(i).name})", LongType,
-              nullable = false),
-            Some(entries.map(_.rows).sum.toString)))
-          else None
-        }
-      case m: Min =>
-        aggColOf(m.column()).flatMap(colIdx).flatMap { i =>
-          fold(i, wantMin = true).map(v =>
-            (StructField(s"min(${mschema(i).name})", mschema(i).dataType,
-              nullable = true), v))
-        }
-      case m: Max =>
-        aggColOf(m.column()).flatMap(colIdx).flatMap { i =>
-          fold(i, wantMin = false).map(v =>
-            (StructField(s"max(${mschema(i).name})", mschema(i).dataType,
-              nullable = true), v))
-        }
+        aggColOf(c.column()).flatMap(colIdx).map(WantCount.apply)
+      case mn: Min => aggColOf(mn.column()).flatMap(colIdx).map(WantMin.apply)
+      case mx: Max => aggColOf(mx.column()).flatMap(colIdx).map(WantMax.apply)
       case _ => None // sum/avg need per-file sums the manifest lacks
     }
     // an EMPTY aggregation list (Spark probes one for count-only
     // rewrites) must refuse too — a zero-column one-row scan is not a
     // meaningful answer to anything
-    if (results.isEmpty || results.exists(_.isEmpty)) None
+    if (wants.isEmpty || wants.exists(_.isEmpty)) return None
+
+    // ONE fold over the per-file facts — a driver loop at small entry
+    // counts, the checkpoint-sidecar Spark job above the prune
+    // threshold ([[DirSinkAgg]]; removed-since-checkpoint files are
+    // anti-joined out, recent adds fold as a driver sliver)
+    val aggCols = wants.flatten.collect {
+      case WantCount(i) => i
+      case WantMin(i) => i
+      case WantMax(i) => i
+    }.distinct.toIndexedSeq
+    val facts = DirSinkAgg.facts(path, m, entries, mschema, aggCols)
+    def cf(i: Int): DirSinkAgg.ColFacts = facts.cols(aggCols.indexOf(i))
+
+    val results = wants.flatten.map {
+      case WantCountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          Some(facts.rows.toString)))
+      case WantCount(i) =>
+        // count(col) = count(*) only when stats PROVE no file has a
+        // null in the column (hasNull false everywhere; null counts
+        // are not tracked, so anything weaker refuses)
+        if (cf(i).proved && cf(i).noNull) Some((
+          StructField(s"count(${mschema(i).name})", LongType,
+            nullable = false),
+          Some(facts.rows.toString)))
+        else None
+      case WantMin(i) =>
+        if (cf(i).proved) Some((
+          StructField(s"min(${mschema(i).name})", mschema(i).dataType,
+            nullable = true), cf(i).min))
+        else None
+      case WantMax(i) =>
+        if (cf(i).proved) Some((
+          StructField(s"max(${mschema(i).name})", mschema(i).dataType,
+            nullable = true), cf(i).max))
+        else None
+    }
+    if (results.exists(_.isEmpty)) None
     else Some((StructType(results.flatten.map(_._1)),
       results.flatten.map(_._2),
       results.flatten.map(_._1.name).mkString(", ")))

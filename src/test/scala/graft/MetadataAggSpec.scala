@@ -110,4 +110,47 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(g == Seq(("g0", 16L), ("g1", 17L), ("g2", 17L)))
     assert(zone.agg(sum($"id")).head.getLong(0) == 50L * 51 / 2)
   }
+
+  test("the sidecar JOB fold equals the driver loop — stale rows excluded, recent adds merged (round 15)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 11 appends → gens 0..10; the commit log checkpoints at gen 10
+    // (CheckpointInterval) and writes the columnar sidecar
+    (0 until 11).foreach { k =>
+      spark.range(k * 10L, k * 10L + 10)
+        .select($"id", ($"id" * 7).as("v")).coalesce(1)
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    // gen 11: DELETE id < 10 — drops gen 0's file, which the sidecar
+    // still lists with min(id)=0; the job must anti-join it out or the
+    // global min comes back WRONG
+    new graft.sources.v2.DirSinkTable(dir,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan("id", 10L)))
+    // gen 12: a post-checkpoint append holding the global max — the
+    // sidecar has never seen it; the driver sliver must merge it in
+    spark.range(120L, 130L).select($"id", ($"id" * 7).as("v")).coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+
+    def run(): (String, Seq[Any]) = {
+      val r = spark.read.format(fmt).option("path", dir).load()
+        .agg(count(lit(1)), count($"v"), min($"id"), max($"id"),
+          min($"v"), max($"v")).head
+      (graft.sources.v2.DirSinkAgg.lastMode, r.toSeq)
+    }
+    val (loopMode, loopRow) = run() // default threshold: loop
+    assert(loopMode == "loop", s"fixture should fold on the driver: $loopMode")
+    spark.conf.set(graft.sources.v2.DirSinkPrune.ThresholdKey, "1")
+    try {
+      val (jobMode, jobRow) = run()
+      assert(jobMode == "job",
+        "above the threshold the fold must run as the sidecar job")
+      assert(jobRow == loopRow,
+        s"job and loop must be bit-equal: $jobRow vs $loopRow")
+      assert(jobRow == Seq(110L, 110L, 10L, 129L, 70L, 903L),
+        s"min must exclude the deleted file (10, not 0) and max must " +
+          s"see the post-checkpoint append (129): $jobRow")
+    } finally spark.conf.unset(graft.sources.v2.DirSinkPrune.ThresholdKey)
+  }
 }
