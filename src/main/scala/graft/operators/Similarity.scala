@@ -488,12 +488,20 @@ object Similarity extends QueryModule {
     * whole-stage codegen — this loop is the training hot path. */
   private[graft] def assignCells(n: DataFrame, cent: DataFrame): DataFrame = {
     val s = n.sparkSession; import s.implicits._
+    assignCellsSim(n, cent).select($"vec_id", $"cell")
+  }
+
+  /** [[assignCells]] WITH the winning similarity — the drift statistic
+    * ([[annIndexDrift]]) needs the assignment quality, not just the
+    * assignment. Same plan shape: map-combinable argmax, no window. */
+  private[graft] def assignCellsSim(n: DataFrame, cent: DataFrame): DataFrame = {
+    val s = n.sparkSession; import s.implicits._
     n.crossJoin(broadcast(cent))
       .withColumn("csim",
         graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
       .groupBy($"vec_id")
       .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"))).as("m"))
-      .select($"vec_id", (-$"m.nc").as("cell"))
+      .select($"vec_id", (-$"m.nc").as("cell"), $"m.cs".as("csim"))
   }
 
   /** Deterministic Lloyd k-means codebook: C seeds in md5(vec_id) order,
@@ -977,8 +985,16 @@ object Similarity extends QueryModule {
         val coarse = kmeansCodebook(n, c = ivfDefaultC(n.count()), iters = 1)
           .localCheckpoint(true) // train once, both consumers below
         coarse.write.mode("overwrite").parquet(s"$gen/coarse")
-        assignCells(n, coarse)
-          .write.mode("overwrite").parquet(s"$gen/cells")
+        val asg = assignCellsSim(n, coarse)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          asg.select($"vec_id", $"cell")
+            .write.mode("overwrite").parquet(s"$gen/cells")
+          // the base generation's assignment quality — the reference
+          // every later append's drift statistic compares against
+          val r = asg.agg(count(lit(1)), avg($"csim")).head
+          writeDrift(s, gen, r.getLong(0), r.getDouble(1), r.getDouble(1))
+        } finally asg.unpersist(false)
         val nm = pqSubspaces(n)
         val pqCent = pqTrain(nm).localCheckpoint(true)
         pqCent.write.mode("overwrite").parquet(s"$gen/pq")
@@ -987,6 +1003,20 @@ object Similarity extends QueryModule {
           .write.mode("overwrite").parquet(s"$gen/codes")
       } finally n.unpersist(false)
     }
+  }
+
+  /** One generation's `_DRIFT` sidecar: assignment count, its mean
+    * nearest-frozen-centroid cosine, and the BASE generation's mean
+    * (copied along the chain like the codebooks, so each generation is
+    * self-describing). */
+  private def writeDrift(s: SparkSession, gen: String, n: Long,
+                         mean: Double, baseMean: Double): Unit = {
+    val p = new org.apache.hadoop.fs.Path(gen, "_DRIFT")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"n=$n\nmean=$mean\nbase_mean=$baseMean\n"
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Incremental index maintenance: assign a DELTA of new vectors
@@ -1006,17 +1036,19 @@ object Similarity extends QueryModule {
     * pointer swap is atomic and superseded generations stay on disk —
     * they are the chain.
     *
-    * HONESTY — the retrain trigger: frozen codebooks mean frozen cell
-    * boundaries. As appended data drifts from the training
-    * distribution, cells skew (recall degrades: true neighbors land in
-    * un-probed cells) even though every individual assignment is still
-    * the exact nearest centroid. A deployment re-trains when the delta
-    * fraction grows past a threshold (e.g. delta > 20% of base) or when
-    * the delta's mean nearest-centroid similarity falls measurably
-    * below the base's — both computable from the artifacts this module
-    * already stores; retraining also resets the chain length.
-    * Re-training is [[annIndexBuild]] at a new content-keyed root; this
-    * method is the cheap path between retrains (the
+    * THE RETRAIN TRIGGER IS MEASURED (round 15): frozen codebooks mean
+    * frozen cell boundaries, and as appended data drifts from the
+    * training distribution cells skew (recall degrades: true neighbors
+    * land in un-probed cells) even though every individual assignment
+    * is still the exact nearest centroid. Every append therefore
+    * writes a `_DRIFT` sidecar — the delta's mean
+    * nearest-frozen-centroid cosine next to the base's (one avg over
+    * the csims the append computes anyway) — and [[annIndexDrift]]
+    * surfaces the per-generation table with the
+    * [[RetrainDriftThreshold]] verdict plus the cumulative
+    * delta-fraction (> 20% of base) backstop. Re-training is
+    * [[annIndexBuild]] at a new content-keyed root and resets the
+    * chain; this method is the cheap path between retrains (the
     * `q_incremental_dedup` precedent applied to the index). */
   private[graft] def annIndexAppend(s: SparkSession, root: String,
                                     delta: DataFrame): String = {
@@ -1033,7 +1065,18 @@ object Similarity extends QueryModule {
       graft.Artifacts.publish(s, root) { gen =>
         coarse.write.parquet(s"$gen/coarse") // codebooks frozen, verbatim
         pqCent.write.parquet(s"$gen/pq")
-        assignCells(d, coarse).write.parquet(s"$gen/cells")
+        val asg = assignCellsSim(d, coarse)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          asg.select($"vec_id", $"cell").write.parquet(s"$gen/cells")
+          // the MEASURED retrain trigger (round-15 verdict task 5): the
+          // delta's mean nearest-frozen-centroid cosine next to the
+          // base's — the append is already computing every csim, so the
+          // statistic is one avg over work the append does anyway
+          val r = asg.agg(count(lit(1)), avg($"csim")).head
+          writeDrift(s, gen, r.getLong(0), r.getDouble(1),
+            readDrift(s, base).map(_.baseMean).getOrElse(r.getDouble(1)))
+        } finally asg.unpersist(false)
         pqAssign(pqSubspaces(d), pqCent)
           .select($"vec_id", $"m", $"cell".as("code"))
           .write.parquet(s"$gen/codes")
@@ -1043,6 +1086,72 @@ object Similarity extends QueryModule {
         try out.write(baseName.getBytes("UTF-8")) finally out.close()
       }
     } finally d.unpersist(false)
+  }
+
+  /** One generation's parsed `_DRIFT` sidecar; None for generations
+    * published before the statistic existed (drift reads as unknown,
+    * never as a crash). */
+  private[graft] case class GenDrift(n: Long, mean: Double, baseMean: Double)
+  private[graft] def readDrift(s: SparkSession,
+                               gen: String): Option[GenDrift] = {
+    val p = new org.apache.hadoop.fs.Path(gen, "_DRIFT")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val kv = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map { l =>
+        val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
+      }.toMap finally in.close()
+    Some(GenDrift(kv("n").toLong, kv("mean").toDouble,
+      kv("base_mean").toDouble))
+  }
+
+  /** MEASURED RETRAIN TRIGGER — drop in the delta's mean
+    * nearest-frozen-centroid cosine vs the base generation's, above
+    * which the frozen cell boundaries have demonstrably skewed and the
+    * operator should retrain ([[annIndexBuild]] at a new content-keyed
+    * root). The value is MEASURED, not folklore (AnnDriftSpec +
+    * tools.DriftProbe on the planted-cluster fixture the recall gates
+    * use): an in-distribution append reads |drift| ≈ 0.0001 — held-out
+    * noise around the base's mean, because the CLUSTER structure, not
+    * the training sample, owns the centroid positions — while an
+    * append from clusters the training never saw reads 0.65, an order
+    * of magnitude past this line; 0.05 splits the regimes with wide
+    * margin on both sides. Honesty: on a STRUCTURELESS corpus the
+    * statistic reads ~0.17 even in-distribution (C=√N cells fit noise,
+    * so the training mean is selection optimism — DriftProbe prints
+    * that row labeled); operationally still the right verdict, since
+    * an index over noise has no recall to protect. The OTHER trigger
+    * (cumulative delta fraction > 20% of base) is [[annIndexDrift]]'s
+    * `cumDeltaFraction`, orthogonal: a huge in-distribution delta
+    * skews cell SIZES without moving this statistic. */
+  private[graft] val RetrainDriftThreshold = 0.05
+
+  /** The drift table of an index root, live generation first: per
+    * generation, its assignment count, mean assignment cosine, the
+    * base's reference mean, the drift (base − own, positive = worse),
+    * whether it crosses [[RetrainDriftThreshold]], and the chain's
+    * cumulative delta fraction of the base. The operator-facing answer
+    * to "when do frozen cells need retraining" — computed from
+    * artifacts every build/append already writes. */
+  case class IndexDrift(gen: String, n: Long, meanCsim: Double,
+                        baseMeanCsim: Double, drift: Double,
+                        retrain: Boolean, cumDeltaFraction: Double)
+  private[graft] def annIndexDrift(s: SparkSession,
+                                   root: String): Seq[IndexDrift] = {
+    val live = graft.Artifacts.ready(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no published index generation under $root"))
+    val chain = annIndexChain(s, root, live)
+    val stats = chain.map(g => (g, readDrift(s, g)))
+    val baseN = stats.lastOption.flatMap(_._2).map(_.n).getOrElse(0L)
+    val deltaN = stats.dropRight(1).flatMap(_._2).map(_.n).sum
+    stats.collect { case (g, Some(d)) =>
+      IndexDrift(new org.apache.hadoop.fs.Path(g).getName, d.n, d.mean,
+        d.baseMean, d.baseMean - d.mean,
+        d.baseMean - d.mean > RetrainDriftThreshold,
+        if (baseN == 0) 0.0 else deltaN.toDouble / baseN)
+    }
   }
 
   /** Resolve the live generation CHAIN of an index root and return its
