@@ -277,6 +277,12 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
     new Path(new Path(path, DirSinkCdf.ScratchDirName), s"q$scope")
   }
 
+  // subscription-time mapping, pinned like the subscription schema —
+  // see DirSinkMicroBatchStream.subscriptionColMap (a mid-stream
+  // RENAME re-keys the head's map and would NULL the feed's columns)
+  private lazy val subscriptionColMap: Map[String, String] =
+    DirSink.zoneColMap(path)
+
   override def createReaderFactory(): PartitionReaderFactory =
     // a column-mapped zone's parquet files resolve by PHYSICAL names;
     // the row layout is positional, so the feed's output names are
@@ -284,7 +290,7 @@ class DirSinkCdfStream(path: String, zoneSchema: StructType,
     DirSinkCdfReaderFactory(
       DirSink.zoneFormat(path).contains(DirSink.FormatParquet),
       DirSink.toPhysical(DirSink.asNullable(zoneSchema),
-        DirSink.zoneColMap(path)).toDDL)
+        subscriptionColMap).toDDL)
 
   /** The batch up to `end` is durably committed — its staged diff
     * files can never be re-read (a restart replays only LATER ranges),

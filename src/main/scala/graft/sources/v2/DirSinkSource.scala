@@ -3220,13 +3220,24 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     }.toArray
   }
 
+  /** The zone's column mapping AT SUBSCRIPTION, like the schema: the
+    * stream decodes with subscription-time logical names, so it must
+    * map them through the subscription-time `#colmap` — a mid-stream
+    * RENAME re-keys the head's map by the NEW names, and resolving it
+    * per batch would silently NULL every mapped column (physical names
+    * are stable for a file's whole life, so the pinned map stays
+    * correct for files written before AND after the rename; a restart
+    * re-reads both schema and map together). */
+  private lazy val subscriptionColMap: Map[String, String] =
+    DirSink.zoneColMap(path)
+
   /** Streaming batches keep ONE partition per committed file (offsets
     * are file counts; landing-zone files are micro-batch-sized), but
     * the READER still dispatches on the zone's data plane. */
   override def createReaderFactory(): PartitionReaderFactory =
     if (DirSink.zoneFormat(path).contains(DirSink.FormatParquet)) {
       val data = DirSink.asNullable(required)
-      val colmap = DirSink.zoneColMap(path)
+      val colmap = subscriptionColMap
       DirSinkParquetReaderFactory(
         DirSinkParquet.readerClosure(
           DirSink.toPhysical(DirSink.asNullable(schema), colmap),

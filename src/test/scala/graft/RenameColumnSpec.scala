@@ -201,6 +201,45 @@ class RenameColumnSpec extends AnyFunSuite {
       "the tail must decode both eras' files through the mapping")
   }
 
+  test("a rename UNDER a running tail keeps decoding values (subscription-pinned mapping)") {
+    // round 15: the tail decodes with subscription-time logical names,
+    // so it must map them through the subscription-time #colmap — a
+    // mid-stream rename re-keys the head's map by the NEW names, and a
+    // per-batch head-map resolution silently NULLed every mapped
+    // column from that batch on
+    val dir = freshZone(10)
+    DirSink.renameColumn(dir, "v", "weight") // subscription map nonempty
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_ren_mid_chk").toString
+    val sums = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sums.synchronized {
+          sums += ((df.count(),
+            df.agg(coalesce(sum("weight"), lit(0L))).head.getLong(0)))
+        }
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the rename lands UNDER the running query and re-keys the head
+      // map (weight->v becomes w2->v); the append writes physical 'v'
+      DirSink.renameColumn(dir, "weight", "w2")
+      spark.range(10, 15).select(col("id"), (col("id") * 7).as("w2"))
+        .coalesce(1).write.format(fmt).option("path", dir)
+        .mode(SaveMode.Append).save()
+      q.processAllAvailable()
+    } finally q.stop()
+    val (rows, total) = (sums.map(_._1).sum, sums.map(_._2).sum)
+    assert(rows == 15, s"both eras' files must stream: $sums")
+    assert(total == (0L until 15L).map(_ * 7).sum,
+      s"the subscription mapping must survive the mid-stream rename " +
+        s"(a per-batch head map reads NULLs): $sums")
+  }
+
   test("a CDF read across the rename speaks the current names") {
     val dir = freshZone(10)
     DirSink.renameColumn(dir, "v", "weight")
