@@ -34,8 +34,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\)\s*)?(?:TARGET\s+(\d+)\s+FILES\s*)?(?:SMALLER\s+THAN\s+(\d+)\s*(B|KB|MB|GB)?\s*)?;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`$]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*$""".r
+  private val Restore =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`$]+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Restore(name, ver, tsStr, tsMs) =>
+      RestoreZoneCommand(delegate.parseMultipartIdentifier(name),
+        Option(ver).map(_.toLong),
+        Option(tsStr).map(s => java.sql.Timestamp.valueOf(s).getTime)
+          .orElse(Option(tsMs).map(_.toLong)))
     case Optimize(name, kind, cols, target, small, unit) =>
       val colList = Option(cols).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -169,5 +176,32 @@ case class VacuumZoneCommand(name: Seq[String], retainHours: Long,
     graft.sources.v2.DirSink
       .vacuum(path, retainHours * 3600L * 1000L, dryRun = dryRun)
       .map(Row(_))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF g | TIMESTAMP AS OF t` — Delta's
+  * RESTORE as SQL: [[graft.sources.v2.DirSink.restore]] publishes ONE
+  * snapshot commit making the era the head again (schema, column
+  * mapping, and layout headers travel back; the generation counter and
+  * streaming epoch high-water only move forward). Timestamps accept an
+  * ISO `'yyyy-mm-dd hh:mm:ss'` literal or bare epoch millis and
+  * resolve to the newest generation committed at or before t. Returns
+  * (restored_version, new_generation, files). */
+case class RestoreZoneCommand(name: Seq[String], version: Option[Long],
+                              tsMillis: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_generation", LongType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = ZoneResolve.zonePath(spark, name)
+    val gen = version.getOrElse(
+      graft.sources.v2.DirSink.genAsOf(path, tsMillis.get))
+    val newGen = graft.sources.v2.DirSink.restore(path, gen)
+    val files = graft.sources.v2.DirSink.readManifest(path)
+      .map(_._2.size.toLong).getOrElse(0L)
+    Seq(Row(gen, newGen, files))
   }
 }

@@ -1247,6 +1247,67 @@ object DirSink {
     * last remaining column. Like every manifest rewrite, snapshots that
     * predate the drop see the NEW schema — rewritten history, the
     * caveat `evolveSchema` already carries. */
+  /** RESTORE — Delta's `RESTORE TABLE t TO VERSION AS OF g`: make
+    * generation g the zone's HEAD again by publishing ONE snapshot
+    * commit carrying g's file list, schema, and layout headers
+    * (format / bucket / bloom / checks / `#colmap` / `remap` all
+    * travel back — the era IS the state), as far back as vacuum
+    * retention keeps g reconstructible. Nothing is copied or
+    * rewritten: g's files were never deleted while g is retained (the
+    * vacuum live-set theorem), so restore is an O(file-list) metadata
+    * publish, and the UNDONE generations stay time-travelable behind
+    * it until retention ages them out — restore-of-a-restore works.
+    * Two head facts deliberately do NOT travel back:
+    *
+    *   - the GENERATION COUNTER moves forward (head gen + 1 — history
+    *     is append-only; Delta's RESTORE does the same), so
+    *     `VERSION AS OF` targets never become ambiguous;
+    *   - the streaming `#emax` high-water never regresses (a replayed
+    *     epoch must STAY replayed: restoring past an epoch-carrying
+    *     generation must not let a recovering streaming writer
+    *     double-publish that epoch), and the `#hist` publish history
+    *     is the head's plus this restore, not the era's shorter copy.
+    *
+    * Restoring to the current generation is a no-op. Running row
+    * tails see the manifest change shape and fail fast — the same
+    * restart discipline as OPTIMIZE (StreamRun scenario G). Returns
+    * the new head generation. */
+  /** Resolve `TIMESTAMP AS OF t` to a restorable GENERATION (the SQL
+    * RESTORE surface): the newest generation committed at or before t.
+    * A t inside a migrated legacy zone's pre-log line-level history
+    * has no generation to restore to — loud error, not a guess. */
+  private[graft] def genAsOf(path: String, tMillis: Long): Long =
+    DirSinkLog.genAsOfTimestamp(path, tMillis) match {
+      case Some((g, None)) => g
+      case Some((_, Some(_))) => throw new IllegalArgumentException(
+        s"timestamp $tMillis lands inside zone $path's pre-log legacy " +
+          "history — only whole generations are restorable; use " +
+          "VERSION AS OF with a generation from t\\$history")
+      case None => throw new IllegalArgumentException(
+        s"zone $path has no commit log — nothing to restore to")
+    }
+
+  def restore(path: String, gen: Long): Long = withZoneLock(path) {
+    val head = readManifestRaw(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${ManifestName} manifest or commit log under $path — " +
+          "nothing was committed"))
+    if (head.gen == gen) head.gen
+    else {
+      val target = DirSinkLog.at(path, gen) // loud when not retained
+      val emax = (epochMaxOf(head).toSeq ++ epochMaxOf(target).toSeq)
+        .reduceOption(_ max _)
+      val header = (target.header - "hist" - "emax" - DirSinkLog.TsKey) ++
+        head.header.get("hist").map("hist" -> _) ++
+        emax.map(e => "emax" -> e.toString) +
+        ("gen" -> (head.gen + 1).toString)
+      publishCommit(path, target.schema,
+        withHistory(header, s"restore-$gen", target.lines.size),
+        DirSinkLog.SnapshotCommit(target.lines), s"restore-$gen")
+      head.gen + 1
+    }
+  }
+
   def dropColumn(path: String, colName: String): Unit = withZoneLock(path) {
     val m = readManifestRaw(path).getOrElse(
       throw new IllegalArgumentException(
