@@ -919,7 +919,57 @@ object Layouts extends QueryModule {
     "q_dsv2_agg_meta" -> (qDsv2AggMeta _),
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_zbox" -> (qDsv2Zbox _),
-    "q_dsv2_cdf" -> (qDsv2Cdf _))
+    "q_dsv2_cdf" -> (qDsv2Cdf _),
+    "q_dsv2_restore" -> (qDsv2Restore _))
+
+  /** q_dsv2_restore — RESTORE end to end and oracle-checked: half the
+    * documents land (gen 0), the other half appends (gen 1), a DELETE
+    * removes every German document (gen 2 — the build asserts rows
+    * actually left), and `DirSink.restore` to generation 1 publishes
+    * the snapshot commit that makes the pre-delete era the head again
+    * (gen 3). The final aggregate therefore covers the WHOLE corpus —
+    * which the oracle derives from the raw parquet, an equality that
+    * holds only if the restore recovered the deleted generation's
+    * file list (and their rows) exactly. Build is generation-pinned
+    * (head gen 3): re-runs reuse the committed history. */
+  private def qDsv2Restore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/docs_dirsink_restore"
+    val fmtName = "graft.sources.v2.DirSinkSource"
+    if (!graft.sources.v2.DirSink.currentGen(path).contains(3L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+      docs.filter($"doc_id" % 2 === 0)
+        .repartitionByRange(4, $"doc_id")
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Append).save() // gen 0
+      docs.filter($"doc_id" % 2 === 1)
+        .repartitionByRange(4, $"doc_id")
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Append).save() // gen 1
+      new graft.sources.v2.DirSinkTable(path,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("lang", "de"))) // gen 2
+      val afterDelete = s.read.format(fmtName).option("path", path)
+        .load().count()
+      graft.sources.v2.DirSink.restore(path, 1L) // gen 3
+      val restored = s.read.format(fmtName).option("path", path)
+        .load().count()
+      require(restored > afterDelete,
+        s"fixture: the DELETE must remove rows for the restore to " +
+          s"recover ($afterDelete -> $restored)")
+    }
+    s.read.format(fmtName).option("path", path).load()
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"lang")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_schema_evolution" ->
@@ -1120,5 +1170,14 @@ object Layouts extends QueryModule {
          SELECT doc_id, lang, n_chars,
                 'delete' AS change_type, CAST(1 AS BIGINT) AS commit_version
          FROM documents WHERE lang = 'de'
-         ORDER BY commit_version, change_type, doc_id""")
+         ORDER BY commit_version, change_type, doc_id""",
+    // the aggregate covers the WHOLE corpus iff the restore recovered
+    // the DELETEd generation's rows exactly — a partial restore (or a
+    // no-op one) breaks the count/sum at the first 'de' group
+    "q_dsv2_restore" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents
+         GROUP BY lang ORDER BY lang""")
 }
