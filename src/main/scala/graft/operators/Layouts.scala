@@ -566,6 +566,47 @@ object Layouts extends QueryModule {
         min($"event_type").as("min_type"), max($"event_type").as("max_type"))
   }
 
+  /** q_dsv2_agg_nulls — `count(col)` OVER NULLABLE COLUMNS answered
+    * from the manifest (round 15): the stats codec now carries a
+    * per-file NULL COUNT for partial-null columns, so `count(col)` =
+    * rows − known nulls folds from metadata alone — the one aggregate
+    * the round-13 pushdown had to refuse whenever any file held a null
+    * (the no-null proof was all it had). The zone derives two
+    * partial-null columns from events (a NULLIF'd string, a modulo-
+    * nulled BIGINT); the declared aggregate answers every column from
+    * the manifest (complete pushdown — MetadataAggSpec proves the
+    * files never open on this codec), while the oracle recomputes the
+    * identical NULLIF/CASE derivation over the ORIGINAL events
+    * parquet: the metadata-held counts are gated against the data, not
+    * against themselves. At 100 TB this is the difference between
+    * "how many documents still lack a license tag" being a catalog
+    * lookup and being a full scan. Legacy zones written before the
+    * counted codec refuse (never guess) and fall back to the scan —
+    * the upgrade path MetadataAggSpec pins. */
+  private def qDsv2AggNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/events_dirsink_nulls"
+    if (!graft.sources.v2.DirSink.zoneFormat(path)
+        .contains(graft.sources.v2.DirSink.FormatParquet)) {
+      Tables.load(s, dir, "events")
+        .select($"event_id",
+          expr("nullif(event_type, 'click')").as("etype_n"),
+          when($"user_id" % 7 === 0, lit(null)).otherwise($"user_id")
+            .cast("long").as("uid_n"))
+        .repartition(4)
+        .write.format("graft.sources.v2.DirSinkSource")
+        .option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    s.read.format("graft.sources.v2.DirSinkSource")
+      .option("path", path).load()
+      .agg(count(lit(1)).as("n_rows"),
+        count($"etype_n").as("n_etype"),
+        count($"uid_n").as("n_uid"),
+        min($"etype_n").as("min_etype"), max($"etype_n").as("max_etype"),
+        min($"uid_n").as("min_uid"), max($"uid_n").as("max_uid"))
+  }
+
   /** q_dsv2_embed_store — EMBEDDINGS LIVING IN THE ENGINE'S OWN TABLE
     * FORMAT (round 13, the parquet data plane's type-surface proof):
     * the embeddings corpus — `vec_id BIGINT, embedding ARRAY<FLOAT>,
@@ -917,6 +958,7 @@ object Layouts extends QueryModule {
     "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
     "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
     "q_dsv2_agg_meta" -> (qDsv2AggMeta _),
+    "q_dsv2_agg_nulls" -> (qDsv2AggNulls _),
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_zbox" -> (qDsv2Zbox _),
     "q_dsv2_cdf" -> (qDsv2Cdf _),
@@ -1133,6 +1175,22 @@ object Layouts extends QueryModule {
                 min(event_id) AS min_id, max(event_id) AS max_id,
                 min(ts) AS min_ts, max(ts) AS max_ts,
                 min(event_type) AS min_type, max(event_type) AS max_type
+         FROM events""",
+    // the declared query answers count(col) over PARTIAL-NULL columns
+    // from the manifest's per-file null counts (round 15); the oracle
+    // re-derives the identical NULLIF/CASE columns over the original
+    // parquet — metadata-held counts gated against the data
+    "q_dsv2_agg_nulls" ->
+      """SELECT count(*) AS n_rows,
+                count(nullif(event_type, 'click')) AS n_etype,
+                count(CASE WHEN user_id % 7 = 0 THEN NULL
+                           ELSE user_id END) AS n_uid,
+                min(nullif(event_type, 'click')) AS min_etype,
+                max(nullif(event_type, 'click')) AS max_etype,
+                min(CASE WHEN user_id % 7 = 0 THEN NULL
+                         ELSE user_id END) AS min_uid,
+                max(CASE WHEN user_id % 7 = 0 THEN NULL
+                         ELSE user_id END) AS max_uid
          FROM events""",
     // the declared query joins two BUCKETED DirSink zones without a
     // shuffle (storage-partitioned join); the oracle recomputes the

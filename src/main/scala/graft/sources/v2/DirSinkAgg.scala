@@ -44,9 +44,14 @@ object DirSinkAgg {
     *     (or carries no rows) — min/max/count(col) refuse without it;
     *   - `noNull`: stats PROVE no null anywhere (count(col) law);
     *   - `min`/`max`: encoded bound over the files that have values
-    *     (None = no non-null value anywhere → SQL NULL). */
+    *     (None = no non-null value anywhere → SQL NULL);
+    *   - `nulls`: the column's KNOWN null total (round 15 — no-null
+    *     files contribute 0, counted partial-null lines their count,
+    *     all-null files their row count; a single legacy line without
+    *     a count poisons to None and `count(col)` refuses). */
   case class ColFacts(proved: Boolean, noNull: Boolean,
-                      min: Option[String], max: Option[String])
+                      min: Option[String], max: Option[String],
+                      nulls: Option[Long] = None)
 
   /** The whole partial: total rows + one [[ColFacts]] per aggregated
     * column (positions align with the requested column indices). */
@@ -59,17 +64,24 @@ object DirSinkAgg {
               colIdx: IndexedSeq[Int]): AggFacts = {
     if (rows == 0L) // empty file: contributes count 0 and no values
       return AggFacts(0L, colIdx.map(_ =>
-        ColFacts(proved = true, noNull = true, None, None)))
+        ColFacts(proved = true, noNull = true, None, None, Some(0L))))
     stats match {
       case None => // pre-stats line: refuses everything but count(*)
         AggFacts(rows, colIdx.map(_ =>
-          ColFacts(proved = false, noNull = false, None, None)))
+          ColFacts(proved = false, noNull = false, None, None, None)))
       case Some(field) =>
         val st = DirSinkStats.parse(field, nCols)
         AggFacts(rows, colIdx.map { i =>
           val c = st(i)
-          if (c.disabled) ColFacts(proved = false, noNull = false, None, None)
-          else ColFacts(proved = true, noNull = !c.hasNull, c.min, c.max)
+          if (c.disabled)
+            ColFacts(proved = false, noNull = false, None, None, None)
+          else {
+            // an all-null column's nulls ARE the file's rows — parse
+            // cannot see the row count, the fold can
+            val nulls =
+              if (c.min.isEmpty && c.hasNull) Some(rows) else c.nullCount
+            ColFacts(proved = true, noNull = !c.hasNull, c.min, c.max, nulls)
+          }
         })
     }
   }
@@ -93,13 +105,14 @@ object DirSinkAgg {
           }
         }
         ColFacts(x.proved && y.proved, x.noNull && y.noNull,
-          pick(wantMin = true), pick(wantMin = false))
+          pick(wantMin = true), pick(wantMin = false),
+          for (p <- x.nulls; q <- y.nulls) yield p + q)
       })
 
   /** Identity element of [[merge]]. */
   def empty(nAggCols: Int): AggFacts =
     AggFacts(0L, IndexedSeq.fill(nAggCols)(
-      ColFacts(proved = true, noNull = true, None, None)))
+      ColFacts(proved = true, noNull = true, None, None, Some(0L))))
 
   /** The combined facts over the zone's visible entries: a driver loop
     * below the prune threshold (or without a usable sidecar), the

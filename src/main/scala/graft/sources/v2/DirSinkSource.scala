@@ -2030,13 +2030,15 @@ class DirSinkScanBuilder(path: String, schema: StructType,
         Some((StructField("count(*)", LongType, nullable = false),
           Some(facts.rows.toString)))
       case WantCount(i) =>
-        // count(col) = count(*) only when stats PROVE no file has a
-        // null in the column (hasNull false everywhere; null counts
-        // are not tracked, so anything weaker refuses)
-        if (cf(i).proved && cf(i).noNull) Some((
+        // count(col) = rows − known nulls (round 15: stats carry
+        // per-file null counts — no-null files contribute 0, counted
+        // partial-null lines their count, all-null files their rows;
+        // ONE legacy count-less partial-null line poisons the total
+        // and the pushdown refuses, never guesses)
+        if (cf(i).proved && cf(i).nulls.isDefined) Some((
           StructField(s"count(${mschema(i).name})", LongType,
             nullable = false),
-          Some(facts.rows.toString)))
+          Some((facts.rows - cf(i).nulls.get).toString)))
         else None
       case WantMin(i) =>
         if (cf(i).proved) Some((

@@ -49,14 +49,23 @@ object DirSinkStats {
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   /** One column's stats: bounds in canonical string form (None = no
-    * non-null value in the file), `disabled` = the `*` opt-out. */
+    * non-null value in the file), `disabled` = the `*` opt-out,
+    * `nullCount` = the file's KNOWN null count for the column (round
+    * 15: `Some(0)` for no-null files, the encoded count for
+    * partial-null files written since counts landed, `None` for
+    * legacy partial-null lines and disabled columns — the all-null
+    * case derives as the file's row count at the fold, which parse
+    * cannot see). Skipping never reads it; the metadata-only
+    * `count(col)` fold does. */
   case class ColStats(hasNull: Boolean, min: Option[String],
-                      max: Option[String], disabled: Boolean = false)
+                      max: Option[String], disabled: Boolean = false,
+                      nullCount: Option[Long] = None)
 
   /** Mutable writer-side accumulator: one pass over the task's rows. */
   final class Collector(schema: StructType) {
     private val n = schema.length
     private val hasNull = new Array[Boolean](n)
+    private val nullCnt = new Array[Long](n)
     private val mins = new Array[Any](n)
     private val maxs = new Array[Any](n)
     private val disabled = new Array[Boolean](n)
@@ -66,7 +75,7 @@ object DirSinkStats {
       rows += 1
       var i = 0
       while (i < n) {
-        if (row.isNullAt(i)) hasNull(i) = true
+        if (row.isNullAt(i)) { hasNull(i) = true; nullCnt(i) += 1 }
         else if (!disabled(i)) {
           val dt = schema(i).dataType
           val v: Any = dt match {
@@ -111,8 +120,14 @@ object DirSinkStats {
         if (disabled(i)) "*"
         else if (rows == 0) "e"
         else if (mins(i) == null) "n" // values existed but all were null
-        else (if (hasNull(i)) "n" else "_") +
-          b64(canonical(mins(i))) + "," + b64(canonical(maxs(i)))
+        else if (hasNull(i))
+          // partial-null bounds carry the NULL COUNT as a third token
+          // (digits — separator-safe), so `count(col)` can answer from
+          // metadata as rows − nulls; legacy two-token lines read as
+          // count-unknown and refuse, never guess
+          "n" + b64(canonical(mins(i))) + "," + b64(canonical(maxs(i))) +
+            "," + nullCnt(i)
+        else "_" + b64(canonical(mins(i))) + "," + b64(canonical(maxs(i)))
       }.mkString(";")
   }
 
@@ -163,17 +178,20 @@ object DirSinkStats {
       if (i >= parts.length) ColStats(hasNull = true, None, None, disabled = true)
       else parts(i) match {
         case "*" => ColStats(hasNull = true, None, None, disabled = true)
-        case "e" => ColStats(hasNull = false, None, None)
+        case "e" => ColStats(hasNull = false, None, None, nullCount = Some(0L))
         case "n" => ColStats(hasNull = true, None, None)
         case s if s.length > 1 && (s.head == '_' || s.head == 'n') &&
           s.indexOf(',') > 0 =>
           try {
-            val body = s.tail
-            val c = body.indexOf(',')
+            val body = s.tail.split(",", -1)
+            val nulls =
+              if (s.head != 'n') Some(0L) // no-null bounds
+              else if (body.length >= 3) Some(body(2).toLong)
+              else None // legacy partial-null line: count unknown
             ColStats(s.head == 'n',
-              Some(unb64(body.substring(0, c))),
-              Some(unb64(body.substring(c + 1))))
-          } catch { case _: IllegalArgumentException =>
+              Some(unb64(body(0))), Some(unb64(body(1))),
+              nullCount = nulls)
+          } catch { case _: RuntimeException =>
             ColStats(hasNull = true, None, None, disabled = true)
           }
         case _ => ColStats(hasNull = true, None, None, disabled = true)

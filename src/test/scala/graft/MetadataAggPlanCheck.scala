@@ -16,4 +16,13 @@ class MetadataAggPlanCheck extends AnyFunSuite {
       s"expected the pushed aggregate scan, got:\n$plan")
     assert(df.count() == 1)
   }
+
+  test("q_dsv2_agg_nulls rides the metadata scan — count(col) answered from null counts") {
+    val df = SparkEntry.queries("q_dsv2_agg_nulls")(spark, TestSession.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-only"),
+      s"expected the pushed aggregate scan (nullable count must not " +
+        s"force a fallback scan), got:\n$plan")
+    assert(df.count() == 1)
+  }
 }

@@ -61,19 +61,50 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(r3.getString(0) == "v1" && r3.getString(1) == "v99")
   }
 
-  test("an all-null column folds to SQL NULL; a nullable count refuses pushdown") {
+  test("an all-null column folds to SQL NULL; nullable counts answer as rows − known nulls") {
     import spark.implicits._
     val dir = tmpDir()
     Seq((1L, Option.empty[String]), (2L, None), (3L, None))
       .toDF("id", "s").coalesce(1)
       .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // a second file with a PARTIAL-null column: its stats line carries
+    // the null count (round 15), so count(s) answers from metadata
+    Seq((4L, Option("x")), (5L, None), (6L, Option("y")))
+      .toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
     deleteDataFiles(dir)
     val r = spark.read.format(fmt).option("path", dir).load()
-      .agg(count(lit(1)), min($"s"), max($"s")).head
-    assert(r.getLong(0) == 3L && r.isNullAt(1) && r.isNullAt(2))
-    // count(s) needs the no-nulls proof the stats cannot give here:
-    // pushdown refuses, Spark scans — and the files are gone, so the
-    // refusal is OBSERVABLE as a read failure rather than a wrong 3
+      .agg(count(lit(1)), min($"s"), max($"s"), count($"s")).head
+    assert(r.getLong(0) == 6L && r.getString(1) == "x" &&
+      r.getString(2) == "y")
+    assert(r.getLong(3) == 2L,
+      "count(s) = rows − known nulls, metadata-only (files are gone)")
+  }
+
+  test("a LEGACY count-less partial-null stats line refuses count(col) — never guesses") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, Option("x")), (2L, None)).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // rewrite the committed stats to the ROUND-14 two-token shape
+    // (n<min>,<max> without the count) — the upgrade-in-place corpus
+    val m = new java.io.File(dir, "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".commit")).head
+    val txt = java.nio.file.Files.readString(m.toPath)
+    val legacy = txt.replaceAll("(n[A-Za-z0-9+/=]+,[A-Za-z0-9+/=]+),\\d+",
+      "$1")
+    assert(legacy != txt, s"fixture: a counted partial-null line: $txt")
+    java.nio.file.Files.writeString(m.toPath, legacy)
+    java.nio.file.Files.deleteIfExists(
+      m.toPath.getParent.resolve("." + m.getName + ".crc"))
+    graft.sources.v2.DirSinkLog.invalidate(dir)
+    deleteDataFiles(dir)
+    // count(*) and bounds still answer; count(s) must refuse — and the
+    // files are gone, so the refusal is OBSERVABLE as a read failure
+    // rather than a wrong answer
+    val r = spark.read.format(fmt).option("path", dir).load()
+      .agg(count(lit(1)), min($"s")).head
+    assert(r.getLong(0) == 2L && r.getString(1) == "x")
     intercept[Exception] {
       spark.read.format(fmt).option("path", dir).load()
         .agg(count($"s")).head
