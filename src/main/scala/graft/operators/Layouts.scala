@@ -962,7 +962,8 @@ object Layouts extends QueryModule {
     "q_dsv2_spj" -> (qDsv2Spj _),
     "q_dsv2_zbox" -> (qDsv2Zbox _),
     "q_dsv2_cdf" -> (qDsv2Cdf _),
-    "q_dsv2_restore" -> (qDsv2Restore _))
+    "q_dsv2_restore" -> (qDsv2Restore _),
+    "q_dsv2_clone" -> (qDsv2Clone _))
 
   /** q_dsv2_restore — RESTORE end to end and oracle-checked: half the
     * documents land (gen 0), the other half appends (gen 1), a DELETE
@@ -1011,6 +1012,46 @@ object Layouts extends QueryModule {
         sum($"n_chars").cast("long").as("total_chars"),
         min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
       .orderBy($"lang")
+  }
+
+  /** q_dsv2_clone — SHALLOW CLONE end to end and oracle-checked
+    * (round 15): the events zone is cloned by reference
+    * ([[graft.sources.v2.DirSink.cloneZone]] — the clone's gen-0
+    * snapshot points at the SOURCE's files by absolute path, zero data
+    * copied), the clone then takes its OWN append (the post-millennium
+    * echo rows below), and the declared aggregate runs over the clone:
+    * original rows THROUGH absolute entries + the clone's local rows
+    * through ordinary ones, grouped together. The oracle derives the
+    * identical union from the raw events parquet — an equality that
+    * holds only if (a) every source row survives the by-reference
+    * read bit-exactly and (b) the clone's own write plane is fully
+    * independent (the echo rows never landed in the source, which
+    * q_dsv2_agg_meta would catch drifting). Build is generation-pinned
+    * (clone head gen 1): re-runs reuse the committed clone. */
+  private def qDsv2Clone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = eventsZone(s, dir)
+    val path = s"${layoutRoot(dir)}/events_dirsink_clone"
+    val fmtName = "graft.sources.v2.DirSinkSource"
+    if (!graft.sources.v2.DirSink.currentGen(path).contains(1L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.sources.v2.DirSink.cloneZone(src, path) // gen 0, by reference
+      // the clone's own data: an echo of the error events, ids shifted
+      // out of the source's id space so the populations stay distinct
+      s.read.format(fmtName).option("path", path).load()
+        .filter($"event_type" === "error")
+        .select($"event_id" + 10000000L as "event_id",
+          $"ts", lit("error_echo").as("event_type"), $"value")
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Append).save() // gen 1
+    }
+    s.read.format(fmtName).option("path", path).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+        sum(floor($"value" * 10000.0 + 0.5).cast("long")).as("value_q"))
+      .orderBy($"event_type")
   }
 
   val oracles: Map[String, String] = Map(
@@ -1237,5 +1278,20 @@ object Layouts extends QueryModule {
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents
-         GROUP BY lang ORDER BY lang""")
+         GROUP BY lang ORDER BY lang""",
+    // the declared query reads a SHALLOW CLONE — the source's rows
+    // through absolute by-reference entries plus the clone's own
+    // appended echo rows; the oracle derives the identical union from
+    // the raw events parquet
+    "q_dsv2_clone" ->
+      """WITH z AS (
+           SELECT event_id, event_type, value FROM events
+           UNION ALL
+           SELECT event_id + 10000000, 'error_echo', value
+           FROM events WHERE event_type = 'error')
+         SELECT event_type, count(*) AS n_events,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS value_q
+         FROM z GROUP BY event_type ORDER BY event_type""")
 }

@@ -36,8 +36,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*VACUUM\s+([\w.`$]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`$]+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""".r
+  private val Clone =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`$]+)\s+SHALLOW\s+CLONE\s+([\w.`$]+)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Clone(dst, src) =>
+      CloneZoneCommand(delegate.parseMultipartIdentifier(dst),
+        delegate.parseMultipartIdentifier(src))
     case Restore(name, ver, tsStr, tsMs) =>
       RestoreZoneCommand(delegate.parseMultipartIdentifier(name),
         Option(ver).map(_.toLong),
@@ -114,6 +119,28 @@ private[plans] object ZoneResolve {
       }
       case c => throw new IllegalArgumentException(
         s"catalog ${c.name()} is not a table catalog")
+    }
+  }
+
+  /** The zone directory a NOT-YET-EXISTING table name would occupy —
+    * the CLONE target's allocation, same layout rule as CREATE TABLE.
+    * Requires a [[graft.sources.v2.GraftCatalog]] (only it has the
+    * `<warehouse>/<ns…>/<table>` path convention). */
+  def newZonePath(spark: SparkSession, name: Seq[String]): String = {
+    val cm = spark.sessionState.catalogManager
+    val (catalog, ident) = name match {
+      case Seq(one) =>
+        (cm.currentCatalog, Identifier.of(cm.currentNamespace, one))
+      case head +: rest if cm.isCatalogRegistered(head) =>
+        (cm.catalog(head), Identifier.of(rest.init.toArray, rest.last))
+      case _ =>
+        (cm.currentCatalog, Identifier.of(name.init.toArray, name.last))
+    }
+    catalog match {
+      case gc: graft.sources.v2.GraftCatalog => gc.pathFor(ident)
+      case c => throw new IllegalArgumentException(
+        s"catalog ${c.name()} is not a graft catalog — SHALLOW CLONE " +
+          "targets allocate their zone through the graft layout rule")
     }
   }
 }
@@ -203,5 +230,30 @@ case class RestoreZoneCommand(name: Seq[String], version: Option[Long],
     val files = graft.sources.v2.DirSink.readManifest(path)
       .map(_._2.size.toLong).getOrElse(0L)
     Seq(Row(gen, newGen, files))
+  }
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1` — Delta's zero-copy clone as
+  * SQL: [[graft.sources.v2.DirSink.cloneZone]] publishes t2's gen-0
+  * snapshot referencing t1's current files by absolute path (no data
+  * moved; see the cloneZone scaladoc for what carries, what resets,
+  * and the source-vacuum caveat). The target name allocates its zone
+  * directory through the SAME catalog layout rule as CREATE TABLE, so
+  * the new zone is immediately loadable/listable — the catalog is
+  * filesystem-backed, the published manifest IS the table. Returns
+  * (source_version, files). */
+case class CloneZoneCommand(target: Seq[String], source: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = ZoneResolve.zonePath(spark, source)
+    val dstPath = ZoneResolve.newZonePath(spark, target)
+    val srcGen = graft.sources.v2.DirSink.cloneZone(srcPath, dstPath)
+    val files = graft.sources.v2.DirSink.readManifest(dstPath)
+      .map(_._2.size.toLong).getOrElse(0L)
+    Seq(Row(srcGen, files))
   }
 }

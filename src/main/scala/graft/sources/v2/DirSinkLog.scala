@@ -305,7 +305,11 @@ object DirSinkLog {
           s"${m.gen} is addressable, not $gen")
       return m
     }
-    replay(f, path, segs, Some(gen))
+    val era = replay(f, path, segs, Some(gen))
+    // era reads gate like head reads: a generation written by a newer
+    // build refuses rather than misreads
+    DirSinkProtocol.checkRead(era.header, path)
+    era
   }
 
   /** Resolve `TIMESTAMP AS OF t` to a GENERATION plus an optional
@@ -368,7 +372,11 @@ object DirSinkLog {
     val gen = header.getOrElse("gen",
       throw new IllegalArgumentException("publish without a gen header"))
       .toLong
-    val stamped = header + (TsKey -> System.currentTimeMillis().toString)
+    // protocol gate THEN stamp: refuse to commit on top of features
+    // this build does not implement; publish the explicit lists
+    DirSinkProtocol.checkWrite(header, path)
+    val stamped = DirSinkProtocol.stamp(header) +
+      (TsKey -> System.currentTimeMillis().toString)
     // parent state BEFORE the commit lands (for the checkpoint below);
     // resolved only when a checkpoint is due — the cache makes it cheap
     val ckptDue = gen > 0 && gen % CheckpointInterval == 0

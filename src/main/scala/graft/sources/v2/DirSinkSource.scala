@@ -525,8 +525,14 @@ object DirSink {
     * ([[DirSinkLog.head]] — replay of the newest checkpoint + deltas,
     * fingerprint-cached), else the legacy single-file manifest. Every
     * metadata probe in the connector funnels through here. */
-  private[v2] def readManifestRaw(path: String): Option[Manifest] =
-    DirSinkLog.head(path).orElse(legacyManifest(path))
+  private[v2] def readManifestRaw(path: String): Option[Manifest] = {
+    val m = DirSinkLog.head(path).orElse(legacyManifest(path))
+    // protocol gate at the ONE funnel every metadata probe reads
+    // through: a `#features` list naming a reader feature this build
+    // does not implement refuses loudly instead of misreading
+    m.foreach(x => DirSinkProtocol.checkRead(x.header, path))
+    m
+  }
 
   /** Pre-log zones: parse `_GRAFT_COMMIT` directly. Still the read
     * path for any zone never committed to since the log landed; also
@@ -1305,6 +1311,73 @@ object DirSink {
         withHistory(header, s"restore-$gen", target.lines.size),
         DirSinkLog.SnapshotCommit(target.lines), s"restore-$gen")
       head.gen + 1
+    }
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`, same
+    * public design): `dst` becomes a new zone whose generation-0
+    * snapshot REFERENCES `src`'s current files by ABSOLUTE path —
+    * zero data bytes copied, O(metadata) cost, which is what makes
+    * "give me a writable copy of the 100 TB corpus to experiment on"
+    * a sub-second operation instead of a day of I/O. Readers resolve
+    * entries through `new Path(zone, name)`, for which an absolute
+    * name resolves to ITSELF (Hadoop URI-resolution semantics), so
+    * every consumer — scans, splits, CDF, DML rewrites — works on the
+    * clone unchanged. From the snapshot on, the two zones are fully
+    * independent: appends/DELETE/OPTIMIZE on either never touch the
+    * other's manifest, and new files land under their own zone dir.
+    * `OPTIMIZE dst` re-materializes the clone (the rewrite's output is
+    * local files), turning shallow into deep when wanted.
+    *
+    * What carries: schema, data-plane format, column mapping, bucket
+    * layout, bloom coverage, CHECK constraints, per-file stats/bytes/
+    * epoch fields (the `#emax` law survives — a replayed epoch stays
+    * replayed on the clone too). What resets: history (fresh `#hist`
+    * with a `clone` record; provenance in `#clonesrc=<src>@<gen>`),
+    * the generation counter (the clone's own log starts at 0), and
+    * the compaction remap chain (it describes the SOURCE's history).
+    * The clone declares the `absolute-paths` reader feature
+    * ([[DirSinkProtocol]]) so a build that resolves names differently
+    * refuses instead of misreading.
+    *
+    * CAVEAT (Delta's, verbatim in kind): the clone's gen-0 files live
+    * in the source's directory and are protected by the SOURCE's
+    * retention only — `vacuum(src)` after a source rewrite can delete
+    * files the clone still references (the source cannot know its
+    * clones). Clone-side vacuum is structurally safe: it sweeps only
+    * the clone's own directory, where referenced absolute entries
+    * never appear as local orphans. CloneSpec pins both directions.
+    * Same-filesystem clones only (the entries are one-FS paths).
+    * Returns the source generation that was cloned. */
+  def cloneZone(src: String, dst: String): Long = {
+    val m = readManifestRaw(src).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed zone under $src — nothing to clone"))
+    val sfs = fs(src)
+    withZoneLock(dst) {
+      if (zoneExists(dst)) throw new IllegalStateException(
+        s"zone $dst already exists — SHALLOW CLONE creates, never " +
+          "overwrites (drop the target first)")
+      val absLines = m.lines.map { line =>
+        val cut = line.indexOf('\t')
+        val (name, rest) =
+          if (cut < 0) (line, "") else (line.substring(0, cut),
+            line.substring(cut))
+        val p = new Path(name)
+        val abs = if (p.isAbsolute) name
+          else sfs.makeQualified(new Path(src, name)).toString
+        abs + rest
+      }
+      val declared = m.header.get(DirSinkProtocol.ReaderKey)
+        .toSet[String].flatMap(_.split(",")).filter(_.nonEmpty)
+      val header = (m.header - "hist" - "remap") +
+        ("gen" -> "0") + ("clonesrc" -> s"$src@${m.gen}") +
+        (DirSinkProtocol.ReaderKey ->
+          (declared + "absolute-paths").toSeq.sorted.mkString(","))
+      publishCommit(dst, m.schema,
+        withHistory(header, "clone", absLines.size),
+        DirSinkLog.SnapshotCommit(absLines), "clone")
+      m.gen
     }
   }
 

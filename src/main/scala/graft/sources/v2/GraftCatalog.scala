@@ -57,6 +57,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fs = DirSink.fs(warehouse)
 
+  /** The zone directory a table name occupies (existing or not) —
+    * the allocation rule SHALLOW CLONE targets go through. */
+  private[graft] def pathFor(ident: Identifier): String = dirOf(ident)
+
   private def dirOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
       .foldLeft(new Path(warehouse))(new Path(_, _)).toString
