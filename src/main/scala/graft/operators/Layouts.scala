@@ -963,7 +963,8 @@ object Layouts extends QueryModule {
     "q_dsv2_zbox" -> (qDsv2Zbox _),
     "q_dsv2_cdf" -> (qDsv2Cdf _),
     "q_dsv2_restore" -> (qDsv2Restore _),
-    "q_dsv2_clone" -> (qDsv2Clone _))
+    "q_dsv2_clone" -> (qDsv2Clone _),
+    "q_dsv2_dv" -> (qDsv2Dv _))
 
   /** q_dsv2_restore — RESTORE end to end and oracle-checked: half the
     * documents land (gen 0), the other half appends (gen 1), a DELETE
@@ -1045,6 +1046,62 @@ object Layouts extends QueryModule {
           $"ts", lit("error_echo").as("event_type"), $"value")
         .write.format(fmtName).option("path", path)
         .mode(org.apache.spark.sql.SaveMode.Append).save() // gen 1
+    }
+    s.read.format(fmtName).option("path", path).load()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+        sum(floor($"value" * 10000.0 + 0.5).cast("long")).as("value_q"))
+      .orderBy($"event_type")
+  }
+
+  /** q_dsv2_dv — DELETION-VECTOR DELETE end to end and oracle-checked
+    * (round 15): an event_id-clustered zone takes TWO scattered
+    * DELETEs (every 'error' event, then every value below 0.05 —
+    * shapes the per-file bounds cannot decide, the exact case
+    * copy-on-write pays a whole-zone rewrite for), both executed as
+    * merge-on-read position bitmaps ([[graft.sources.v2.DirSinkDv]]);
+    * the build REQUIRES the file list to be untouched and `dv=` tags
+    * present, so the query can only pass through the vector read
+    * path. The declared aggregate then runs over the vectored zone —
+    * every surviving row decoded past its file's dead positions — and
+    * the oracle recomputes the identical survivors from the raw
+    * events parquet: one wrongly-skipped or wrongly-returned ordinal
+    * anywhere and the hash gate fails. Build is generation-pinned
+    * (head gen 2: one 4-file append + two vector DELETEs): re-runs
+    * reuse the committed zone. */
+  private def qDsv2Dv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${layoutRoot(dir)}/events_dirsink_dv"
+    val fmtName = "graft.sources.v2.DirSinkSource"
+    if (!graft.sources.v2.DirSink.currentGen(path).contains(2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+        .repartitionByRange(4, $"event_id")
+        .write.format(fmtName).option("path", path)
+        .mode(org.apache.spark.sql.SaveMode.Append).save() // gen 0
+      val before = graft.sources.v2.DirSink.readManifest(path)
+        .get._2.map(_._1)
+      val t = new graft.sources.v2.DirSinkTable(path,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE"))
+      s.conf.set(graft.sources.v2.DirSinkDv.EnabledKey, "true")
+      try {
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("event_type", "error")))
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.LessThan("value", 0.05)))
+      } finally s.conf.unset(graft.sources.v2.DirSinkDv.EnabledKey)
+      val after = graft.sources.v2.DirSink.readManifest(path)
+        .get._2.map(_._1)
+      require(after.toSet == before.toSet, // re-tagged lines re-order
+        "fixture: merge-on-read must not rewrite the file list " +
+          s"($before -> $after)")
+      require(graft.sources.v2.DirSink.readManifestLines(path)
+        .get._2.exists(_.contains("dv=")),
+        "fixture: the DELETEs must have produced deletion vectors")
     }
     s.read.format(fmtName).option("path", path).load()
       .groupBy($"event_type")
@@ -1293,5 +1350,17 @@ object Layouts extends QueryModule {
                 min(event_id) AS min_id, max(event_id) AS max_id,
                 CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
                      AS BIGINT) AS value_q
-         FROM z GROUP BY event_type ORDER BY event_type""")
+         FROM z GROUP BY event_type ORDER BY event_type""",
+    // the declared query reads a zone whose two DELETEs were executed
+    // as deletion-vector bitmaps (file list pinned unchanged by the
+    // build); the oracle recomputes the identical survivors from the
+    // raw events parquet — one wrong ordinal fails the hash gate
+    "q_dsv2_dv" ->
+      """SELECT event_type, count(*) AS n_events,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS value_q
+         FROM events
+         WHERE event_type <> 'error' AND value >= 0.05
+         GROUP BY event_type ORDER BY event_type""")
 }

@@ -61,7 +61,16 @@ object DirSinkAgg {
     * sliver. `colIdx` are the schema positions of the aggregated
     * columns; `nCols` is the schema width (stats are positional). */
   def factsOf(rows: Long, stats: Option[String], nCols: Int,
-              colIdx: IndexedSeq[Int]): AggFacts = {
+              colIdx: IndexedSeq[Int],
+              dvCard: Option[Long] = None): AggFacts = {
+    // a DELETION-VECTORED file (round 15): count(*) knows its live
+    // rows exactly (physical − cardinality), but the per-column facts
+    // describe PHYSICAL rows — a deleted row may hold the extremum or
+    // the null, so min/max/count(col) refuse on this file
+    dvCard.filter(_ > 0L).foreach { c =>
+      return AggFacts(rows - c, colIdx.map(_ =>
+        ColFacts(proved = false, noNull = false, None, None, None)))
+    }
     if (rows == 0L) // empty file: contributes count 0 and no values
       return AggFacts(0L, colIdx.map(_ =>
         ColFacts(proved = true, noNull = true, None, None, Some(0L))))
@@ -132,7 +141,8 @@ object DirSinkAgg {
     val dts: IndexedSeq[DataType] = colIdx.map(schema(_).dataType)
     def loopOver(es: Seq[DirSink.FileEntry]): AggFacts =
       es.foldLeft(empty(colIdx.size))((acc, e) =>
-        merge(acc, factsOf(e.rows, e.stats, schema.length, colIdx), dts))
+        merge(acc, factsOf(e.rows, e.stats, schema.length, colIdx,
+          e.dv.map(_._2)), dts))
     if (entries.size >= threshold && m.ckptBase.isDefined) {
       factsJob(spark, path, m.ckptBase.get, m.recentRemoves, schema,
         colIdx, dts) match {
@@ -170,11 +180,21 @@ object DirSinkAgg {
     // per-file partials + per-partition reduce on executors; the
     // driver merges ONE partial per partition (tuple encoder only —
     // AggFacts travels as a plain case class through the RDD layer)
-    val perPartition = spark.read.parquet(sidecar.toString)
-      .select("name", "rows", "stats").as[(String, Long, String)]
+    val raw = spark.read.parquet(sidecar.toString)
+    // pre-round-15 sidecars have no dvcard column; their zones also
+    // have no vectors (a vector commit lands AFTER the checkpoint and
+    // rides the recentAdds driver sliver until the next one)
+    val withCard =
+      if (raw.columns.contains("dvcard")) raw
+      else raw.withColumn("dvcard",
+        org.apache.spark.sql.functions.lit(null)
+          .cast(org.apache.spark.sql.types.LongType))
+    val perPartition = withCard
+      .select("name", "rows", "stats", "dvcard")
+      .as[(String, Long, String, Option[Long])]
       .rdd
       .filter(t => !gone.contains(t._1))
-      .map(t => factsOf(t._2, Option(t._3), nCols, idx))
+      .map(t => factsOf(t._2, Option(t._3), nCols, idx, t._4))
       .mapPartitions(it =>
         if (it.hasNext) Iterator.single(it.reduce(merge(_, _, types)))
         else Iterator.empty)

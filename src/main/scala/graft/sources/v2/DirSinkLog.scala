@@ -453,11 +453,13 @@ object DirSinkLog {
       import spark.implicits._
       val rows = lines.map { l =>
         val e = DirSink.parseEntry(l)
-        (e.name, e.rows, e.epoch, e.ts, e.bytes, e.bucket, e.stats)
+        (e.name, e.rows, e.epoch, e.ts, e.bytes, e.bucket, e.stats,
+          e.dv.map(_._2))
       }
       val tmp = new Path(logPath(path), s".ckpt-parquet-tmp-$gen")
       spark.createDataset(rows)
-        .toDF("name", "rows", "epoch", "ts", "bytes", "bucket", "stats")
+        .toDF("name", "rows", "epoch", "ts", "bytes", "bucket", "stats",
+          "dvcard")
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       val f = DirSink.fs(path)
@@ -486,7 +488,11 @@ object DirSinkLog {
       .filterNot(s => excludeSegs(s.status.getPath.getName))
     segs.flatMap { s =>
       val p = parseSegment(readText(f, s.status.getPath), s.ckpt)
-      p.lines.map(l => DirSink.parseEntry(l).name)
+      p.lines.flatMap { l =>
+        val e = DirSink.parseEntry(l)
+        // a retained line's deletion vector is as live as its file
+        e.name +: e.dv.map(_._1).toSeq
+      }
     }.toSet
   }
 

@@ -52,7 +52,7 @@ object DirSinkProtocol {
   /** Reader-required features this build implements. */
   val ReaderSupported: Set[String] =
     Set("commit-log", "column-mapping", "parquet-plane",
-      "absolute-paths")
+      "absolute-paths", "deletion-vectors")
 
   /** Writer-required features this build implements (superset of the
     * reader set — you cannot commit to a zone you cannot read). */
@@ -68,6 +68,7 @@ object DirSinkProtocol {
     if (header.contains(DirSink.ColMapKey)) r += "column-mapping"
     if (header.get(DirSink.FormatKey).contains(DirSink.FormatParquet))
       r += "parquet-plane"
+    if (header.contains(DirSinkDv.HeaderKey)) r += "deletion-vectors"
     if (header.keys.exists(_.startsWith(DirSinkChecks.PropPrefix)))
       w += "check-constraints"
     if (header.contains(DirSink.BucketKey)) w += "bucketing"

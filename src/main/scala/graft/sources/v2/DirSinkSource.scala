@@ -639,8 +639,10 @@ object DirSink {
     val base = parent.map(_.header).getOrElse(Map.empty[String, String])
     val emax = (parent.flatMap(epochMaxOf) ++ newEpoch).reduceOption(_ max _)
     // an overwrite's fresh schema speaks physical == logical again:
-    // the column mapping (like the remap chain) describes REPLACED data
-    (if (truncate) base - "remap" - ColMapKey else base) ++
+    // the column mapping (like the remap chain and the deletion-vector
+    // flag) describes REPLACED data
+    (if (truncate) base - "remap" - ColMapKey - DirSinkDv.HeaderKey
+     else base) ++
       Map("gen" -> parent.map(_.gen + 1).getOrElse(0L).toString) ++
       emax.map(e => "emax" -> e.toString)
   }
@@ -741,16 +743,22 @@ object DirSink {
     * `bytes` is the committed file's size, present since the parquet
     * data plane landed — byte-range split planning without a
     * per-file stat call. */
+  /** `dv`: the file's DELETION VECTOR — (vector name, cardinality);
+    * rows stays the PHYSICAL count (stats/epoch semantics intact),
+    * live rows = rows − cardinality ([[DirSinkDv]]). */
   case class FileEntry(name: String, rows: Long, epoch: Option[Long],
                        stats: Option[String], ts: Option[Long] = None,
                        bytes: Option[Long] = None,
-                       bucket: Option[Int] = None)
+                       bucket: Option[Int] = None,
+                       dv: Option[(String, Long)] = None)
 
   /** Tag-based field parse of one file line: index 0 = name, 1 = row
     * count; anything after is an epoch if it parses as a bare long,
     * stats if `s=`-prefixed, a commit timestamp if `t=`-prefixed, a
-    * file byte size if `b=`-prefixed, a bucket id if `k=`-prefixed —
-    * old and new lines co-parse. */
+    * file byte size if `b=`-prefixed, a bucket id if `k=`-prefixed, a
+    * deletion vector if `dv=`-prefixed (`<name>:<cardinality>`, split
+    * at the LAST colon — a clone's absolute names carry `file:` URIs)
+    * — old and new lines co-parse. */
   private[v2] def parseEntry(line: String): FileEntry = {
     val p = line.split("\t")
     var epoch: Option[Long] = None
@@ -758,6 +766,7 @@ object DirSink {
     var ts: Option[Long] = None
     var bytes: Option[Long] = None
     var bucket: Option[Int] = None
+    var dv: Option[(String, Long)] = None
     p.drop(2).foreach { f =>
       if (f.startsWith("s=")) stats = Some(f.drop(2))
       else if (f.startsWith("t="))
@@ -766,9 +775,23 @@ object DirSink {
         bytes = scala.util.Try(f.drop(2).toLong).toOption
       else if (f.startsWith("k="))
         bucket = scala.util.Try(f.drop(2).toInt).toOption
+      else if (f.startsWith("dv=")) {
+        val body = f.drop(3)
+        val cut = body.lastIndexOf(':')
+        if (cut > 0) dv = scala.util.Try(body.substring(cut + 1).toLong)
+          .toOption.map(c => (body.substring(0, cut), c))
+      }
       else epoch = scala.util.Try(f.toLong).toOption.orElse(epoch)
     }
-    FileEntry(p(0), p(1).toLong, epoch, stats, ts, bytes, bucket)
+    FileEntry(p(0), p(1).toLong, epoch, stats, ts, bytes, bucket, dv)
+  }
+
+  /** Re-tag a manifest line's deletion vector (None = strip). Every
+    * other field rides verbatim — the line IS the history record. */
+  private[v2] def withDvTag(line: String,
+                            dv: Option[(String, Long)]): String = {
+    val kept = line.split("\t").filterNot(_.startsWith("dv="))
+    (kept ++ dv.map { case (n, c) => s"dv=$n:$c" }).mkString("\t")
   }
 
   /** Manifest-line tag for a file's bucket id ([[FileEntry.bucket]]). */
@@ -1030,6 +1053,15 @@ object DirSink {
         }
         if (!dryRun && f.listStatus(st.getPath).isEmpty)
           f.delete(st.getPath, false)
+      } else if (st.isDirectory && n == DirSinkDv.DirName) {
+        // deletion vectors: a member referenced by ANY retained
+        // generation is live (`retainedLiveSet` carries dv names);
+        // unreferenced ones (crashed/conflicted DELETE attempts,
+        // aged-out eras) age-gate like any orphan
+        f.listStatus(st.getPath).foreach { m =>
+          val rel = s"$n/${m.getPath.getName}"
+          if (!live.contains(rel)) sweepFile(m, rel)
+        }
       } else if (st.isDirectory && n == "_staging") {
         f.listStatus(st.getPath).foreach { qdir =>
           if (qdir.isDirectory) {
@@ -1358,15 +1390,22 @@ object DirSink {
       if (zoneExists(dst)) throw new IllegalStateException(
         s"zone $dst already exists — SHALLOW CLONE creates, never " +
           "overwrites (drop the target first)")
-      val absLines = m.lines.map { line =>
+      def absName(name: String): String = {
+        val p = new Path(name)
+        if (p.isAbsolute) name
+        else sfs.makeQualified(new Path(src, name)).toString
+      }
+      val absLines = m.lines.map { line0 =>
+        // a deletion vector is part of the file's identity: the
+        // clone's entry points at the SOURCE's vector absolutely,
+        // like the data file itself
+        val line = parseEntry(line0).dv.fold(line0)(d =>
+          withDvTag(line0, Some((absName(d._1), d._2))))
         val cut = line.indexOf('\t')
         val (name, rest) =
           if (cut < 0) (line, "") else (line.substring(0, cut),
             line.substring(cut))
-        val p = new Path(name)
-        val abs = if (p.isAbsolute) name
-          else sfs.makeQualified(new Path(src, name)).toString
-        abs + rest
+        absName(name) + rest
       }
       val declared = m.header.get(DirSinkProtocol.ReaderKey)
         .toSet[String].flatMap(_.split(",")).filter(_.nonEmpty)
@@ -1712,11 +1751,13 @@ object DirSink {
     * Position -1 is the [[FileNameCol]] metadata column — constant
     * `fileName` per partition. */
   def decodeProjected(line: String, schema: StructType,
-                      idx: Array[Int], fileName: String): InternalRow = {
+                      idx: Array[Int], fileName: String,
+                      pos: Long = -1L): InternalRow = {
     // limit -1: a trailing EMPTY string field must survive the split
     val parts = line.split(Sep.toString, -1)
     new GenericInternalRow(idx.map { i =>
-      if (i == -1) UTF8String.fromString(fileName): Any else {
+      if (i == -1) UTF8String.fromString(fileName): Any
+      else if (i == -2) pos: Any else {
       val p = if (i < parts.length) parts(i) else "\\0"
       if (p == "\\0") null
       else schema(i).dataType match {
@@ -1755,14 +1796,30 @@ class DirSinkTable(path: String, schema0: StructType,
   /** `_file`: the committed-file group identity ([[DirSink.FileNameCol]]).
     * Shadowed by a data column of the same name, per the Spark contract. */
   override def metadataColumns():
-      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (schema0.fieldNames.contains(DirSink.FileNameCol)) Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = DirSink.FileNameCol
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def comment(): String =
-        "manifest name of the committed file this row belongs to"
-    })
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val file: Option[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      if (schema0.fieldNames.contains(DirSink.FileNameCol)) None
+      else Some(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = DirSink.FileNameCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def comment(): String =
+          "manifest name of the committed file this row belongs to"
+      })
+    // `_pos`: the row's ordinal within its committed file — the
+    // coordinate deletion vectors address (the DV writer reads it; it
+    // is also the debuggability column every positional format grows)
+    val pos: Option[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      if (schema0.fieldNames.contains(DirSinkDv.PosCol)) None
+      else Some(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = DirSinkDv.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def comment(): String =
+          "row position within the committed file (deletion-vector " +
+            "coordinate)"
+      })
+    (file.toSeq ++ pos.toSeq).toArray
+  }
   override def name(): String = s"graft_dir_sink($path)"
   override def schema(): StructType = schema0
 
@@ -1884,6 +1941,16 @@ class DirSinkTable(path: String, schema0: StructType,
         case _ => split += e.name // undecided (or pre-stats): rewrite
       }
     }
+    // MERGE-ON-READ: with deletion vectors enabled, the undecided
+    // files take a position bitmap instead of a copy-on-write rewrite
+    // — write cost proportional to the DELETION, not the zone
+    // ([[DirSinkDv]]); the metadata drops/keeps above are identical
+    if (split.nonEmpty && scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.conf
+        .get(DirSinkDv.EnabledKey, "false").toBoolean).getOrElse(false)) {
+      deleteWithVectors(parent, filters, drop.toSeq, split.toSeq)
+      return
+    }
     val f = DirSink.fs(path)
     val root = new Path(path)
     var scratchDir: Option[Path] = None
@@ -1957,6 +2024,84 @@ class DirSinkTable(path: String, schema0: StructType,
         DirSinkLog.DeltaCommit(rewrittenLines, (drop ++ split).toSeq))
     }
     scratchDir.foreach(s => f.delete(s, true))
+  }
+
+  /** The deletion-vector DELETE tail ([[DirSinkDv]]): ONE distributed
+    * job reads the undecided files (the scan already applies their
+    * EXISTING vectors, so the matched positions are live rows only),
+    * builds a per-file position bitmap executor-side — keyed by the
+    * `_file`/`_pos` metadata columns, the same coordinates the reader
+    * skips by — unions it with the file's previous vector, and writes
+    * ONE immutable vector per touched file; the publish re-tags the
+    * touched lines (O(delta) as ever) and a file whose union covers
+    * every physical row drops entirely. Untouched undecided files (the
+    * stats could not decide but no row actually matched) keep their
+    * lines verbatim. The driver holds file NAMES and tag tuples only.
+    * Era correctness is structural: old generations keep their old
+    * tags, and the vectors are immutable. */
+  private def deleteWithVectors(parent: DirSink.Manifest,
+                                filters: Array[org.apache.spark.sql.sources.Filter],
+                                drop: Seq[String],
+                                split: Seq[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cond = filters.flatMap(DirSinkStats.toColumn).reduceOption(_ && _)
+      .getOrElse(throw new IllegalArgumentException(
+        s"DELETE predicate ${filters.mkString(" AND ")} has an " +
+          "untranslatable shape — canDeleteWhere should have refused"))
+    val oldDv: Map[String, Option[String]] = {
+      val byName = parent.lines.map(DirSink.parseEntry)
+        .map(e => e.name -> e.dv.map(_._1)).toMap
+      split.map(n => n -> byName.getOrElse(n, None)).toMap
+    }
+    val zp = path
+    val infos: Array[(String, String, Long)] =
+      spark.read.format(classOf[DirSinkSource].getName)
+        .option("path", path)
+        .option("files", split.mkString(","))
+        .load()
+        .filter(coalesce(cond, lit(false))) // the rows to DELETE
+        .select(col(DirSink.FileNameCol), col(DirSinkDv.PosCol))
+        .repartition(col(DirSink.FileNameCol))
+        .rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap
+            .empty[String, java.util.BitSet]
+          it.foreach { r =>
+            val pos = r.getLong(1)
+            require(pos <= Int.MaxValue,
+              s"row position $pos overflows the vector coordinate")
+            acc.getOrElseUpdate(r.getString(0), new java.util.BitSet)
+              .set(pos.toInt)
+          }
+          acc.iterator.map { case (file, bits) =>
+            // union with the file's previous vector: immutable — the
+            // old vector stays for the old generations
+            oldDv.getOrElse(file, None)
+              .foreach(old => bits.or(DirSinkDv.read(zp, old)))
+            (file, DirSinkDv.write(zp, bits), bits.cardinality().toLong)
+          }
+        }.collect()
+    val dvByFile = infos.map(i => i._1 -> ((i._2, i._3))).toMap
+    val fullyDead = scala.collection.mutable.ArrayBuffer[String]()
+    val updatedLines = parent.lines.flatMap { line =>
+      val e = DirSink.parseEntry(line)
+      dvByFile.get(e.name) match {
+        case Some((_, card)) if card >= e.rows =>
+          fullyDead += e.name; None // every physical row dead: drop
+        case Some((nm, card)) =>
+          Some(DirSink.withDvTag(line, Some((nm, card))))
+        case None => None
+      }
+    }
+    DirSink.publishAtGen(path, parent.gen, "DELETE", "delete-dv") { now =>
+      val header =
+        if (dvByFile.isEmpty) DirSink.nextHeader(Some(now))
+        else DirSink.nextHeader(Some(now)) + (DirSinkDv.HeaderKey -> "1")
+      (DirSink.withHistory(header, "delete",
+        parent.lines.size - drop.size - fullyDead.size),
+        DirSinkLog.DeltaCommit(updatedLines,
+          (drop ++ dvByFile.keySet).distinct))
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -2771,7 +2916,8 @@ class DirSinkParquetWriter(path: String, schema: StructType, queryId: String,
 case class DirSinkFilePartition(path: String, file: String, ddl: String,
                                 requiredIdx: Array[Int],
                                 start: Long = 0L, length: Long = Long.MaxValue,
-                                fileLen: Long = -1L)
+                                fileLen: Long = -1L,
+                                dv: Option[String] = None)
     extends InputPartition
 
 /** A file partition of a BUCKETED zone: carries its bucket id as the
@@ -2811,16 +2957,27 @@ class DirSinkReaderFactory extends PartitionReaderFactory {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       DirSink.execFs(p.path).open(new Path(p.path, p.file)), "UTF-8"),
       1 << 16)
+    // the deletion vector (if any) is applied HERE, by row ordinal —
+    // the same counter that materializes the `_pos` metadata column,
+    // so the writer's coordinates and the reader's skip agree by
+    // construction
+    val dead = p.dv.map(DirSinkDv.read(p.path, _))
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
+      private var ord = -1L
       override def next(): Boolean = {
-        var line = in.readLine()
-        while (line != null && line.isEmpty) line = in.readLine()
-        if (line == null) false
-        else {
-          cur = DirSink.decodeProjected(line, sch, p.requiredIdx, p.file)
-          true
+        while (true) {
+          var line = in.readLine()
+          while (line != null && line.isEmpty) line = in.readLine()
+          if (line == null) return false
+          ord += 1
+          if (!dead.exists(_.get(ord.toInt))) {
+            cur = DirSink.decodeProjected(line, sch, p.requiredIdx,
+              p.file, ord)
+            return true
+          }
         }
+        false
       }
       override def get(): InternalRow = cur
       override def close(): Unit = in.close()
@@ -2868,6 +3025,7 @@ class DirSinkScan(path: String, schema: StructType,
     required.fieldNames.map { n =>
       if (schema.fieldNames.contains(n)) schema.fieldIndex(n)
       else if (n == DirSink.FileNameCol) -1 // metadata column
+      else if (n == DirSinkDv.PosCol) -2 // metadata column (row ordinal)
       else throw new IllegalArgumentException(
         s"column $n is neither in the zone schema nor a metadata column")
     }
@@ -3004,7 +3162,9 @@ class DirSinkScan(path: String, schema: StructType,
     * of a 100 TB fact against a KB dimension that should have shipped
     * to the executors. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows: Long = visibleFiles.map(_.rows).sum
+    // live rows: deletion-vectored files report physical − cardinality
+    private val rows: Long =
+      visibleFiles.map(e => e.rows - e.dv.fold(0L)(_._2)).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows * math.max(1, required.defaultSize))
     override def numRows(): java.util.OptionalLong =
@@ -3059,7 +3219,7 @@ class DirSinkScan(path: String, schema: StructType,
     def part(e: DirSink.FileEntry, s: Long, l: Long,
              len: Long): InputPartition = {
       val base = DirSinkFilePartition(path, e.name, ddl, requiredIdx,
-        s, l, len)
+        s, l, len, e.dv.map(_._1))
       if (keyed) DirSinkBucketedFilePartition(base, e.bucket.get) else base
     }
     if (zoneFmt == DirSink.FormatParquet) {
@@ -3088,8 +3248,25 @@ class DirSinkScan(path: String, schema: StructType,
     * codec reader. */
   override def createReaderFactory(): PartitionReaderFactory =
     if (zoneFmt == DirSink.FormatParquet) {
-      val data = StructType(required.fields.filter(f =>
+      val data0 = StructType(required.fields.filter(f =>
         schema.fieldNames.contains(f.name)))
+      // DELETION VECTORS / `_pos`: when any planned file carries a
+      // vector (or the scan projects the position column), ask
+      // Spark's parquet machinery for its OWN row index — the
+      // split-stable file-global ordinal — by appending the reserved
+      // row-index field to the read schema; the factory filters dead
+      // positions and the projection strips the extra column
+      val needPos = required.fieldNames.contains(DirSinkDv.PosCol) ||
+        manifestEntries.exists(_.dv.isDefined)
+      // the reserved TEMPORARY name is what the parquet machinery
+      // matches (ROW_INDEX_FIELD's pretty name is the user-facing
+      // `_metadata.row_index` alias); nullable, or the missing-column
+      // check refuses before the generator gets to fill it
+      val data = if (!needPos) data0 else StructType(data0.fields :+
+        org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          LongType, nullable = true))
       // a column-mapped (renamed) zone's files resolve by PHYSICAL
       // names. The mapping must come from the SAME manifest the scan's
       // logical schema came from: a snapshot read speaks ITS era's
@@ -3147,7 +3324,24 @@ case class DirSinkParquetReaderFactory(
       org.apache.spark.paths.SparkPath.fromPath(abs),
       p.start, math.min(p.length, math.max(0L, len - p.start)),
       Array.empty, 0L, len)
-    val base = DirSinkParquet.rowIterator(read(pf))
+    val raw = DirSinkParquet.rowIterator(read(pf))
+    // the parquet row index (appended by the scan when vectors or
+    // `_pos` are in play) is the deletion-vector coordinate: filter
+    // dead positions FIRST, then project the index away (or surface
+    // it as `_pos`)
+    val rowIdxOrd = data.fieldNames.indexOf(
+      org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
+    val base = p.dv match {
+      case Some(dvName) =>
+        require(rowIdxOrd >= 0,
+          s"file ${p.file} carries a deletion vector but the scan " +
+            "planned no row index — a reader bug, refusing to return " +
+            "deleted rows")
+        val dead = DirSinkDv.read(p.path, dvName)
+        raw.filter(r => !dead.get(r.getLong(rowIdxOrd).toInt))
+      case None => raw
+    }
     val it: Iterator[InternalRow] =
       if (required.fieldNames.sameElements(data.fieldNames)) base
       else {
@@ -3156,6 +3350,8 @@ case class DirSinkParquetReaderFactory(
           if (data.fieldNames.contains(f.name))
             BoundReference(data.fieldIndex(f.name), f.dataType,
               nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+          else if (f.name == DirSinkDv.PosCol && rowIdxOrd >= 0)
+            BoundReference(rowIdxOrd, LongType, nullable = false)
           else Literal(UTF8String.fromString(p.file), StringType)
         }
         val proj = UnsafeProjection.create(exprs)
