@@ -447,6 +447,68 @@ object Layouts extends QueryModule {
       .orderBy($"lang", $"tier")
   }
 
+  /** q_dsv2_dml_dv — the SAME UPDATE + MERGE surface as
+    * [[qDsv2Dml]], executed MERGE-ON-READ (round 15): with deletion
+    * vectors enabled, Spark's row-level rewrites plan `WriteDelta`
+    * against [[graft.sources.v2.DirSinkDeltaRowLevelOperation]] —
+    * row id `(_file, _pos)`, matched rows become vector bits plus
+    * appended rows, no touched file is rewritten. The build REQUIRES
+    * vector tags after the DML, so the aggregate can only pass by
+    * decoding around dead positions; the oracle replays the identical
+    * final state from the raw documents parquet — identical to the
+    * copy-on-write query's oracle, which IS the point: two physical
+    * strategies, one answer, both held to the data. Re-runs reach the
+    * same fixpoint state (the UPDATE/MERGE pair is idempotent on the
+    * zone's final tiers), matching the CoW query's replay
+    * discipline. */
+  private def qDsv2DmlDv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = layoutRoot(dir)
+    val cat = s"graftdmldv_${math.abs(root.hashCode)}"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/dmldv_wh")
+    }
+    val tbl = s"$cat.corpus.docs"
+    val zonePath = s"$root/dmldv_wh/corpus/docs"
+    if (!graft.sources.v2.DirSink.zoneFormat(zonePath)
+        .contains(graft.sources.v2.DirSink.FormatParquet)) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars", lit("raw").as("tier"))
+        .repartitionByRange(8, $"doc_id")
+        .writeTo(tbl).create()
+    }
+    val docs = Tables.load(s, dir, "documents")
+    val srcView = s"dmldv_src_${math.abs(root.hashCode)}"
+    docs.filter($"doc_id" < 100)
+      .select($"doc_id", $"lang", $"n_chars", lit("merged").as("tier"))
+      .union(docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"lang", $"n_chars",
+          lit("inserted").as("tier")))
+      .createOrReplaceTempView(srcView)
+    s.conf.set(graft.sources.v2.DirSinkDv.EnabledKey, "true")
+    try {
+      s.sql(s"UPDATE $tbl SET tier = 'short' WHERE n_chars < 500")
+      s.sql(
+        s"""MERGE INTO $tbl t USING $srcView s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET t.tier = s.tier
+           |WHEN NOT MATCHED THEN
+           |  INSERT (doc_id, lang, n_chars, tier)
+           |  VALUES (s.doc_id, s.lang, s.n_chars, s.tier)
+           |""".stripMargin)
+    } finally s.conf.unset(graft.sources.v2.DirSinkDv.EnabledKey)
+    require(graft.sources.v2.DirSink.readManifestLines(zonePath)
+      .get._2.exists(_.contains("dv=")),
+      "fixture: the DML must have run merge-on-read (vector tags)")
+    s.table(tbl)
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"))
+      .orderBy($"lang", $"tier")
+  }
+
   /** q_dsv2_colmap — RENAME COLUMN via column mapping, end to end and
     * oracle-checked: a documents slice lands in a zone (parquet plane),
     * BOTH data columns are renamed ([[graft.sources.v2.DirSink.renameColumn]]
@@ -954,6 +1016,7 @@ object Layouts extends QueryModule {
     "q_dsv2_sink_roundtrip" -> (qDsv2SinkRoundtrip _),
     "q_dsv2_skipping" -> (qDsv2Skipping _),
     "q_dsv2_dml" -> (qDsv2Dml _),
+    "q_dsv2_dml_dv" -> (qDsv2DmlDv _),
     "q_dsv2_colmap" -> (qDsv2ColMap _),
     "q_dsv2_time_slice" -> (qDsv2TimeSlice _),
     "q_dsv2_embed_store" -> (qDsv2EmbedStore _),
@@ -1210,6 +1273,23 @@ object Layouts extends QueryModule {
       // the final state after UPDATE(tier=short where n_chars<500) then
       // MERGE(doc_id<100 -> merged; +10M synthetics inserted), replayed
       // over the base parquet
+      """WITH base AS (
+           SELECT lang, n_chars,
+                  CASE WHEN doc_id < 100 THEN 'merged'
+                       WHEN n_chars < 500 THEN 'short'
+                       ELSE 'raw' END AS tier
+           FROM documents),
+         ins AS (
+           SELECT lang, n_chars, 'inserted' AS tier
+           FROM documents WHERE doc_id < 50),
+         all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         SELECT lang, tier, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM all_rows GROUP BY lang, tier ORDER BY lang, tier""",
+    // the merge-on-read twin: identical final state, identical oracle
+    // — two physical strategies (copy-on-write vs deletion vectors),
+    // one answer, both held to the raw parquet
+    "q_dsv2_dml_dv" ->
       """WITH base AS (
            SELECT lang, n_chars,
                   CASE WHEN doc_id < 100 THEN 'merged'

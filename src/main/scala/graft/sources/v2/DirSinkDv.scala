@@ -59,9 +59,13 @@ object DirSinkDv {
   val HeaderKey = "dv"
 
   /** Write one vector (executor-callable); returns the zone-relative
-    * name to tag the manifest line with. */
-  private[v2] def write(zonePath: String, bits: java.util.BitSet): String = {
-    val name = s"$DirName/dv-${java.util.UUID.randomUUID()}"
+    * name to tag the manifest line with. `dir` defaults to the final
+    * vector directory; task-level PARTIAL vectors (the delta DML
+    * write) pass their query's `_staging/<id>` so they are swept with
+    * the query's staging on commit or abort. */
+  private[v2] def write(zonePath: String, bits: java.util.BitSet,
+                        dir: String = DirName): String = {
+    val name = s"$dir/dv-${java.util.UUID.randomUUID()}"
     val f = DirSink.execFs(zonePath)
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(

@@ -1791,7 +1791,15 @@ class DirSinkTable(path: String, schema0: StructType,
     * [[deleteWhere]] first (the hybrid metadata path). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new DirSinkRowLevelOperation(path, schema0, info.command())
+    () =>
+      // session opted into deletion vectors → MERGE-ON-READ DML
+      // ([[DirSinkDeltaRowLevelOperation]]: vectors + appended files);
+      // otherwise the copy-on-write group rewrite. Answer-identical
+      // by construction — DeletionVectorSpec pins the equality.
+      if (scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+          .get(DirSinkDv.EnabledKey, "false").toBoolean).getOrElse(false))
+        new DirSinkDeltaRowLevelOperation(path, schema0, info.command())
+      else new DirSinkRowLevelOperation(path, schema0, info.command())
 
   /** `_file`: the committed-file group identity ([[DirSink.FileNameCol]]).
     * Shadowed by a data column of the same name, per the Spark contract. */
@@ -1802,6 +1810,10 @@ class DirSinkTable(path: String, schema0: StructType,
       else Some(new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = DirSink.FileNameCol
         override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        // non-nullable: (_file, _pos) IS the delta-DML row id, and
+        // row-id attributes must not be nullable (Spark's
+        // RewriteRowLevelCommand contract; Iceberg declares the same)
+        override def isNullable: Boolean = false
         override def comment(): String =
           "manifest name of the committed file this row belongs to"
       })
@@ -1814,6 +1826,7 @@ class DirSinkTable(path: String, schema0: StructType,
         override def name(): String = DirSinkDv.PosCol
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false // row-id attribute
         override def comment(): String =
           "row position within the committed file (deletion-vector " +
             "coordinate)"
