@@ -3406,20 +3406,48 @@ case class DirSinkParquetReaderFactory(
   * and `6@1` (post-compact, don't) cannot be confused. Serializes as
   * the bare count while no compaction has ever happened, so existing
   * checkpoints parse unchanged (their zones, by the old fail-fast rule,
-  * have never compacted under a tail — epoch 0 is exactly right). */
-case class DirSinkOffset(files: Int, compactions: Int = 0)
+  * have never compacted under a tail — epoch 0 is exactly right).
+  *
+  * `prefixFp` (round 15) closes the count-offset's documented blind
+  * spot — a SAME-LENGTH rewrite (a deletion-vector DELETE re-tags a
+  * line: remove + re-add, count unchanged; a row-level DML can land
+  * count-neutral too) used to be indistinguishable from an append, so
+  * a re-added consumed file could silently re-emit past the offset.
+  * The offset now carries a fingerprint of the first `files` line
+  * NAMES; batch planning recomputes it against the live manifest and
+  * a mismatch fails the stream loudly (the restart-the-tail
+  * discipline every rewrite-under-tail case already follows). Old
+  * checkpoints without the field parse unchanged and skip the check;
+  * migration across a compaction drops it (the remap proved
+  * whole-zone consumption; the next trigger re-stamps). */
+case class DirSinkOffset(files: Int, compactions: Int = 0,
+                         prefixFp: Option[String] = None)
     extends StreamOffset {
-  override def json(): String =
-    if (compactions == 0) files.toString else s"$files@$compactions"
+  override def json(): String = {
+    val base =
+      if (compactions == 0) files.toString else s"$files@$compactions"
+    prefixFp.fold(base)(fp => s"$base#$fp")
+  }
 }
 
 object DirSinkOffset {
   def parse(json: String): DirSinkOffset = {
-    val at = json.indexOf('@')
-    if (at < 0) DirSinkOffset(json.trim.toInt)
-    else DirSinkOffset(json.substring(0, at).trim.toInt,
-      json.substring(at + 1).trim.toInt)
+    val hash = json.indexOf('#')
+    val (core, fp) =
+      if (hash < 0) (json, None)
+      else (json.substring(0, hash),
+        Some(json.substring(hash + 1).trim).filter(_.nonEmpty))
+    val at = core.indexOf('@')
+    if (at < 0) DirSinkOffset(core.trim.toInt, 0, fp)
+    else DirSinkOffset(core.substring(0, at).trim.toInt,
+      core.substring(at + 1).trim.toInt, fp)
   }
+
+  /** Fingerprint of a consumed prefix: order-sensitive hash of the
+    * first n manifest line names. */
+  private[v2] def fpOf(names: Seq[String]): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(names).toLong & 0xffffffffL)
 }
 
 class DirSinkMicroBatchStream(path: String, schema: StructType,
@@ -3506,11 +3534,14 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     val current = latestOffset().asInstanceOf[DirSinkOffset].files
     val avail = availableNowEnd.fold(current)(math.min(current, _))
     val s = migrated(start.asInstanceOf[DirSinkOffset], remaps).files
-    limit match {
-      case m: ReadMaxFiles =>
-        DirSinkOffset(math.min(avail, s + m.maxFiles()), remaps.size)
-      case _ => DirSinkOffset(avail, remaps.size)
+    val end = limit match {
+      case m: ReadMaxFiles => math.min(avail, s + m.maxFiles())
+      case _ => avail
     }
+    val files = fileList
+    val fp = if (files.size >= end)
+      Some(DirSinkOffset.fpOf(files.take(end).map(_._1))) else None
+    DirSinkOffset(end, remaps.size, fp)
   }
 
   override def reportLatestOffset(): StreamOffset = latestOffset()
@@ -3531,9 +3562,14 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
   override def initialOffset(): StreamOffset =
     DirSinkOffset(0, currentRemaps.size)
   override def latestOffset(): StreamOffset = {
-    val n = fileList.size
-    if (n > maxSeen) maxSeen = n
-    DirSinkOffset(maxSeen, currentRemaps.size)
+    val files = fileList
+    if (files.size > maxSeen) maxSeen = files.size
+    // stamp the consumed-prefix fingerprint when the live list covers
+    // it (a transient publish window may momentarily show fewer lines
+    // than the high-water mark — skip stamping rather than lie)
+    val fp = if (files.size >= maxSeen)
+      Some(DirSinkOffset.fpOf(files.take(maxSeen).map(_._1))) else None
+    DirSinkOffset(maxSeen, currentRemaps.size, fp)
   }
   override def deserializeOffset(json: String): StreamOffset =
     DirSinkOffset.parse(json)
@@ -3559,6 +3595,26 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
       throw new IllegalStateException(
         s"manifest under $path shrank (${files.size} < $e): streaming " +
           "read requires append-only commits — no overwrite under a tail")
+    // PREFIX-INTEGRITY check (round 15): a same-length rewrite — a
+    // deletion-vector DELETE re-tagging consumed lines, a
+    // count-neutral row-level DML — reorders the manifest without
+    // shrinking it; a count offset alone would silently re-emit the
+    // re-added lines. Verify each offset's fingerprint against the
+    // live prefix (skipped when the offset predates the field or was
+    // minted in pre-migration coordinates).
+    def checkFp(o: DirSinkOffset, what: String): Unit =
+      o.prefixFp.foreach { fp =>
+        if (o.compactions == remaps.size &&
+          DirSinkOffset.fpOf(files.take(o.files).map(_._1)) != fp)
+          throw new IllegalStateException(
+            s"zone $path rewrote lines inside the tail's consumed " +
+              s"prefix ($what offset ${o.json()}): a row-level DML or " +
+              "deletion-vector DELETE landed under the stream. Restart " +
+              "the tail from a fresh checkpoint (accepting a re-read) " +
+              "or quiesce it before running DML on a tailed zone.")
+      }
+    checkFp(start.asInstanceOf[DirSinkOffset], "start")
+    checkFp(end.asInstanceOf[DirSinkOffset], "end")
     files.slice(s, e).map { case (n, _) =>
       DirSinkFilePartition(path, n, schema.toDDL,
         requiredIdx): InputPartition

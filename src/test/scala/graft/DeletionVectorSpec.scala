@@ -195,6 +195,41 @@ class DeletionVectorSpec extends AnyFunSuite {
       load(dst).filter(col("id").isin(10L, 20L)).count() == 0)
   }
 
+  test("a vector DELETE under a running tail fails the stream loudly — never a silent re-emit") {
+    import graft.sources.v2.{DirSinkMicroBatchStream, DirSinkOffset}
+    val dir = tmp()
+    build(dir, "parquet") // 4 files
+    val schema = StructType.fromDDL("id BIGINT, v BIGINT")
+    val stream = new DirSinkMicroBatchStream(dir, schema, schema)
+    val s0 = stream.initialOffset()
+    val eAll = stream.latestOffset()
+      .asInstanceOf[DirSinkOffset]
+    assert(eAll.files == 4 && eAll.prefixFp.isDefined,
+      s"offsets are fingerprint-stamped: ${eAll.json()}")
+    // the fingerprint survives the checkpoint round trip
+    assert(DirSinkOffset.parse(eAll.json()) == eAll)
+    // a partially-consumed offset (2 of 4 files)
+    val e2 = stream.latestOffset(s0,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(2))
+      .asInstanceOf[DirSinkOffset]
+    assert(stream.planInputPartitions(s0, e2).length == 2)
+    // a vector DELETE re-tags a CONSUMED file's line (ids 30,31 live
+    // in file 1): remove + re-add — count unchanged, order changed
+    withDv {
+      table(dir).deleteWhere(Array[Filter](
+        In("id", Array(30L, 31L).map(_.asInstanceOf[AnyRef]))))
+    }
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(s0, e2)
+    }
+    assert(e.getMessage.contains("rewrote lines inside"), e.getMessage)
+    // a FRESH tail (post-DML offsets) reads the live rows exactly
+    val fresh = new DirSinkMicroBatchStream(dir, schema, schema)
+    val parts = fresh.planInputPartitions(fresh.initialOffset(),
+      fresh.latestOffset())
+    assert(parts.length == 4, "the re-tagged file is still one file")
+  }
+
   test("CoW and vectors agree: same answers either way") {
     val a = tmp(); val b = tmp()
     build(a, "parquet"); build(b, "parquet")

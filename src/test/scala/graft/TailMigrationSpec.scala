@@ -82,7 +82,9 @@ class TailMigrationSpec extends AnyFunSuite {
     // offset that happens to read 3 again (3@1) is left alone
     assert(stream.latestOffset(DirSinkOffset(3, 0),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
-      .asInstanceOf[DirSinkOffset] == DirSinkOffset(1, 1))
+      .asInstanceOf[DirSinkOffset].copy(prefixFp = None)
+      == DirSinkOffset(1, 1),
+      "the fingerprint (round 15) rides on top of the migration")
     (4 to 6).foreach { i =>
       Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
         .write.format(fmt).option("path", in).mode(SaveMode.Append).save()
@@ -93,7 +95,7 @@ class TailMigrationSpec extends AnyFunSuite {
     val end = fresh.latestOffset(DirSinkOffset(3, 1),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
       .asInstanceOf[DirSinkOffset]
-    assert(end == DirSinkOffset(4, 1),
+    assert(end.copy(prefixFp = None) == DirSinkOffset(4, 1),
       s"post-compact offsets must stay in their coordinates, got $end")
     // offset serialization: bare count at epoch 0 (legacy checkpoints
     // parse unchanged), files@epoch once a compaction has happened
@@ -101,6 +103,13 @@ class TailMigrationSpec extends AnyFunSuite {
     assert(DirSinkOffset.parse("3") == DirSinkOffset(3, 0))
     assert(DirSinkOffset(1, 2).json() == "1@2")
     assert(DirSinkOffset.parse("1@2") == DirSinkOffset(1, 2))
+    // round 15: the prefix fingerprint serializes after '#' and the
+    // legacy forms above stay byte-identical (old checkpoints parse)
+    assert(DirSinkOffset(3, 0, Some("ab12")).json() == "3#ab12")
+    assert(DirSinkOffset.parse("3#ab12") ==
+      DirSinkOffset(3, 0, Some("ab12")))
+    assert(DirSinkOffset.parse("1@2#ff") ==
+      DirSinkOffset(1, 2, Some("ff")))
   }
 
   test("OVERWRITE clears the remap chain: rewritten history never mis-migrates a stale checkpoint") {
