@@ -3472,6 +3472,14 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
   private def fileList: Seq[(String, Long)] =
     DirSink.readManifest(path).map(_._2).getOrElse(Seq.empty)
 
+  /** Full entries (deletion-vector tags included): the batch planner
+    * needs each file's vector so a FRESH tail over a vectored zone
+    * skips the dead positions — emitting them would be wrong DATA,
+    * not merely replayed data (the prefix fingerprint protects
+    * in-flight consumption; this protects new subscribers). */
+  private def entryList: Seq[DirSink.FileEntry] =
+    DirSink.readManifestEntries(path).map(_._2).getOrElse(Seq.empty)
+
   /** ADMISSION CONTROL (`option("maxFilesPerTrigger", k)`): without a
     * read limit, a tail started against a zone with a deep backlog
     * takes the ENTIRE history as one micro-batch — unbounded executor
@@ -3615,9 +3623,12 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
       }
     checkFp(start.asInstanceOf[DirSinkOffset], "start")
     checkFp(end.asInstanceOf[DirSinkOffset], "end")
-    files.slice(s, e).map { case (n, _) =>
-      DirSinkFilePartition(path, n, schema.toDDL,
-        requiredIdx): InputPartition
+    // re-read WITH tags: a vectored file's dead positions must be
+    // skipped even by a fresh tail (wrong data, not just replay)
+    val entries = entryList
+    entries.slice(s, e).map { en =>
+      DirSinkFilePartition(path, en.name, schema.toDDL,
+        requiredIdx, dv = en.dv.map(_._1)): InputPartition
     }.toArray
   }
 
@@ -3637,13 +3648,25 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     * the READER still dispatches on the zone's data plane. */
   override def createReaderFactory(): PartitionReaderFactory =
     if (DirSink.zoneFormat(path).contains(DirSink.FormatParquet)) {
-      val data = DirSink.asNullable(required)
+      val data0 = DirSink.asNullable(required)
+      // a vectored zone needs the parquet row index to skip dead
+      // positions (same plumbing as the batch scan); a vector landing
+      // AFTER this factory is built fails the reader loudly (its
+      // partition carries a dv the schema lacks) — never silently
+      // emits deleted rows
+      val data =
+        if (entryList.forall(_.dv.isEmpty)) data0
+        else StructType(data0.fields :+
+          org.apache.spark.sql.types.StructField(
+            org.apache.spark.sql.execution.datasources.parquet
+              .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            LongType, nullable = true))
       val colmap = subscriptionColMap
       DirSinkParquetReaderFactory(
         DirSinkParquet.readerClosure(
           DirSink.toPhysical(DirSink.asNullable(schema), colmap),
           DirSink.toPhysical(data, colmap), Seq.empty),
-        data.toDDL, data.toDDL)
+        data0.toDDL, data.toDDL)
     } else new DirSinkReaderFactory
 
   override def commit(end: StreamOffset): Unit = ()

@@ -223,11 +223,23 @@ class DeletionVectorSpec extends AnyFunSuite {
       stream.planInputPartitions(s0, e2)
     }
     assert(e.getMessage.contains("rewrote lines inside"), e.getMessage)
-    // a FRESH tail (post-DML offsets) reads the live rows exactly
+    // a FRESH tail (post-DML offsets) reads the live rows exactly —
+    // end to end through a real streaming query: emitting a dead
+    // position would be wrong DATA, not merely replayed data
     val fresh = new DirSinkMicroBatchStream(dir, schema, schema)
     val parts = fresh.planInputPartitions(fresh.initialOffset(),
       fresh.latestOffset())
     assert(parts.length == 4, "the re-tagged file is still one file")
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("dv_fresh_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("dv_fresh_tail")
+      .agg(count(lit(1)).as("n"), sum("id").as("s")).head
+    assert(got.getLong(0) == 98 &&
+      got.getLong(1) == (0L until 100L).sum - 30L - 31L,
+      s"the fresh tail must skip the vectored positions: $got")
   }
 
   test("CoW and vectors agree: same answers either way") {
