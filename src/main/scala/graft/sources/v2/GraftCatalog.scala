@@ -576,7 +576,7 @@ class DirSinkFilesTable(path: String) extends Table
 
   private val sch = StructType.fromDDL(
     "file STRING, rows BIGINT, bytes BIGINT, bucket INT, epoch BIGINT, " +
-      "committed_ts TIMESTAMP, has_stats BOOLEAN")
+      "committed_ts TIMESTAMP, has_stats BOOLEAN, dv_rows BIGINT")
 
   override def name(): String = s"graft_dir_sink_files($path)"
   override def schema(): StructType = sch
@@ -594,7 +594,8 @@ class DirSinkFilesTable(path: String) extends Table
           DirSink.readManifestEntries(path).map(_._2).getOrElse(Seq.empty)
             .map(e => (e.name, e.rows, e.bytes.getOrElse(-1L),
               e.bucket.getOrElse(-1), e.epoch.getOrElse(-1L),
-              e.ts.getOrElse(-1L), e.stats.isDefined))))
+              e.ts.getOrElse(-1L), e.stats.isDefined,
+              e.dv.map(_._2).getOrElse(-1L)))))
       override def createReaderFactory(): PartitionReaderFactory =
         new PartitionReaderFactory {
           override def createReader(p: InputPartition)
@@ -604,7 +605,7 @@ class DirSinkFilesTable(path: String) extends Table
               private var cur: org.apache.spark.sql.catalyst.InternalRow = _
               override def next(): Boolean =
                 if (!it.hasNext) false else {
-                  val (n, r, b, k, ep, ts, st) = it.next()
+                  val (n, r, b, k, ep, ts, st, dvr) = it.next()
                   cur = new org.apache.spark.sql.catalyst.expressions
                     .GenericInternalRow(Array[Any](
                       org.apache.spark.unsafe.types.UTF8String.fromString(n),
@@ -613,7 +614,11 @@ class DirSinkFilesTable(path: String) extends Table
                       if (k < 0) null else k,
                       if (ep < 0) null else ep,
                       if (ts < 0) null else ts * 1000L,
-                      st))
+                      st,
+                      // rows the file's deletion vector has erased —
+                      // sum(dv_rows)/sum(rows) IS the "OPTIMIZE me"
+                      // signal (NULL = no vector)
+                      if (dvr < 0) null else dvr))
                   true
                 }
               override def get()
@@ -626,7 +631,7 @@ class DirSinkFilesTable(path: String) extends Table
 }
 
 case class DirSinkFilesPartition(
-    entries: Seq[(String, Long, Long, Int, Long, Long, Boolean)])
+    entries: Seq[(String, Long, Long, Int, Long, Long, Boolean, Long)])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The catalog's `bucket(n, key)` V2 function — the SAME computation as

@@ -94,6 +94,25 @@ class DeltaDmlSpec extends AnyFunSuite {
       .exists(_.contains("dv=")), "the CoW side did not")
   }
 
+  test("t$files surfaces per-file vector cardinality — the OPTIMIZE-me signal") {
+    spark.sql("CREATE TABLE graftcat.ddml.f (id BIGINT, v STRING)")
+    fill("f")
+    withDv {
+      spark.sql("DELETE FROM graftcat.ddml.f WHERE id % 10 = 1")
+    }
+    val rows = spark.sql(
+      "SELECT rows, dv_rows FROM graftcat.ddml.`f$files` ORDER BY file")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.count(_._2 == 1L) == 3,
+      s"each touched file reports its dead-row count: ${rows.toSeq}")
+    // the ratio IS the signal: sum(dv_rows)/sum(rows) from metadata
+    val sig = spark.sql(
+      """SELECT CAST(sum(coalesce(dv_rows, 0)) AS DOUBLE) / sum(rows)
+        |FROM graftcat.ddml.`f$files`""".stripMargin).head.getDouble(0)
+    assert(math.abs(sig - 3.0 / 9.0) < 1e-9, s"dead fraction: $sig")
+  }
+
   test("SQL DELETE with an untranslatable predicate takes the vector path") {
     import spark.implicits._
     spark.sql("CREATE TABLE graftcat.ddml.d (id BIGINT, v STRING)")

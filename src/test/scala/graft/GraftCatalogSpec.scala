@@ -305,7 +305,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT id, id * 3 FROM range(200, 300)")
     val files = spark.table("graftcat.dbfiles.`inv$files`")
     assert(files.columns.toSeq == Seq("file", "rows", "bytes", "bucket",
-      "epoch", "committed_ts", "has_stats"))
+      "epoch", "committed_ts", "has_stats", "dv_rows"))
     val nFiles = graft.sources.v2.DirSink
       .readManifestEntries(spark.conf
         .get("spark.sql.catalog.graftcat.warehouse") + "/dbfiles/inv")
