@@ -1,0 +1,121 @@
+package graft
+
+import graft.sources.v2.{DirSink, DirSinkDv}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 self-review pins — the interaction edges between the new
+  * merge-on-read machinery and the table format's existing invariants
+  * (the fresh-tail-emits-dead-rows hole found in the same review is
+  * pinned in DeletionVectorSpec; these pin the cases that turned out
+  * correct, so they STAY correct):
+  *
+  *   1. deletion vectors × COLUMN MAPPING: a vector DELETE on a
+  *      renamed zone addresses positions while the reader resolves
+  *      physical names — both coordinate systems must compose;
+  *   2. delta DML × BUCKETED layout: merge-on-read UPDATE moves a
+  *      row's bucket column — the insert routes to the new bucket,
+  *      the vector kills the old position, purity holds;
+  *   3. delta DML × CHECK constraints: an UPDATE whose new rows
+  *      violate a zone CHECK fails the DML and leaves the zone
+  *      unchanged (the insert half rides the ordinary checked
+  *      writer). */
+class ReviewFixR15Spec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    if (s.conf.getOption("spark.sql.catalog.graftcat").isEmpty) {
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.r15")
+    s
+  }
+  private def wh = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+  private val fmt = "graft.sources.v2.DirSinkSource"
+
+  private def withDv[T](body: => T): T = {
+    spark.conf.set(DirSinkDv.EnabledKey, "true")
+    try body finally spark.conf.unset(DirSinkDv.EnabledKey)
+  }
+
+  test("vectors compose with column mapping: delete-by-position under renamed columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r15cm").toString
+    (0 until 3).foreach { k =>
+      (0 until 10).map(i => (k * 10L + i, s"w${k * 10 + i}"))
+        .toDF("id", "word").coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    DirSink.renameColumn(dir, "word", "token")
+    DirSink.renameColumn(dir, "id", "doc_id")
+    withDv {
+      new graft.sources.v2.DirSinkTable(dir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, token STRING"))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("doc_id",
+            Array(5L, 15L, 25L).map(_.asInstanceOf[AnyRef]))))
+    }
+    val got = spark.read.format(fmt).option("path", dir).load()
+    assert(got.columns.toSeq == Seq("doc_id", "token"))
+    assert(got.count() == 27 &&
+      got.filter($"doc_id".isin(5L, 15L, 25L)).count() == 0)
+    // the mapped read still decodes values (not NULLs) past the holes
+    assert(got.filter($"doc_id" === 6L).head.getString(1) == "w6")
+    assert(DirSink.readManifestLines(dir).get._2.count(_.contains("dv="))
+      == 3)
+  }
+
+  test("delta DML on a bucketed zone: an UPDATE that moves the bucket column keeps purity") {
+    spark.sql("CREATE TABLE graftcat.r15.b (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftcat.r15.b SELECT id, concat('v', id) " +
+      "FROM range(0, 40)")
+    withDv {
+      // moves every affected row to a DIFFERENT bucket key
+      spark.sql("UPDATE graftcat.r15.b SET k = k + 1001 WHERE k % 10 = 3")
+    }
+    val got = spark.sql("SELECT k FROM graftcat.r15.b").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.length == 40 && got.count(_ > 1000) == 4, got.take(10).toSeq)
+    // purity: every file's rows hash to its manifest bucket id —
+    // prove it through the layout-dependent read path staying correct
+    // on a bucket-key equality (a mis-bucketed row would be missed by
+    // a bucket-pruned scan)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.r15.b WHERE k = 1004")
+      .head.getLong(0) == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.r15.b WHERE k = 3")
+      .head.getLong(0) == 0)
+    val dir = s"$wh/r15/b"
+    assert(DirSink.readManifestLines(dir).get._2.exists(_.contains("dv=")),
+      "the UPDATE ran merge-on-read")
+  }
+
+  test("delta DML enforces CHECK constraints: a violating UPDATE fails, zone unchanged") {
+    spark.sql("CREATE TABLE graftcat.r15.c (k BIGINT, score DOUBLE) " +
+      "TBLPROPERTIES ('check.range' = 'score BETWEEN 0 AND 1')")
+    spark.sql("INSERT INTO graftcat.r15.c SELECT id, 0.5 FROM range(0, 10)")
+    val dir = s"$wh/r15/c"
+    val genBefore = DirSink.currentGen(dir).get
+    val e = intercept[Exception] {
+      withDv {
+        spark.sql("UPDATE graftcat.r15.c SET score = 7.0 WHERE k < 3")
+      }
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("range"))), s"the constraint names itself: $e")
+    assert(DirSink.currentGen(dir).get == genBefore,
+      "a failed DML publishes nothing")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.r15.c WHERE score = 0.5")
+      .head.getLong(0) == 10, "the zone is unchanged")
+    assert(!new java.io.File(dir, "_staging").exists(),
+      "the aborted write's staging (incl. partial vectors) is swept")
+  }
+}
