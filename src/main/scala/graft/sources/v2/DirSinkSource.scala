@@ -1866,6 +1866,16 @@ class DirSinkTable(path: String, schema0: StructType,
       DirSinkChecks.parseHeader(raw.header).foreach { case (n, sql) =>
         m.put(DirSinkChecks.PropPrefix + n, sql)
       }
+      // round-15 surfaces: protocol contracts, clone provenance, and
+      // whether any commit has used deletion vectors — the header
+      // facts an operator reads FIRST when a zone misbehaves
+      raw.header.get(DirSinkProtocol.ReaderKey).foreach(v =>
+        m.put(DirSinkProtocol.ReaderKey, v))
+      raw.header.get(DirSinkProtocol.WriterKey).foreach(v =>
+        m.put(DirSinkProtocol.WriterKey, v))
+      raw.header.get("clonesrc").foreach(v => m.put("clonesrc", v))
+      raw.header.get(DirSinkDv.HeaderKey).foreach(v =>
+        m.put("deletion.vectors", v))
     }
     m
   }

@@ -95,6 +95,20 @@ class ReviewFixR15Spec extends AnyFunSuite {
       "the UPDATE ran merge-on-read")
   }
 
+  test("SHOW TBLPROPERTIES surfaces the round-15 header facts") {
+    spark.sql("CREATE TABLE graftcat.r15.p (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcat.r15.p SELECT id, 'x' FROM range(0, 9)")
+    withDv {
+      spark.sql("DELETE FROM graftcat.r15.p WHERE k % 4 = 1")
+    }
+    val props = spark.sql("SHOW TBLPROPERTIES graftcat.r15.p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("deletion.vectors").contains("1"), props.toString)
+    assert(props.get("features").exists(_.contains("deletion-vectors")),
+      props.toString)
+    assert(props("format") == "parquet" && props.contains("generation"))
+  }
+
   test("delta DML enforces CHECK constraints: a violating UPDATE fails, zone unchanged") {
     spark.sql("CREATE TABLE graftcat.r15.c (k BIGINT, score DOUBLE) " +
       "TBLPROPERTIES ('check.range' = 'score BETWEEN 0 AND 1')")
