@@ -144,8 +144,13 @@ object DirSinkAgg {
         merge(acc, factsOf(e.rows, e.stats, schema.length, colIdx,
           e.dv.map(_._2)), dts))
     if (entries.size >= threshold && m.ckptBase.isDefined) {
-      factsJob(spark, path, m.ckptBase.get, m.recentRemoves, schema,
-        colIdx, dts) match {
+      // anti-join BOTH sets out of the sidecar: removed names are
+      // stale, and every recentAdds name's LIVE version folds in the
+      // driver sliver below — a RETAGGED file (DV DELETE / delta DML
+      // re-adds the same name) appears in both, and excluding it here
+      // is what stops its physical rows double-counting
+      factsJob(spark, path, m.ckptBase.get,
+        m.recentRemoves ++ m.recentAdds, schema, colIdx, dts) match {
         case Some(jobFacts) =>
           lastMode = "job"
           // the post-checkpoint sliver folds on the driver and merges in

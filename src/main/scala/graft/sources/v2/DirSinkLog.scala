@@ -248,9 +248,14 @@ object DirSinkLog {
       } else {
         val added = p.lines.map(l => DirSink.parseEntry(l).name)
         recentAdds = recentAdds -- p.removes ++ added
-        // names are globally unique (staged UUIDs), so a removed name
-        // never returns — the -- added is pure defensiveness
-        recentRemoves = recentRemoves ++ p.removes -- added
+        // a RETAG (deletion-vector DELETE / delta DML) removes and
+        // re-adds the SAME name in one commit — the name must STAY in
+        // recentRemoves so a sidecar job anti-joins the stale
+        // pre-retag row out (the retagged live entry rides
+        // recentAdds); a name in both sets means "sidecar row stale,
+        // live version in the sliver". Fresh names absent from the
+        // sidecar make the extra removes a no-op.
+        recentRemoves = recentRemoves ++ p.removes
       }
       expect = c.gen + 1
     }

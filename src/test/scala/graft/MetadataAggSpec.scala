@@ -184,4 +184,44 @@ class MetadataAggSpec extends AnyFunSuite {
           s"see the post-checkpoint append (129): $jobRow")
     } finally spark.conf.unset(graft.sources.v2.DirSinkPrune.ThresholdKey)
   }
+
+  test("a RETAGGED (deletion-vectored) checkpointed file never double-counts in the sidecar job (round 16)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 11 appends → checkpoint at gen 10 writes the columnar sidecar
+    (0 until 11).foreach { k =>
+      spark.range(k * 10L, k * 10L + 10)
+        .select($"id", ($"id" * 7).as("v")).coalesce(1)
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    // gen 11: a DELETION-VECTOR delete inside gen 0's file — the line
+    // is REMOVED and RE-ADDED under the SAME name (a retag), so the
+    // sidecar's stale row and the live retagged entry describe one
+    // file; the job must fold exactly one of them
+    spark.conf.set(graft.sources.v2.DirSinkDv.EnabledKey, "true")
+    try {
+      new graft.sources.v2.DirSinkTable(dir,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("id",
+            Array(3L, 7L).map(_.asInstanceOf[AnyRef]))))
+    } finally spark.conf.unset(graft.sources.v2.DirSinkDv.EnabledKey)
+
+    def run(): (String, Long) = {
+      val r = spark.read.format(fmt).option("path", dir).load()
+        .agg(count(lit(1))).head
+      (graft.sources.v2.DirSinkAgg.lastMode, r.getLong(0))
+    }
+    val (loopMode, loopN) = run()
+    assert(loopMode == "loop" && loopN == 108L,
+      s"driver loop: 110 physical − 2 vectored = 108, got $loopN")
+    spark.conf.set(graft.sources.v2.DirSinkPrune.ThresholdKey, "1")
+    try {
+      val (jobMode, jobN) = run()
+      assert(jobMode == "job",
+        "above the threshold the fold must run as the sidecar job")
+      assert(jobN == loopN,
+        s"retagged file double-counted by the sidecar job: $jobN vs $loopN")
+    } finally spark.conf.unset(graft.sources.v2.DirSinkPrune.ThresholdKey)
+  }
 }
