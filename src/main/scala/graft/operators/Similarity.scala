@@ -75,24 +75,23 @@ object Similarity extends QueryModule {
     * recall audit samples |Q| (this fixture's 1% modulus IS that
     * sample), so the brute side stays |sample|·N, not N².
     *
-    * HONESTY — the measured numbers (round 12, knobs re-pinned to the
-    * RecallProbe winner C=⌈√N⌉ / nprobe=C/2): the IVF-FLAT twin
-    * ([[qAnnRecallIvf]]) reads recall@5 ≈ 0.85 at sf0.1 (0.76 at
-    * sf0.01) where the old C=8/nprobe=2 literals read 0.46; this
-    * IVF-PQ gate moves 0.03 → 0.04–0.12 and the SimHash-LSH point
-    * ([[qAnnRecallLsh]]) stays ≈ 0. Those are the TRUE recalls on
-    * near-random vectors: the fixture embeddings carry almost no
-    * neighborhood structure, so recall tracks the scanned fraction and
-    * the 4×16-dim PQ (64× compression) obliterates what probing finds.
-    * The PAIR is the diagnostic: flat ≫ pq says PQ distortion, not
-    * probing, binds — and the round-12 RecallProbe PQ-bits sweep then
-    * MEASURED that knob: k = 8→16→32→64 codes/subspace reads 0.04 →
-    * 0.06 → 0.07 → 0.11 at flat runtime, i.e. on structureless vectors
-    * even 6-bit ADC barely discriminates, so the 8× codebook growth is
-    * NOT taken ([[PqDefaultK]] stays 8, the compression-optimal point)
-    * — the same probe-then-pin discipline that re-pinned C/nprobe,
-    * landing on "don't" this time. The gate, not the fixture numbers,
-    * is the deliverable; the oracle pins both measurements bit-exactly. */
+    * HONESTY — the measured numbers (round 12 re-pinned C=⌈√N⌉ /
+    * nprobe=C/2; round 16 re-pinned the PQ geometry): the IVF-FLAT
+    * twin ([[qAnnRecallIvf]]) reads recall@5 ≈ 0.85 at sf0.1 (0.76 at
+    * sf0.01) where the old C=8/nprobe=2 literals read 0.46; the
+    * SimHash-LSH point ([[qAnnRecallLsh]]) stays ≈ 0 on this
+    * near-random corpus. This IVF-PQ gate read 0.04–0.12 under the
+    * round-12 (M=4 subspaces, K=8 codes) geometry — the round-12
+    * K-only sweep at M=4 read 0.04→0.11 and the 8× codebook growth
+    * was not taken — but the round-16 FULL (M, K) grid showed the
+    * OTHER axis was the binding one: at (M=16, K=64) the same gate
+    * reads 0.37 on this corpus and 0.25 on the planted-structure
+    * fixture (3–6× the old default on both), so the defaults were
+    * re-pinned to the measured winner. The PAIR remains the
+    * diagnostic: flat ≫ pq says remaining ADC distortion, not
+    * probing, binds; `q_ann_rerank` closes that gap to 1.00. The
+    * gate, not the fixture numbers, is the deliverable; the oracle
+    * pins both measurements bit-exactly. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact = qSimilarityTopk(s, dir).select($"qid", $"cid")
@@ -664,19 +663,26 @@ object Similarity extends QueryModule {
     * (floor(sim·1e6 + 0.5)) BEFORE the sum, so the M-term addition is
     * exact integer math — independent of join/aggregation order — and
     * the final score divides once by 1e6. Ranking ties break on cand id.
-    * Production refinement (exact re-rank of the ADC top-k against the
-    * raw vectors) is one extra join by id; the declared operator keeps
-    * the pure-ADC ranking so the compression path itself is what the
-    * hash gate certifies. */
+    * PRODUCTION STEER: the pure-ADC ranking this query certifies is
+    * the compression path, not the quality path — on hard
+    * (near-random) fixtures standalone ADC recall at the pinned
+    * codebooks is low (the measured rows live in `q_ann_recall`).
+    * Reach for `q_ann_rerank` ([[ivfPqRerankRanked]]: ADC top-r +
+    * exact re-rank, measured recall 1.00 at r=[[RerankR]]) as the
+    * production entry; it costs one extra join by id over r·|Q| raw
+    * vectors. */
   /** All PQ subspaces as ONE keyed relation (vec_id, m, e): the M
     * trainings run as one DataFrame pipeline with m as an extra group/
     * window key — one job tree instead of M independent ones, and the
     * stage count no longer grows with M. Per-m arithmetic is identical
     * to the unkeyed [[kmeansCodebook]], so the oracle replays unchanged. */
-  private[graft] def pqSubspaces(n: DataFrame): DataFrame = {
+  private[graft] def pqSubspaces(n: DataFrame,
+                                 mCount: Int = PqDefaultM): DataFrame = {
     val s = n.sparkSession; import s.implicits._
-    n.select($"vec_id", posexplode(array((0 until 4).map(m =>
-      slice($"e", m * 16 + 1, 16)): _*)).as(Seq("m", "e")))
+    require(PqDims % mCount == 0, s"M=$mCount must divide $PqDims dims")
+    val sub = PqDims / mCount
+    n.select($"vec_id", posexplode(array((0 until mCount).map(m =>
+      slice($"e", m * sub + 1, sub)): _*)).as(Seq("m", "e")))
   }
 
   /** Per-subspace nearest-centroid assignment over a keyed subspace
@@ -695,11 +701,31 @@ object Similarity extends QueryModule {
   /** One-Lloyd-round PQ codebook (m, cid, ce) over a keyed subspace
     * relation — md5-ordered seeds per subspace, exact quantized means
     * (the [[kmeansCodebook]] arithmetic with m as an extra group key). */
-  /** Per-subspace PQ codebook size (codes per 16-dim subspace; log2 =
-    * the PQ "bits" knob). 8 codes = 3 bits — the compression-heaviest
-    * setting; the recall gates adjudicated it as the knob that binds
-    * next on the fixture, and [[tools.RecallProbe]] sweeps it. */
-  private[graft] val PqDefaultK = 8
+  /** The embedding dimensionality the PQ splitter assumes (the
+    * fixture's `embeddings.embedding` width). */
+  private[graft] val PqDims = 64
+
+  /** PQ geometry defaults, BOTH probe-backed (round 16 — the (M, K)
+    * grid in [[tools.RecallProbe]], measured on the planted-cluster
+    * fixture where neighborhood structure is real):
+    *   - `PqDefaultM`: number of subspaces (each [[PqDims]]/M dims
+    *     wide) — the byte budget per compressed vector;
+    *   - `PqDefaultK`: codes per subspace codebook (log2 = the PQ
+    *     "bits" knob).
+    * The round-12 K-only sweep at M=4 showed K barely moves recall
+    * (3→6 bits: 0.03→0.12 on the near-random fixture) because 16-dim
+    * subspaces under 1 Lloyd round are the binding distortion; the
+    * round-16 grid swept M too. Measured recall@5 (sf0.1 corpus /
+    * planted fixture): (4,8)=0.04/0.02 (the old default),
+    * (8,64)=0.27/0.25, (16,16)=0.28/0.02, (16,64)=0.37/0.25 — the
+    * winner on BOTH fixtures is (M=16, K=64): 16 subspaces of 4 dims,
+    * 6-bit codebooks, 16 byte-codes per vector (16–32× compression vs
+    * the raw embedding), recall 3× the old default on the declared
+    * gate's corpus. (8,64) is the compression-lean runner-up (half the
+    * code bytes, −0.10 recall on the sf corpus); the full grid is in
+    * PLANS.md round 16. */
+  private[graft] val PqDefaultM = 16
+  private[graft] val PqDefaultK = 64
 
   private def pqTrain(nmAll: DataFrame, k: Int = PqDefaultK): DataFrame = {
     val s = nmAll.sparkSession; import s.implicits._
@@ -736,6 +762,15 @@ object Similarity extends QueryModule {
     * keyed subspace relation: (codes (vec_id, m, code),
     * lookups (qid, m, code, lq)). Shared by [[qAnnPq]] and
     * [[qAnnIvfPq]]; [[annIndex]] persists the same parts. */
+  /** The subspace count a TRAINED codebook was built with — a stored
+    * index is self-describing, so append/search against it must slice
+    * the vectors the way the artifact does, not the way the current
+    * session default would (the codebook is KBs; one tiny action). */
+  private def pqMOf(pqCent: DataFrame): Int = {
+    val s = pqCent.sparkSession; import s.implicits._
+    pqCent.agg(max($"m".cast("int"))).head.getInt(0) + 1
+  }
+
   private def pqCodesLookups(nmAll: DataFrame,
                              k: Int = PqDefaultK): (DataFrame, DataFrame) = {
     val s = nmAll.sparkSession; import s.implicits._
@@ -782,8 +817,10 @@ object Similarity extends QueryModule {
     * corpus, and the raw vectors are never touched after encoding.
     * Candidate membership joins on the cell key (equi-join, no
     * broadcast of anything corpus-sized); both codebooks broadcast.
-    * The oracle replays coarse + 4 subspace codebooks and the
-    * cell-filtered integer ADC sum. */
+    * The oracle replays coarse + the subspace codebooks and the
+    * cell-filtered integer ADC sum. PRODUCTION STEER: same as
+    * [[qAnnPq]] — for neighbor QUALITY use `q_ann_rerank`, which runs
+    * this exact pipeline and then exact-re-ranks the ADC top-r. */
   private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val n = ivfVectors(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -798,16 +835,17 @@ object Similarity extends QueryModule {
     * the declared query pins the defaults; [[tools.RecallProbe]] sweeps
     * the PQ-bits knob through here. */
   private[graft] def ivfPqRanked(s: SparkSession, n: DataFrame,
-                                 cC: Int, nprobe: Int,
-                                 pqK: Int): DataFrame =
-    adcRank(ivfPqEstimates(s, n, cC, nprobe, pqK))
+                                 cC: Int, nprobe: Int, pqK: Int,
+                                 pqM: Int = PqDefaultM): DataFrame =
+    adcRank(ivfPqEstimates(s, n, cC, nprobe, pqK, pqM))
 
   /** The IVF-PQ ADC estimate relation (qid, vec_id, sl) — everything up
     * to (not including) the final ranking cut, shared by the pure-ADC
     * ranking ([[ivfPqRanked]]) and the exact-re-rank tail
     * ([[ivfPqRerankRanked]]). */
   private def ivfPqEstimates(s: SparkSession, n: DataFrame,
-                             cC: Int, nprobe: Int, pqK: Int): DataFrame = {
+                             cC: Int, nprobe: Int, pqK: Int,
+                             pqM: Int = PqDefaultM): DataFrame = {
     import s.implicits._
     val coarse = kmeansCodebook(n, c = cC, iters = 1)
     val asg = n.crossJoin(broadcast(coarse))
@@ -826,7 +864,7 @@ object Similarity extends QueryModule {
     val pairs = cells.join(probes, Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
-    val (codes, lookups) = pqCodesLookups(pqSubspaces(n), pqK)
+    val (codes, lookups) = pqCodesLookups(pqSubspaces(n, pqM), pqK)
     codes.join(broadcast(lookups), Seq("m", "code"))
       .join(pairs, Seq("qid", "vec_id"))
       .groupBy($"qid", $"vec_id")
@@ -857,9 +895,10 @@ object Similarity extends QueryModule {
     * pure ADC at the same knobs reads ≈0.02. */
   private[graft] def ivfPqRerankRanked(s: SparkSession, n: DataFrame,
                                        cC: Int, nprobe: Int, pqK: Int,
-                                       r: Int): DataFrame = {
+                                       r: Int,
+                                       pqM: Int = PqDefaultM): DataFrame = {
     import s.implicits._
-    val est = ivfPqEstimates(s, n, cC, nprobe, pqK)
+    val est = ivfPqEstimates(s, n, cC, nprobe, pqK, pqM)
     val wAdc = Window.partitionBy($"qid").orderBy($"sl".desc, $"vec_id")
     val cand = est
       .withColumn("arn", row_number().over(wAdc))
@@ -926,11 +965,15 @@ object Similarity extends QueryModule {
     // (~2^16 corpora) and a collision silently serves one corpus's
     // trained index for another — wrong neighbors with no error. 128
     // bits makes that probability ignorable.
-    // the trained coarse-C is part of the key: a knob-default change
-    // must orphan indexes trained under the old regime, never silently
-    // serve a C=8 index to a √N-probing search
+    // the trained knob defaults are part of the key: a default change
+    // (coarse C, or the round-16 PQ geometry) must orphan indexes
+    // trained under the old regime — the stored artifact stays
+    // self-describing ([[pqMOf]]), but the DECLARED queries' oracle
+    // replays the current constants, so serving an old-geometry index
+    // to them would hash-mismatch
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir:$cnt:$fp:C${ivfDefaultC(cnt)}".getBytes("UTF-8"))
+      .digest(s"$dir:$cnt:$fp:C${ivfDefaultC(cnt)}:M${PqDefaultM}K$PqDefaultK"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"/tmp/graft_ann_index_$key"
   }
@@ -974,9 +1017,18 @@ object Similarity extends QueryModule {
     * (vec_id, e) — the build half of [[annIndex]], factored out so the
     * append path and its spec can build base indexes over slices. */
   private[graft] def annIndexBuild(s: SparkSession, root: String,
-                                   vectors: DataFrame): String = {
+                                   vectors: DataFrame): String =
+    graft.Artifacts.buildOnce(s, root)(gen => buildBaseGen(s, gen, vectors))
+
+  /** Train and write ONE full BASE generation (coarse, cells, pq,
+    * codes, `_DRIFT`; no `_PARENT`) under `gen` — the body shared by
+    * the first build ([[annIndexBuild]] via buildOnce) and an
+    * auto-retrain republish ([[annIndexMaintain]] via publish, where
+    * the absent `_PARENT` is what collapses the chain). */
+  private def buildBaseGen(s: SparkSession, gen: String,
+                           vectors: DataFrame): Unit = {
     import s.implicits._
-    graft.Artifacts.buildOnce(s, root) { gen =>
+    locally {
       val n = vectors
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1003,6 +1055,39 @@ object Similarity extends QueryModule {
           .write.mode("overwrite").parquet(s"$gen/codes")
       } finally n.unpersist(false)
     }
+  }
+
+  /** The cumulative-delta backstop: once the chain's appended rows
+    * exceed this fraction of the base's, cell SIZES have skewed enough
+    * to retrain even when the drift statistic is silent (a huge
+    * in-distribution delta moves sizes, not means). */
+  private[graft] val CumDeltaRetrainFraction = 0.20
+
+  /** AUTO-RETRAIN (round 16, closing the round-15 "measures but never
+    * acts" gap): the operator a production pipeline actually wants —
+    * append the delta, evaluate the measured triggers, and when one
+    * fires retrain over the FULL corpus and republish a fresh BASE
+    * generation through the same atomic-pointer protocol, collapsing
+    * the chain (no `_PARENT` on the new generation). `corpus` is
+    * by-name: it is only evaluated — and only scanned — when a
+    * trigger actually fires, so the steady-state cost stays the
+    * O(k·C) append. Returns (live generation, retrained?). Readers
+    * mid-flight keep streaming the superseded chain's files (they
+    * stay on disk until reaped); training determinism makes the
+    * republished index bit-identical to a from-scratch build over the
+    * same corpus, which is what AnnMaintainSpec pins. */
+  private[graft] def annIndexMaintain(s: SparkSession, root: String,
+                                      delta: DataFrame,
+                                      corpus: => DataFrame)
+      : (String, Boolean) = {
+    annIndexAppend(s, root, delta)
+    val table = annIndexDrift(s, root)
+    val fire = table.exists(_.retrain) ||
+      table.headOption.exists(_.cumDeltaFraction > CumDeltaRetrainFraction)
+    if (!fire) (graft.Artifacts.ready(s, root).get, false)
+    else
+      (graft.Artifacts.publish(s, root)(g => buildBaseGen(s, g, corpus)),
+        true)
   }
 
   /** One generation's `_DRIFT` sidecar: assignment count, its mean
@@ -1077,7 +1162,7 @@ object Similarity extends QueryModule {
           writeDrift(s, gen, r.getLong(0), r.getDouble(1),
             readDrift(s, base).map(_.baseMean).getOrElse(r.getDouble(1)))
         } finally asg.unpersist(false)
-        pqAssign(pqSubspaces(d), pqCent)
+        pqAssign(pqSubspaces(d, pqMOf(pqCent)), pqCent)
           .select($"vec_id", $"m", $"cell".as("code"))
           .write.parquet(s"$gen/codes")
         val p = new org.apache.hadoop.fs.Path(gen, "_PARENT")
@@ -1229,7 +1314,7 @@ object Similarity extends QueryModule {
       val pairs = cells.join(probes, Seq("cell"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id")
-      val lookups = pqLookups(pqSubspaces(q), pqCent)
+      val lookups = pqLookups(pqSubspaces(q, pqMOf(pqCent)), pqCent)
       adcRank(codes.join(broadcast(lookups), Seq("m", "code"))
         .join(pairs, Seq("qid", "vec_id"))
         .groupBy($"qid", $"vec_id")
@@ -2143,8 +2228,9 @@ object Similarity extends QueryModule {
     * with the similarity pre-quantized to BIGINT (exactly the Spark
     * side's floor(sim·1e6 + 0.5) longs). */
   private def duckPqSub(m: Int): String = {
-    val lo = m * 16 + 1
-    val hi = m * 16 + 16
+    val sub = PqDims / PqDefaultM
+    val lo = m * sub + 1
+    val hi = m * sub + sub
     val csim =
       s"""floor(list_dot_product(n.e, c.ce)
                 / (n.nrm * sqrt(list_dot_product(c.ce, c.ce)))
@@ -2159,7 +2245,7 @@ object Similarity extends QueryModule {
                    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                            vec_id) AS BIGINT) cid
             FROM n$m)
-         WHERE cid <= 8),
+         WHERE cid <= $PqDefaultK),
        a$m AS (
          SELECT n.vec_id, c.cid, $csim / 1000000.0 csim
          FROM n$m n, c0$m c),
@@ -2196,19 +2282,24 @@ object Similarity extends QueryModule {
          FROM n$m n, ct$m c WHERE n.vec_id % 100 = 0)"""
   }
 
-  /** q_ann_pq oracle: four replayed subspace codebooks + the integer ADC
+  /** All [[PqDefaultM]] subspace blocks plus the `cds`/`lks` unions —
+    * GENERATED from the same Scala constants the Spark side trains
+    * with, so re-pinning (M, K) re-derives the oracle automatically. */
+  private def duckPqAll: String = {
+    val ms = 0 until PqDefaultM
+    s"""${ms.map(duckPqSub).mkString(",\n       ")},
+       cds AS (${ms.map(m => s"SELECT * FROM cd$m")
+                  .mkString("\n               UNION ALL ")}),
+       lks AS (${ms.map(m => s"SELECT * FROM lk$m")
+                  .mkString("\n               UNION ALL ")})"""
+  }
+
+  /** q_ann_pq oracle: the replayed subspace codebooks + the integer ADC
     * sum — every arithmetic step mirrors the Spark side bit-for-bit. */
   private val DUCK_PQ =
     s"""WITH nv AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-       ${duckPqSub(0)},
-       ${duckPqSub(1)},
-       ${duckPqSub(2)},
-       ${duckPqSub(3)},
-       cds AS (SELECT * FROM cd0 UNION ALL SELECT * FROM cd1
-               UNION ALL SELECT * FROM cd2 UNION ALL SELECT * FROM cd3),
-       lks AS (SELECT * FROM lk0 UNION ALL SELECT * FROM lk1
-               UNION ALL SELECT * FROM lk2 UNION ALL SELECT * FROM lk3),
+       $duckPqAll,
        est AS (
          SELECT l.qid, c.vec_id cand, CAST(SUM(l.lq) AS BIGINT) sl
          FROM cds c JOIN lks l ON c.m = l.m AND c.code = l.code
@@ -2326,14 +2417,7 @@ object Similarity extends QueryModule {
        cells AS (SELECT vec_id cand_id, cid cell FROM rankedc WHERE arn = 1),
        probes AS (SELECT vec_id qid, cid cell FROM rankedc
                   WHERE arn <= (SELECT np FROM prm) AND vec_id % 100 = 0),
-       ${duckPqSub(0)},
-       ${duckPqSub(1)},
-       ${duckPqSub(2)},
-       ${duckPqSub(3)},
-       cds AS (SELECT * FROM cd0 UNION ALL SELECT * FROM cd1
-               UNION ALL SELECT * FROM cd2 UNION ALL SELECT * FROM cd3),
-       lks AS (SELECT * FROM lk0 UNION ALL SELECT * FROM lk1
-               UNION ALL SELECT * FROM lk2 UNION ALL SELECT * FROM lk3),
+       $duckPqAll,
        est AS (
          SELECT l.qid, c.vec_id cand, CAST(SUM(l.lq) AS BIGINT) sl
          FROM cds c

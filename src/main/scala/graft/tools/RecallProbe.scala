@@ -50,22 +50,28 @@ object RecallProbe {
         println(f"""{"n":$corpusN,"c":$c,"nprobe":$nprobe,""" +
           f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
       }
-      // the PQ-BITS sweep (round 12): the gates adjudicated PQ
-      // distortion as the binding knob once probing was fixed — measure
-      // the full IVF-PQ composition's recall as the per-subspace
-      // codebook grows (3..6 bits), at the probe-backed coarse defaults
-      for (pqK <- Seq(8, 16, 32, 64)) {
+      // the PQ (M, K) GRID (round 16, extending the round-12 K-only
+      // sweep): the gates adjudicated PQ distortion as the binding knob
+      // once probing was fixed — measure the full IVF-PQ composition's
+      // recall across BOTH geometry axes (subspace count M and codes
+      // per subspace K), at the probe-backed coarse defaults. Bytes
+      // per compressed vector = M·ceil(log2 K)/8.
+      for {
+        pqM <- Seq(4, 8, 16)
+        pqK <- Seq(8, 16, 32, 64)
+      } {
         val t0 = System.nanoTime()
         val nprobe = math.max(1, rootC / 2)
         val approx = graft.operators.Similarity
-          .ivfPqRanked(spark, n, rootC, nprobe, pqK)
+          .ivfPqRanked(spark, n, rootC, nprobe, pqK, pqM)
           .select($"qid".as("aqid"), $"cid".as("acid"))
         val hits = exact
           .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
           .agg(count($"acid")).as[Long].head()
         val sec = (System.nanoTime() - t0) / 1e9
         val recall = hits.toDouble / (5.0 * nQueries)
-        println(f"""{"n":$corpusN,"c":$rootC,"nprobe":$nprobe,"pq_k":$pqK,""" +
+        println(f"""{"n":$corpusN,"c":$rootC,"nprobe":$nprobe,""" +
+          f""""pq_m":$pqM,"pq_k":$pqK,""" +
           f""""recall_at_5":$recall%.4f,"sec":$sec%.2f}""")
       }
       // the LSH-BITS sweep (round 12): fewer sign bits = coarser
@@ -107,13 +113,17 @@ object RecallProbe {
         println(f"""{"fixture":"planted","n":$pN,"c":$c,"nprobe":$np,""" +
           f""""recall_at_5":$r%.4f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       }
-      for (pqK <- Seq(8, 16, 32, 64)) {
+      for {
+        pqM <- Seq(4, 8, 16)
+        pqK <- Seq(8, 16, 32, 64)
+      } {
         val t0 = System.nanoTime()
         val r = PlantedFixture.recallAt5(pExact, graft.operators.Similarity
           .ivfPqRanked(spark, planted.select($"vec_id", $"e"),
-            pRootC, pNprobe, pqK))
+            pRootC, pNprobe, pqK, pqM))
         println(f"""{"fixture":"planted","n":$pN,"c":$pRootC,""" +
-          f""""nprobe":$pNprobe,"pq_k":$pqK,"recall_at_5":$r%.4f,""" +
+          f""""nprobe":$pNprobe,"pq_m":$pqM,"pq_k":$pqK,""" +
+          f""""recall_at_5":$r%.4f,""" +
           f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       }
       for (bits <- Seq(4, 5, 6, 8)) {

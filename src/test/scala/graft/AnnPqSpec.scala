@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Laws of the product-quantization ANN path (q_ann_pq): the compression
-  * invariant (every vector reduces to M=4 codes from K≤8-entry
-  * codebooks), determinism of the trained codebooks + ADC ranking, and a
-  * recall floor against exact brute-force cosine top-5. Exactness of the
-  * declared query itself is the DuckDB hash gate's job. */
+  * invariant (every vector reduces to M codes from K-entry codebooks —
+  * the round-16 grid-pinned [[graft.operators.Similarity.PqDefaultM]] /
+  * `PqDefaultK` geometry), determinism of the trained codebooks + ADC
+  * ranking, and a recall floor against exact brute-force cosine top-5.
+  * Exactness of the declared query itself is the DuckDB hash gate's
+  * job. */
 class AnnPqSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
   private val dir = TestSession.sfDir
@@ -19,15 +21,16 @@ class AnnPqSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
-  test("every query gets exactly 5 ranked candidates with scores in [-4, 4]") {
+  test("every query gets exactly 5 ranked candidates with scores in [-M, M]") {
     import spark.implicits._
+    val m = graft.operators.Similarity.PqDefaultM.toDouble
     val rows = SparkEntry.queries("q_ann_pq")(spark, dir)
       .as[(Long, Long, Long, Double)].collect()
     rows.groupBy(_._1).foreach { case (q, rs) =>
       assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"query $q")
     }
-    // score is a sum of 4 per-subspace cosines, each in [-1, 1]
-    rows.foreach { case (_, _, _, s) => assert(s >= -4.0 && s <= 4.0) }
+    // score is a sum of M per-subspace cosines, each in [-1, 1]
+    rows.foreach { case (_, _, _, s) => assert(s >= -m && s <= m) }
   }
 
   test("ivfpq returns at most 5 per query and only ADC-scored candidates") {
@@ -94,11 +97,12 @@ class AnnPqSpec extends AnyFunSuite {
     val recall = adc.keysIterator.map { k =>
       (adc(k) intersect exact(k)).size.toDouble / 5.0
     }.sum / adc.size
-    // 4×16-dim codebooks of 8 = 12 bits/vector on RANDOM vectors (no
-    // cluster structure — the hardest case for PQ: cosines concentrate
-    // near 0, so quantization noise swamps most of the signal) still
-    // beats blind guessing (5/N ≈ 1%) several-fold; measured 0.08 at
-    // sf0.001. Real corpora cluster and recall climbs with them.
+    // PQ on RANDOM vectors (no cluster structure — the hardest case:
+    // cosines concentrate near 0, so quantization noise swamps most of
+    // the signal) must still beat blind guessing (5/N ≈ 1%)
+    // several-fold; the old (M=4, K=8) geometry measured 0.08 at
+    // sf0.001, the round-16 grid-pinned (16, 64) reads well above it.
+    // Real corpora cluster and recall climbs with them.
     assert(recall >= 0.05, s"mean recall@5 $recall below floor")
   }
 }

@@ -23,13 +23,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - the PQ-bits lever finally SEPARATES (recall rises with codes
   *     per subspace) while remaining far below IVF-flat — structured
   *     evidence that subspace distortion, not probing and not fixture
-  *     randomness, is what binds tiny-codebook ADC ranking; the
-  *     compression-optimal k=8 default stands on measurement.
+  *     randomness, is what binds tiny-codebook ADC ranking. The
+  *     round-16 (M, K) grid then swept BOTH geometry axes and
+  *     re-pinned the defaults to the measured winner (M=16, K=64:
+  *     0.25 here, 0.37 on the sf corpus — vs 0.02/0.04 at the old
+  *     (4, 8)).
   *
-  * Measured by tools.RecallProbe on this exact corpus (round 13):
-  * ivf(63,31)=1.00, ivf(63,2)=0.78, lsh(8)=0.965, pq(8)=0.02,
-  * pq(64)=0.19. Assertions leave slack but would catch any real
-  * regression in the candidate-generation or ranking paths. */
+  * Measured by tools.RecallProbe on this exact corpus (round 13 at
+  * M=4; round 16 grid in PLANS.md): ivf(63,31)=1.00, ivf(63,2)=0.78,
+  * lsh(8)=0.965, pq(m=4,k=8)=0.02, pq(m=4,k=64)=0.19,
+  * pq(m=16,k=64)=0.25. Assertions leave slack but would catch any
+  * real regression in the candidate-generation or ranking paths. */
 class RecallFixtureSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
