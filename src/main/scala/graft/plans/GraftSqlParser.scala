@@ -38,8 +38,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`$]+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""".r
   private val Clone =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.`$]+)\s+SHALLOW\s+CLONE\s+([\w.`$]+)\s*;?\s*$""".r
+  private val Reorg =
+    """(?is)^\s*REORG\s+(?:TABLE\s+)?([\w.`$]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Reorg(name) =>
+      ReorgZoneCommand(delegate.parseMultipartIdentifier(name))
     case Clone(dst, src) =>
       CloneZoneCommand(delegate.parseMultipartIdentifier(dst),
         delegate.parseMultipartIdentifier(src))
@@ -60,12 +64,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case _ => 1L
         })
       }
-      if (smallerThan.isDefined && (zorder || target != null))
+      if (smallerThan.isDefined && target != null)
         throw new IllegalArgumentException(
           "OPTIMIZE … SMALLER THAN is incremental bin-packing: output " +
-            "sizing derives from the threshold; it composes with " +
-            "CLUSTER BY but not TARGET/ZORDER (those are whole-zone " +
-            "rewrites)")
+            "sizing derives from the threshold, so it composes with " +
+            "CLUSTER BY and ZORDER BY but not TARGET (a whole-zone " +
+            "rewrite knob)")
       OptimizeZoneCommand(delegate.parseMultipartIdentifier(name),
         if (zorder) Nil else colList,
         Option(target).map(_.toInt),
@@ -172,9 +176,10 @@ case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
     val (before, rows) = zoneState
     smallerThan match {
       case Some(minBytes) =>
-        // incremental bin-packing: O(small files), not O(zone)
+        // incremental bin-packing: O(small files), not O(zone); with
+        // ZORDER BY the packed tail z-orders on zone-global bounds
         graft.sources.v2.DirSink.compactSmall(spark, path, minBytes,
-          clusterBy)
+          clusterBy, zorderBy)
       case None =>
         val target = targetFiles.getOrElse(
           math.max(1, spark.sparkContext.defaultParallelism))
@@ -185,6 +190,34 @@ case class OptimizeZoneCommand(name: Seq[String], clusterBy: Seq[String],
     assert(rowsAfter == rows,
       s"OPTIMIZE must be row-preserving: $rows -> $rowsAfter")
     Seq(Row(before, after, rows))
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` —
+  * [[graft.sources.v2.DirSink.purgeVectors]] as SQL: rewrite ONLY the
+  * deletion-vectored files into clean ones (one delta commit), leaving
+  * every unvectored file's line verbatim — the targeted merge-on-read
+  * debt payment (`t$files.dv_rows` is the scheduling signal). Returns
+  * (files_purged, files_created, live_rows). */
+case class ReorgZoneCommand(name: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_purged", LongType, nullable = false)(),
+    AttributeReference("files_created", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = ZoneResolve.zonePath(spark, name)
+    def liveRows: Long = graft.sources.v2.DirSink
+      .readManifestEntries(path)
+      .map(_._2.map(e => e.rows - e.dv.map(_._2).getOrElse(0L)).sum)
+      .getOrElse(0L)
+    val before = liveRows
+    val (purged, created) =
+      graft.sources.v2.DirSink.purgeVectors(spark, path)
+    assert(liveRows == before,
+      s"REORG PURGE must preserve live rows: $before -> $liveRows")
+    Seq(Row(purged.toLong, created.toLong, before))
   }
 }
 

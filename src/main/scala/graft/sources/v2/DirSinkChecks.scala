@@ -276,7 +276,8 @@ object DirSinkChecks {
       // one-stream-per-quarantine doc assumption is no longer the only
       // thing standing between a race and a double-published epoch
       val replayed = epoch.exists(e =>
-        DirSink.committedEpochMax(dl.qpath).exists(e <= _))
+        DirSink.epochReplayed(DirSink.readManifestRaw(dl.qpath),
+          queryId, e))
       if (replayed) {
         // replayed epoch: the quarantine generation is already durable
         msgs.foreach(m => f.delete(new Path(root, m.stagedName), false))
@@ -304,8 +305,18 @@ object DirSinkChecks {
           DirSink.checkEvolution(m.schema, dl.qschema)
       }
       val previous = parent.map(_.lines).getOrElse(Seq.empty)
+      // the committer's per-query mark — same discipline as the clean
+      // zone's commit, so two streams sharing one quarantine replay
+      // independently (round 16)
+      val txn = epoch.fold(
+        parent.map(m => DirSink.parseTxn(m.header)).getOrElse(Map.empty))(
+        e => DirSink.mergeTxn(
+          parent.map(m => DirSink.parseTxn(m.header)).getOrElse(Map.empty),
+          Map(DirSink.txnQid(queryId) -> e)))
       val header = DirSink.nextHeader(parent, newEpoch = epoch) +
-        (DirSink.FormatKey -> dl.format)
+        (DirSink.FormatKey -> dl.format) ++
+        (if (txn.nonEmpty)
+          Some(DirSink.TxnKey -> DirSink.renderTxn(txn)) else None)
       val lines = committed.map { m =>
         s"${m.stagedName}\t${m.rows}" +
           epoch.fold("")(e => s"\t$e") + s"\tt=$now\tb=${m.bytes}" +

@@ -114,7 +114,9 @@ class DirSinkSource extends TableProvider {
       // passed schema is the feed schema, zone + 2 CDF columns)
       new DirSinkCdfTable(path, DirSink.readManifestSchema(path),
         Option(opts.get(DirSinkCdf.StartKey)).map(_.toLong))
-    else new DirSinkTable(path, schema)
+    else new DirSinkTable(path, schema,
+      Option(opts.get(DirSink.MergeSchemaKey))
+        .map(v => Map(DirSink.MergeSchemaKey -> v)).getOrElse(Map.empty))
   }
 }
 
@@ -165,6 +167,11 @@ object DirSink {
   val FormatKey = "format"
   val FormatParquet = "parquet"
   val FormatText = "text"
+
+  /** Write option: `option("mergeSchema", "true")` lets a batch append
+    * auto-widen the zone schema (nullable tail columns) in the same
+    * commit as its data — the Delta `mergeSchema` ergonomic. */
+  val MergeSchemaKey = "mergeSchema"
 
   /** The zone's committed data-plane format; None = no zone yet. */
   def zoneFormat(path: String): Option[String] =
@@ -923,6 +930,63 @@ object DirSink {
     * maintenance (compact / DELETE) rewriting epoch-carrying lines out
     * of the manifest — a recovering writer can never replay an epoch
     * that a compaction erased the line-level evidence of. */
+  /** PER-QUERY streaming transaction marks — `#txn=qid:epoch,…`
+    * (round 16; Delta's SetTransaction appId→version shape). The
+    * zone-wide `#emax` cannot serve TWO concurrent streaming writers:
+    * each stream's epoch counter is independent, so writer B reaching
+    * epoch 5 would swallow writer A's legitimate epoch 3 as a
+    * "replay". Each streaming commit records ITS query id's high-water
+    * mark here; the replay guard consults the committer's own mark.
+    * Spark's micro-batch path passes the STABLE query id (the
+    * checkpoint's `id`, not the per-run `runId` — verified against
+    * MicroBatchExecution), so a crash-restarted stream finds its own
+    * mark and a genuinely new stream (fresh checkpoint, fresh id)
+    * commits independently instead of being silently dropped. Zones
+    * whose streaming history predates the key (no `#txn` at all) keep
+    * the legacy global-`#emax` guard. */
+  private[v2] val TxnKey = "txn"
+
+  /** Query ids embed in the header's `qid:epoch` pairs and in file
+    * names — strip the characters either codec reserves. */
+  private[v2] def txnQid(q: String): String =
+    q.replaceAll("[:,|\\s]+", "-")
+
+  private[v2] def parseTxn(header: Map[String, String]): Map[String, Long] =
+    header.get(TxnKey).toSeq.flatMap(_.split(",")).flatMap { p =>
+      val c = p.lastIndexOf(':')
+      if (c <= 0) None
+      else scala.util.Try(
+        p.substring(0, c) -> p.substring(c + 1).toLong).toOption
+    }.toMap
+
+  private[v2] def renderTxn(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (q, e) => s"$q:$e" }.mkString(",")
+
+  /** Per-qid max merge — restore/clone carry marks forward so a
+    * writer's replay stays a no-op across zone surgery. */
+  private[v2] def mergeTxn(a: Map[String, Long],
+                           b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, Long.MinValue),
+        b.getOrElse(k, Long.MinValue))).toMap
+
+  /** The zone's committed per-query marks (empty = legacy zone). */
+  def committedTxn(path: String): Map[String, Long] =
+    readManifestRaw(path).map(m => parseTxn(m.header)).getOrElse(Map.empty)
+
+  /** The streaming replay guard, one definition for the clean zone and
+    * the quarantine zone: a committer's epoch is a replay iff it is at
+    * or below ITS OWN recorded mark — falling back to the zone-global
+    * `#emax` only when no `#txn` was ever recorded (legacy single-
+    * writer history). */
+  private[v2] def epochReplayed(m: Option[Manifest], queryId: String,
+                                epochId: Long): Boolean =
+    m.exists { man =>
+      val txn = parseTxn(man.header)
+      if (txn.nonEmpty) txn.get(txnQid(queryId)).exists(epochId <= _)
+      else epochMaxOf(man).exists(epochId <= _)
+    }
+
   def committedEpochMax(path: String): Option[Long] =
     readManifestRaw(path).flatMap(epochMaxOf)
 
@@ -1335,9 +1399,15 @@ object DirSink {
       val target = DirSinkLog.at(path, gen) // loud when not retained
       val emax = (epochMaxOf(head).toSeq ++ epochMaxOf(target).toSeq)
         .reduceOption(_ max _)
-      val header = (target.header - "hist" - "emax" - DirSinkLog.TsKey) ++
+      // per-query marks, like emax, only move FORWARD through a
+      // restore (per-qid max of head and target): a writer's replay
+      // must stay a no-op even after the zone rolls back
+      val txn = mergeTxn(parseTxn(head.header), parseTxn(target.header))
+      val header = (target.header - "hist" - "emax" - TxnKey -
+          DirSinkLog.TsKey) ++
         head.header.get("hist").map("hist" -> _) ++
-        emax.map(e => "emax" -> e.toString) +
+        emax.map(e => "emax" -> e.toString) ++
+        (if (txn.nonEmpty) Some(TxnKey -> renderTxn(txn)) else None) +
         ("gen" -> (head.gen + 1).toString)
       publishCommit(path, target.schema,
         withHistory(header, s"restore-$gen", target.lines.size),
@@ -1516,6 +1586,63 @@ object DirSink {
     }.mkString("(", " + ", ")")
   }
 
+  /** Morton-shape `df` into `outFiles` z-ordered, z-sorted partitions.
+    * Each dimension scales linearly to 16 bits against bounds computed
+    * over `boundsOf` — the WHOLE zone for both callers, so an
+    * incremental pack's z-values live on the same coordinate grid as a
+    * full rewrite's would. On a stats-covered zone the bounds agg is
+    * answered METADATA-ONLY (the pushed min/max — [[DirSinkAgg]]), so
+    * the incremental path's "global bounds pass" costs a manifest
+    * fold, not a zone scan. Linear scaling (not rank) is the standard
+    * trade: heavy skew dilutes the grid but never breaks correctness —
+    * per-file stats stay exact bounds of whatever landed. */
+  private def zShape(df: org.apache.spark.sql.DataFrame,
+                     boundsOf: org.apache.spark.sql.DataFrame,
+                     zorderBy: Seq[String],
+                     outFiles: Int): org.apache.spark.sql.DataFrame = {
+    require(zorderBy.size >= 2 && zorderBy.size <= 3,
+      s"zorderBy takes 2 or 3 columns, got ${zorderBy.size}")
+    import org.apache.spark.sql.functions.{col => c, expr, max => fmax, min => fmin}
+    val zCol = "__graft_z"
+    def asNum(name: String): org.apache.spark.sql.Column = {
+      boundsOf.schema(name).dataType match {
+        case _: NumericType => c(name).cast("double")
+        case DateType | TimestampType =>
+          c(name).cast("timestamp").cast("double")
+        case dt => throw new IllegalArgumentException(
+          s"zorderBy column $name has unorderable-for-scaling type " +
+            s"${dt.sql} — numeric, date, and timestamp dims supported")
+      }
+    }
+    val bounds = boundsOf.agg(
+      zorderBy.flatMap(n => Seq(fmin(asNum(n)), fmax(asNum(n)))).head,
+      zorderBy.flatMap(n => Seq(fmin(asNum(n)), fmax(asNum(n)))).tail: _*
+    ).head()
+    val scaled = zorderBy.zipWithIndex.map { case (n, i) =>
+      // an all-NULL dimension (or an empty zone) has no bounds:
+      // it contributes a constant and the other dims still order
+      val (mn, mx) =
+        if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))
+          (0.0, 0.0)
+        else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = mx - mn
+      if (span <= 0) "CAST(0 AS BIGINT)"
+      else {
+        val numSql = boundsOf.schema(n).dataType match {
+          case DateType | TimestampType =>
+            s"CAST(CAST(`$n` AS TIMESTAMP) AS DOUBLE)"
+          case _ => s"CAST(`$n` AS DOUBLE)"
+        }
+        s"CAST(floor(coalesce((($numSql) - $mn) / $span, 0.0) " +
+          "* 65535.0) AS BIGINT)"
+      }
+    }
+    df.withColumn(zCol, expr(mortonN(scaled)))
+      .repartitionByRange(outFiles, c(zCol))
+      .sortWithinPartitions(c(zCol))
+      .drop(zCol)
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int, clusterBy: Seq[String] = Nil,
               zorderBy: Seq[String] = Nil): Unit = {
@@ -1538,50 +1665,9 @@ object DirSink {
     // just a 1-D sort's leading column. Linear scaling (not rank) is
     // the standard trade: heavy skew dilutes the grid but never breaks
     // correctness — the stats stay exact bounds of whatever landed.
-    val zCol = "__graft_z"
     val shaped =
-      if (zorderBy.nonEmpty) {
-        require(zorderBy.size >= 2 && zorderBy.size <= 3,
-          s"zorderBy takes 2 or 3 columns, got ${zorderBy.size}")
-        import org.apache.spark.sql.functions.{col => c, expr, max => fmax, min => fmin}
-        def asNum(name: String): org.apache.spark.sql.Column = {
-          df.schema(name).dataType match {
-            case _: NumericType => c(name).cast("double")
-            case DateType | TimestampType =>
-              c(name).cast("timestamp").cast("double")
-            case dt => throw new IllegalArgumentException(
-              s"zorderBy column $name has unorderable-for-scaling type " +
-                s"${dt.sql} — numeric, date, and timestamp dims supported")
-          }
-        }
-        val bounds = df.agg(
-          zorderBy.flatMap(n => Seq(fmin(asNum(n)), fmax(asNum(n)))).head,
-          zorderBy.flatMap(n => Seq(fmin(asNum(n)), fmax(asNum(n)))).tail: _*
-        ).head()
-        val scaled = zorderBy.zipWithIndex.map { case (n, i) =>
-          // an all-NULL dimension (or an empty zone) has no bounds:
-          // it contributes a constant and the other dims still order
-          val (mn, mx) =
-            if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1))
-              (0.0, 0.0)
-            else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-          val span = mx - mn
-          if (span <= 0) "CAST(0 AS BIGINT)"
-          else {
-            val numSql = df.schema(n).dataType match {
-              case DateType | TimestampType =>
-                s"CAST(CAST(`$n` AS TIMESTAMP) AS DOUBLE)"
-              case _ => s"CAST(`$n` AS DOUBLE)"
-            }
-            s"CAST(floor(coalesce((($numSql) - $mn) / $span, 0.0) " +
-              "* 65535.0) AS BIGINT)"
-          }
-        }
-        df.withColumn(zCol, expr(mortonN(scaled)))
-          .repartitionByRange(targetFiles, c(zCol))
-          .sortWithinPartitions(c(zCol))
-          .drop(zCol)
-      } else if (clusterBy.nonEmpty)
+      if (zorderBy.nonEmpty) zShape(df, df, zorderBy, targetFiles)
+      else if (clusterBy.nonEmpty)
         df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
           .sortWithinPartitions(clusterBy.map(df.col): _*)
       else df.repartition(targetFiles)
@@ -1630,8 +1716,11 @@ object DirSink {
     * Returns (files rewritten, files created). */
   def compactSmall(spark: org.apache.spark.sql.SparkSession, path: String,
                    minFileBytes: Long,
-                   clusterBy: Seq[String] = Nil): (Int, Int) = {
+                   clusterBy: Seq[String] = Nil,
+                   zorderBy: Seq[String] = Nil): (Int, Int) = {
     require(minFileBytes > 0, "minFileBytes must be positive")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "compactSmall takes clusterBy OR zorderBy, not both")
     val fmt = classOf[DirSinkSource].getName
     val parent = readManifestRaw(path).getOrElse(return (0, 0))
     val entries = parent.lines.map(parseEntry)
@@ -1653,7 +1742,17 @@ object DirSink {
       .option("files", small.map(_.name).mkString(","))
       .load()
     val shaped =
-      if (clusterBy.nonEmpty)
+      if (zorderBy.nonEmpty)
+        // INCREMENTAL ZORDER (round 16): z-order JUST the packed tail,
+        // scaled against the ZONE's global bounds — answered
+        // metadata-only on a stats-covered zone — so packed files carry
+        // tight hyper-rectangles on the same grid a full rewrite would
+        // use, and right-sized files stay untouched. A zone kept
+        // healthy by incremental packing no longer loses
+        // multi-dimensional locality (Delta's zorder-on-new-data).
+        zShape(df0, spark.read.format(fmt).option("path", path).load(),
+          zorderBy, outFiles)
+      else if (clusterBy.nonEmpty)
         df0.repartitionByRange(outFiles, clusterBy.map(df0.col): _*)
           .sortWithinPartitions(clusterBy.map(df0.col): _*)
       else df0.repartition(outFiles)
@@ -1682,6 +1781,64 @@ object DirSink {
     }
     f.delete(scratch, true)
     (small.size, rewrittenLines.size)
+  }
+
+  /** REORG … APPLY (PURGE) — targeted deletion-vector materialization
+    * (round 16, Delta's `REORG TABLE … APPLY (PURGE)` shape): rewrite
+    * ONLY the files carrying vectors into clean (tag-free) files and
+    * swap them in with ONE gen-verified delta commit; every
+    * unvectored file's manifest line survives VERBATIM. This is how a
+    * zone sheds its merge-on-read debt without a whole-zone rewrite:
+    * cost is O(vectored bytes) — `t$files.dv_rows` is the signal an
+    * operator schedules it on. The connector read applies the vectors,
+    * so the rewrite materializes exactly the LIVE rows; the vector
+    * sidecar files themselves stay on disk for retained-generation
+    * time travel (pre-purge `VERSION AS OF` still serves them) until
+    * vacuum ages their referencing segments out. Returns
+    * (files purged, files created). */
+  def purgeVectors(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Int, Int) = {
+    val fmt = classOf[DirSinkSource].getName
+    val parent = readManifestRaw(path).getOrElse(return (0, 0))
+    val entries = parent.lines.map(parseEntry)
+    val vectored = entries.filter(_.dv.isDefined)
+    if (vectored.isEmpty) return (0, 0) // nothing to purge: free no-op
+    val f = fs(path)
+    val root = new Path(path)
+    val cmap = parseColMap(parent.header)
+    def phys(c: String): String = cmap.getOrElse(c, c)
+    val scratch = new Path(root, s"_rewrite-${java.util.UUID.randomUUID()}")
+    val df0 = spark.read.format(fmt).option("path", path)
+      .option("files", vectored.map(_.name).mkString(","))
+      .load()
+    // keep the file granularity the zone already had — REORG is a
+    // purge, not a re-layout (OPTIMIZE owns sizing/clustering)
+    (if (cmap.isEmpty) df0.repartition(vectored.size)
+     else df0.repartition(vectored.size)
+       .toDF(parent.schema.fieldNames.map(phys).toSeq: _*))
+      .write.format(fmt)
+      .option("path", scratch.toString)
+      .option(FormatKey, parent.header.getOrElse(FormatKey, FormatText))
+      .option(BucketKey, bucketOf(parent.header)
+        .fold(BucketNone)(b => b.copy(col = phys(b.col)).render))
+      .option(BloomKey, parent.header.get(BloomKey)
+        .fold(BucketNone)(_.split(",").toSeq.map(phys).mkString(",")))
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    val rewrittenLines = readManifestRaw(scratch.toString)
+      .map(_.lines).getOrElse(Seq.empty)
+    publishAtGen(path, parent.gen, "REORG-PURGE", "reorg") { now =>
+      rewrittenLines.foreach { l =>
+        val name = l.split("\t")(0)
+        if (!f.rename(new Path(scratch, name), new Path(root, name)))
+          throw new java.io.IOException(
+            s"reorg publish failed: $name from $scratch into $root")
+      }
+      (withHistory(nextHeader(Some(now)), "reorg-purge",
+        now.lines.size - vectored.size + rewrittenLines.size),
+        DirSinkLog.DeltaCommit(rewrittenLines, vectored.map(_.name)))
+    }
+    f.delete(scratch, true)
+    (vectored.size, rewrittenLines.size)
   }
 
   /** The compaction remap chain, oldest first: `old:new` offset pairs
@@ -1879,10 +2036,35 @@ class DirSinkTable(path: String, schema0: StructType,
     }
     m
   }
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  /** AUTO SCHEMA EVOLUTION (round 16). Two surfaces, one law
+    * ([[DirSink.checkEvolution]]: append nullable columns only):
+    *
+    *   - batch append with `option("mergeSchema", "true")`: the table
+    *     declares ACCEPT_ANY_SCHEMA so Spark's output resolution
+    *     admits the wider frame, and the COMMIT widens the manifest
+    *     schema in the SAME atomic publish as the data (old files
+    *     NULL-tail exactly as after an explicit ALTER). Shapes ALTER
+    *     would refuse (renames, type changes, reordered or missing
+    *     columns) still refuse — at commit, zone untouched. Without
+    *     the option, Spark's strict by-name resolution stands.
+    *   - `MERGE INTO … WITH SCHEMA EVOLUTION`: the table declares
+    *     AUTOMATIC_SCHEMA_EVOLUTION, so Spark routes the source's new
+    *     columns through the catalog's ALTER path
+    *     ([[GraftCatalog.alterTable]] → [[DirSink.evolveSchema]])
+    *     before planning the merge — the clause is explicit opt-in,
+    *     so the capability is safe to declare unconditionally. */
+  private val mergeOk = pinned.get(DirSink.MergeSchemaKey)
+    .exists(_.equalsIgnoreCase("true"))
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    if (mergeOk) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DirSinkWriteBuilder(path, info.schema(), info.queryId(),
@@ -2224,6 +2406,10 @@ class DirSinkScanBuilder(path: String, schema: StructType,
       Option[(StructType, Seq[Option[String]], String)] = {
     if (planListener.isDefined || fileFilterOnly) return None
     if (skipFilters.nonEmpty || a.groupByExpressions().nonEmpty) return None
+    // a `files`-restricted read answers for a SUBSET of the zone, but
+    // the sidecar job folds the whole checkpoint — refuse pushdown
+    // rather than risk a whole-zone answer to a subset question
+    if (onlyFiles.isDefined) return None
     val (m, entries) =
       try DirSink.resolveState(path, asOfOffset, asOfTimestamp,
         asOfVersion, onlyFiles)
@@ -2491,8 +2677,27 @@ class DirSinkBatchWrite(path: String, schema: StructType, queryId: String,
       // let a recovering streaming writer re-commit an erased epoch
       val parent = DirSink.readManifestRaw(path)
       if (!truncate) parent.foreach { m =>
-        if (m.schema.toDDL != DirSink.asNullable(schema).toDDL)
+        if (m.schema.toDDL != DirSink.asNullable(schema).toDDL) {
+          // AUTO-WIDEN on append (round 16, reachable via
+          // `option("mergeSchema", "true")` → ACCEPT_ANY_SCHEMA): a
+          // strictly-wider write schema that passes the evolution law
+          // lands schema + data in ONE commit (`publishCommit` below
+          // publishes the write schema); anything else throws here,
+          // PRE-publish — staged files are aborted, zone untouched.
+          // Same collision rule as ALTER: a new column may shadow
+          // neither a logical nor a renamed column's physical name.
           DirSink.checkEvolution(m.schema, schema)
+          val colmap = DirSink.parseColMap(m.header)
+          val taken = m.schema.fieldNames.toSeq ++
+            m.schema.fieldNames.toSeq.map(c => colmap.getOrElse(c, c))
+          DirSink.asNullable(schema).fields.drop(m.schema.length)
+            .map(_.name).foreach { n =>
+              if (taken.exists(_.equalsIgnoreCase(n)))
+                throw new IllegalArgumentException(
+                  s"cannot auto-add column $n — it collides with an " +
+                    "existing column's logical or physical name")
+            }
+        }
       }
       val previous: Seq[String] =
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
@@ -2676,11 +2881,15 @@ class DirSinkBucketRouter(schema: StructType, spec: DirSink.BucketSpec,
   * DELETE rewriting epoch-carrying lines out of the manifest) and
   * drops the replayed files — exactly-once output by epoch.
   * Micro-batch epochs are MONOTONIC per checkpoint, which is what makes
-  * the ≤-mark test sound; a second stream with a FRESH checkpoint
-  * restarting the epoch sequence against a used zone was never
-  * supported (its ids collide with history under membership testing
-  * too). `outputMode(complete)` routes through `truncate`, making each
-  * epoch a whole-table manifest swap. */
+  * the ≤-mark test sound — PER QUERY ID (round 16): each commit records
+  * its stable query id's own high-water mark in the `#txn` header
+  * ([[DirSink.TxnKey]]), so TWO CONCURRENT streams (distinct
+  * checkpoints, independent epoch counters) interleave on one zone
+  * with each stream's replays judged against its own mark; the legacy
+  * zone-global `#emax` guard applies only to zones with no recorded
+  * `#txn` (pre-round-16 streaming history). `outputMode(complete)`
+  * routes through `truncate`, making each epoch a whole-table manifest
+  * swap. */
 class DirSinkStreamingWrite(path: String, schema: StructType,
                             queryId: String, truncate: Boolean,
                             format: String = DirSink.FormatText,
@@ -2718,7 +2927,8 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
     val root = new Path(path)
     f.mkdirs(root)
     val staged = DirSink.flattenMsgs(messages)
-    if (DirSink.committedEpochMax(path).exists(epochId <= _)) {
+    if (DirSink.epochReplayed(DirSink.readManifestRaw(path), queryId,
+        epochId)) {
       // epoch replay after crash recovery: the generation is already
       // durable (the high-water mark survives even if maintenance
       // rewrote the epoch's lines away) — make the retry a no-op and
@@ -2756,8 +2966,15 @@ class DirSinkStreamingWrite(path: String, schema: StructType,
       }
       val previous: Seq[String] =
         if (truncate) Seq.empty else parent.map(_.lines).getOrElse(Seq.empty)
+      // this committer's PER-QUERY mark (computed under the lock, from
+      // the freshest parent — two concurrent writers each advance only
+      // their own entry, monotonically)
+      val txn = DirSink.mergeTxn(
+        parent.map(m => DirSink.parseTxn(m.header)).getOrElse(Map.empty),
+        Map(DirSink.txnQid(queryId) -> epochId))
       val header0 = DirSink.nextHeader(parent, newEpoch = Some(epochId),
-        truncate = truncate) + (DirSink.FormatKey -> format) ++
+        truncate = truncate) + (DirSink.FormatKey -> format) +
+        (DirSink.TxnKey -> DirSink.renderTxn(txn)) ++
         bucketSpec.map(b => DirSink.BucketKey -> b.render) ++
         (if (bloomCols.nonEmpty)
           Some(DirSink.BloomKey -> bloomCols.mkString(",")) else None)
@@ -3602,17 +3819,23 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
     val e = math.max(s,
       migrated(end.asInstanceOf[DirSinkOffset], remaps).files)
     // ride out an in-flight publish (the same transient window as
-    // above) before declaring the manifest truncated
-    var files = fileList
+    // above) before declaring the manifest truncated. ONE manifest
+    // snapshot feeds BOTH the fingerprint check and the partition
+    // slice below — a DML commit landing between two separate reads
+    // would reorder the list AFTER the fingerprint passed, silently
+    // re-emitting consumed lines (the exact hazard the fingerprint
+    // exists to close).
+    var entries = entryList
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (files.size < e && System.nanoTime() < deadline) {
+    while (entries.size < e && System.nanoTime() < deadline) {
       Thread.sleep(50)
-      files = fileList
+      entries = entryList
     }
-    if (files.size < e)
+    if (entries.size < e)
       throw new IllegalStateException(
-        s"manifest under $path shrank (${files.size} < $e): streaming " +
+        s"manifest under $path shrank (${entries.size} < $e): streaming " +
           "read requires append-only commits — no overwrite under a tail")
+    val files = entries.map(en => (en.name, en.rows))
     // PREFIX-INTEGRITY check (round 15): a same-length rewrite — a
     // deletion-vector DELETE re-tagging consumed lines, a
     // count-neutral row-level DML — reorders the manifest without
@@ -3633,9 +3856,9 @@ class DirSinkMicroBatchStream(path: String, schema: StructType,
       }
     checkFp(start.asInstanceOf[DirSinkOffset], "start")
     checkFp(end.asInstanceOf[DirSinkOffset], "end")
-    // re-read WITH tags: a vectored file's dead positions must be
-    // skipped even by a fresh tail (wrong data, not just replay)
-    val entries = entryList
+    // partitions slice the SAME snapshot the fingerprint blessed, WITH
+    // tags: a vectored file's dead positions must be skipped even by a
+    // fresh tail (wrong data, not just replay)
     entries.slice(s, e).map { en =>
       DirSinkFilePartition(path, en.name, schema.toDDL,
         requiredIdx, dv = en.dv.map(_._1)): InputPartition

@@ -359,9 +359,23 @@ object StreamRun {
       sortedRows(coarseL) == sortedRows(coarse0) &&
         sortedRows(pqL) == sortedRows(pq0)
     val chainLen = Similarity.annIndexChain(spark, idxRoot, live).size
+    // round 16: AUTO-RETRAIN through the maintenance operator — by now
+    // the chain has appended 2/3 of the corpus over a 1/3 base, far
+    // past the 20%-of-base backstop, so ONE more maintained delta must
+    // fire a retrain and collapse the chain to a fresh base generation
+    val extraF = vecsAll.filter($"vec_id" % 37 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"e")
+    val corpusF = vecsAll.union(extraF)
+    val (liveM, retrainedF) =
+      Similarity.annIndexMaintain(spark, idxRoot, extraF, corpusF)
+    val chainAfterMaintain =
+      Similarity.annIndexChain(spark, idxRoot, liveM).size
+    val maintainedCells = spark.read.parquet(s"$liveM/cells").count()
+    val maintainCovers = maintainedCells == corpusF.count()
     vecsAll.unpersist(false)
     val passF = appendCounts.size == 2 && cellsMatch && codesMatch &&
-      codebooksFrozen && live != g0 && chainLen == 3
+      codebooksFrozen && live != g0 && chainLen == 3 &&
+      retrainedF && chainAfterMaintain == 1 && maintainCovers
 
     // ---- scenario G (round 11): MAINTENANCE UNDER A TAIL — the
     // documented constraint, exercised: a zone is tailed with
@@ -690,6 +704,49 @@ object StreamRun {
       deletesL.map(_._1).sorted == Seq(0L, 1L, 2L, 3L, 4L) &&
       run3L == 0L
 
+    // ---- scenario M (round 16): TWO CONCURRENT STREAMING WRITERS on
+    // one zone — distinct checkpoints (distinct stable query ids,
+    // independent epoch counters) racing the commit lock. Per-query
+    // `#txn` marks keep each stream exactly-once where the zone-global
+    // `#emax` would swallow the slower stream's epochs. One stream then
+    // RESTARTS from its checkpoint (same query id) over a new drop and
+    // only the new rows land.
+    val srcM1 = Files.createTempDirectory("graft_streamrun_m1").toString
+    val srcM2 = Files.createTempDirectory("graft_streamrun_m2").toString
+    val zoneM = Files.createTempDirectory("graft_streamrun_mz").toString + "/z"
+    val chkM1 = Files.createTempDirectory("graft_streamrun_mchk1").toString
+    val chkM2 = Files.createTempDirectory("graft_streamrun_mchk2").toString
+    spark.range(0, 50).select($"id", lit("s1").as("src")).coalesce(1)
+      .write.mode("append").parquet(srcM1)
+    Thread.sleep(1200)
+    spark.range(50, 100).select($"id", lit("s1").as("src")).coalesce(1)
+      .write.mode("append").parquet(srcM1)
+    spark.range(1000, 1080).select($"id", lit("s2").as("src")).coalesce(1)
+      .write.mode("append").parquet(srcM2)
+    def startM(src: String, chk: String) = spark.readStream
+      .schema("id BIGINT, src STRING")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format(fmt).option("path", zoneM)
+      .option("schema", "id BIGINT, src STRING")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    val qM1 = startM(srcM1, chkM1)
+    val qM2 = startM(srcM2, chkM2)
+    qM1.awaitTermination(180000); qM2.awaitTermination(180000)
+    qM1.stop(); qM2.stop()
+    val afterRaceM = spark.read.format(fmt).option("path", zoneM)
+      .load().count()
+    val txnM = graft.sources.v2.DirSink.committedTxn(zoneM)
+    spark.range(100, 130).select($"id", lit("s1").as("src")).coalesce(1)
+      .write.mode("append").parquet(srcM1)
+    val qM1b = startM(srcM1, chkM1)
+    qM1b.awaitTermination(180000); qM1b.stop()
+    val finalM = spark.read.format(fmt).option("path", zoneM).load()
+    val (finalCountM, distinctM) =
+      (finalM.count(), finalM.select($"id").distinct().count())
+    val passM = afterRaceM == 180L && txnM.size == 2 &&
+      finalCountM == 210L && distinctM == 210L
+
     val json =
       s"""{"sf":"$sfDir","rows_per_drop":${events.count()},
          |"scenario_late_drop":{"batches":$batchesA,
@@ -726,6 +783,9 @@ object StreamRun {
          |"codebooks_frozen":$codebooksFrozen,
          |"cells_equal_full_assignment":$cellsMatch,
          |"codes_equal_full_assignment":$codesMatch,
+         |"maintain_fired_retrain":$retrainedF,
+         |"chain_collapsed_to_base":${chainAfterMaintain == 1},
+         |"retrained_index_covers_corpus":$maintainCovers,
          |"pass":$passF},
          |"scenario_maintenance_under_tail":{
          |"committed_rows":$totalG,
@@ -767,8 +827,14 @@ object StreamRun {
          |"resumed_net_deletes":$run2L,
          |"idle_drain_rows":$run3L,
          |"pass":$passL},
+         |"scenario_two_stream_writers":{
+         |"rows_after_race":$afterRaceM,
+         |"writer_marks":${txnM.size},
+         |"rows_after_restart":$finalCountM,
+         |"distinct_ids":$distinctM,
+         |"pass":$passM},
          |"pass":${passA && passB && passC && passD && passE && passF &&
-        passG && passH && passI && passJ && passK && passL}}"""
+        passG && passH && passI && passJ && passK && passL && passM}}"""
         .stripMargin.replace("\n", "")
     println(s"[streamrun] $json")
     outFile.foreach { f =>

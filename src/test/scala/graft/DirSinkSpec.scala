@@ -194,15 +194,17 @@ class DirSinkSpec extends AnyFunSuite {
     def readBack() = spark.read.format(fmt).option("path", dir).load()
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(readBack() == Seq((1L, "e0"), (2L, "e1")))
-    // crash-recovery replay: a NEW run (new queryId, as on restart)
-    // re-executes epoch 1 — the commit must be a no-op, not a duplicate
-    val sw2 = new DirSinkStreamingWrite(dir, schema, "run-2", truncate = false)
-    sw2.commit(1L, Array(stage("run-2", 1L, 2L, "e1")))
+    // crash-recovery replay: the restarted run re-executes epoch 1
+    // under its STABLE query id (Spark passes the checkpoint's `id`,
+    // not the per-run `runId`) — the commit must be a no-op, not a
+    // duplicate (round 16: the per-query #txn mark judges it)
+    val sw2 = new DirSinkStreamingWrite(dir, schema, "run-1", truncate = false)
+    sw2.commit(1L, Array(stage("run-1", 1L, 2L, "e1")))
     assert(readBack() == Seq((1L, "e0"), (2L, "e1")),
       "an epoch retry must not duplicate rows")
     assert(DirSink.committedEpochs(dir) == Set(0L, 1L))
     // ...and the stream keeps going from epoch 2
-    sw2.commit(2L, Array(stage("run-2", 2L, 3L, "e2")))
+    sw2.commit(2L, Array(stage("run-1", 2L, 3L, "e2")))
     assert(readBack() == Seq((1L, "e0"), (2L, "e1"), (3L, "e2")))
     // a batch append on top preserves the epoch bookkeeping of old lines
     Seq((9L, "batch")).toDF("id", "name").write.format(fmt)

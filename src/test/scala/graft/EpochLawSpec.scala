@@ -7,12 +7,16 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Randomized EXACTLY-ONCE law for the streaming WRITE path: 25
-  * seeded-random sequences of {commit next epoch, replay a random
-  * already-committed epoch (as a crash-recovered run with a new
-  * queryId would), compact}, with the zone's row multiset checked
-  * against the expected one after every op — the `#emax` high-water
-  * mark must make every replay a no-op REGARDLESS of how much
-  * maintenance rewrote the epoch-carrying lines away. */
+  * seeded-random sequences of {either writer commits its next epoch,
+  * either writer replays a random already-committed epoch (as a
+  * crash-recovered run would — under its own STABLE query id, which
+  * is what Spark passes to the write), compact}, with the zone's row
+  * multiset checked against the expected one after every op — each
+  * writer's `#txn` mark (round 16; `#emax` for legacy zones) must
+  * make every replay a no-op REGARDLESS of how much maintenance
+  * rewrote the epoch-carrying lines away, while TWO CONCURRENT
+  * writers' independent epoch counters never swallow each other's
+  * legitimate commits. */
 class EpochLawSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
   private val fmt = "graft.sources.v2.DirSinkSource"
@@ -38,34 +42,37 @@ class EpochLawSpec extends AnyFunSuite {
     (1 to 25).foreach { caseId =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_epoch_law_$caseId").toString + "/z"
-      var nextEpoch = 0L
+      // TWO independent streaming writers, each with its own stable
+      // query id and its own epoch counter (distinct checkpoints)
+      val nextEpoch = Array(0L, 0L)
       var nextId = 0L
       val expected = scala.collection.mutable.ArrayBuffer[Long]()
-      var run = 0
 
-      def commit(): Unit = {
+      def commit(w: Int): Unit = {
         val ids = (0 until rnd.nextInt(3) + 1).map { _ =>
           nextId += 1; nextId }
-        commitEpoch(dir, s"run-$run", nextEpoch, ids)
+        commitEpoch(dir, s"writer-$w", nextEpoch(w), ids)
         expected ++= ids
-        nextEpoch += 1
+        nextEpoch(w) += 1
       }
-      def replay(): Unit = if (nextEpoch > 0) {
-        run += 1 // a recovered run has a fresh queryId
-        val e = rnd.nextInt(nextEpoch.toInt).toLong
+      def replay(w: Int): Unit = if (nextEpoch(w) > 0) {
+        val e = rnd.nextInt(nextEpoch(w).toInt).toLong
         // the replayed payload differs (a crash can lose the original
-        // batch's nondeterminism) — it must be DROPPED either way
-        commitEpoch(dir, s"run-$run", e, Seq(900000L + e))
+        // batch's nondeterminism) — it must be DROPPED either way; the
+        // recovered run keeps writer w's stable query id
+        commitEpoch(dir, s"writer-$w", e, Seq(900000L + e))
       }
       def compact(): Unit = if (expected.nonEmpty)
         DirSink.compact(spark, dir, targetFiles = rnd.nextInt(2) + 1)
 
-      commit()
-      (1 to 12).foreach { _ =>
-        rnd.nextInt(4) match {
-          case 0 | 1 => commit()
-          case 2 => replay()
-          case 3 => compact()
+      commit(0)
+      (1 to 14).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => commit(0)
+          case 2 => commit(1)
+          case 3 => replay(0)
+          case 4 => replay(1)
+          case 5 => compact()
         }
       }
       val got = spark.read.format(fmt).option("path", dir).load()

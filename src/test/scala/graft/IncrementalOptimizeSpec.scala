@@ -18,8 +18,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *     unchanged — the O(new data) claim at its fixpoint);
   *   - bucket purity survives the packing on a bucketed zone;
   *   - pre-optimize generations stay time-travelable (retained log);
-  *   - the SQL surface composes with CLUSTER BY and refuses
-  *     TARGET/ZORDER (whole-zone rewrites). */
+  *   - the SQL surface composes with CLUSTER BY and (round 16)
+  *     ZORDER BY — the packed tail z-orders against ZONE-global bounds
+  *     so its files carry tight hyper-rectangles on the same grid a
+  *     full rewrite would use — and refuses TARGET (whole-zone). */
 class IncrementalOptimizeSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
   private val fmt = "graft.sources.v2.DirSinkSource"
@@ -146,8 +148,105 @@ class IncrementalOptimizeSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"OPTIMIZE $cat.db.t TARGET 4 FILES SMALLER THAN 1 MB")
     }
-    intercept[Exception] {
-      spark.sql(s"OPTIMIZE $cat.db.t ZORDER BY (id, v) SMALLER THAN 1 MB")
+  }
+
+  /** Planned file NAMES for a filtered read (the band-planning probe,
+    * scoped so packed-tail and untouched files can be told apart). */
+  private def plannedNames(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
     }
+    p.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.v2.DirSinkScan]
+    }.get.planInputPartitions().collect {
+      case fp: graft.sources.v2.DirSinkFilePartition => fp.file
+    }.toSet
+  }
+
+  test("incremental ZORDER: packed tail carries tight hyper-rectangles on the zone grid; converges (round 16)") {
+    import spark.implicits._
+    // build TWO identical zones: one packs with ZORDER BY, the control
+    // packs unordered — the discriminating fact is the packed files'
+    // band-planning, everything else held equal
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_iopt_z").toString
+      // big: the full 100×100 grid, z-ordered whole-zone into 4 files
+      spark.range(10000)
+        .select(($"id" % 100L).as("x"), ($"id" / 100L).cast("long").as("y"),
+          $"id".as("payload"))
+        .repartition(4)
+        .write.format(fmt).option("path", dir)
+        .mode(SaveMode.Overwrite).save()
+      DirSink.compact(spark, dir, targetFiles = 4, zorderBy = Seq("x", "y"))
+      // tail: 8 small scrambled drops spanning the SAME grid range
+      (0 until 8).foreach { i =>
+        spark.range(i * 250L, i * 250L + 250L)
+          .select((($"id" * 37L) % 100L).as("x"),
+            (($"id" * 61L) % 100L).as("y"), $"id".as("payload"))
+          .coalesce(1).write.format(fmt).option("path", dir)
+          .mode(SaveMode.Append).save()
+      }
+      dir
+    }
+    val zd = build()
+    val cd = build()
+    val entries0 = DirSink.readManifestEntries(zd).get._2
+    val bigNames = entries0.sortBy(-_.bytes.getOrElse(0L)).take(4)
+      .map(_.name).toSet
+    val smallSz = entries0.sortBy(_.bytes.getOrElse(0L)).head.bytes.get
+    val thr = smallSz * 2 // 8 small files → ~4 z-tiled outputs
+    val (rz, cz) = DirSink.compactSmall(spark, zd, thr,
+      zorderBy = Seq("x", "y"))
+    val (rc, cc) = DirSink.compactSmall(spark, cd, thr)
+    assert(rz == 8 && rc == 8 && cz >= 3 && cz == cc,
+      s"both zones pack the same tail: z=($rz->$cz) control=($rc->$cc)")
+    // right-sized (already z-ordered) files keep their manifest identity
+    assert(bigNames.subsetOf(
+      DirSink.readManifestEntries(zd).get._2.map(_.name).toSet),
+      "the incremental pass must not touch right-sized files")
+    val packedZ = DirSink.readManifestEntries(zd).get._2
+      .map(_.name).toSet -- bigNames
+    val packedC = DirSink.readManifestEntries(cd).get._2
+      .map(_.name).filterNot(bigNames.contains).toSet
+    def readZ() = spark.read.format(fmt).option("path", zd).load()
+    def readC() = spark.read.format(fmt).option("path", cd).load()
+    // TIGHT HYPER-RECTANGLES: a narrow band in EITHER dim plans at most
+    // half of the z-packed files; the unordered control pack spans the
+    // whole grid in every file, so both bands plan ALL of its files
+    val zx = plannedNames(readZ().filter($"x" < 10)).intersect(packedZ)
+    val zy = plannedNames(readZ().filter($"y" < 10)).intersect(packedZ)
+    assert(zx.size <= packedZ.size / 2,
+      s"x-band must skip z-packed files: ${zx.size} of ${packedZ.size}")
+    assert(zy.size <= packedZ.size / 2,
+      s"y-band must skip z-packed files: ${zy.size} of ${packedZ.size}")
+    val cx = plannedNames(readC().filter($"x" < 10)).intersect(packedC)
+    assert(cx.size > packedC.size / 2 && cx.size > zx.size,
+      s"an unordered pack mostly cannot skip (round-robin files span " +
+        s"the grid): planned ${cx.size} of ${packedC.size}, z planned " +
+        s"${zx.size}")
+    // row preservation + convergence (the fixpoint is a free no-op)
+    assert(readZ().count() == 12000)
+    // z-range partitions are not byte-uniform, so a couple of follow-up
+    // passes may re-pack the undersized tail — the fixpoint must still
+    // arrive in bounded passes and then be a free no-op
+    var passes = 0
+    while (DirSink.compactSmall(spark, zd, thr,
+        zorderBy = Seq("x", "y")) != ((0, 0)) && passes < 4)
+      passes += 1
+    assert(passes < 4, "repeated incremental ZORDER must converge")
+    assert(readZ().count() == 12000)
+    // the SQL surface composes
+    val cat = s"ioptzcat_${math.abs(zd.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      new java.io.File(zd).getParent)
+    val tbl = s"$cat.`${new java.io.File(zd).getName}`"
+    val row = spark.sql(
+      s"OPTIMIZE $tbl ZORDER BY (x, y) SMALLER THAN $thr").head
+    assert(row.getLong(2) == 12000L, "row-preserving, and a no-op pack")
   }
 }

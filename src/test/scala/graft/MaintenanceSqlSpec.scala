@@ -90,4 +90,52 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     // silent no-op
     intercept[Exception] { spark.sql(s"OPTIMIZE $cat.db.d CLUSTER BY") }
   }
+
+  test("REORG APPLY (PURGE): only vectored files rewrite; history records it; pre-purge travel serves the vectors (round 16)") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT, v BIGINT)")
+    // 4 range-clustered files, ids 0..99
+    (0 until 4).foreach { k =>
+      spark.range(k * 25L, k * 25L + 25L)
+        .select($"id", ($"id" % 7).as("v")).coalesce(1)
+        .writeTo(s"$cat.db.r").append()
+    }
+    val dir = s"$wh/db/r"
+    // a scattered DV DELETE tags 2 of the 4 files
+    spark.conf.set(graft.sources.v2.DirSinkDv.EnabledKey, "true")
+    try spark.sql(s"DELETE FROM $cat.db.r WHERE id IN (3, 7, 64)")
+    finally spark.conf.unset(graft.sources.v2.DirSinkDv.EnabledKey)
+    val preGen = DirSink.currentGen(dir).get
+    val entries = DirSink.readManifestEntries(dir).get._2
+    val vectored = entries.filter(_.dv.isDefined).map(_.name).toSet
+    val clean = entries.filterNot(_.dv.isDefined).map(_.name).toSet
+    assert(vectored.size == 2 && clean.size == 2, s"fixture: $entries")
+
+    val res = spark.sql(s"REORG TABLE $cat.db.r APPLY (PURGE)").head
+    assert(res.getLong(0) == 2 && res.getLong(2) == 97L,
+      s"2 files purged, 97 live rows: $res")
+    val after = DirSink.readManifestEntries(dir).get._2
+    assert(after.forall(_.dv.isEmpty), "no tag survives the purge")
+    assert(clean.subsetOf(after.map(_.name).toSet),
+      "unvectored files keep their manifest identity (never rewritten)")
+    assert(after.map(_.name).toSet.intersect(vectored).isEmpty)
+    assert(DirSink.history(dir).map(_.op).last == "reorg-purge")
+    // answers unchanged, live rows only
+    assert(spark.table(s"$cat.db.r").count() == 97)
+    assert(spark.table(s"$cat.db.r").filter($"id" === 3L).count() == 0)
+    // pre-purge travel still serves the VECTORED view (deleted rows
+    // stay dead in the snapshot — the vectors themselves survive)
+    val fmtSrc = "graft.sources.v2.DirSinkSource"
+    val old = spark.read.format(fmtSrc).option("path", dir)
+      .option("asOfVersion", preGen).load()
+    assert(old.count() == 97 &&
+      old.filter($"id" === 3L).count() == 0,
+      "pre-purge snapshot must still apply its deletion vectors")
+    // a second REORG is a free no-op (no vectors left, no generation)
+    val gen = DirSink.currentGen(dir).get
+    assert(spark.sql(s"REORG TABLE $cat.db.r APPLY (PURGE)").head
+      .getLong(0) == 0)
+    assert(DirSink.currentGen(dir).contains(gen))
+  }
 }

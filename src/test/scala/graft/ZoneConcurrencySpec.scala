@@ -55,6 +55,45 @@ class ZoneConcurrencySpec extends AnyFunSuite {
     assert(m.size == 8 && m.map(_._1).distinct.size == 8)
   }
 
+  test("TWO concurrent streaming writers race one zone: interleaved epochs, a mid-stream crash-replay each — exactly-once for both (round 16)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // two real streaming writers (distinct stable query ids, distinct
+    // checkpoints ⇒ independent epoch counters 0..9) racing the zone
+    // lock; each "crashes" after epoch 5 and replays it — under its
+    // OWN query id, which is what Spark's micro-batch path passes
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(qid: String, base: Long) = new Thread(() => {
+      try (0 until 10).foreach { e =>
+        streamCommit(dir, qid, e.toLong, base + e, s"$qid-e$e")
+        if (e == 5) streamCommit(dir, qid, 5L, base + 900, s"$qid-replay")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (writer("qa", 1000L), writer("qb", 2000L))
+    ta.start(); tb.start(); ta.join(180000); tb.join(180000)
+    assert(!ta.isAlive && !tb.isAlive, "writers must finish")
+    assert(errs.isEmpty, s"writer failures: ${errs.toArray.toSeq}")
+    // exactly-once BOTH streams: every (writer, epoch) row once, no
+    // replay ghosts, neither writer's epochs swallowed by the other's
+    // independent counter (the zone-global-emax failure mode)
+    val ids = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toSeq.map(_._1).sorted
+    assert(ids == ((1000L until 1010L) ++ (2000L until 2010L)).sorted,
+      s"each stream's 10 epochs exactly once, got $ids")
+    // each stream's own #txn mark stands at its last epoch
+    assert(DirSink.committedTxn(dir) == Map("qa" -> 9L, "qb" -> 9L),
+      s"per-writer marks: ${DirSink.committedTxn(dir)}")
+    assert(DirSink.committedEpochMax(dir).contains(9L))
+    // the commit-log generation chain is contiguous: 20 real commits
+    // (replays publish nothing), gens 0..19, head replays cleanly
+    assert(DirSink.currentGen(dir).contains(19L),
+      s"20 commits, 2 silent replays: gen ${DirSink.currentGen(dir)}")
+    // and a LATE replay (deeper recovery) of either stream is still a
+    // no-op after all of the other stream's traffic
+    streamCommit(dir, "qa", 3L, 1903L, "late-replay")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 20)
+  }
+
   test("generation counter: every publish bumps #gen; no two commits share one") {
     import spark.implicits._
     val dir = tmpDir()
@@ -98,14 +137,16 @@ class ZoneConcurrencySpec extends AnyFunSuite {
     assert(DirSink.committedEpochMax(dir).contains(1L),
       "the #emax header must survive the compaction rewrite")
     // crash-recovery replay of epoch 1 AFTER the compaction: before the
-    // header existed this re-committed and duplicated rows 1 and 2
-    streamCommit(dir, "run-2", 1L, 2L, "e1")
+    // header existed this re-committed and duplicated rows 1 and 2.
+    // (The recovered run keeps its STABLE query id — Spark passes the
+    // checkpoint's `id`, not the per-run `runId`, to the write.)
+    streamCommit(dir, "run-1", 1L, 2L, "e1")
     val back = spark.read.format(fmt).option("path", dir).load()
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     assert(back == Seq((1L, "e0"), (2L, "e1")),
       s"a post-compaction epoch replay must not duplicate rows, got $back")
     // ...and the NEXT epoch still lands normally
-    streamCommit(dir, "run-2", 2L, 3L, "e2")
+    streamCommit(dir, "run-1", 2L, 3L, "e2")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 3)
   }
 
@@ -120,14 +161,14 @@ class ZoneConcurrencySpec extends AnyFunSuite {
       org.apache.spark.sql.sources.EqualTo("id", 2L)))
     assert(DirSink.committedEpochMax(dir).contains(1L),
       "DELETE dropping an epoch-carrying line must preserve #emax")
-    streamCommit(dir, "run-2", 1L, 2L, "doomed") // replay: must be a no-op
+    streamCommit(dir, "run-1", 1L, 2L, "doomed") // replay: must be a no-op
     assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
     // batch OVERWRITE truncates the lines — the mark still survives
     Seq((9L, "fresh")).toDF("id", "v").write.format(fmt)
       .option("path", dir).mode(SaveMode.Overwrite).save()
     assert(DirSink.committedEpochMax(dir).contains(1L),
       "truncate must carry the epoch mark forward")
-    streamCommit(dir, "run-3", 0L, 10L, "replay0")
+    streamCommit(dir, "run-1", 0L, 10L, "replay0")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 1,
       "epochs at or below the mark must stay no-ops after overwrite")
   }
