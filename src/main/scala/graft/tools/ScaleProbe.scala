@@ -36,7 +36,12 @@ object ScaleProbe {
     "q_dp_release_sum", "q_pii_detect", "q_readability",
     "q_dsv2_sink_roundtrip", "q_dp_release_hist", "q_dsv2_runtime_filter",
     "q_dedup_url", "q_pseudonymize", "q_dsv2_skipping", "q_bitext_mine",
-    "q_bitext_pipeline", "q_stream_left_join")
+    "q_bitext_pipeline", "q_stream_left_join",
+    // round 16: the bench-tail leaders, for the two-engine slope sweep
+    // (tools/scale_slope.py times the same queries' oracle SQL in
+    // DuckDB over the same replicated corpus)
+    "q_ann_recall_ivf", "q_ann_rerank", "q_bootstrap_ci", "q_conformal",
+    "q_dedup_clusters", "q_curation_pipeline")
 
   /** Queries whose first invocation pays a one-off artifact build that a
     * long-lived deployment amortizes away (the ANN index trains once and
