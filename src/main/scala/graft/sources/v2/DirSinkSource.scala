@@ -1637,10 +1637,45 @@ object DirSink {
           "* 65535.0) AS BIGINT)"
       }
     }
-    df.withColumn(zCol, expr(mortonN(scaled)))
-      .repartitionByRange(outFiles, c(zCol))
-      .sortWithinPartitions(c(zCol))
-      .drop(zCol)
+    // Route rows to files by the ALIGNED z-cell prefix (top
+    // ceil(log2(outFiles)) bits of the z-value) through an EXACT
+    // partitioner, not repartitionByRange's sampled quantiles: a sampled
+    // boundary can land mid-cell, leaking a sliver of the next quadrant
+    // into a file and blowing its bounding rectangle up to the union of
+    // two quadrants (observed: an x-band filter planned 3 of 4 z-packed
+    // files because one file carried 2 rows across a quadrant boundary).
+    // Prefix cells ARE hyper-rectangles, so every output file's min/max
+    // box is tight by construction, and the routing is deterministic —
+    // no sample-seed dependence. Non-power-of-2 outFiles group ADJACENT
+    // whole cells (bucket·outFiles div 2^k is monotone), so a merged
+    // file is a union of sibling cells, never a mid-cell split. Skew
+    // cost: an empty cell yields a missing file (fewer, larger outputs),
+    // which the convergence law tolerates.
+    val zbits = zorderBy.size * 16
+    val k = math.min(zbits,
+      if (outFiles <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(
+        (outFiles - 1).toLong))
+    val withZ = df.withColumn(zCol, expr(mortonN(scaled)))
+    if (k == 0) withZ.coalesce(1).sortWithinPartitions(c(zCol)).drop(zCol)
+    else {
+      val nCells = 1L << k
+      val schema = withZ.schema
+      val zIdx = schema.fieldIndex(zCol)
+      val nOut = outFiles
+      val routed = withZ.rdd
+        .map { r =>
+          val cell = (r.getLong(zIdx) >> (zbits - k)) & (nCells - 1)
+          (cell * nOut / nCells, r)
+        }
+        .partitionBy(new org.apache.spark.Partitioner {
+          def numPartitions: Int = nOut
+          def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+        })
+        .map(_._2)
+      withZ.sparkSession.createDataFrame(routed, schema)
+        .sortWithinPartitions(c(zCol))
+        .drop(zCol)
+    }
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
