@@ -522,8 +522,19 @@ object Similarity extends QueryModule {
         row_number().over(Window.orderBy(seedOrd: _*)).cast("long"))
       .select($"cid", $"e".as("ce"))
     (1 to iters).foldLeft(seeds: DataFrame) { (cent, _) =>
-      n.join(assignCells(n, cent), Seq("vec_id"))
-        .select($"cell", posexplode($"e"))
+      // The vector rides THROUGH the argmax (last struct field — never
+      // compared: (csim, -cid) is already unique per vec_id) instead of
+      // joining the assignment back to n: one exchange of n·(e+8B)
+      // replaces an exchange of the assignment PLUS a join re-shuffling
+      // n.e — one less exchange and no join per Lloyd round, same exact
+      // integer means, so the trained centroids stay bit-identical.
+      n.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"), $"e".as("e")))
+          .as("m"))
+        .select((-$"m.nc").as("cell"), posexplode($"m.e"))
         .groupBy($"cell", $"pos")
         .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
           count(lit(1)).as("cnt"))
@@ -729,14 +740,32 @@ object Similarity extends QueryModule {
 
   private def pqTrain(nmAll: DataFrame, k: Int = PqDefaultK): DataFrame = {
     val s = nmAll.sparkSession; import s.implicits._
-    val seeds = nmAll
-      .withColumn("cid", row_number().over(
-        Window.partitionBy($"m")
-          .orderBy(md5($"vec_id".cast("string")), $"vec_id")).cast("long"))
-      .filter($"cid" <= k)
+    // Seed selection orders by md5(vec_id) — INDEPENDENT of m — so the
+    // per-m top-k rows are the same k vec_ids in the same order for
+    // every subspace. Compute that k-row id→rank table once from one
+    // subspace's rows (TakeOrdered, no full shuffle; the rank window is
+    // bounded by the limit) and broadcast-join it back, instead of
+    // ranking the whole N·M keyed relation through a window exchange.
+    val seedOrd = Seq(md5($"vec_id".cast("string")), $"vec_id")
+    val seedIds = nmAll.filter($"m" === 0).select($"vec_id")
+      .orderBy(seedOrd: _*).limit(k)
+      // bounded: numbers the ≤k seed rows the limit above selected
+      .withColumn("cid",
+        row_number().over(Window.orderBy(seedOrd: _*)).cast("long"))
+    val seeds = nmAll.join(broadcast(seedIds), Seq("vec_id"))
       .select($"m", $"cid", $"e".as("ce"))
-    nmAll.join(pqAssign(nmAll, seeds), Seq("m", "vec_id"))
-      .select($"m", $"cell", posexplode($"e"))
+    // Same fusion as the Lloyd round in [[kmeansCodebook]]: the subspace
+    // vector rides through the argmax (last struct field, never compared
+    // — (csim, -cid) is unique per (m, vec_id)) instead of joining the
+    // assignment back to the N·M relation — one exchange, no join, the
+    // exact same integer means, bit-identical codebooks.
+    nmAll.join(broadcast(seeds), Seq("m"))
+      .withColumn("csim", graft.Det.round6(
+        graft.functions.VectorFunctions.cosine($"e", $"ce")))
+      .groupBy($"m", $"vec_id")
+      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"), $"e".as("e")))
+        .as("x"))
+      .select($"m", (-$"x.nc").as("cell"), posexplode($"x.e"))
       .groupBy($"m", $"cell", $"pos")
       .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
         count(lit(1)).as("cnt"))
@@ -865,8 +894,13 @@ object Similarity extends QueryModule {
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
     val (codes, lookups) = pqCodesLookups(pqSubspaces(n, pqM), pqK)
-    codes.join(broadcast(lookups), Seq("m", "code"))
-      .join(pairs, Seq("qid", "vec_id"))
+    // Attach the IVF candidate filter to the codes BEFORE the lookup
+    // explode: codes ⨝ lookups first would manufacture |Q|·N·M rows and
+    // then throw most away against pairs; pairs ⨝ codes first keeps the
+    // relation at |pairs|·M rows — the ADC scoring only ever touches
+    // probed candidates (inner joins commute, result identical).
+    pairs.join(codes, Seq("vec_id"))
+      .join(broadcast(lookups), Seq("qid", "m", "code"))
       .groupBy($"qid", $"vec_id")
       .agg(sum($"lq").as("sl"))
   }

@@ -519,7 +519,12 @@ class PlanShapeSpec extends AnyFunSuite {
     * falling count means a seal was added — update the pin either way,
     * and check the warm TimeQ cost when raising one. */
   private val scanMultiplicity: Map[String, Int] = Map(
-    "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 8,
+    // q_ann_pq raised 8→10 (round 16): pqTrain's seed ranks now come
+    // from a k-row TakeOrdered + broadcast join (2 raw refs of the
+    // PERSISTED subspace relation, narrow at runtime) instead of ONE
+    // ref through a full N·M-row window exchange — two cache reads
+    // bought the removal of the training path's widest shuffle.
+    "q_ann_ivf" -> 14, "q_ann_ivfpq" -> 16, "q_ann_pq" -> 10,
     // q_ann_rerank = the q_ann_ivfpq tree (16) + the exact-re-rank
     // tail's two id-equi-joins against the PERSISTED vector relation —
     // runtime reads the cache, the raw lazy tree counts the two refs
