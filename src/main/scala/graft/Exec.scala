@@ -91,4 +91,28 @@ object Exec {
       val p = hub.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (p, () => { p.unpersist(false); () })
     } else (hub, () => ())
+
+  /** Scale-adaptive parallelism floor for CPU-DENSE relations (guide
+    * §2.6 idle capacity / §2.5 input skew "one huge unsplittable
+    * file"): a single-row-group parquet table — the fixture shape, and
+    * the real-world shape of any small dimension or un-compacted
+    * ingest head — plans as ONE scan partition, so every map-side
+    * stage over it (the N·C cosine loop, per-token md5, shingling)
+    * runs on one core regardless of cluster width. When the planned
+    * partition count is below the session's core parallelism, fan out
+    * once with a round-robin exchange (bytes are tiny exactly when the
+    * trigger fires — partitions < cores means the scan couldn't fill
+    * the machine); at production scale input partitions exceed cores
+    * and this is the identity, so no 100 TB relation is ever
+    * re-shuffled by it. Row-level results are unchanged (set-identical
+    * rows; every downstream consumer in this codebase is
+    * order-independent by the Det discipline).
+    *
+    * Apply ONLY where the consumer is compute-bound per row — fanning
+    * out a scan that feeds a selective pushed filter would instead
+    * defeat the parquet scan's PushedFilters. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

@@ -475,8 +475,13 @@ object Similarity extends QueryModule {
   private[graft] def ivfVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    Tables.load(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+    // fanOut: the embeddings fixture is one row group → one scan
+    // partition, and EVERY consumer of this hub is the N·C/N·K cosine
+    // loop — the round-16 profile showed those stages pinned to one
+    // core (guide §2.6). Scale-adaptive: identity once the store has
+    // ≥cores partitions.
+    graft.Exec.fanOut(Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e")))
   }
 
   /** Nearest-centroid assignment: (vec_id, cell). A map-side-combinable
