@@ -475,13 +475,8 @@ object Similarity extends QueryModule {
   private[graft] def ivfVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    // fanOut: the embeddings fixture is one row group → one scan
-    // partition, and EVERY consumer of this hub is the N·C/N·K cosine
-    // loop — the round-16 profile showed those stages pinned to one
-    // core (guide §2.6). Scale-adaptive: identity once the store has
-    // ≥cores partitions.
-    graft.Exec.fanOut(Tables.load(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("e")))
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
   }
 
   /** Nearest-centroid assignment: (vec_id, cell). A map-side-combinable
@@ -808,8 +803,15 @@ object Similarity extends QueryModule {
   private def pqCodesLookups(nmAll: DataFrame,
                              k: Int = PqDefaultK): (DataFrame, DataFrame) = {
     val s = nmAll.sparkSession; import s.implicits._
-    val cent = pqTrain(nmAll, k)
-    val codes = pqAssign(nmAll, cent)
+    // fanOut the TRAINING consumers only (guide §2.5 input skew: the
+    // fixture's single-row-group scan plans one partition, so the
+    // N·M·K-cosine train/assign stages would run on one core). The
+    // |Q|-sized lookup path stays on the natural partitioning — fanning
+    // 20 query rows buys nothing. Identity once the corpus scan has
+    // ≥cores partitions, so no exchange is added at real scale.
+    val nmF = graft.Exec.fanOut(nmAll)
+    val cent = pqTrain(nmF, k)
+    val codes = pqAssign(nmF, cent)
       .select($"vec_id", $"m", $"cell".as("code"))
     val lookups = pqLookups(nmAll.filter($"vec_id" % 100 === 0), cent)
     (codes, lookups)
@@ -1086,7 +1088,10 @@ object Similarity extends QueryModule {
           val r = asg.agg(count(lit(1)), avg($"csim")).head
           writeDrift(s, gen, r.getLong(0), r.getDouble(1), r.getDouble(1))
         } finally asg.unpersist(false)
-        val nm = pqSubspaces(n)
+        // same fanOut rationale as [[pqCodesLookups]]: the train/assign
+        // stages are N·M·K-cosine dense and the fixture scan plans one
+        // partition; identity at real scale
+        val nm = graft.Exec.fanOut(pqSubspaces(n))
         val pqCent = pqTrain(nm).localCheckpoint(true)
         pqCent.write.mode("overwrite").parquet(s"$gen/pq")
         pqAssign(nm, pqCent)
