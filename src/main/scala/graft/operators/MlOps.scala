@@ -556,7 +556,13 @@ object MlOps extends QueryModule {
     // the per-row cost, so the digest count is the lever — measured at
     // sf0.1: 9.8 s (one md5 per (row, replica)) → 147 s (digests built
     // inside nested HOF lambdas, interpreted) → 1.9 s (this shape).
-    val reps = ev
+    // fanOut: 13 md5 digests per row make this the most CPU-dense map
+    // stage in the registry, and the fixture's single-row-group scan
+    // plans ONE partition (profiled: a 2.4 s single-task stage, the
+    // whole query). Round-robin to core parallelism before the explode;
+    // identity at real scale. The point-estimate pass below keeps the
+    // natural scan (one md5-free pass, not worth an exchange).
+    val reps = graft.Exec.fanOut(ev)
       .select($"event_type", $"sv", $"event_id",
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .withColumn("dig", md5(concat($"event_id".cast("string"),

@@ -1973,7 +1973,11 @@ object Similarity extends QueryModule {
   private def qSubstringDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 8
-    val grams = Tables.load(s, dir, "documents")
+    // fanOut: per-row k-gram xxhash64 shingling over the single-
+    // partition fixture scan (profiled: two ~0.5 s single-task stages);
+    // the persisted gram relation inherits the parallel layout.
+    // Identity at real scale.
+    val grams = graft.Exec.fanOut(Tables.load(s, dir, "documents"))
       .withColumn("toks", split(lower($"text"), " "))
       .filter(size($"toks") >= k)
       .select($"doc_id", explode(expr(

@@ -244,7 +244,10 @@ object TextOps extends QueryModule {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     val vocab = BPE_VOCAB.toDF("token_id", "token")
-    docs(s, dir)
+    // fanOut: the per-word BPE merge loop is the heaviest projection in
+    // TextOps and the fixture scan plans one partition (profiled: a
+    // ~1 s single-task stage). Identity at real scale (guide §2.5).
+    graft.Exec.fanOut(docs(s, dir))
       .select(explode(split(lower($"text"), " ")).as("w"))
       .select(regexp_replace($"w", "[^a-z0-9]", "").as("word"))
       .filter(length($"word") > 0)
@@ -276,6 +279,8 @@ object TextOps extends QueryModule {
   private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
+    // (measured: fanOut here regresses ~0.15 s — the 5-row rollup's
+    // map-side combine is cheaper from one partition than 32 tiny tasks)
     val perLang = docs(s, dir)
       .select($"lang", explode(split(lower($"text"), " ")).as("w"))
       .select($"lang", regexp_replace($"w", "[^a-z0-9]", "").as("word"))
