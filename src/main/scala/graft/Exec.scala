@@ -115,4 +115,23 @@ object Exec {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
+
+  /** [[fanOut]] keyed to the consumer's aggregation key (guide §2.4
+    * "two operations keyed the same way can share one exchange"): when
+    * the under-parallel trigger fires, repartition by HASH on the
+    * downstream group-by columns instead of round-robin, so the
+    * consumer's own exchange disappears — the aggregate then runs at
+    * full width in the SAME stage instead of shuffling into an
+    * AQE-coalesced single post-shuffle task (the profiled ~2 s
+    * single-task argmax reduce in the PQ training chain). Hash
+    * repartition also skips round-robin's sort-before-repartition
+    * (SPARK-23207). Same identity-at-scale guard as [[fanOut]]; only
+    * apply where the key count ≫ cores so the hash spreads evenly
+    * (guide §2.5). */
+  def fanOutBy(df: DataFrame, cols: String*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores)
+      df.repartition(cores, cols.map(df.col): _*)
+    else df
+  }
 }

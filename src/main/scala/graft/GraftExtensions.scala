@@ -73,5 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName,
         VectorFunctions.BLOOM_CONTAINS),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.ARGMAX_VEC),
+      new ExpressionInfo(classOf[graft.functions.ArgmaxVec].getName,
+        VectorFunctions.ARGMAX_VEC),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ArgmaxVec(exprs(0), exprs(1), exprs(2))))
   }
 }

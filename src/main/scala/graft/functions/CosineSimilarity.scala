@@ -113,6 +113,7 @@ object VectorFunctions {
   val CMS_ESTIMATE = "graft_cms_estimate"
   val BLOOM_AGG = "graft_bloom_agg"
   val BLOOM_CONTAINS = "graft_bloom_contains"
+  val ARGMAX_VEC = "graft_argmax_vec"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -136,6 +137,8 @@ object VectorFunctions {
       BLOOM_AGG, exprs => BloomKeysAgg(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       BLOOM_CONTAINS, exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      ARGMAX_VEC, exprs => ArgmaxVec(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** BPE token array of a cleaned-word column. */
@@ -143,6 +146,12 @@ object VectorFunctions {
 
   /** Fused cosine similarity column (requires [[register]] on the session). */
   def cosine(a: Column, b: Column): Column = call_function(COSINE, a, b)
+
+  /** Hash-grouped argmax carrying a vector payload by reference — the
+    * bit-equivalent fast form of `max(struct(cs, nc, e))` (see
+    * [[ArgmaxVec]]). */
+  def argmaxVec(cs: Column, nc: Column, e: Column): Column =
+    call_function(ARGMAX_VEC, cs, nc, e)
 
   /** Hashed distinct 3-shingles of a text column. */
   def shingleHashes(text: Column): Column = call_function(SHINGLE_HASHES, text)

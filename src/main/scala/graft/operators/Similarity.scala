@@ -522,18 +522,23 @@ object Similarity extends QueryModule {
         row_number().over(Window.orderBy(seedOrd: _*)).cast("long"))
       .select($"cid", $"e".as("ce"))
     (1 to iters).foldLeft(seeds: DataFrame) { (cent, _) =>
-      // The vector rides THROUGH the argmax (last struct field — never
+      // The vector rides THROUGH the argmax (carried payload — never
       // compared: (csim, -cid) is already unique per vec_id) instead of
       // joining the assignment back to n: one exchange of n·(e+8B)
       // replaces an exchange of the assignment PLUS a join re-shuffling
       // n.e — one less exchange and no join per Lloyd round, same exact
       // integer means, so the trained centroids stay bit-identical.
+      // argmax_vec is the hash-grouped bit-equivalent of
+      // max(struct(cs, nc, e)): the built-in Max over a struct-with-
+      // array buffer falls back to SortAggregateExec and materializes
+      // the vector into a fresh struct per input row (guide §4 — see
+      // [[graft.functions.ArgmaxVec]]).
       n.crossJoin(broadcast(cent))
         .withColumn("csim",
           graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
         .groupBy($"vec_id")
-        .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"), $"e".as("e")))
-          .as("m"))
+        .agg(graft.functions.VectorFunctions
+          .argmaxVec($"csim", -$"cid", $"e").as("m"))
         .select((-$"m.nc").as("cell"), posexplode($"m.e"))
         .groupBy($"cell", $"pos")
         .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
@@ -738,7 +743,9 @@ object Similarity extends QueryModule {
   private[graft] val PqDefaultM = 16
   private[graft] val PqDefaultK = 64
 
-  private def pqTrain(nmAll: DataFrame, k: Int = PqDefaultK): DataFrame = {
+  // private[graft] so measurement tools (AnnBisect, ArgmaxAb) time the
+  // REAL training chain instead of a hand-kept replica (r16 ADVICE)
+  private[graft] def pqTrain(nmAll: DataFrame, k: Int = PqDefaultK): DataFrame = {
     val s = nmAll.sparkSession; import s.implicits._
     // Seed selection orders by md5(vec_id) — INDEPENDENT of m — so the
     // per-m top-k rows are the same k vec_ids in the same order for
@@ -755,16 +762,18 @@ object Similarity extends QueryModule {
     val seeds = nmAll.join(broadcast(seedIds), Seq("vec_id"))
       .select($"m", $"cid", $"e".as("ce"))
     // Same fusion as the Lloyd round in [[kmeansCodebook]]: the subspace
-    // vector rides through the argmax (last struct field, never compared
+    // vector rides through the argmax (carried payload, never compared
     // — (csim, -cid) is unique per (m, vec_id)) instead of joining the
     // assignment back to the N·M relation — one exchange, no join, the
-    // exact same integer means, bit-identical codebooks.
+    // exact same integer means, bit-identical codebooks. argmax_vec =
+    // hash-grouped max(struct(cs, nc, e)) without the per-row vector
+    // copy (see [[graft.functions.ArgmaxVec]]).
     nmAll.join(broadcast(seeds), Seq("m"))
       .withColumn("csim", graft.Det.round6(
         graft.functions.VectorFunctions.cosine($"e", $"ce")))
       .groupBy($"m", $"vec_id")
-      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"), $"e".as("e")))
-        .as("x"))
+      .agg(graft.functions.VectorFunctions
+        .argmaxVec($"csim", -$"cid", $"e").as("x"))
       .select($"m", (-$"x.nc").as("cell"), posexplode($"x.e"))
       .groupBy($"m", $"cell", $"pos")
       .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
@@ -809,7 +818,22 @@ object Similarity extends QueryModule {
     // |Q|-sized lookup path stays on the natural partitioning — fanning
     // 20 query rows buys nothing. Identity once the corpus scan has
     // ≥cores partitions, so no exchange is added at real scale.
+    // Round-robin, NOT keyed: Exec.fanOutBy(nmAll, "m", "vec_id")
+    // (which would let both argmax groupBys skip their exchange) was
+    // A/B'd in ABBA TimeQ pairs under a stable control and measured
+    // WORSE on q_ann_pq/q_ann_ivfpq (keyed 5.3–8.6/4.7–6.1 s vs RR
+    // 3.9–4.7/4.3–4.9 s) — the exchange the keyed form removes is
+    // KB-sized here while its complete-mode aggregate loses the
+    // partial/final overlap. Recorded in OPTIMIZATION_r17.md.
     val nmF = graft.Exec.fanOut(nmAll)
+    // NOT sealed: both consumers below (assign join + query lookup
+    // join) embed the training chain in their own broadcast, but
+    // r17 SealAb pairs measured the eager checkpoint a WASH at 32
+    // cores and a consistent LOSS on q_ann_ivfpq at 8 (the duplicate
+    // broadcast builds overlap on idle cores, while the checkpoint
+    // action serializes the query) — the r16 q_collocations lesson
+    // again. Duplicated-at-scale training is instead bounded by the
+    // index artifact path (annIndex checkpoints its codebooks).
     val cent = pqTrain(nmF, k)
     val codes = pqAssign(nmF, cent)
       .select($"vec_id", $"m", $"cell".as("code"))
