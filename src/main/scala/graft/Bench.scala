@@ -46,9 +46,13 @@ object Bench {
   }
 
   /** Whole-line byte budget: the driver's tail capture is 2000B and the
-    * sbt success epilogue shares it (~75B + newlines); 1800 leaves real
-    * margin for epilogue width drift. */
-  private[graft] val Budget = 1800
+    * sbt success epilogue shares it (~75B + newlines). r15's line went
+    * unparsed at the old 1800 budget (the full-map line sat ~1870B with
+    * the epilogue, inside the window edge-noise band); 1600 leaves a
+    * 300B+ margin so per-query round-over-round comparison can never go
+    * dark again (r16 VERDICT item 6). BenchJsonSpec renders every
+    * declared query at worst believable widths against this bound. */
+  private[graft] val Budget = 1600
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,6 +81,16 @@ object Bench {
     // tail stays clean without hiding real warnings elsewhere.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    // every query fn re-registers the graft SQL functions idempotently
+    // over the extension-injected set, so SimpleFunctionRegistry logs
+    // ~810 "replaced a previously registered function" WARN lines per
+    // bench run — pure noise that lands in the driver's bounded stdout
+    // tail capture right next to the protocol JSON line; drop that one
+    // logger to ERROR so the tail stays clean (same posture as the
+    // WindowExec suppression above, r16 VERDICT item 6)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
       org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen warmup so the first timed query doesn't absorb
     // session bring-up (~3s); standard bench practice, not query work.
