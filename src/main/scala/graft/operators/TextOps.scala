@@ -790,23 +790,34 @@ object TextOps extends QueryModule {
     * margins, class-partitioned rank window. */
   private def qMiSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r17: ONE corpus explode instead of two (guide §2.4). The old
+    // broadcast(dfT) join recomputed the whole explode+groupBy subtree
+    // under its broadcast build (ReuseExchange never fires across the
+    // pruned-column variants — the r16 q_naive_bayes lesson), so the
+    // corpus was scanned 4× per run and the duplicated 32-wide shuffles
+    // made the query 6× SLOWER at 32 cores than at 8 (driver scaling
+    // ratio 0.17). df(token) = Σ_lang n11 now rides a token-partitioned
+    // window over the SAME aggregate — vocabulary-sized exchange, no
+    // second corpus pass — and n_docs = Σ_lang n_c rides the class-size
+    // aggregate itself (bounded: ≤ #langs rows under the unpartitioned
+    // window) so ONE broadcast join attaches both margins instead of a
+    // broadcast join plus a crossJoin over a third docs scan. Values
+    // are exact integers either way; rows, schema, order unchanged.
     val cell = docs(s, dir)
       .select($"lang",
         explode(array_distinct(split(lower($"text"), " "))).as("token"))
       .groupBy($"lang", $"token").agg(count(lit(1)).as("n11"))
-    val dfT = cell.groupBy($"token")
-      .agg(sum($"n11").cast("long").as("df"))
+      .withColumn("df",
+        sum($"n11").over(Window.partitionBy($"token")).cast("long"))
     val nc = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_c"))
-    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_docs", sum($"n_c").over(Window.partitionBy()))
     def term(n: Column, rowm: Column, colm: Column): Column =
       when(n > 0, n * floor(
         log((n.cast("double") * $"n_docs".cast("double"))
           / (rowm.cast("double") * colm.cast("double")))
           * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(lit(0L))
     val scored = cell
-      .join(broadcast(dfT), Seq("token"))
       .join(broadcast(nc), Seq("lang"))
-      .crossJoin(broadcast(nn))
       .filter($"df" < $"n_docs")
       .withColumn("mi_q",
         term($"n11", $"df", $"n_c")
@@ -826,18 +837,18 @@ object TextOps extends QueryModule {
 
   private def qChi2Select(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // same single-pass restructure as [[qMiSelect]] (the duplicated
+    // corpus explode under broadcast(dfT) and the third docs scan)
     val cell = docs(s, dir)
       .select($"lang",
         explode(array_distinct(split(lower($"text"), " "))).as("token"))
       .groupBy($"lang", $"token").agg(count(lit(1)).as("n11"))
-    val dfT = cell.groupBy($"token")
-      .agg(sum($"n11").cast("long").as("df"))
+      .withColumn("df",
+        sum($"n11").over(Window.partitionBy($"token")).cast("long"))
     val nc = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_c"))
-    val nn = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_docs", sum($"n_c").over(Window.partitionBy()))
     val scored = cell
-      .join(broadcast(dfT), Seq("token"))
       .join(broadcast(nc), Seq("lang"))
-      .crossJoin(broadcast(nn))
       .filter($"df" < $"n_docs") // token in every doc carries zero signal
       .withColumn("diff",
         ($"n11" * ($"n_docs" - $"df" - $"n_c" + $"n11") -
