@@ -39,8 +39,11 @@ object AnnBisect {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nmAll.count()
 
-    // pqTrain replica (same arithmetic; measurement-only copy)
-    val k = 64
+    // seed/join fragments mirror pqTrain's head so the aggregate can be
+    // timed in isolation; the FULL chain below calls the real
+    // Similarity.pqTrain (private[graft] since r17, per r16 ADVICE — no
+    // hand-kept replica to drift)
+    val k = Similarity.PqDefaultK
     val seedOrd = Seq(md5($"vec_id".cast("string")), $"vec_id")
     def seedIds = nmAll.filter($"m" === 0).select($"vec_id")
       .orderBy(seedOrd: _*).limit(k)
@@ -49,21 +52,6 @@ object AnnBisect {
         .cast("long"))
     def seeds = nmAll.join(broadcast(seedIds), Seq("vec_id"))
       .select($"m", $"cid", $"e".as("ce"))
-    def trained = nmAll.join(broadcast(seeds), Seq("m"))
-      .withColumn("csim", graft.Det.round6(
-        graft.functions.VectorFunctions.cosine($"e", $"ce")))
-      .groupBy($"m", $"vec_id")
-      .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"), $"e".as("e")))
-        .as("x"))
-      .select($"m", (-$"x.nc").as("cell"), posexplode($"x.e"))
-      .groupBy($"m", $"cell", $"pos")
-      .agg(sum(floor($"col" * 10000.0 + 0.5).cast("long")).as("sv"),
-        count(lit(1)).as("cnt"))
-      .withColumn("v", $"sv".cast("double") / ($"cnt" * 10000.0))
-      .groupBy($"m", $"cell")
-      .agg(collect_list(struct($"pos", $"v")).as("pv"))
-      .select($"m", $"cell".as("cid"),
-        expr("transform(array_sort(pv), x -> x.v)").as("ce"))
 
     time("nmAll_scan")(noop(nmAll))
     time("seeds")(noop(seeds))
@@ -72,12 +60,19 @@ object AnnBisect {
       .withColumn("csim", graft.Det.round6(
         graft.functions.VectorFunctions.cosine($"e", $"ce")))
     time("join_cosine_only")(noop(joined.select($"m", $"vec_id", $"csim")))
-    time("argmax_vec")(noop(
+    // both argmax forms over the same join: the r16 built-in (vector
+    // materialized per row under SortAggregate) vs the r17 typed
+    // aggregate (ObjectHashAggregate, copy-on-improve)
+    time("argmax_struct(r16)")(noop(
       joined.groupBy($"m", $"vec_id")
         .agg(max(struct($"csim".as("cs"), (-$"cid").as("nc"), $"e".as("e")))
           .as("x"))))
-    time("pqTrain_full")(noop(trained))
-    val cent = trained.localCheckpoint(true)
+    time("argmax_vec(r17)")(noop(
+      joined.groupBy($"m", $"vec_id")
+        .agg(graft.functions.VectorFunctions
+          .argmaxVec($"csim", -$"cid", $"e").as("x"))))
+    time("pqTrain_full")(noop(Similarity.pqTrain(nmAll)))
+    val cent = Similarity.pqTrain(nmAll).localCheckpoint(true)
     time("pqAssign")(noop(Similarity.pqAssign(nmAll, cent)))
     spark.stop()
   }

@@ -12,6 +12,9 @@ object ArgmaxBench {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toInt).getOrElse(30000)
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    // the encoded-BIGINT key packs cid into 11 bits: above 2047 the keys
+    // collide and the decoded cells are silently wrong (r16 ADVICE)
+    require(k <= 2047, s"k=$k overflows the 2048-slot cid encoding")
     val spark = SparkSession.builder()
       .master("local[1]")
       .config("spark.sql.shuffle.partitions", "1")
@@ -34,8 +37,13 @@ object ArgmaxBench {
     val joined = n.crossJoin(broadcast(cent))
       .withColumn("csim",
         graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce")))
-    val csimq = floor(graft.functions.VectorFunctions.cosine($"e", $"ce")
-      * lit(1000000.0) + lit(0.5)).cast("long")
+    // quantize the SAME round6-ed csim the struct arm compares, so both
+    // arms argmax identical keys and tie-breaking can't diverge
+    // (r16 ADVICE); round6 output is exactly representable at 1e-6
+    // steps so the *1e6 round-trip is lossless
+    val csimq = floor(
+      graft.Det.round6(graft.functions.VectorFunctions.cosine($"e", $"ce"))
+        * lit(1000000.0) + lit(0.5)).cast("long")
     val keyL = (csimq + lit(2000000L)) * lit(2048L) + (lit(2048L) - $"cid")
     val joinedK = n.crossJoin(broadcast(cent)).withColumn("k", keyL)
 

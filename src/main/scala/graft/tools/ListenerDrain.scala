@@ -1,0 +1,14 @@
+package org.apache.spark
+
+/** Package shim for measurement tooling: `listenerBus.waitUntilEmpty` is
+  * `private[spark]`, but ProfileQ must drain the async listener bus
+  * before detaching its listener — a fixed sleep is a race on a loaded
+  * host (late stage-end events under-count jobSum and inflate the
+  * reported planning "gaps" that drive optimization decisions, r16
+  * ADVICE). Tooling-only; never referenced from query paths. */
+object ListenerDrain {
+  /** Block until every queued listener event has been delivered, or the
+    * timeout passes. */
+  def drain(sc: SparkContext, timeoutMs: Long = 5000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+}

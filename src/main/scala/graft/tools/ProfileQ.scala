@@ -60,7 +60,9 @@ object ProfileQ {
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // let the listener bus drain
+      // deterministic drain (not a fixed sleep): late job/stage-end
+      // events would under-count jobSum and inflate "gaps"
+      org.apache.spark.ListenerDrain.drain(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
       val js = jobs.sortBy(_.start).toSeq
       val jobTotal = js.map(j => math.max(0L, j.end - j.start)).sum / 1e3
