@@ -110,7 +110,12 @@ object Exec {
     *
     * Apply ONLY where the consumer is compute-bound per row — fanning
     * out a scan that feeds a selective pushed filter would instead
-    * defeat the parquet scan's PushedFilters. */
+    * defeat the parquet scan's PushedFilters. And apply ONLY to
+    * exchange-free scan/project-shaped plans: the partition-count gate
+    * calls `.rdd`, which physically plans the child, and under AQE a
+    * shuffle-bearing child would EXECUTE its shuffle stages eagerly at
+    * plan-build time (all current call sites are narrow scans; keep it
+    * that way). */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
@@ -125,9 +130,16 @@ object Exec {
     * AQE-coalesced single post-shuffle task (the profiled ~2 s
     * single-task argmax reduce in the PQ training chain). Hash
     * repartition also skips round-robin's sort-before-repartition
-    * (SPARK-23207). Same identity-at-scale guard as [[fanOut]]; only
-    * apply where the key count ≫ cores so the hash spreads evenly
-    * (guide §2.5). */
+    * (SPARK-23207). Same identity-at-scale guard — and the same
+    * exchange-free-input requirement — as [[fanOut]]; only apply where
+    * the key count ≫ cores so the hash spreads evenly (guide §2.5).
+    *
+    * MEASURED NEGATIVE at its motivating site (r17): on the PQ
+    * train/assign relation the keyed form ran consistently SLOWER than
+    * round-robin (q_ann_pq 5.3–8.6 s vs 3.9–4.7 s in ABBA pairs under a
+    * stable control) — the exchange it removes is KB-sized while the
+    * downstream aggregate loses its partial/final overlap. Kept as the
+    * documented negative result; no production call sites. */
   def fanOutBy(df: DataFrame, cols: String*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores)

@@ -405,6 +405,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_benford" -> (1 -> "9 digit rows"),
     "q_vocab_growth" -> (1 -> "decile rows (constant 10)"),
     "q_unigram_logprob" -> (1 -> "global-total window over G event-type rows"),
+    "q_mi_select" -> (1 -> "n_docs total over the ≤#langs-row class-size aggregate (r17 single-pass restructure)"),
+    "q_chi2_select" -> (1 -> "same n_docs total as q_mi_select"),
     "q_temperature_mix" -> (2 -> "total + normalizer windows over G language rows"),
     "q_pca_power" -> (4 -> "matvec/normalize windows over d=64-dim vectors (constant)"),
     "q_dsir" -> (11, "256-row bucket-LM totals + ≤4097-row global-selection summaries, " +
