@@ -121,29 +121,13 @@ object Exec {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
-  /** [[fanOut]] keyed to the consumer's aggregation key (guide §2.4
-    * "two operations keyed the same way can share one exchange"): when
-    * the under-parallel trigger fires, repartition by HASH on the
-    * downstream group-by columns instead of round-robin, so the
-    * consumer's own exchange disappears — the aggregate then runs at
-    * full width in the SAME stage instead of shuffling into an
-    * AQE-coalesced single post-shuffle task (the profiled ~2 s
-    * single-task argmax reduce in the PQ training chain). Hash
-    * repartition also skips round-robin's sort-before-repartition
-    * (SPARK-23207). Same identity-at-scale guard — and the same
-    * exchange-free-input requirement — as [[fanOut]]; only apply where
-    * the key count ≫ cores so the hash spreads evenly (guide §2.5).
-    *
-    * MEASURED NEGATIVE at its motivating site (r17): on the PQ
-    * train/assign relation the keyed form ran consistently SLOWER than
-    * round-robin (q_ann_pq 5.3–8.6 s vs 3.9–4.7 s in ABBA pairs under a
-    * stable control) — the exchange it removes is KB-sized while the
-    * downstream aggregate loses its partial/final overlap. Kept as the
-    * documented negative result; no production call sites. */
-  def fanOutBy(df: DataFrame, cols: String*): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores)
-      df.repartition(cores, cols.map(df.col): _*)
-    else df
-  }
+  // A KEYED fanOut variant (hash-repartition on the downstream group-by
+  // key so the consumer's aggregate shares the exchange, guide §2.4) was
+  // built and MEASURED NEGATIVE in r17 at its motivating site — the PQ
+  // train/assign relation ran consistently slower keyed than round-robin
+  // (q_ann_pq 5.3–8.6 s vs 3.9–4.7 s in ABBA pairs under a stable
+  // control): the exchange it removes is KB-sized while the downstream
+  // aggregate loses its partial/final overlap. Removed rather than kept
+  // as dead API; the record lives here, at the would-be call site
+  // (Similarity.pqCodesLookups), and in OPTIMIZATION_r17.md.
 }

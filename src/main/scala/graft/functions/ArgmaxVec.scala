@@ -61,12 +61,20 @@ case class ArgmaxVec(
   override def prettyName: String = "graft_argmax_vec"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (csExpr.dataType == DoubleType && ncExpr.dataType == LongType &&
-      eExpr.dataType.isInstanceOf[ArrayType])
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (DOUBLE, BIGINT, ARRAY) arguments, got " +
-        s"(${csExpr.dataType.sql}, ${ncExpr.dataType.sql}, ${eExpr.dataType.sql})")
+    if (!(csExpr.dataType == DoubleType && ncExpr.dataType == LongType &&
+      eExpr.dataType.isInstanceOf[ArrayType]))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (DOUBLE, BIGINT, ARRAY) arguments, got " +
+          s"(${csExpr.dataType.sql}, ${ncExpr.dataType.sql}, ${eExpr.dataType.sql})")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(eExpr.dataType))
+      // the (cs, nc)-tie fallthrough compares the arrays with the same
+      // interpreted ordering max(struct) would use — reject unorderable
+      // element types (e.g. ARRAY<MAP>) at ANALYSIS time like the
+      // built-in does, not on the first tie inside a task
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName payload type ${eExpr.dataType.sql} is not orderable")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = StructType(Seq(
     StructField("cs", DoubleType, nullable = true),

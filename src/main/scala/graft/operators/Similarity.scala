@@ -818,13 +818,14 @@ object Similarity extends QueryModule {
     // |Q|-sized lookup path stays on the natural partitioning — fanning
     // 20 query rows buys nothing. Identity once the corpus scan has
     // ≥cores partitions, so no exchange is added at real scale.
-    // Round-robin, NOT keyed: Exec.fanOutBy(nmAll, "m", "vec_id")
+    // Round-robin, NOT keyed: a hash-repartition on (m, vec_id) here
     // (which would let both argmax groupBys skip their exchange) was
     // A/B'd in ABBA TimeQ pairs under a stable control and measured
     // WORSE on q_ann_pq/q_ann_ivfpq (keyed 5.3–8.6/4.7–6.1 s vs RR
     // 3.9–4.7/4.3–4.9 s) — the exchange the keyed form removes is
     // KB-sized here while its complete-mode aggregate loses the
-    // partial/final overlap. Recorded in OPTIMIZATION_r17.md.
+    // partial/final overlap. Recorded in OPTIMIZATION_r17.md and on
+    // Exec's closing comment (the helper was removed as dead API).
     val nmF = graft.Exec.fanOut(nmAll)
     // NOT sealed: both consumers below (assign join + query lookup
     // join) embed the training chain in their own broadcast, but

@@ -39,7 +39,11 @@ object ArgmaxAb {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nmAll.count()
 
-    val k = 64
+    // mirrors pqTrain's seed/join head (kept inline because the two
+    // arms time SUB-fragments pqTrain doesn't expose; AnnBisect times
+    // the real full chain) — K from the shared constant so a geometry
+    // re-pin can't silently drift this A/B
+    val k = Similarity.PqDefaultK
     val seedOrd = Seq(md5($"vec_id".cast("string")), $"vec_id")
     val seedIds = nmAll.filter($"m" === 0).select($"vec_id")
       .orderBy(seedOrd: _*).limit(k)
@@ -65,8 +69,8 @@ object ArgmaxAb {
     val diff = armA.withColumnRenamed("e", "ea").withColumnRenamed("cell", "ca")
       .join(armB.withColumnRenamed("e", "eb").withColumnRenamed("cell", "cb"),
         Seq("m", "vec_id"), "full_outer")
-      .filter($"ca".isNull || $"cb".isNull || $"ca" =!= $"cb" ||
-        $"ea".isNull || $"eb".isNull || $"ea" =!= $"eb")
+      // null-safe: both-arms-null is agreement, not a disagreement
+      .filter(!($"ca" <=> $"cb") || !($"ea" <=> $"eb"))
       .count()
     println(s"[argmax_ab] subspace arm disagreement rows = $diff (must be 0)")
 
@@ -115,8 +119,7 @@ object ArgmaxAb {
     val cDiff = cArmA.withColumnRenamed("e", "ea").withColumnRenamed("cell", "ca")
       .join(cArmB.withColumnRenamed("e", "eb").withColumnRenamed("cell", "cb"),
         Seq("vec_id"), "full_outer")
-      .filter($"ca".isNull || $"cb".isNull || $"ca" =!= $"cb" ||
-        $"ea".isNull || $"eb".isNull || $"ea" =!= $"eb")
+      .filter(!($"ca" <=> $"cb") || !($"ea" <=> $"eb"))
       .count()
     println(s"[argmax_ab] coarse arm disagreement rows = $cDiff (must be 0)")
     runPair("coarse(d=64)", cArmA, cArmB)

@@ -32,7 +32,11 @@ object FinalPlan {
         "ReusedExchange".r.findAllIn(p).length +
         " ReusedQueryStage=" + "ReusedQueryStage".r.findAllIn(p).length +
         " BroadcastExchange=" + "BroadcastExchange".r.findAllIn(p).length +
-        " ShuffleExchange=" + "Exchange (?!Reused)".r.findAllIn(p).length)
+        // plain shuffle Exchange only: lookBEHIND excludes the
+        // Broadcast/Reused variants (a lookahead after "Exchange "
+        // inspects the wrong side and counts all three)
+        " ShuffleExchange=" + "(?<!Broadcast)(?<!Reused)Exchange ".r
+          .findAllIn(p).length)
     }
     spark.stop()
   }

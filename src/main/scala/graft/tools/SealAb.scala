@@ -6,9 +6,16 @@ import org.apache.spark.sql.SparkSession
   * runs a declared query normally (trained codebooks sealed via
   * Exec.seal), arm U runs it under Exec.withLazyPlans where every seal
   * is the identity — i.e. the pre-seal plan in the SAME session/window.
-  * The residual difference between arms beyond the cent/coarse seals is
-  * the result-boundary checkpoint (~100 rows, negligible both ways).
-  * runMain graft.tools.SealAb <sfDir> <query...> */
+  *
+  * CONFOUND (post-hoc review): arm U is lazy, so a query fn whose
+  * `finally` unpersists its intermediates does so BEFORE the timed
+  * count() executes anything — arm U recomputes those persisted hubs
+  * from scratch as well as skipping the seals. The arms therefore
+  * compare seal+persist vs neither, a bias TOWARD the sealed arm. The
+  * r17 decision this tool fed (do NOT seal — unsealed measured
+  * wash-at-32/win-at-8 DESPITE the handicap) survives the bias; do not
+  * reuse this tool for a seal that is expected to LOSE, where the bias
+  * could flip the verdict. runMain graft.tools.SealAb <sfDir> <query...> */
 object SealAb {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -120,6 +120,20 @@ class ArgmaxVecSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("unorderable payload types are rejected at analysis time, like max(struct)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((1, 0.5, -1L)).toDF("g", "cs", "nc")
+      .withColumn("e", array(map(lit("k"), lit(1))))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy($"g")
+        .agg(VectorFunctions.argmaxVec($"cs", $"nc", $"e").as("m"))
+        .queryExecution.analyzed
+    }
+    assert(err.getMessage.toLowerCase.contains("orderable") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("plans as ObjectHashAggregate, not the built-in's SortAggregate") {
     import spark.implicits._
     VectorFunctions.register(spark)
